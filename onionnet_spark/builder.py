@@ -1,0 +1,104 @@
+"""Graph construction from node/edge DataFrames.
+
+Reference parity: ``onionnet/builder.py:37-255`` (grow_onion,
+add_vertices_from_dataframe, add_edges_from_dataframe). The
+reference validates required columns, drops NA keys, drops duplicate
+nodes/edges, maps (layer, node_id) to vertex indices through driver
+dicts, and silently skips edges whose endpoints are unknown
+(builder.py:219-224).
+
+Spark-first translation: all of that is column selection + distinct
++ dropna + a left-semi join against the node set for endpoint
+validation. No driver-side mapping dict exists (the key is the
+identity); Catalyst prunes/pushes everything. Endpoint validation is
+two semi-joins that AQE turns into broadcast joins whenever the node
+side is small; for a 100 TB edge list vs a large node set it is a
+shuffled semi-join on the node key — exactly the shuffle you'd pay
+once at build time, after which both sides can be written bucketed
+by the key for co-located downstream joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from onionnet_spark.core import EDGE_KEY, NODE_KEY, OnionGraph
+
+
+def grow_onion(
+    df_nodes: DataFrame,
+    df_edges: DataFrame,
+    node_prop_cols: list[str] | None = None,
+    edge_prop_cols: list[str] | None = None,
+    drop_na: bool = True,
+    drop_duplicates: bool = True,
+    node_id_col: str = "node_id",
+    node_layer_col: str = "layer",
+    edge_source_id_col: str = "src_id",
+    edge_source_layer_col: str = "src_layer",
+    edge_target_id_col: str = "dst_id",
+    edge_target_layer_col: str = "dst_layer",
+    validate_endpoints: bool = True,
+    directed: bool = True,
+) -> OnionGraph:
+    """Build an OnionGraph from raw node and edge DataFrames.
+
+    Mirrors reference grow_onion (builder.py:37-110): column
+    validation, duplicate removal on the node/edge key, NA handling,
+    and (like builder.py:219-224) dropping edges whose endpoints are
+    not in the node set.
+    """
+    node_prop_cols = node_prop_cols or []
+    edge_prop_cols = edge_prop_cols or []
+
+    missing_nodes = set([node_id_col, node_layer_col] + node_prop_cols) - set(df_nodes.columns)
+    if missing_nodes:
+        raise ValueError(f"Missing node columns: {missing_nodes}")
+    missing_edges = set(
+        [edge_source_id_col, edge_source_layer_col, edge_target_id_col, edge_target_layer_col]
+        + edge_prop_cols
+    ) - set(df_edges.columns)
+    if missing_edges:
+        raise ValueError(f"Missing edge columns: {missing_edges}")
+
+    nodes = df_nodes.select(
+        F.col(node_layer_col).cast("string").alias("layer"),
+        F.col(node_id_col).cast("string").alias("node_id"),
+        *[F.col(c) for c in node_prop_cols],
+    )
+    edges = df_edges.select(
+        F.col(edge_source_layer_col).cast("string").alias("src_layer"),
+        F.col(edge_source_id_col).cast("string").alias("src_id"),
+        F.col(edge_target_layer_col).cast("string").alias("dst_layer"),
+        F.col(edge_target_id_col).cast("string").alias("dst_id"),
+        *[F.col(c) for c in edge_prop_cols],
+    )
+
+    if drop_na:
+        nodes = nodes.dropna(subset=NODE_KEY)
+        edges = edges.dropna(subset=EDGE_KEY)
+
+    if drop_duplicates:
+        # Keep one row per key. dropDuplicates is a shuffle on the key
+        # with map-side partial aggregation — the minimal possible cost.
+        nodes = nodes.dropDuplicates(NODE_KEY)
+        edges = edges.dropDuplicates(EDGE_KEY)
+
+    if validate_endpoints:
+        node_keys = nodes.select(*NODE_KEY)
+        edges = edges.join(
+            node_keys.withColumnRenamed("layer", "src_layer").withColumnRenamed(
+                "node_id", "src_id"
+            ),
+            on=["src_layer", "src_id"],
+            how="left_semi",
+        ).join(
+            node_keys.withColumnRenamed("layer", "dst_layer").withColumnRenamed(
+                "node_id", "dst_id"
+            ),
+            on=["dst_layer", "dst_id"],
+            how="left_semi",
+        )
+
+    return OnionGraph(nodes, edges, directed=directed)

@@ -1,0 +1,98 @@
+"""Core graph model: a multi-layer graph as a pair of DataFrames.
+
+Reference parity: ``onionnet/core.py:22-111`` (OnionNetGraph) keeps a
+graph-tool Graph plus dicts mapping (layer, node_id) <-> vertex index
+and dictionary-encodes layers/categorical properties. In a
+distributed engine there is no "vertex index"; the node key IS the
+pair ``(layer, node_id)`` and every mapping the reference keeps in
+Python dicts is either unnecessary (keys are self-describing) or a
+first-class DataFrame (dictionary tables, see
+``onionnet_spark/functions/encoding.py``).
+
+We deliberately do NOT hash the composite key into a 64-bit int: at
+10^10+ nodes a 64-bit hash has non-trivial birthday collision
+probability, and Tungsten shuffles composite (string, string) keys
+efficiently. The layer column has tiny cardinality so it compresses
+to a dictionary page in parquet and broadcasts for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NODE_KEY = ["layer", "node_id"]
+EDGE_KEY = ["src_layer", "src_id", "dst_layer", "dst_id"]
+
+
+class OnionGraph:
+    """A multi-layer property graph.
+
+    Attributes:
+        nodes: DataFrame with columns ``layer: string, node_id:
+            string`` plus arbitrary property columns. One row per
+            node; (layer, node_id) unique.
+        edges: DataFrame with columns ``src_layer, src_id,
+            dst_layer, dst_id`` (strings) plus property columns.
+        directed: semantic flag; edges are always stored as
+            (src, dst) rows, undirected algorithms symmetrize.
+    """
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame, directed: bool = True):
+        missing_n = set(NODE_KEY) - set(nodes.columns)
+        missing_e = set(EDGE_KEY) - set(edges.columns)
+        if missing_n:
+            raise ValueError(f"nodes missing key columns: {missing_n}")
+        if missing_e:
+            raise ValueError(f"edges missing key columns: {missing_e}")
+        self.nodes = nodes
+        self.edges = edges
+        self.directed = directed
+
+    # ---- basic accessors -------------------------------------------------
+    def node_prop_cols(self) -> list[str]:
+        return [c for c in self.nodes.columns if c not in NODE_KEY]
+
+    def edge_prop_cols(self) -> list[str]:
+        return [c for c in self.edges.columns if c not in EDGE_KEY]
+
+    def layers(self) -> DataFrame:
+        """Distinct layer names with node counts (tiny result)."""
+        return self.nodes.groupBy("layer").agg(F.count("*").alias("n_nodes"))
+
+    def edge_endpoints(self) -> DataFrame:
+        """Edges reduced to their key columns (column-pruned scan)."""
+        return self.edges.select(*EDGE_KEY)
+
+    def symmetrized_edges(self) -> DataFrame:
+        """Undirected view: each edge emitted in both directions, deduped."""
+        e = self.edge_endpoints()
+        rev = e.select(
+            F.col("dst_layer").alias("src_layer"),
+            F.col("dst_id").alias("src_id"),
+            F.col("src_layer").alias("dst_layer"),
+            F.col("src_id").alias("dst_id"),
+        )
+        return e.unionByName(rev).distinct()
+
+    # ---- invariants ------------------------------------------------------
+    def persist(self) -> "OnionGraph":
+        self.nodes = self.nodes.persist()
+        self.edges = self.edges.persist()
+        return self
+
+    def unpersist(self) -> "OnionGraph":
+        self.nodes.unpersist()
+        self.edges.unpersist()
+        return self
+
+    def counts(self) -> tuple[int, int]:
+        return self.nodes.count(), self.edges.count()
+
+    def node_key_col(self) -> "F.Column":
+        """Canonical single-string node label 'layer:node_id'.
+
+        Mirrors create_node_label_property (reference
+        property_manager.py:156-177).
+        """
+        return F.concat_ws(":", F.col("layer"), F.col("node_id"))

@@ -1,0 +1,175 @@
+"""BFS traversals: k-hop ego search, reachability, on-shortest-path.
+
+Reference parity: ``onionnet/searcher.py``:
+  - search (searcher.py:157-242): k-hop ego subgraph in
+    'downstream' / 'upstream' / 'bi' direction via graph-tool
+    shortest_distance with max_dist.
+  - _bfs_traversal (searcher.py:119-155): unbounded reachability.
+  - compute_on_shortest (searcher.py:26-117): mark vertices v with
+    d_fwd(source, v) + d_rev(v, targets) in {d_fwd(source, t)}.
+
+Spark-first design: BFS is a bounded loop of joins. The frontier is
+typically orders of magnitude smaller than the edge list, so each
+expansion joins a *broadcast* frontier against the (persisted,
+column-pruned) edge endpoints — no shuffle of the big side at all
+while the frontier stays under the broadcast threshold; past it we
+fall back to a shuffled join keyed on the node key (AQE picks this
+up automatically from stats, we also hint explicitly from the known
+frontier count, which we materialize anyway for loop control).
+Visited-set lineage is truncated with localCheckpoint every few
+iterations so plans don't grow exponentially with depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onionnet_spark.core import NODE_KEY, OnionGraph
+
+# Frontiers below this row count are broadcast to the edge join.
+BROADCAST_FRONTIER_MAX = 2_000_000
+# Truncate visited-set lineage every N BFS levels.
+CHECKPOINT_EVERY = 4
+
+
+def _directed_endpoints(graph: OnionGraph, direction: str) -> DataFrame:
+    """Edge endpoints oriented for the requested traversal direction.
+
+    'downstream' follows src->dst (out-edges, searcher.py:217-219),
+    'upstream' follows dst->src (in-edges, searcher.py:205-211).
+    """
+    e = graph.edge_endpoints()
+    if direction == "downstream":
+        return e
+    if direction == "upstream":
+        return e.select(
+            F.col("dst_layer").alias("src_layer"),
+            F.col("dst_id").alias("src_id"),
+            F.col("src_layer").alias("dst_layer"),
+            F.col("src_id").alias("dst_id"),
+        )
+    raise ValueError("direction must be 'upstream' or 'downstream'")
+
+
+def _sources_df(spark: SparkSession, sources: list[tuple[str, str]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(l, str(i), 0) for (l, i) in sources], "layer string, node_id string, dist int"
+    )
+
+
+def bfs_distances(
+    graph: OnionGraph,
+    sources: list[tuple[str, str]],
+    direction: str = "downstream",
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Min hop distance from the source set to every reachable node.
+
+    Returns DataFrame(layer, node_id, dist) including the sources at
+    dist 0. Multi-source: dist is the minimum over sources, which is
+    exactly the artificial-source construction the reference uses in
+    compute_on_shortest (searcher.py:75-86).
+    """
+    spark = graph.nodes.sparkSession
+    edges = _directed_endpoints(graph, direction).persist()
+    try:
+        frontier = _sources_df(spark, sources)
+        visited = frontier.persist()
+        n_frontier = frontier.count()
+        depth = 0
+        while n_frontier > 0 and (max_dist is None or depth < max_dist):
+            f = frontier.select(
+                F.col("layer").alias("src_layer"), F.col("node_id").alias("src_id")
+            )
+            if n_frontier <= BROADCAST_FRONTIER_MAX:
+                f = F.broadcast(f)
+            nxt = (
+                edges.join(f, on=["src_layer", "src_id"])
+                .select(
+                    F.col("dst_layer").alias("layer"),
+                    F.col("dst_id").alias("node_id"),
+                    F.lit(depth + 1).alias("dist"),
+                )
+                .distinct()
+                .join(visited.select(*NODE_KEY), on=NODE_KEY, how="left_anti")
+                .persist()
+            )
+            new_visited = visited.unionByName(nxt)
+            depth += 1
+            if depth % CHECKPOINT_EVERY == 0:
+                new_visited = new_visited.localCheckpoint(eager=False)
+            visited = new_visited.persist()
+            n_frontier = nxt.count()
+            frontier = nxt
+        return visited
+    finally:
+        edges.unpersist()
+
+
+def k_hop(
+    graph: OnionGraph,
+    start: tuple[str, str],
+    max_dist: int,
+    direction: str = "downstream",
+) -> DataFrame:
+    """Ego subgraph node set within max_dist hops of start.
+
+    Reference search (searcher.py:157-242). direction='bi' unions
+    upstream and downstream reachable sets (searcher.py:222-223);
+    dist is then the min of the two directions.
+    """
+    if direction == "bi":
+        down = bfs_distances(graph, [start], "downstream", max_dist)
+        up = bfs_distances(graph, [start], "upstream", max_dist)
+        return (
+            down.unionByName(up)
+            .groupBy(*NODE_KEY)
+            .agg(F.min("dist").alias("dist"))
+        )
+    return bfs_distances(graph, [start], direction, max_dist)
+
+
+def reachable(
+    graph: OnionGraph, start: tuple[str, str], direction: str = "downstream"
+) -> DataFrame:
+    """Full reachability fixpoint (reference _bfs_traversal,
+    searcher.py:119-155)."""
+    return bfs_distances(graph, [start], direction, max_dist=None)
+
+
+def on_shortest_path(
+    graph: OnionGraph,
+    source: tuple[str, str],
+    targets: list[tuple[str, str]],
+) -> DataFrame:
+    """Nodes lying on some shortest path from source to any target.
+
+    Reference compute_on_shortest (searcher.py:26-117): forward BFS
+    from source; reverse BFS from an artificial vertex wired to all
+    targets with weight 0 (== multi-source reverse BFS); keep v with
+    d_f(v) + d_r(v) ∈ { d_f(t) : t ∈ targets }. We reproduce those
+    semantics exactly, including the quirk that d_r is the min over
+    ALL targets while membership is tested against the full set of
+    target distances.
+    """
+    fwd = bfs_distances(graph, [source], "downstream").withColumnRenamed("dist", "d_f")
+    rev = bfs_distances(graph, targets, "upstream").withColumnRenamed("dist", "d_r")
+    target_dists = (
+        fwd.join(
+            F.broadcast(
+                fwd.sparkSession.createDataFrame(
+                    [(l, str(i)) for (l, i) in targets], "layer string, node_id string"
+                )
+            ),
+            on=NODE_KEY,
+        )
+        .select(F.col("d_f").alias("td"))
+        .distinct()
+    )
+    return (
+        fwd.join(rev, on=NODE_KEY)
+        .withColumn("d_sum", F.col("d_f") + F.col("d_r"))
+        .join(F.broadcast(target_dists), F.col("d_sum") == F.col("td"), "left_semi")
+        .select("layer", "node_id", "d_f", "d_r")
+    )

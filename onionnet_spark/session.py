@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same config
+block is what we would ship to a 1000-executor cluster (AQE on,
+skew-join handling on, Arrow on for the few pandas interchanges).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "onionnet-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("ONIONNET_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Adaptive execution: runtime coalescing of shuffle partitions,
+        # skew-join splitting, dynamic join strategy switch.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas interchange (mapInPandas multimodal path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps in the test parquet are TIMESTAMP_MICROS; keep
+        # session TZ fixed so window bucketing is deterministic.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The events table stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type, so read as long and convert in the loader
+        # (sources/tpch_graph.py) via integer division to micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("ONIONNET_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,89 @@
+"""Traversal operators vs hand-computed answers + DuckDB recursive-CTE oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onionnet_spark.builder import grow_onion
+from onionnet_spark.operators.traversal import (
+    bfs_distances,
+    k_hop,
+    on_shortest_path,
+    reachable,
+)
+from onionnet_spark.sources.tpch_graph import graph_ctes
+
+from tests.conftest import duck_to_set, rows_to_set
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(spark):
+    # a -> b -> c -> d ; a -> c (shortcut) ; e isolated
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "abcde"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("L", "a", "L", "b"), ("L", "b", "L", "c"), ("L", "c", "L", "d"), ("L", "a", "L", "c")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    return grow_onion(nodes, edges)
+
+
+def test_bfs_tiny_downstream(tiny_graph):
+    got = rows_to_set(bfs_distances(tiny_graph, [("L", "a")], "downstream"))
+    assert got == {(0, "L", "a"), (1, "L", "b"), (1, "L", "c"), (2, "L", "d")}
+
+
+def test_bfs_tiny_upstream(tiny_graph):
+    got = rows_to_set(bfs_distances(tiny_graph, [("L", "d")], "upstream"))
+    assert got == {(0, "L", "d"), (1, "L", "c"), (2, "L", "a"), (2, "L", "b")}
+
+
+def test_khop_bi_tiny(tiny_graph):
+    got = rows_to_set(k_hop(tiny_graph, ("L", "c"), 1, "bi"))
+    # downstream: d at 1; upstream: a, b at 1; c itself 0
+    assert got == {(0, "L", "c"), (1, "L", "d"), (1, "L", "a"), (1, "L", "b")}
+
+
+def test_on_shortest_tiny(tiny_graph):
+    got = rows_to_set(on_shortest_path(tiny_graph, ("L", "a"), [("L", "d")]))
+    # shortest a->d is a-c-d (len 2); b has d_f=1, d_r=2 -> 3 not in {2}
+    assert {(r[2], r[3]) for r in got} == {("L", "a"), ("L", "c"), ("L", "d")}
+
+
+def test_khop_upstream_matches_duckdb(tpch_graph, sf_dir):
+    got = rows_to_set(k_hop(tpch_graph, ("region", "0"), 2, "upstream"))
+    sql = f"""
+    WITH RECURSIVE {graph_ctes()},
+    bfs AS (
+      SELECT 'region' AS layer, '0' AS node_id, 0 AS dist
+      UNION
+      SELECT e.src_layer, e.src_id, b.dist + 1
+      FROM bfs b JOIN edges_g e
+        ON e.dst_layer = b.layer AND e.dst_id = b.node_id
+      WHERE b.dist < 2
+    )
+    SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+    FROM bfs GROUP BY layer, node_id
+    """
+    want = duck_to_set(sf_dir, sql)
+    assert got == want
+
+
+def test_reachable_downstream_matches_duckdb(tpch_graph, sf_dir):
+    # full downstream fixpoint from customer 1: nation -> region chain
+    got = rows_to_set(reachable(tpch_graph, ("customer", "1"), "downstream"))
+    sql = f"""
+    WITH RECURSIVE {graph_ctes()},
+    bfs AS (
+      SELECT 'customer' AS layer, '1' AS node_id, 0 AS dist
+      UNION
+      SELECT e.dst_layer, e.dst_id, b.dist + 1
+      FROM bfs b JOIN edges_g e
+        ON e.src_layer = b.layer AND e.src_id = b.node_id
+    )
+    SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+    FROM bfs GROUP BY layer, node_id
+    """
+    want = duck_to_set(sf_dir, sql)
+    assert got == want
+    assert any(r[1] == "region" for r in got)
