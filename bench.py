@@ -1,0 +1,91 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from onionnet_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    # relational engine
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "rollup_revenue",
+    "topk_per_group",
+    "asof_join",
+    # multilayer graph
+    "graph_build_edges",
+    "khop_upstream",
+    "reachability",
+    "on_shortest_path",
+    "components_weak",
+    "pagerank",
+    "degrees",
+    "triangle_count",
+    "bipartite_view",
+    # LLM pipeline
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "text_stats",
+    "lang_id",
+    "ann_topk_cosine",
+    # events / streaming (batch mode)
+    "events_tumbling",
+    "events_sessions",
+    "events_json_agg",
+]
+
+
+def main() -> None:
+    sf_m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_m.group(1).rstrip(".")) if sf_m else -1.0
+    spark = get_spark("onionnet-bench")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # force full execution
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

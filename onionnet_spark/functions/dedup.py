@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design notes for 100 TB scale:
+  - Exact dedup is a single groupBy on a content hash — the hash
+    (md5 of normalized text) is computed map-side so the shuffle
+    carries 32-byte keys, not documents.
+  - N-gram Jaccard is the exact (quadratic-in-matches) baseline:
+    docs pair only through shared shingles, so the join fan-out is
+    bounded by shingle document frequency. High-DF shingles are the
+    skew path — `max_shingle_df` drops them (standard "stop
+    shingle" trick), which both bounds the blow-up and is exactly
+    what AQE's skew-join splitting can't do for you (semantic cap).
+  - MinHash+LSH is the sub-quadratic scale path: constant-size
+    signatures, banded bucketing, candidate pairs only within
+    buckets.
+  - Hash portability: every hash here is an md5 HEX STRING and
+    min() is the lexicographic min — identical in Spark and DuckDB,
+    so the oracle can recompute signatures exactly.
+
+Text normalization shared by all ops: lower, trim, collapse
+whitespace runs to single spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS_SPLIT = "\\s+"
+
+
+def normalize_text(text: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(text)), WS_SPLIT, " ")
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical id per document: min id among documents with
+    identical normalized text. (doc_id, canonical_id, group_size)."""
+    hashed = df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").cast("bigint").alias("group_size"),
+    )
+    return hashed.join(groups, on="content_hash").select(
+        id_col, "canonical_id", "group_size"
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-shingles per doc: (id, shingle)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    shingle = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard near-duplicate pairs over word n-shingles.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
+    jaccard rounded to 6 dp.
+    """
+    sh = word_shingles(df, text_col, id_col, n).persist()
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh_j = sh.join(rare, on="shingle", how="left_semi")
+    else:
+        sh_j = sh
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh_j.alias("a")
+        .join(sh_j.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_perm: int = 16
+) -> DataFrame:
+    """MinHash signature per id: permutation i's hash of shingle s is
+    the md5 hex string of 'i|s'; the signature element is the
+    lexicographic min. (id, perm, sig)."""
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    per_perm = shingles.select(
+        "id", F.explode(perms).alias("perm"), "shingle"
+    ).select(
+        "id",
+        "perm",
+        F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle"))).alias(
+            "h"
+        ),
+    )
+    return per_perm.groupBy("id", "perm").agg(F.min("h").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate detection.
+
+    Candidate pairs collide on >=1 LSH band (band key = md5 of the
+    band's concatenated signature); candidates are then verified
+    with EXACT Jaccard so the output is deterministic:
+    (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = num_perm // bands
+    sh = word_shingles(df, text_col, id_col, n).persist()
+    sigs = minhash_signatures(sh, num_perm)
+    band_keys = (
+        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm", "sig"))
+                        ),
+                        lambda s: s["sig"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        band_keys.alias("a")
+        .join(band_keys.alias("b"), on=["band", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact-verify candidates
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(cand.alias("c"), F.col("x.id") == F.col("c.id_a"))
+        .join(
+            sh.alias("y"),
+            (F.col("y.id") == F.col("c.id_b")) & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens (with multiplicity).
+
+    Token hash bits come from md5 hex nibbles (portable): bit j of a
+    token = bit (j % 4) of hex digit j//4. simhash bit j is set iff
+    sum over tokens of (+1 if bit set else -1) > 0.
+    Returns (doc_id, simhash) with simhash as a bigint.
+    """
+    assert bits <= 64
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    bit_sums = []
+    for j in range(bits):
+        digit_pos = j // 4 + 1
+        bit_in_digit = j % 4
+        # hex digit value via position in '0123456789abcdef'; extract
+        # bit via integer div/mod — the identical expression runs in
+        # the DuckDB oracle.
+        bit = F.expr(
+            f"CAST(floor((instr('0123456789abcdef', substr(h, {digit_pos}, 1)) - 1)"
+            f" / {2 ** bit_in_digit}) AS INT) % 2"
+        )
+        bit_sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}")
+        )
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,84 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the payload is an
+opaque `binary` column (or a pointer to object storage); metadata
+(mime, byte length, content hash) is typed columns computed
+JVM-side; decode / feature-extraction runs in Arrow-batched
+`mapInPandas` so Python touches data only in vectorized batches.
+
+The decode libraries (PIL/ffmpeg/librosa) are NOT in this
+container, so the actual decoders are stubbed: `decode_image_meta`
+raises NotImplementedError unless `fake=True`, in which case a
+deterministic fake (derived from the payload bytes) exercises the
+full Spark plumbing — schema, batching, partitioning — for real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Make a multimodal-shaped frame from the documents table:
+    payload = utf-8 bytes of the text (stand-in for image bytes),
+    plus typed metadata computed JVM-side."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
+    """'Decode' payloads to image metadata via mapInPandas.
+
+    With fake=True, width/height/channels are deterministic
+    functions of the payload (no image libs needed) — the Spark
+    side (Arrow batches, schema, partition-parallel decode) is
+    fully real. With fake=False this raises NotImplementedError
+    at execution time, marking where PIL/ffmpeg would plug in.
+    """
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/ffmpeg (not in this container); "
+                    "use fake=True to exercise the pipeline"
+                )
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (n % 1920).astype("int32"),
+                    "height": (n % 1080).astype("int32"),
+                    "n_channels": ((n % 3) + 1).astype("int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(decode_batches, DECODE_SCHEMA)

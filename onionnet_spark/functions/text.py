@@ -1,0 +1,156 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All transforms are built-in Spark SQL expressions (JVM-side, whole
+stage codegen) — no Python UDFs. Every function has an exactly
+matching DuckDB formulation used by the correctness oracle; the
+shared constants below (stopword lists, regexes) keep the two in
+lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately tiny, fixed stopword lists: deterministic, broadcast
+# as literals into the expression (no lookup table shuffle).
+STOPWORDS = {
+    "en": ["the", "a", "is", "and", "of", "to", "in", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "ein", "mit", "den"],
+    "fr": ["le", "la", "et", "est", "de", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "es", "y", "de", "un", "una", "que", "por", "con"],
+}
+PUNCT_CLASS = "[.,;:!?]"
+WS_SPLIT = "\\s+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lower-cased trimmed text."""
+    return F.split(F.trim(F.lower(text)), WS_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: token count, char count, punctuation ratio,
+    mean token length — the raw material of quality filtering."""
+    toks = tokens_col(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    return df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality score in [0,1]:
+    0.5 * min(1, n_tokens/100) + 0.3 * (1 - punct_ratio)
+    + 0.2 * min(1, 5 * stopword_ratio)   (stopword presence ~ fluent prose)
+    """
+    toks = tokens_col(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    ) / n_chars
+    sw_ratio = _stopword_hits(toks, "en") / n_tokens
+    score = (
+        F.lit(0.5) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(F.lit(1.0), F.lit(5.0) * sw_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language identification.
+
+    Scores each language by stopword-hit count; predicts the argmax,
+    lexicographically smallest language on ties, 'und' when no
+    stopword of any language occurs.
+    """
+    toks = tokens_col(F.col(text_col))
+    hit_cols = {lang: _stopword_hits(toks, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    # reverse order so earlier (lexicographically smaller) langs win ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in sorted(STOPWORDS)],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03).
+
+    k-gram hashes = first 8 hex chars of md5 (portable string order);
+    a fingerprint is the minimum hash in each sliding window of
+    `window` consecutive k-grams; the document signature is the
+    distinct fingerprint set. Returns (doc_id, n_fingerprints,
+    min_fingerprint) — set-level facts that are stable across
+    engines.
+    """
+    s = F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_SPLIT, " ")
+    n_grams = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+    df2 = df.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.md5(F.substr(s, i, F.lit(k))), 1, 8),
+        ).alias("hashes"),
+    )
+    exploded = df2.select(
+        id_col, F.posexplode("hashes").alias("pos", "h")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    fps = (
+        exploded.withColumn("win_min", F.min("h").over(w))
+        .withColumn(
+            "n_in_doc", F.count("*").over(Window.partitionBy(id_col))
+        )
+        .filter(F.col("pos") <= F.col("n_in_doc") - window)
+        .select(id_col, F.col("win_min").alias("fp"))
+        .distinct()
+    )
+    return fps.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
+    )

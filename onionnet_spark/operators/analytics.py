@@ -1,0 +1,139 @@
+"""Whole-graph analytics: degrees, PageRank, triangle count.
+
+The reference exposes graph-tool's analytics through its Graph
+handle (users call gt functions on `onion.g`); degree appears
+directly in prune-isolated logic (searcher.py:341) and
+visualisation sizing (visualisation.py:734-789). These are the
+GraphX-class analytics a Spark multilayer-graph engine must cover.
+
+All three are pure DataFrame programs:
+  - degrees: two groupBys + an outer join (one shuffle each).
+  - pagerank: N rounds of (join on src, groupBy dst) — the classic
+    Pregel step expressed relationally; contributions are
+    map-side-combined by Catalyst's partial aggregation.
+  - triangles: canonical-ordered edge list joined twice; Catalyst
+    plans the two equi-joins as shuffled hash joins, and AQE
+    handles the skew (hub vertices) by splitting oversized
+    partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from onionnet_spark.core import NODE_KEY, OnionGraph
+
+
+def degrees(graph: OnionGraph) -> DataFrame:
+    """Per-node in/out/total degree, 0 for isolated nodes."""
+    e = graph.edge_endpoints()
+    out_deg = e.groupBy(
+        F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
+    ).agg(F.count("*").alias("out_degree"))
+    in_deg = e.groupBy(
+        F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
+    ).agg(F.count("*").alias("in_degree"))
+    return (
+        graph.nodes.select(*NODE_KEY)
+        .join(out_deg, on=NODE_KEY, how="left")
+        .join(in_deg, on=NODE_KEY, how="left")
+        .select(
+            "layer",
+            "node_id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias(
+                "degree"
+            ),
+        )
+    )
+
+
+def pagerank(
+    graph: OnionGraph, n_iterations: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """PageRank, fixed iteration count, uniform init 1/N.
+
+    pr_{i+1}(v) = (1-d)/N + d * sum_{u->v} pr_i(u) / outdeg(u).
+    Dangling-node mass is NOT redistributed (simple variant); the
+    DuckDB oracle unrolls the identical recurrence, so results match
+    exactly up to float rounding.
+    """
+    spark = graph.nodes.sparkSession
+    n_nodes = graph.nodes.count()
+    e = graph.edge_endpoints().persist()
+    out_deg = e.groupBy(
+        F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
+    ).agg(F.count("*").alias("out_degree"))
+    # Edges annotated once with source out-degree; reused every round.
+    e_deg = e.join(
+        out_deg.select(
+            F.col("layer").alias("src_layer"),
+            F.col("node_id").alias("src_id"),
+            "out_degree",
+        ),
+        on=["src_layer", "src_id"],
+    ).persist()
+    ranks = graph.nodes.select(
+        "layer", "node_id", F.lit(1.0 / n_nodes).alias("pr")
+    ).persist()
+    base = (1.0 - damping) / n_nodes
+    for it in range(n_iterations):
+        contribs = (
+            e_deg.join(
+                ranks.select(
+                    F.col("layer").alias("src_layer"),
+                    F.col("node_id").alias("src_id"),
+                    "pr",
+                ),
+                on=["src_layer", "src_id"],
+            )
+            .groupBy(F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id"))
+            .agg(F.sum(F.col("pr") / F.col("out_degree")).alias("contrib"))
+        )
+        new_ranks = (
+            graph.nodes.select("layer", "node_id")
+            .join(contribs, on=NODE_KEY, how="left")
+            .select(
+                "layer",
+                "node_id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+        )
+        if (it + 1) % 3 == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_ranks = new_ranks.persist()
+        ranks.unpersist()
+        ranks = new_ranks
+    e.unpersist()
+    e_deg.unpersist()
+    return ranks.withColumnRenamed("pr", "pagerank")
+
+
+def triangle_count(graph: OnionGraph) -> DataFrame:
+    """Count undirected triangles. Returns a 1-row DataFrame(n_triangles).
+
+    Edges are canonicalized (key(a) < key(b), deduped, self-loops
+    dropped), then each triangle a<b<c is found exactly once via
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c).
+    """
+    e = graph.edge_endpoints()
+    a_key = F.concat_ws(":", "src_layer", "src_id")
+    b_key = F.concat_ws(":", "dst_layer", "dst_id")
+    canon = (
+        e.select(
+            F.when(a_key < b_key, a_key).otherwise(b_key).alias("a"),
+            F.when(a_key < b_key, b_key).otherwise(a_key).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, on="y")
+    tri = wedges.join(e3, on=["x", "z"], how="left_semi")
+    return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))

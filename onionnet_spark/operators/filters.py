@@ -1,0 +1,162 @@
+"""Filtered graph views: layers, property predicates, bipartite.
+
+Reference parity: ``onionnet/searcher.py``:
+  - view_layers (searcher.py:244-282): vertices of given layers.
+  - filter_view_by_property (searcher.py:300-362): predicate on a
+    vertex or edge property (==, !=, <, >, <=, >=, in-set), with
+    optional prune_isolated.
+  - compose_filters (searcher.py:364-411): and/or combination.
+  - create_bipartite_gv (searcher.py:413-447): two layers, only
+    cross-layer edges, isolated vertices pruned.
+
+graph-tool GraphViews are lazy boolean masks; the Spark-native
+equivalent is simply a filtered DataFrame pair — also lazy (nothing
+runs until an action), and Catalyst pushes the predicates into the
+parquet scan, which a mask-based design could never do.
+
+Edge-induction semantics match GraphView: an edge survives a vertex
+filter iff BOTH endpoints survive.
+"""
+
+from __future__ import annotations
+
+import operator as _op
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from onionnet_spark.core import NODE_KEY, OnionGraph
+
+_OPS = {
+    "==": _op.eq,
+    "!=": _op.ne,
+    "<": _op.lt,
+    ">": _op.gt,
+    "<=": _op.le,
+    ">=": _op.ge,
+}
+
+
+def induced_edges(edges: DataFrame, node_keys: DataFrame) -> DataFrame:
+    """Edges whose endpoints BOTH appear in node_keys (two semi-joins)."""
+    nk = node_keys.select(*NODE_KEY)
+    return edges.join(
+        nk.withColumnRenamed("layer", "src_layer").withColumnRenamed("node_id", "src_id"),
+        on=["src_layer", "src_id"],
+        how="left_semi",
+    ).join(
+        nk.withColumnRenamed("layer", "dst_layer").withColumnRenamed("node_id", "dst_id"),
+        on=["dst_layer", "dst_id"],
+        how="left_semi",
+    )
+
+
+def filter_nodes(graph: OnionGraph, condition: Column) -> OnionGraph:
+    """Vertex-filtered view with induced edges (vfilt semantics)."""
+    nodes = graph.nodes.filter(condition)
+    return OnionGraph(nodes, induced_edges(graph.edges, nodes), graph.directed)
+
+
+def filter_edges(graph: OnionGraph, condition: Column, prune: bool = False) -> OnionGraph:
+    """Edge-filtered view (efilt semantics); prune drops isolated vertices."""
+    g = OnionGraph(graph.nodes, graph.edges.filter(condition), graph.directed)
+    return prune_isolated(g) if prune else g
+
+
+def prune_isolated(graph: OnionGraph) -> OnionGraph:
+    """Drop vertices with no incident edge in the current edge set.
+
+    Reference: the `(out_degree + in_degree) > 0` refilter
+    (searcher.py:341,358,443).
+    """
+    e = graph.edge_endpoints()
+    touched = (
+        e.select(F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id"))
+        .unionByName(
+            e.select(F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id"))
+        )
+        .distinct()
+    )
+    return OnionGraph(
+        graph.nodes.join(touched, on=NODE_KEY, how="left_semi"), graph.edges, graph.directed
+    )
+
+
+def property_predicate(
+    prop_name: str, target_value: Any, comparison: str = "=="
+) -> Column:
+    """Build the predicate column filter_view_by_property uses.
+
+    List/tuple/set target -> membership test (searcher.py:332-333);
+    otherwise one of the six comparison operators.
+    """
+    col = F.col(prop_name)
+    if isinstance(target_value, (list, tuple, set)):
+        return col.isin(*[v for v in target_value])
+    if comparison not in _OPS:
+        raise ValueError(f"Invalid comparison operator '{comparison}'.")
+    return _OPS[comparison](col, F.lit(target_value))
+
+
+def filter_view_by_property(
+    graph: OnionGraph,
+    prop_name: str,
+    target_value: Any,
+    comparison: str = "==",
+    dim: str = "v",
+    prune: bool = False,
+) -> OnionGraph:
+    """Reference filter_view_by_property (searcher.py:300-362)."""
+    pred = property_predicate(prop_name, target_value, comparison)
+    if dim == "v":
+        if prop_name not in graph.nodes.columns:
+            raise ValueError(f"Vertex property '{prop_name}' does not exist.")
+        g = filter_nodes(graph, pred)
+        return prune_isolated(g) if prune else g
+    if dim == "e":
+        if prop_name not in graph.edges.columns:
+            raise ValueError(f"Edge property '{prop_name}' does not exist.")
+        return filter_edges(graph, pred, prune)
+    raise ValueError("Dimension must be 'v' (vertex) or 'e' (edge).")
+
+
+def compose_filters(conditions: list[Column], mode: str = "and") -> Column:
+    """and/or composition of predicate columns (searcher.py:364-411).
+
+    In Spark the composition is itself a Column expression, so the
+    whole composite predicate still pushes down to the scan.
+    """
+    if not conditions:
+        raise ValueError("need at least one condition")
+    if mode not in ("and", "or"):
+        raise ValueError("mode must be 'and' or 'or'")
+    out = conditions[0]
+    for c in conditions[1:]:
+        out = (out & c) if mode == "and" else (out | c)
+    return out
+
+
+def view_layers(graph: OnionGraph, layer_names: list[str] | str) -> OnionGraph:
+    """Subgraph of the given layers with induced edges
+    (searcher.py:244-282). Raises on unknown layer names like the
+    reference."""
+    if isinstance(layer_names, str):
+        layer_names = [layer_names]
+    known = {r["layer"] for r in graph.layers().collect()}
+    missing = [ln for ln in layer_names if ln not in known]
+    if missing:
+        raise ValueError(f"Layer(s) {missing} do not exist.")
+    return filter_nodes(graph, F.col("layer").isin(layer_names))
+
+
+def bipartite_view(graph: OnionGraph, layer1: str, layer2: str) -> OnionGraph:
+    """Cross-layer bipartite subgraph (searcher.py:413-447): nodes of
+    the two layers, ONLY edges bridging them (either direction),
+    isolated vertices pruned."""
+    nodes = graph.nodes.filter(F.col("layer").isin([layer1, layer2]))
+    cross = graph.edges.filter(
+        ((F.col("src_layer") == layer1) & (F.col("dst_layer") == layer2))
+        | ((F.col("src_layer") == layer2) & (F.col("dst_layer") == layer1))
+    )
+    return prune_isolated(OnionGraph(nodes, cross, graph.directed))

@@ -1,0 +1,109 @@
+"""Property management & export.
+
+Reference parity: ``onionnet/property_manager.py`` (vertex lookup,
+get/set property, node labels) and ``onionnet/exporter.py:13-98``
+(export vertices/edges with properties).
+
+graph-tool property maps are per-vertex arrays addressed by handle;
+relationally a "property" is simply a column, so:
+  - get  -> keyed filter (Catalyst turns it into a pushed-down
+    point lookup on (layer, node_id)),
+  - set  -> a MERGE-shaped left join overwrite,
+  - create label -> concat projection,
+  - export edges -> two joins to pull src/dst attributes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from onionnet_spark.core import NODE_KEY, OnionGraph
+
+
+def with_node_labels(graph: OnionGraph, prop_name: str = "node_label") -> OnionGraph:
+    """Add 'layer:node_id' label column
+    (reference create_node_label_property, property_manager.py:156-177)."""
+    if prop_name in graph.nodes.columns:
+        return graph
+    return OnionGraph(
+        graph.nodes.withColumn(prop_name, graph.node_key_col()),
+        graph.edges,
+        graph.directed,
+    )
+
+
+def get_node_properties(graph: OnionGraph, layer: str, node_id: str) -> dict[str, Any]:
+    """All properties of one node as a dict
+    (reference view_node_properties, property_manager.py:102-130).
+    Returns {} if the node does not exist (reference prints and
+    returns {})."""
+    rows = (
+        graph.nodes.filter((F.col("layer") == layer) & (F.col("node_id") == str(node_id)))
+        .limit(1)
+        .collect()
+    )
+    return rows[0].asDict() if rows else {}
+
+
+def set_node_property(
+    graph: OnionGraph, layer: str, node_id: str, prop_name: str, value: Any
+) -> OnionGraph:
+    """Set one property on one node (reference set_vertex_property,
+    property_manager.py:75-100).
+
+    Implemented as a conditional projection — at scale, point
+    mutations batch into an updates DataFrame and MERGE (R2 plans a
+    bulk ``merge_node_properties``); the semantics here are the
+    reference's one-vertex setter.
+    """
+    key_match = (F.col("layer") == layer) & (F.col("node_id") == str(node_id))
+    if prop_name in graph.nodes.columns:
+        nodes = graph.nodes.withColumn(
+            prop_name, F.when(key_match, F.lit(value)).otherwise(F.col(prop_name))
+        )
+    else:
+        nodes = graph.nodes.withColumn(
+            prop_name, F.when(key_match, F.lit(value))
+        )
+    return OnionGraph(nodes, graph.edges, graph.directed)
+
+
+def export_nodes(graph: OnionGraph, prop_names: list[str] | None = None) -> DataFrame:
+    """Vertex export (reference export_info mode='v',
+    exporter.py:47-52): key columns + requested properties."""
+    props = prop_names if prop_names is not None else graph.node_prop_cols()
+    return graph.nodes.select(*NODE_KEY, *props)
+
+
+def export_edges(
+    graph: OnionGraph,
+    edge_prop_names: list[str] | None = None,
+    node_prop_names: list[str] | None = None,
+) -> DataFrame:
+    """Edge export with src/dst node attributes joined in
+    (reference export_info mode='e', exporter.py:53-98, which emits
+    source/target ids + edge props).
+
+    node_prop_names additionally denormalizes node properties onto
+    each endpoint (columns prefixed src_/dst_).
+    """
+    eprops = edge_prop_names if edge_prop_names is not None else graph.edge_prop_cols()
+    out = graph.edges.select("src_layer", "src_id", "dst_layer", "dst_id", *eprops)
+    if node_prop_names:
+        src_nodes = graph.nodes.select(
+            F.col("layer").alias("src_layer"),
+            F.col("node_id").alias("src_id"),
+            *[F.col(p).alias(f"src_{p}") for p in node_prop_names],
+        )
+        dst_nodes = graph.nodes.select(
+            F.col("layer").alias("dst_layer"),
+            F.col("node_id").alias("dst_id"),
+            *[F.col(p).alias(f"dst_{p}") for p in node_prop_names],
+        )
+        out = out.join(src_nodes, on=["src_layer", "src_id"], how="left").join(
+            dst_nodes, on=["dst_layer", "dst_id"], how="left"
+        )
+    return out

@@ -1,0 +1,466 @@
+"""Graph operator queries (SURVEY §2 #1-22) with DuckDB oracles.
+
+Every query runs the Spark-native operator on the TPC-H multilayer
+graph; the oracle recomputes the same answer in pure SQL (recursive
+CTEs for traversals, unrolled iterations for PageRank) on the same
+parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onionnet_spark.core import OnionGraph
+from onionnet_spark.functions.encoding import decode_dictionary, encode_dictionary
+from onionnet_spark.operators import analytics, components, filters, properties, traversal
+from onionnet_spark.queries import register
+from onionnet_spark.sources.tpch_graph import build_graph, graph_ctes
+
+_GRAPH_CACHE: dict[tuple[int, str], OnionGraph] = {}
+
+
+def get_graph(spark: SparkSession, sf_dir: str) -> OnionGraph:
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build_graph(spark, sf_dir).persist()
+    return _GRAPH_CACHE[key]
+
+
+CTES = graph_ctes()
+
+# --------------------------------------------------------------------------
+# Build & properties
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_build_nodes",
+    f"WITH {CTES} SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+    "FROM nodes_g GROUP BY layer",
+)
+def graph_build_nodes(spark, sf_dir):
+    return get_graph(spark, sf_dir).layers()
+
+
+@register(
+    "graph_build_edges",
+    f"WITH {CTES} SELECT src_layer, dst_layer, etype, "
+    "CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges_g "
+    "GROUP BY src_layer, dst_layer, etype",
+)
+def graph_build_edges(spark, sf_dir):
+    return (
+        get_graph(spark, sf_dir)
+        .edges.groupBy("src_layer", "dst_layer", "etype")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+@register(
+    "encode_layer_dict",
+    f"WITH {CTES} SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY value) - 1 AS INT)"
+    " AS code FROM (SELECT DISTINCT layer AS value FROM nodes_g)",
+)
+def encode_layer_dict(spark, sf_dir):
+    g = get_graph(spark, sf_dir)
+    _, dictionary = encode_dictionary(g.nodes, "layer")
+    return dictionary
+
+
+@register(
+    "encode_decode_roundtrip",
+    f"""WITH {CTES},
+    d AS (SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY value) - 1 AS INT) AS code
+          FROM (SELECT DISTINCT name AS value FROM nodes_g WHERE layer = 'orders'))
+    SELECT n.node_id, d.code AS name_code, d.value AS name_decoded
+    FROM nodes_g n JOIN d ON d.value = n.name WHERE n.layer = 'orders'""",
+)
+def encode_decode_roundtrip(spark, sf_dir):
+    g = get_graph(spark, sf_dir)
+    orders = g.nodes.filter(F.col("layer") == "orders")
+    encoded, dictionary = encode_dictionary(orders, "name", out_col="name_code")
+    decoded = decode_dictionary(encoded, "name_code", dictionary, "name_decoded")
+    return decoded.select("node_id", "name_code", "name_decoded")
+
+
+@register(
+    "node_labels",
+    f"WITH {CTES} SELECT layer, node_id, layer || ':' || node_id AS node_label "
+    "FROM nodes_g WHERE layer = 'nation'",
+)
+def node_labels(spark, sf_dir):
+    g = get_graph(spark, sf_dir)
+    labeled = properties.with_node_labels(g)
+    return labeled.nodes.filter(F.col("layer") == "nation").select(
+        "layer", "node_id", "node_label"
+    )
+
+
+@register(
+    "node_properties_lookup",
+    f"WITH {CTES} SELECT layer, node_id, name, val FROM nodes_g "
+    "WHERE layer = 'customer' AND node_id = '1'",
+)
+def node_properties_lookup(spark, sf_dir):
+    g = get_graph(spark, sf_dir)
+    return g.nodes.filter(
+        (F.col("layer") == "customer") & (F.col("node_id") == "1")
+    ).select("layer", "node_id", "name", "val")
+
+
+@register(
+    "export_edges",
+    f"""WITH {CTES}
+    SELECT e.src_layer, e.src_id, e.dst_layer, e.dst_id, e.etype, e.weight,
+           sn.name AS src_name, dn.name AS dst_name
+    FROM edges_g e
+    JOIN nodes_g sn ON sn.layer = e.src_layer AND sn.node_id = e.src_id
+    JOIN nodes_g dn ON dn.layer = e.dst_layer AND dn.node_id = e.dst_id
+    WHERE e.etype = 'in_region'""",
+)
+def export_edges_q(spark, sf_dir):
+    g = get_graph(spark, sf_dir)
+    sub = filters.filter_edges(g, F.col("etype") == "in_region")
+    return properties.export_edges(sub, ["etype", "weight"], ["name"])
+
+
+# --------------------------------------------------------------------------
+# Traversal
+# --------------------------------------------------------------------------
+
+
+def _bfs_oracle(seed_where: str, direction: str, max_dist: int | None) -> str:
+    fwd = direction == "downstream"
+    join_on = (
+        "e.src_layer = b.layer AND e.src_id = b.node_id"
+        if fwd
+        else "e.dst_layer = b.layer AND e.dst_id = b.node_id"
+    )
+    nxt = "e.dst_layer, e.dst_id" if fwd else "e.src_layer, e.src_id"
+    depth = f"WHERE b.dist < {max_dist}" if max_dist is not None else ""
+    return f"""WITH RECURSIVE {CTES},
+    bfs AS (
+      SELECT layer, node_id, 0 AS dist FROM nodes_g WHERE {seed_where}
+      UNION
+      SELECT {nxt}, b.dist + 1 FROM bfs b
+      JOIN edges_g e ON {join_on} {depth}
+    )
+    SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+    FROM bfs GROUP BY layer, node_id"""
+
+
+@register(
+    "khop_downstream",
+    _bfs_oracle("layer = 'customer' AND node_id = '1'", "downstream", 2),
+)
+def khop_downstream(spark, sf_dir):
+    return traversal.k_hop(get_graph(spark, sf_dir), ("customer", "1"), 2, "downstream")
+
+
+@register(
+    "khop_upstream", _bfs_oracle("layer = 'region' AND node_id = '0'", "upstream", 2)
+)
+def khop_upstream(spark, sf_dir):
+    return traversal.k_hop(get_graph(spark, sf_dir), ("region", "0"), 2, "upstream")
+
+
+@register(
+    "khop_bi",
+    f"""WITH RECURSIVE {CTES},
+    down AS (
+      SELECT 'customer' AS layer, '1' AS node_id, 0 AS dist
+      UNION
+      SELECT e.dst_layer, e.dst_id, b.dist + 1 FROM down b
+      JOIN edges_g e ON e.src_layer = b.layer AND e.src_id = b.node_id
+      WHERE b.dist < 2
+    ),
+    up AS (
+      SELECT 'customer' AS layer, '1' AS node_id, 0 AS dist
+      UNION
+      SELECT e.src_layer, e.src_id, b.dist + 1 FROM up b
+      JOIN edges_g e ON e.dst_layer = b.layer AND e.dst_id = b.node_id
+      WHERE b.dist < 2
+    )
+    SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+    FROM (SELECT * FROM down UNION ALL SELECT * FROM up)
+    GROUP BY layer, node_id""",
+)
+def khop_bi(spark, sf_dir):
+    return traversal.k_hop(get_graph(spark, sf_dir), ("customer", "1"), 2, "bi")
+
+
+@register(
+    "reachability", _bfs_oracle("layer = 'region' AND node_id = '0'", "upstream", None)
+)
+def reachability(spark, sf_dir):
+    return traversal.reachable(get_graph(spark, sf_dir), ("region", "0"), "upstream")
+
+
+@register(
+    "sssp_hops", _bfs_oracle("layer = 'orders' AND node_id = '1'", "downstream", None)
+)
+def sssp_hops(spark, sf_dir):
+    return traversal.reachable(get_graph(spark, sf_dir), ("orders", "1"), "downstream")
+
+
+@register(
+    "on_shortest_path",
+    f"""WITH RECURSIVE {CTES},
+    fwd AS (
+      SELECT 'customer' AS layer, '1' AS node_id, 0 AS dist
+      UNION
+      SELECT e.dst_layer, e.dst_id, b.dist + 1 FROM fwd b
+      JOIN edges_g e ON e.src_layer = b.layer AND e.src_id = b.node_id
+    ),
+    d_f AS (SELECT layer, node_id, MIN(dist) AS d_f FROM fwd GROUP BY 1, 2),
+    rev AS (
+      SELECT layer, node_id, 0 AS dist FROM nodes_g WHERE layer = 'region'
+      UNION
+      SELECT e.src_layer, e.src_id, b.dist + 1 FROM rev b
+      JOIN edges_g e ON e.dst_layer = b.layer AND e.dst_id = b.node_id
+    ),
+    d_r AS (SELECT layer, node_id, MIN(dist) AS d_r FROM rev GROUP BY 1, 2),
+    target_dists AS (
+      SELECT DISTINCT d_f AS td FROM d_f WHERE layer = 'region'
+    )
+    SELECT f.layer, f.node_id, CAST(f.d_f AS INT) AS d_f, CAST(r.d_r AS INT) AS d_r
+    FROM d_f f JOIN d_r r ON r.layer = f.layer AND r.node_id = f.node_id
+    WHERE f.d_f + r.d_r IN (SELECT td FROM target_dists)""",
+)
+def on_shortest_path_q(spark, sf_dir):
+    g = get_graph(spark, sf_dir)
+    targets = [("region", str(i)) for i in range(5)]
+    return traversal.on_shortest_path(g, ("customer", "1"), targets)
+
+
+# --------------------------------------------------------------------------
+# Views & filters
+# --------------------------------------------------------------------------
+
+
+@register(
+    "view_layers",
+    f"""WITH {CTES}
+    SELECT e.src_layer, e.src_id, e.dst_layer, e.dst_id FROM edges_g e
+    WHERE e.src_layer IN ('customer', 'nation') AND e.dst_layer IN ('customer', 'nation')""",
+)
+def view_layers_q(spark, sf_dir):
+    g = filters.view_layers(get_graph(spark, sf_dir), ["customer", "nation"])
+    return g.edge_endpoints()
+
+
+@register(
+    "filter_by_property",
+    f"""WITH {CTES}
+    SELECT node_id, name, val FROM nodes_g
+    WHERE layer = 'customer' AND val >= 9000""",
+)
+def filter_by_property_q(spark, sf_dir):
+    g = get_graph(spark, sf_dir)
+    cust = filters.view_layers(g, "customer")
+    filtered = filters.filter_view_by_property(cust, "val", 9000.0, ">=", dim="v")
+    return filtered.nodes.select("node_id", "name", "val")
+
+
+@register(
+    "filter_edges_prune",
+    f"""WITH {CTES},
+    fe AS (SELECT * FROM edges_g WHERE etype = 'li_part' AND weight >= 45),
+    touched AS (
+      SELECT src_layer AS layer, src_id AS node_id FROM fe
+      UNION
+      SELECT dst_layer, dst_id FROM fe
+    )
+    SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM touched GROUP BY layer""",
+)
+def filter_edges_prune_q(spark, sf_dir):
+    g = get_graph(spark, sf_dir)
+    pred = (F.col("etype") == "li_part") & (F.col("weight") >= 45)
+    pruned = filters.filter_edges(g, pred, prune=True)
+    return pruned.nodes.groupBy("layer").agg(F.count("*").alias("n_nodes"))
+
+
+@register(
+    "compose_filters",
+    f"""WITH {CTES}
+    SELECT layer, node_id, val FROM nodes_g
+    WHERE (layer = 'customer' AND val >= 8000) OR (layer = 'supplier' AND val >= 5000)""",
+)
+def compose_filters_q(spark, sf_dir):
+    g = get_graph(spark, sf_dir)
+    cond = filters.compose_filters(
+        [
+            filters.compose_filters(
+                [F.col("layer") == "customer", F.col("val") >= 8000], "and"
+            ),
+            filters.compose_filters(
+                [F.col("layer") == "supplier", F.col("val") >= 5000], "and"
+            ),
+        ],
+        "or",
+    )
+    return filters.filter_nodes(g, cond).nodes.select("layer", "node_id", "val")
+
+
+@register(
+    "bipartite_view",
+    f"""WITH {CTES},
+    cross_e AS (
+      SELECT * FROM edges_g
+      WHERE (src_layer = 'lineitem' AND dst_layer = 'part')
+         OR (src_layer = 'part' AND dst_layer = 'lineitem')
+    ),
+    touched AS (
+      SELECT src_layer AS layer, src_id AS node_id FROM cross_e
+      UNION
+      SELECT dst_layer, dst_id FROM cross_e
+    )
+    SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM touched GROUP BY layer""",
+)
+def bipartite_view_q(spark, sf_dir):
+    g = filters.bipartite_view(get_graph(spark, sf_dir), "lineitem", "part")
+    return g.nodes.groupBy("layer").agg(F.count("*").alias("n_nodes"))
+
+
+# --------------------------------------------------------------------------
+# Components & analytics
+# --------------------------------------------------------------------------
+
+_CC_LAYERS = "('region', 'nation', 'customer')"
+
+
+@register(
+    "components_weak",
+    f"""WITH RECURSIVE {CTES},
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {_CC_LAYERS}),
+    es AS (
+      SELECT e.src_layer, e.src_id, e.dst_layer, e.dst_id FROM edges_g e
+      WHERE e.src_layer IN {_CC_LAYERS} AND e.dst_layer IN {_CC_LAYERS}
+    ),
+    und AS (
+      SELECT src_layer AS al, src_id AS ai, dst_layer AS bl, dst_id AS bi FROM es
+      UNION
+      SELECT dst_layer, dst_id, src_layer, src_id FROM es
+    ),
+    reach AS (
+      SELECT layer AS sl, node_id AS si, layer, node_id FROM ns
+      UNION
+      SELECT r.sl, r.si, u.bl, u.bi FROM reach r
+      JOIN und u ON u.al = r.layer AND u.ai = r.node_id
+    )
+    SELECT sl AS layer, si AS node_id, MIN(layer || ':' || node_id) AS component
+    FROM reach GROUP BY sl, si""",
+)
+def components_weak_q(spark, sf_dir):
+    g = filters.view_layers(get_graph(spark, sf_dir), ["region", "nation", "customer"])
+    return components.connected_components(g)
+
+
+@register(
+    "pagerank",
+    None,  # oracle generated below (unrolled iterations)
+)
+def pagerank_q(spark, sf_dir):
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    pr = analytics.pagerank(g, n_iterations=5, damping=0.85)
+    return pr.select("layer", "node_id", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    stages = []
+    for i in range(1, n_iter + 1):
+        stages.append(
+            f"""pr{i} AS (
+      SELECT ns.layer, ns.node_id,
+             (1 - {damping}) / (SELECT n FROM nn) + {damping} * COALESCE(c.contrib, 0) AS pr
+      FROM ns LEFT JOIN (
+        SELECT e.dst_layer AS layer, e.dst_id AS node_id, SUM(p.pr / d.od) AS contrib
+        FROM es e
+        JOIN pr{i - 1} p ON p.layer = e.src_layer AND p.node_id = e.src_id
+        JOIN deg d ON d.src_layer = e.src_layer AND d.src_id = e.src_id
+        GROUP BY e.dst_layer, e.dst_id
+      ) c ON c.layer = ns.layer AND c.node_id = ns.node_id
+    )"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
+    es AS (SELECT * FROM edges_g WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    deg AS (SELECT src_layer, src_id, COUNT(*) AS od FROM es GROUP BY 1, 2),
+    nn AS (SELECT COUNT(*) AS n FROM ns),
+    pr0 AS (SELECT layer, node_id, 1.0 / (SELECT n FROM nn) AS pr FROM ns),
+    {stage_sql}
+    SELECT layer, node_id, ROUND(pr, 6) AS pagerank FROM pr{n_iter}"""
+
+
+from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_REG["pagerank"] = (pagerank_q, _pagerank_oracle())
+
+
+@register(
+    "degrees",
+    f"""WITH {CTES},
+    od AS (SELECT src_layer AS layer, src_id AS node_id, COUNT(*) AS c FROM edges_g GROUP BY 1, 2),
+    idg AS (SELECT dst_layer AS layer, dst_id AS node_id, COUNT(*) AS c FROM edges_g GROUP BY 1, 2)
+    SELECT n.layer, n.node_id,
+           CAST(COALESCE(od.c, 0) AS BIGINT) AS out_degree,
+           CAST(COALESCE(idg.c, 0) AS BIGINT) AS in_degree,
+           CAST(COALESCE(od.c, 0) + COALESCE(idg.c, 0) AS BIGINT) AS degree
+    FROM nodes_g n
+    LEFT JOIN od ON od.layer = n.layer AND od.node_id = n.node_id
+    LEFT JOIN idg ON idg.layer = n.layer AND idg.node_id = n.node_id""",
+)
+def degrees_q(spark, sf_dir):
+    return analytics.degrees(get_graph(spark, sf_dir))
+
+
+@register(
+    "triangle_count",
+    """WITH sp AS (
+      SELECT DISTINCT l_partkey AS part, s_nationkey AS nat
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    ),
+    e AS (
+      SELECT DISTINCT 'nation:' || CAST(a.nat AS VARCHAR) AS a,
+                      'nation:' || CAST(b.nat AS VARCHAR) AS b
+      FROM sp a JOIN sp b ON a.part = b.part
+      WHERE 'nation:' || CAST(a.nat AS VARCHAR) < 'nation:' || CAST(b.nat AS VARCHAR)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+)
+def triangle_count_q(spark, sf_dir):
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    t = load_tables(spark, sf_dir)
+    sp = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("s_nationkey").cast("string").alias("nat"),
+        )
+        .distinct()
+    )
+    co_edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), on="part")
+        .filter(F.col("a.nat") < F.col("b.nat"))
+        .select(
+            F.lit("nation").alias("src_layer"),
+            F.col("a.nat").alias("src_id"),
+            F.lit("nation").alias("dst_layer"),
+            F.col("b.nat").alias("dst_id"),
+        )
+        .distinct()
+    )
+    nations = t["nation"].select(
+        F.lit("nation").alias("layer"), F.col("n_nationkey").cast("string").alias("node_id")
+    )
+    g = OnionGraph(nations, co_edges)
+    return analytics.triangle_count(g)

@@ -1,0 +1,265 @@
+"""LLM-data-pipeline queries (SURVEY §2 #23-33) with DuckDB oracles.
+
+Hash portability contract: every hash is an md5 hex STRING and every
+min() over hashes is the lexicographic min, so Spark and DuckDB
+compute byte-identical signatures. Floats are rounded to 6 dp on
+both sides before compare/rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from onionnet_spark.functions import dedup, multimodal, similarity, text
+from onionnet_spark.queries import register
+
+_DOCS = "SELECT * FROM documents"
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""WITH h AS (SELECT doc_id, md5({_NORM}) AS ch FROM documents),
+    g AS (SELECT ch, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
+          FROM h GROUP BY ch)
+    SELECT h.doc_id, g.canonical_id, g.group_size FROM h JOIN g USING (ch)""",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+_SHINGLES_SQL = f"""norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    sh AS (SELECT DISTINCT doc_id AS id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+           FROM norm JOIN nums ON i <= len(a) - 2),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_SHINGLES_SQL},
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH {_SHINGLES_SQL},
+    perms AS (SELECT UNNEST(range(0, 16)) AS perm),
+    sigs AS (
+      SELECT id, perm, MIN(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
+      FROM sh CROSS JOIN perms GROUP BY id, perm
+    ),
+    bands AS (
+      SELECT id, perm // 4 AS band, md5(string_agg(sig, ',' ORDER BY perm)) AS band_key
+      FROM sigs GROUP BY id, perm // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = []
+    for j in range(bits):
+        pos = j // 4 + 1
+        b = j % 4
+        bit = (
+            f"CAST(floor((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+            f" / {2 ** b}) AS INT) % 2"
+        )
+        sums.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{j}")
+    sim = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return f"""WITH toks AS (
+      SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    agg AS (SELECT doc_id, {", ".join(sums)} FROM hs GROUP BY doc_id)
+    SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM agg"""
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_cosine",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM p
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+)
+def ann_topk_cosine(spark, sf_dir):
+    return similarity.brute_force_topk(_embs(spark, sf_dir), k=5)
+
+
+@register("ann_lsh_bucketed", None)  # approximate: rows-only check by design
+def ann_lsh_bucketed(spark, sf_dir):
+    return similarity.ann_lsh_topk(_embs(spark, sf_dir), k=5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""SELECT doc_id,
+      CAST(len({_TOKS}) AS INT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+            * 1.0 / length(text), 6) AS punct_ratio,
+      ROUND(list_sum(list_transform({_TOKS}, x -> length(x)))
+            * 1.0 / len({_TOKS}), 6) AS mean_token_len
+    FROM documents""",
+)
+def text_stats(spark, sf_dir):
+    return text.text_stats(_docs(spark, sf_dir))
+
+
+def _sw_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+
+
+@register(
+    "quality_score",
+    f"""WITH base AS (
+      SELECT doc_id, {_TOKS} AS a,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               * 1.0 / length(text) AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(a) AS INT) AS n_tokens,
+      ROUND(0.5 * least(1.0, len(a) / 100.0)
+            + 0.3 * (1.0 - punct_ratio)
+            + 0.2 * least(1.0, 5.0 * len(list_filter(a, x -> x IN ({_sw_list('en')})))
+                          * 1.0 / len(a)), 6) AS quality
+    FROM base""",
+)
+def quality_score(spark, sf_dir):
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(text.STOPWORDS)
+    hits = ", ".join(
+        f"CAST(len(list_filter(a, x -> x IN ({_sw_list(lang)}))) AS INT) AS hits_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""WITH base AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+    h AS (SELECT doc_id, {hits} FROM base)
+    SELECT doc_id, {', '.join('hits_' + lang for lang in langs)}, {case} AS pred_lang
+    FROM h"""
+
+
+@register("lang_id", _lang_id_oracle())
+def lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    f"""WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    grams AS (
+      SELECT doc_id, i AS pos, substr(md5(substr(s, i, 8)), 1, 8) AS h
+      FROM norm JOIN nums ON i <= greatest(length(s) - 7, 1)
+    ),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_in_doc
+      FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, win_min FROM win WHERE pos <= n_in_doc - 3)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           MIN(win_min) AS min_fingerprint
+    FROM fps GROUP BY doc_id""",
+)
+def doc_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+@register(
+    "binary_meta",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              sha256(text) AS payload_sha256
+    FROM documents""",
+)
+def binary_meta(spark, sf_dir):
+    payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return payload.select("doc_id", "n_bytes", "payload_sha256")
+
+
+@register("multimodal_decode", None)  # Pandas-UDF plumbing; rows-only check
+def multimodal_decode(spark, sf_dir):
+    payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.decode_image_meta(payload, fake=True)

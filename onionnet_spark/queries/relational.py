@@ -1,0 +1,238 @@
+"""Relational analytics queries (SURVEY §2 #34-40): TPC-H classics,
+as-of join, rollup, top-k per group. These are the bench headliners.
+
+Float policy: money sums ROUND(2), averages ROUND(6) on both sides;
+raw column values pass through un-rounded (no arithmetic => exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from onionnet_spark.operators.joins import asof_join
+from onionnet_spark.queries import register
+from onionnet_spark.sources.tpch_graph import load_tables
+
+
+@register(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+      ROUND(SUM(l_quantity), 2) AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      ROUND(AVG(l_quantity), 6) AS avg_qty,
+      ROUND(AVG(l_extendedprice), 6) AS avg_price,
+      ROUND(AVG(l_discount), 6) AS avg_disc,
+      CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark, sf_dir):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    """SELECT o.o_orderkey,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2000-03-15'
+      AND l.l_shipdate > TIMESTAMP '2000-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10""",
+)
+def tpch_q3(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("2000-03-15").cast("timestamp")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    """SELECT n.n_name,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name""",
+)
+def tpch_q5(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(t["region"]).filter(F.col("r_name") == "ASIA"),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q6",
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24""",
+)
+def tpch_q6(spark, sf_dir):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@register(
+    "asof_join",
+    """WITH p AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_event_id, p.ts AS purchase_ts
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+)
+def asof_join_q(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["purchase_event_id"],
+        suffix="_p",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_event_id_p").alias("purchase_event_id"),
+        F.col("ts_p").alias("purchase_ts"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    """SELECT r.r_name, n.n_name,
+      ROUND(SUM(o.o_totalprice), 2) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)""",
+)
+def rollup_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3""",
+)
+def topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )

@@ -1,0 +1,77 @@
+"""Streaming-operator queries (SURVEY §2 #41-44) run in batch mode
+for the DuckDB correctness gate; the same transforms run as real
+streams (readStream + watermark) in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from onionnet_spark.queries import register
+from onionnet_spark.sources.tpch_graph import load_tables
+from onionnet_spark.streaming import events as ev
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir)["events"]
+
+
+@register(
+    "events_tumbling",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2""",
+)
+def events_tumbling(spark, sf_dir):
+    return ev.tumbling_counts(_events(spark, sf_dir))
+
+
+@register(
+    "events_sliding",
+    """WITH starts AS (
+      SELECT event_id, event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)) AS ws
+      FROM events
+      UNION ALL
+      SELECT event_id, event_type,
+             make_timestamp(CAST((floor(epoch(ts) / 1800) - 1) * 1800 * 1000000 AS BIGINT))
+      FROM events
+    )
+    SELECT ws AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM starts GROUP BY 1, 2""",
+)
+def events_sliding(spark, sf_dir):
+    return ev.sliding_counts(_events(spark, sf_dir))
+
+
+@register(
+    "events_sessions",
+    """WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id""",
+)
+def events_sessions(spark, sf_dir):
+    return ev.sessionize(_events(spark, sf_dir))
+
+
+@register(
+    "events_json_agg",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+    FROM events GROUP BY event_type""",
+)
+def events_json_agg(spark, sf_dir):
+    return ev.json_props_agg(_events(spark, sf_dir))

@@ -60,6 +60,33 @@ def _s(c) -> F.Column:
     return F.col(c).cast("string")
 
 
+def _li_id() -> F.Column:
+    """Unique deterministic lineitem node id.
+
+    (l_orderkey, l_linenumber) is NOT unique in the generated data,
+    so the id is the full integer tuple okey-ln-pk-sk-qty-cents
+    (quantity is integral, extendedprice is exact cents) — identical
+    string in Spark and DuckDB (LI_ID_SQL below).
+    """
+    return F.concat_ws(
+        "-",
+        _s("l_orderkey"),
+        _s("l_linenumber"),
+        _s("l_partkey"),
+        _s("l_suppkey"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast("string"),
+    )
+
+
+LI_ID_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' || "
+    "CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR) || '-' || "
+    "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '-' || "
+    "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)"
+)
+
+
 def node_frames(t: dict[str, DataFrame]) -> DataFrame:
     """Union of per-layer node frames: (layer, node_id, name, val)."""
     parts = [
@@ -89,7 +116,7 @@ def node_frames(t: dict[str, DataFrame]) -> DataFrame:
         ),
         t["lineitem"].select(
             F.lit("lineitem").alias("layer"),
-            F.concat_ws("-", _s("l_orderkey"), _s("l_linenumber")).alias("node_id"),
+            _li_id().alias("node_id"),
             F.col("l_returnflag").alias("name"), F.col("l_extendedprice").alias("val"),
         ),
     ]
@@ -101,7 +128,7 @@ def node_frames(t: dict[str, DataFrame]) -> DataFrame:
 
 def edge_frames(t: dict[str, DataFrame]) -> DataFrame:
     """Union of reference edges: (src_layer, src_id, dst_layer, dst_id, etype, weight)."""
-    li_id = F.concat_ws("-", _s("l_orderkey"), _s("l_linenumber"))
+    li_id = _li_id()
 
     def edge(df, sl, sid, dl, did, etype, weight):
         return df.select(
@@ -154,7 +181,7 @@ def build_graph(spark: SparkSession, sf_dir: str, validate: bool = False) -> Oni
 # ---------------------------------------------------------------------------
 # DuckDB oracle CTE bodies — MUST mirror node_frames/edge_frames above.
 # ---------------------------------------------------------------------------
-NODES_SQL = """
+NODES_SQL = f"""
   SELECT 'region' AS layer, CAST(r_regionkey AS VARCHAR) AS node_id,
          r_name AS name, CAST(NULL AS DOUBLE) AS val FROM region
   UNION ALL
@@ -168,21 +195,19 @@ NODES_SQL = """
   UNION ALL
   SELECT 'part', CAST(p_partkey AS VARCHAR), p_name, p_retailprice FROM part
   UNION ALL
-  SELECT 'lineitem', CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
-         l_returnflag, l_extendedprice FROM lineitem
+  SELECT 'lineitem', {LI_ID_SQL}, l_returnflag, l_extendedprice FROM lineitem
 """
 
-EDGES_SQL = """
-  SELECT 'lineitem' AS src_layer,
-         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS src_id,
+EDGES_SQL = f"""
+  SELECT 'lineitem' AS src_layer, {LI_ID_SQL} AS src_id,
          'orders' AS dst_layer, CAST(l_orderkey AS VARCHAR) AS dst_id,
          'li_order' AS etype, CAST(l_extendedprice AS DOUBLE) AS weight FROM lineitem
   UNION ALL
-  SELECT 'lineitem', CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
-         'part', CAST(l_partkey AS VARCHAR), 'li_part', CAST(l_quantity AS DOUBLE) FROM lineitem
+  SELECT 'lineitem', {LI_ID_SQL}, 'part', CAST(l_partkey AS VARCHAR), 'li_part',
+         CAST(l_quantity AS DOUBLE) FROM lineitem
   UNION ALL
-  SELECT 'lineitem', CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
-         'supplier', CAST(l_suppkey AS VARCHAR), 'li_supp', CAST(l_quantity AS DOUBLE) FROM lineitem
+  SELECT 'lineitem', {LI_ID_SQL}, 'supplier', CAST(l_suppkey AS VARCHAR), 'li_supp',
+         CAST(l_quantity AS DOUBLE) FROM lineitem
   UNION ALL
   SELECT 'orders', CAST(o_orderkey AS VARCHAR), 'customer', CAST(o_custkey AS VARCHAR),
          'placed_by', CAST(o_totalprice AS DOUBLE) FROM orders

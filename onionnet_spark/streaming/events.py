@@ -1,0 +1,126 @@
+"""Streaming analytics over the events stream.
+
+Each operator is written as a pure DataFrame transform so the SAME
+function applies to a batch DataFrame (correctness gate vs DuckDB)
+and a streaming DataFrame from readStream (exercised in tests with
+watermarks). That transform-sharing is the Structured Streaming
+model: a streaming query IS a batch query planned incrementally.
+
+Scale notes: windowed aggregations shuffle on (window, key) with
+map-side partial aggregation; watermarks bound state; session
+windows use native session_window (state-store backed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, window_len: str = "1 hour") -> DataFrame:
+    """Per (tumbling window, event_type): count + sum(value)."""
+    return (
+        events.groupBy(
+            F.window("ts", window_len).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window_len: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Per (sliding window, event_type): count."""
+    return (
+        events.groupBy(F.window("ts", window_len, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessions per user (batch formulation).
+
+    A new session starts when the time since the previous event of
+    the same user exceeds gap_seconds. Output per session:
+    (user_id, session_start, session_end, n_events).
+
+    The streaming-native equivalent is
+    ``groupBy(session_window("ts", gap), user_id)`` — see
+    streaming_sessionize; the batch form below is its exact
+    deterministic counterpart used by the correctness oracle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with_gap = events.select(
+        "user_id",
+        "ts",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > gap_seconds * 1_000_000
+        )
+        .cast("int")
+        .alias("is_new"),
+    ).fillna({"is_new": 1})
+    with_session = with_gap.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
+def streaming_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming sessionization (state-store backed)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def json_props_agg(events: DataFrame) -> DataFrame:
+    """Extract props JSON field k, aggregate per event_type.
+
+    JSON extraction runs JVM-side (get_json_object) — no UDF.
+    """
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def stream_from_batch(spark, batch_df: DataFrame, partitions: int = 4) -> DataFrame:
+    """Replay a batch events frame as a bounded stream (file source)
+    for tests: writes to a temp parquet dir and reads with
+    maxFilesPerTrigger to force multiple micro-batches."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="onionnet_stream_")
+    batch_df.repartition(partitions).write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(batch_df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)

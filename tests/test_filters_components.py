@@ -1,0 +1,133 @@
+"""View/filter/component operators on tiny known graphs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onionnet_spark.builder import grow_onion
+from onionnet_spark.operators.analytics import degrees, pagerank, triangle_count
+from onionnet_spark.operators.components import connected_components, view_components
+from onionnet_spark.operators.filters import (
+    bipartite_view,
+    compose_filters,
+    filter_view_by_property,
+    prune_isolated,
+    view_layers,
+)
+
+from tests.conftest import rows_to_set
+
+
+@pytest.fixture(scope="module")
+def two_comp_graph(spark):
+    # component 1: A:a - B:b - A:c (undirected-weakly connected)
+    # component 2: A:d - B:e ; isolated: A:z
+    nodes = spark.createDataFrame(
+        [
+            ("A", "a", 1.0),
+            ("B", "b", 2.0),
+            ("A", "c", 3.0),
+            ("A", "d", 4.0),
+            ("B", "e", 5.0),
+            ("A", "z", 6.0),
+        ],
+        "layer string, node_id string, score double",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("A", "a", "B", "b", 1.0),
+            ("B", "b", "A", "c", 2.0),
+            ("A", "d", "B", "e", 3.0),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string, w double",
+    )
+    return grow_onion(nodes, edges, node_prop_cols=["score"], edge_prop_cols=["w"])
+
+
+def test_connected_components(two_comp_graph):
+    got = rows_to_set(connected_components(two_comp_graph))
+    comp = {(r[1], r[2]): r[0] for r in got}
+    assert comp[("A", "a")] == comp[("B", "b")] == comp[("A", "c")] == "A:a"
+    assert comp[("A", "d")] == comp[("B", "e")] == "A:d"
+    assert comp[("A", "z")] == "A:z"
+
+
+def test_view_components_threshold(two_comp_graph):
+    got = rows_to_set(view_components(two_comp_graph, size_threshold=3))
+    assert {r[3] for r in got} == {"a", "b", "c"}
+
+
+def test_view_components_strong_unimplemented(two_comp_graph):
+    with pytest.raises(NotImplementedError):
+        view_components(two_comp_graph, 1, connectivity="strong")
+
+
+def test_view_layers_missing_raises(two_comp_graph):
+    with pytest.raises(ValueError, match="do not exist"):
+        view_layers(two_comp_graph, ["A", "nope"])
+
+
+def test_view_layers_induced(two_comp_graph):
+    g = view_layers(two_comp_graph, "A")
+    assert g.nodes.count() == 4
+    assert g.edges.count() == 0  # all edges cross into layer B
+
+
+def test_filter_by_property_prune(two_comp_graph):
+    g = filter_view_by_property(two_comp_graph, "score", 2.0, ">=", dim="v", prune=True)
+    # nodes with score>=2: b,c,d,e,z; induced edges: b-c, d-e; z pruned
+    assert rows_to_set(g.nodes.select("node_id")) == {("b",), ("c",), ("d",), ("e",)}
+
+
+def test_filter_by_property_inset(two_comp_graph):
+    g = filter_view_by_property(two_comp_graph, "node_id", ["a", "z"], dim="v")
+    assert g.nodes.count() == 2
+
+
+def test_filter_bad_op(two_comp_graph):
+    with pytest.raises(ValueError, match="Invalid comparison"):
+        filter_view_by_property(two_comp_graph, "score", 1.0, "~=")
+
+
+def test_compose_filters(two_comp_graph):
+    cond = compose_filters([F.col("layer") == "A", F.col("score") > 3.0], "and")
+    assert two_comp_graph.nodes.filter(cond).count() == 2  # d, z
+
+
+def test_bipartite(two_comp_graph):
+    g = bipartite_view(two_comp_graph, "A", "B")
+    # all 3 edges are cross-layer; z isolated -> pruned
+    assert g.edges.count() == 3
+    assert g.nodes.count() == 5
+
+
+def test_degrees(two_comp_graph):
+    got = {(r[2], r[3]): (r[4], r[1], r[0]) for r in
+           (tuple(r) for r in degrees(two_comp_graph).select(
+               "degree", "in_degree", "layer", "node_id", "out_degree").collect())}
+    assert got[("A", "a")] == (1, 0, 1)
+    assert got[("B", "b")] == (1, 1, 2)
+    assert got[("A", "z")] == (0, 0, 0)
+
+
+def test_pagerank_sums_below_one(two_comp_graph):
+    pr = pagerank(two_comp_graph, n_iterations=3)
+    total = pr.agg(F.sum("pagerank")).collect()[0][0]
+    assert 0.15 < total <= 1.0 + 1e-9  # dangling mass leaks, never grows
+
+
+def test_triangles(spark):
+    nodes = spark.createDataFrame(
+        [("T", x) for x in "abcd"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("T", "a", "T", "b"), ("T", "b", "T", "c"), ("T", "c", "T", "a"),
+         ("T", "c", "T", "d")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    assert triangle_count(g).collect()[0][0] == 1
+
+
+def test_prune_isolated(two_comp_graph):
+    g = prune_isolated(two_comp_graph)
+    assert g.nodes.count() == 5

@@ -1,0 +1,108 @@
+"""Text / dedup / similarity / multimodal functions on known inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onionnet_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),  # exact dup of 1
+            (3, "the cat sat on the red mat"),  # near dup
+            (4, "completely different words entirely here now"),
+            (5, "  The  CAT sat on the mat "),  # dup after normalize
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(docs):
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"]) for r in
+           dedup.exact_duplicates(docs).collect()}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[5] == (1, 3)
+    assert got[3] == (3, 1)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0 and pairs[(2, 5)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert {(1, 2), (1, 5), (2, 5)} <= pairs
+
+
+def test_simhash_similar_docs_close(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2] == sh[5]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_token_count_and_stats(docs):
+    stats = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 6
+    assert stats[4]["n_tokens"] == 6
+    assert stats[1]["punct_ratio"] == 0.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat and it is happy"),
+         (2, "der hund ist von der stadt und das ist gut"),
+         (3, "xyzzy qwerty plugh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+
+def test_fingerprint_dups_match(docs):
+    fp = {r["doc_id"]: (r["n_fingerprints"], r["min_fingerprint"]) for r in
+          text.fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[5]
+    assert fp[1] != fp[4]
+
+
+def test_brute_force_topk(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
+           similarity.brute_force_topk(df, k=2).collect()}
+    assert got[(1, 1)] == 2  # closest to [1,0] is [0.9,0.1]
+    assert got[(1, 2)] == 3
+    assert got[(4, 2)] == 3 or got[(4, 1)] == 3
+
+
+def test_ann_lsh_subset_of_brute(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann = similarity.ann_lsh_topk(embs, k=3)
+    # every ANN pair must be a real pair with the same cosine as exact calc
+    row = ann.limit(1).collect()
+    assert row and row[0]["rank"] == 1
+
+
+def test_multimodal_fake_decode(docs):
+    payload = multimodal.attach_binary_payload(docs)
+    meta = multimodal.decode_image_meta(payload, fake=True).collect()
+    assert len(meta) == 5
+    n = {r["doc_id"]: r["width"] for r in meta}
+    assert n[1] == len("the cat sat on the mat")
+
+
+def test_multimodal_real_decode_raises(docs):
+    payload = multimodal.attach_binary_payload(docs)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.decode_image_meta(payload, fake=False).collect()

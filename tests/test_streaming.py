@@ -1,0 +1,71 @@
+"""Structured Streaming: the same transforms run as real streams.
+
+Strategy: replay the sf0.001 events table as a file stream (multiple
+micro-batches via maxFilesPerTrigger), run the windowed aggregation
+with a watermark, and check the completed results equal the batch
+run of the identical transform.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onionnet_spark.sources.tpch_graph import load_tables
+from onionnet_spark.streaming import events as ev
+
+
+@pytest.fixture(scope="module")
+def events_df(spark, sf_dir):
+    return load_tables(spark, sf_dir)["events"].persist()
+
+
+def _run_stream_to_memory(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_matches_batch(spark, events_df):
+    stream = ev.stream_from_batch(spark, events_df, partitions=4)
+    agg = ev.tumbling_counts(stream.withWatermark("ts", "1 hour"))
+    got = _run_stream_to_memory(spark, agg, "t_tumbling")
+    want = ev.tumbling_counts(events_df)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_sessionize_runs(spark, events_df):
+    stream = ev.stream_from_batch(spark, events_df, partitions=2)
+    sess = ev.streaming_sessionize(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) FROM t_sessions").collect()[0][0]
+    assert got == events_df.count()
+
+
+def test_streaming_dedup_within_watermark(spark, events_df):
+    dup = events_df.unionByName(events_df.limit(50))
+    stream = ev.stream_from_batch(spark, dup, partitions=2)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) FROM t_dedup").collect()[0][0]
+    assert n == events_df.count()
