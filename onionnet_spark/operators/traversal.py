@@ -74,8 +74,13 @@ def bfs_distances(
     spark = graph.nodes.sparkSession
     edges = _directed_endpoints(graph, direction).persist()
     try:
-        frontier = _sources_df(spark, sources)
-        visited = frontier.persist()
+        # Each level's frontier is eagerly localCheckpoint-ed: ONE job
+        # per level materializes it with truncated lineage; the
+        # visited set for the anti-join is the union of the cached
+        # frontiers (all small), so there is no persist/unpersist
+        # churn and no exponentially growing plan.
+        frontier = _sources_df(spark, sources).localCheckpoint()
+        frontiers = [frontier]
         n_frontier = frontier.count()
         depth = 0
         while n_frontier > 0 and (max_dist is None or depth < max_dist):
@@ -84,6 +89,9 @@ def bfs_distances(
             )
             if n_frontier <= BROADCAST_FRONTIER_MAX:
                 f = F.broadcast(f)
+            visited_keys = frontiers[0].select(*NODE_KEY)
+            for prev in frontiers[1:]:
+                visited_keys = visited_keys.unionByName(prev.select(*NODE_KEY))
             nxt = (
                 edges.join(f, on=["src_layer", "src_id"])
                 .select(
@@ -92,17 +100,18 @@ def bfs_distances(
                     F.lit(depth + 1).alias("dist"),
                 )
                 .distinct()
-                .join(visited.select(*NODE_KEY), on=NODE_KEY, how="left_anti")
-                .persist()
+                .join(visited_keys, on=NODE_KEY, how="left_anti")
+                .localCheckpoint()
             )
-            new_visited = visited.unionByName(nxt)
             depth += 1
-            if depth % CHECKPOINT_EVERY == 0:
-                new_visited = new_visited.localCheckpoint(eager=False)
-            visited = new_visited.persist()
             n_frontier = nxt.count()
+            if n_frontier:
+                frontiers.append(nxt)
             frontier = nxt
-        return visited
+        out = frontiers[0]
+        for prev in frontiers[1:]:
+            out = out.unionByName(prev)
+        return out
     finally:
         edges.unpersist()
 
