@@ -38,31 +38,50 @@ def exact_duplicates(
 ) -> DataFrame:
     """Canonical id per document: min id among documents with
     identical normalized text. (doc_id, canonical_id, group_size)."""
+    from pyspark.sql import Window
+
+    # Single scan + single shuffle: the per-hash aggregates come from
+    # a window over content_hash instead of a groupBy + self-join
+    # (which would scan the documents and compute the md5 twice).
     hashed = df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_hash")
     )
-    groups = hashed.groupBy("content_hash").agg(
-        F.min(id_col).alias("canonical_id"),
-        F.count("*").cast("bigint").alias("group_size"),
-    )
-    return hashed.join(groups, on="content_hash").select(
-        id_col, "canonical_id", "group_size"
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        id_col,
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).cast("bigint").alias("group_size"),
     )
 
 
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-shingles per doc: (id, shingle)."""
+    """Distinct word n-shingles per doc: (id, shingle).
+
+    Explodes shingle positions first and assembles each shingle with
+    plain column expressions over the exploded rows — these compile
+    into whole-stage codegen, unlike a higher-order ``transform()``
+    lambda building per-row string arrays (interpreted per element).
+    """
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    shingle = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
+        df.select(F.col(id_col).alias("id"), toks.alias("t"))
+        .select(
+            "id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - F.lit(n - 1), F.lit(0))
+                )
+            ).alias("i"),
+        )
+        .select(
+            "id",
+            F.concat_ws(
+                " ", *[F.element_at(F.col("t"), F.col("i") + j) for j in range(n)]
+            ).alias("shingle"),
+        )
         .distinct()
     )
 

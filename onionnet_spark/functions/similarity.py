@@ -61,8 +61,6 @@ def brute_force_topk(
     order by cosine ROUNDED to 6 dp with neighbor_id tie-break, so
     ordering is stable across engines and float summation orders.
     """
-    from pyspark.sql import Window
-
     import numpy as np
 
     spark = df.sparkSession
@@ -81,27 +79,35 @@ def brute_force_topk(
         for pdf in batches:
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            cos = qn @ cand.T  # (batch, n_candidates)
-            for row_i, qid in enumerate(pdf[id_col].values):
+            cos = np.round(qn @ cand.T, 6)  # (batch, n_candidates)
+            qids = pdf[id_col].values
+            # Top-k selected HERE, inside the Arrow batch: only
+            # batch*k rows leave the UDF, instead of batch*n pairs
+            # flowing through a row_number() window shuffle.
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for row_i, qid in enumerate(qids):
                 c = cos[row_i]
                 mask = cand_ids != qid
+                c, nids = c[mask], cand_ids[mask]
+                # order: cosine desc, neighbor_id asc (lexsort: last
+                # key is primary) — matches the oracle's ROW_NUMBER.
+                order = np.lexsort((nids, -c))[:k]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(nids[order])
+                out_c.append(c[order])
+                out_r.append(np.arange(1, len(order) + 1, dtype=np.int32))
+            if out_q:
                 yield pd.DataFrame(
                     {
-                        "query_id": qid,
-                        "neighbor_id": cand_ids[mask],
-                        "cosine": np.round(c[mask], 6),
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                        "rank": np.concatenate(out_r),
                     }
                 )
 
-    pairs = df.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return df.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double, rank int"
     )
 
 

@@ -84,6 +84,165 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
         sym.unpersist()
 
 
+def strongly_connected_components(
+    graph: OnionGraph, max_rounds: int = 50
+) -> DataFrame:
+    """Strong connected components: Trim + forward-coloring +
+    backward-collect (the FW-BW-Trim / Orzan coloring family used by
+    distributed SCC systems; reference view_components with
+    directed=True, searcher.py:284-298).
+
+    Per outer round:
+      1. TRIM to fixpoint: a node with no in-edge or no out-edge in
+         the remaining subgraph is a singleton SCC — peel it. On DAGs
+         (like the TPC-H reference graph) this alone resolves every
+         node in diameter rounds; coloring never runs.
+      2. COLOR: propagate min node key FORWARD to fixpoint, so
+         color(v) = min key among remaining nodes that reach v.
+         Nodes with color == own key are pivots.
+      3. COLLECT: backward BFS from each pivot restricted to its
+         color class; everything reached both reaches the pivot
+         (backward walk) and is reached by it (same color) → one SCC
+         per pivot, labeled by the pivot key. Remove, repeat.
+
+    Every frontier/label set is localCheckpoint-ed per iteration so
+    lineage stays flat. Returns (layer, node_id, component) with
+    component = min 'layer:node_id' key in the SCC — the same label
+    convention as the weak variant, so downstream size/threshold
+    logic is shared.
+    """
+    key = F.concat_ws(":", F.col("src_layer"), F.col("src_id"))
+    dkey = F.concat_ws(":", F.col("dst_layer"), F.col("dst_id"))
+    active = (
+        graph.nodes.select(graph.node_key_col().alias("key")).localCheckpoint()
+    )
+    edges = (
+        graph.edge_endpoints()
+        .select(key.alias("src"), dkey.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    done: list[DataFrame] = []
+
+    def _restrict(e: DataFrame, keep: DataFrame) -> DataFrame:
+        return e.join(
+            keep.select(F.col("key").alias("src")), on="src", how="left_semi"
+        ).join(keep.select(F.col("key").alias("dst")), on="dst", how="left_semi")
+
+    n_active = active.count()
+    for _ in range(max_rounds):
+        if n_active == 0:
+            break
+        # --- 1. trim to fixpoint ---------------------------------------
+        while n_active > 0:
+            srcs = edges.select(F.col("src").alias("key"))
+            dsts = edges.select(F.col("dst").alias("key"))
+            core = (
+                active.join(srcs, on="key", how="left_semi")
+                .join(dsts, on="key", how="left_semi")
+                .localCheckpoint()
+            )
+            n_core = core.count()
+            if n_core == n_active:
+                break
+            done.append(
+                active.join(core, on="key", how="left_anti")
+                .select("key", F.col("key").alias("component"))
+                .localCheckpoint()
+            )
+            active = core
+            n_active = n_core
+            edges = _restrict(edges, active).localCheckpoint()
+        if n_active == 0:
+            break
+        # --- 2. forward min-color propagation to fixpoint ---------------
+        colors = active.select("key", F.col("key").alias("color")).localCheckpoint()
+        while True:
+            cand = (
+                edges.join(
+                    colors.select(
+                        F.col("key").alias("src"), F.col("color").alias("src_color")
+                    ),
+                    on="src",
+                )
+                .groupBy(F.col("dst").alias("key"))
+                .agg(F.min("src_color").alias("nbr_color"))
+            )
+            new_colors = (
+                colors.join(cand, on="key", how="left")
+                .select(
+                    "key",
+                    F.least(
+                        F.col("color"), F.coalesce("nbr_color", "color")
+                    ).alias("color"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_colors.alias("n")
+                .join(colors.alias("o"), on="key")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            colors = new_colors
+            if changed == 0:
+                break
+        # --- 3. backward collect from pivots within color classes -------
+        same_color_edges = (
+            edges.join(
+                colors.select(F.col("key").alias("src"), F.col("color").alias("c1")),
+                on="src",
+            )
+            .join(
+                colors.select(F.col("key").alias("dst"), F.col("color").alias("c2")),
+                on="dst",
+            )
+            .filter(F.col("c1") == F.col("c2"))
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        scc = (
+            colors.filter(F.col("key") == F.col("color"))
+            .select("key", F.col("color").alias("component"))
+            .localCheckpoint()
+        )
+        frontier = scc
+        while True:
+            preds = (
+                same_color_edges.join(
+                    frontier.select(
+                        F.col("key").alias("dst"), F.col("component")
+                    ),
+                    on="dst",
+                )
+                .select(F.col("src").alias("key"), "component")
+                .distinct()
+                .join(scc.select("key"), on="key", how="left_anti")
+                .localCheckpoint()
+            )
+            if preds.count() == 0:
+                break
+            scc = scc.unionByName(preds).localCheckpoint()
+            frontier = preds
+        done.append(scc)
+        active = active.join(scc.select("key"), on="key", how="left_anti").localCheckpoint()
+        n_active = active.count()
+        edges = _restrict(edges, active).localCheckpoint()
+
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out.select(
+        F.split_part(F.col("key"), F.lit(":"), F.lit(1)).alias("layer"),
+        F.substring(
+            F.col("key"), F.length(F.split_part(F.col("key"), F.lit(":"), F.lit(1))) + 2, 2_000_000
+        ).alias("node_id"),
+        "component",
+    )
+
+
 def view_components(
     graph: OnionGraph, size_threshold: int, connectivity: str = "weak"
 ) -> DataFrame:
@@ -95,8 +254,9 @@ def view_components(
     reference's directed=False mode.
     """
     if connectivity.lower() == "strong":
-        raise NotImplementedError("strong components planned (R2); use 'weak'")
-    labels = connected_components(graph)
+        labels = strongly_connected_components(graph)
+    else:
+        labels = connected_components(graph)
     sizes = labels.groupBy("component").agg(F.count("*").alias("component_size"))
     return labels.join(
         F.broadcast(sizes.filter(F.col("component_size") >= size_threshold)),

@@ -358,6 +358,24 @@ def components_weak_q(spark, sf_dir):
 
 
 @register(
+    "components_strong",
+    f"""WITH {CTES}
+    SELECT layer, node_id, layer || ':' || node_id AS component,
+           CAST(1 AS BIGINT) AS component_size
+    FROM nodes_g WHERE layer IN ('region', 'nation', 'customer', 'supplier')""",
+)
+def components_strong_q(spark, sf_dir):
+    # The reference-style graph is a DAG (child->parent layer edges),
+    # so every SCC is a singleton — which makes the oracle EXACT: any
+    # incorrect merge by the trim/color/collect machinery breaks the
+    # hash. Cyclic SCCs are covered by unit tests on toy graphs.
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return components.view_components(g, 1, "strong")
+
+
+@register(
     "pagerank",
     None,  # oracle generated below (unrolled iterations)
 )

@@ -56,9 +56,40 @@ def test_view_components_threshold(two_comp_graph):
     assert {r[3] for r in got} == {"a", "b", "c"}
 
 
-def test_view_components_strong_unimplemented(two_comp_graph):
-    with pytest.raises(NotImplementedError):
-        view_components(two_comp_graph, 1, connectivity="strong")
+def test_strong_components_cycles(spark):
+    # two nontrivial SCCs ({a,b,c} cycle, {d,e} 2-cycle, both linked
+    # into a DAG tail f->g plus isolated h) — exercises trim, color,
+    # and backward-collect phases.
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.components import strongly_connected_components
+
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "abcdefgh"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [
+            ("L", "a", "L", "b"),
+            ("L", "b", "L", "c"),
+            ("L", "c", "L", "a"),
+            ("L", "d", "L", "e"),
+            ("L", "e", "L", "d"),
+            ("L", "f", "L", "g"),
+            ("L", "c", "L", "d"),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    scc = strongly_connected_components(OnionGraph(nodes, edges))
+    got = {(r["node_id"], r["component"]) for r in scc.collect()}
+    assert got == {
+        ("a", "L:a"), ("b", "L:a"), ("c", "L:a"),
+        ("d", "L:d"), ("e", "L:d"),
+        ("f", "L:f"), ("g", "L:g"), ("h", "L:h"),
+    }
+
+
+def test_view_components_strong_threshold(two_comp_graph):
+    # the two_comp_graph is a DAG -> no SCC of size >= 2
+    assert view_components(two_comp_graph, 2, connectivity="strong").count() == 0
 
 
 def test_view_layers_missing_raises(two_comp_graph):
