@@ -107,3 +107,41 @@ def export_edges(
             dst_nodes, on=["dst_layer", "dst_id"], how="left"
         )
     return out
+
+
+def layout_by_layer(
+    graph: OnionGraph, x_spacing: float = 1.0, y_spacing: float = 1.0
+) -> DataFrame:
+    """Deterministic layered layout coordinates as a DataFrame.
+
+    The data side of the reference's visualisation module
+    (onionnet/visualisation.py): one column per layer (x = layer
+    rank), nodes stacked within their layer (y = rank of node_id in
+    the layer). Rendering itself is a driver/matplotlib concern and
+    stays out of the engine; this transform gives any plotting
+    front-end stable coordinates.
+
+    x = layer rank comes from the (tiny, broadcast) layer dictionary
+    rather than a global unpartitioned window, which would funnel
+    every node through one partition at scale; y ranks only shuffle
+    within a layer.
+    """
+    from pyspark.sql import Window
+
+    from onionnet_spark.functions.encoding import build_dictionary
+
+    layer_dict = build_dictionary(graph.nodes, "layer").select(
+        F.col("value").alias("layer"), F.col("code").alias("layer_rank")
+    )
+    within = (
+        F.row_number().over(Window.partitionBy("layer").orderBy("node_id")) - 1
+    )
+    return (
+        graph.nodes.join(F.broadcast(layer_dict), on="layer")
+        .select(
+            "layer",
+            "node_id",
+            (F.col("layer_rank").cast("double") * x_spacing).alias("x"),
+            (within.cast("double") * y_spacing).alias("y"),
+        )
+    )

@@ -147,6 +147,88 @@ def reachable(
     return bfs_distances(graph, [start], direction, max_dist=None)
 
 
+def weighted_sssp(
+    graph: OnionGraph,
+    sources: list[tuple[str, str]],
+    direction: str = "downstream",
+    weight_col: str = "weight",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Single/multi-source shortest WEIGHTED distances (non-negative
+    weights) by frontier Bellman-Ford relaxation.
+
+    Extends the reference's hop-count traversals (searcher.py uses
+    graph-tool shortest_distance, which also accepts edge weights)
+    to weighted edges. Each round relaxes only edges out of nodes
+    whose distance improved last round (delta relaxation), so late
+    rounds touch a shrinking frontier; the distance map is
+    localCheckpoint-ed per round to keep lineage flat. Rounds needed
+    = longest shortest-path edge count, NOT graph size.
+
+    Returns DataFrame(layer, node_id, dist: double).
+    """
+    if direction not in ("downstream", "upstream"):
+        raise ValueError("direction must be 'upstream' or 'downstream'")
+    e = graph.edges
+    if direction == "downstream":
+        edges = e.select(
+            "src_layer", "src_id", "dst_layer", "dst_id", F.col(weight_col).alias("w")
+        )
+    else:
+        edges = e.select(
+            F.col("dst_layer").alias("src_layer"),
+            F.col("dst_id").alias("src_id"),
+            F.col("src_layer").alias("dst_layer"),
+            F.col("src_id").alias("dst_id"),
+            F.col(weight_col).alias("w"),
+        )
+    edges = edges.persist()
+    try:
+        spark = graph.nodes.sparkSession
+        dist = (
+            spark.createDataFrame(
+                [(l, str(i), 0.0) for (l, i) in sources],
+                "layer string, node_id string, dist double",
+            )
+            .localCheckpoint()
+        )
+        improved = dist
+        for _ in range(max_iterations):
+            f = improved.select(
+                F.col("layer").alias("src_layer"),
+                F.col("node_id").alias("src_id"),
+                "dist",
+            )
+            if improved.count() <= BROADCAST_FRONTIER_MAX:
+                f = F.broadcast(f)
+            cand = (
+                edges.join(f, on=["src_layer", "src_id"])
+                .groupBy(
+                    F.col("dst_layer").alias("layer"),
+                    F.col("dst_id").alias("node_id"),
+                )
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand_dist"))
+            )
+            improved = (
+                cand.join(dist, on=NODE_KEY, how="left")
+                .filter(
+                    F.col("dist").isNull() | (F.col("cand_dist") < F.col("dist"))
+                )
+                .select("layer", "node_id", F.col("cand_dist").alias("dist"))
+                .localCheckpoint()
+            )
+            if improved.count() == 0:
+                break
+            dist = (
+                dist.join(improved.select(*NODE_KEY), on=NODE_KEY, how="left_anti")
+                .unionByName(improved)
+                .localCheckpoint()
+            )
+        return dist
+    finally:
+        edges.unpersist()
+
+
 def on_shortest_path(
     graph: OnionGraph,
     source: tuple[str, str],

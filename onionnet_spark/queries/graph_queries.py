@@ -358,6 +358,52 @@ def components_weak_q(spark, sf_dir):
 
 
 @register(
+    "layout_by_layer",
+    f"""WITH {CTES},
+    d AS (SELECT value AS layer, CAST(ROW_NUMBER() OVER (ORDER BY value) - 1 AS INT) AS lr
+          FROM (SELECT DISTINCT layer AS value FROM nodes_g))
+    SELECT n.layer, n.node_id,
+           CAST(d.lr AS DOUBLE) * 2.0 AS x,
+           CAST(ROW_NUMBER() OVER (PARTITION BY n.layer ORDER BY n.node_id) - 1 AS DOUBLE) * 1.0 AS y
+    FROM nodes_g n JOIN d USING (layer)""",
+)
+def layout_by_layer_q(spark, sf_dir):
+    return properties.layout_by_layer(get_graph(spark, sf_dir), x_spacing=2.0)
+
+
+def _sssp_weighted_oracle(n_steps: int = 8) -> str:
+    # unrolled Bellman-Ford: d_{k} = min(d_{k-1}, d_{k-1}+w over
+    # reversed edges); 8 steps > the 5-hop layer diameter, so the
+    # fixpoint is reached in both engines.
+    stages = []
+    for i in range(1, n_steps + 1):
+        stages.append(
+            f"""d{i} AS (
+      SELECT k, MIN(dist) AS dist FROM (
+        SELECT k, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.d AS k, p.dist + e.w AS dist FROM d{i - 1} p JOIN e ON e.s = p.k
+      ) GROUP BY k
+    )"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    e AS (SELECT dst_layer || ':' || dst_id AS s, src_layer || ':' || src_id AS d,
+                 weight AS w FROM edges_g),
+    d0 AS (SELECT 'region:0' AS k, CAST(0 AS DOUBLE) AS dist),
+    {stage_sql}
+    SELECT split_part(k, ':', 1) AS layer, split_part(k, ':', 2) AS node_id,
+           ROUND(dist, 6) AS dist
+    FROM d{n_steps}"""
+
+
+@register("sssp_weighted", None)
+def sssp_weighted_q(spark, sf_dir):
+    d = traversal.weighted_sssp(get_graph(spark, sf_dir), [("region", "0")], "upstream")
+    return d.select("layer", "node_id", F.round("dist", 6).alias("dist"))
+
+
+@register(
     "components_strong",
     f"""WITH {CTES}
     SELECT layer, node_id, layer || ':' || node_id AS component,
@@ -418,6 +464,7 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
 from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["pagerank"] = (pagerank_q, _pagerank_oracle())
+_REG["sssp_weighted"] = (sssp_weighted_q, _sssp_weighted_oracle())
 
 
 @register(

@@ -87,3 +87,35 @@ def test_reachable_downstream_matches_duckdb(tpch_graph, sf_dir):
     want = duck_to_set(sf_dir, sql)
     assert got == want
     assert any(r[1] == "region" for r in got)
+
+
+def test_weighted_sssp_prefers_cheap_long_path(spark):
+    # a->b (w=10) vs a->c->b (w=1+2): weighted dist to b is 3 via c,
+    # though the hop-count path is direct.
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.traversal import weighted_sssp
+
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "abcd"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [
+            ("L", "a", "L", "b", 10.0),
+            ("L", "a", "L", "c", 1.0),
+            ("L", "c", "L", "b", 2.0),
+            ("L", "b", "L", "d", 1.0),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string, weight double",
+    )
+    g = OnionGraph(nodes, edges)
+    got = {
+        (r["node_id"], r["dist"])
+        for r in weighted_sssp(g, [("L", "a")], "downstream").collect()
+    }
+    assert got == {("a", 0.0), ("c", 1.0), ("b", 3.0), ("d", 4.0)}
+
+    up = {
+        (r["node_id"], r["dist"])
+        for r in weighted_sssp(g, [("L", "d")], "upstream").collect()
+    }
+    assert up == {("d", 0.0), ("b", 1.0), ("c", 3.0), ("a", 4.0)}
