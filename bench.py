@@ -63,6 +63,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # Warm up the JVM (codegen, shuffle machinery, parquet footer
+    # reads) outside any per-query timer so the first headline query
+    # isn't charged for session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -99,7 +99,16 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
     jaccard rounded to 6 dp.
     """
-    sh = word_shingles(df, text_col, id_col, n).persist()
+    # All set arithmetic below only needs shingle EQUALITY, so the
+    # ~25-char shingle strings are collapsed to 8-byte xxhash64 keys
+    # first: the self-join/groupBy shuffles carry fixed-width longs.
+    # Collision risk at n shingle instances is ~n^2/2^65 (4e-7 at 4M
+    # rows) — far below any practical dedup tolerance.
+    sh = (
+        word_shingles(df, text_col, id_col, n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -195,13 +204,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact-verify candidates
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # exact-verify candidates (equality-only from here on -> 8-byte
+    # hashed shingles keep the verify joins narrow; see
+    # ngram_jaccard_pairs for the collision-probability note)
+    shh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
+    sizes = shh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
-        sh.alias("x")
+        shh.alias("x")
         .join(cand.alias("c"), F.col("x.id") == F.col("c.id_a"))
         .join(
-            sh.alias("y"),
+            shh.alias("y"),
             (F.col("y.id") == F.col("c.id_b")) & (F.col("y.shingle") == F.col("x.shingle")),
         )
         .groupBy("id_a", "id_b")

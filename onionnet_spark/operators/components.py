@@ -55,6 +55,10 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
                 )
                 .agg(F.min("nbr_component").alias("nbr_component"))
             )
+            # One join carries BOTH the new label and an 'improved'
+            # flag, so convergence detection costs a metadata-cheap
+            # filter over the just-materialized checkpoint instead of
+            # a second full labels-vs-labels shuffle join.
             new_labels = (
                 labels.join(cand, on=NODE_KEY, how="left")
                 .select(
@@ -63,20 +67,16 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
                     F.least(
                         F.col("component"), F.coalesce("nbr_component", "component")
                     ).alias("component"),
+                    (
+                        F.col("nbr_component").isNotNull()
+                        & (F.col("nbr_component") < F.col("component"))
+                    ).alias("improved"),
                 )
+                .localCheckpoint()
             )
-            if (it + 1) % CHECKPOINT_EVERY == 0:
-                new_labels = new_labels.localCheckpoint(eager=False)
-            new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on=NODE_KEY)
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
+            changed = new_labels.filter("improved").limit(1).count()
             labels.unpersist()
-            labels = new_labels
+            labels = new_labels.drop("improved")
             if changed == 0:
                 break
         return labels

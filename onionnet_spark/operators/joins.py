@@ -69,3 +69,46 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).drop("_side").withColumnRenamed(
         "_ts", left_ts
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: explode hot keys across `salt`
+    shuffle partitions.
+
+    AQE's skew-join split handles most skew, but it only kicks in
+    per sort-merge task and cannot split a single pathological key
+    finer than its post-shuffle block. For known power-law keys
+    (celebrity nodes in a graph, header shingles in dedup) the
+    semantic fix is salting: the LEFT (big, skewed) side gets a
+    deterministic salt derived from the whole row hash, the RIGHT
+    side is replicated `salt` times, and the join key becomes
+    (key, salt) — each hot key now spreads over `salt` reducers.
+
+    Deterministic (no rand()): task retries re-derive the same salt,
+    so speculative execution cannot duplicate or drop rows. Result
+    is row-identical to a plain `left.join(right, on, how)`.
+
+    Supports how in ('inner', 'left'): replication of the right side
+    would multiply unmatched-row NULLs under right/full outer.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how in ('inner', 'left')")
+    lcols, rcols = left.columns, right.columns
+    l_salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
+    )
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l_salted.join(r_salted, on=on + ["_salt"], how=how)
+    return out.select(
+        *on,
+        *[F.col(c) for c in lcols if c not in on],
+        *[F.col(c) for c in rcols if c not in on],
+    )

@@ -1,0 +1,78 @@
+"""Scale-path utilities: salted skew joins, bucketed co-located joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onionnet_spark.operators.joins import salted_join
+from onionnet_spark.sources.bucketed import (
+    is_shuffle_free_join,
+    read_bucketed,
+    write_bucketed,
+)
+
+from conftest import rows_to_set
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 10k rows, 90% on one hot key — the shape AQE alone can't split
+    # below block granularity.
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.5), ("cold", 2.5), ("absent", 9.9)], "k string, mult double"
+    )
+    return left, right
+
+
+def test_salted_join_matches_plain_inner(skewed):
+    left, right = skewed
+    got = rows_to_set(salted_join(left, right, on=["k"]))
+    want = rows_to_set(left.join(right, on="k"))
+    assert got == want and len(got) == 10_000
+
+
+def test_salted_join_matches_plain_left(skewed):
+    left, right = skewed
+    unmatched = left.withColumn("k", F.concat(F.col("k"), F.lit("_x"))).limit(7)
+    l2 = left.unionByName(unmatched)
+    got = rows_to_set(salted_join(l2, right, on=["k"], how="left"))
+    want = rows_to_set(l2.join(right, on="k", how="left"))
+    assert got == want
+
+
+def test_salted_join_rejects_outer(skewed):
+    left, right = skewed
+    with pytest.raises(ValueError):
+        salted_join(left, right, on=["k"], how="full")
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    # tables land in the session's default spark-warehouse dir and
+    # are dropped in the finally below
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bk_a", ["k"], num_buckets=8)
+    write_bucketed(b, "bk_b", ["k"], num_buckets=8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed(spark, "bk_a").join(
+                read_bucketed(spark, "bk_b"), on="k"
+            )
+            assert joined.count() == 1000
+            assert is_shuffle_free_join(joined)
+            # sanity: the same join on unbucketed frames DOES shuffle
+            assert not is_shuffle_free_join(a.join(b, on="k"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
