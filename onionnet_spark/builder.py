@@ -102,3 +102,43 @@ def grow_onion(
         )
 
     return OnionGraph(nodes, edges, directed=directed)
+
+
+def merge_onion(base: OnionGraph, delta: OnionGraph) -> OnionGraph:
+    """Incrementally grow a graph: the reference's repeated
+    grow_onion calls onto an existing OnionNetGraph (builder.py:37-110
+    re-checks each vertex against the existing key maps and skips
+    known ones; builder.py:219-224 skips edges with unknown
+    endpoints).
+
+    Semantics:
+      - nodes: BASE WINS on key conflict (a re-added node never
+        overwrites existing properties, matching the reference's
+        skip-existing behavior); genuinely new nodes are appended.
+      - edges: delta edges whose (src, dst) key already exists in
+        base are dropped; remaining delta edges must have both
+        endpoints in the MERGED node set.
+
+    Both arms are anti/semi joins on the node or edge key — at scale
+    this is the classic MERGE shape: shuffle-partition both sides by
+    the key once (or keep them bucketed) and every arm is co-located.
+    """
+    new_nodes = delta.nodes.join(base.nodes, on=NODE_KEY, how="left_anti")
+    nodes = base.nodes.unionByName(new_nodes, allowMissingColumns=True)
+
+    new_edges = (
+        delta.edges.join(base.edges.select(*EDGE_KEY), on=EDGE_KEY, how="left_anti")
+        .dropDuplicates(EDGE_KEY)
+    )
+    node_keys = nodes.select(*NODE_KEY)
+    src_keys = node_keys.select(
+        F.col("layer").alias("src_layer"), F.col("node_id").alias("src_id")
+    )
+    dst_keys = node_keys.select(
+        F.col("layer").alias("dst_layer"), F.col("node_id").alias("dst_id")
+    )
+    new_edges = new_edges.join(
+        src_keys, on=["src_layer", "src_id"], how="left_semi"
+    ).join(dst_keys, on=["dst_layer", "dst_id"], how="left_semi")
+    edges = base.edges.unionByName(new_edges, allowMissingColumns=True)
+    return OnionGraph(nodes, edges, directed=base.directed)

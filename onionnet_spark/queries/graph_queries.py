@@ -358,6 +358,37 @@ def components_weak_q(spark, sf_dir):
 
 
 @register(
+    "graph_incremental",
+    f"""WITH {CTES}
+    SELECT layer, node_id, name FROM nodes_g
+    WHERE layer IN ('region', 'nation', 'customer')""",
+)
+def graph_incremental_q(spark, sf_dir):
+    # Incremental MERGE growth: base = region+nation; the delta
+    # re-adds every nation node with a corrupted name (must be
+    # SKIPPED: base wins, reference skip-existing semantics), plus
+    # the customer layer and its edges. The oracle is simply the
+    # 3-layer node set with ORIGINAL names, so any delta-wins bug
+    # hash-mismatches.
+    from onionnet_spark.builder import merge_onion
+    from onionnet_spark.core import OnionGraph
+
+    g = get_graph(spark, sf_dir)
+    base = filters.view_layers(g, ["region", "nation"])
+    delta_nodes = (
+        g.nodes.filter(F.col("layer") == "nation")
+        .withColumn("name", F.concat(F.col("name"), F.lit("_dup")))
+        .unionByName(g.nodes.filter(F.col("layer") == "customer"))
+    )
+    delta_edges = g.edges.filter(
+        ((F.col("src_layer") == "customer") & (F.col("dst_layer") == "nation"))
+        | ((F.col("src_layer") == "nation") & (F.col("dst_layer") == "region"))
+    )
+    merged = merge_onion(base, OnionGraph(delta_nodes, delta_edges))
+    return merged.nodes.select("layer", "node_id", "name")
+
+
+@register(
     "layout_by_layer",
     f"""WITH {CTES},
     d AS (SELECT value AS layer, CAST(ROW_NUMBER() OVER (ORDER BY value) - 1 AS INT) AS lr

@@ -162,3 +162,41 @@ def test_triangles(spark):
 def test_prune_isolated(two_comp_graph):
     g = prune_isolated(two_comp_graph)
     assert g.nodes.count() == 5
+
+
+def test_merge_onion_base_wins_and_edge_dedup(spark):
+    from onionnet_spark.builder import merge_onion
+    from onionnet_spark.core import OnionGraph
+
+    base = OnionGraph(
+        spark.createDataFrame(
+            [("A", "1", "orig"), ("A", "2", "orig")],
+            "layer string, node_id string, name string",
+        ),
+        spark.createDataFrame(
+            [("A", "1", "A", "2")],
+            "src_layer string, src_id string, dst_layer string, dst_id string",
+        ),
+    )
+    delta = OnionGraph(
+        spark.createDataFrame(
+            [("A", "1", "overwrite"), ("B", "9", "new")],
+            "layer string, node_id string, name string",
+        ),
+        spark.createDataFrame(
+            [
+                ("A", "1", "A", "2"),   # dup of base edge -> dropped
+                ("A", "1", "B", "9"),   # new valid edge
+                ("A", "1", "C", "404"),  # dangling endpoint -> dropped
+            ],
+            "src_layer string, src_id string, dst_layer string, dst_id string",
+        ),
+    )
+    m = merge_onion(base, delta)
+    nodes = {(r["layer"], r["node_id"], r["name"]) for r in m.nodes.collect()}
+    assert nodes == {("A", "1", "orig"), ("A", "2", "orig"), ("B", "9", "new")}
+    edges = {
+        (r["src_layer"], r["src_id"], r["dst_layer"], r["dst_id"])
+        for r in m.edges.collect()
+    }
+    assert edges == {("A", "1", "A", "2"), ("A", "1", "B", "9")}
