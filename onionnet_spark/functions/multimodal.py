@@ -82,3 +82,96 @@ def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload_out_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize payloads to (width, height) via mapInPandas.
+
+    Real resize needs PIL (not in this container): fake=True models
+    the output contract — fixed target dims and a deterministic
+    output byte count proportional to the target area — so the
+    Spark-side schema/batching is tested; fake=False raises where
+    PIL.Image.resize would run.
+    """
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL (not in this container); "
+                    "use fake=True to exercise the pipeline"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "payload_out_bytes": [width * height * 3] * len(pdf),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha_prefix", IntegerType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
+    """Sample every `every_n`-th 'frame' from video-shaped payloads,
+    one output row per sampled frame (row-fanout decode: the batch
+    shape every video pipeline needs).
+
+    fake=True treats each 4 KiB slice of the payload as one frame
+    and emits a deterministic fingerprint per sampled slice;
+    fake=False raises where ffmpeg frame extraction would run.
+    """
+
+    def frame_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg (not in this container); "
+                    "use fake=True to exercise the pipeline"
+                )
+            ids, idxs, fps = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, (len(payload) + 4095) // 4096)
+                for i in range(0, n_frames, every_n):
+                    chunk = bytes(payload[i * 4096 : (i + 1) * 4096])
+                    h = hashlib.sha256(chunk).digest()
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    fps.append(int.from_bytes(h[:4], "big", signed=True))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_sha_prefix": pd.Series(fps, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(frame_batches, FRAME_SCHEMA)

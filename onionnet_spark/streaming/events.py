@@ -124,3 +124,58 @@ def stream_from_batch(spark, batch_df: DataFrame, partitions: int = 4) -> DataFr
     return spark.readStream.schema(batch_df.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(d)
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count and running value sum, emitted on
+    every update.
+
+    This is the escape hatch for stateful semantics the built-in
+    windowed aggregations can't express (per-key state machines,
+    custom eviction). State is one (count, sum) pair per user_id,
+    stored in the state store and merged with each micro-batch's
+    Arrow batches; output mode 'update' emits the new running totals
+    for keys touched by the batch. At scale, state is partitioned by
+    the grouping key across executors and checkpointed
+    incrementally.
+    """
+    import pandas as pd  # noqa: F401 (imported for the worker closure)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -106,3 +106,24 @@ def test_multimodal_real_decode_raises(docs):
     payload = multimodal.attach_binary_payload(docs)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         multimodal.decode_image_meta(payload, fake=False).collect()
+
+
+def test_multimodal_resize_and_frames(docs):
+    from onionnet_spark.functions import multimodal
+
+    mm = multimodal.attach_binary_payload(docs)
+    rs = multimodal.resize_images(mm, 64, 48, fake=True)
+    rows = rs.collect()
+    assert len(rows) == docs.count()
+    assert all(r["width"] == 64 and r["height"] == 48 for r in rows)
+    assert all(r["payload_out_bytes"] == 64 * 48 * 3 for r in rows)
+
+    fr = multimodal.sample_frames(mm, every_n=1, fake=True)
+    pdf = fr.toPandas()
+    assert (pdf.groupby("doc_id").size() >= 1).all()
+    assert set(pdf["doc_id"].unique()) == {r["doc_id"] for r in mm.collect()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|ffmpeg|PIL"):
+        multimodal.resize_images(mm, 8, 8, fake=False).collect()

@@ -69,3 +69,40 @@ def test_streaming_dedup_within_watermark(spark, events_df):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) FROM t_dedup").collect()[0][0]
     assert n == events_df.count()
+
+
+def test_stateful_user_stats_matches_batch(spark, events_df):
+    # run the applyInPandasWithState op over a multi-micro-batch
+    # replay; the LAST update per user must equal the batch totals.
+    from onionnet_spark.streaming.events import (
+        stateful_user_stats,
+        stream_from_batch,
+    )
+
+    stream = stream_from_batch(spark, events_df, partitions=3)
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_df = spark.sql(
+        """SELECT user_id, n_events, sum_value FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n_events DESC) AS rn
+             FROM stateful_stats) WHERE rn = 1"""
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in got_df.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in events_df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
