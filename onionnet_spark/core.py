@@ -89,6 +89,17 @@ class OnionGraph:
     def counts(self) -> tuple[int, int]:
         return self.nodes.count(), self.edges.count()
 
+    def create_views(self, prefix: str = "onion_") -> tuple[str, str]:
+        """Expose the graph to the SQL surface: temp views
+        '{prefix}nodes' and '{prefix}edges', so any engine operation
+        can equally be written as ``spark.sql(...)`` — the DataFrame
+        and SQL programs compile to the same Catalyst plans.
+        """
+        n, e = f"{prefix}nodes", f"{prefix}edges"
+        self.nodes.createOrReplaceTempView(n)
+        self.edges.createOrReplaceTempView(e)
+        return n, e
+
     def node_key_col(self) -> "F.Column":
         """Canonical single-string node label 'layer:node_id'.
 

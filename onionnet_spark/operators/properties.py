@@ -71,6 +71,58 @@ def set_node_property(
     return OnionGraph(nodes, graph.edges, graph.directed)
 
 
+def merge_node_properties(graph: OnionGraph, updates: DataFrame) -> OnionGraph:
+    """Bulk property MERGE: the scale path for mutations.
+
+    `updates` carries (layer, node_id, **prop_cols); existing nodes
+    get updated values (update wins, NULL update cells leave the old
+    value), columns new to the graph are added (NULL elsewhere).
+    One left join on the node key — with both sides bucketed or
+    co-partitioned on that key the merge is exchange-free. Unknown
+    keys in `updates` are ignored (reference setters address
+    existing vertices only).
+    """
+    upd_props = [c for c in updates.columns if c not in NODE_KEY]
+    if not upd_props:
+        return graph
+    u = updates.dropDuplicates(NODE_KEY).select(
+        *NODE_KEY, *[F.col(c).alias(f"_upd_{c}") for c in upd_props]
+    )
+    nodes = graph.nodes.join(u, on=NODE_KEY, how="left")
+    for c in upd_props:
+        if c in graph.nodes.columns:
+            nodes = nodes.withColumn(c, F.coalesce(F.col(f"_upd_{c}"), F.col(c)))
+        else:
+            nodes = nodes.withColumn(c, F.col(f"_upd_{c}"))
+    nodes = nodes.drop(*[f"_upd_{c}" for c in upd_props])
+    return OnionGraph(nodes, graph.edges, graph.directed)
+
+
+def set_edge_property(
+    graph: OnionGraph,
+    src: tuple[str, str],
+    dst: tuple[str, str],
+    prop_name: str,
+    value: Any,
+) -> OnionGraph:
+    """Set one property on one edge (edge-dim counterpart of
+    set_node_property; reference property maps cover both
+    dimensions)."""
+    key_match = (
+        (F.col("src_layer") == src[0])
+        & (F.col("src_id") == str(src[1]))
+        & (F.col("dst_layer") == dst[0])
+        & (F.col("dst_id") == str(dst[1]))
+    )
+    if prop_name in graph.edges.columns:
+        edges = graph.edges.withColumn(
+            prop_name, F.when(key_match, F.lit(value)).otherwise(F.col(prop_name))
+        )
+    else:
+        edges = graph.edges.withColumn(prop_name, F.when(key_match, F.lit(value)))
+    return OnionGraph(graph.nodes, edges, graph.directed)
+
+
 def export_nodes(graph: OnionGraph, prop_names: list[str] | None = None) -> DataFrame:
     """Vertex export (reference export_info mode='v',
     exporter.py:47-52): key columns + requested properties."""

@@ -358,6 +358,47 @@ def components_weak_q(spark, sf_dir):
 
 
 @register(
+    "merge_props",
+    f"""WITH {CTES}
+    SELECT layer, node_id,
+           CASE WHEN layer = 'orders' THEN val * 2 ELSE val END AS val
+    FROM nodes_g""",
+)
+def merge_props_q(spark, sf_dir):
+    # bulk MERGE: double `val` on the orders layer; other layers and
+    # NULL update cells keep their old values.
+    g = get_graph(spark, sf_dir)
+    updates = g.nodes.filter(F.col("layer") == "orders").select(
+        "layer", "node_id", (F.col("val") * 2).alias("val")
+    )
+    merged = properties.merge_node_properties(g, updates)
+    return merged.nodes.select("layer", "node_id", "val")
+
+
+@register(
+    "sql_surface",
+    f"""WITH {CTES}
+    SELECT n.layer, CAST(COUNT(DISTINCT n.node_id) AS BIGINT) AS n_nodes,
+           CAST(COUNT(e.dst_layer) AS BIGINT) AS n_out_edges
+    FROM nodes_g n LEFT JOIN edges_g e
+      ON e.src_layer = n.layer AND e.src_id = n.node_id
+    GROUP BY n.layer""",
+)
+def sql_surface_q(spark, sf_dir):
+    # the same graph exposed through spark.sql over temp views —
+    # DataFrame and SQL programs hit identical Catalyst plans.
+    g = get_graph(spark, sf_dir)
+    nv, ev = g.create_views()
+    return spark.sql(
+        f"""SELECT n.layer, CAST(COUNT(DISTINCT n.node_id) AS BIGINT) AS n_nodes,
+                   CAST(COUNT(e.dst_layer) AS BIGINT) AS n_out_edges
+            FROM {nv} n LEFT JOIN {ev} e
+              ON e.src_layer = n.layer AND e.src_id = n.node_id
+            GROUP BY n.layer"""
+    )
+
+
+@register(
     "graph_incremental",
     f"""WITH {CTES}
     SELECT layer, node_id, name FROM nodes_g

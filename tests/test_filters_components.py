@@ -200,3 +200,38 @@ def test_merge_onion_base_wins_and_edge_dedup(spark):
         for r in m.edges.collect()
     }
     assert edges == {("A", "1", "A", "2"), ("A", "1", "B", "9")}
+
+
+def test_merge_node_properties_bulk(spark):
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.properties import (
+        merge_node_properties,
+        set_edge_property,
+    )
+
+    g = grow_onion(
+        spark.createDataFrame(
+            [("A", "1", 1.0), ("A", "2", 2.0), ("B", "3", 3.0)],
+            "layer string, node_id string, score double",
+        ),
+        spark.createDataFrame(
+            [("A", "1", "B", "3", 5.0)],
+            "src_layer string, src_id string, dst_layer string, dst_id string, w double",
+        ),
+        node_prop_cols=["score"],
+        edge_prop_cols=["w"],
+    )
+    updates = spark.createDataFrame(
+        [("A", "1", 10.0, "x"), ("B", "3", None, "y"), ("Z", "404", 9.0, "z")],
+        "layer string, node_id string, score double, tag string",
+    )
+    m = merge_node_properties(g, updates)
+    got = {(r["layer"], r["node_id"]): (r["score"], r["tag"]) for r in m.nodes.collect()}
+    assert got == {
+        ("A", "1"): (10.0, "x"),   # updated
+        ("A", "2"): (2.0, None),   # untouched, new col NULL
+        ("B", "3"): (3.0, "y"),    # NULL update cell keeps old score
+    }
+
+    g2 = set_edge_property(g, ("A", "1"), ("B", "3"), "w", 99.0)
+    assert g2.edges.collect()[0]["w"] == 99.0
