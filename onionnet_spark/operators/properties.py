@@ -197,3 +197,46 @@ def layout_by_layer(
             (within.cast("double") * y_spacing).alias("y"),
         )
     )
+
+
+def style_columns(
+    graph: OnionGraph,
+    size_prop: str,
+    color_prop: str,
+    size_range: tuple[float, float] = (1.0, 10.0),
+) -> DataFrame:
+    """Property-to-size/color mapping: the data side of the
+    reference's visualisation helpers (onionnet/visualisation.py maps
+    a numeric property to vertex size and a categorical property to
+    a color index before graph_draw).
+
+    size  = min-max scaling of `size_prop` into `size_range`
+            (constant mid-range if the property is constant);
+    color = dense dictionary code of `color_prop` (broadcast dict).
+
+    Returns (layer, node_id, size, color_code).
+    """
+    from onionnet_spark.functions.encoding import build_dictionary
+
+    stats = graph.nodes.agg(
+        F.min(size_prop).alias("mn"), F.max(size_prop).alias("mx")
+    )
+    color_dict = build_dictionary(graph.nodes, color_prop).select(
+        F.col("value").alias(color_prop), F.col("code").alias("color_code")
+    )
+    lo, hi = size_range
+    span = F.col("mx") - F.col("mn")
+    size = F.when(
+        span > 0,
+        lo + (F.col(size_prop) - F.col("mn")) / span * (hi - lo),
+    ).otherwise(F.lit((lo + hi) / 2.0))
+    return (
+        graph.nodes.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(color_dict), on=color_prop, how="left")
+        .select(
+            "layer",
+            "node_id",
+            F.round(size, 6).alias("size"),
+            "color_code",
+        )
+    )

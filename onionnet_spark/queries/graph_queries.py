@@ -399,6 +399,25 @@ def sql_surface_q(spark, sf_dir):
 
 
 @register(
+    "style_columns",
+    f"""WITH {CTES},
+    stats AS (SELECT MIN(val) AS mn, MAX(val) AS mx FROM nodes_g),
+    d AS (SELECT value AS layer, CAST(ROW_NUMBER() OVER (ORDER BY value) - 1 AS INT) AS color_code
+          FROM (SELECT DISTINCT layer AS value FROM nodes_g))
+    SELECT n.layer, n.node_id,
+           ROUND(CASE WHEN s.mx - s.mn > 0
+                      THEN 1.0 + (n.val - s.mn) / (s.mx - s.mn) * 9.0
+                      ELSE 5.5 END, 6) AS size,
+           d.color_code
+    FROM nodes_g n CROSS JOIN stats s JOIN d USING (layer)""",
+)
+def style_columns_q(spark, sf_dir):
+    return properties.style_columns(
+        get_graph(spark, sf_dir), size_prop="val", color_prop="layer"
+    )
+
+
+@register(
     "graph_incremental",
     f"""WITH {CTES}
     SELECT layer, node_id, name FROM nodes_g
