@@ -147,18 +147,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per id: permutation i's hash of shingle s is
     the md5 hex string of 'i|s'; the signature element is the
-    lexicographic min. (id, perm, sig)."""
-    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    per_perm = shingles.select(
-        "id", F.explode(perms).alias("perm"), "shingle"
-    ).select(
+    lexicographic min.
+
+    WIDE layout — one row per id with columns s0..s{num_perm-1} —
+    computed as num_perm parallel min() aggregates over the shingle
+    rows. Compared to exploding (id, perm, shingle) rows this
+    shuffles num_perm× fewer rows (same bytes, far fewer per-row
+    overheads) and leaves the signature pre-assembled for banding
+    with NO second shuffle or collect_list/array_sort.
+    """
+    hashes = shingles.select(
         "id",
-        "perm",
-        F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle"))).alias(
-            "h"
-        ),
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(p)), F.col("shingle"))).alias(f"h{p}")
+            for p in range(num_perm)
+        ],
     )
-    return per_perm.groupBy("id", "perm").agg(F.min("h").alias("sig"))
+    return hashes.groupBy("id").agg(
+        *[F.min(f"h{p}").alias(f"s{p}") for p in range(num_perm)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -180,22 +187,26 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sh = word_shingles(df, text_col, id_col, n).persist()
     sigs = minhash_signatures(sh, num_perm)
-    band_keys = (
-        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm", "sig"))
-                        ),
-                        lambda s: s["sig"],
-                    ),
-                )
-            ).alias("band_key")
-        )
+    # band key = md5 of the band's signature slice joined with ','
+    # (perm order) — a plain projection over the wide signature row.
+    band_keys = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"s{b * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
     )
     cand = (
         band_keys.alias("a")
