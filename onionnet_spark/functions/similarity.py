@@ -131,6 +131,14 @@ def ann_lsh_topk(
     is bucket-local so cost is sum over buckets of |bucket|²."""
     from pyspark.sql import Window
 
+    def coef_fn(plane: int):
+        # NOTE: must be a factory returning a ONE-argument lambda.
+        # PySpark infers the lambda arity from the Python signature,
+        # so the `lambda i, _p=plane:` default-arg idiom silently
+        # becomes an (element, index) lambda and `_p` gets bound to
+        # the index Column — str(plane) then hashes a Column repr.
+        return lambda i: _hyperplane_component(plane, i)
+
     def bucket_col(vec: Column) -> Column:
         b = F.lit(0).cast("bigint")
         for p in range(n_planes):
@@ -139,7 +147,7 @@ def ann_lsh_topk(
                     vec,
                     F.transform(
                         F.sequence(F.lit(0), F.size(vec) - 1),
-                        lambda i, _p=p: _hyperplane_component(_p, i),
+                        coef_fn(p),
                     ),
                     lambda x, r: x.cast("double") * r,
                 ),

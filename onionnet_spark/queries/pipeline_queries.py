@@ -150,7 +150,58 @@ def ann_topk_cosine(spark, sf_dir):
     return similarity.brute_force_topk(_embs(spark, sf_dir), k=5)
 
 
-@register("ann_lsh_bucketed", None)  # approximate: rows-only check by design
+def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    # The hyperplane coefficients are md5-derived on the Spark side:
+    # conv(substr(md5('p|i'),1,6),16,10)/2^23 - 1. All three ops are
+    # exact in float64 (integer < 2^24, division by a power of two),
+    # so recomputing them HERE with hashlib and embedding the repr()
+    # literals gives DuckDB bit-identical planes. Only the 64-term
+    # projection sums can differ (summation order), which matters
+    # only within ~1e-15 of a sign boundary — vanishingly unlikely.
+    import hashlib
+
+    rows = []
+    for p in range(n_planes):
+        for i in range(dim):
+            h6 = hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:6]
+            c = int(h6, 16) / float(16**6 / 2) - 1.0
+            rows.append(f"({p}, {i}, {c!r})")
+    coef_values = ",\n      ".join(rows)
+    bucket_sum = " + ".join(
+        f"CAST(CASE WHEN p{p} > 0 THEN {2 ** p} ELSE 0 END AS BIGINT)"
+        for p in range(n_planes)
+    )
+    proj_cols = ", ".join(
+        f"SUM(CASE WHEN c.plane = {p} THEN v.e[c.dim + 1] * c.c ELSE 0 END) AS p{p}"
+        for p in range(n_planes)
+    )
+    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    coef(plane, dim, c) AS (VALUES
+      {coef_values}),
+    projs AS (
+      SELECT v.vec_id, {proj_cols}
+      FROM v CROSS JOIN coef c GROUP BY v.vec_id
+    ),
+    buck AS (
+      SELECT v.vec_id, v.e, {bucket_sum} AS bucket
+      FROM v JOIN projs USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   6) AS cosine
+      FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}"""
+
+
+@register("ann_lsh_bucketed", None)  # oracle attached below (generated)
 def ann_lsh_bucketed(spark, sf_dir):
     return similarity.ann_lsh_topk(_embs(spark, sf_dir), k=5)
 
@@ -263,3 +314,8 @@ def binary_meta(spark, sf_dir):
 def multimodal_decode(spark, sf_dir):
     payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
     return multimodal.decode_image_meta(payload, fake=True)
+
+
+from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_REG["ann_lsh_bucketed"] = (ann_lsh_bucketed, _ann_lsh_oracle())
