@@ -110,13 +110,19 @@ def ngram_jaccard_pairs(
         .persist()
     )
     if max_shingle_df is not None:
-        rare = (
+        # Stop-shingle filter INVERTED: materialize the (tiny) HOT
+        # set — shingles above the df cap — and broadcast-anti-join
+        # it, instead of semi-joining against the (huge) rare set.
+        # The anti side is a map-side bloom-like filter: no shuffle
+        # of the 4M-row shingle table, and the self-join below gets
+        # two identical, reusable inputs.
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        sh_j = sh.join(rare, on="shingle", how="left_semi")
+        sh_j = sh.join(F.broadcast(hot), on="shingle", how="left_anti").persist()
     else:
         sh_j = sh
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))

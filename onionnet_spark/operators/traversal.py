@@ -99,7 +99,11 @@ def bfs_distances(
                     F.col("dst_id").alias("node_id"),
                     F.lit(depth + 1).alias("dist"),
                 )
-                .distinct()
+                # dedup on NODE_KEY (dist is constant this level), so
+                # the dedup exchange is hash-partitioned on exactly
+                # the anti-join key and gets reused — one shuffle per
+                # level instead of two.
+                .dropDuplicates(NODE_KEY)
                 .join(visited_keys, on=NODE_KEY, how="left_anti")
                 .localCheckpoint()
             )
