@@ -125,7 +125,12 @@ def ngram_jaccard_pairs(
         sh_j = sh.join(F.broadcast(hot), on="shingle", how="left_anti").persist()
     else:
         sh_j = sh
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # Jaccard is defined over the CAPPED shingle space (sizes AND
+    # intersections both exclude stop-shingles) — self-consistent at
+    # any scale, mirroring stopword removal in classic dedup. Using
+    # uncapped sizes with capped intersections would silently deflate
+    # scores as soon as any shingle crosses the cap.
+    sizes = sh_j.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh_j.alias("a")
         .join(sh_j.alias("b"), on="shingle")

@@ -51,14 +51,21 @@ _SHINGLES_SQL = f"""norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
 
 @register(
     "dedup_ngram_jaccard",
+    # Jaccard over the CAPPED shingle space: stop-shingles (document
+    # frequency > 1000) are excluded from sizes AND intersections,
+    # mirroring the Spark operator's scale cap exactly.
     f"""WITH {_SHINGLES_SQL},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+    shf AS (SELECT id, shingle FROM sh
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizesf AS (SELECT id, COUNT(*) AS n_sh FROM shf GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
-    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    FROM inter JOIN sizesf sa ON sa.id = id_a JOIN sizesf sb ON sb.id = id_b
     WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
