@@ -176,3 +176,58 @@ def ann_lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine)
+    with id_a < id_b and cosine >= threshold.
+
+    Candidates come from the hyperplane-LSH buckets (high-cosine
+    pairs almost always agree on every plane sign), then the exact
+    cosine filters them — the standard candidate-generate/verify
+    split that keeps the pair space sub-quadratic at scale. Note the
+    LSH stage makes this approximate-recall like every production
+    embedding dedup: a near-dup pair split by a plane is missed.
+    """
+    def coef_fn(plane: int):
+        return lambda i: _hyperplane_component(plane, i)
+
+    def bucket_col(vec: Column) -> Column:
+        b = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(vec) - 1), coef_fn(p)
+                    ),
+                    lambda x, r: x.cast("double") * r,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            b = b + F.when(proj > 0, F.lit(2 ** p).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        return b
+
+    with_bucket = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", bucket_col(F.col("v")))
+    return (
+        with_bucket.alias("a")
+        .join(with_bucket.alias("b"), on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

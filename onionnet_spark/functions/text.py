@@ -163,3 +163,31 @@ def fingerprint(
         F.count("*").cast("bigint").alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),
     )
+
+
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-style pre-tokenization (the GPT-2 pattern's shape:
+    contraction suffixes, letter runs, digit runs, punctuation runs)
+    over lowercased text. This is the split BPE mergers run inside;
+    counting these is the standard fast token estimate."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_word_tokens, bpe_per_word): regex
+    token counts next to whitespace counts — the two estimates every
+    data pipeline tracks (words for quality heuristics, BPE-ish for
+    model token budgeting)."""
+    toks = bpe_ish_tokens(F.col(text_col))
+    words = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(words).cast("bigint").alias("n_word_tokens"),
+        F.round(F.size(toks) / F.size(words), 6).alias("bpe_per_word"),
+    )

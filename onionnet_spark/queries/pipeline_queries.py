@@ -213,6 +213,72 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.ann_lsh_topk(_embs(spark, sf_dir), k=5)
 
 
+def _cosine_neardup_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
+    # same exact-literal hyperplane trick as _ann_lsh_oracle
+    import hashlib
+
+    rows = []
+    for p in range(n_planes):
+        for i in range(dim):
+            h6 = hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:6]
+            c = int(h6, 16) / float(16**6 / 2) - 1.0
+            rows.append(f"({p}, {i}, {c!r})")
+    coef_values = ",\n      ".join(rows)
+    bucket_sum = " + ".join(
+        f"CAST(CASE WHEN p{p} > 0 THEN {2 ** p} ELSE 0 END AS BIGINT)"
+        for p in range(n_planes)
+    )
+    proj_cols = ", ".join(
+        f"SUM(CASE WHEN c.plane = {p} THEN v.e[c.dim + 1] * c.c ELSE 0 END) AS p{p}"
+        for p in range(n_planes)
+    )
+    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    coef(plane, dim, c) AS (VALUES
+      {coef_values}),
+    projs AS (
+      SELECT v.vec_id, {proj_cols}
+      FROM v CROSS JOIN coef c GROUP BY v.vec_id
+    ),
+    buck AS (
+      SELECT v.vec_id, v.e, {bucket_sum} AS bucket
+      FROM v JOIN projs USING (vec_id)
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine
+    FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                6) >= {threshold}"""
+
+
+@register("dedup_embedding_cosine", None)  # oracle attached below (generated)
+def dedup_embedding_cosine(spark, sf_dir):
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51 at sf0.01), so the threshold sits at the top ~0.05% of
+    # the distribution and 4 planes keep LSH recall meaningful.
+    return similarity.cosine_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, n_planes=4
+    )
+
+
+_BPE_SQL_PATTERN = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s']+"
+
+
+@register(
+    "token_count_bpe",
+    f"""SELECT doc_id,
+      CAST(len(regexp_extract_all(lower(text), '{_BPE_SQL_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+      CAST(len({_TOKS}) AS BIGINT) AS n_word_tokens,
+      ROUND(len(regexp_extract_all(lower(text), '{_BPE_SQL_PATTERN.replace("'", "''")}'))
+            * 1.0 / len({_TOKS}), 6) AS bpe_per_word
+    FROM documents""",
+)
+def token_count_bpe(spark, sf_dir):
+    return text.bpe_token_stats(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -326,3 +392,4 @@ def multimodal_decode(spark, sf_dir):
 from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["ann_lsh_bucketed"] = (ann_lsh_bucketed, _ann_lsh_oracle())
+_REG["dedup_embedding_cosine"] = (dedup_embedding_cosine, _cosine_neardup_oracle())

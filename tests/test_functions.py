@@ -127,3 +127,16 @@ def test_multimodal_resize_and_frames(docs):
 
     with _pytest.raises(Exception, match="NotImplementedError|ffmpeg|PIL"):
         multimodal.resize_images(mm, 8, 8, fake=False).collect()
+
+
+def test_bpe_token_stats(spark):
+    from onionnet_spark.functions.text import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(1, "don't stop 123 now!!"), (2, "hello")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_word_tokens"]) for r in bpe_token_stats(df).collect()}
+    # don / 't / stop / 123 / now / !! -> 6 bpe tokens, 4 words
+    assert got[1] == (6, 4)
+    assert got[2] == (1, 1)
