@@ -84,6 +84,101 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
         sym.unpersist()
 
 
+def connected_components_star(
+    graph: OnionGraph, max_iterations: int = 30
+) -> DataFrame:
+    """Weak connected components via alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the SCALE path for high-diameter /
+    power-law graphs: converges in O(log^2 n) rounds regardless of
+    diameter, where plain min-label propagation needs diameter
+    rounds. Same output contract as connected_components:
+    (layer, node_id, component) with component = min node key.
+
+    Each round is two groupBy+join passes over the shrinking edge
+    set; the edge set is localCheckpoint-ed per round and convergence
+    is detected with a count+checksum pair (multiset equality up to
+    an xxhash64 collision, ~2^-64).
+    """
+    a_key = F.concat_ws(":", F.col("src_layer"), F.col("src_id"))
+    b_key = F.concat_ws(":", F.col("dst_layer"), F.col("dst_id"))
+    edges = (
+        graph.edge_endpoints()
+        .select(a_key.alias("a"), b_key.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        # edges are kept distinct, so xor of per-edge hashes is a
+        # set-equality checksum that cannot overflow (unlike sum
+        # under ANSI arithmetic)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(concat_ws('|', a, b)))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = signature(edges)
+    for _ in range(max_iterations):
+        # --- large-star: connect every neighbor LARGER than u to the
+        # minimum of u's closed neighborhood ----------------------------
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        large = (
+            sym.join(mins, on="a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.col("b").alias("a"),
+                F.least(F.col("mb"), F.col("a")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # --- small-star: orient edges large->small, connect every
+        # smaller neighbor (and u itself) to the minimum ---------------
+        directed = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        mins2 = directed.groupBy("a").agg(F.min("b").alias("m"))
+        joined = directed.join(mins2, on="a")
+        nbr_edges = joined.filter(F.col("b") != F.col("m")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        self_edges = mins2.select(F.col("a"), F.col("m").alias("b"))
+        new_edges = (
+            nbr_edges.unionByName(self_edges)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(new_edges)
+        edges = new_edges
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # at fixpoint every edge is (node, component-min); roots and
+    # isolated nodes label themselves
+    labels = edges.select(F.col("a").alias("key"), F.col("b").alias("component"))
+    nodes = graph.nodes.select(
+        "layer", "node_id", graph.node_key_col().alias("key")
+    )
+    return (
+        nodes.join(labels, on="key", how="left")
+        .select(
+            "layer",
+            "node_id",
+            F.coalesce("component", "key").alias("component"),
+        )
+    )
+
+
 def strongly_connected_components(
     graph: OnionGraph, max_rounds: int = 50
 ) -> DataFrame:

@@ -554,8 +554,18 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
 
 from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
 
+def components_weak_star_q(spark, sf_dir):
+    # same subgraph and output contract as components_weak, computed
+    # with the O(log^2 n) large-star/small-star contraction instead
+    # of diameter-bound label propagation — both must match the same
+    # recursive-CTE oracle.
+    g = filters.view_layers(get_graph(spark, sf_dir), ["region", "nation", "customer"])
+    return components.connected_components_star(g)
+
+
 _REG["pagerank"] = (pagerank_q, _pagerank_oracle())
 _REG["sssp_weighted"] = (sssp_weighted_q, _sssp_weighted_oracle())
+_REG["components_weak_star"] = (components_weak_star_q, _REG["components_weak"][1])
 
 
 @register(

@@ -235,3 +235,34 @@ def test_merge_node_properties_bulk(spark):
 
     g2 = set_edge_property(g, ("A", "1"), ("B", "3"), "w", 99.0)
     assert g2.edges.collect()[0]["w"] == 99.0
+
+
+def test_star_cc_matches_label_propagation(two_comp_graph):
+    from onionnet_spark.operators.components import connected_components_star
+
+    got = rows_to_set(connected_components_star(two_comp_graph))
+    want = rows_to_set(connected_components(two_comp_graph))
+    assert got == want
+
+
+def test_star_cc_long_path(spark):
+    # a 40-node path: label propagation needs ~40 rounds, star
+    # contraction converges in O(log^2 n) — and must still be exact.
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.components import connected_components_star
+
+    n = 40
+    nodes = spark.createDataFrame(
+        [("P", str(i)) for i in range(n)] + [("P", "iso")],
+        "layer string, node_id string",
+    )
+    edges = spark.createDataFrame(
+        [("P", str(i), "P", str(i + 1)) for i in range(n - 1)],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    lb = {
+        r["node_id"]: r["component"]
+        for r in connected_components_star(OnionGraph(nodes, edges)).collect()
+    }
+    assert lb["iso"] == "P:iso"
+    assert {v for k, v in lb.items() if k != "iso"} == {"P:0"}
