@@ -68,17 +68,23 @@ def main() -> None:
     # isn't charged for session startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
+    # Best-of-N per query: steady-state timing (caches warm, JIT
+    # settled), robust to ambient machine noise. N kept small so the
+    # whole bench stays a few minutes.
+    iters = int(os.environ.get("ONIONNET_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()  # force full execution
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+    for it in range(iters):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()  # force full execution
+            dt = time.time() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(f"# iter{it} {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    total = sum(timings.values())
     print(
         json.dumps(
             {
@@ -87,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "timing": f"best of {iters} runs per query",
             }
         )
     )

@@ -48,6 +48,7 @@ class OnionGraph:
         self.nodes = nodes
         self.edges = edges
         self.directed = directed
+        self._endpoint_cache: dict[str, DataFrame] = {}
 
     # ---- basic accessors -------------------------------------------------
     def node_prop_cols(self) -> list[str]:
@@ -84,10 +85,33 @@ class OnionGraph:
     def unpersist(self) -> "OnionGraph":
         self.nodes.unpersist()
         self.edges.unpersist()
+        for df in self._endpoint_cache.values():
+            df.unpersist()
+        self._endpoint_cache.clear()
         return self
 
     def counts(self) -> tuple[int, int]:
         return self.nodes.count(), self.edges.count()
+
+    def cached_endpoints(self, direction: str = "downstream") -> DataFrame:
+        """Column-pruned edge endpoints oriented for `direction`,
+        persisted once per graph instance — iterative traversals
+        (BFS levels, both arms of on-shortest-path) re-scan this
+        cache instead of re-materializing the projection per call.
+        """
+        if direction not in ("downstream", "upstream"):
+            raise ValueError("direction must be 'upstream' or 'downstream'")
+        if direction not in self._endpoint_cache:
+            e = self.edge_endpoints()
+            if direction == "upstream":
+                e = e.select(
+                    F.col("dst_layer").alias("src_layer"),
+                    F.col("dst_id").alias("src_id"),
+                    F.col("src_layer").alias("dst_layer"),
+                    F.col("src_id").alias("dst_id"),
+                )
+            self._endpoint_cache[direction] = e.persist()
+        return self._endpoint_cache[direction]
 
     def create_views(self, prefix: str = "onion_") -> tuple[str, str]:
         """Expose the graph to the SQL surface: temp views

@@ -34,22 +34,13 @@ CHECKPOINT_EVERY = 4
 
 
 def _directed_endpoints(graph: OnionGraph, direction: str) -> DataFrame:
-    """Edge endpoints oriented for the requested traversal direction.
+    """Edge endpoints oriented for the requested traversal direction,
+    persisted once per graph (core.cached_endpoints).
 
     'downstream' follows src->dst (out-edges, searcher.py:217-219),
     'upstream' follows dst->src (in-edges, searcher.py:205-211).
     """
-    e = graph.edge_endpoints()
-    if direction == "downstream":
-        return e
-    if direction == "upstream":
-        return e.select(
-            F.col("dst_layer").alias("src_layer"),
-            F.col("dst_id").alias("src_id"),
-            F.col("src_layer").alias("dst_layer"),
-            F.col("src_id").alias("dst_id"),
-        )
-    raise ValueError("direction must be 'upstream' or 'downstream'")
+    return graph.cached_endpoints(direction)
 
 
 def _sources_df(spark: SparkSession, sources: list[tuple[str, str]]) -> DataFrame:
@@ -72,52 +63,50 @@ def bfs_distances(
     compute_on_shortest (searcher.py:75-86).
     """
     spark = graph.nodes.sparkSession
-    edges = _directed_endpoints(graph, direction).persist()
-    try:
-        # Each level's frontier is eagerly localCheckpoint-ed: ONE job
-        # per level materializes it with truncated lineage; the
-        # visited set for the anti-join is the union of the cached
-        # frontiers (all small), so there is no persist/unpersist
-        # churn and no exponentially growing plan.
-        frontier = _sources_df(spark, sources).localCheckpoint()
-        frontiers = [frontier]
-        n_frontier = frontier.count()
-        depth = 0
-        while n_frontier > 0 and (max_dist is None or depth < max_dist):
-            f = frontier.select(
-                F.col("layer").alias("src_layer"), F.col("node_id").alias("src_id")
-            )
-            if n_frontier <= BROADCAST_FRONTIER_MAX:
-                f = F.broadcast(f)
-            visited_keys = frontiers[0].select(*NODE_KEY)
-            for prev in frontiers[1:]:
-                visited_keys = visited_keys.unionByName(prev.select(*NODE_KEY))
-            nxt = (
-                edges.join(f, on=["src_layer", "src_id"])
-                .select(
-                    F.col("dst_layer").alias("layer"),
-                    F.col("dst_id").alias("node_id"),
-                    F.lit(depth + 1).alias("dist"),
-                )
-                # dedup on NODE_KEY (dist is constant this level), so
-                # the dedup exchange is hash-partitioned on exactly
-                # the anti-join key and gets reused — one shuffle per
-                # level instead of two.
-                .dropDuplicates(NODE_KEY)
-                .join(visited_keys, on=NODE_KEY, how="left_anti")
-                .localCheckpoint()
-            )
-            depth += 1
-            n_frontier = nxt.count()
-            if n_frontier:
-                frontiers.append(nxt)
-            frontier = nxt
-        out = frontiers[0]
+    edges = _directed_endpoints(graph, direction)
+    # Each level's frontier is eagerly localCheckpoint-ed: ONE job
+    # per level materializes it with truncated lineage; the visited
+    # set for the anti-join is the union of the cached frontiers
+    # (all small), so there is no persist/unpersist churn and no
+    # exponentially growing plan. The edge side comes from the
+    # graph-level endpoint cache (persisted once per direction).
+    frontier = _sources_df(spark, sources).localCheckpoint()
+    frontiers = [frontier]
+    n_frontier = frontier.count()
+    depth = 0
+    while n_frontier > 0 and (max_dist is None or depth < max_dist):
+        f = frontier.select(
+            F.col("layer").alias("src_layer"), F.col("node_id").alias("src_id")
+        )
+        if n_frontier <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
+        visited_keys = frontiers[0].select(*NODE_KEY)
         for prev in frontiers[1:]:
-            out = out.unionByName(prev)
-        return out
-    finally:
-        edges.unpersist()
+            visited_keys = visited_keys.unionByName(prev.select(*NODE_KEY))
+        nxt = (
+            edges.join(f, on=["src_layer", "src_id"])
+            .select(
+                F.col("dst_layer").alias("layer"),
+                F.col("dst_id").alias("node_id"),
+                F.lit(depth + 1).alias("dist"),
+            )
+            # dedup on NODE_KEY (dist is constant this level), so the
+            # dedup exchange is hash-partitioned on exactly the
+            # anti-join key and gets reused — one shuffle per level
+            # instead of two.
+            .dropDuplicates(NODE_KEY)
+            .join(visited_keys, on=NODE_KEY, how="left_anti")
+            .localCheckpoint()
+        )
+        depth += 1
+        n_frontier = nxt.count()
+        if n_frontier:
+            frontiers.append(nxt)
+        frontier = nxt
+    out = frontiers[0]
+    for prev in frontiers[1:]:
+        out = out.unionByName(prev)
+    return out
 
 
 def k_hop(
