@@ -292,3 +292,58 @@ def simhash(
         )
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end dedup: near-dup pairs (MinHash-LSH + exact-Jaccard
+    verify) -> connected components over the pair graph -> one
+    canonical doc per cluster.
+
+    This is the operator a training-data pipeline actually runs: the
+    output (doc_id, canonical_id, cluster_size) keeps exactly one
+    representative (the min doc_id) per near-duplicate cluster.
+    Components use the large-star/small-star contraction, so chains
+    of pairwise-similar docs (A~B~C without A~C) collapse into one
+    cluster in O(log^2 n) rounds at any scale.
+    """
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.components import connected_components_star
+
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_perm, bands, threshold
+    )
+    all_ids = df.select(F.col(id_col).cast("string").alias("node_id")).withColumn(
+        "layer", F.lit("doc")
+    )
+    pair_edges = pairs.select(
+        F.lit("doc").alias("src_layer"),
+        F.col("id_a").cast("string").alias("src_id"),
+        F.lit("doc").alias("dst_layer"),
+        F.col("id_b").cast("string").alias("dst_id"),
+    )
+    labels = connected_components_star(OnionGraph(all_ids, pair_edges))
+    out = labels.select(
+        F.col("node_id").cast("long").alias(id_col),
+        F.split_part(F.col("component"), F.lit(":"), F.lit(2))
+        .cast("long")
+        .alias("canonical_id"),
+    )
+    from pyspark.sql import Window
+
+    # canonical = min doc id in cluster: component key is the min
+    # STRING 'doc:<id>', which is not numeric order — recompute the
+    # numeric min per cluster for a stable contract.
+    w = Window.partitionBy("canonical_id")
+    return out.select(
+        id_col,
+        F.min(F.col(id_col)).over(w).alias("canonical_id"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+    )

@@ -104,6 +104,55 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    "dedup_clusters",
+    # transitive closure (recursive CTE) over the verified MinHash
+    # pair list -> min doc id per cluster; matches the Spark
+    # pairs -> star-CC -> canonical pipeline.
+    f"""WITH RECURSIVE {_SHINGLES_SQL},
+    perms AS (SELECT UNNEST(range(0, 16)) AS perm),
+    sigs AS (
+      SELECT id, perm, MIN(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
+      FROM sh CROSS JOIN perms GROUP BY id, perm
+    ),
+    bands AS (
+      SELECT id, perm // 4 AS band, md5(string_agg(sig, ',' ORDER BY perm)) AS band_key
+      FROM sigs GROUP BY id, perm // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    p AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5
+    ),
+    und AS (SELECT id_a AS a, id_b AS b FROM p
+            UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, und.b FROM reach JOIN und ON und.a = reach.r
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+    cs AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY canonical_id)
+    SELECT lab.doc_id, lab.canonical_id, cs.cluster_size
+    FROM lab JOIN cs USING (canonical_id)""",
+)
+def dedup_clusters_q(spark, sf_dir):
+    return dedup.dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     sums = []
     for j in range(bits):

@@ -140,3 +140,24 @@ def test_bpe_token_stats(spark):
     # don / 't / stop / 123 / now / !! -> 6 bpe tokens, 4 words
     assert got[1] == (6, 4)
     assert got[2] == (1, 1)
+
+
+def test_dedup_clusters_transitive(spark):
+    # A~B and B~C but A!~C directly: the cluster must still merge all
+    # three through the component step.
+    from onionnet_spark.functions.dedup import dedup_clusters
+
+    base = " ".join(f"word{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " iota"),
+            (3, base + " iota kappa"),
+            (9, "totally different content with many other words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"]) for r in
+           dedup_clusters(df, threshold=0.3).collect()}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[9] == (9, 1)
