@@ -236,3 +236,81 @@ def topk_per_group(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
     )
+
+
+@register(
+    "tpch_q10",
+    """SELECT c.c_custkey, c.c_name,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+)
+def tpch_q10(spark, sf_dir):
+    """Returned-item reporting (TPC-H Q10 shape): big fact join,
+    broadcast dims, top-20 by revenue."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "tpch_q18",
+    """WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice""",
+)
+def tpch_q18(spark, sf_dir):
+    """Large-volume customers (TPC-H Q18 shape): semi-join against a
+    HAVING-filtered aggregate of the same fact table."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, on="l_orderkey", how="left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+    )
