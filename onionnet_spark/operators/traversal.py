@@ -266,3 +266,49 @@ def on_shortest_path(
         .join(F.broadcast(target_dists), F.col("d_sum") == F.col("td"), "left_semi")
         .select("layer", "node_id", "d_f", "d_r")
     )
+
+
+def on_shortest_path_weighted(
+    graph: OnionGraph,
+    source: tuple[str, str],
+    targets: list[tuple[str, str]],
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted variant of on_shortest_path: nodes v with
+    d_f(source, v) + d_r(v, targets) equal to some target's weighted
+    distance (reference compute_on_shortest runs over graph-tool
+    shortest_distance, which honors edge weights when given).
+
+    Distances come from two concurrent Bellman-Ford fixpoints;
+    membership compares ROUNDED (6 dp) sums so float associativity
+    cannot flake the equality. Returns (layer, node_id, d_f, d_r).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fwd = pool.submit(weighted_sssp, graph, [source], "downstream", weight_col)
+        f_rev = pool.submit(weighted_sssp, graph, targets, "upstream", weight_col)
+        fwd = f_fwd.result().withColumnRenamed("dist", "d_f")
+        rev = f_rev.result().withColumnRenamed("dist", "d_r")
+    spark = graph.nodes.sparkSession
+    target_df = F.broadcast(
+        spark.createDataFrame(
+            [(l, str(i)) for (l, i) in targets], "layer string, node_id string"
+        )
+    )
+    target_dists = (
+        fwd.join(target_df, on=NODE_KEY)
+        .select(F.round("d_f", 6).alias("td"))
+        .distinct()
+    )
+    return (
+        fwd.join(rev, on=NODE_KEY)
+        .withColumn("d_sum", F.round(F.col("d_f") + F.col("d_r"), 6))
+        .join(F.broadcast(target_dists), F.col("d_sum") == F.col("td"), "left_semi")
+        .select(
+            "layer",
+            "node_id",
+            F.round("d_f", 6).alias("d_f"),
+            F.round("d_r", 6).alias("d_r"),
+        )
+    )

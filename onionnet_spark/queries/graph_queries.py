@@ -488,6 +488,62 @@ def _sssp_weighted_oracle(n_steps: int = 8) -> str:
     FROM d{n_steps}"""
 
 
+def _on_shortest_weighted_oracle(n_steps: int = 8) -> str:
+    def bf(prefix: str, edges_cte: str, seeds_sql: str) -> str:
+        stages = [f"{prefix}0 AS ({seeds_sql})"]
+        for i in range(1, n_steps + 1):
+            stages.append(
+                f"""{prefix}{i} AS (
+      SELECT k, MIN(dist) AS dist FROM (
+        SELECT k, dist FROM {prefix}{i - 1}
+        UNION ALL
+        SELECT e.d AS k, p.dist + e.w AS dist
+        FROM {prefix}{i - 1} p JOIN {edges_cte} e ON e.s = p.k
+      ) GROUP BY k
+    )"""
+            )
+        return ",\n    ".join(stages)
+
+    fwd = bf("f", "ef", "SELECT 'orders:1' AS k, CAST(0 AS DOUBLE) AS dist")
+    rev = bf(
+        "r",
+        "er",
+        " UNION ALL ".join(
+            f"SELECT 'region:{i}' AS k, CAST(0 AS DOUBLE) AS dist" for i in range(5)
+        ),
+    )
+    lyrs = "('region', 'nation', 'customer', 'orders')"
+    return f"""WITH {CTES},
+    es AS (SELECT * FROM edges_g
+           WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    ef AS (SELECT src_layer || ':' || src_id AS s, dst_layer || ':' || dst_id AS d,
+                  weight AS w FROM es),
+    er AS (SELECT dst_layer || ':' || dst_id AS s, src_layer || ':' || src_id AS d,
+                  weight AS w FROM es),
+    {fwd},
+    {rev},
+    td AS (SELECT DISTINCT ROUND(dist, 6) AS td FROM f{n_steps}
+           WHERE split_part(k, ':', 1) = 'region')
+    SELECT split_part(f.k, ':', 1) AS layer, split_part(f.k, ':', 2) AS node_id,
+           ROUND(f.dist, 6) AS d_f, ROUND(r.dist, 6) AS d_r
+    FROM f{n_steps} f JOIN r{n_steps} r ON r.k = f.k
+    WHERE ROUND(f.dist + r.dist, 6) IN (SELECT td FROM td)"""
+
+
+@register("on_shortest_weighted", None)
+def on_shortest_weighted_q(spark, sf_dir):
+    # restricted to the order->customer->nation->region cone so the
+    # reverse fixpoint does not relax the lineitem fan-out; targets =
+    # every region (the reference wires ALL targets to one artificial
+    # sink, searcher.py:75-86)
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "orders"]
+    )
+    return traversal.on_shortest_path_weighted(
+        g, ("orders", "1"), [("region", str(i)) for i in range(5)]
+    )
+
+
 @register("sssp_weighted", None)
 def sssp_weighted_q(spark, sf_dir):
     d = traversal.weighted_sssp(get_graph(spark, sf_dir), [("region", "0")], "upstream")
@@ -565,6 +621,7 @@ def components_weak_star_q(spark, sf_dir):
 
 _REG["pagerank"] = (pagerank_q, _pagerank_oracle())
 _REG["sssp_weighted"] = (sssp_weighted_q, _sssp_weighted_oracle())
+_REG["on_shortest_weighted"] = (on_shortest_weighted_q, _on_shortest_weighted_oracle())
 _REG["components_weak_star"] = (components_weak_star_q, _REG["components_weak"][1])
 
 
