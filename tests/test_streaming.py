@@ -106,3 +106,52 @@ def test_stateful_user_stats_matches_batch(spark, events_df):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_graph_maintenance(spark, tmp_path):
+    # replay an edge stream in micro-batches; the maintained graph
+    # must equal the single-shot batch build over the same edges.
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.streaming.graph_stream import StreamingGraphMaintainer
+
+    edges = spark.createDataFrame(
+        [
+            ("A", "1", "B", "2"),
+            ("A", "1", "B", "3"),
+            ("B", "2", "C", "4"),
+            ("A", "1", "B", "2"),  # duplicate -> must stay deduped
+            ("C", "4", "C", "5"),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    base = OnionGraph(
+        spark.createDataFrame([("A", "1")], "layer string, node_id string"),
+        spark.createDataFrame(
+            [], "src_layer string, src_id string, dst_layer string, dst_id string"
+        ),
+    )
+    m = StreamingGraphMaintainer(base)
+
+    d = str(tmp_path / "edges")
+    edges.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(edges.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert m.n_batches >= 2  # genuinely incremental
+    want_nodes = {("A", "1"), ("B", "2"), ("B", "3"), ("C", "4"), ("C", "5")}
+    got_nodes = {(r["layer"], r["node_id"]) for r in m.graph.nodes.collect()}
+    assert got_nodes == want_nodes
+    got_edges = {
+        (r["src_layer"], r["src_id"], r["dst_layer"], r["dst_id"])
+        for r in m.graph.edges.collect()
+    }
+    assert got_edges == {
+        ("A", "1", "B", "2"),
+        ("A", "1", "B", "3"),
+        ("B", "2", "C", "4"),
+        ("C", "4", "C", "5"),
+    }
