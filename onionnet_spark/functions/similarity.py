@@ -231,3 +231,55 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF-style approximate top-k: inverted-file partitioning by
+    nearest centroid, search within the probe cell only (nprobe=1).
+
+    The codebook here is deterministic — the vectors of the
+    n_centroids smallest ids — so results are reproducible and
+    oracle-checkable; a production build would k-means the codebook
+    (same dataflow, different centroid table). Assignment is a
+    broadcast cross-join against the K-row centroid table + one
+    window argmax; search cost is sum of cell² instead of n².
+    """
+    from pyspark.sql import Window
+
+    cents = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.col("cc").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", F.col("cid").alias("bucket"))
+        .persist()
+    )
+    pairs = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), on="bucket")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -302,6 +302,38 @@ def _cosine_neardup_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 
                 6) >= {threshold}"""
 
 
+@register(
+    "ann_ivf_topk",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id AS id, v.e, cent.cid,
+             ROUND(list_dot_product(v.e, cent.cv)
+                   / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.cv, cent.cv))),
+                   6) AS cc
+      FROM v CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT id, e, cid AS bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id,
+             ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   6) AS cosine
+      FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.id <> b.id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM pairs) WHERE rank <= 5""",
+)
+def ann_ivf_topk_q(spark, sf_dir):
+    return similarity.ann_ivf_topk(_embs(spark, sf_dir), k=5, n_centroids=8)
+
+
 @register("dedup_embedding_cosine", None)  # oracle attached below (generated)
 def dedup_embedding_cosine(spark, sf_dir):
     # synthetic embeddings are near-orthogonal (max pairwise cosine
