@@ -4,18 +4,20 @@ Reference parity: ``onionnet/searcher.py:284-298`` (view_components)
 delegates to graph-tool label_components and keeps components above
 a size threshold.
 
-Spark-first: hash-min label propagation over the symmetrized edge
-list — every node's label converges to the MINIMUM canonical key
-('layer:node_id' string) in its weak component. Each iteration is
-one shuffle (groupBy node key); iterations needed = graph diameter.
-The TPC-H-style reference graphs here are shallow (diameter <= 6).
-For high-diameter / power-law graphs at 100 TB the scale path is
-alternating large-star/small-star contraction (Kiveris et al.,
-"Connected Components in MapReduce"), which converges in
-O(log^2 n) — planned R2; the public API stays identical.
+Spark-first, TWO interchangeable weak-CC engines plus strong CC:
+  - `connected_components`: hash-min label propagation over the
+    symmetrized edge list; one shuffle per iteration, iterations =
+    graph diameter. Best for shallow graphs (the TPC-H-style
+    reference graphs have diameter <= 6).
+  - `connected_components_star`: alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"); O(log^2 n) rounds independent of diameter — the
+    scale path for high-diameter / power-law graphs.
+  - `strongly_connected_components`: FW-BW-Trim (trim + forward
+    coloring + backward collect).
 
-Lineage is truncated with localCheckpoint every few rounds —
-without it the iterative self-join plan grows exponentially.
+Every iteration localCheckpoints its state — without that the
+iterative self-join plans grow exponentially.
 """
 
 from __future__ import annotations
@@ -24,8 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from onionnet_spark.core import NODE_KEY, OnionGraph
-
-CHECKPOINT_EVERY = 3
 
 
 def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFrame:

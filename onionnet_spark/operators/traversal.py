@@ -29,8 +29,6 @@ from onionnet_spark.core import NODE_KEY, OnionGraph
 
 # Frontiers below this row count are broadcast to the edge join.
 BROADCAST_FRONTIER_MAX = 2_000_000
-# Truncate visited-set lineage every N BFS levels.
-CHECKPOINT_EVERY = 4
 
 
 def _directed_endpoints(graph: OnionGraph, direction: str) -> DataFrame:
