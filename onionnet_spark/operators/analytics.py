@@ -66,51 +66,66 @@ def pagerank(
     out_deg = e.groupBy(
         F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
     ).agg(F.count("*").alias("out_degree"))
-    # Edges annotated once with source out-degree; reused every round.
-    e_deg = e.join(
-        out_deg.select(
-            F.col("layer").alias("src_layer"),
-            F.col("node_id").alias("src_id"),
-            "out_degree",
-        ),
-        on=["src_layer", "src_id"],
-    ).persist()
-    ranks = graph.nodes.select(
-        "layer", "node_id", F.lit(1.0 / n_nodes).alias("pr")
-    ).persist()
+    # Edges annotated once with source out-degree, PRE-SHUFFLED on
+    # the per-iteration join key so every round's sort-merge join
+    # reuses this cached exchange and only the (sparse) contribution
+    # table moves; reused every round.
+    e_deg = (
+        e.join(
+            out_deg.select(
+                F.col("layer").alias("src_layer"),
+                F.col("node_id").alias("src_id"),
+                "out_degree",
+            ),
+            on=["src_layer", "src_id"],
+        )
+        .repartition("src_layer", "src_id")
+        .persist()
+    )
     base = (1.0 - damping) / n_nodes
+    # Sparse iteration: carry only per-node CONTRIBUTIONS (absent =>
+    # zero); the source rank is reconstructed inline as
+    # base + d * contrib, so no join against the full node set runs
+    # inside the loop — the dense rank vector is produced exactly
+    # once, at the end. Float-identical to the dense recurrence.
+    contribs = None
     for it in range(n_iterations):
-        contribs = (
-            e_deg.join(
-                ranks.select(
+        if contribs is None:
+            annotated = e_deg.withColumn("pr", F.lit(1.0 / n_nodes))
+        else:
+            annotated = e_deg.join(
+                contribs.select(
                     F.col("layer").alias("src_layer"),
                     F.col("node_id").alias("src_id"),
-                    "pr",
+                    "contrib",
                 ),
                 on=["src_layer", "src_id"],
+                how="left",
+            ).withColumn(
+                "pr",
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0)),
             )
-            .groupBy(F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id"))
+        contribs = (
+            annotated.groupBy(
+                F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
+            )
             .agg(F.sum(F.col("pr") / F.col("out_degree")).alias("contrib"))
+            .localCheckpoint(eager=False)
         )
-        new_ranks = (
-            graph.nodes.select("layer", "node_id")
-            .join(contribs, on=NODE_KEY, how="left")
-            .select(
-                "layer",
-                "node_id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
-                    "pr"
-                ),
-            )
+    ranks = (
+        graph.nodes.select("layer", "node_id")
+        .join(contribs, on=NODE_KEY, how="left")
+        .select(
+            "layer",
+            "node_id",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("pagerank"),
         )
-        if (it + 1) % 3 == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=False)
-        new_ranks = new_ranks.persist()
-        ranks.unpersist()
-        ranks = new_ranks
+    )
     e.unpersist()
-    e_deg.unpersist()
-    return ranks.withColumnRenamed("pr", "pagerank")
+    return ranks
 
 
 def triangle_count(graph: OnionGraph) -> DataFrame:
