@@ -145,10 +145,47 @@ def triangle_count(graph: OnionGraph) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
-    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    wedges = e1.join(e2, on="y")
-    tri = wedges.join(e3, on=["x", "z"], how="left_semi")
-    return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    # Degree ordering (node-iterator++): orient every undirected edge
+    # from the (degree, key)-SMALLER endpoint to the larger one and
+    # pivot wedges only at the smaller endpoint. Wedge count drops
+    # from sum(deg^2) to sum over edges of min-degree — the standard
+    # trick that makes distributed triangle counting survive
+    # power-law hubs (a celebrity node never becomes a pivot).
+    deg = (
+        canon.select(F.col("a").alias("k"))
+        .unionByName(canon.select(F.col("b").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("d"))
+    )
+    with_deg = (
+        canon.join(deg.select(F.col("k").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("k").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("sd"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).persist()
+    o1 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("dd").alias("dy")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("dd").alias("dz")
+    )
+    wedges = o1.join(o2, on="x").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        on=["y", "z"],
+        how="left_semi",
+    )
+    out = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return out

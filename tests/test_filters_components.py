@@ -266,3 +266,19 @@ def test_star_cc_long_path(spark):
     }
     assert lb["iso"] == "P:iso"
     assert {v for k, v in lb.items() if k != "iso"} == {"P:0"}
+
+
+def test_triangles_k4(spark):
+    from onionnet_spark.operators.analytics import triangle_count
+
+    nodes = spark.createDataFrame(
+        [("T", x) for x in "abcd"], "layer string, node_id string"
+    )
+    # complete graph K4 -> C(4,3) = 4 triangles
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    edges = spark.createDataFrame(
+        [("T", u, "T", v) for u, v in pairs],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    assert triangle_count(g).collect()[0][0] == 4
