@@ -60,7 +60,6 @@ def pagerank(
     DuckDB oracle unrolls the identical recurrence, so results match
     exactly up to float rounding.
     """
-    spark = graph.nodes.sparkSession
     n_nodes = graph.nodes.count()
     e = graph.edge_endpoints().persist()
     out_deg = e.groupBy(
