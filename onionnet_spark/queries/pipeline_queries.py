@@ -474,3 +474,54 @@ from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["ann_lsh_bucketed"] = (ann_lsh_bucketed, _ann_lsh_oracle())
 _REG["dedup_embedding_cosine"] = (dedup_embedding_cosine, _cosine_neardup_oracle())
+
+
+@register(
+    "quality_filter",
+    # composite training-data selection: fluent-English docs above a
+    # quality threshold with a sane token count — the SELECT a real
+    # corpus pipeline runs after scoring.
+    f"""WITH base AS (
+      SELECT doc_id, {_TOKS} AS a,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               * 1.0 / length(text) AS punct_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, CAST(len(a) AS INT) AS n_tokens,
+        ROUND(0.5 * least(1.0, len(a) / 100.0)
+              + 0.3 * (1.0 - punct_ratio)
+              + 0.2 * least(1.0, 5.0 * len(list_filter(a, x -> x IN ({_sw_list('en')})))
+                            * 1.0 / len(a)), 6) AS quality
+      FROM base
+    )
+    SELECT doc_id, n_tokens, quality FROM scored
+    WHERE quality >= 0.6 AND n_tokens BETWEEN 20 AND 10000""",
+)
+def quality_filter(spark, sf_dir):
+    scored = text.quality_score(_docs(spark, sf_dir))
+    return scored.select("doc_id", "n_tokens", "quality").filter(
+        (F.col("quality") >= 0.6) & F.col("n_tokens").between(20, 10000)
+    )
+
+
+@register(
+    "doc_length_quantiles",
+    """SELECT
+      ROUND(quantile_cont(len, 0.10), 6) AS p10,
+      ROUND(quantile_cont(len, 0.50), 6) AS p50,
+      ROUND(quantile_cont(len, 0.90), 6) AS p90,
+      ROUND(quantile_cont(len, 0.99), 6) AS p99
+    FROM (SELECT CAST(length(text) AS DOUBLE) AS len FROM documents)""",
+)
+def doc_length_quantiles(spark, sf_dir):
+    # EXACT interpolated percentiles (Spark `percentile`, same
+    # definition as DuckDB quantile_cont) — at extreme scale swap in
+    # approx_percentile with a documented error bound.
+    d = _docs(spark, sf_dir).select(F.length("text").cast("double").alias("len"))
+    return d.agg(
+        *[
+            F.round(F.expr(f"percentile(len, {q})"), 6).alias(name)
+            for name, q in [("p10", 0.10), ("p50", 0.50), ("p90", 0.90), ("p99", 0.99)]
+        ]
+    )
