@@ -112,3 +112,53 @@ def salted_join(
         *[F.col(c) for c in lcols if c not in on],
         *[F.col(c) for c in rcols if c not in on],
     )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    count_col: str = "n_in_range",
+) -> DataFrame:
+    """Banded range join: for every left row, count right rows with
+    the same key and ``right_ts`` in ``[left_ts - window, left_ts)``.
+
+    The naive inequality join is a per-key cross product. The scale
+    formulation BANDS time into window-sized buckets: a right row
+    lands in one bucket; a left row's window can only overlap its
+    own and the previous bucket, so the join becomes an EQUI-join on
+    (key, bucket) with left exploded to 2 buckets, followed by the
+    exact range filter. Catalyst plans it as a normal shuffled hash
+    join keyed on (key, bucket) — no theta-join blowup, and skew in
+    a hot key is bounded per bucket.
+
+    Returns all left columns + `count_col` (0 when nothing in range).
+    """
+    def bucket(col):
+        return F.floor(F.unix_timestamp(col) / window_seconds)
+
+    l_b = left.withColumn(
+        "_lb", F.explode(F.array(bucket(F.col(left_ts)) - 1, bucket(F.col(left_ts))))
+    )
+    r_b = right.select(
+        *[F.col(c).alias(f"_r_{c}") for c in on],
+        F.col(right_ts).alias("_r_ts"),
+    ).withColumn("_rb", bucket(F.col("_r_ts")))
+    cond = [F.col(c) == F.col(f"_r_{c}") for c in on] + [
+        F.col("_lb") == F.col("_rb"),
+        F.col("_r_ts")
+        >= F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECONDS"),
+        F.col("_r_ts") < F.col(left_ts),
+    ]
+    matched = (
+        l_b.join(r_b, on=cond, how="inner")
+        .groupBy(*left.columns)
+        .agg(F.count("*").cast("bigint").alias(count_col))
+    )
+    return (
+        left.join(matched, on=left.columns, how="left")
+        .withColumn(count_col, F.coalesce(count_col, F.lit(0).cast("bigint")))
+    )

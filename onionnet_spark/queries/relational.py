@@ -314,3 +314,32 @@ def tpch_q18(spark, sf_dir):
             F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
         )
     )
+
+
+@register(
+    "events_range_count",
+    """WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_prior_10m
+    FROM p LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 10 MINUTE
+     AND e.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts""",
+)
+def events_range_count(spark, sf_dir):
+    """Banded range join: per purchase, same-user activity in the
+    trailing 10 minutes (the interval/theta-join shape, planned as an
+    equi-join on (key, time-bucket))."""
+    from onionnet_spark.operators.joins import range_join_count
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return range_join_count(
+        purchases, ev, on=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=600, count_col="n_prior_10m",
+    )
