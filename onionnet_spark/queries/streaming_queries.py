@@ -75,3 +75,28 @@ def events_sessions(spark, sf_dir):
 )
 def events_json_agg(spark, sf_dir):
     return ev.json_props_agg(_events(spark, sf_dir))
+
+
+@register(
+    "events_rollup",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      date_trunc('hour', ts) AS hour, event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(SUM(value), 6) AS sum_value,
+      CAST(0 AS INT) AS gid
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP), date_trunc('hour', ts), NULL,
+      CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 6), CAST(1 AS INT)
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP), NULL, NULL,
+      CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 6), CAST(3 AS INT)
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT NULL, NULL, NULL,
+      CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 6), CAST(7 AS INT)
+    FROM events""",
+)
+def events_rollup(spark, sf_dir):
+    return ev.time_rollup(_events(spark, sf_dir))

@@ -179,3 +179,23 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def time_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: day → hour →
+    event_type with ROLLUP, so one pass produces daily totals,
+    hourly totals, and hourly-per-type cells (grouping level
+    disambiguated by grouping_id). Catalyst expands ROLLUP into a
+    single Expand + one aggregation — no per-level re-scan.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        events.select(day.alias("day"), hour.alias("hour"), "event_type", "value")
+        .rollup("day", "hour", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
