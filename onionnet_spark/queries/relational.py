@@ -317,6 +317,103 @@ def tpch_q18(spark, sf_dir):
 
 
 @register(
+    "tpch_q7",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+      CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18, 4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year""",
+)
+def tpch_q7(spark, sf_dir):
+    """Volume shipping (TPC-H Q7 shape): cross-nation trade flows by
+    ship year. The two nation lookups are independent broadcast joins
+    (25 rows each); the only shuffles are the two fact-fact joins and
+    the final aggregation.
+
+    Revenue accumulates in DECIMAL(18,4): price/discount are 2-decimal,
+    so the per-row product is exact at 4 decimals — decimal accumulation
+    is order-independent and identical across engines, where double sums
+    can land a cent apart on half-cent rounding boundaries."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("supp_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("cust_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("supp_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("cust_nationkey") == F.col("c_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q14",
+    """SELECT ROUND(
+      100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0 END)
+      / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'""",
+)
+def tpch_q14(spark, sf_dir):
+    """Promotion effect (TPC-H Q14 shape): conditional aggregation over
+    a fact-dim join. One month of lineitem is filtered before the join
+    (pushdown), so the part join sees only the slice."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue")
+        )
+    )
+
+
+@register(
     "events_range_count",
     """WITH p AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
