@@ -26,6 +26,18 @@ def events_tumbling(spark, sf_dir):
 
 
 @register(
+    "events_daily_users",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1""",
+)
+def events_daily_users(spark, sf_dir):
+    return ev.daily_distinct_users(_events(spark, sf_dir))
+
+
+@register(
     "events_sliding",
     """WITH starts AS (
       SELECT event_id, event_type,

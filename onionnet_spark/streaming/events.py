@@ -47,6 +47,25 @@ def sliding_counts(
     )
 
 
+def daily_distinct_users(events: DataFrame) -> DataFrame:
+    """Per day: exact distinct users + event count + value sum.
+
+    COUNT(DISTINCT) plans as two-phase aggregation: partial dedup of
+    (day, user_id) map-side, then a single shuffle on day. Exact is
+    the correctness baseline; at 100 TB the drop-in scale path is
+    ``F.approx_count_distinct`` (HLL++ sketch — mergeable, fixed
+    memory per group, no second dedup pass).
+    """
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Gap-based sessions per user (batch formulation).
 
