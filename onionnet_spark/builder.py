@@ -41,6 +41,10 @@ def grow_onion(
     edge_target_layer_col: str = "dst_layer",
     validate_endpoints: bool = True,
     directed: bool = True,
+    fill_na_with: str | None = None,
+    string_override: bool = False,
+    node_property_types: dict[str, str] | None = None,
+    edge_property_types: dict[str, str] | None = None,
 ) -> OnionGraph:
     """Build an OnionGraph from raw node and edge DataFrames.
 
@@ -48,6 +52,19 @@ def grow_onion(
     validation, duplicate removal on the node/edge key, NA handling,
     and (like builder.py:219-224) dropping edges whose endpoints are
     not in the node set.
+
+    NA / typing knobs (reference add_vertices_from_dataframe,
+    builder.py:113-176):
+      - ``fill_na_with``: when ``drop_na=False``, missing KEY values
+        (layer / node_id / edge endpoints) are filled with this value
+        instead of dropped — the reference's ``fillna({id_col: ...})``.
+      - ``string_override``: force every property column to string
+        (the reference's flag that routes all props through the
+        categorical/dictionary path).
+      - ``node_property_types`` / ``edge_property_types``: explicit
+        per-property type overrides ({'score': 'float', 'n': 'int'});
+        reference 'int'/'float' map to Spark int/double, any other
+        Spark type name is passed through to cast().
     """
     node_prop_cols = node_prop_cols or []
     edge_prop_cols = edge_prop_cols or []
@@ -75,9 +92,27 @@ def grow_onion(
         *[F.col(c) for c in edge_prop_cols],
     )
 
+    def _typed(df: DataFrame, props: list[str], types: dict[str, str] | None) -> DataFrame:
+        # reference type vocabulary: 'int' / 'float' are numeric
+        # graph-tool property types (float == python double); any
+        # other name is handed to Spark's cast as-is
+        type_map = {"int": "int", "float": "double"}
+        for p in props:
+            if string_override:
+                df = df.withColumn(p, F.col(p).cast("string"))
+            elif types and p in types:
+                df = df.withColumn(p, F.col(p).cast(type_map.get(types[p], types[p])))
+        return df
+
+    nodes = _typed(nodes, node_prop_cols, node_property_types)
+    edges = _typed(edges, edge_prop_cols, edge_property_types)
+
     if drop_na:
         nodes = nodes.dropna(subset=NODE_KEY)
         edges = edges.dropna(subset=EDGE_KEY)
+    elif fill_na_with is not None:
+        nodes = nodes.fillna(str(fill_na_with), subset=NODE_KEY)
+        edges = edges.fillna(str(fill_na_with), subset=EDGE_KEY)
 
     if drop_duplicates:
         # Keep one row per key. dropDuplicates is a shuffle on the key

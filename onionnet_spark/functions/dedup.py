@@ -65,17 +65,18 @@ def word_shingles(
     lambda building per-row string arrays (interpreted per element).
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    # Docs with fewer than n tokens have ZERO shingles. The position
+    # list must be empty for them — an unguarded
+    # sequence(1, size-n+1) with a bound <= 0 auto-steps DOWNWARD
+    # (Spark emits [1, 0], [1, 0, -1], ...) and the element_at below
+    # would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT; explode of an
+    # empty array instead drops the row, matching the oracle.
+    positions = F.when(
+        F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(F.col(id_col).alias("id"), toks.alias("t"))
-        .select(
-            "id",
-            "t",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("t") - F.lit(n - 1), F.lit(0))
-                )
-            ).alias("i"),
-        )
+        .select("id", "t", F.explode(positions).alias("i"))
         .select(
             "id",
             F.concat_ws(

@@ -46,68 +46,101 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every vector.
 
-    Block-nested-loop with a broadcast candidate matrix: the
-    candidate set (id, vector) is collected once, broadcast to every
-    executor, and each Arrow batch of queries does one float64
-    matrix multiply against it (mapInPandas — vectorized, zero
-    per-row Python). This is the standard exact-kNN layout on Spark:
-    at 100 TB you tile the candidate side into broadcastable blocks
-    and union the per-block top-k; the single-block case is below.
+    Distributed block-nested-loop — NO driver-side collect/broadcast
+    of the data anywhere in the plan. Queries are hash-tiled into G
+    groups and candidates into B blocks of <= block_rows vectors;
+    each (group, block) cell is one cogroup/applyInPandas task that
+    runs a single float64 matrix multiply (numpy, Arrow-batched) and
+    emits only that block's top-k per query. A final window merges
+    the <= B*k partials per query into the global top-k — exact,
+    because the global top-k is contained in the union of per-block
+    top-ks.
+
+    Scale economics: shuffle volume is n*(B+G) vector rows (each
+    side replicated across the other side's tiles — the classic
+    block matrix-multiply layout); per-task memory is bounded by
+    ~2*block_rows vectors regardless of n, and the driver never
+    holds data. At 100 TB you raise B so a block still fits an
+    executor and get B*G-way task parallelism.
 
     Returns (query_id, neighbor_id, cosine, rank), rank 1..k; ranks
     order by cosine ROUNDED to 6 dp with neighbor_id tie-break, so
     ordering is stable across engines and float summation orders.
     """
     import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
 
-    spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_norm)
+    n = df.count()
+    n_blocks = max(1, -(-n // block_rows))
+    n_groups = n_blocks  # symmetric tiling: G == B
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Candidates: hash-assigned to ONE block, replicated to every
+    # query group. Queries: hash-assigned to ONE group, replicated
+    # to every candidate block. (g, b) cogroup cells tile the full
+    # query x candidate cross product exactly once.
+    cand = base.withColumn(
+        "b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
+    ).withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))))
+    qry = base.withColumn(
+        "g", F.pmod(F.xxhash64("id"), F.lit(n_groups)).cast("int")
+    ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
 
-    def score(batches):
-        import pandas as pd
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        q = np.array(list(left["v"]), dtype=np.float64)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        c = np.array(list(right["v"]), dtype=np.float64)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        cos = np.round(qn @ cn.T, 6)  # (queries, block candidates)
+        qids = left["id"].values
+        cand_ids = right["id"].values
+        out_q, out_n, out_c = [], [], []
+        for row_i, qid in enumerate(qids):
+            row = cos[row_i]
+            mask = cand_ids != qid
+            row, nids = row[mask], cand_ids[mask]
+            # order: cosine desc, neighbor_id asc (lexsort: last key
+            # is primary) — matches the oracle's ROW_NUMBER. Only k
+            # rows per query leave the cell.
+            order = np.lexsort((nids, -row))[:k]
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_n.append(nids[order])
+            out_c.append(row[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
-        cand_ids = b_ids.value
-        cand = b_mat.value
-        for pdf in batches:
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            cos = np.round(qn @ cand.T, 6)  # (batch, n_candidates)
-            qids = pdf[id_col].values
-            # Top-k selected HERE, inside the Arrow batch: only
-            # batch*k rows leave the UDF, instead of batch*n pairs
-            # flowing through a row_number() window shuffle.
-            out_q, out_n, out_c, out_r = [], [], [], []
-            for row_i, qid in enumerate(qids):
-                c = cos[row_i]
-                mask = cand_ids != qid
-                c, nids = c[mask], cand_ids[mask]
-                # order: cosine desc, neighbor_id asc (lexsort: last
-                # key is primary) — matches the oracle's ROW_NUMBER.
-                order = np.lexsort((nids, -c))[:k]
-                out_q.append(np.full(len(order), qid, dtype=np.int64))
-                out_n.append(nids[order])
-                out_c.append(c[order])
-                out_r.append(np.arange(1, len(order) + 1, dtype=np.int32))
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        "cosine": np.concatenate(out_c),
-                        "rank": np.concatenate(out_r),
-                    }
-                )
-
-    return df.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double, rank int"
+    partials = (
+        qry.groupBy("g", "b")
+        .cogroup(cand.groupBy("g", "b"))
+        .applyInPandas(
+            score_cell, "query_id long, neighbor_id long, cosine double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return partials.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
@@ -233,28 +266,101 @@ def cosine_near_dup_pairs(
     )
 
 
+def kmeans_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic seeded spherical k-means codebook, fully
+    distributed (Lloyd's algorithm as DataFrame aggregations).
+
+    - Seeds: the k vectors whose md5(id) sort first — a deterministic
+      pseudo-random sample (no RNG, reproducible across engines).
+    - Assign: argmax cosine to current centroids (broadcast K-row
+      table + window argmax; cosines rounded to 6 dp, cid tie-break).
+    - Update: per-dimension mean of assigned vectors via posexplode +
+      groupBy(cid, pos) — one shuffle keyed on (cid, pos), rebuilt
+      into arrays with array_sort(collect_list(struct)). Every
+      centroid coordinate is rounded to 6 dp so engine summation
+      order cannot drift the codebook.
+
+    Clusters that lose all members simply drop out (standard Lloyd
+    behavior). Returns DataFrame(cid, cv: array<double>); cid is the
+    seed vector's id. Scale: data is touched `iterations` times with
+    map-side cost K*dim per row; only the K-row codebook is ever
+    broadcast/checkpointed.
+    """
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = (
+        v.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(k)
+        .select(
+            F.col("id").alias("cid"),
+            F.transform("v", lambda x: F.round(x.cast("double"), 6)).alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.col("cc").desc(), F.col("cid").asc()
+    )
+    for _ in range(iterations):
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("id", "v", "cid")
+        )
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ann_ivf_topk(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
     n_centroids: int = 8,
+    nprobe: int = 1,
+    codebook: str = "kmeans",
+    kmeans_iterations: int = 2,
 ) -> DataFrame:
-    """IVF-style approximate top-k: inverted-file partitioning by
-    nearest centroid, search within the probe cell only (nprobe=1).
+    """IVF approximate top-k: inverted-file partitioning by nearest
+    centroid; queries probe their `nprobe` nearest cells.
 
-    The codebook here is deterministic — the vectors of the
-    n_centroids smallest ids — so results are reproducible and
-    oracle-checkable; a production build would k-means the codebook
-    (same dataflow, different centroid table). Assignment is a
-    broadcast cross-join against the K-row centroid table + one
-    window argmax; search cost is sum of cell² instead of n².
+    codebook='kmeans' (default) learns centroids with the
+    deterministic seeded k-means above — reproducible AND
+    oracle-checkable (the DuckDB oracle unrolls the same Lloyd
+    iterations). codebook='first' keeps the naive
+    first-n_centroids-ids table for comparison. Candidates index
+    into exactly one cell; a query probing `nprobe` cells therefore
+    sees each candidate at most once. Search cost is
+    nprobe * sum(cell * |cell|) instead of n².
     """
     from pyspark.sql import Window
 
-    cents = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-    )
+    if codebook == "kmeans":
+        cents = kmeans_codebook(
+            df, vec_col, id_col, k=n_centroids, iterations=kmeans_iterations
+        )
+    elif codebook == "first":
+        cents = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    else:
+        raise ValueError("codebook must be 'kmeans' or 'first'")
     scored = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(cents))
@@ -263,15 +369,16 @@ def ann_ivf_topk(
     w_assign = Window.partitionBy("id").orderBy(
         F.col("cc").desc(), F.col("cid").asc()
     )
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", F.col("cid").alias("bucket"))
-        .persist()
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).persist()
+    index_side = ranked.filter(F.col("rn") == 1).select(
+        "id", "v", F.col("cid").alias("bucket")
+    )
+    probe_side = ranked.filter(F.col("rn") <= nprobe).select(
+        "id", "v", F.col("cid").alias("bucket")
     )
     pairs = (
-        assigned.alias("a")
-        .join(assigned.alias("b"), on="bucket")
+        probe_side.alias("a")
+        .join(index_side.alias("b"), on="bucket")
         .filter(F.col("a.id") != F.col("b.id"))
         .select(
             F.col("a.id").alias("query_id"),

@@ -155,7 +155,13 @@ def fingerprint(
         .withColumn(
             "n_in_doc", F.count("*").over(Window.partitionBy(id_col))
         )
-        .filter(F.col("pos") <= F.col("n_in_doc") - window)
+        # posexplode's pos is 0-BASED: full windows exist at
+        # pos 0 .. n-window. Short docs (n_in_doc <= window) still
+        # yield exactly one fingerprint (the min over all their
+        # k-grams, the truncated first window) per Schleimer et al.
+        .filter(
+            F.col("pos") <= F.greatest(F.col("n_in_doc") - window, F.lit(0))
+        )
         .select(id_col, F.col("win_min").alias("fp"))
         .distinct()
     )

@@ -39,6 +39,7 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
         "layer", "node_id", graph.node_key_col().alias("component")
     ).persist()
     try:
+        changed = 0
         for it in range(max_iterations):
             # candidate label for each dst = min label among in-neighbors
             cand = (
@@ -79,6 +80,16 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
             labels = new_labels.drop("improved")
             if changed == 0:
                 break
+        if changed != 0:
+            # Never hand back silently-wrong labels: min-label
+            # propagation needs `diameter` rounds, so a deep graph
+            # can exhaust the cap mid-flight.
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iterations} iterations (graph diameter exceeds the "
+                f"cap); raise max_iterations or use "
+                f"connected_components_star (diameter-independent)"
+            )
         return labels
     finally:
         sym.unpersist()
@@ -123,6 +134,7 @@ def connected_components_star(
         return row["n"], row["h"]
 
     sig = signature(edges)
+    converged = False
     for _ in range(max_iterations):
         # --- large-star: connect every neighbor LARGER than u to the
         # minimum of u's closed neighborhood ----------------------------
@@ -160,8 +172,15 @@ def connected_components_star(
         new_sig = signature(new_edges)
         edges = new_edges
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iterations} rounds; star contraction needs O(log^2 n) "
+            f"rounds — raise max_iterations"
+        )
 
     # at fixpoint every edge is (node, component-min); roots and
     # isolated nodes label themselves
@@ -326,6 +345,12 @@ def strongly_connected_components(
         n_active = active.count()
         edges = _restrict(edges, active).localCheckpoint()
 
+    if n_active > 0:
+        raise RuntimeError(
+            f"strongly_connected_components did not resolve all nodes "
+            f"within {max_rounds} rounds ({n_active} still active); "
+            f"raise max_rounds"
+        )
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)
@@ -344,9 +369,9 @@ def view_components(
     """Components meeting the size threshold (searcher.py:284-298).
 
     Returns DataFrame(layer, node_id, component, component_size) for
-    nodes in qualifying components. Strong connectivity is a planned
-    R2 op (forward/backward reachability trim); weak matches the
-    reference's directed=False mode.
+    nodes in qualifying components. connectivity='strong' uses the
+    FW-BW-Trim engine above (reference directed=True); 'weak' (the
+    default) matches the reference's directed=False mode.
     """
     if connectivity.lower() == "strong":
         labels = strongly_connected_components(graph)

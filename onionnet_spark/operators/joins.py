@@ -136,12 +136,21 @@ def range_join_count(
     a hot key is bounded per bucket.
 
     Returns all left columns + `count_col` (0 when nothing in range).
+    Duplicate left rows each get their own (correct) count: matches
+    aggregate on a generated per-row id, never on the value columns,
+    so two identical left rows matching k right rows report k each.
     """
     def bucket(col):
         return F.floor(F.unix_timestamp(col) / window_seconds)
 
-    l_b = left.withColumn(
-        "_lb", F.explode(F.array(bucket(F.col(left_ts)) - 1, bucket(F.col(left_ts))))
+    l_b = (
+        left.withColumn("_lid", F.monotonically_increasing_id())
+        .withColumn(
+            "_lb",
+            F.explode(
+                F.array(bucket(F.col(left_ts)) - 1, bucket(F.col(left_ts)))
+            ),
+        )
     )
     r_b = right.select(
         *[F.col(c).alias(f"_r_{c}") for c in on],
@@ -153,12 +162,18 @@ def range_join_count(
         >= F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECONDS"),
         F.col("_r_ts") < F.col(left_ts),
     ]
-    matched = (
-        l_b.join(r_b, on=cond, how="inner")
-        .groupBy(*left.columns)
-        .agg(F.count("*").cast("bigint").alias(count_col))
-    )
+    # LEFT join + conditional count in ONE pass: unmatched bucket rows
+    # carry a NULL _r_ts and contribute 0, so no second scan of
+    # `left` and no join-back is needed — one join shuffle plus one
+    # groupBy on the compact _lid key.
     return (
-        left.join(matched, on=left.columns, how="left")
-        .withColumn(count_col, F.coalesce(count_col, F.lit(0).cast("bigint")))
+        l_b.join(r_b, on=cond, how="left")
+        .groupBy("_lid")
+        .agg(
+            *[F.first(c).alias(c) for c in left.columns],
+            F.sum(F.when(F.col("_r_ts").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(count_col),
+        )
+        .drop("_lid")
     )

@@ -175,6 +175,16 @@ def weighted_sssp(
         )
     edges = edges.persist()
     try:
+        # Bellman-Ford requires non-negative weights for the delta
+        # relaxation to terminate at true shortest distances; verify
+        # up-front (one cheap agg over the persisted edges) rather
+        # than looping forever or converging to garbage.
+        min_w = edges.agg(F.min("w").alias("mw")).collect()[0]["mw"]
+        if min_w is not None and min_w < 0:
+            raise ValueError(
+                f"weighted_sssp requires non-negative edge weights; "
+                f"found min weight {min_w}"
+            )
         spark = graph.nodes.sparkSession
         dist = (
             spark.createDataFrame(
@@ -184,13 +194,16 @@ def weighted_sssp(
             .localCheckpoint()
         )
         improved = dist
+        # one count() per round: the materialized frontier count both
+        # drives convergence AND the next round's broadcast decision
+        n_improved = dist.count()
         for _ in range(max_iterations):
             f = improved.select(
                 F.col("layer").alias("src_layer"),
                 F.col("node_id").alias("src_id"),
                 "dist",
             )
-            if improved.count() <= BROADCAST_FRONTIER_MAX:
+            if n_improved <= BROADCAST_FRONTIER_MAX:
                 f = F.broadcast(f)
             cand = (
                 edges.join(f, on=["src_layer", "src_id"])
@@ -208,12 +221,23 @@ def weighted_sssp(
                 .select("layer", "node_id", F.col("cand_dist").alias("dist"))
                 .localCheckpoint()
             )
-            if improved.count() == 0:
+            n_improved = improved.count()
+            if n_improved == 0:
                 break
             dist = (
                 dist.join(improved.select(*NODE_KEY), on=NODE_KEY, how="left_anti")
                 .unionByName(improved)
                 .localCheckpoint()
+            )
+        if n_improved != 0:
+            # A non-empty frontier at cap means some shortest path
+            # has more than max_iterations edges: the distances in
+            # `dist` would be silently too large. Fail loudly.
+            raise RuntimeError(
+                f"weighted_sssp did not converge within {max_iterations} "
+                f"iterations ({n_improved} distances still improving); "
+                f"a shortest path exceeds the iteration cap — raise "
+                f"max_iterations"
             )
         return dist
     finally:

@@ -302,36 +302,77 @@ def _cosine_neardup_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 
                 6) >= {threshold}"""
 
 
-@register(
-    "ann_ivf_topk",
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 8),
-    scored AS (
-      SELECT v.vec_id AS id, v.e, cent.cid,
-             ROUND(list_dot_product(v.e, cent.cv)
-                   / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.cv, cent.cv))),
-                   6) AS cc
-      FROM v CROSS JOIN cent
-    ),
-    assigned AS (
-      SELECT id, e, cid AS bucket FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn
-        FROM scored) WHERE rn = 1
-    ),
-    pairs AS (
-      SELECT a.id AS query_id, b.id AS neighbor_id,
-             ROUND(list_dot_product(a.e, b.e)
-                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-                   6) AS cosine
-      FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.id <> b.id
+def _cos(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT *, CAST(ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-      FROM pairs) WHERE rank <= 5""",
-)
+
+
+def _ann_ivf_kmeans_oracle(
+    k_cent: int = 8, iterations: int = 2, nprobe: int = 2, topk: int = 5
+) -> str:
+    """Unrolls the deterministic seeded Lloyd iterations of
+    similarity.kmeans_codebook in pure SQL: seeds are the k vectors
+    sorting first by md5(id); each iteration reassigns by 6dp-rounded
+    cosine and recomputes 6dp-rounded per-dimension means, so DuckDB
+    reproduces the Spark codebook bit-for-bit (all intermediates are
+    rounded before reuse)."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, list_transform(e, x -> round(x, 6)) AS cv
+       FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cent})""",
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        ctes.append(
+            f"""s{it} AS (SELECT v.vec_id AS id, v.e, c.cid, {_cos('v.e', 'c.cv')} AS cc
+       FROM v CROSS JOIN {prev} c)"""
+        )
+        ctes.append(
+            f"""a{it} AS (SELECT id, e, cid FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn
+         FROM s{it}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{it} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         SELECT cid, pos, ROUND(AVG(x), 6) AS m
+         FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM a{it})
+         GROUP BY cid, pos) GROUP BY cid)"""
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""sf AS (SELECT v.vec_id AS id, v.e, c.cid, {_cos('v.e', 'c.cv')} AS cc
+       FROM v CROSS JOIN {prev} c)"""
+    )
+    ctes.append(
+        """rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn
+       FROM sf)"""
+    )
+    ctes.append("idx AS (SELECT id, e, cid FROM rk WHERE rn = 1)")
+    ctes.append(f"probe AS (SELECT id, e, cid FROM rk WHERE rn <= {nprobe})")
+    ctes.append(
+        f"""pairs AS (SELECT a.id AS query_id, b.id AS neighbor_id, {_cos('a.e', 'b.e')} AS cosine
+       FROM probe a JOIN idx b ON a.cid = b.cid AND a.id <> b.id)"""
+    )
+    ctes.append(
+        """r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       FROM pairs)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {topk}"
+    )
+
+
+@register("ann_ivf_topk", _ann_ivf_kmeans_oracle())
 def ann_ivf_topk_q(spark, sf_dir):
-    return similarity.ann_ivf_topk(_embs(spark, sf_dir), k=5, n_centroids=8)
+    # learned codebook (seeded k-means, 2 Lloyd rounds) + nprobe=2
+    return similarity.ann_ivf_topk(
+        _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2, codebook="kmeans"
+    )
 
 
 @register("dedup_embedding_cosine", None)  # oracle attached below (generated)
@@ -439,7 +480,8 @@ def lang_id(spark, sf_dir):
              COUNT(*) OVER (PARTITION BY doc_id) AS n_in_doc
       FROM grams
     ),
-    fps AS (SELECT DISTINCT doc_id, win_min FROM win WHERE pos <= n_in_doc - 3)
+    fps AS (SELECT DISTINCT doc_id, win_min
+            FROM win WHERE pos <= greatest(n_in_doc - 3, 1))
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
            MIN(win_min) AS min_fingerprint
     FROM fps GROUP BY doc_id""",
@@ -464,7 +506,18 @@ def binary_meta(spark, sf_dir):
     return payload.select("doc_id", "n_bytes", "payload_sha256")
 
 
-@register("multimodal_decode", None)  # Pandas-UDF plumbing; rows-only check
+@register(
+    "multimodal_decode",
+    # The fake decode is a deterministic function of the payload byte
+    # length (multimodal.decode_image_meta), so the oracle recomputes
+    # width/height/channels straight from octet_length — the
+    # mapInPandas plumbing gets a full hash-match gate.
+    """SELECT doc_id,
+      CAST(octet_length(encode(text)) % 1920 AS INT) AS width,
+      CAST(octet_length(encode(text)) % 1080 AS INT) AS height,
+      CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS n_channels
+    FROM documents""",
+)
 def multimodal_decode(spark, sf_dir):
     payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
     return multimodal.decode_image_meta(payload, fake=True)
