@@ -188,6 +188,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    salt_verify: int = 8,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate detection.
 
@@ -195,6 +196,16 @@ def minhash_lsh_pairs(
     band's concatenated signature); candidates are then verified
     with EXACT Jaccard so the output is deterministic:
     (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    Skew defense in the verify stage: the intersection join keys the
+    per-doc shingle table on ``id_a`` of the candidate list. In a
+    real corpus one boilerplate doc can sit in thousands of candidate
+    pairs, making ``id_a`` power-law — a single reducer would absorb
+    |shingles| x |pairs| rows for that doc. ``salt_verify`` routes
+    the join through salted_join (left side salted by row hash, right
+    replicated), spreading each hot doc over `salt_verify` reducers;
+    AQE's skew split can't help here because the hot key's rows are
+    identical post-shuffle and land in one block. 0 disables.
     """
     rows_per_band = num_perm // bands
     sh = word_shingles(df, text_col, id_col, n).persist()
@@ -232,12 +243,17 @@ def minhash_lsh_pairs(
     # ngram_jaccard_pairs for the collision-probability note)
     shh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
     sizes = shh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh_a = shh.select(F.col("id").alias("id_a"), "shingle")
+    if salt_verify:
+        from onionnet_spark.operators.joins import salted_join
+
+        xc = salted_join(sh_a, cand, on=["id_a"], salt=salt_verify)
+    else:
+        xc = sh_a.join(cand, on="id_a")
     inter = (
-        shh.alias("x")
-        .join(cand.alias("c"), F.col("x.id") == F.col("c.id_a"))
-        .join(
-            shh.alias("y"),
-            (F.col("y.id") == F.col("c.id_b")) & (F.col("y.shingle") == F.col("x.shingle")),
+        xc.join(
+            shh.select(F.col("id").alias("id_b"), "shingle"),
+            on=["id_b", "shingle"],
         )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))

@@ -569,12 +569,34 @@ def quality_filter(spark, sf_dir):
 )
 def doc_length_quantiles(spark, sf_dir):
     # EXACT interpolated percentiles (Spark `percentile`, same
-    # definition as DuckDB quantile_cont) — at extreme scale swap in
-    # approx_percentile with a documented error bound.
+    # definition as DuckDB quantile_cont) — doc_length_quantiles_approx
+    # below is the extreme-scale drop-in.
     d = _docs(spark, sf_dir).select(F.length("text").cast("double").alias("len"))
     return d.agg(
         *[
             F.round(F.expr(f"percentile(len, {q})"), 6).alias(name)
             for name, q in [("p10", 0.10), ("p50", 0.50), ("p90", 0.90), ("p99", 0.99)]
         ]
+    )
+
+
+# rows-only driver check (Greenwald-Khanna sketch values are
+# engine-specific); error bound vs the exact twin is pytest-asserted
+# (tests/test_functions.py::test_approx_quantiles_within_bound)
+@register("doc_length_quantiles_approx", None)
+def doc_length_quantiles_approx(spark, sf_dir):
+    """100 TB drop-in for doc_length_quantiles: approx_percentile
+    (Greenwald-Khanna) keeps a bounded-size sketch per partition and
+    merges map-side — no global sort, error <= 1/accuracy in RANK
+    (values off by at most n/accuracy ranks)."""
+    d = _docs(spark, sf_dir).select(F.length("text").cast("double").alias("len"))
+    return d.agg(
+        F.expr(
+            "approx_percentile(len, array(0.10, 0.50, 0.90, 0.99), 1000)"
+        ).alias("p")
+    ).select(
+        F.col("p")[0].alias("p10"),
+        F.col("p")[1].alias("p50"),
+        F.col("p")[2].alias("p90"),
+        F.col("p")[3].alias("p99"),
     )

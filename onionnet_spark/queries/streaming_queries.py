@@ -89,6 +89,14 @@ def events_json_agg(spark, sf_dir):
     return ev.json_props_agg(_events(spark, sf_dir))
 
 
+# rows-only driver check (HLL sketch values are engine-specific);
+# the accuracy bound vs the exact twin is pytest-asserted
+# (tests/test_streaming.py::test_approx_distinct_within_rsd)
+@register("events_daily_users_approx", None)
+def events_daily_users_approx(spark, sf_dir):
+    return ev.daily_distinct_users_approx(_events(spark, sf_dir))
+
+
 @register(
     "events_rollup",
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

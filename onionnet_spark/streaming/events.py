@@ -66,6 +66,27 @@ def daily_distinct_users(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_distinct_users_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """The 100 TB drop-in for daily_distinct_users: HLL++
+    ``approx_count_distinct`` replaces the exact two-phase distinct.
+
+    Why it wins at scale: the exact plan shuffles every distinct
+    (day, user_id) pair; the sketch is fixed-size per group (~kilobytes
+    at rsd=0.05), merges associatively map-side, and turns the
+    aggregation into a single standard shuffle of tiny sketch states.
+    Accuracy is within rsd (relative standard deviation) — pytest
+    asserts the bound against the exact twin.
+    """
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Gap-based sessions per user (batch formulation).
 

@@ -126,6 +126,23 @@ def test_ann_lsh_subset_of_brute(spark, sf_dir):
     assert row and row[0]["rank"] == 1
 
 
+def test_approx_quantiles_within_bound(spark, sf_dir):
+    # Greenwald-Khanna drop-in must sit within a tight relative band
+    # of the exact interpolated percentiles (accuracy=1000 on a few
+    # hundred docs is near-exact)
+    from onionnet_spark.queries.pipeline_queries import (
+        doc_length_quantiles,
+        doc_length_quantiles_approx,
+    )
+
+    exact = doc_length_quantiles(spark, sf_dir).collect()[0]
+    approx = doc_length_quantiles_approx(spark, sf_dir).collect()[0]
+    for p in ("p10", "p50", "p90", "p99"):
+        assert abs(approx[p] - exact[p]) <= max(2.0, 0.05 * exact[p]), (
+            p, exact[p], approx[p],
+        )
+
+
 def test_multimodal_fake_decode(docs):
     payload = multimodal.attach_binary_payload(docs)
     meta = multimodal.decode_image_meta(payload, fake=True).collect()

@@ -43,6 +43,28 @@ def test_salted_join_matches_plain_left(skewed):
     assert got == want
 
 
+def test_minhash_verify_salted_matches_unsalted(spark):
+    # hot-doc skew: one text duplicated many times creates a doc that
+    # appears in MANY candidate pairs; the salted verify join must be
+    # row-identical to the unsalted plan, and the salt key must
+    # actually appear in the salted plan's exchanges
+    from onionnet_spark.functions.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, base) for i in range(12)]  # 12-way duplicate cluster
+    rows += [(100 + i, f"unique doc number {i} with words " + " ".join(
+        f"w{i}_{j}" for j in range(20))) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    salted = minhash_lsh_pairs(docs, threshold=0.5, salt_verify=8)
+    unsalted = minhash_lsh_pairs(docs, threshold=0.5, salt_verify=0)
+    assert rows_to_set(salted) == rows_to_set(unsalted)
+    # 12 duplicates -> C(12,2)=66 pairs at jaccard 1.0
+    assert len(rows_to_set(salted)) == 66
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    assert "_salt" not in unsalted._jdf.queryExecution().executedPlan().toString()
+
+
 def test_salted_join_rejects_outer(skewed):
     left, right = skewed
     with pytest.raises(ValueError):

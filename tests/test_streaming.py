@@ -108,6 +108,84 @@ def test_stateful_user_stats_matches_batch(spark, events_df):
     assert got == want
 
 
+def test_approx_distinct_within_rsd(spark, events_df):
+    # the HLL scale path must stay within its advertised error bound
+    # of the exact twin (3 sigma at rsd=0.05 -> 15%)
+    exact = {
+        r["day"]: r["n_users"]
+        for r in ev.daily_distinct_users(events_df).collect()
+    }
+    approx = {
+        r["day"]: r["n_users_approx"]
+        for r in ev.daily_distinct_users_approx(events_df, rsd=0.05).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(3, 0.15 * n), (day, n, approx[day])
+
+
+def test_streaming_graph_chaos_multibatch(spark, tmp_path):
+    # out-of-order + cross-batch duplicate edges over MANY micro
+    # batches must converge to exactly the one-shot batch build
+    import random
+
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.streaming.graph_stream import StreamingGraphMaintainer
+
+    rng = random.Random(7)
+    uniq = [
+        ("L%d" % (i % 3), str(i), "L%d" % ((i + 1) % 3), str(i + 1), float(i % 10))
+        for i in range(60)
+    ]
+    # duplicates of ~half the edges, identical props (so batch and
+    # streaming dedup deterministically agree), shuffled out of order
+    rows = uniq + [uniq[i] for i in range(0, 60, 2)]
+    rng.shuffle(rows)
+    schema = (
+        "src_layer string, src_id string, dst_layer string, dst_id string, w double"
+    )
+    edges = spark.createDataFrame(rows, schema)
+
+    def node_side(e):
+        return (
+            e.selectExpr("src_layer AS layer", "src_id AS node_id")
+            .unionByName(e.selectExpr("dst_layer AS layer", "dst_id AS node_id"))
+        )
+
+    want = grow_onion(node_side(edges), edges, edge_prop_cols=["w"])
+
+    base = OnionGraph(
+        spark.createDataFrame([], "layer string, node_id string"),
+        spark.createDataFrame([], schema),
+    )
+    m = StreamingGraphMaintainer(base)
+    d = str(tmp_path / "chaos_edges")
+    edges.repartition(6).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = m.attach(stream, str(tmp_path / "chaos_ckpt"))
+    q.awaitTermination(180)
+
+    assert m.n_batches >= 4  # genuinely incremental
+    got_nodes = {(r["layer"], r["node_id"]) for r in m.graph.nodes.collect()}
+    want_nodes = {(r["layer"], r["node_id"]) for r in want.nodes.collect()}
+    assert got_nodes == want_nodes
+    got_edges = {
+        (r["src_layer"], r["src_id"], r["dst_layer"], r["dst_id"], r["w"])
+        for r in m.graph.edges.collect()
+    }
+    want_edges = {
+        (r["src_layer"], r["src_id"], r["dst_layer"], r["dst_id"], r["w"])
+        for r in want.edges.collect()
+    }
+    assert got_edges == want_edges
+    assert len(got_edges) == 60  # all duplicates collapsed
+
+
 def test_streaming_graph_maintenance(spark, tmp_path):
     # replay an edge stream in micro-batches; the maintained graph
     # must equal the single-shot batch build over the same edges.
