@@ -46,7 +46,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    block_rows: int = 4096,
+    block_rows: int = 1024,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every vector.
 

@@ -194,8 +194,10 @@ def weighted_sssp(
             .localCheckpoint()
         )
         improved = dist
-        # one count() per round: the materialized frontier count both
-        # drives convergence AND the next round's broadcast decision
+        # one checkpoint + one (metadata-cheap) count per round: the
+        # relaxation merges into the distance map with a single FULL
+        # OUTER join carrying an 'improved' flag, instead of separate
+        # improved-set + anti-join/union rebuild jobs
         n_improved = dist.count()
         for _ in range(max_iterations):
             f = improved.select(
@@ -213,22 +215,27 @@ def weighted_sssp(
                 )
                 .agg(F.min(F.col("dist") + F.col("w")).alias("cand_dist"))
             )
-            improved = (
-                cand.join(dist, on=NODE_KEY, how="left")
-                .filter(
-                    F.col("dist").isNull() | (F.col("cand_dist") < F.col("dist"))
+            new_dist = (
+                dist.join(cand, on=NODE_KEY, how="full")
+                .select(
+                    "layer",
+                    "node_id",
+                    F.least(
+                        F.coalesce("dist", "cand_dist"),
+                        F.coalesce("cand_dist", "dist"),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.col("cand_dist") < F.col("dist"))
+                    ).alias("improved"),
                 )
-                .select("layer", "node_id", F.col("cand_dist").alias("dist"))
                 .localCheckpoint()
             )
+            improved = new_dist.filter("improved").drop("improved")
+            dist = new_dist.drop("improved")
             n_improved = improved.count()
             if n_improved == 0:
                 break
-            dist = (
-                dist.join(improved.select(*NODE_KEY), on=NODE_KEY, how="left_anti")
-                .unionByName(improved)
-                .localCheckpoint()
-            )
         if n_improved != 0:
             # A non-empty frontier at cap means some shortest path
             # has more than max_iterations edges: the distances in

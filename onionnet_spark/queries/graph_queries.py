@@ -469,7 +469,10 @@ def _sssp_weighted_oracle(n_steps: int = 8) -> str:
     stages = []
     for i in range(1, n_steps + 1):
         stages.append(
-            f"""d{i} AS (
+            # MATERIALIZED: each stage references the previous one twice;
+            # DuckDB inlines plain CTEs, which would replay the whole
+            # chain 2^n times (20s -> 0.2s on this oracle)
+            f"""d{i} AS MATERIALIZED (
       SELECT k, MIN(dist) AS dist FROM (
         SELECT k, dist FROM d{i - 1}
         UNION ALL
@@ -479,7 +482,7 @@ def _sssp_weighted_oracle(n_steps: int = 8) -> str:
         )
     stage_sql = ",\n    ".join(stages)
     return f"""WITH {CTES},
-    e AS (SELECT dst_layer || ':' || dst_id AS s, src_layer || ':' || src_id AS d,
+    e AS MATERIALIZED (SELECT dst_layer || ':' || dst_id AS s, src_layer || ':' || src_id AS d,
                  weight AS w FROM edges_g),
     d0 AS (SELECT 'region:0' AS k, CAST(0 AS DOUBLE) AS dist),
     {stage_sql}
@@ -493,7 +496,7 @@ def _on_shortest_weighted_oracle(n_steps: int = 8) -> str:
         stages = [f"{prefix}0 AS ({seeds_sql})"]
         for i in range(1, n_steps + 1):
             stages.append(
-                f"""{prefix}{i} AS (
+                f"""{prefix}{i} AS MATERIALIZED (
       SELECT k, MIN(dist) AS dist FROM (
         SELECT k, dist FROM {prefix}{i - 1}
         UNION ALL
@@ -514,11 +517,11 @@ def _on_shortest_weighted_oracle(n_steps: int = 8) -> str:
     )
     lyrs = "('region', 'nation', 'customer', 'orders')"
     return f"""WITH {CTES},
-    es AS (SELECT * FROM edges_g
+    es AS MATERIALIZED (SELECT * FROM edges_g
            WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
-    ef AS (SELECT src_layer || ':' || src_id AS s, dst_layer || ':' || dst_id AS d,
+    ef AS MATERIALIZED (SELECT src_layer || ':' || src_id AS s, dst_layer || ':' || dst_id AS d,
                   weight AS w FROM es),
-    er AS (SELECT dst_layer || ':' || dst_id AS s, src_layer || ':' || src_id AS d,
+    er AS MATERIALIZED (SELECT dst_layer || ':' || dst_id AS s, src_layer || ':' || src_id AS d,
                   weight AS w FROM es),
     {fwd},
     {rev},
@@ -585,7 +588,7 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
     stages = []
     for i in range(1, n_iter + 1):
         stages.append(
-            f"""pr{i} AS (
+            f"""pr{i} AS MATERIALIZED (
       SELECT ns.layer, ns.node_id,
              (1 - {damping}) / (SELECT n FROM nn) + {damping} * COALESCE(c.contrib, 0) AS pr
       FROM ns LEFT JOIN (
@@ -600,8 +603,8 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
     stage_sql = ",\n    ".join(stages)
     return f"""WITH {CTES},
     ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
-    es AS (SELECT * FROM edges_g WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
-    deg AS (SELECT src_layer, src_id, COUNT(*) AS od FROM es GROUP BY 1, 2),
+    es AS MATERIALIZED (SELECT * FROM edges_g WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    deg AS MATERIALIZED (SELECT src_layer, src_id, COUNT(*) AS od FROM es GROUP BY 1, 2),
     nn AS (SELECT COUNT(*) AS n FROM ns),
     pr0 AS (SELECT layer, node_id, 1.0 / (SELECT n FROM nn) AS pr FROM ns),
     {stage_sql}
