@@ -129,9 +129,16 @@ def brute_force_topk(
             }
         )
 
+    # Hash-partition both sides on exactly the (g, b) cell key with
+    # B*G partitions: the cogroup reuses this exchange (ClusteredDistribution
+    # is satisfied at any partition count), so exactly one Python
+    # worker task runs per non-empty cell instead of
+    # spark.sql.shuffle.partitions mostly-empty worker spin-ups.
+    n_cells = n_blocks * n_groups
     partials = (
-        qry.groupBy("g", "b")
-        .cogroup(cand.groupBy("g", "b"))
+        qry.repartition(n_cells, "g", "b")
+        .groupBy("g", "b")
+        .cogroup(cand.repartition(n_cells, "g", "b").groupBy("g", "b"))
         .applyInPandas(
             score_cell, "query_id long, neighbor_id long, cosine double"
         )

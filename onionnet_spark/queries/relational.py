@@ -440,3 +440,138 @@ def events_range_count(spark, sf_dir):
         purchases, ev, on=["user_id"], left_ts="ts", right_ts="ts",
         window_seconds=600, count_col="n_prior_10m",
     )
+
+
+@register(
+    "tpch_q4",
+    """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority""",
+)
+def tpch_q4(spark, sf_dir):
+    """Order-priority checking (TPC-H Q4 shape): EXISTS subquery as a
+    LEFT SEMI join — the semi side never multiplies rows, so the
+    count is per-order regardless of lineitem fan-out. The slim test
+    schema has no l_commitdate/l_receiptdate; l_returnflag = 'R'
+    stands in as the EXISTS predicate (same plan shape: filtered
+    semi-join into a single aggregation)."""
+    t = load_tables(spark, sf_dir)
+    flagged = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(flagged, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q12",
+    """SELECT l.l_linestatus,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus""",
+)
+def tpch_q12(spark, sf_dir):
+    """Shipping-priority split (TPC-H Q12 shape): fact-fact equi-join
+    with a conditional two-way count. The slim schema has no
+    l_shipmode, so l_linestatus is the grouping dimension; the
+    conditional-aggregation plan shape (one join, CASE sums folded
+    into a single agg) is identical."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count""",
+)
+def tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13): LEFT OUTER join
+    with the filter INSIDE the join condition (a post-join filter
+    would silently drop order-less customers), then a two-level
+    aggregation. First agg shuffles on c_custkey, second on the tiny
+    c_count domain."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q19",
+    """SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)""",
+)
+def tpch_q19(spark, sf_dir):
+    """Discounted revenue (TPC-H Q19 shape): disjunctive (OR-of-ANDs)
+    predicates across a fact-dim join. Catalyst splits the
+    conjunction-in-common (p_partkey equi-key) from the residual OR
+    filter, broadcasts the part side, and pushes the single-table
+    conjuncts (p_brand/p_size per branch) into the part scan. Slim
+    schema: brand/size/quantity triples replace brand/container/
+    quantity."""
+    t = load_tables(spark, sf_dir)
+    br = lambda b, s_lo, s_hi, q_lo, q_hi: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(br("Brand#1", 1, 15, 1, 30) | br("Brand#2", 10, 30, 10, 40) | br("Brand#3", 20, 50, 20, 50))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
