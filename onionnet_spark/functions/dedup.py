@@ -272,6 +272,50 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Train/test decontamination check: for each test document, the
+    fraction of its word n-grams that appear ANYWHERE in the training
+    corpus (the standard benchmark-contamination metric; n=8..13 in
+    published pipelines, parameterized here).
+
+    Scale shape: the train side collapses to a DISTINCT set of 8-byte
+    shingle hashes (xxhash64 — fixed-width shuffle keys, documents
+    never move); the test side left-joins that set on the hash and
+    aggregates per doc. One shuffle each side keyed on the hash; a
+    hot shingle (boilerplate) fans out only on the tiny hit-marker
+    join, not on document payloads.
+
+    Returns (doc_id, n_shingles, n_hit, overlap) for test docs with
+    >= 1 shingle; overlap rounded to 6 dp.
+    """
+    tr = (
+        word_shingles(train, text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    te = word_shingles(test, text_col, id_col, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
+    return (
+        te.join(tr, on="shingle", how="left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count("*"), 6
+            ).alias("overlap"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

@@ -171,6 +171,43 @@ def fingerprint(
     )
 
 
+# PII patterns kept to the Java-regex ∩ RE2 common dialect (char
+# classes, bounded quantifiers, \b, non-capturing groups — no
+# backrefs/lookaround) so the DuckDB oracle replays them verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and US-shaped phone numbers —
+    the scrub step every public-corpus pipeline runs before training.
+
+    All three passes are JVM-side regexp_replace/regexp_count inside
+    whole-stage codegen (zero Python). Replacement order matters and
+    is fixed: emails, then IPs, then phones (an email never contains
+    an IP pattern, but a phone regex could bite into an IP's octets
+    if it ran first). Returns (doc_id, n_emails, n_ipv4, n_phones,
+    text_clean).
+    """
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ipv4 = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ipv4.cast("bigint").alias("n_ipv4"),
+        n_phones.cast("bigint").alias("n_phones"),
+        t3.alias("text_clean"),
+    )
+
+
 BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"
 
 

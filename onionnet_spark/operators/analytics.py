@@ -127,6 +127,185 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    graph: OnionGraph,
+    seeds: list[tuple[str, str]],
+    n_iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): the teleport
+    mass returns to the SEED set instead of spreading uniformly —
+    the standard relevance / recommendation primitive graph-tool
+    exposes via pagerank(pers=...).
+
+    ppr_{i+1}(v) = (1-d) * [v in S]/|S| + d * sum_{u->v} ppr_i(u)/outdeg(u),
+    ppr_0 = uniform over S. Same sparse-contribution dataflow as
+    pagerank: edges are annotated with out-degree once and
+    pre-shuffled on the iteration join key; only the (sparse, mostly
+    seed-reachable) contribution table moves per round. Nodes
+    unreachable from the seeds hold exactly 0. Returns
+    (layer, node_id, ppr) over the full node set.
+    """
+    seed_df = graph.nodes.sparkSession.createDataFrame(
+        [(l, str(i)) for (l, i) in seeds], "layer string, node_id string"
+    )
+    n_seeds = len(seeds)
+    e = graph.edge_endpoints().persist()
+    out_deg = e.groupBy(
+        F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
+    ).agg(F.count("*").alias("out_degree"))
+    e_deg = (
+        e.join(
+            out_deg.select(
+                F.col("layer").alias("src_layer"),
+                F.col("node_id").alias("src_id"),
+                "out_degree",
+            ),
+            on=["src_layer", "src_id"],
+        )
+        .repartition("src_layer", "src_id")
+        .persist()
+    )
+    base_seed = (1.0 - damping) / n_seeds
+    seed_b = F.broadcast(seed_df.withColumn("is_seed", F.lit(1)))
+
+    def rank_col():
+        # rank(u) = (1-d)*[u in S]/|S| + d*contrib(u), reconstructed
+        # inline on the edge table (absent contrib => 0)
+        return (
+            F.lit(base_seed) * F.coalesce("is_seed", F.lit(0))
+            + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+        )
+
+    contribs = None
+    for it in range(n_iterations):
+        if contribs is None:
+            annotated = e_deg.join(
+                seed_b.select(
+                    F.col("layer").alias("src_layer"),
+                    F.col("node_id").alias("src_id"),
+                    "is_seed",
+                ),
+                on=["src_layer", "src_id"],
+                how="left",
+            ).withColumn(
+                "pr", F.coalesce("is_seed", F.lit(0)) * F.lit(1.0 / n_seeds)
+            )
+        else:
+            annotated = (
+                e_deg.join(
+                    contribs.select(
+                        F.col("layer").alias("src_layer"),
+                        F.col("node_id").alias("src_id"),
+                        "contrib",
+                    ),
+                    on=["src_layer", "src_id"],
+                    how="left",
+                )
+                .join(
+                    seed_b.select(
+                        F.col("layer").alias("src_layer"),
+                        F.col("node_id").alias("src_id"),
+                        "is_seed",
+                    ),
+                    on=["src_layer", "src_id"],
+                    how="left",
+                )
+                .withColumn("pr", rank_col())
+            )
+        contribs = (
+            annotated.groupBy(
+                F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
+            )
+            .agg(F.sum(F.col("pr") / F.col("out_degree")).alias("contrib"))
+            .localCheckpoint(eager=False)
+        )
+    out = (
+        graph.nodes.select("layer", "node_id")
+        .join(contribs, on=NODE_KEY, how="left")
+        .join(seed_b, on=NODE_KEY, how="left")
+        .select(
+            "layer",
+            "node_id",
+            (
+                F.lit(base_seed) * F.coalesce("is_seed", F.lit(0))
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("ppr"),
+        )
+    )
+    e.unpersist()
+    return out
+
+
+def k_core(
+    graph: OnionGraph, k: int = 2, max_iterations: int = 50
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has
+    UNDIRECTED degree >= k — iterative peeling (remove all nodes
+    below k, recompute degrees, repeat to fixpoint). The classic
+    noise-trimming / dense-region primitive.
+
+    Each round is one groupBy over the shrinking canonical edge set
+    plus two semi-joins; rounds needed = peel depth (bounded by the
+    degeneracy ordering length, typically tiny). Edge set is
+    localCheckpoint-ed per round. Raises if the cap is hit before
+    the fixpoint. Returns (layer, node_id, core_degree) for members.
+    """
+    a_key = F.concat_ws(":", "src_layer", "src_id")
+    b_key = F.concat_ws(":", "dst_layer", "dst_id")
+    canon = (
+        graph.edge_endpoints()
+        .select(
+            F.when(a_key < b_key, a_key).otherwise(b_key).alias("a"),
+            F.when(a_key < b_key, b_key).otherwise(a_key).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = canon.count()
+    converged = False
+    for _ in range(max_iterations):
+        deg = (
+            canon.select(F.col("a").alias("n"))
+            .unionByName(canon.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        pruned = (
+            canon.join(keep.select(F.col("n").alias("a")), on="a", how="left_semi")
+            .join(keep.select(F.col("n").alias("b")), on="b", how="left_semi")
+            .localCheckpoint()
+        )
+        n_new = pruned.count()
+        canon = pruned
+        if n_new == n_edges:
+            converged = True
+            break
+        n_edges = n_new
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint within {max_iterations} "
+            f"peeling rounds; raise max_iterations"
+        )
+    deg = (
+        canon.select(F.col("a").alias("key"))
+        .unionByName(canon.select(F.col("b").alias("key")))
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )
+    return deg.select(
+        F.split_part(F.col("key"), F.lit(":"), F.lit(1)).alias("layer"),
+        F.substring(
+            F.col("key"),
+            F.length(F.split_part(F.col("key"), F.lit(":"), F.lit(1))) + 2,
+            2_000_000,
+        ).alias("node_id"),
+        "core_degree",
+    )
+
+
 def triangle_count(graph: OnionGraph) -> DataFrame:
     """Count undirected triangles. Returns a 1-row DataFrame(n_triangles).
 

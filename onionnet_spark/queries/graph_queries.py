@@ -690,3 +690,99 @@ def triangle_count_q(spark, sf_dir):
     )
     g = OnionGraph(nations, co_edges)
     return analytics.triangle_count(g)
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank & k-core (round 2 additions)
+# --------------------------------------------------------------------------
+
+# customer seeds: in the child->parent edge orientation customers
+# have out-edges (customer -> nation -> region), so seeded mass
+# actually propagates; region nodes are sinks and would trap it
+_PPR_SEEDS = [("customer", "0"), ("customer", "1"), ("customer", "2")]
+
+
+@register("graph_ppr", None)  # oracle generated below (unrolled iterations)
+def graph_ppr_q(spark, sf_dir):
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    pr = analytics.personalized_pagerank(
+        g, _PPR_SEEDS, n_iterations=5, damping=0.85
+    )
+    return pr.select("layer", "node_id", F.round("ppr", 6).alias("ppr"))
+
+
+def _ppr_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    n_seeds = len(_PPR_SEEDS)
+    seeds_sql = " UNION ALL ".join(
+        f"SELECT '{l}' AS layer, '{i}' AS node_id" for (l, i) in _PPR_SEEDS
+    )
+    base = f"((1 - {damping}) / {n_seeds})"
+    stages = []
+    for i in range(1, n_iter + 1):
+        stages.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT ns.layer, ns.node_id,
+             {base} * (CASE WHEN s.layer IS NOT NULL THEN 1 ELSE 0 END)
+               + {damping} * COALESCE(c.contrib, 0) AS pr
+      FROM ns
+      LEFT JOIN sd s ON s.layer = ns.layer AND s.node_id = ns.node_id
+      LEFT JOIN (
+        SELECT e.dst_layer AS layer, e.dst_id AS node_id, SUM(p.pr / d.od) AS contrib
+        FROM es e
+        JOIN p{i - 1} p ON p.layer = e.src_layer AND p.node_id = e.src_id
+        JOIN deg d ON d.src_layer = e.src_layer AND d.src_id = e.src_id
+        GROUP BY e.dst_layer, e.dst_id
+      ) c ON c.layer = ns.layer AND c.node_id = ns.node_id
+    )"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
+    es AS MATERIALIZED (SELECT * FROM edges_g
+          WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    deg AS MATERIALIZED (SELECT src_layer, src_id, COUNT(*) AS od FROM es GROUP BY 1, 2),
+    sd AS ({seeds_sql}),
+    p0 AS (SELECT ns.layer, ns.node_id,
+                  CASE WHEN s.layer IS NOT NULL THEN 1.0 / {n_seeds} ELSE 0 END AS pr
+           FROM ns LEFT JOIN sd s ON s.layer = ns.layer AND s.node_id = ns.node_id),
+    {stage_sql}
+    SELECT layer, node_id, ROUND(pr, 6) AS ppr FROM p{n_iter}"""
+
+
+def _kcore_oracle(k: int = 2, n_stages: int = 12) -> str:
+    stages = []
+    for i in range(1, n_stages + 1):
+        stages.append(
+            f"""d{i} AS (SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}) GROUP BY n),
+    k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i - 1} e
+      JOIN k{i} x ON x.n = e.a JOIN k{i} y ON y.n = e.b)"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT
+        LEAST(src_layer || ':' || src_id, dst_layer || ':' || dst_id) AS a,
+        GREATEST(src_layer || ':' || src_id, dst_layer || ':' || dst_id) AS b
+      FROM edges_g
+      WHERE src_layer || ':' || src_id <> dst_layer || ':' || dst_id),
+    {stage_sql}
+    SELECT split_part(n, ':', 1) AS layer,
+           substr(n, length(split_part(n, ':', 1)) + 2) AS node_id,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT a AS n FROM e{n_stages} UNION ALL SELECT b FROM e{n_stages})
+    GROUP BY n"""
+
+
+@register("graph_kcore", None)  # oracle attached below (generated)
+def graph_kcore_q(spark, sf_dir):
+    return analytics.k_core(get_graph(spark, sf_dir), k=2)
+
+
+_REG["graph_ppr"] = (graph_ppr_q, _ppr_oracle())
+_REG["graph_kcore"] = (graph_kcore_q, _kcore_oracle())

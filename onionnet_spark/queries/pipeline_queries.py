@@ -600,3 +600,79 @@ def doc_length_quantiles_approx(spark, sf_dir):
         F.col("p")[2].alias("p90"),
         F.col("p")[3].alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# Decontamination & PII scrubbing (round 2 additions)
+# --------------------------------------------------------------------------
+
+_SH5 = "a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4]"
+
+
+@register(
+    "decontamination",
+    # even doc_ids act as the training corpus, odd ones as the test
+    # set; 5-gram overlap fraction per test doc
+    f"""WITH norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    tr AS MATERIALIZED (
+      SELECT DISTINCT {_SH5} AS sh
+      FROM norm JOIN nums ON i <= len(a) - 4 WHERE doc_id % 2 = 0),
+    te AS (
+      SELECT DISTINCT doc_id, {_SH5} AS sh
+      FROM norm JOIN nums ON i <= len(a) - 4 WHERE doc_id % 2 = 1)
+    SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      ROUND(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+        AS overlap
+    FROM te LEFT JOIN tr ON tr.sh = te.sh
+    GROUP BY te.doc_id""",
+)
+def decontamination(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.contamination_overlap(train, test, n=5)
+
+
+# deterministic PII injection shared by the Spark query and the
+# oracle: the synthetic docs carry no PII, so both sides append the
+# same synthetic email/IP/phone derived from doc_id before scrubbing
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.7 phone 555-123-4567'"
+)
+
+
+@register(
+    "pii_scrub",
+    f"""WITH injected AS (
+      SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    ),
+    s1 AS (SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails,
+      regexp_replace(text, '{text.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM injected),
+    s2 AS (SELECT doc_id, n_emails,
+      CAST(len(regexp_extract_all(t1, '{text.PII_IPV4}')) AS BIGINT) AS n_ipv4,
+      regexp_replace(t1, '{text.PII_IPV4}', '<IP>', 'g') AS t2
+      FROM s1)
+    SELECT doc_id, n_emails, n_ipv4,
+      CAST(len(regexp_extract_all(t2, '{text.PII_PHONE}')) AS BIGINT) AS n_phones,
+      regexp_replace(t2, '{text.PII_PHONE}', '<PHONE>', 'g') AS text_clean
+    FROM s2""",
+)
+def pii_scrub(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 phone 555-123-4567"),
+        ).alias("text"),
+    )
+    return text.scrub_pii(injected)

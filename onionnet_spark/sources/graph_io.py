@@ -80,3 +80,41 @@ def graph_from_csv(
         edge_prop_cols=edge_prop_cols,
         **grow_kwargs,
     )
+
+
+def write_graph_bucketed(
+    graph: OnionGraph, table_prefix: str, num_buckets: int = 32
+) -> None:
+    """Persist the graph as BUCKETED catalog tables: nodes bucketed
+    on (layer, node_id), edges on (src_layer, src_id).
+
+    This is the extreme-scale layout for graphs whose frontiers
+    outgrow the broadcast threshold: a BFS/SSSP expansion join keyed
+    on (src_layer, src_id), a bulk property MERGE keyed on the node
+    key, or repeated endpoint validations all find the BIG side
+    pre-co-located — the scan delivers hash-partitioned buckets, so
+    the join plans with no Exchange on the graph side and only the
+    (small) frontier/update side moves. tests/test_graph_io.py
+    asserts the exchange count drops accordingly.
+    """
+    from onionnet_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        graph.nodes, f"{table_prefix}_nodes", ["layer", "node_id"], num_buckets
+    )
+    write_bucketed(
+        graph.edges, f"{table_prefix}_edges", ["src_layer", "src_id"], num_buckets
+    )
+
+
+def read_graph_bucketed(
+    spark: SparkSession, table_prefix: str, directed: bool = True
+) -> OnionGraph:
+    """Load a graph written by write_graph_bucketed; bucket metadata
+    comes from the catalog, so key-joins skip the graph-side
+    Exchange."""
+    return OnionGraph(
+        spark.table(f"{table_prefix}_nodes"),
+        spark.table(f"{table_prefix}_edges"),
+        directed=directed,
+    )

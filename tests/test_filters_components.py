@@ -268,6 +268,48 @@ def test_star_cc_long_path(spark):
     assert {v for k, v in lb.items() if k != "iso"} == {"P:0"}
 
 
+def test_k_core_peels_tail(spark):
+    # triangle a-b-c (2-core) with a pendant chain c-d-e: the chain
+    # must peel away in cascading rounds, the triangle survives
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.analytics import k_core
+
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "abcde"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("L", "a", "L", "b"), ("L", "b", "L", "c"), ("L", "a", "L", "c"),
+         ("L", "c", "L", "d"), ("L", "d", "L", "e")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    got = {r["node_id"]: r["core_degree"] for r in k_core(g, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=3: nothing survives
+    assert k_core(g, k=3).count() == 0
+
+
+def test_personalized_pagerank_seeds_localize(spark):
+    # two disconnected pairs; seeding in one pair must leave the
+    # other pair at exactly zero, and total mass stays positive
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.analytics import personalized_pagerank
+
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "abcd"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("L", "a", "L", "b"), ("L", "b", "L", "a"),
+         ("L", "c", "L", "d"), ("L", "d", "L", "c")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    got = {r["node_id"]: r["ppr"] for r in
+           personalized_pagerank(g, [("L", "a")], n_iterations=8).collect()}
+    assert got["c"] == 0.0 and got["d"] == 0.0
+    assert got["a"] > got["b"] > 0.0
+
+
 def test_triangles_k4(spark):
     from onionnet_spark.operators.analytics import triangle_count
 

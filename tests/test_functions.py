@@ -191,6 +191,50 @@ def test_bpe_token_stats(spark):
     assert got[2] == (1, 1)
 
 
+def test_contamination_overlap(spark):
+    from onionnet_spark.functions.dedup import contamination_overlap
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            # 3 shingles, 2 contained in train ("alpha..epsilon",
+            # "beta..zeta"), 1 not ("gamma delta epsilon zeta NOVEL")
+            (10, "alpha beta gamma delta epsilon zeta novel"),
+            (11, "totally fresh words nothing shared here ok"),
+            (12, "hi"),  # < n tokens -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hit"], r["overlap"]) for r in
+           contamination_overlap(train, test, n=5).collect()}
+    assert got[10] == (3, 2, round(2 / 3, 6))
+    assert got[11] == (3, 0, 0.0)
+    assert 12 not in got
+
+
+def test_scrub_pii(spark):
+    from onionnet_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org now"),
+            (2, "server at 192.168.001.7 and call 555-123-4567 twice 555 123 4567"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and "<EMAIL>" in got[1]["text_clean"]
+    assert "example.org" not in got[1]["text_clean"]
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_phones"] == 2
+    assert got[2]["text_clean"] == "server at <IP> and call <PHONE> twice <PHONE>"
+    assert got[3]["text_clean"] == "clean text with no pii at all"
+    assert (got[3]["n_emails"], got[3]["n_ipv4"], got[3]["n_phones"]) == (0, 0, 0)
+
+
 def test_dedup_clusters_transitive(spark):
     # A~B and B~C but A!~C directly: the cluster must still merge all
     # three through the component step.

@@ -42,3 +42,43 @@ def test_graph_from_csv(spark, tmp_path):
     g = graph_from_csv(spark, nodes_csv, edges_csv, node_prop_cols=["score"])
     assert g.nodes.count() == 3  # duplicate B:3 deduped
     assert g.edges.count() == 1  # dangling edge dropped
+
+
+def test_bucketed_graph_shuffle_free_expansion(spark, tpch_graph):
+    """A BFS-expansion-shaped join against bucketed edges must plan
+    with NO Exchange on the edge (big) side: only the frontier side
+    shuffles. The unbucketed control plans an Exchange on both."""
+    from onionnet_spark.sources.graph_io import (
+        read_graph_bucketed,
+        write_graph_bucketed,
+    )
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    try:
+        write_graph_bucketed(tpch_graph, "tg_bucketed", num_buckets=8)
+        gb = read_graph_bucketed(spark, "tg_bucketed")
+        assert gb.counts() == tpch_graph.counts()
+        # frontier too big to broadcast (forced with a hint-free
+        # shuffled join via spark.sql.autoBroadcastJoinThreshold=-1)
+        frontier = gb.edges.select("src_layer", "src_id").distinct()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bucketed_join = gb.edges.join(
+                frontier, on=["src_layer", "src_id"]
+            )
+            plain_join = tpch_graph.edges.join(
+                tpch_graph.edges.select("src_layer", "src_id").distinct(),
+                on=["src_layer", "src_id"],
+            )
+            nb, np_ = n_exchanges(bucketed_join), n_exchanges(plain_join)
+            # bucketed: only the frontier side exchanges; plain: both
+            assert nb < np_, (nb, np_)
+            assert bucketed_join.count() == plain_join.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tg_bucketed_nodes")
+        spark.sql("DROP TABLE IF EXISTS tg_bucketed_edges")
