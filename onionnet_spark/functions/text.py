@@ -171,6 +171,112 @@ def fingerprint(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+    - dup_line_frac: fraction of lines that are duplicates of an
+      earlier line (0 when the doc has no newlines).
+    - top_bigram_frac: fraction of the doc's word-bigram occurrences
+      taken by its single most frequent bigram — boilerplate and
+      keyword-stuffed docs score high.
+    Pure explode + window/groupBy column programs (no UDFs); all
+    counting is per-doc, so the shuffles key on (doc, line/bigram)
+    and scale linearly.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ).filter(F.length(F.trim(F.col("line"))) > 0)
+    line_stats = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_lines"),
+            (F.sum("c") - F.count("*")).alias("n_dup_lines"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6).alias(
+                "dup_line_frac"
+            ),
+        )
+    )
+    toks = tokens_col(F.col(text_col))
+    big = (
+        df.select(F.col(id_col), toks.alias("t"))
+        .select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            F.col("t"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+            ).alias("bg"),
+        )
+    )
+    w = Window.partitionBy(id_col)
+    big_stats = (
+        big.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .select(
+            id_col,
+            F.round(
+                F.max("c").over(w) / F.sum("c").over(w), 6
+            ).alias("top_bigram_frac"),
+        )
+        .dropDuplicates([id_col])
+    )
+    return (
+        df.select(id_col)
+        .join(line_stats, on=id_col, how="left")
+        .join(big_stats, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean per-token unigram log-probability under the corpus's own
+    empirical distribution — the cheap language-model quality signal
+    (a doc of rare/garbled tokens scores far below fluent text).
+
+    Two aggregations: (1) global token counts (the 'model' — at
+    100 TB this is the classic build-small-broadcast-table step:
+    token frequencies are Zipf-bounded, the distinct-token table is
+    tiny relative to the corpus), (2) per-doc mean of
+    ln(count/total). Deterministic, UDF-free, exactly replayable in
+    SQL. Returns (doc_id, n_tokens, mean_logprob) rounded to 6 dp.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n")).select("n")
+    scored = (
+        toks.join(vocab, on="tok")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, (F.log(F.col("c") / F.col("n"))).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+
+
 # PII patterns kept to the Java-regex ∩ RE2 common dialect (char
 # classes, bounded quantifiers, \b, non-capturing groups — no
 # backrefs/lookaround) so the DuckDB oracle replays them verbatim.

@@ -676,3 +676,46 @@ def pii_scrub(spark, sf_dir):
         ).alias("text"),
     )
     return text.scrub_pii(injected)
+
+
+@register(
+    "repetition_stats",
+    f"""WITH lines AS (
+      SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line FROM documents
+    ),
+    lf AS (SELECT doc_id, line FROM lines WHERE length(trim(line)) > 0),
+    lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lf GROUP BY 1, 2),
+    ls AS (SELECT doc_id, ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6)
+             AS dup_line_frac FROM lc GROUP BY doc_id),
+    norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    bg AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bg
+           FROM norm JOIN nums ON i <= len(a) - 1),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+           FROM bc GROUP BY doc_id)
+    SELECT d.doc_id,
+      COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+      COALESCE(bs.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN ls ON ls.doc_id = d.doc_id
+    LEFT JOIN bs ON bs.doc_id = d.doc_id""",
+)
+def repetition_stats_q(spark, sf_dir):
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "unigram_logprob",
+    f"""WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+    ),
+    v AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    t AS (SELECT SUM(c) AS n FROM v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(c * 1.0 / n)), 6) AS mean_logprob
+    FROM toks JOIN v USING (tok) CROSS JOIN t
+    GROUP BY doc_id""",
+)
+def unigram_logprob_q(spark, sf_dir):
+    return text.unigram_logprob(_docs(spark, sf_dir))

@@ -221,6 +221,91 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_heavy_hitters(
+    events: DataFrame, capacity: int = 256, emit_k: int = 5
+) -> DataFrame:
+    """Streaming heavy hitters per event_type with BOUNDED state:
+    the space-saving algorithm (Metwally et al. 2005) keeps at most
+    `capacity` (user, count) slots per key; when a new user arrives
+    at full capacity it inherits the minimum slot's count + 1 —
+    counts are overestimates by at most min-slot, and any user with
+    true frequency > n/capacity is guaranteed present. This is the
+    custom-eviction shape the built-in windowed aggregations cannot
+    express, and the state size is O(capacity) per key forever —
+    stream-safe at any volume.
+
+    Emits the current top `emit_k` (event_type, user_id, est_count,
+    rank) per key on every micro-batch (update mode); when the
+    distinct-user count per key stays under capacity the counts are
+    exact, which is what the equivalence test asserts.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("user_id", LongType()),
+            StructField("est_count", LongType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("users", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            users, counts = state.get
+            slots = dict(zip(users, counts))
+        else:
+            slots = {}
+        for pdf in pdfs:
+            for uid, c in pdf.groupby("user_id").size().items():
+                uid = int(uid)
+                if uid in slots:
+                    slots[uid] += int(c)
+                elif len(slots) < capacity:
+                    slots[uid] = int(c)
+                else:
+                    # space-saving eviction: the newcomer takes over
+                    # the minimum slot, inheriting its count
+                    m = min(slots, key=lambda u: (slots[u], -u))
+                    mc = slots.pop(m)
+                    slots[uid] = mc + int(c)
+        state.update((list(slots.keys()), list(slots.values())))
+        top = sorted(slots.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_k]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(top),
+                "user_id": [u for u, _ in top],
+                "est_count": [c for _, c in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def time_rollup(events: DataFrame) -> DataFrame:
     """Hypertable-style time-hierarchy rollup: day → hour →
     event_type with ROLLUP, so one pass produces daily totals,

@@ -191,6 +191,43 @@ def test_bpe_token_stats(spark):
     assert got[2] == (1, 1)
 
 
+def test_repetition_stats(spark):
+    from onionnet_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa\nbb\naa\naa"),      # 4 lines, 2 dup of 'aa'
+            (2, "x y x y x y"),          # bigrams: xy*3 yx*2 -> top 3/5
+            (3, "one"),                  # no bigrams, one line
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["dup_line_frac"], r["top_bigram_frac"]) for r in
+           repetition_stats(df).collect()}
+    assert got[1][0] == 0.5
+    assert got[2] == (0.0, 0.6)
+    assert got[3] == (0.0, 0.0)
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from onionnet_spark.functions.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a rare")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=4, rare=1, total=5
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"]) for r in
+           unigram_logprob(df).collect()}
+    assert got[1] == (3, round(math.log(4 / 5), 6))
+    assert got[2][0] == 2
+    assert got[2][1] == round((math.log(4 / 5) + math.log(1 / 5)) / 2, 6)
+    # the rare-token doc must score LOWER (the quality-signal point)
+    assert got[2][1] < got[1][1]
+
+
 def test_contamination_overlap(spark):
     from onionnet_spark.functions.dedup import contamination_overlap
 

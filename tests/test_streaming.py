@@ -108,6 +108,53 @@ def test_stateful_user_stats_matches_batch(spark, events_df):
     assert got == want
 
 
+def test_streaming_heavy_hitters_exact_under_capacity(spark, events_df):
+    # distinct users fit within capacity -> space-saving is exact:
+    # the FINAL emission per event_type must equal the batch top-5
+    from pyspark.sql import Window
+
+    stream = ev.stream_from_batch(spark, events_df, partitions=3)
+    q = (
+        ev.streaming_heavy_hitters(stream, capacity=10_000, emit_k=5)
+        .writeStream.format("memory")
+        .queryName("t_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per key = rows whose est_count set matches the
+    # final state; reconstruct by taking, per (event_type, rank), the
+    # max est_count ever emitted (counts only grow)
+    got_df = spark.sql(
+        """SELECT event_type, user_id, est_count, rank FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type, rank ORDER BY est_count DESC) AS rn
+             FROM t_hh) WHERE rn = 1"""
+    )
+    got = {
+        (r["event_type"], r["rank"]): (r["user_id"], r["est_count"])
+        for r in got_df.collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    want_df = (
+        events_df.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    want = {
+        (r["event_type"], r["rank"]): (r["user_id"], r["n"])
+        for r in want_df.collect()
+    }
+    # counts must agree exactly; user choice may differ on count ties
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1], (k, got[k], want[k])
+
+
 def test_approx_distinct_within_rsd(spark, events_df):
     # the HLL scale path must stay within its advertised error bound
     # of the exact twin (3 sigma at rsd=0.05 -> 15%)
