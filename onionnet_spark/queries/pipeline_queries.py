@@ -678,6 +678,87 @@ def pii_scrub(spark, sf_dir):
     return text.scrub_pii(injected)
 
 
+def curate_corpus(
+    docs,
+    quality_threshold: float = 0.6,
+    min_tokens: int = 20,
+    max_tokens: int = 10_000,
+    jaccard_threshold: float = 0.5,
+):
+    """The end-to-end corpus curation pipeline a training-data team
+    actually runs, composed from this package's operators in one
+    DataFrame program:
+
+      1. near-duplicate clustering (MinHash-LSH + exact verify +
+         star-CC) — keep only each cluster's canonical doc (min id;
+         exact duplicates collapse here too, since identical text
+         has Jaccard 1.0);
+      2. quality scoring — keep docs with quality >= threshold and a
+         sane token count;
+      3. emit the per-doc quality stats for the survivors.
+
+    One logical plan end-to-end: Catalyst sees the whole pipeline,
+    so column pruning reaches the scan and the doc payload is never
+    shuffled (every stage keys on doc_id or fixed-width hashes).
+    Returns (doc_id, n_tokens, quality, cluster_size).
+    """
+    from onionnet_spark.functions import dedup as _dedup
+    from onionnet_spark.functions import text as _text
+
+    clusters = _dedup.dedup_clusters(docs, threshold=jaccard_threshold)
+    canonical = clusters.filter(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id", "cluster_size")
+    scored = _text.quality_score(docs)
+    return (
+        scored.join(canonical, on="doc_id")
+        .filter(
+            (F.col("quality") >= quality_threshold)
+            & F.col("n_tokens").between(min_tokens, max_tokens)
+        )
+        .select("doc_id", "n_tokens", "quality", "cluster_size")
+    )
+
+
+def _curate_oracle() -> str:
+    # chain the dedup_clusters closure with the quality filter — the
+    # same CTE pipeline the individual oracles use, composed
+    cluster_sql = _REG["dedup_clusters"][1]
+    # reuse everything up to the final SELECT of the clusters oracle
+    prefix = cluster_sql.rsplit("SELECT lab.doc_id", 1)[0].rstrip()
+    return f"""{prefix},
+    canon AS (SELECT lab.canonical_id AS doc_id, cs.cluster_size
+              FROM lab JOIN cs USING (canonical_id)
+              WHERE lab.doc_id = lab.canonical_id),
+    base2 AS (
+      SELECT doc_id, {_TOKS} AS arr,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               * 1.0 / length(text) AS punct_ratio
+      FROM documents
+    ),
+    scored2 AS (
+      SELECT doc_id, CAST(len(arr) AS INT) AS n_tokens,
+        ROUND(0.5 * least(1.0, len(arr) / 100.0)
+              + 0.3 * (1.0 - punct_ratio)
+              + 0.2 * least(1.0, 5.0 * len(list_filter(arr, x -> x IN ({_sw_list('en')})))
+                            * 1.0 / len(arr)), 6) AS quality
+      FROM base2
+    )
+    SELECT s.doc_id, s.n_tokens, s.quality, c.cluster_size
+    FROM scored2 s JOIN canon c USING (doc_id)
+    WHERE s.quality >= 0.6 AND s.n_tokens BETWEEN 20 AND 10000"""
+
+
+@register("corpus_curation", None)  # oracle attached below (generated)
+def corpus_curation_q(spark, sf_dir):
+    return curate_corpus(_docs(spark, sf_dir))
+
+
+from onionnet_spark.queries import REGISTRY as _REG2  # noqa: E402
+
+_REG2["corpus_curation"] = (corpus_curation_q, _curate_oracle())
+
+
 @register(
     "repetition_stats",
     f"""WITH lines AS (

@@ -191,6 +191,30 @@ def test_bpe_token_stats(spark):
     assert got[2] == (1, 1)
 
 
+def test_curate_corpus_end_to_end(spark):
+    from onionnet_spark.queries.pipeline_queries import curate_corpus
+
+    fluent = (
+        "the cat is on the mat and it is a fine day for the cats to play "
+        "in the sun with a ball of yarn, and that is good for them all."
+    )
+    rows = [
+        (1, fluent),                      # canonical of the dup cluster
+        (2, fluent),                      # exact dup -> dropped
+        (3, fluent + " extra tail here"), # near dup -> dropped
+        (4, "x y z"),                     # too short -> dropped
+        (5, "another genuinely fluent document where the words are "
+            "plentiful and the prose is calm and it has many tokens "
+            "for the filter to accept, which is what we want to see."),
+    ]
+    got = {r["doc_id"]: r for r in
+           curate_corpus(spark.createDataFrame(rows, "doc_id long, text string"),
+                         min_tokens=20, jaccard_threshold=0.4).collect()}
+    assert set(got) == {1, 5}
+    assert got[1]["cluster_size"] == 3
+    assert got[5]["cluster_size"] == 1
+
+
 def test_repetition_stats(spark):
     from onionnet_spark.functions.text import repetition_stats
 
