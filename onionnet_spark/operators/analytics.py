@@ -306,6 +306,66 @@ def k_core(
     )
 
 
+def node_jaccard(
+    graph: OnionGraph,
+    layer: str,
+    min_jaccard: float = 0.0,
+    max_nbr_df: int | None = 1000,
+) -> DataFrame:
+    """Structural node similarity (link-prediction primitive): for
+    pairs of `layer` nodes sharing >= 1 undirected neighbor,
+    Jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|.
+
+    Same sub-quadratic shape as shingle dedup: nodes pair only
+    through shared neighbors, so the self-join fan-out is bounded by
+    neighbor document-frequency; `max_nbr_df` drops hub neighbors
+    (a node adjacent to everything pairs everything — the semantic
+    skew cap AQE can't apply for you). Returns
+    (id_a, id_b, jaccard), id_a < id_b, jaccard >= min_jaccard,
+    rounded to 6 dp.
+    """
+    sym = graph.symmetrized_edges()
+    nbr = (
+        sym.filter(F.col("src_layer") == layer)
+        .select(
+            F.col("src_id").alias("id"),
+            F.concat_ws(":", "dst_layer", "dst_id").alias("nbr"),
+        )
+        .distinct()
+        .persist()
+    )
+    if max_nbr_df is not None:
+        hot = (
+            nbr.groupBy("nbr")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_nbr_df)
+            .select("nbr")
+        )
+        nbr_f = nbr.join(F.broadcast(hot), on="nbr", how="left_anti").persist()
+    else:
+        nbr_f = nbr
+    sizes = nbr_f.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        nbr_f.alias("a")
+        .join(nbr_f.alias("b"), on="nbr")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def triangle_count(graph: OnionGraph) -> DataFrame:
     """Count undirected triangles. Returns a 1-row DataFrame(n_triangles).
 

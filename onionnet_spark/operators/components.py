@@ -363,6 +363,60 @@ def strongly_connected_components(
     )
 
 
+def label_propagation_communities(
+    graph: OnionGraph, n_rounds: int = 5
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. 2007), made fully deterministic: every round,
+    each node adopts the most frequent label among its undirected
+    neighbors, ties broken by the lexicographically smallest label;
+    isolated nodes keep their own key. Fixed round count (the
+    algorithm has no stable fixpoint in general — synchronous LPA
+    can 2-cycle — so bounded rounds IS the spec, and the oracle
+    unrolls the identical recurrence).
+
+    Each round is one shuffle keyed on the node (neighbor-label
+    counting) plus a window argmax — linear in edges, independent of
+    community count. Returns (layer, node_id, community).
+    """
+    from pyspark.sql import Window
+
+    sym = graph.symmetrized_edges().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("src"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
+    ).persist()
+    nodes = graph.nodes.select(
+        "layer", "node_id", graph.node_key_col().alias("key")
+    ).persist()
+    labels = nodes.select("key", F.col("key").alias("label")).localCheckpoint()
+    w = Window.partitionBy("key").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(n_rounds):
+        counts = (
+            sym.join(
+                labels.select(F.col("key").alias("src"), "label"), on="src"
+            )
+            .groupBy(F.col("dst").alias("key"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("key", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, on="key", how="left")
+            .select(
+                "key", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
+    out = nodes.join(labels, on="key").select(
+        "layer", "node_id", F.col("label").alias("community")
+    )
+    sym.unpersist()
+    return out
+
+
 def view_components(
     graph: OnionGraph, size_threshold: int, connectivity: str = "weak"
 ) -> DataFrame:

@@ -786,3 +786,75 @@ def graph_kcore_q(spark, sf_dir):
 
 _REG["graph_ppr"] = (graph_ppr_q, _ppr_oracle())
 _REG["graph_kcore"] = (graph_kcore_q, _kcore_oracle())
+
+
+@register("graph_communities_lpa", None)  # oracle generated below
+def graph_communities_lpa_q(spark, sf_dir):
+    from onionnet_spark.operators.components import label_propagation_communities
+
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return label_propagation_communities(g, n_rounds=5)
+
+
+def _lpa_oracle(n_rounds: int = 5) -> str:
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    stages = []
+    for i in range(1, n_rounds + 1):
+        stages.append(
+            f"""cnt{i} AS (
+      SELECT s.dst AS key, p.label, COUNT(*) AS c
+      FROM sym s JOIN l{i - 1} p ON p.key = s.src
+      GROUP BY s.dst, p.label),
+    best{i} AS (SELECT key, label AS new_label FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY c DESC, label) AS rn
+      FROM cnt{i}) WHERE rn = 1),
+    l{i} AS MATERIALIZED (
+      SELECT p.key, COALESCE(b.new_label, p.label) AS label
+      FROM l{i - 1} p LEFT JOIN best{i} b ON b.key = p.key)"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    ns AS (SELECT layer, node_id, layer || ':' || node_id AS key
+           FROM nodes_g WHERE layer IN {lyrs}),
+    es AS (SELECT * FROM edges_g
+           WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT src_layer || ':' || src_id AS src,
+                      dst_layer || ':' || dst_id AS dst FROM es
+      UNION
+      SELECT DISTINCT dst_layer || ':' || dst_id, src_layer || ':' || src_id FROM es),
+    l0 AS (SELECT key, key AS label FROM ns),
+    {stage_sql}
+    SELECT ns.layer, ns.node_id, l.label AS community
+    FROM ns JOIN l{n_rounds} l ON l.key = ns.key"""
+
+
+@register(
+    "graph_node_jaccard",
+    f"""WITH {CTES},
+    sym AS (
+      SELECT DISTINCT src_layer, src_id, dst_layer, dst_id FROM edges_g
+      UNION
+      SELECT DISTINCT dst_layer, dst_id, src_layer, src_id FROM edges_g),
+    nbr AS (SELECT DISTINCT src_id AS id, dst_layer || ':' || dst_id AS nbr
+            FROM sym WHERE src_layer = 'nation'),
+    hot AS (SELECT nbr FROM nbr GROUP BY nbr HAVING COUNT(*) > 1000),
+    nf AS (SELECT id, nbr FROM nbr WHERE nbr NOT IN (SELECT nbr FROM hot)),
+    sizes AS (SELECT id, COUNT(*) AS n FROM nf GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM nf a JOIN nf b ON a.nbr = b.nbr AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b""",
+)
+def graph_node_jaccard_q(spark, sf_dir):
+    return analytics.node_jaccard(
+        get_graph(spark, sf_dir), layer="nation", min_jaccard=0.0
+    )
+
+
+_REG["graph_communities_lpa"] = (graph_communities_lpa_q, _lpa_oracle())

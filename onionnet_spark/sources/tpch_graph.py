@@ -43,7 +43,18 @@ TABLES = [
 ]
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # Cached per (session, dir): spark.read.parquet eagerly reads the
+    # file footer for the schema, so constructing the readers fresh
+    # in every query charges ~10 footer reads per query — measurable
+    # across a 79-query harness run. DataFrames are immutable plans;
+    # sharing them is safe.
+    key = (id(spark), sf_dir)
+    if key in _TABLE_CACHE:
+        return dict(_TABLE_CACHE[key])
     out = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
     # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
     # spark.sql.legacy.parquet.nanosAsLong; convert to a real timestamp.
@@ -53,7 +64,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out["events"] = out["events"].withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return out
+    _TABLE_CACHE[key] = dict(out)
+    return dict(out)
 
 
 def _s(c) -> F.Column:

@@ -268,6 +268,57 @@ def test_star_cc_long_path(spark):
     assert {v for k, v in lb.items() if k != "iso"} == {"P:0"}
 
 
+def test_lpa_communities_stay_within_components(spark):
+    # two disjoint triangles: after any number of sync-LPA rounds a
+    # node's label must come from its own triangle, and the result
+    # must be deterministic across runs
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.components import (
+        label_propagation_communities,
+    )
+
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "abcdef"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("L", "a", "L", "b"), ("L", "b", "L", "c"), ("L", "a", "L", "c"),
+         ("L", "d", "L", "e"), ("L", "e", "L", "f"), ("L", "d", "L", "f")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    r1 = {r["node_id"]: r["community"] for r in
+          label_propagation_communities(g, n_rounds=5).collect()}
+    r2 = {r["node_id"]: r["community"] for r in
+          label_propagation_communities(g, n_rounds=5).collect()}
+    assert r1 == r2  # deterministic
+    left = {r1[x] for x in "abc"}
+    right = {r1[x] for x in "def"}
+    assert all(c.split(":")[1] in "abc" for c in left)
+    assert all(c.split(":")[1] in "def" for c in right)
+
+
+def test_node_jaccard_known_values(spark):
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.analytics import node_jaccard
+
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "uvw"] + [("M", x) for x in "xyz"],
+        "layer string, node_id string",
+    )
+    edges = spark.createDataFrame(
+        [("L", "u", "M", "x"), ("L", "u", "M", "y"),
+         ("L", "v", "M", "x"), ("L", "v", "M", "y"),
+         ("L", "w", "M", "y"), ("L", "w", "M", "z")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           node_jaccard(g, layer="L").collect()}
+    assert got[("u", "v")] == 1.0
+    assert got[("u", "w")] == round(1 / 3, 6)
+    assert got[("v", "w")] == round(1 / 3, 6)
+
+
 def test_k_core_peels_tail(spark):
     # triangle a-b-c (2-core) with a pendant chain c-d-e: the chain
     # must peel away in cascading rounds, the triangle survives
