@@ -306,6 +306,116 @@ def k_core(
     )
 
 
+def betweenness_sampled(
+    graph: OnionGraph,
+    sources: list[tuple[str, str]],
+    max_depth: int = 8,
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001, source-sampled
+    estimator): run Brandes' two-phase dependency accumulation from
+    each sample source over the UNDIRECTED graph and sum the
+    per-source dependencies. With sources = a uniform sample of k
+    nodes, bc_sampled * n/k is the standard unbiased estimate; at
+    100 TB you pick k ~ O(log n / eps^2) (Riondato-Kornaropoulos)
+    and the per-source cost stays one BFS + one backward sweep.
+
+    Phase 1 per source: level-synchronous BFS carrying sigma
+    (shortest-path counts): sigma(v) = sum of sigma(u) over
+    predecessors u at the previous level. Phase 2: walk levels
+    DEEPEST-first, accumulating delta(u) = sum over successors v of
+    sigma(u)/sigma(v) * (1 + delta(v)). Every level is a
+    localCheckpoint-ed frame, so both sweeps are flat chains of
+    joins. Returns (layer, node_id, betweenness) over all nodes
+    (0 for untouched), rounded to 6 dp.
+    """
+    sym = graph.symmetrized_edges().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("src"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
+    ).persist()
+    nodes = graph.nodes.select(
+        "layer", "node_id", graph.node_key_col().alias("key")
+    )
+    spark = graph.nodes.sparkSession
+    per_source_deltas: list[DataFrame] = []
+    for (sl, si) in sources:
+        skey = f"{sl}:{si}"
+        levels: list[DataFrame] = [
+            spark.createDataFrame([(skey, 1.0)], "key string, sigma double")
+            .localCheckpoint()
+        ]
+        visited = levels[0].select("key")
+        for _ in range(max_depth):
+            frontier = levels[-1]
+            nxt = (
+                sym.join(
+                    frontier.select(F.col("key").alias("src"), "sigma"), on="src"
+                )
+                .groupBy(F.col("dst").alias("key"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited, on="key", how="left_anti")
+                .localCheckpoint()
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            levels.append(nxt)
+            visited = visited.unionByName(nxt.select("key")).localCheckpoint()
+        # backward sweep: delta of the deepest level is 0
+        delta = levels[-1].select(
+            "key", F.lit(0.0).alias("delta"), "sigma"
+        ).localCheckpoint()
+        deltas = [delta]
+        for d in range(len(levels) - 2, -1, -1):
+            contrib = (
+                sym.join(
+                    delta.select(
+                        F.col("key").alias("dst"),
+                        F.col("sigma").alias("sigma_v"),
+                        F.col("delta").alias("delta_v"),
+                    ),
+                    on="dst",
+                )
+                .join(
+                    levels[d].select(F.col("key").alias("src"), "sigma"),
+                    on="src",
+                )
+                .groupBy(F.col("src").alias("key"))
+                .agg(
+                    F.sum(
+                        (F.col("sigma") / F.col("sigma_v"))
+                        * (F.lit(1.0) + F.col("delta_v"))
+                    ).alias("delta")
+                )
+            )
+            delta = (
+                levels[d]
+                .join(contrib, on="key", how="left")
+                .select(
+                    "key",
+                    F.coalesce("delta", F.lit(0.0)).alias("delta"),
+                    "sigma",
+                )
+                .localCheckpoint()
+            )
+            deltas.append(delta)
+        acc = deltas[0].select("key", "delta")
+        for dd in deltas[1:]:
+            acc = acc.unionByName(dd.select("key", "delta"))
+        per_source_deltas.append(
+            acc.filter(F.col("key") != F.lit(skey))
+        )
+    all_deltas = per_source_deltas[0]
+    for d in per_source_deltas[1:]:
+        all_deltas = all_deltas.unionByName(d)
+    bc = all_deltas.groupBy("key").agg(F.sum("delta").alias("bc"))
+    out = nodes.join(bc, on="key", how="left").select(
+        "layer",
+        "node_id",
+        F.round(F.coalesce("bc", F.lit(0.0)), 6).alias("betweenness"),
+    )
+    sym.unpersist()
+    return out
+
+
 def node_jaccard(
     graph: OnionGraph,
     layer: str,

@@ -858,3 +858,84 @@ def graph_node_jaccard_q(spark, sf_dir):
 
 
 _REG["graph_communities_lpa"] = (graph_communities_lpa_q, _lpa_oracle())
+
+
+_BC_SOURCES = [("nation", "0"), ("nation", "12")]
+
+
+@register("graph_betweenness", None)  # oracle generated below
+def graph_betweenness_q(spark, sf_dir):
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return analytics.betweenness_sampled(g, _BC_SOURCES, max_depth=6)
+
+
+def _betweenness_oracle(max_depth: int = 6) -> str:
+    """Unrolls Brandes' two phases per sample source: forward BFS
+    levels carrying sigma (path counts), then deepest-first delta
+    accumulation; MATERIALIZED per stage (several reference the
+    previous stage twice)."""
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    parts = []
+    unions = []
+    for idx, (sl, si) in enumerate(_BC_SOURCES):
+        p = f"s{idx}"
+        skey = f"{sl}:{si}"
+        parts.append(
+            f"{p}f0 AS (SELECT '{skey}' AS key, CAST(1 AS DOUBLE) AS sigma)"
+        )
+        parts.append(f"{p}v0 AS (SELECT key FROM {p}f0)")
+        for d in range(1, max_depth + 1):
+            parts.append(
+                f"""{p}f{d} AS MATERIALIZED (
+      SELECT s.dst AS key, SUM(f.sigma) AS sigma
+      FROM sym s JOIN {p}f{d - 1} f ON f.key = s.src
+      WHERE s.dst NOT IN (SELECT key FROM {p}v{d - 1})
+      GROUP BY s.dst)"""
+            )
+            parts.append(
+                f"""{p}v{d} AS MATERIALIZED (
+      SELECT key FROM {p}v{d - 1} UNION SELECT key FROM {p}f{d})"""
+            )
+        parts.append(
+            f"""{p}d{max_depth} AS (
+      SELECT key, sigma, CAST(0 AS DOUBLE) AS delta FROM {p}f{max_depth})"""
+        )
+        for d in range(max_depth - 1, -1, -1):
+            parts.append(
+                f"""{p}d{d} AS MATERIALIZED (
+      SELECT f.key, f.sigma, COALESCE(c.delta, 0) AS delta
+      FROM {p}f{d} f LEFT JOIN (
+        SELECT s.src AS key,
+               SUM(f2.sigma / dn.sigma * (1 + dn.delta)) AS delta
+        FROM sym s
+        JOIN {p}d{d + 1} dn ON dn.key = s.dst
+        JOIN {p}f{d} f2 ON f2.key = s.src
+        GROUP BY s.src
+      ) c ON c.key = f.key)"""
+            )
+        unions.extend(
+            f"SELECT key, delta FROM {p}d{d}" for d in range(1, max_depth + 1)
+        )
+    stage_sql = ",\n    ".join(parts)
+    union_sql = "\n      UNION ALL ".join(unions)
+    return f"""WITH {CTES},
+    ns AS (SELECT layer, node_id, layer || ':' || node_id AS key
+           FROM nodes_g WHERE layer IN {lyrs}),
+    es AS (SELECT * FROM edges_g
+           WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT src_layer || ':' || src_id AS src,
+                      dst_layer || ':' || dst_id AS dst FROM es
+      UNION
+      SELECT DISTINCT dst_layer || ':' || dst_id, src_layer || ':' || src_id FROM es),
+    {stage_sql},
+    bc AS (SELECT key, SUM(delta) AS bc FROM (
+      {union_sql}) GROUP BY key)
+    SELECT ns.layer, ns.node_id,
+           ROUND(COALESCE(bc.bc, 0), 6) AS betweenness
+    FROM ns LEFT JOIN bc ON bc.key = ns.key"""
+
+
+_REG["graph_betweenness"] = (graph_betweenness_q, _betweenness_oracle())

@@ -297,6 +297,38 @@ def test_lpa_communities_stay_within_components(spark):
     assert all(c.split(":")[1] in "def" for c in right)
 
 
+def test_betweenness_path_and_star(spark):
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.analytics import betweenness_sampled
+
+    # path a-b-c, sources {a, c}: bc(b) = 2 (a->c and c->a both pass b)
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "abc"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("L", "a", "L", "b"), ("L", "b", "L", "c")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    got = {r["node_id"]: r["betweenness"] for r in
+           betweenness_sampled(g, [("L", "a"), ("L", "c")]).collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 0.0}
+
+    # star: center m, leaves p q r; source p: paths p->q, p->r via m
+    # -> delta(m) = 2; leaves 0
+    nodes2 = spark.createDataFrame(
+        [("L", x) for x in "mpqr"], "layer string, node_id string"
+    )
+    edges2 = spark.createDataFrame(
+        [("L", "m", "L", x) for x in "pqr"],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g2 = grow_onion(nodes2, edges2)
+    got2 = {r["node_id"]: r["betweenness"] for r in
+            betweenness_sampled(g2, [("L", "p")]).collect()}
+    assert got2 == {"m": 2.0, "p": 0.0, "q": 0.0, "r": 0.0}
+
+
 def test_node_jaccard_known_values(spark):
     from onionnet_spark.builder import grow_onion
     from onionnet_spark.operators.analytics import node_jaccard

@@ -108,6 +108,66 @@ def test_stateful_user_stats_matches_batch(spark, events_df):
     assert got == want
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_df):
+    # the canonical stream-stream join: each click joined to the
+    # same user's purchases within the following 10 minutes, both
+    # sides watermarked; completed result must equal the batch join
+    clicks_b = events_df.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch_b = events_df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in clicks_b.join(purch_b, cond).collect()
+    }
+
+    clicks_s = (
+        ev.stream_from_batch(spark, events_df, partitions=2)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purch_s = (
+        ev.stream_from_batch(spark, events_df, partitions=2)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks_s.join(purch_s, cond)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT click_id, purchase_id FROM t_ssj").collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_streaming_heavy_hitters_exact_under_capacity(spark, events_df):
     # distinct users fit within capacity -> space-saving is exact:
     # the FINAL emission per event_type must equal the batch top-5
