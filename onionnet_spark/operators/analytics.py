@@ -476,6 +476,22 @@ def node_jaccard(
     )
 
 
+def _canonical_edges(graph: OnionGraph) -> DataFrame:
+    """Undirected canonical edge list: (a, b) with key(a) < key(b),
+    deduped, self-loops dropped."""
+    e = graph.edge_endpoints()
+    a_key = F.concat_ws(":", "src_layer", "src_id")
+    b_key = F.concat_ws(":", "dst_layer", "dst_id")
+    return (
+        e.select(
+            F.when(a_key < b_key, a_key).otherwise(b_key).alias("a"),
+            F.when(a_key < b_key, b_key).otherwise(a_key).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def triangle_count(graph: OnionGraph) -> DataFrame:
     """Count undirected triangles. Returns a 1-row DataFrame(n_triangles).
 
@@ -483,18 +499,7 @@ def triangle_count(graph: OnionGraph) -> DataFrame:
     dropped), then each triangle a<b<c is found exactly once via
     e(a,b) ⋈ e(b,c) ⋈ e(a,c).
     """
-    e = graph.edge_endpoints()
-    a_key = F.concat_ws(":", "src_layer", "src_id")
-    b_key = F.concat_ws(":", "dst_layer", "dst_id")
-    canon = (
-        e.select(
-            F.when(a_key < b_key, a_key).otherwise(b_key).alias("a"),
-            F.when(a_key < b_key, b_key).otherwise(a_key).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .persist()
-    )
+    canon = _canonical_edges(graph).persist()
     # Degree ordering (node-iterator++): orient every undirected edge
     # from the (degree, key)-SMALLER endpoint to the larger one and
     # pivot wedges only at the smaller endpoint. Wedge count drops
@@ -537,3 +542,84 @@ def triangle_count(graph: OnionGraph) -> DataFrame:
     )
     out = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
     return out
+
+
+def local_clustering_coefficient(graph: OnionGraph) -> DataFrame:
+    """Per-node local clustering coefficient:
+    cc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)), 0 when
+    deg(v) < 2 — the standard community-density signal next to the
+    global triangle count.
+
+    Triangle corners come from the same degree-ordered orientation
+    as triangle_count (wedges pivot at the min-degree endpoint, so
+    hubs never fan out); each triangle contributes one count to each
+    of its three corners. Degrees are over the canonical undirected
+    edge set. Returns (layer, node_id, degree, n_triangles,
+    clustering_coeff) over all nodes, coefficient rounded to 6 dp.
+    """
+    canon = _canonical_edges(graph).persist()
+    deg = (
+        canon.select(F.col("a").alias("k"))
+        .unionByName(canon.select(F.col("b").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("d"))
+    )
+    with_deg = (
+        canon.join(deg.select(F.col("k").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("k").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("sd"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).persist()
+    o1 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("dd").alias("dy")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("dd").alias("dz")
+    )
+    wedges = o1.join(o2, on="x").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        on=["y", "z"],
+        how="left_semi",
+    ).select("x", "y", "z")
+    corners = (
+        tri.select(F.col("x").alias("k"))
+        .unionByName(tri.select(F.col("y").alias("k")))
+        .unionByName(tri.select(F.col("z").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    nodes = graph.nodes.select(
+        "layer", "node_id", graph.node_key_col().alias("k")
+    )
+    return (
+        nodes.join(deg, on="k", how="left")
+        .join(corners, on="k", how="left")
+        .select(
+            "layer",
+            "node_id",
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.coalesce("d", F.lit(0)) >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("t", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

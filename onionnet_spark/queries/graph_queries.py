@@ -939,3 +939,70 @@ def _betweenness_oracle(max_depth: int = 6) -> str:
 
 
 _REG["graph_betweenness"] = (graph_betweenness_q, _betweenness_oracle())
+
+
+@register(
+    "graph_clustering_coeff",
+    # same nation co-occurrence graph as triangle_count; per-node
+    # triangle corners + degrees -> cc = 2t / d(d-1)
+    """WITH sp AS (
+      SELECT DISTINCT l_partkey AS part, s_nationkey AS nat
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    ),
+    e AS (
+      SELECT DISTINCT 'nation:' || CAST(a.nat AS VARCHAR) AS a,
+                      'nation:' || CAST(b.nat AS VARCHAR) AS b
+      FROM sp a JOIN sp b ON a.part = b.part
+      WHERE 'nation:' || CAST(a.nat AS VARCHAR) < 'nation:' || CAST(b.nat AS VARCHAR)
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS k FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    ),
+    tpn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY k),
+    deg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      SELECT a AS k FROM e UNION ALL SELECT b FROM e) GROUP BY k)
+    SELECT 'nation' AS layer, CAST(n.n_nationkey AS VARCHAR) AS node_id,
+      COALESCE(deg.d, 0) AS degree,
+      COALESCE(tpn.t, 0) AS n_triangles,
+      CASE WHEN COALESCE(deg.d, 0) >= 2
+           THEN ROUND(2.0 * COALESCE(tpn.t, 0) / (deg.d * (deg.d - 1)), 6)
+           ELSE 0.0 END AS clustering_coeff
+    FROM nation n
+    LEFT JOIN deg ON deg.k = 'nation:' || CAST(n.n_nationkey AS VARCHAR)
+    LEFT JOIN tpn ON tpn.k = 'nation:' || CAST(n.n_nationkey AS VARCHAR)""",
+)
+def graph_clustering_coeff_q(spark, sf_dir):
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    t = load_tables(spark, sf_dir)
+    sp = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("s_nationkey").cast("string").alias("nat"),
+        )
+        .distinct()
+    )
+    co_edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), on="part")
+        .filter(F.col("a.nat") < F.col("b.nat"))
+        .select(
+            F.lit("nation").alias("src_layer"),
+            F.col("a.nat").alias("src_id"),
+            F.lit("nation").alias("dst_layer"),
+            F.col("b.nat").alias("dst_id"),
+        )
+        .distinct()
+    )
+    nations = t["nation"].select(
+        F.lit("nation").alias("layer"), F.col("n_nationkey").cast("string").alias("node_id")
+    )
+    g = OnionGraph(nations, co_edges)
+    return analytics.local_clustering_coefficient(g)

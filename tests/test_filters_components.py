@@ -297,6 +297,28 @@ def test_lpa_communities_stay_within_components(spark):
     assert all(c.split(":")[1] in "def" for c in right)
 
 
+def test_local_clustering_coefficient(spark):
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.analytics import local_clustering_coefficient
+
+    # triangle abc + pendant d on c: cc(a)=cc(b)=1, cc(c)=1/3, cc(d)=0
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "abcd"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("L", "a", "L", "b"), ("L", "b", "L", "c"), ("L", "a", "L", "c"),
+         ("L", "c", "L", "d")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    got = {r["node_id"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+           for r in local_clustering_coefficient(g).collect()}
+    assert got["a"] == (2, 1, 1.0)
+    assert got["b"] == (2, 1, 1.0)
+    assert got["c"] == (3, 1, round(1 / 3, 6))
+    assert got["d"] == (1, 0, 0.0)
+
+
 def test_betweenness_path_and_star(spark):
     from onionnet_spark.builder import grow_onion
     from onionnet_spark.operators.analytics import betweenness_sampled
