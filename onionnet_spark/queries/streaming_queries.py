@@ -120,3 +120,57 @@ def events_daily_users_approx(spark, sf_dir):
 )
 def events_rollup(spark, sf_dir):
     return ev.time_rollup(_events(spark, sf_dir))
+
+
+@register(
+    "events_funnel",
+    # classic ordered-funnel conversion: per user, first view, first
+    # click AFTER that view, first purchase AFTER that click; count
+    # users reaching each stage
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view
+                 FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): each
+    stage is a per-user MIN over events filtered by the previous
+    stage's timestamp. Three aggregations on user_id, which all
+    co-partition — Catalyst reuses one exchange; no window over the
+    whole event stream is needed."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
