@@ -575,3 +575,509 @@ def tpch_q19(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "tpch_q2",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size BETWEEN 10 AND 20
+        AND p.p_type = 'STANDARD')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name FROM (
+      SELECT *, MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS mn FROM cand)
+    WHERE s_acctbal = mn
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100""",
+)
+def tpch_q2(spark, sf_dir):
+    """Minimum-cost supplier (TPC-H Q2 shape): the correlated MIN
+    subquery becomes a window MIN over the candidate set — one
+    shuffle on p_partkey instead of an aggregate + re-join. The slim
+    schema has no partsupp, so distinct (partkey, suppkey) pairs
+    observed in lineitem stand in for it and s_acctbal for
+    ps_supplycost. Dimension joins (part/supplier/nation/region) all
+    broadcast; only the window shuffles."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        pairs.join(
+            F.broadcast(
+                t["part"].filter(
+                    F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("mn", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("mn"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q8",
+    """SELECT o_year,
+      ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+            / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    GROUP BY o_year""",
+)
+def tpch_q8(spark, sf_dir):
+    """National market share (TPC-H Q8): NATION_5's share of ECONOMY-
+    part revenue delivered into EUROPE-region customers, by order
+    year. Seven-way star join — every dimension side broadcasts, the
+    two fact tables (lineitem, orders) hash-join once, and the
+    conditional share is one CASE-sum over the final two-row agg."""
+    t = load_tables(spark, sf_dir)
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = t["nation"]
+    joined = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey"))),
+            F.col("cn_key") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("cn_rkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("sn_key") == F.col("s_nationkey"),
+        )
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    """SELECT n.n_name AS nation,
+      CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+      CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                - 0.5 * p.p_retailprice * l.l_quantity
+                AS DECIMAL(18, 4))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, o_year""",
+)
+def tpch_q9(spark, sf_dir):
+    """Product-type profit (TPC-H Q9 shape): profit per supplier
+    nation per order year over name-matched parts. The slim schema
+    has no ps_supplycost, so cost is modeled as 0.5 * p_retailprice *
+    quantity — same plan shape: LIKE-filtered part dim broadcast into
+    the fact join, nation/supplier dims broadcast, one final agg on
+    the small (nation, year) domain. Profit accumulates in
+    DECIMAL(18,4) (exact per-row at 4 dp) so cent rounding cannot
+    drift with engine summation order — same policy as q7/q14."""
+    t = load_tables(spark, sf_dir)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%widget%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11",
+    """WITH val AS (
+      SELECT l.l_partkey AS part_key, SUM(l.l_extendedprice) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey)
+    SELECT part_key, ROUND(value, 2) AS value
+    FROM val
+    WHERE value > (SELECT SUM(value) * 0.002 FROM val)""",
+)
+def tpch_q11(spark, sf_dir):
+    """Important stock identification (TPC-H Q11 shape): per-part
+    value restricted to one nation's suppliers, kept only where the
+    part exceeds a fraction of the nation-wide total — the
+    HAVING-vs-global-scalar-subquery shape. The scalar total is a
+    1-row broadcast crossJoin, not a collect; the per-part agg
+    shuffles once on l_partkey. partsupp is modeled by lineitem
+    (value = extended price shipped)."""
+    t = load_tables(spark, sf_dir)
+    val = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = val.agg((F.sum("value") * 0.002).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("part_key", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "tpch_q15",
+    """WITH rev AS (
+      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, ROUND(r.total_rev, 2) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)""",
+)
+def tpch_q15(spark, sf_dir):
+    """Top supplier (TPC-H Q15): quarterly revenue per supplier, keep
+    the max — the reference view + scalar-MAX-subquery shape. The
+    revenue agg shuffles once on l_suppkey; the scalar max is a 1-row
+    broadcast; supplier names broadcast-join onto the (usually
+    single-row) winner."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "tpch_q16",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+      CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size""",
+)
+def tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship (TPC-H Q16 shape): distinct
+    supplier count per (brand, type, size) bucket, excluding a
+    NOT-IN supplier set (complaints in the reference; negative
+    account balance here). NOT IN over a non-nullable key is a
+    broadcast LEFT ANTI join; the part dim broadcasts; the count-
+    distinct shuffles on the grouping key with partial aggregation."""
+    t = load_tables(spark, sf_dir)
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(
+            F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti"
+        )
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & (F.col("p_type") != "PROMO")
+                    & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17",
+    """WITH pq AS (
+      SELECT l_partkey AS pq_key, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.pq_key = l.l_partkey
+    WHERE p.p_brand = 'Brand#7' AND l.l_quantity < 0.2 * pq.avg_qty""",
+)
+def tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17): the correlated
+    per-part AVG subquery becomes an aggregate on l_partkey joined
+    back to the fact — the agg output is part-cardinality (small) so
+    it broadcasts; no window over the full fact needed. Brand filter
+    pushes into the broadcast part dim."""
+    t = load_tables(spark, sf_dir)
+    pq = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pq_key"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#7")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(pq), F.col("pq_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q20",
+    """WITH red_qty AS (
+      SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_1'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM red_qty WHERE qty > 50)""",
+)
+def tpch_q20(spark, sf_dir):
+    """Potential part promotion (TPC-H Q20 shape): suppliers in one
+    nation who moved more than a threshold quantity of name-matched
+    parts in a year — the nested-IN chain becomes a LEFT SEMI join
+    onto a filtered aggregate. The part dim broadcasts into the fact
+    scan; the per-supplier agg is 100 rows, so the semi side
+    broadcasts too."""
+    t = load_tables(spark, sf_dir)
+    red_qty = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_1")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(red_qty),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q21",
+    """WITH per AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS my_max
+      FROM lineitem GROUP BY l_orderkey, l_suppkey),
+    w AS (
+      SELECT l_orderkey, l_suppkey, my_max,
+        COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        MAX(my_max) OVER (PARTITION BY l_orderkey) AS omax
+      FROM per),
+    w2 AS (
+      SELECT *, SUM(CASE WHEN my_max = omax THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY l_orderkey) AS n_ach
+      FROM w)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM w2 JOIN supplier s ON s.s_suppkey = w2.l_suppkey
+    WHERE n_supp >= 2 AND my_max = omax AND n_ach = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20""",
+)
+def tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): in
+    multi-supplier orders, the unique supplier whose latest line
+    shipped last. The EXISTS (another supplier) and NOT EXISTS
+    (another supplier shipping later) pair becomes two window
+    aggregates over the same l_orderkey partition — one shuffle, no
+    self-joins. The slim schema has no commit/receipt dates, so
+    'kept waiting' = strictly-latest ship date."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["lineitem"]
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("my_max"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("omax", F.max("my_max").over(w))
+        .withColumn(
+            "n_ach",
+            F.sum(F.when(F.col("my_max") == F.col("omax"), 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("my_max") == F.col("omax"))
+            & (F.col("n_ach") == 1)
+        )
+    )
+    return (
+        flagged.join(
+            F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22",
+    """WITH in_scope AS (
+      SELECT c.c_custkey, c.c_acctbal,
+        CAST(REPLACE(n.n_name, 'NATION_', '') AS INTEGER) AS cntrycode
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE CAST(REPLACE(n.n_name, 'NATION_', '') AS INTEGER)
+            IN (1, 3, 5, 7, 9, 11, 13)),
+    avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM in_scope WHERE c_acctbal > 0)
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+      ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM in_scope, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = in_scope.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode""",
+)
+def tpch_q22(spark, sf_dir):
+    """Global sales opportunity (TPC-H Q22 shape): rich (above the
+    positive-balance average) customers in selected countries with no
+    recent orders. Country code = numeric nation suffix (the slim
+    schema has no c_phone); 'no orders' is restricted to recent
+    orders so the anti-join side is non-trivial. Scalar AVG is a
+    1-row broadcast; NOT EXISTS is a LEFT ANTI join on o_custkey."""
+    t = load_tables(spark, sf_dir)
+    code = F.regexp_replace("n_name", "NATION_", "").cast("int")
+    in_scope = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"].withColumn("cntrycode", code)),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .filter(F.col("cntrycode").isin(1, 3, 5, 7, 9, 11, 13))
+        .select("c_custkey", "c_acctbal", "cntrycode")
+    )
+    avg_bal = in_scope.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        in_scope.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
