@@ -108,7 +108,7 @@ def ngram_jaccard_pairs(
     sh = (
         word_shingles(df, text_col, id_col, n)
         .select("id", F.xxhash64("shingle").alias("shingle"))
-        .persist()
+        .localCheckpoint()
     )
     if max_shingle_df is not None:
         # Stop-shingle filter INVERTED: materialize the (tiny) HOT
@@ -123,7 +123,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        sh_j = sh.join(F.broadcast(hot), on="shingle", how="left_anti").persist()
+        sh_j = sh.join(F.broadcast(hot), on="shingle", how="left_anti").localCheckpoint()
     else:
         sh_j = sh
     # Jaccard is defined over the CAPPED shingle space (sizes AND
@@ -208,7 +208,7 @@ def minhash_lsh_pairs(
     identical post-shuffle and land in one block. 0 disables.
     """
     rows_per_band = num_perm // bands
-    sh = word_shingles(df, text_col, id_col, n).persist()
+    sh = word_shingles(df, text_col, id_col, n).localCheckpoint()
     sigs = minhash_signatures(sh, num_perm)
     # band key = md5 of the band's signature slice joined with ','
     # (perm order) — a plain projection over the wide signature row.

@@ -201,7 +201,7 @@ def ann_lsh_topk(
 
     with_bucket = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucket_col(F.col("v"))).persist()
+    ).withColumn("bucket", bucket_col(F.col("v"))).localCheckpoint()
     pairs = (
         with_bucket.alias("a")
         .join(with_bucket.alias("b"), on="bucket")
@@ -376,7 +376,7 @@ def ann_ivf_topk(
     w_assign = Window.partitionBy("id").orderBy(
         F.col("cc").desc(), F.col("cid").asc()
     )
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).persist()
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).localCheckpoint()
     index_side = ranked.filter(F.col("rn") == 1).select(
         "id", "v", F.col("cid").alias("bucket")
     )

@@ -61,14 +61,17 @@ def pagerank(
     exactly up to float rounding.
     """
     n_nodes = graph.nodes.count()
-    e = graph.edge_endpoints().persist()
+    e = graph.edge_endpoints()
     out_deg = e.groupBy(
         F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
     ).agg(F.count("*").alias("out_degree"))
     # Edges annotated once with source out-degree, PRE-SHUFFLED on
     # the per-iteration join key so every round's sort-merge join
     # reuses this cached exchange and only the (sparse) contribution
-    # table moves; reused every round.
+    # table moves; reused every round. localCheckpoint (not persist):
+    # the blocks are query-scoped and get cleaned up when this frame
+    # goes out of scope, instead of pinning CacheManager storage for
+    # the rest of the session.
     e_deg = (
         e.join(
             out_deg.select(
@@ -79,7 +82,7 @@ def pagerank(
             on=["src_layer", "src_id"],
         )
         .repartition("src_layer", "src_id")
-        .persist()
+        .localCheckpoint()
     )
     base = (1.0 - damping) / n_nodes
     # Sparse iteration: carry only per-node CONTRIBUTIONS (absent =>
@@ -123,7 +126,6 @@ def pagerank(
             ).alias("pagerank"),
         )
     )
-    e.unpersist()
     return ranks
 
 
@@ -150,10 +152,11 @@ def personalized_pagerank(
         [(l, str(i)) for (l, i) in seeds], "layer string, node_id string"
     )
     n_seeds = len(seeds)
-    e = graph.edge_endpoints().persist()
+    e = graph.edge_endpoints()
     out_deg = e.groupBy(
         F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
     ).agg(F.count("*").alias("out_degree"))
+    # Query-scoped localCheckpoint, not persist: see pagerank.
     e_deg = (
         e.join(
             out_deg.select(
@@ -164,7 +167,7 @@ def personalized_pagerank(
             on=["src_layer", "src_id"],
         )
         .repartition("src_layer", "src_id")
-        .persist()
+        .localCheckpoint()
     )
     base_seed = (1.0 - damping) / n_seeds
     seed_b = F.broadcast(seed_df.withColumn("is_seed", F.lit(1)))
@@ -233,7 +236,6 @@ def personalized_pagerank(
             ).alias("ppr"),
         )
     )
-    e.unpersist()
     return out
 
 
@@ -319,11 +321,17 @@ def betweenness_sampled(
     100 TB you pick k ~ O(log n / eps^2) (Riondato-Kornaropoulos)
     and the per-source cost stays one BFS + one backward sweep.
 
-    Phase 1 per source: level-synchronous BFS carrying sigma
-    (shortest-path counts): sigma(v) = sum of sigma(u) over
-    predecessors u at the previous level. Phase 2: walk levels
-    DEEPEST-first, accumulating delta(u) = sum over successors v of
-    sigma(u)/sigma(v) * (1 + delta(v)). Every level is a
+    ALL sources advance in ONE level-synchronous sweep: frontier
+    rows carry a source id column, so the per-level job count is
+    independent of the sample size k — at 100 TB you batch the
+    whole O(log n / eps^2) sample this way instead of k serial
+    BFS runs. Phase 1 carries sigma (shortest-path counts):
+    sigma(s, v) = sum of sigma(s, u) over predecessors u at the
+    previous level of the same source. Phase 2 walks levels
+    DEEPEST-first (level index == distance per source, so one
+    mixed-source frame per depth stays aligned), accumulating
+    delta(s, u) = sum over successors v of
+    sigma(s,u)/sigma(s,v) * (1 + delta(s,v)). Every level is a
     localCheckpoint-ed frame, so both sweeps are flat chains of
     joins. Returns (layer, node_id, betweenness) over all nodes
     (0 for untouched), rounded to 6 dp.
@@ -331,88 +339,90 @@ def betweenness_sampled(
     sym = graph.symmetrized_edges().select(
         F.concat_ws(":", "src_layer", "src_id").alias("src"),
         F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
-    ).persist()
+    ).localCheckpoint()
     nodes = graph.nodes.select(
         "layer", "node_id", graph.node_key_col().alias("key")
     )
     spark = graph.nodes.sparkSession
-    per_source_deltas: list[DataFrame] = []
-    for (sl, si) in sources:
-        skey = f"{sl}:{si}"
-        levels: list[DataFrame] = [
-            spark.createDataFrame([(skey, 1.0)], "key string, sigma double")
-            .localCheckpoint()
-        ]
-        visited = levels[0].select("key")
-        for _ in range(max_depth):
-            frontier = levels[-1]
-            nxt = (
-                sym.join(
-                    frontier.select(F.col("key").alias("src"), "sigma"), on="src"
-                )
-                .groupBy(F.col("dst").alias("key"))
-                .agg(F.sum("sigma").alias("sigma"))
-                .join(visited, on="key", how="left_anti")
-                .localCheckpoint()
-            )
-            if nxt.limit(1).count() == 0:
-                break
-            levels.append(nxt)
-            visited = visited.unionByName(nxt.select("key")).localCheckpoint()
-        # backward sweep: delta of the deepest level is 0
-        delta = levels[-1].select(
-            "key", F.lit(0.0).alias("delta"), "sigma"
+    # sid IS the source's node key, so the final "drop the source's
+    # own row" filter is just key != sid.
+    levels: list[DataFrame] = [
+        spark.createDataFrame(
+            [(f"{sl}:{si}", f"{sl}:{si}", 1.0) for (sl, si) in sources],
+            "sid string, key string, sigma double",
         ).localCheckpoint()
-        deltas = [delta]
-        for d in range(len(levels) - 2, -1, -1):
-            contrib = (
-                sym.join(
-                    delta.select(
-                        F.col("key").alias("dst"),
-                        F.col("sigma").alias("sigma_v"),
-                        F.col("delta").alias("delta_v"),
-                    ),
-                    on="dst",
-                )
-                .join(
-                    levels[d].select(F.col("key").alias("src"), "sigma"),
-                    on="src",
-                )
-                .groupBy(F.col("src").alias("key"))
-                .agg(
-                    F.sum(
-                        (F.col("sigma") / F.col("sigma_v"))
-                        * (F.lit(1.0) + F.col("delta_v"))
-                    ).alias("delta")
-                )
+    ]
+    for _ in range(max_depth):
+        frontier = levels[-1]
+        visited = levels[0].select("sid", "key")
+        for prev in levels[1:]:
+            visited = visited.unionByName(prev.select("sid", "key"))
+        nxt = (
+            sym.join(
+                frontier.select(F.col("key").alias("src"), "sid", "sigma"),
+                on="src",
             )
-            delta = (
-                levels[d]
-                .join(contrib, on="key", how="left")
-                .select(
-                    "key",
-                    F.coalesce("delta", F.lit(0.0)).alias("delta"),
-                    "sigma",
-                )
-                .localCheckpoint()
-            )
-            deltas.append(delta)
-        acc = deltas[0].select("key", "delta")
-        for dd in deltas[1:]:
-            acc = acc.unionByName(dd.select("key", "delta"))
-        per_source_deltas.append(
-            acc.filter(F.col("key") != F.lit(skey))
+            .groupBy("sid", F.col("dst").alias("key"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, on=["sid", "key"], how="left_anti")
+            .localCheckpoint()
         )
-    all_deltas = per_source_deltas[0]
-    for d in per_source_deltas[1:]:
-        all_deltas = all_deltas.unionByName(d)
-    bc = all_deltas.groupBy("key").agg(F.sum("delta").alias("bc"))
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+    # backward sweep: delta of the deepest level is 0
+    delta = levels[-1].select(
+        "sid", "key", F.lit(0.0).alias("delta"), "sigma"
+    ).localCheckpoint()
+    deltas = [delta]
+    for d in range(len(levels) - 2, -1, -1):
+        contrib = (
+            sym.join(
+                delta.select(
+                    "sid",
+                    F.col("key").alias("dst"),
+                    F.col("sigma").alias("sigma_v"),
+                    F.col("delta").alias("delta_v"),
+                ),
+                on="dst",
+            )
+            .join(
+                levels[d].select("sid", F.col("key").alias("src"), "sigma"),
+                on=["sid", "src"],
+            )
+            .groupBy("sid", F.col("src").alias("key"))
+            .agg(
+                F.sum(
+                    (F.col("sigma") / F.col("sigma_v"))
+                    * (F.lit(1.0) + F.col("delta_v"))
+                ).alias("delta")
+            )
+        )
+        delta = (
+            levels[d]
+            .join(contrib, on=["sid", "key"], how="left")
+            .select(
+                "sid",
+                "key",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+                "sigma",
+            )
+            .localCheckpoint()
+        )
+        deltas.append(delta)
+    acc = deltas[0].select("sid", "key", "delta")
+    for dd in deltas[1:]:
+        acc = acc.unionByName(dd.select("sid", "key", "delta"))
+    bc = (
+        acc.filter(F.col("key") != F.col("sid"))
+        .groupBy("key")
+        .agg(F.sum("delta").alias("bc"))
+    )
     out = nodes.join(bc, on="key", how="left").select(
         "layer",
         "node_id",
         F.round(F.coalesce("bc", F.lit(0.0)), 6).alias("betweenness"),
     )
-    sym.unpersist()
     return out
 
 
@@ -442,7 +452,7 @@ def node_jaccard(
             F.concat_ws(":", "dst_layer", "dst_id").alias("nbr"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     if max_nbr_df is not None:
         hot = (
@@ -451,7 +461,7 @@ def node_jaccard(
             .filter(F.col("df") > max_nbr_df)
             .select("nbr")
         )
-        nbr_f = nbr.join(F.broadcast(hot), on="nbr", how="left_anti").persist()
+        nbr_f = nbr.join(F.broadcast(hot), on="nbr", how="left_anti").localCheckpoint()
     else:
         nbr_f = nbr
     sizes = nbr_f.groupBy("id").agg(F.count("*").alias("n"))
@@ -499,7 +509,7 @@ def triangle_count(graph: OnionGraph) -> DataFrame:
     dropped), then each triangle a<b<c is found exactly once via
     e(a,b) ⋈ e(b,c) ⋈ e(a,c).
     """
-    canon = _canonical_edges(graph).persist()
+    canon = _canonical_edges(graph).localCheckpoint()
     # Degree ordering (node-iterator++): orient every undirected edge
     # from the (degree, key)-SMALLER endpoint to the larger one and
     # pivot wedges only at the smaller endpoint. Wedge count drops
@@ -524,7 +534,7 @@ def triangle_count(graph: OnionGraph) -> DataFrame:
         F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("sd"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    ).persist()
+    ).localCheckpoint()
     o1 = oriented.select(
         F.col("src").alias("x"), F.col("dst").alias("y"), F.col("dd").alias("dy")
     )
@@ -557,7 +567,7 @@ def local_clustering_coefficient(graph: OnionGraph) -> DataFrame:
     edge set. Returns (layer, node_id, degree, n_triangles,
     clustering_coeff) over all nodes, coefficient rounded to 6 dp.
     """
-    canon = _canonical_edges(graph).persist()
+    canon = _canonical_edges(graph).localCheckpoint()
     deg = (
         canon.select(F.col("a").alias("k"))
         .unionByName(canon.select(F.col("b").alias("k")))
@@ -576,7 +586,7 @@ def local_clustering_coefficient(graph: OnionGraph) -> DataFrame:
         F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("sd"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    ).persist()
+    ).localCheckpoint()
     o1 = oriented.select(
         F.col("src").alias("x"), F.col("dst").alias("y"), F.col("dd").alias("dy")
     )

@@ -385,9 +385,11 @@ def label_propagation_communities(
         F.concat_ws(":", "src_layer", "src_id").alias("src"),
         F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
     ).persist()
+    # Plain projection of the (typically already-cached) node table —
+    # persisting it here would pin CacheManager storage past the call.
     nodes = graph.nodes.select(
         "layer", "node_id", graph.node_key_col().alias("key")
-    ).persist()
+    )
     labels = nodes.select("key", F.col("key").alias("label")).localCheckpoint()
     w = Window.partitionBy("key").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(n_rounds):
