@@ -633,3 +633,92 @@ def local_clustering_coefficient(graph: OnionGraph) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+def neighborhood_function_sketch(
+    graph: OnionGraph,
+    radius: int = 3,
+    k: int = 8,
+    direction: str = "downstream",
+) -> DataFrame:
+    """ANF-style neighborhood function (Palmer et al. 2002 /
+    HyperANF, Boldi et al. 2011), with k-mins sketches instead of
+    HLL registers: estimate |ball(v, radius)| — the number of nodes
+    within `radius` hops — for EVERY node simultaneously, the
+    primitive behind effective-diameter and centrality profiles that
+    exact all-pairs BFS (O(n*m)) can't deliver at scale.
+
+    Each node starts with k uniform draws u_j(v) = int(md5(j|key)
+    [:8 hex]) / 2^32; one round propagates sketches across edges and
+    takes the elementwise MIN, so after r rounds slot j holds
+    min{u_j(w) : w in ball(v, r)} — the k-mins sketch of the ball as
+    a SET (min is idempotent, duplicates are free). The MLE estimate
+    is k / sum_j(m_j) - 1. Per round: one join keyed on the edge
+    endpoint + one groupBy MIN — linear in edges, wide rows (k
+    doubles) instead of exploded rows, same layout argument as the
+    minhash signature aggregation.
+
+    Every draw is a deterministic function of md5, so the result is
+    exactly reproducible — the DuckDB oracle unrolls the identical
+    recurrence (full hash-match, not a tolerance check). Estimator
+    error is the standard k-mins bound (~1/sqrt(k-2) relative), and
+    at scale you raise k, not rounds.
+
+    Returns (layer, node_id, est_ball) with est_ball rounded to 6 dp.
+    """
+    if direction not in ("downstream", "upstream"):
+        raise ValueError("direction must be 'upstream' or 'downstream'")
+    e = graph.edge_endpoints()
+    if direction == "upstream":
+        e = e.select(
+            F.col("dst_layer").alias("src_layer"),
+            F.col("dst_id").alias("src_id"),
+            F.col("src_layer").alias("dst_layer"),
+            F.col("src_id").alias("dst_id"),
+        )
+    # Query-scoped checkpoint (reused every round, auto-cleaned) —
+    # NOT graph.cached_endpoints, which would pin a session-lifetime
+    # cache on a throwaway filtered view.
+    e = e.localCheckpoint()
+    key = graph.node_key_col()
+    mcols = [f"m{j}" for j in range(k)]
+    init = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), key)), 1, 8), 16, 10
+            ).cast("bigint")
+            / F.lit(float(2**32))
+        ).alias(f"m{j}")
+        for j in range(k)
+    ]
+    s = graph.nodes.select("layer", "node_id", *init).localCheckpoint()
+    for _ in range(radius):
+        prop = (
+            e.join(
+                s.select(
+                    F.col("layer").alias("dst_layer"),
+                    F.col("node_id").alias("dst_id"),
+                    *mcols,
+                ),
+                on=["dst_layer", "dst_id"],
+            )
+            .select(
+                F.col("src_layer").alias("layer"),
+                F.col("src_id").alias("node_id"),
+                *mcols,
+            )
+        )
+        s = (
+            s.unionByName(prop)
+            .groupBy("layer", "node_id")
+            .agg(*[F.min(c).alias(c) for c in mcols])
+            .localCheckpoint()
+        )
+    total = None
+    for c in mcols:
+        total = F.col(c) if total is None else total + F.col(c)
+    return s.select(
+        "layer",
+        "node_id",
+        F.round(F.lit(float(k)) / total - F.lit(1.0), 6).alias("est_ball"),
+    )

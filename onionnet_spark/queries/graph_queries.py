@@ -1006,3 +1006,62 @@ def graph_clustering_coeff_q(spark, sf_dir):
     )
     g = OnionGraph(nations, co_edges)
     return analytics.local_clustering_coefficient(g)
+
+
+# --------------------------------------------------------------------------
+# ANF neighborhood-function sketch (k-mins), fully deterministic
+# --------------------------------------------------------------------------
+
+
+@register("graph_anf", None)  # oracle generated below (unrolled rounds)
+def graph_anf_q(spark, sf_dir):
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return analytics.neighborhood_function_sketch(g, radius=3, k=8)
+
+
+def _anf_oracle(radius: int = 3, k: int = 8) -> str:
+    """Unrolls the k-mins sketch propagation: identical md5-derived
+    draws, identical per-round elementwise MIN, identical MLE — a
+    full hash-match oracle for an approximate algorithm (the
+    APPROXIMATION is deterministic; only its relation to the true
+    ball size is statistical)."""
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    mcols = [f"m{j}" for j in range(k)]
+    init = ",\n             ".join(
+        f"('0x' || substr(md5('{j}|' || layer || ':' || node_id), 1, 8))::BIGINT"
+        f" / 4294967296.0 AS m{j}"
+        for j in range(k)
+    )
+    stages = []
+    for r in range(1, radius + 1):
+        mins = ", ".join(f"MIN({c}) AS {c}" for c in mcols)
+        props = ", ".join(f"s.{c}" for c in mcols)
+        stages.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT layer, node_id, {mins} FROM (
+        SELECT * FROM s{r - 1}
+        UNION ALL
+        SELECT e.src_layer AS layer, e.src_id AS node_id, {props}
+        FROM es e JOIN s{r - 1} s
+          ON s.layer = e.dst_layer AND s.node_id = e.dst_id
+      ) GROUP BY layer, node_id)"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    total = " + ".join(mcols)
+    return f"""WITH {CTES},
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
+    es AS MATERIALIZED (
+      SELECT src_layer, src_id, dst_layer, dst_id FROM edges_g
+      WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    s0 AS MATERIALIZED (
+      SELECT layer, node_id,
+             {init}
+      FROM ns),
+    {stage_sql}
+    SELECT layer, node_id, ROUND({float(k)} / ({total}) - 1.0, 6) AS est_ball
+    FROM s{radius}"""
+
+
+_REG["graph_anf"] = (graph_anf_q, _anf_oracle())

@@ -800,3 +800,60 @@ def repetition_stats_q(spark, sf_dir):
 )
 def unigram_logprob_q(spark, sf_dir):
     return text.unigram_logprob(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Corpus composition: per-source caps, deterministic sampling, packing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_cap",
+    """WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+                   AS sel_rank
+          FROM h)
+    SELECT doc_id, source, CAST(sel_rank AS INT) AS sel_rank
+    FROM r WHERE sel_rank <= 15""",
+)
+def source_cap(spark, sf_dir):
+    from onionnet_spark.functions import corpus
+
+    return corpus.cap_per_source(_docs(spark, sf_dir), cap=15)
+
+
+@register(
+    "corpus_sample",
+    """SELECT doc_id, source, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""",
+)
+def corpus_sample(spark, sf_dir):
+    from onionnet_spark.functions import corpus
+
+    return corpus.hash_sample(_docs(spark, sf_dir), fraction=0.25).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "sequence_packing",
+    """WITH t AS (SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+       FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+            SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS start_offset
+          FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(start_offset AS BIGINT) AS start_offset,
+      CAST(FLOOR(start_offset / 2048) AS BIGINT) AS first_seq,
+      CAST(FLOOR((start_offset + n_tokens - 1) / 2048) AS BIGINT) AS last_seq
+    FROM c""",
+)
+def sequence_packing(spark, sf_dir):
+    from onionnet_spark.functions import corpus
+
+    return corpus.pack_sequences(_docs(spark, sf_dir), context_len=2048)

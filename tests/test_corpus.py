@@ -1,0 +1,107 @@
+"""Corpus composition (cap/sample/packing) and the ANF sketch."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from onionnet_spark.core import OnionGraph
+from onionnet_spark.functions import corpus
+from onionnet_spark.operators.analytics import neighborhood_function_sketch
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(5 + i % 7)), f"s{i % 3}")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_cap_per_source_binds_and_is_deterministic(docs):
+    capped = corpus.cap_per_source(docs, cap=7)
+    per_src = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src == {"s0": 7, "s1": 7, "s2": 7}
+    # seedless: two runs pick the identical winners
+    a = {(r["doc_id"], r["sel_rank"]) for r in capped.collect()}
+    b = {(r["doc_id"], r["sel_rank"]) for r in corpus.cap_per_source(docs, cap=7).collect()}
+    assert a == b
+    assert all(1 <= rk <= 7 for (_, rk) in a)
+
+
+def test_hash_sample_deterministic_and_nested(docs):
+    s25 = {r["doc_id"] for r in corpus.hash_sample(docs, 0.25).collect()}
+    s50 = {r["doc_id"] for r in corpus.hash_sample(docs, 0.50).collect()}
+    # same threshold family: smaller fraction is a SUBSET of larger
+    assert s25 <= s50
+    assert s25 == {r["doc_id"] for r in corpus.hash_sample(docs, 0.25).collect()}
+    assert 0 < len(s50) < 60
+    with pytest.raises(ValueError):
+        corpus.hash_sample(docs, 1.5)
+
+
+def test_pack_sequences_matches_serial_prefix_sum(docs):
+    packed = {r["doc_id"]: r for r in corpus.pack_sequences(docs, 16).collect()}
+    # serial reference: cumsum in doc_id order
+    ref = sorted(
+        (r["doc_id"], len(r["text"].split()))
+        for r in docs.select("doc_id", "text").collect()
+    )
+    offset = 0
+    for doc_id, n in ref:
+        row = packed[doc_id]
+        assert row["n_tokens"] == n
+        assert row["start_offset"] == offset, doc_id
+        assert row["first_seq"] == offset // 16
+        assert row["last_seq"] == (offset + n - 1) // 16
+        offset += n
+    # docs longer than a window straddle: some doc must span >1 seq
+    assert any(r["last_seq"] > r["first_seq"] for r in packed.values())
+
+
+def _toy_graph(spark):
+    nodes = spark.createDataFrame(
+        [("L", n) for n in "abcd"], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("L", "a", "L", "b"), ("L", "b", "L", "c"), ("L", "c", "L", "d")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    return OnionGraph(nodes, edges)
+
+
+def test_anf_sketch_deterministic_and_monotone(spark):
+    g = _toy_graph(spark)
+    r2 = {r["node_id"]: r["est_ball"]
+          for r in neighborhood_function_sketch(g, radius=2, k=8).collect()}
+    r3 = {r["node_id"]: r["est_ball"]
+          for r in neighborhood_function_sketch(g, radius=3, k=8).collect()}
+    assert r2 == {r["node_id"]: r["est_ball"]
+                  for r in neighborhood_function_sketch(g, radius=2, k=8).collect()}
+    # balls only grow with radius -> k-mins only shrink -> estimate
+    # is non-decreasing in radius, strictly larger for a (chain end)
+    assert all(r3[n] >= r2[n] for n in "abcd")
+    assert r3["a"] > r2["a"]
+    # d is a sink: its ball is {d} at any radius
+    assert r3["d"] == r2["d"]
+    # same-set sketches agree exactly: ball(c, 3) == ball(c, 2) == {c, d}
+    assert r3["c"] == r2["c"]
+    with pytest.raises(ValueError):
+        neighborhood_function_sketch(g, radius=1, direction="sideways")
+
+
+def test_anf_estimate_tracks_true_ball_size(spark):
+    # clique of 12: every node's radius-1 ball is all 12 nodes; the
+    # k-mins MLE with k=64 should land within ~35% of the truth
+    names = [f"n{i}" for i in range(12)]
+    nodes = spark.createDataFrame([("L", n) for n in names], "layer string, node_id string")
+    edges = spark.createDataFrame(
+        [("L", a, "L", b) for a in names for b in names if a != b],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = OnionGraph(nodes, edges)
+    est = [r["est_ball"] for r in neighborhood_function_sketch(g, radius=1, k=64).collect()]
+    assert len(set(est)) == 1  # identical ball -> identical sketch
+    assert 12 * 0.65 <= est[0] <= 12 * 1.35
