@@ -174,3 +174,45 @@ def events_funnel(spark, sf_dir):
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
     )
+
+
+@register(
+    "events_retention",
+    # cohort retention: users bucketed by first-seen day; n_users
+    # active on each later day per cohort
+    """WITH f AS (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                    AS cohort_day
+                  FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+            AS activity_day
+          FROM events)
+    SELECT f.cohort_day, a.activity_day,
+           CAST(date_diff('day', f.cohort_day, a.activity_day) AS INT)
+             AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2, 3""",
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix: cohort = first-seen day per user,
+    activity = distinct (user, day). Both sides aggregate on
+    user_id first (co-partitioned, exchange reused), then one
+    shuffle on the (cohort, day) pair — the standard two-phase shape
+    that avoids carrying raw events into the final aggregation."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    act = e.select("user_id", day.alias("activity_day")).distinct()
+    return (
+        act.join(first, on="user_id")
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(
+            "cohort_day",
+            "activity_day",
+            F.datediff("activity_day", "cohort_day").alias("day_offset"),
+            "n_users",
+        )
+    )
