@@ -722,3 +722,51 @@ def neighborhood_function_sketch(
         "node_id",
         F.round(F.lit(float(k)) / total - F.lit(1.0), 6).alias("est_ball"),
     )
+
+
+def harmonic_closeness_sampled(
+    graph: OnionGraph,
+    sources: list[tuple[str, str]],
+    max_depth: int = 8,
+    direction: str = "downstream",
+) -> DataFrame:
+    """Sampled harmonic centrality (Marchiori-Latora; Boldi-Vigna's
+    recommended closeness variant because unreachable pairs
+    contribute 0 instead of breaking the mean): with pivots P,
+    H(v) = sum over p in P, p != v, d(p,v) finite of 1 / d(p, v).
+    Uniform pivots give the standard unbiased n/|P|-scaled estimate;
+    the per-pivot cost is one batched BFS level set, shared across
+    ALL pivots via multi_source_bfs.
+
+    Exact-arithmetic contract: 1/d terms are summed as
+    lcm(1..max_depth)/d INTEGERS (exact, order-independent) and
+    divided by the lcm once at the end, so the result is
+    deterministic under any aggregation order and hash-matches the
+    SQL oracle — float summation of 1/3 + 1/6 + ... would be
+    ulp-sensitive to partial-aggregation order.
+
+    Returns (layer, node_id, harmonic) over all nodes, 0.0 for
+    nodes no pivot reaches, rounded to 6 dp.
+    """
+    from math import lcm
+
+    from onionnet_spark.operators.traversal import multi_source_bfs
+
+    scale = lcm(*range(1, max_depth + 1))
+    d = multi_source_bfs(graph, sources, direction, max_dist=max_depth)
+    h = (
+        d.filter(F.col("dist") > 0)
+        .groupBy("layer", "node_id")
+        .agg(F.sum(F.expr(f"{scale} div dist")).alias("hs"))
+    )
+    return (
+        graph.nodes.select("layer", "node_id")
+        .join(h, on=NODE_KEY, how="left")
+        .select(
+            "layer",
+            "node_id",
+            F.round(
+                F.coalesce(F.col("hs"), F.lit(0)) / F.lit(float(scale)), 6
+            ).alias("harmonic"),
+        )
+    )

@@ -71,12 +71,13 @@ def prune_isolated(graph: OnionGraph) -> OnionGraph:
     (searcher.py:341,358,443).
     """
     e = graph.edge_endpoints()
-    touched = (
-        e.select(F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id"))
-        .unionByName(
-            e.select(F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id"))
-        )
-        .distinct()
+    # No .distinct() on the endpoint union: LEFT SEMI already
+    # matches-at-least-once, and a pre-dedup would add a full extra
+    # aggregation exchange over 2x the edge count.
+    touched = e.select(
+        F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
+    ).unionByName(
+        e.select(F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id"))
     )
     return OnionGraph(
         graph.nodes.join(touched, on=NODE_KEY, how="left_semi"), graph.edges, graph.directed

@@ -341,3 +341,67 @@ def on_shortest_path_weighted(
             F.round("d_r", 6).alias("d_r"),
         )
     )
+
+
+def multi_source_bfs(
+    graph: OnionGraph,
+    sources: list[tuple[str, str]],
+    direction: str = "downstream",
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Per-source BFS distances for ALL sources in ONE
+    level-synchronous sweep: the frontier is keyed by (sid, node),
+    so each level is still a single join + dedup + anti-join round
+    and the per-level job count is independent of the source count
+    (running k separate bfs_distances calls would cost k times the
+    scheduling). sid is the source's 'layer:node_id' key.
+
+    Unlike bfs_distances (which MERGES sources into a min-distance
+    field), this keeps the per-source distance — the primitive for
+    sampled centralities (harmonic closeness, betweenness pivots)
+    and landmark distance labelings.
+
+    Returns DataFrame(sid, layer, node_id, dist).
+    """
+    spark = graph.nodes.sparkSession
+    edges = _directed_endpoints(graph, direction)
+    keys = ["sid", *NODE_KEY]
+    frontier = spark.createDataFrame(
+        [(f"{l}:{i}", l, str(i), 0) for (l, i) in sources],
+        "sid string, layer string, node_id string, dist int",
+    ).localCheckpoint()
+    frontiers = [frontier]
+    n_frontier = frontier.count()
+    depth = 0
+    while n_frontier > 0 and (max_dist is None or depth < max_dist):
+        f = frontier.select(
+            "sid",
+            F.col("layer").alias("src_layer"),
+            F.col("node_id").alias("src_id"),
+        )
+        if n_frontier <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
+        visited = frontiers[0].select(*keys)
+        for prev in frontiers[1:]:
+            visited = visited.unionByName(prev.select(*keys))
+        nxt = (
+            edges.join(f, on=["src_layer", "src_id"])
+            .select(
+                "sid",
+                F.col("dst_layer").alias("layer"),
+                F.col("dst_id").alias("node_id"),
+                F.lit(depth + 1).alias("dist"),
+            )
+            .dropDuplicates(keys)
+            .join(visited, on=keys, how="left_anti")
+            .localCheckpoint()
+        )
+        depth += 1
+        n_frontier = nxt.count()
+        if n_frontier:
+            frontiers.append(nxt)
+        frontier = nxt
+    out = frontiers[0]
+    for prev in frontiers[1:]:
+        out = out.unionByName(prev)
+    return out

@@ -1065,3 +1065,38 @@ def _anf_oracle(radius: int = 3, k: int = 8) -> str:
 
 
 _REG["graph_anf"] = (graph_anf_q, _anf_oracle())
+
+
+# --------------------------------------------------------------------------
+# Sampled harmonic closeness (pivot BFS batched in one sweep)
+# --------------------------------------------------------------------------
+
+_CLOSENESS_PIVOTS = [("region", "0"), ("region", "1"), ("nation", "5")]
+
+
+@register(
+    "graph_closeness",
+    f"""WITH RECURSIVE {CTES},
+    bfs(sid, layer, node_id, dist) AS (
+      SELECT * FROM (VALUES
+        ('region:0', 'region', '0', 0),
+        ('region:1', 'region', '1', 0),
+        ('nation:5', 'nation', '5', 0)) t(sid, layer, node_id, dist)
+      UNION
+      SELECT b.sid, e.src_layer, e.src_id, b.dist + 1
+      FROM bfs b JOIN edges_g e
+        ON e.dst_layer = b.layer AND e.dst_id = b.node_id
+    ),
+    d AS (SELECT sid, layer, node_id, MIN(dist) AS dist
+          FROM bfs GROUP BY 1, 2, 3)
+    SELECT n.layer, n.node_id,
+      ROUND(COALESCE(SUM(840 // d.dist), 0) / 840.0, 6) AS harmonic
+    FROM nodes_g n
+    LEFT JOIN d ON d.layer = n.layer AND d.node_id = n.node_id AND d.dist > 0
+    GROUP BY n.layer, n.node_id""",
+)
+def graph_closeness_q(spark, sf_dir):
+    return analytics.harmonic_closeness_sampled(
+        get_graph(spark, sf_dir), _CLOSENESS_PIVOTS, max_depth=8,
+        direction="upstream",
+    )

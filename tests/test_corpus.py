@@ -105,3 +105,32 @@ def test_anf_estimate_tracks_true_ball_size(spark):
     est = [r["est_ball"] for r in neighborhood_function_sketch(g, radius=1, k=64).collect()]
     assert len(set(est)) == 1  # identical ball -> identical sketch
     assert 12 * 0.65 <= est[0] <= 12 * 1.35
+
+
+def test_harmonic_closeness_hand_computed(spark):
+    from onionnet_spark.operators.analytics import harmonic_closeness_sampled
+
+    g = _toy_graph(spark)  # chain a -> b -> c -> d
+    h = {r["node_id"]: r["harmonic"]
+         for r in harmonic_closeness_sampled(
+             g, [("L", "a"), ("L", "b")], max_depth=8, direction="downstream"
+         ).collect()}
+    # d(a,.): b=1 c=2 d=3; d(b,.): c=1 d=2
+    assert h == {"a": 0.0, "b": 1.0, "c": 1.5, "d": round(1/3 + 1/2, 6)}
+
+
+def test_multi_source_bfs_matches_single_source(spark, tpch_graph):
+    from onionnet_spark.operators.traversal import bfs_distances, multi_source_bfs
+
+    srcs = [("region", "0"), ("nation", "3")]
+    batched = multi_source_bfs(tpch_graph, srcs, "upstream", max_dist=3)
+    for (l, i) in srcs:
+        single = {
+            (r["layer"], r["node_id"]): r["dist"]
+            for r in bfs_distances(tpch_graph, [(l, i)], "upstream", 3).collect()
+        }
+        part = {
+            (r["layer"], r["node_id"]): r["dist"]
+            for r in batched.filter(F.col("sid") == f"{l}:{i}").collect()
+        }
+        assert part == single
