@@ -15,7 +15,7 @@ relationally a "property" is simply a column, so:
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -240,3 +240,35 @@ def style_columns(
             "color_code",
         )
     )
+
+
+def annotate_nodes(
+    graph: OnionGraph,
+    computations: dict[str, Callable[[OnionGraph], DataFrame]],
+) -> OnionGraph:
+    """Batch property-recompute pipeline: run each analytic against
+    the INPUT graph and MERGE its value back as a node property —
+    the mutation DSL replacing the reference's per-vertex property
+    setter loops (property_manager.py:75-100) with one declarative
+    merge per computed column.
+
+    Each computation maps graph -> DataFrame(layer, node_id, value);
+    its single value column is renamed to the computation's key. All
+    merges are node-key left joins (merge_node_properties), so with
+    co-partitioned inputs the whole pipeline is one scan of the node
+    table plus the analytics themselves; computations see the
+    ORIGINAL graph, never each other's outputs (no hidden ordering).
+    """
+    out = graph
+    for name, fn in computations.items():
+        res = fn(graph)
+        val_cols = [c for c in res.columns if c not in NODE_KEY]
+        if len(val_cols) != 1:
+            raise ValueError(
+                f"computation {name!r} must return exactly one value "
+                f"column besides the node key, got {val_cols}"
+            )
+        out = merge_node_properties(
+            out, res.select(*NODE_KEY, F.col(val_cols[0]).alias(name))
+        )
+    return out

@@ -583,7 +583,9 @@ def pagerank_q(spark, sf_dir):
     return pr.select("layer", "node_id", F.round("pagerank", 6).alias("pagerank"))
 
 
-def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+def _pagerank_oracle(
+    n_iter: int = 5, damping: float = 0.85, final_select: str | None = None
+) -> str:
     lyrs = "('region', 'nation', 'customer', 'supplier')"
     stages = []
     for i in range(1, n_iter + 1):
@@ -601,6 +603,10 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
     )"""
         )
     stage_sql = ",\n    ".join(stages)
+    final = (
+        final_select
+        or f"SELECT layer, node_id, ROUND(pr, 6) AS pagerank FROM pr{n_iter}"
+    )
     return f"""WITH {CTES},
     ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
     es AS MATERIALIZED (SELECT * FROM edges_g WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
@@ -608,7 +614,7 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
     nn AS (SELECT COUNT(*) AS n FROM ns),
     pr0 AS (SELECT layer, node_id, 1.0 / (SELECT n FROM nn) AS pr FROM ns),
     {stage_sql}
-    SELECT layer, node_id, ROUND(pr, 6) AS pagerank FROM pr{n_iter}"""
+    {final}"""
 
 
 from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
@@ -1100,3 +1106,51 @@ def graph_closeness_q(spark, sf_dir):
         get_graph(spark, sf_dir), _CLOSENESS_PIVOTS, max_depth=8,
         direction="upstream",
     )
+
+
+# --------------------------------------------------------------------------
+# Batch property recompute pipeline (mutation DSL)
+# --------------------------------------------------------------------------
+
+
+@register("graph_annotate", None)  # oracle generated below
+def graph_annotate_q(spark, sf_dir):
+    """Recompute degree + pagerank and merge both into the node
+    table in one annotate_nodes pipeline; the query exports the
+    annotated properties."""
+    from onionnet_spark.core import NODE_KEY
+
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    ann = properties.annotate_nodes(
+        g,
+        {
+            "ann_degree": lambda gg: analytics.degrees(gg).select(
+                *NODE_KEY, F.col("degree").alias("v")
+            ),
+            "ann_pagerank": lambda gg: analytics.pagerank(gg, 5).select(
+                *NODE_KEY, F.round("pagerank", 6).alias("v")
+            ),
+        },
+    )
+    return ann.nodes.select("layer", "node_id", "ann_degree", "ann_pagerank")
+
+
+_REG["graph_annotate"] = (
+    graph_annotate_q,
+    _pagerank_oracle(
+        final_select="""
+    , od AS (SELECT src_layer AS layer, src_id AS node_id, COUNT(*) AS c
+             FROM es GROUP BY 1, 2)
+    , idg AS (SELECT dst_layer AS layer, dst_id AS node_id, COUNT(*) AS c
+              FROM es GROUP BY 1, 2)
+    SELECT ns.layer, ns.node_id,
+           CAST(COALESCE(od.c, 0) + COALESCE(idg.c, 0) AS BIGINT) AS ann_degree,
+           ROUND(p.pr, 6) AS ann_pagerank
+    FROM ns
+    LEFT JOIN od ON od.layer = ns.layer AND od.node_id = ns.node_id
+    LEFT JOIN idg ON idg.layer = ns.layer AND idg.node_id = ns.node_id
+    JOIN pr5 p ON p.layer = ns.layer AND p.node_id = ns.node_id"""
+    ),
+)

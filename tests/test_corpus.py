@@ -160,3 +160,20 @@ def test_documents_parquet_source_partition_pruning(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(source" in plan, plan[:800]
     assert one.count() == docs.filter(F.col("source") == "src0").count()
+
+
+def test_annotate_nodes_pipeline(spark):
+    from onionnet_spark.core import NODE_KEY
+    from onionnet_spark.operators.analytics import degrees
+    from onionnet_spark.operators.properties import annotate_nodes
+
+    g = _toy_graph(spark)  # chain a -> b -> c -> d
+    ann = annotate_nodes(
+        g,
+        {"deg": lambda gg: degrees(gg).select(*NODE_KEY, F.col("degree").alias("v"))},
+    )
+    got = {r["node_id"]: r["deg"] for r in ann.nodes.collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+    assert ann.edges is g.edges  # edges untouched
+    with pytest.raises(ValueError):
+        annotate_nodes(g, {"bad": lambda gg: degrees(gg)})  # 3 value cols
