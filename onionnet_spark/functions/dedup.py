@@ -180,6 +180,37 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    sigs: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH band keys from a wide signature frame: band key = md5 of
+    the band's signature slice joined with ',' (perm order) — a
+    plain projection over the wide row, no extra shuffle. Returns
+    (id, band, band_key). Shared by the batch pair finder and the
+    streaming index maintainer so both bucket identically.
+    """
+    rows_per_band = num_perm // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"s{b * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -207,30 +238,9 @@ def minhash_lsh_pairs(
     AQE's skew split can't help here because the hot key's rows are
     identical post-shuffle and land in one block. 0 disables.
     """
-    rows_per_band = num_perm // bands
     sh = word_shingles(df, text_col, id_col, n).localCheckpoint()
     sigs = minhash_signatures(sh, num_perm)
-    # band key = md5 of the band's signature slice joined with ','
-    # (perm order) — a plain projection over the wide signature row.
-    band_keys = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"s{b * rows_per_band + j}")
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
+    band_keys = minhash_band_keys(sigs, num_perm, bands)
     cand = (
         band_keys.alias("a")
         .join(band_keys.alias("b"), on=["band", "band_key"])

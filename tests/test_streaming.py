@@ -340,3 +340,37 @@ def test_streaming_graph_maintenance(spark, tmp_path):
         ("B", "2", "C", "4"),
         ("C", "4", "C", "5"),
     }
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    # replay the document corpus as a real file stream; the union of
+    # per-batch emitted pairs must equal the one-shot batch LSH pairs
+    from onionnet_spark.functions.dedup import minhash_lsh_pairs
+    from onionnet_spark.streaming.dedup_stream import StreamingDedupMaintainer
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    batch = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5, salt_verify=0).collect()
+    }
+    assert batch  # the corpus must actually contain near-dups
+
+    d = str(tmp_path / "docs")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    m = StreamingDedupMaintainer(spark, threshold=0.5)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    assert m.n_batches >= 3  # genuinely incremental
+    streamed = {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in m.pairs.collect()
+    }
+    assert streamed == batch
+    # no pair is ever emitted twice
+    assert m.pairs.count() == m.pairs.distinct().count()
