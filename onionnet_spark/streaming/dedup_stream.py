@@ -69,20 +69,28 @@ class StreamingDedupMaintainer:
         ).localCheckpoint()
         sigs = minhash_signatures(sh_new, self.num_perm)
         bk_new = minhash_band_keys(sigs, self.num_perm, self.bands).localCheckpoint()
-        all_bk = self.band_keys.unionByName(bk_new)
-        # candidates must touch >= 1 NEW doc: new band keys vs the
-        # full (old + new) key set; least/greatest canonicalizes and
-        # distinct collapses the double-sided new-new matches.
-        cand = (
-            bk_new.alias("a")
-            .join(all_bk.alias("b"), on=["band", "band_key"])
-            .filter(F.col("a.id") != F.col("b.id"))
-            .select(
+        # candidates must touch >= 1 NEW doc. The index probe and the
+        # new-new self-join run SEPARATELY: the index is kept
+        # pre-partitioned on the band key (repartition before
+        # checkpoint, partitioning survives localCheckpoint), so the
+        # probe shuffles only the new batch — the index side never
+        # re-exchanges, which is what keeps a long-running stream's
+        # per-batch cost proportional to the batch, not the corpus.
+        # least/greatest canonicalizes; distinct collapses
+        # double-sided new-new matches and multi-band collisions.
+        def _canon(joined: DataFrame) -> DataFrame:
+            return joined.filter(F.col("a.id") != F.col("b.id")).select(
                 F.least("a.id", "b.id").alias("id_a"),
                 F.greatest("a.id", "b.id").alias("id_b"),
             )
-            .distinct()
+
+        cand_old = _canon(
+            bk_new.alias("a").join(self.band_keys.alias("b"), on=["band", "band_key"])
         )
+        cand_new = _canon(
+            bk_new.alias("a").join(bk_new.alias("b"), on=["band", "band_key"])
+        )
+        cand = cand_old.unionByName(cand_new).distinct()
         shh_new = sh_new.select("id", F.xxhash64("shingle").alias("shingle"))
         shh_all = self.shh.unionByName(shh_new)
         sizes = shh_all.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -115,10 +123,13 @@ class StreamingDedupMaintainer:
             )
             .filter(F.col("jaccard") >= self.threshold)
         )
-        old_pairs, old_shh, old_bk = self.pairs, self.shh, self.band_keys
-        self.pairs = old_pairs.unionByName(new_pairs).localCheckpoint()
+        self.pairs = self.pairs.unionByName(new_pairs).localCheckpoint()
         self.shh = shh_all.localCheckpoint()
-        self.band_keys = all_bk.localCheckpoint()
+        self.band_keys = (
+            self.band_keys.unionByName(bk_new)
+            .repartition("band", "band_key")
+            .localCheckpoint()
+        )
         self.n_batches += 1
 
     def attach(self, doc_stream: DataFrame, checkpoint_dir: str):
