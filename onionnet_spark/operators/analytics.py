@@ -51,20 +51,36 @@ def degrees(graph: OnionGraph) -> DataFrame:
 
 
 def pagerank(
-    graph: OnionGraph, n_iterations: int = 5, damping: float = 0.85
+    graph: OnionGraph,
+    n_iterations: int = 5,
+    damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank, fixed iteration count, uniform init 1/N.
 
-    pr_{i+1}(v) = (1-d)/N + d * sum_{u->v} pr_i(u) / outdeg(u).
+    pr_{i+1}(v) = (1-d)/N + d * sum_{u->v} pr_i(u) * w(u,v) / W(u),
+    where w = 1 and W(u) = outdeg(u) when `weight_col` is None, else
+    w = the edge property and W(u) = its outgoing sum (graph-tool
+    pagerank(weight=...) parity; weights are assumed non-negative).
     Dangling-node mass is NOT redistributed (simple variant); the
     DuckDB oracle unrolls the identical recurrence, so results match
-    exactly up to float rounding.
+    exactly up to float rounding. The unweighted path is
+    bit-identical to the weighted machinery with w = 1.0 (IEEE
+    multiply-by-one and an integer-valued double divisor), so one
+    dataflow serves both.
     """
+    from onionnet_spark.core import EDGE_KEY
+
     n_nodes = graph.nodes.count()
-    e = graph.edge_endpoints()
+    if weight_col is None:
+        e = graph.edge_endpoints().withColumn("w", F.lit(1.0))
+    else:
+        e = graph.edges.select(
+            *EDGE_KEY, F.col(weight_col).cast("double").alias("w")
+        )
     out_deg = e.groupBy(
         F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
-    ).agg(F.count("*").alias("out_degree"))
+    ).agg(F.sum("w").alias("out_degree"))
     # Edges annotated once with source out-degree, PRE-SHUFFLED on
     # the per-iteration join key so every round's sort-merge join
     # reuses this cached exchange and only the (sparse) contribution
@@ -112,7 +128,7 @@ def pagerank(
             annotated.groupBy(
                 F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
             )
-            .agg(F.sum(F.col("pr") / F.col("out_degree")).alias("contrib"))
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("out_degree")).alias("contrib"))
             .localCheckpoint(eager=False)
         )
     ranks = (

@@ -1154,3 +1154,53 @@ _REG["graph_annotate"] = (
     JOIN pr5 p ON p.layer = ns.layer AND p.node_id = ns.node_id"""
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# Weighted PageRank (graph-tool pagerank(weight=...) parity)
+# --------------------------------------------------------------------------
+
+
+@register("graph_pagerank_weighted", None)  # oracle generated below
+def graph_pagerank_weighted_q(spark, sf_dir):
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "orders"]
+    )
+    pr = analytics.pagerank(g, n_iterations=5, damping=0.85, weight_col="weight")
+    return pr.select("layer", "node_id", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _pagerank_weighted_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    lyrs = "('region', 'nation', 'customer', 'orders')"
+    stages = []
+    for i in range(1, n_iter + 1):
+        stages.append(
+            f"""pr{i} AS MATERIALIZED (
+      SELECT ns.layer, ns.node_id,
+             (1 - {damping}) / (SELECT n FROM nn) + {damping} * COALESCE(c.contrib, 0) AS pr
+      FROM ns LEFT JOIN (
+        SELECT e.dst_layer AS layer, e.dst_id AS node_id,
+               SUM(p.pr * e.weight / d.ow) AS contrib
+        FROM es e
+        JOIN pr{i - 1} p ON p.layer = e.src_layer AND p.node_id = e.src_id
+        JOIN deg d ON d.src_layer = e.src_layer AND d.src_id = e.src_id
+        GROUP BY e.dst_layer, e.dst_id
+      ) c ON c.layer = ns.layer AND c.node_id = ns.node_id
+    )"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
+    es AS MATERIALIZED (SELECT * FROM edges_g
+          WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    deg AS MATERIALIZED (SELECT src_layer, src_id, SUM(weight) AS ow
+          FROM es GROUP BY 1, 2),
+    nn AS (SELECT COUNT(*) AS n FROM ns),
+    pr0 AS (SELECT layer, node_id, 1.0 / (SELECT n FROM nn) AS pr FROM ns),
+    {stage_sql}
+    SELECT layer, node_id, ROUND(pr, 6) AS pagerank FROM pr{n_iter}"""
+
+
+_REG["graph_pagerank_weighted"] = (
+    graph_pagerank_weighted_q, _pagerank_weighted_oracle()
+)
