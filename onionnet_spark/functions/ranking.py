@@ -1,0 +1,127 @@
+"""Document ranking: inverted-index term statistics and BM25.
+
+The retrieval surface a training-data pipeline needs for corpus
+exploration and query-driven subset selection: build the term
+dictionary (df/cf/idf), then rank documents against a term list
+with Okapi BM25. Everything is built-in Spark SQL expressions —
+tokenize/explode/aggregate run inside whole-stage codegen; the only
+shuffles are the (doc, term) reduction and the |terms|-row df
+aggregate, which broadcasts back onto the scored side.
+
+Determinism: scores are doubles derived from integer counts
+(tf, df, dl, N, sum_dl) — identical in any engine; final scores are
+rounded to 6 dp before ranking so summation order can't flip ties,
+and ties break on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from onionnet_spark.functions.text import tokens_col
+
+
+def term_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Inverted-index dictionary: per term, document frequency (df),
+    collection frequency (cf), and BM25 idf
+    ln((N - df + 0.5) / (df + 0.5) + 1).
+
+    Two-phase: (doc, term) partial counts map-side, then one shuffle
+    keyed on term. At 100 TB the term key is zipfian — AQE skew
+    splitting handles the head terms, and min_df prunes the hapax
+    tail before any join that consumes the dictionary.
+    """
+    pairs = (
+        df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
+        .select("id", F.explode("t").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = df.count()
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+        )
+        .filter(F.col("df") >= min_df)
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag of query terms.
+
+    score(d) = sum over matched terms of
+      idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Plan shape: tokens filtered to the query terms BEFORE the
+    (doc, term) reduction (the explode emits only matching terms, so
+    shuffle volume is matches, not corpus tokens); df is a
+    |query_terms|-row aggregate broadcast back; the global top-k is
+    orderBy + limit, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort). Docs matching no term are
+    absent, as in any inverted-index engine.
+    """
+    terms = [t.lower() for t in query_terms]
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    ).withColumn("dl", F.size("t"))
+    g = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.select(
+            "id",
+            "dl",
+            F.explode(F.filter("t", lambda x: x.isin(terms))).alias("term"),
+        )
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(g))
+        .groupBy("id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "bm25", "rank"
+    )

@@ -1,0 +1,129 @@
+"""Time-series operators over timestamped fact tables (hypertable
+class: gap-filling, last-observation-carried-forward, anomaly days).
+
+These give parity with the hypertable-style surface (time-bucket
+rollups live in streaming/events.py; this module covers
+time_bucket_gapfill + locf and statistical outlier detection).
+
+Scale notes: the heavy input is reduced FIRST by a (bucket, key)
+aggregation — one shuffle with map-side partials; everything after
+operates on the bucket-level series, whose size is bounded by
+days x keys (calendar-sized, broadcastable). The generated calendar
+never materializes more than |keys| x |days| rows, so the gap-fill
+join is a broadcast at any fact-table scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill_daily_locf(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled daily series per key: every (key, day) in the
+    global [min_day, max_day] span appears exactly once; days with
+    no events get n_events=0, is_gap=1, and sum_value carried
+    forward from the most recent observed day (NULL before the
+    first observation) — TimescaleDB's
+    ``time_bucket_gapfill + locf`` semantics.
+
+    Plan: one shuffle aggregates facts to (day, key); the dense
+    calendar is built from a 1-row global min/max aggregate
+    cross-joined (broadcast) with the distinct key list and an
+    exploded day sequence, then left-joins the daily aggregate.
+    LOCF is ``last(value, ignorenulls=True)`` over an unbounded
+    preceding window per key — series length is calendar-bounded,
+    so the window partition can never be data-scale.
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(key_col).alias("key"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
+    )
+    span = events.agg(
+        F.date_trunc("day", F.min(ts_col)).alias("d0"),
+        F.date_trunc("day", F.max(ts_col)).alias("d1"),
+    )
+    keys = events.select(F.col(key_col).alias("key")).distinct()
+    calendar = (
+        keys.crossJoin(F.broadcast(span))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        calendar.join(daily, on=["day", "key"], how="left")
+        .select(
+            "day",
+            F.col("key").alias("event_type"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.when(F.col("n_events").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_gap"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+    )
+
+
+def anomaly_days(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    z_threshold: float = 1.5,
+) -> DataFrame:
+    """Days whose event count is a z-score outlier within its key's
+    daily series: |count - mean| >= z_threshold * stddev_samp.
+
+    The mean/variance are computed from exact integer sums
+    (sum, sum of squares, n) rather than a streaming stddev
+    aggregate, so the double-precision result is a deterministic
+    function of the counts — identical in any engine and any
+    summation order, which keeps the 6-dp rounded z-score
+    hash-stable. The daily reduction is the only data-scale
+    shuffle; the per-key series the window runs over is
+    calendar-sized.
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(key_col).alias("key"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("key")
+    stats = (
+        daily.withColumn("s1", F.sum("n").over(w))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(w))
+        .withColumn("cnt", F.count("*").over(w))
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = (F.col("s2").cast("double") - F.col("cnt") * mean * mean) / (
+        F.col("cnt") - 1
+    )
+    # zero-variance series have no outliers by definition; guarding
+    # keeps the ANSI divide-by-zero error out of the plan
+    z = F.when(var > 0, F.round((F.col("n").cast("double") - mean) / F.sqrt(var), 6))
+    return (
+        stats.filter(F.col("cnt") > 1)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select(
+            "day",
+            F.col("key").alias("event_type"),
+            F.col("n").cast("bigint").alias("n_events"),
+            "z",
+        )
+    )

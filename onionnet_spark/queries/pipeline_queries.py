@@ -857,3 +857,61 @@ def sequence_packing(spark, sf_dir):
     from onionnet_spark.functions import corpus
 
     return corpus.pack_sequences(_docs(spark, sf_dir), context_len=2048)
+
+
+# --------------------------------------------------------------------------
+# Retrieval: inverted-index term stats + BM25 ranking
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@register(
+    "docs_term_stats",
+    f"""WITH pairs AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY 1, 2
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+           ROUND(ln((CAST((SELECT n_docs FROM n) AS DOUBLE) - COUNT(*) + 0.5)
+                 / (COUNT(*) + 0.5) + 1.0), 6) AS idf
+    FROM pairs GROUP BY term""",
+)
+def docs_term_stats(spark, sf_dir):
+    from onionnet_spark.functions import ranking
+
+    return ranking.term_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "docs_bm25",
+    f"""WITH base AS (
+      SELECT doc_id AS id, {_TOKS} AS t FROM documents
+    ), d AS (SELECT id, len(t) AS dl, t FROM base),
+    g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(len(t)) AS DOUBLE) AS sum_dl FROM base),
+    tf AS (
+      SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT id, dl, unnest(t) AS term FROM d)
+      WHERE term IN ('spark', 'join', 'window')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (
+      SELECT tf.id,
+             ROUND(SUM(ln((g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (g.sum_dl / g.n_docs)))),
+                   6) AS bm25
+      FROM tf JOIN dfreq USING (term) CROSS JOIN g
+      GROUP BY 1
+    )
+    SELECT id AS doc_id, bm25, CAST(rn AS INT) AS rank FROM (
+      SELECT id, bm25, ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS rn FROM s)
+    WHERE rn <= 10""",
+)
+def docs_bm25(spark, sf_dir):
+    from onionnet_spark.functions import ranking
+
+    return ranking.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)

@@ -1081,3 +1081,24 @@ def tpch_q22(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "cube_revenue",
+    """SELECT o_orderpriority, o_orderstatus,
+      ROUND(SUM(o_totalprice), 2) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+)
+def cube_revenue(spark, sf_dir):
+    """CUBE sibling of rollup_revenue: all 2^2 grouping sets in one
+    Expand + one shuffled aggregation (no join: pure fact-side)."""
+    return (
+        load_tables(spark, sf_dir)["orders"]
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )

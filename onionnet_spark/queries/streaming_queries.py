@@ -216,3 +216,71 @@ def events_retention(spark, sf_dir):
             "n_users",
         )
     )
+
+
+@register(
+    "events_gapfill",
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+             CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+      FROM events
+    ),
+    cal AS (
+      SELECT k.key, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS day
+      FROM (SELECT DISTINCT event_type AS key FROM events) k CROSS JOIN span s
+    )
+    SELECT cal.day, cal.key AS event_type,
+           CAST(COALESCE(daily.n_events, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN daily.n_events IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+           last_value(daily.sum_value IGNORE NULLS) OVER (
+             PARTITION BY cal.key ORDER BY cal.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_locf
+    FROM cal LEFT JOIN daily ON daily.day = cal.day AND daily.key = cal.key""",
+)
+def events_gapfill(spark, sf_dir):
+    """time_bucket_gapfill + locf parity: dense per-type daily
+    series with zero-filled counts and carried-forward sums."""
+    from onionnet_spark.operators import timeseries
+
+    return timeseries.gapfill_daily_locf(_events(spark, sf_dir))
+
+
+@register(
+    "events_anomaly",
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT day, key, n,
+             SUM(n) OVER (PARTITION BY key) AS s1,
+             SUM(n * n) OVER (PARTITION BY key) AS s2,
+             COUNT(*) OVER (PARTITION BY key) AS cnt
+      FROM daily
+    )
+    SELECT day, key AS event_type, CAST(n AS BIGINT) AS n_events,
+           ROUND((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+                 / sqrt((CAST(s2 AS DOUBLE) - cnt * (CAST(s1 AS DOUBLE) / cnt)
+                         * (CAST(s1 AS DOUBLE) / cnt)) / (cnt - 1)), 6) AS z
+    FROM st
+    WHERE cnt > 1
+      AND (CAST(s2 AS DOUBLE) - cnt * (CAST(s1 AS DOUBLE) / cnt)
+           * (CAST(s1 AS DOUBLE) / cnt)) / (cnt - 1) > 0
+      AND abs(ROUND((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+              / sqrt((CAST(s2 AS DOUBLE) - cnt * (CAST(s1 AS DOUBLE) / cnt)
+                      * (CAST(s1 AS DOUBLE) / cnt)) / (cnt - 1)), 6)) >= 1.5""",
+)
+def events_anomaly(spark, sf_dir):
+    """z-score outlier days per event type; exact integer-sum
+    variance keeps the rounded score engine-independent."""
+    from onionnet_spark.operators import timeseries
+
+    return timeseries.anomaly_days(_events(spark, sf_dir), z_threshold=1.5)

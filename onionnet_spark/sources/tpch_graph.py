@@ -64,6 +64,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out["events"] = out["events"].withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    # Parquet TIMESTAMP_MICROS with isAdjustedToUTC=false infers as
+    # TIMESTAMP_NTZ (Spark >= 3.4). Batch semantics are identical
+    # under the fixed UTC session zone, but event-time watermarks
+    # require TIMESTAMP, so normalize here — the cast reinterprets
+    # the same wall-clock instant in UTC, changing no values.
+    elif dict(out["events"].dtypes).get("ts") == "timestamp_ntz":
+        out["events"] = out["events"].withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
     _TABLE_CACHE[key] = dict(out)
     return dict(out)
 
