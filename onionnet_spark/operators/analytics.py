@@ -786,3 +786,154 @@ def harmonic_closeness_sampled(
             ).alias("harmonic"),
         )
     )
+
+
+def hits(graph: OnionGraph, n_iterations: int = 3) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg), fixed iteration count.
+
+    a_{i}(v) = sum_{u->v} h_{i-1}(u);  h_{i}(u) = sum_{u->v} a_{i}(v),
+    h_0 = 1. Iterates are kept UN-normalized: starting from integer 1
+    they stay exact integers (sums of integer products commute in any
+    order below 2^53), so the trajectory is bit-identical in every
+    engine — the usual per-round L2 normalization would inject a
+    global float sum whose summation order is engine-specific.
+    Normalization to L1 = 1 happens exactly once, at the end, from
+    integer totals. Callers must keep n_iterations small enough that
+    values stay under 2^53 (growth is bounded by (max degree)^2 per
+    round); the default 3 is safe through sf well beyond the bench.
+
+    Scale shape: like pagerank, the edge list is pre-shuffled once on
+    each join key (src for the authority gather, dst for the hub
+    gather) and checkpointed, so every round reuses two cached
+    exchanges and only the sparse score tables move.
+    """
+    e = graph.edge_endpoints().select(
+        "src_layer", "src_id", "dst_layer", "dst_id"
+    )
+    e_by_src = e.repartition("src_layer", "src_id").localCheckpoint()
+    e_by_dst = e.repartition("dst_layer", "dst_id").localCheckpoint()
+    hub = graph.nodes.select("layer", "node_id", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(n_iterations):
+        auth = (
+            e_by_src.join(
+                hub.select(
+                    F.col("layer").alias("src_layer"),
+                    F.col("node_id").alias("src_id"),
+                    "h",
+                ),
+                on=["src_layer", "src_id"],
+            )
+            .groupBy(
+                F.col("dst_layer").alias("layer"),
+                F.col("dst_id").alias("node_id"),
+            )
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        hub = (
+            e_by_dst.join(
+                auth.select(
+                    F.col("layer").alias("dst_layer"),
+                    F.col("node_id").alias("dst_id"),
+                    "a",
+                ),
+                on=["dst_layer", "dst_id"],
+            )
+            .groupBy(
+                F.col("src_layer").alias("layer"),
+                F.col("src_id").alias("node_id"),
+            )
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    totals = auth.agg(F.sum("a").alias("ta")).crossJoin(
+        hub.agg(F.sum("h").alias("th"))
+    )
+    return (
+        graph.nodes.select("layer", "node_id")
+        .join(auth, on=["layer", "node_id"], how="left")
+        .join(hub, on=["layer", "node_id"], how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "layer",
+            "node_id",
+            F.round(F.coalesce("a", F.lit(0.0)) / F.col("ta"), 6).alias(
+                "authority"
+            ),
+            F.round(F.coalesce("h", F.lit(0.0)) / F.col("th"), 6).alias("hub"),
+        )
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    guard: bool = True,
+) -> DataFrame:
+    """k-truss: the maximal subgraph in which every edge closes at
+    least k-2 triangles. Computed by support peeling: per round,
+    count each edge's triangles within the surviving edge set and
+    drop edges below k-2; repeat `rounds` times (a converged set is
+    a fixpoint, so extra rounds are no-ops and the unrolled oracle
+    stays in lockstep at any round count).
+
+    Input is an undirected edge list; rows are canonicalized to
+    (min, max) and deduplicated. Support counting is the standard
+    common-neighbor equi-join — adjacency joined twice on the shared
+    third vertex — which shuffles on node keys only. With
+    ``guard=True`` a final support pass verifies the fixpoint was
+    reached and raises RuntimeError otherwise (the silent-truncation
+    trap flagged for iterative ops in round 1).
+
+    Returns surviving edges (a, b, support) with support computed in
+    the final subgraph. Scale: per-round cost is triangle
+    enumeration on the current (shrinking) edge set; peeling
+    converges in a handful of rounds on real skews because support
+    is monotone non-increasing under deletion.
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    e = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def support(cur: DataFrame) -> DataFrame:
+        adj = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        x = adj.select(F.col("u").alias("a"), F.col("v").alias("w"))
+        y = adj.select(F.col("u").alias("b"), F.col("v").alias("w"))
+        return (
+            cur.join(x, on="a").join(y, on=["b", "w"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+
+    min_sup = k - 2
+    for _ in range(rounds):
+        e = (
+            support(e)
+            .filter(F.col("support") >= min_sup)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    final = e.join(support(e), on=["a", "b"], how="left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
+    )
+    if guard:
+        n_unstable = final.filter(F.col("support") < min_sup).count()
+        if n_unstable:
+            raise RuntimeError(
+                f"k_truss did not converge in {rounds} rounds: "
+                f"{n_unstable} edges still below support {min_sup}; "
+                "raise `rounds`"
+            )
+    return final

@@ -1204,3 +1204,245 @@ def _pagerank_weighted_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
 _REG["graph_pagerank_weighted"] = (
     graph_pagerank_weighted_q, _pagerank_weighted_oracle()
 )
+
+
+def _hits_oracle(n_iter: int = 3) -> str:
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    stages = []
+    for i in range(1, n_iter + 1):
+        stages.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT e.dst_layer AS layer, e.dst_id AS node_id, SUM(h.h) AS a
+      FROM es e JOIN h{i - 1} h
+        ON h.layer = e.src_layer AND h.node_id = e.src_id
+      GROUP BY 1, 2
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT e.src_layer AS layer, e.src_id AS node_id, SUM(a.a) AS h
+      FROM es e JOIN a{i} a
+        ON a.layer = e.dst_layer AND a.node_id = e.dst_id
+      GROUP BY 1, 2
+    )"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
+    es AS MATERIALIZED (SELECT * FROM edges_g
+                        WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    h0 AS (SELECT layer, node_id, 1.0 AS h FROM ns),
+    {stage_sql},
+    tot AS (SELECT (SELECT SUM(a) FROM a{n_iter}) AS ta,
+                   (SELECT SUM(h) FROM h{n_iter}) AS th)
+    SELECT ns.layer, ns.node_id,
+           ROUND(COALESCE(a.a, 0) / tot.ta, 6) AS authority,
+           ROUND(COALESCE(h.h, 0) / tot.th, 6) AS hub
+    FROM ns CROSS JOIN tot
+    LEFT JOIN a{n_iter} a ON a.layer = ns.layer AND a.node_id = ns.node_id
+    LEFT JOIN h{n_iter} h ON h.layer = ns.layer AND h.node_id = ns.node_id"""
+
+
+def graph_hits_q(spark, sf_dir):
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return analytics.hits(g, n_iterations=3)
+
+
+_REG["graph_hits"] = (graph_hits_q, _hits_oracle())
+
+
+_KTRUSS_TOPN, _KTRUSS_K, _KTRUSS_ROUNDS = 60, 8, 4
+
+
+def _ktruss_oracle(topn: int = _KTRUSS_TOPN, k: int = _KTRUSS_K,
+                   rounds: int = _KTRUSS_ROUNDS) -> str:
+    stages = []
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""adj{i - 1} AS (SELECT a AS u, b AS v FROM e{i - 1}
+                  UNION ALL SELECT b, a FROM e{i - 1}),
+    e{i} AS MATERIALIZED (
+      SELECT s.a, s.b FROM (
+        SELECT e.a, e.b, COUNT(*) AS c
+        FROM e{i - 1} e
+        JOIN adj{i - 1} x ON x.u = e.a
+        JOIN adj{i - 1} y ON y.u = e.b AND y.v = x.v
+        GROUP BY e.a, e.b) s
+      WHERE s.c >= {k - 2}
+    )"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH sp AS (
+      SELECT DISTINCT l_partkey AS part, s_nationkey AS nat
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    ),
+    pairs AS (
+      SELECT 'nation:' || CAST(a.nat AS VARCHAR) AS a,
+             'nation:' || CAST(b.nat AS VARCHAR) AS b,
+             COUNT(*) AS shared
+      FROM sp a JOIN sp b ON a.part = b.part
+      WHERE 'nation:' || CAST(a.nat AS VARCHAR)
+            < 'nation:' || CAST(b.nat AS VARCHAR)
+      GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (ORDER BY shared DESC, a, b) AS rn
+        FROM pairs) r
+      WHERE rn <= {topn}
+    ),
+    {stage_sql},
+    adjF AS (SELECT a AS u, b AS v FROM e{rounds}
+             UNION ALL SELECT b, a FROM e{rounds}),
+    supF AS (
+      SELECT e.a, e.b, COUNT(*) AS c
+      FROM e{rounds} e
+      JOIN adjF x ON x.u = e.a
+      JOIN adjF y ON y.u = e.b AND y.v = x.v
+      GROUP BY e.a, e.b
+    )
+    SELECT e.a, e.b, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+    FROM e{rounds} e LEFT JOIN supF s ON s.a = e.a AND s.b = e.b"""
+
+
+def graph_ktruss_q(spark, sf_dir):
+    """k-truss of the nation co-supply graph, sparsified to the
+    top-N pairs by shared-part count (a deterministic count-based
+    cut — percentile thresholds would drift across SFs)."""
+    from pyspark.sql import Window
+
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    t = load_tables(spark, sf_dir)
+    sp = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("s_nationkey").cast("string").alias("nat"),
+        )
+        .distinct()
+    )
+    pairs = (
+        sp.alias("x")
+        .join(sp.alias("y"), on="part")
+        .filter(F.col("x.nat") < F.col("y.nat"))
+        .groupBy(
+            F.concat(F.lit("nation:"), F.col("x.nat")).alias("a"),
+            F.concat(F.lit("nation:"), F.col("y.nat")).alias("b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    w = Window.orderBy(F.col("shared").desc(), "a", "b")
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KTRUSS_TOPN)
+        .select("a", "b")
+    )
+    return analytics.k_truss(
+        top, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS, guard=True
+    )
+
+
+_REG["graph_ktruss"] = (graph_ktruss_q, _ktruss_oracle())
+
+
+def _cosupply_top_pairs(spark, sf_dir, topn: int):
+    """Canonical (a < b) nation co-supply pairs, top-N by shared
+    part count — shared derivation for k-truss / motif queries."""
+    from pyspark.sql import Window
+
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    t = load_tables(spark, sf_dir)
+    sp = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("s_nationkey").cast("string").alias("nat"),
+        )
+        .distinct()
+    )
+    pairs = (
+        sp.alias("x")
+        .join(sp.alias("y"), on="part")
+        .filter(F.col("x.nat") < F.col("y.nat"))
+        .groupBy(
+            F.concat(F.lit("nation:"), F.col("x.nat")).alias("a"),
+            F.concat(F.lit("nation:"), F.col("y.nat")).alias("b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    w = Window.orderBy(F.col("shared").desc(), "a", "b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topn)
+        .select("a", "b")
+    )
+
+
+_COSUPPLY_SQL = """sp AS (
+      SELECT DISTINCT l_partkey AS part, s_nationkey AS nat
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    ),
+    cpairs AS (
+      SELECT 'nation:' || CAST(a.nat AS VARCHAR) AS a,
+             'nation:' || CAST(b.nat AS VARCHAR) AS b,
+             COUNT(*) AS shared
+      FROM sp a JOIN sp b ON a.part = b.part
+      WHERE 'nation:' || CAST(a.nat AS VARCHAR)
+            < 'nation:' || CAST(b.nat AS VARCHAR)
+      GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (ORDER BY shared DESC, a, b) AS rn
+        FROM cpairs) r
+      WHERE rn <= {topn}
+    )"""
+
+
+@register(
+    "graph_motif_open_triads",
+    f"""WITH {_COSUPPLY_SQL.format(topn=60)},
+    adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0)
+    SELECT DISTINCT w1.u AS a_id, w1.v AS b_id, w2.v AS c_id
+    FROM adj w1 JOIN adj w2 ON w2.u = w1.v
+    WHERE w1.u < w2.v
+      AND NOT EXISTS (SELECT 1 FROM adj x
+                      WHERE x.u = w1.u AND x.v = w2.v)""",
+)
+def graph_motif_open_triads(spark, sf_dir):
+    """Open triads (a-b-c with no a-c closure) via the motif matcher
+    on the symmetrized top-60 co-supply graph; bindings canonicalized
+    a < c. The classic link-prediction candidate set."""
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.motifs import find_motifs
+
+    und = _cosupply_top_pairs(spark, sf_dir, 60)
+    edges = und.select(
+        F.lit("nation").alias("src_layer"),
+        F.col("a").alias("src_id"),
+        F.lit("nation").alias("dst_layer"),
+        F.col("b").alias("dst_id"),
+    ).union(
+        und.select(
+            F.lit("nation").alias("src_layer"),
+            F.col("b").alias("src_id"),
+            F.lit("nation").alias("dst_layer"),
+            F.col("a").alias("dst_id"),
+        )
+    )
+    nodes = (
+        edges.select(F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id"))
+        .union(edges.select(F.col("dst_layer"), F.col("dst_id")))
+        .distinct()
+    )
+    g = OnionGraph(nodes, edges.withColumn("etype", F.lit("cosupply")))
+    m = find_motifs(g, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    return (
+        m.filter(F.col("a_id") < F.col("c_id"))
+        .select("a_id", "b_id", "c_id")
+        .distinct()
+    )
