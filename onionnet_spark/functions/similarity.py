@@ -397,3 +397,173 @@ def ann_ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    # expanded form (a.a - 2a.b + b.b): each term is the same ordered
+    # fold as `dot`, which DuckDB mirrors with list_dot_product — the
+    # structural alignment keeps rounded values engine-identical
+    return dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Product-quantization codebooks: the vector is split into `m`
+    contiguous subvectors and each subspace learns its own k-centroid
+    L2 Lloyd codebook. Deterministic like `kmeans_codebook`: seeds
+    are the k vectors sorting first by md5(id) (the same seed rows in
+    every subspace), assignment uses 6dp-rounded squared L2 with cid
+    tie-break, and centroid coordinates are rounded to 6dp — so any
+    engine replaying the recurrence gets the identical codebook.
+
+    Returns DataFrame(j, cid, cv) with j in [0, m): subspace index.
+    All m subspaces iterate in ONE dataflow keyed by j — per round:
+    one broadcast of the m*k codebook rows, one shuffle on
+    (j, cid, pos) for the mean update.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    svs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * sub + 1, sub),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    svs = svs.repartition("j", "id").localCheckpoint()
+    seed_ids = (
+        df.select(F.col(id_col).alias("id"))
+        .orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(k)
+    )
+    cents = (
+        svs.join(F.broadcast(seed_ids), on="id")
+        .select(
+            "j",
+            F.col("id").alias("cid"),
+            F.transform("sv", lambda x: F.round(x, 6)).alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("j", "id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    for _ in range(iterations):
+        assigned = (
+            svs.join(F.broadcast(cents), on="j")
+            .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("j", "id", "sv", "cid")
+        )
+        cents = (
+            assigned.select("j", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("j", "cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mval"))
+            .groupBy("j", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select("j", "cid", F.transform("pm", lambda s: s["mval"]).alias("cv"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 4,
+    n_centroids: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Product-quantization approximate top-k by asymmetric distance
+    (ADC): candidates are stored as m one-byte codes; a query's
+    distance to a candidate is the sum of its precomputed
+    query-to-centroid subdistances at the candidate's codes.
+
+    The plan is the textbook PQ shape re-expressed relationally:
+      1. encode: per (vector, subspace) argmin centroid — broadcast
+         m*k codebook, one window per (j, id);
+      2. ADC table: query x subspace x centroid distances
+         (|Q| * m * k rows — broadcastable by construction);
+      3. score: codes ⋈ table on (j, cid), then a (query, candidate)
+         partial-aggregated SUM — per-pair cost is m lookups instead
+         of `dim` multiplies, which is the whole point of PQ.
+    At 100 TB you bound |Q| per pass (the ADC table must stay
+    broadcastable) and compose with IVF cells so the code join only
+    sees one cell's candidates, not the full corpus.
+
+    Approximate by design (quantization error); ranks order by
+    6dp-rounded reconstructed distance, neighbor_id tie-break.
+    """
+    from pyspark.sql import Window
+
+    cents = pq_codebooks(df, vec_col, id_col, m=m, k=n_centroids,
+                         iterations=iterations)
+    dim = len(df.select(vec_col).first()[0])
+    sub = dim // m
+    svs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * sub + 1, sub),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    scored = svs.join(F.broadcast(cents), on="j").withColumn(
+        "d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6)
+    )
+    w_code = Window.partitionBy("j", "id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id"), "j", "cid")
+    )
+    # ADC lookup table: every row of `scored` IS a query-to-centroid
+    # subdistance — reuse it directly
+    qtab = scored.select(
+        F.col("id").alias("query_id"), "j", "cid", "d2"
+    )
+    pairs = (
+        codes.join(F.broadcast(qtab), on=["j", "cid"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

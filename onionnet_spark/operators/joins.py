@@ -177,3 +177,59 @@ def range_join_count(
         )
         .drop("_lid")
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    block_suffix_len: int = 2,
+    dist_col: str = "edit_dist",
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — entity resolution /
+    record linkage. Candidates must share a BLOCK KEY (the string
+    minus its last `block_suffix_len` chars), then the exact
+    Levenshtein distance filters to <= max_dist.
+
+    Blocking is load-bearing at scale: an unblocked theta-join is a
+    cross product (the reference class of bug the banded range join
+    also avoids); with a prefix block the join is a plain equi-join
+    whose fan-out is bounded per block. Like every blocked linkage,
+    recall is approximate by construction — pairs differing inside
+    the blocked prefix are unseen. Both the blocking rule and the
+    verify predicate run as JVM expressions (whole-stage codegen).
+    """
+    lb = F.expr(
+        f"substring({left_col}, 1, greatest(length({left_col}) - {block_suffix_len}, 1))"
+    )
+    rb = F.expr(
+        f"substring({right_col}, 1, greatest(length({right_col}) - {block_suffix_len}, 1))"
+    )
+    l = left.withColumn("_blk", lb)
+    r = right.withColumn("_blk", rb)
+    return (
+        l.join(r, on="_blk")
+        .withColumn(dist_col, F.levenshtein(F.col(left_col), F.col(right_col)))
+        .filter(F.col(dist_col) <= max_dist)
+        .drop("_blk")
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_dist: int = 1,
+    block_suffix_len: int = 2,
+) -> DataFrame:
+    """Near-identical value pairs within one table (canonical
+    id_a < id_b) — the dedup-shaped use of `fuzzy_join`."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(col).alias("val_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(col).alias("val_b"))
+    return (
+        fuzzy_join(a, b, "val_a", "val_b", max_dist, block_suffix_len)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "val_a", "val_b", "edit_dist")
+    )

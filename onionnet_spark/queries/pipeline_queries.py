@@ -915,3 +915,87 @@ def docs_bm25(spark, sf_dir):
     from onionnet_spark.functions import ranking
 
     return ranking.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+def _ann_pq_oracle(
+    m: int = 4, dim: int = 64, k_cent: int = 8, iterations: int = 2,
+    topk: int = 5,
+) -> str:
+    """Unrolls similarity.pq_codebooks + ann_pq_topk: per-subspace
+    seeded L2 Lloyd rounds with 6dp-rounded intermediates, then ADC
+    scoring. Squared L2 uses the dot-product expansion
+    (a.a - 2a.b + b.b) on both engines so rounded values align."""
+    sub = dim // m
+    j_vals = ", ".join(f"({j})" for j in range(m))
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 6)"
+        )
+
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""sv AS MATERIALIZED (
+       SELECT v.vec_id AS id, t.j, v.e[t.j * {sub} + 1 : t.j * {sub} + {sub}] AS sv
+       FROM v CROSS JOIN (VALUES {j_vals}) t(j))""",
+        f"""seed AS (SELECT vec_id AS sid FROM v
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cent})""",
+        """c0 AS (SELECT sv.j, sv.id AS cid,
+         list_transform(sv.sv, x -> round(x, 6)) AS cv
+       FROM sv JOIN seed ON sv.id = seed.sid)""",
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        ctes.append(
+            f"""s{it} AS MATERIALIZED (
+       SELECT sv.id, sv.j, sv.sv, c.cid, {d2('sv.sv', 'c.cv')} AS d2
+       FROM sv JOIN {prev} c ON c.j = sv.j)"""
+        )
+        ctes.append(
+            f"""a{it} AS (SELECT id, j, sv, cid FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY j, id ORDER BY d2, cid) AS rn
+         FROM s{it}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{it} AS MATERIALIZED (SELECT j, cid, list(mval ORDER BY pos) AS cv FROM (
+         SELECT j, cid, pos, ROUND(AVG(x), 6) AS mval
+         FROM (SELECT j, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+               FROM a{it})
+         GROUP BY j, cid, pos) GROUP BY j, cid)"""
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""sf AS MATERIALIZED (
+       SELECT sv.id, sv.j, sv.sv, c.cid, {d2('sv.sv', 'c.cv')} AS d2
+       FROM sv JOIN {prev} c ON c.j = sv.j)"""
+    )
+    ctes.append(
+        """codes AS MATERIALIZED (SELECT id, j, cid FROM (
+         SELECT id, j, cid, ROW_NUMBER() OVER (PARTITION BY j, id ORDER BY d2, cid) AS rn
+         FROM sf) WHERE rn = 1)"""
+    )
+    ctes.append(
+        """pairs AS (SELECT q.id AS query_id, codes.id AS neighbor_id,
+           ROUND(SUM(q.d2), 6) AS pq_dist
+       FROM codes JOIN sf q ON q.j = codes.j AND q.cid = codes.cid
+         AND q.id <> codes.id
+       GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        """r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY pq_dist, neighbor_id) AS INT) AS rank
+       FROM pairs)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT query_id, neighbor_id, pq_dist, rank FROM r WHERE rank <= {topk}"
+    )
+
+
+@register("ann_pq_topk", _ann_pq_oracle())
+def ann_pq_topk_q(spark, sf_dir):
+    return similarity.ann_pq_topk(
+        _embs(spark, sf_dir), k=5, m=4, n_centroids=8, iterations=2
+    )

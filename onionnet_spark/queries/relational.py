@@ -1102,3 +1102,30 @@ def cube_revenue(spark, sf_dir):
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@register(
+    "fuzzy_name_pairs",
+    """WITH c AS (
+      SELECT c_custkey AS id, c_name AS name,
+             substring(c_name, 1, greatest(length(c_name) - 2, 1)) AS blk
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.name AS val_a, b.name AS val_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1""",
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Blocked fuzzy self-linkage over customer names: prefix block
+    (all but the last 2 chars), exact Levenshtein <= 1 verify."""
+    from onionnet_spark.operators.joins import fuzzy_self_pairs
+
+    return fuzzy_self_pairs(
+        load_tables(spark, sf_dir)["customer"],
+        col="c_name",
+        id_col="c_custkey",
+        max_dist=1,
+        block_suffix_len=2,
+    )
