@@ -126,3 +126,97 @@ def pack_sequences(
             ).alias("last_seq"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: within each
+    stratum, rows rank by the md5 of their id (a seedless lottery —
+    reproducible across runs and partitionings, unlike `sample()`'s
+    RNG) and the first n win. One shuffle on the stratum key; the
+    rank window runs per-stratum, so no global ordering exists
+    anywhere in the plan.
+
+    Skew note: a hot stratum concentrates its window in one task.
+    n_per_stratum bounds the OUTPUT, not the window input — for
+    hot-key-heavy strata at 100 TB, pre-thin with `hash_sample` at
+    a few-x oversample rate, then rank exactly.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    percentiles: list[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact interpolated percentiles of `value_col` per group —
+    the per-domain length/quality distribution a curation pipeline
+    monitors. One shuffle on the group key; `percentile` computes
+    all requested points in a single sort-based aggregation. The
+    100 TB drop-in is `approx_percentile` (Greenwald-Khanna, fixed
+    memory, mergeable) — same call shape.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    aggs = [
+        F.round(F.expr(
+            f"percentile({'_pv'}, {p})"
+        ), 6).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return (
+        df.withColumn("_pv", v)
+        .groupBy(group_col)
+        .agg(F.count("*").cast("bigint").alias("n"), *aggs)
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column profiling: one output row per column with null count,
+    exact distinct count, and min/max (as strings — type-erased so
+    heterogeneous columns stack). The `ANALYZE`-shaped primitive for
+    corpus intake.
+
+    Single pass over the data: all per-column aggregates run in one
+    job (no per-column scans); distinct counts expand via Spark's
+    multi-count-distinct Expand, which is the standard exact plan.
+    At 100 TB swap count_distinct for approx_count_distinct — one
+    line, same output schema.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    row = df.agg(F.count("*").alias("__total"), *aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                (F.col("__total") - F.col(f"{c}__nn")).cast("bigint").alias("n_null"),
+                F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_value"),
+                F.col(f"{c}__mx").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

@@ -127,3 +127,34 @@ def anomaly_days(
             "z",
         )
     )
+
+
+def scd2_intervals(
+    updates: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    attr_cols: tuple[str, ...] = ("event_type", "value"),
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an update
+    stream: every update opens a version row whose validity closes
+    at the key's next update — the lakehouse MERGE pattern for
+    dimension maintenance, as one window pass.
+
+    valid_from = the update's timestamp; valid_to = lead(ts) within
+    the key (NULL = current version, is_current = 1). `seq_col`
+    breaks equal-timestamp ties deterministically. One shuffle on
+    the key; version chains are per-key-bounded so the window never
+    sees data-scale partitions.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(seq_col))
+    return updates.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.when(F.lead(ts_col).over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+    )

@@ -1446,3 +1446,84 @@ def graph_motif_open_triads(spark, sf_dir):
         .select("a_id", "b_id", "c_id")
         .distinct()
     )
+
+
+def _cosupply_graph(spark, sf_dir, topn: int):
+    """Symmetrized co-supply OnionGraph (both edge directions) from
+    the top-N canonical pairs."""
+    from onionnet_spark.core import OnionGraph
+
+    # pairs carry 'nation:<id>' strings; strip the prefix so
+    # 'layer:node_id' reconstruction (e.g. in walk keys) round-trips
+    und = _cosupply_top_pairs(spark, sf_dir, topn).select(
+        F.expr("substring(a, 8)").alias("a"), F.expr("substring(b, 8)").alias("b")
+    )
+    edges = und.select(
+        F.lit("nation").alias("src_layer"),
+        F.col("a").alias("src_id"),
+        F.lit("nation").alias("dst_layer"),
+        F.col("b").alias("dst_id"),
+    ).union(
+        und.select(
+            F.lit("nation").alias("src_layer"),
+            F.col("b").alias("src_id"),
+            F.lit("nation").alias("dst_layer"),
+            F.col("a").alias("dst_id"),
+        )
+    )
+    nodes = (
+        edges.select(
+            F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
+        )
+        .union(edges.select(F.col("dst_layer"), F.col("dst_id")))
+        .distinct()
+    )
+    return OnionGraph(nodes, edges.withColumn("etype", F.lit("cosupply")))
+
+
+def _walks_oracle(topn: int = 60, walk_len: int = 8) -> str:
+    draw = (
+        "CAST(substr(translate(md5(s.start || '|' || s.cur || '|' || '{t}'),"
+        " 'abcdef', '012345'), 1, 6) AS BIGINT)"
+    )
+    stages, selects = [], [
+        "SELECT start, CAST(0 AS INT) AS step, cur AS node FROM s0"
+    ]
+    for t in range(1, walk_len + 1):
+        stages.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT s.start, a.v AS cur
+      FROM s{t - 1} s
+      JOIN deg d ON d.u = s.cur
+      JOIN adj a ON a.u = s.cur
+        AND a.idx = {draw.format(t=t)} % d.deg
+    )"""
+        )
+        selects.append(
+            f"SELECT start, CAST({t} AS INT) AS step, cur AS node FROM s{t}"
+        )
+    stage_sql = ",\n    ".join(stages)
+    union_sql = "\n    UNION ALL ".join(selects)
+    return f"""WITH {_COSUPPLY_SQL.format(topn=topn)},
+    adjd AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+    adj AS MATERIALIZED (
+      SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS idx
+      FROM adjd),
+    deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+                         FROM adj GROUP BY u),
+    s0 AS (SELECT DISTINCT u AS start, u AS cur FROM adj),
+    {stage_sql}
+    {union_sql}"""
+
+
+@register("graph_random_walks", _walks_oracle())
+def graph_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style walks (len 8) over the
+    symmetrized top-60 co-supply graph; draw = md5(start|cur|step)
+    mod out-degree, replayed verbatim by the oracle."""
+    from onionnet_spark.operators.walks import random_walks
+
+    g = _cosupply_graph(spark, sf_dir, 60)
+    w = random_walks(g, walk_len=8)
+    # node keys are 'nation:<id>' strings already
+    return w.select("start", "step", "node")

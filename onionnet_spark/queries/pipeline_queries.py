@@ -999,3 +999,74 @@ def ann_pq_topk_q(spark, sf_dir):
     return similarity.ann_pq_topk(
         _embs(spark, sf_dir), k=5, m=4, n_centroids=8, iterations=2
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus composition (round 3): stratified sampling, per-source
+# distribution monitoring, intake profiling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample",
+    """SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) WHERE rk <= 10""",
+)
+def stratified_sample_q(spark, sf_dir):
+    from onionnet_spark.functions import corpus
+
+    return corpus.stratified_sample(
+        _docs(spark, sf_dir), strata_col="source", n_per_stratum=10
+    )
+
+
+@register(
+    "source_length_percentiles",
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+      ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+      ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+      ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY source""",
+)
+def source_length_percentiles(spark, sf_dir):
+    from onionnet_spark.functions import corpus
+
+    return corpus.grouped_percentiles(
+        _docs(spark, sf_dir), group_col="source", value_col="n_chars"
+    )
+
+
+@register(
+    "docs_profile",
+    """SELECT 'doc_id' AS column,
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) - COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents""",
+)
+def docs_profile(spark, sf_dir):
+    from onionnet_spark.functions import corpus
+
+    return corpus.profile_table(
+        _docs(spark, sf_dir), columns=["doc_id", "lang", "source", "n_chars"]
+    )

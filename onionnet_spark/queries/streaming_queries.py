@@ -284,3 +284,20 @@ def events_anomaly(spark, sf_dir):
     from onionnet_spark.operators import timeseries
 
     return timeseries.anomaly_days(_events(spark, sf_dir), z_threshold=1.5)
+
+
+@register(
+    "events_scd2",
+    """SELECT user_id, event_type, value,
+      ts AS valid_from,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM events""",
+)
+def events_scd2(spark, sf_dir):
+    """SCD type-2 version history from the event stream: one window
+    pass closes each version at the key's next update."""
+    from onionnet_spark.operators import timeseries
+
+    return timeseries.scd2_intervals(_events(spark, sf_dir))

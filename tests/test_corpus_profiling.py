@@ -1,0 +1,105 @@
+"""Tests for stratified sampling, grouped percentiles, table
+profiling, SCD2 intervals, and deterministic random walks."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from onionnet_spark.functions import corpus
+from onionnet_spark.operators import timeseries
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.stratified_sample(docs, "source", 10)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in counts.items():
+        assert n == min(10, totals[src])
+    ids = {r["doc_id"] for r in out.collect()}
+    again = {r["doc_id"] for r in
+             corpus.stratified_sample(docs.repartition(7), "source", 10).collect()}
+    assert ids == again  # seedless lottery is partitioning-stable
+
+
+def test_grouped_percentiles_known_values(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 5.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in
+           corpus.grouped_percentiles(df, "g", "v", [0.5]).collect()}
+    assert out["a"]["p50"] == 50.5  # interpolated median of 1..100
+    assert out["a"]["n"] == 100
+    assert out["b"]["p50"] == 5.0
+
+
+def test_profile_table(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (None, "y")], "a int, b string"
+    )
+    prof = {r["column"]: r for r in corpus.profile_table(df).collect()}
+    assert prof["a"]["n_null"] == 1
+    assert prof["a"]["n_distinct"] == 3
+    assert prof["a"]["min_value"] == "1" and prof["a"]["max_value"] == "3"
+    assert prof["b"]["n_null"] == 1
+    assert prof["b"]["n_distinct"] == 2
+
+
+def test_scd2_intervals_chain(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(hours=1), 7, "click", 2.0, "{}"),
+        (3, t0 + datetime.timedelta(hours=2), 7, "purchase", 3.0, "{}"),
+        (4, t0, 8, "view", 9.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = timeseries.scd2_intervals(events).collect()
+    u7 = sorted([r for r in out if r["user_id"] == 7],
+                key=lambda r: r["valid_from"])
+    # versions chain: each valid_to equals the next valid_from
+    assert [r["event_type"] for r in u7] == ["view", "click", "purchase"]
+    assert u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert u7[1]["valid_to"] == u7[2]["valid_from"]
+    assert (u7[0]["is_current"], u7[2]["is_current"]) == (0, 1)
+    u8 = [r for r in out if r["user_id"] == 8]
+    assert len(u8) == 1 and u8[0]["is_current"] == 1
+
+
+def test_random_walks_deterministic_and_edge_following(spark):
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.walks import random_walks
+
+    edges = spark.createDataFrame(
+        [("L", s, "L", d, "t") for s, d in
+         [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]],
+        "src_layer string, src_id string, dst_layer string, dst_id string, "
+        "etype string",
+    )
+    nodes = (
+        edges.select(F.col("src_layer").alias("layer"),
+                     F.col("src_id").alias("node_id"))
+        .union(edges.select("dst_layer", "dst_id")).distinct()
+    )
+    g = OnionGraph(nodes, edges)
+    out = random_walks(g, walk_len=5).collect()
+    adj = {"L:a": {"L:b"}, "L:b": {"L:c", "L:a"}, "L:c": {"L:a"}}
+    walks = {}
+    for r in out:
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    assert set(walks) == {"L:a", "L:b", "L:c"}
+    for start, steps in walks.items():
+        assert steps[0] == start
+        assert len(steps) == 6  # no dead ends in this graph
+        for t in range(1, 6):
+            assert steps[t] in adj[steps[t - 1]]
+    rerun = {(r["start"], r["step"], r["node"])
+             for r in random_walks(g, walk_len=5).collect()}
+    assert rerun == {(r["start"], r["step"], r["node"]) for r in out}
