@@ -405,3 +405,78 @@ def multi_source_bfs(
     for prev in frontiers[1:]:
         out = out.unionByName(prev)
     return out
+
+
+def temporal_earliest_arrival(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Time-respecting reachability: earliest arrival time at every
+    node over paths whose edge timestamps never decrease — an edge
+    (u, v, t) is traversable only if you arrived at u by time t.
+
+    Relaxes  arrival(v) = min{ t of (u,v,t) : t >= arrival(u) }
+    to fixpoint, frontier-sparse like `weighted_sssp`: only nodes
+    whose arrival improved last round join the edge list in the
+    next. Sources have arrival NULL (reads as -infinity: all their
+    edges qualify) and are never improvable. Rounds are capped at
+    `max_rounds` with the same convergence contract as the other
+    iterative operators: the loop stops early on an empty frontier,
+    and a RuntimeError is raised if the cap is hit while the
+    frontier is still non-empty (silent truncation would report
+    too-late arrivals).
+
+    Scale shape: per round one equi-join on the source key with the
+    temporal filter applied inside the join, then a min-aggregate on
+    the destination key — hop-BFS shuffle economics; the frontier
+    broadcasts while small under AQE.
+    """
+    e = edges.select(
+        F.col(src_col).alias("u"),
+        F.col(dst_col).alias("v"),
+        F.col(ts_col).alias("t"),
+    ).localCheckpoint()
+    best = sources.select(
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(None).cast(e.schema["t"].dataType).alias("arrival"),
+    ).localCheckpoint()
+    frontier = best
+    for round_no in range(max_rounds + 1):
+        reached = (
+            frontier.join(e, on=frontier["node"] == e["u"])
+            .filter(F.col("arrival").isNull() | (F.col("t") >= F.col("arrival")))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("t").alias("cand"))
+        )
+        marked = reached.join(
+            best.select(
+                "node",
+                F.col("arrival").alias("cur"),
+                F.lit(1).alias("seen"),
+            ),
+            on="node",
+            how="left",
+        )
+        improved = marked.filter(
+            F.col("seen").isNull()
+            | (F.col("cur").isNotNull() & (F.col("cand") < F.col("cur")))
+        ).select("node", F.col("cand").alias("arrival"))
+        improved = improved.localCheckpoint()
+        if improved.isEmpty():
+            return best
+        if round_no == max_rounds:
+            raise RuntimeError(
+                f"temporal_earliest_arrival did not converge in "
+                f"{max_rounds} rounds; raise `max_rounds`"
+            )
+        best = (
+            best.join(improved, on="node", how="left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    return best

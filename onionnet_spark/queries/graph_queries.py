@@ -1527,3 +1527,70 @@ def graph_random_walks(spark, sf_dir):
     w = random_walks(g, walk_len=8)
     # node keys are 'nation:<id>' strings already
     return w.select("start", "step", "node")
+
+
+def _temporal_edges_sql() -> str:
+    return """te AS MATERIALIZED (
+      SELECT 'customer:' || CAST(o.o_custkey AS VARCHAR) AS u,
+             'supplier:' || CAST(l.l_suppkey AS VARCHAR) AS v,
+             o.o_orderdate AS t
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'supplier:' || CAST(l.l_suppkey AS VARCHAR),
+             'customer:' || CAST(o.o_custkey AS VARCHAR),
+             l.l_shipdate
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )"""
+
+
+def _temporal_oracle(seed: str = "customer:1", rounds: int = 8) -> str:
+    stages = []
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN bool_or(arr IS NULL) THEN NULL
+                  ELSE MIN(arr) END AS arrival
+      FROM (
+        SELECT node, arrival AS arr FROM b{i - 1}
+        UNION ALL
+        SELECT e.v AS node, MIN(e.t) AS arr
+        FROM b{i - 1} b JOIN te e
+          ON e.u = b.node AND (b.arrival IS NULL OR e.t >= b.arrival)
+        GROUP BY e.v
+      ) GROUP BY node
+    )"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {_temporal_edges_sql()},
+    b0 AS (SELECT '{seed}' AS node, CAST(NULL AS TIMESTAMP) AS arrival),
+    {stage_sql}
+    SELECT node, arrival FROM b{rounds}"""
+
+
+@register("graph_temporal_reach", _temporal_oracle())
+def graph_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest arrival from one seed customer over
+    order-placed (o_orderdate) and goods-shipped (l_shipdate)
+    interaction edges; the dense-relaxation oracle reaches the same
+    fixpoint the frontier-sparse operator converges to."""
+    from onionnet_spark.operators.traversal import temporal_earliest_arrival
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    t = load_tables(spark, sf_dir)
+    ol = t["orders"].join(
+        t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    fwd = ol.select(
+        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("supplier:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    bwd = ol.select(
+        F.concat(F.lit("supplier:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("dst"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    edges = fwd.unionByName(bwd)
+    seed = ol.sparkSession.createDataFrame([("customer:1",)], "node string")
+    return temporal_earliest_arrival(edges, seed, max_rounds=8)

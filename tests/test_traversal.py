@@ -119,3 +119,49 @@ def test_weighted_sssp_prefers_cheap_long_path(spark):
         for r in weighted_sssp(g, [("L", "d")], "upstream").collect()
     }
     assert up == {("d", 0.0), ("b", 1.0), ("c", 3.0), ("a", 4.0)}
+
+
+def test_temporal_earliest_arrival_respects_time(spark):
+    import datetime
+
+    from onionnet_spark.operators.traversal import temporal_earliest_arrival
+
+    d = lambda n: datetime.datetime(2024, 1, n)  # noqa: E731
+    # s -> a at day 5; a -> b at day 3 (BEFORE arrival at a: unusable)
+    # and a -> b at day 9 (usable); s -> c at day 1, c -> b at day 2:
+    # b's earliest arrival is day 2 via the longer-in-hops path
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", d(5)),
+            ("a", "b", d(3)),
+            ("a", "b", d(9)),
+            ("s", "c", d(1)),
+            ("c", "b", d(2)),
+        ],
+        "src string, dst string, ts timestamp",
+    )
+    seed = spark.createDataFrame([("s",)], "node string")
+    got = {r["node"]: r["arrival"] for r in
+           temporal_earliest_arrival(edges, seed, max_rounds=5).collect()}
+    assert got["s"] is None           # source = -infinity
+    assert got["a"] == d(5)
+    assert got["c"] == d(1)
+    assert got["b"] == d(2)           # time-respecting, not hop-shortest
+
+
+def test_temporal_earliest_arrival_cap_raises(spark):
+    import datetime
+
+    from onionnet_spark.operators.traversal import temporal_earliest_arrival
+
+    d = lambda n: datetime.datetime(2024, 1, n)  # noqa: E731
+    # chain s->x1->x2->x3 needs 3 rounds; cap at 1 must raise
+    edges = spark.createDataFrame(
+        [("s", "x1", d(1)), ("x1", "x2", d(2)), ("x2", "x3", d(3))],
+        "src string, dst string, ts timestamp",
+    )
+    seed = spark.createDataFrame([("s",)], "node string")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        temporal_earliest_arrival(edges, seed, max_rounds=1)
