@@ -98,3 +98,59 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gapfill_calendar_join_broadcasts(spark, sf_dir):
+    # the dense-calendar side is bounded (days x keys), so Catalyst
+    # must broadcast it into the gap-fill join — a shuffle here would
+    # move the fact-side aggregate for no reason
+    from onionnet_spark.operators.timeseries import gapfill_daily_locf
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    out = gapfill_daily_locf(load_tables(spark, sf_dir)["events"])
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_df_join_broadcasts_and_prunes(spark, sf_dir):
+    # the |query_terms|-row df table must broadcast, and the scan
+    # must prune to the two needed columns
+    from onionnet_spark.functions.ranking import bm25_topk
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = bm25_topk(docs, ["spark", "join"], k=5)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) <= {"doc_id", "text"}
+
+
+def test_pq_adc_table_broadcasts(spark, sf_dir):
+    from onionnet_spark.functions import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.ann_pq_topk(embs, k=3, m=4, n_centroids=8, iterations=1)
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_fuzzy_join_is_equi_join_not_cartesian(spark, sf_dir):
+    # the blocked fuzzy join must plan as an equi-join on the block
+    # key — a theta-only join would appear as BroadcastNestedLoop /
+    # CartesianProduct
+    from onionnet_spark.operators.joins import fuzzy_self_pairs
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    out = fuzzy_self_pairs(cust, "c_name", "c_custkey", max_dist=1)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -374,3 +374,19 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert streamed == batch
     # no pair is ever emitted twice
     assert m.pairs.count() == m.pairs.distinct().count()
+
+
+def test_streaming_rollup_maintainer_matches_batch(spark, events_df, tmp_path):
+    # replay the events table as a multi-batch file stream; the
+    # maintained continuous aggregate must equal the one-shot batch
+    # rollup exactly (monoid merge absorbs out-of-order batches)
+    from onionnet_spark.streaming.rollup_stream import StreamingRollupMaintainer
+
+    m = StreamingRollupMaintainer(spark)
+    stream = ev.stream_from_batch(spark, events_df, partitions=5)
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert m.n_batches >= 2  # genuinely incremental
+    got = sorted(map(tuple, m.snapshot().collect()))
+    want = sorted(map(tuple, ev.tumbling_counts(events_df).collect()))
+    assert got == want
