@@ -277,6 +277,50 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean per-bigram conditional log-probability
+    ln P(w_i | w_{i-1}) under the corpus's own empirical bigram
+    model — the second-order sibling of `unigram_logprob`
+    (catches locally-fluent-but-scrambled text a unigram model
+    scores well).
+
+    P(w2|w1) = c(w1,w2) / c(w1 as bigram prefix), both counted over
+    the corpus, so every observed bigram has nonzero probability
+    (no smoothing needed for self-scoring). Docs with < 2 tokens
+    produce no bigrams and drop out, matching the oracle. Shuffles:
+    one on (w1, w2) for the model, one on w1 for prefixes, one join
+    back — all on Zipf-bounded token keys.
+    """
+    # position list guarded exactly like word_shingles: an unguarded
+    # descending sequence would explode phantom positions on 1-token
+    # docs (ADVICE r1)
+    positions = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = (
+        df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("t"))
+        .select(id_col, "t", F.explode(positions).alias("i"))
+        .select(
+            id_col,
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+    )
+    model = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    prefix = model.groupBy("w1").agg(F.sum("cb").alias("cp"))
+    scored = (
+        bigrams.join(model, on=["w1", "w2"])
+        .join(prefix, on="w1")
+        .select(id_col, F.log(F.col("cb") / F.col("cp")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_bigram_logprob"),
+    )
+
+
 # PII patterns kept to the Java-regex ∩ RE2 common dialect (char
 # classes, bounded quantifiers, \b, non-capturing groups — no
 # backrefs/lookaround) so the DuckDB oracle replays them verbatim.

@@ -1070,3 +1070,24 @@ def docs_profile(spark, sf_dir):
     return corpus.profile_table(
         _docs(spark, sf_dir), columns=["doc_id", "lang", "source", "n_chars"]
     )
+
+
+@register(
+    "bigram_logprob",
+    f"""WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS MATERIALIZED (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)
+    ),
+    model AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+              FROM bg GROUP BY 1, 2),
+    pref AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp
+             FROM model GROUP BY 1)
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(CAST(model.cb AS DOUBLE) / pref.cp)), 6)
+             AS mean_bigram_logprob
+    FROM bg JOIN model USING (w1, w2) JOIN pref USING (w1)
+    GROUP BY bg.doc_id""",
+)
+def bigram_logprob_q(spark, sf_dir):
+    return text.bigram_logprob(_docs(spark, sf_dir))

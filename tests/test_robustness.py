@@ -194,3 +194,18 @@ def test_range_join_count_zero_matches(spark):
         left, right, on=["k"], left_ts="ts", right_ts="rts", window_seconds=600
     ).collect()
     assert len(out) == 1 and out[0]["n_in_range"] == 0
+
+
+def test_bigram_logprob_short_docs(spark):
+    # 0/1-token docs yield no bigrams (no phantom positions, no
+    # INVALID_ARRAY_INDEX); 2-token doc yields exactly one
+    from onionnet_spark.functions.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two tokens"), (4, "a b a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert set(out) == {3, 4}
+    assert out[3]["n_bigrams"] == 1
+    assert out[4]["n_bigrams"] == 3
