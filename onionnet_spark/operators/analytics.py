@@ -937,3 +937,71 @@ def k_truss(
                 "raise `rounds`"
             )
     return final
+
+
+def maximal_matching(
+    edges: DataFrame,
+    rounds: int = 5,
+    a_col: str = "a",
+    b_col: str = "b",
+    guard: bool = True,
+) -> DataFrame:
+    """Greedy maximal matching by distributed symmetry breaking
+    (the classic local-min-edge rule): an edge joins the matching
+    when its deterministic priority (md5 of the canonical pair) is
+    the minimum among ALL edges at both of its endpoints; matched
+    endpoints and their incident edges drop, and the rule repeats.
+    Expected O(log n) rounds; every round is two node-keyed
+    aggregations (per-node min priority) plus two semi/anti joins —
+    no global ordering anywhere.
+
+    With ``guard=True`` a RuntimeError is raised if edges survive
+    the round budget (the matching would be non-maximal). Returns
+    the matched edges (a, b).
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn("pri", F.md5(F.concat_ws("|", "a", "b")))
+        .localCheckpoint()
+    )
+    matched = None
+    for _ in range(rounds):
+        nodemin = (
+            e.select(F.col("a").alias("node"), "pri")
+            .unionByName(e.select(F.col("b").alias("node"), "pri"))
+            .groupBy("node")
+            .agg(F.min("pri").alias("mp"))
+        )
+        m = (
+            e.join(
+                nodemin.select(F.col("node").alias("a"), F.col("mp").alias("mpa")),
+                on="a",
+            )
+            .join(
+                nodemin.select(F.col("node").alias("b"), F.col("mp").alias("mpb")),
+                on="b",
+            )
+            .filter((F.col("pri") == F.col("mpa")) & (F.col("pri") == F.col("mpb")))
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        matched = m if matched is None else matched.unionByName(m).localCheckpoint()
+        mnodes = (
+            m.select(F.col("a").alias("node"))
+            .unionByName(m.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        e = (
+            e.join(mnodes.select(F.col("node").alias("a")), on="a", how="left_anti")
+            .join(mnodes.select(F.col("node").alias("b")), on="b", how="left_anti")
+            .localCheckpoint()
+        )
+    if guard and e.count():
+        raise RuntimeError(
+            f"maximal_matching: {e.count()} edges remain after {rounds} "
+            "rounds; raise `rounds`"
+        )
+    return matched.select("a", "b")

@@ -1594,3 +1594,44 @@ def graph_temporal_reach(spark, sf_dir):
     edges = fwd.unionByName(bwd)
     seed = ol.sparkSession.createDataFrame([("customer:1",)], "node string")
     return temporal_earliest_arrival(edges, seed, max_rounds=8)
+
+
+def _matching_oracle(topn: int = 60, rounds: int = 5) -> str:
+    stages = []
+    prev = "ep"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""nm{i} AS (
+      SELECT node, MIN(pri) AS mp FROM (
+        SELECT a AS node, pri FROM {prev}
+        UNION ALL SELECT b, pri FROM {prev}) GROUP BY 1
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT e.a, e.b, e.pri FROM {prev} e
+      JOIN nm{i} x ON x.node = e.a AND x.mp = e.pri
+      JOIN nm{i} y ON y.node = e.b AND y.mp = e.pri
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.* FROM {prev} e
+      WHERE NOT EXISTS (SELECT 1 FROM m{i} m
+                        WHERE m.a IN (e.a, e.b) OR m.b IN (e.a, e.b))
+    )"""
+        )
+        prev = f"e{i}"
+    stage_sql = ",\n    ".join(stages)
+    union_sql = "\n    UNION ALL ".join(
+        f"SELECT a, b FROM m{i}" for i in range(1, rounds + 1)
+    )
+    return f"""WITH {_COSUPPLY_SQL.format(topn=topn)},
+    ep AS (SELECT a, b, md5(a || '|' || b) AS pri FROM e0),
+    {stage_sql}
+    {union_sql}"""
+
+
+def graph_matching_q(spark, sf_dir):
+    return analytics.maximal_matching(
+        _cosupply_top_pairs(spark, sf_dir, 60), rounds=5, guard=True
+    )
+
+
+_REG["graph_maximal_matching"] = (graph_matching_q, _matching_oracle())

@@ -1129,3 +1129,106 @@ def fuzzy_name_pairs(spark, sf_dir):
         max_dist=1,
         block_suffix_len=2,
     )
+
+
+@register(
+    "basket_pairs",
+    # market-basket co-occurrence: parts ordered together, support
+    # >= 3, top-100 by support (deterministic tie-break)
+    """WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, support, CAST(rn AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY support DESC, part_a, part_b) AS rn
+      FROM pairs)
+    WHERE rn <= 100""",
+)
+def basket_pairs(spark, sf_dir):
+    """A-priori level-2 co-occurrence: distinct (order, part),
+    self-join within order, support filter, global top-k. Scale: the
+    self-join fan-out is quadratic in BASKET size, not order count —
+    cap basket size upstream for pathological carts; the support
+    HAVING prunes before the top-k."""
+    from pyspark.sql import Window
+
+    items = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), on="ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
+    return (
+        pairs.orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+@register(
+    "rfm_segments",
+    """WITH rfm AS (
+      SELECT c_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1
+    )
+    SELECT c_custkey, last_order, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY last_order, c_custkey) AS INT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey) AS INT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary, c_custkey) AS INT) AS m_score
+    FROM rfm""",
+)
+def rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: one aggregate per customer, three
+    NTILE(5) windows with full deterministic tie-breaks. The NTILE
+    windows are global-order by construction (segmentation IS a
+    global ranking); at 100 TB swap for percent_rank over a sampled
+    quantile table or approx_percentile cut-points."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    rfm = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    return rfm.select(
+        "c_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "c_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "c_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "c_custkey"))
+        .alias("m_score"),
+    )

@@ -301,3 +301,40 @@ def events_scd2(spark, sf_dir):
     from onionnet_spark.operators import timeseries
 
     return timeseries.scd2_intervals(_events(spark, sf_dir))
+
+
+@register(
+    "events_transitions",
+    """WITH seq AS (
+      SELECT user_id, event_type AS from_state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+      FROM events
+    ),
+    t AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2)
+    SELECT from_state, to_state, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 6) AS p
+    FROM t""",
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lead within user (one shuffle on user_id), transition
+    counts, row-normalized probabilities. The transition matrix is
+    |states|^2-bounded, so the normalizing window is tiny."""
+    from pyspark.sql import Window, functions as F
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    t = seq.groupBy("from_state", "to_state").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("from_state")
+    return t.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+    )

@@ -84,3 +84,32 @@ def test_motif_parse_errors(spark):
         find_motifs(g, "!(a)-[]->(b)")
     with pytest.raises(ValueError, match="unbound"):
         find_motifs(g, "(a)-[]->(b); !(a)-[]->(q)")
+
+
+def test_maximal_matching_properties(spark):
+    from onionnet_spark.operators.analytics import maximal_matching
+
+    # path a-b-c-d-e plus chord b-d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "d")],
+        "a string, b string",
+    )
+    m = maximal_matching(edges, rounds=5).collect()
+    used = [n for r in m for n in (r["a"], r["b"])]
+    # matching: no node twice
+    assert len(used) == len(set(used))
+    # maximality: every original edge touches a matched node
+    matched_nodes = set(used)
+    for a, b in [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "d")]:
+        assert a in matched_nodes or b in matched_nodes
+
+
+def test_maximal_matching_guard(spark):
+    from onionnet_spark.operators.analytics import maximal_matching
+    import pytest as _p
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "a string, b string"
+    )
+    with _p.raises(RuntimeError, match="remain after"):
+        maximal_matching(edges, rounds=0)
