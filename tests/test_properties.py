@@ -93,3 +93,81 @@ def test_bfs_distance_is_true_min_hops(spark, edge_list):
             want[v] = d
         frontier = nxt
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=20),     # day offset
+            st.sampled_from(["view", "click"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_tiles_timeline(spark, evs):
+    import datetime
+
+    from onionnet_spark.operators.timeseries import scd2_intervals
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=d), u, t, 1.0, "{}")
+        for i, (u, d, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = scd2_intervals(df).collect()
+    assert len(out) == len(rows)  # every update opens a version
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for _, versions in by_user.items():
+        versions.sort(key=lambda r: (r["valid_from"], r["valid_to"] is None))
+        # intervals chain with no gaps/overlaps; exactly one current
+        assert sum(v["is_current"] for v in versions) == 1
+        assert versions[-1]["valid_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.sampled_from(["view", "click"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_gapfill_dense_and_consistent(spark, evs):
+    import datetime
+
+    from onionnet_spark.operators.timeseries import gapfill_daily_locf
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=d), 1, t, 1.0, "{}")
+        for i, (d, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = gapfill_daily_locf(df).collect()
+    span_days = max(d for d, _ in evs) - min(d for d, _ in evs) + 1
+    n_types = len({t for _, t in evs})
+    # dense calendar: |span| x |keys| rows exactly
+    assert len(out) == span_days * n_types
+    # event totals survive the fill
+    assert sum(r["n_events"] for r in out) == len(rows)
+    # gap rows are exactly the zero-count rows
+    assert all((r["n_events"] == 0) == (r["is_gap"] == 1) for r in out)
