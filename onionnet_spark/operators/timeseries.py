@@ -158,3 +158,52 @@ def scd2_intervals(
         .cast("int")
         .alias("is_current"),
     )
+
+
+def ema_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponential moving average of daily event counts per key:
+    ema_1 = x_1; ema_t = alpha*x_t + (1-alpha)*ema_{t-1}.
+
+    The recurrence is de-recursed into a closed form so it runs as
+    ONE ordered cumulative-sum window instead of an iterative loop:
+      y_1 = x_1/(1-a);  y_j = a*x_j/(1-a)^j   (j >= 2)
+      ema_t = (1-a)^t * sum_{j<=t} y_j
+    The cumulative sum folds in day order (identical order in any
+    engine's ordered-window implementation), so the rounded result
+    is engine-stable. The (1-a)^-j rescaling grows exponentially —
+    fine for calendar-length series (30 days at a=0.3 is ~4e4), and
+    the series a window sees is calendar-bounded by construction.
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(key_col).alias("key"),
+    ).agg(F.count("*").alias("n"))
+    wk = Window.partitionBy("key").orderBy("day")
+    one_m = 1.0 - alpha
+    with_rk = daily.withColumn("rk", F.row_number().over(wk))
+    y = F.when(
+        F.col("rk") == 1, F.col("n") / F.lit(one_m)
+    ).otherwise(
+        F.lit(alpha) * F.col("n") / F.pow(F.lit(one_m), F.col("rk"))
+    )
+    cum = Window.partitionBy("key").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        with_rk.withColumn("y", y)
+        .withColumn(
+            "ema",
+            F.round(F.pow(F.lit(one_m), F.col("rk")) * F.sum("y").over(cum), 6),
+        )
+        .select(
+            "day",
+            F.col("key").alias("event_type"),
+            F.col("n").cast("bigint").alias("n_events"),
+            "ema",
+        )
+    )

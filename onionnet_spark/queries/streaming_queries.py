@@ -338,3 +338,35 @@ def events_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
     )
+
+
+@register(
+    "events_ema",
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT day, key, n,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY day) AS rk
+      FROM daily
+    ),
+    y AS (
+      SELECT day, key, n, rk,
+             CASE WHEN rk = 1 THEN n / 0.7
+                  ELSE 0.3 * n / power(0.7, rk) END AS y
+      FROM rk
+    )
+    SELECT day, key AS event_type, n AS n_events,
+           ROUND(power(0.7, rk) * SUM(y) OVER (
+             PARTITION BY key ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ema
+    FROM y""",
+)
+def events_ema(spark, sf_dir):
+    """EMA(alpha=0.3) of daily counts per event type via the
+    closed-form ordered cumulative sum (no iterative loop)."""
+    from onionnet_spark.operators import timeseries
+
+    return timeseries.ema_daily(_events(spark, sf_dir), alpha=0.3)

@@ -72,3 +72,27 @@ def test_anomaly_constant_series_yields_nothing(spark):
     )
     # zero variance -> z is NULL/undefined -> no rows survive
     assert timeseries.anomaly_days(events).count() == 0
+
+
+def test_ema_matches_recursive_definition(spark):
+    # closed form must equal the textbook recurrence exactly
+    events = spark.createDataFrame(
+        [(i, _ts(1 + i), 1, "view", 1.0, "{}") for i in range(6)]
+        + [(100 + i, _ts(1 + i), 1, "view", 1.0, "{}") for i in range(0, 12, 2)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sorted(
+        (r["day"].day, r["n_events"], r["ema"])
+        for r in timeseries.ema_daily(events, alpha=0.3).collect()
+    )
+    xs = [n for _, n, _ in out]
+    ema = xs[0]
+    want = [ema]
+    for x in xs[1:]:
+        ema = 0.3 * x + 0.7 * ema
+        want.append(ema)
+    got = [e for _, _, e in out]
+    assert got == [round(w, 6) for w in want] or all(
+        abs(g - w) < 2e-6 for g, w in zip(got, want)
+    )
