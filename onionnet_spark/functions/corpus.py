@@ -220,3 +220,106 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: bucket index in
+    [0, n_buckets) over [lo, hi) (bounds default to the observed
+    min/max, computed in the same job via a broadcast 1-row
+    aggregate). Values at exactly `hi` fold into the top bucket,
+    the usual closed-right convention. One aggregation for bounds,
+    one shuffle on the (tiny) bucket key — profiling cost is a scan,
+    never a sort.
+    """
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(value_col).cast("double").alias("_lo"),
+            F.max(value_col).cast("double").alias("_hi"),
+        )
+        with_b = df.crossJoin(F.broadcast(bounds))
+    else:
+        with_b = df.withColumn("_lo", F.lit(float(lo))).withColumn(
+            "_hi", F.lit(float(hi))
+        )
+    v = F.col(value_col).cast("double")
+    width = (F.col("_hi") - F.col("_lo")) / n_buckets
+    idx = F.least(
+        F.floor((v - F.col("_lo")) / width).cast("int"), F.lit(n_buckets - 1)
+    )
+    return (
+        with_b.filter(v.isNotNull())
+        .groupBy(idx.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .join(
+            with_b.select(F.col("_lo"), F.col("_hi")).limit(1), how="cross"
+        )
+        .select(
+            "bucket",
+            F.round(F.col("_lo") + F.col("bucket") * width, 6).alias("bucket_lo"),
+            F.round(F.col("_lo") + (F.col("bucket") + 1) * width, 6).alias(
+                "bucket_hi"
+            ),
+            "n",
+        )
+    )
+
+
+def column_correlations(
+    df: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Pairwise Pearson correlations between numeric columns, one
+    output row per (col_a < col_b) pair — the profiling companion to
+    `profile_table`.
+
+    Computed from EXACT sums: each value is cast to DECIMAL(18,6)
+    (a deterministic rounding of the same IEEE double in every
+    engine) and the per-pair sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    accumulate in decimal — order-independent, bit-identical across
+    engines — in ONE aggregation pass. Only the final combination
+    r = (nΣxy - ΣxΣy) / sqrt((nΣx² - (Σx)²)(nΣy² - (Σy)²))
+    runs in double, on identical inputs, so the rounded r is
+    engine-stable (a double-summed Σx² at ~1e14 magnitude would
+    differ across summation orders by whole units — the decimal
+    accumulation is what makes this hashable). Zero-variance
+    columns yield NULL r (guarded, no ANSI division error).
+    """
+    aggs = [F.count("*").alias("_n")]
+    for c in columns:
+        v = F.col(c).cast("decimal(18,6)")
+        aggs.append(F.sum(v).alias(f"_s_{c}"))
+        aggs.append(F.sum(v * v).alias(f"_q_{c}"))
+    for i, a in enumerate(columns):
+        for b in columns[i + 1:]:
+            aggs.append(
+                F.sum(
+                    F.col(a).cast("decimal(18,6)")
+                    * F.col(b).cast("decimal(18,6)")
+                ).alias(f"_x_{a}_{b}")
+            )
+    row = df.agg(*aggs)
+
+    def d(name: str):
+        return F.col(name).cast("double")
+
+    pairs = []
+    for i, a in enumerate(columns):
+        for b in columns[i + 1:]:
+            n = F.col("_n").cast("double")
+            num = n * d(f"_x_{a}_{b}") - d(f"_s_{a}") * d(f"_s_{b}")
+            da = n * d(f"_q_{a}") - d(f"_s_{a}") * d(f"_s_{a}")
+            db = n * d(f"_q_{b}") - d(f"_s_{b}") * d(f"_s_{b}")
+            r = F.when(
+                (da > 0) & (db > 0), F.round(num / F.sqrt(da * db), 6)
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), r.alias("r")
+                )
+            )
+    return row.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

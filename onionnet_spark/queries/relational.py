@@ -1232,3 +1232,79 @@ def rfm_segments(spark, sf_dir):
         .over(Window.orderBy("monetary", "c_custkey"))
         .alias("m_score"),
     )
+
+
+@register(
+    "price_histogram",
+    """WITH b AS (
+      SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+      FROM lineitem
+    )
+    SELECT bucket,
+           ROUND(lo + bucket * (hi - lo) / 10, 6) AS bucket_lo,
+           ROUND(lo + (bucket + 1) * (hi - lo) / 10, 6) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT LEAST(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                   / ((hi - lo) / 10)) AS INT), 9) AS bucket, lo, hi
+      FROM lineitem CROSS JOIN b)
+    GROUP BY bucket, lo, hi""",
+)
+def price_histogram(spark, sf_dir):
+    from onionnet_spark.functions.corpus import numeric_histogram
+
+    return numeric_histogram(
+        load_tables(spark, sf_dir)["lineitem"], "l_extendedprice", n_buckets=10
+    )
+
+
+@register(
+    "lineitem_correlations",
+    """WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS s_q,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+               * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS q_q,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS s_p,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+               * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS q_p,
+        CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS s_d,
+        CAST(SUM(CAST(l_discount AS DECIMAL(19,6))
+               * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS q_d,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+               * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS x_qp,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+               * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS x_qd,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+               * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS x_pd
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           CASE WHEN (n*q_q - s_q*s_q) > 0 AND (n*q_p - s_p*s_p) > 0
+                THEN ROUND((n*x_qp - s_q*s_p)
+                     / sqrt((n*q_q - s_q*s_q) * (n*q_p - s_p*s_p)), 6)
+           END AS r
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           CASE WHEN (n*q_q - s_q*s_q) > 0 AND (n*q_d - s_d*s_d) > 0
+                THEN ROUND((n*x_qd - s_q*s_d)
+                     / sqrt((n*q_q - s_q*s_q) * (n*q_d - s_d*s_d)), 6)
+           END
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           CASE WHEN (n*q_p - s_p*s_p) > 0 AND (n*q_d - s_d*s_d) > 0
+                THEN ROUND((n*x_pd - s_p*s_d)
+                     / sqrt((n*q_p - s_p*s_p) * (n*q_d - s_d*s_d)), 6)
+           END
+    FROM s""",
+)
+def lineitem_correlations(spark, sf_dir):
+    from onionnet_spark.functions.corpus import column_correlations
+
+    return column_correlations(
+        load_tables(spark, sf_dir)["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )

@@ -103,3 +103,29 @@ def test_random_walks_deterministic_and_edge_following(spark):
     rerun = {(r["start"], r["step"], r["node"])
              for r in random_walks(g, walk_len=5).collect()}
     assert rerun == {(r["start"], r["step"], r["node"]) for r in out}
+
+
+def test_numeric_histogram_buckets_cover_all_rows(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "v double"
+    )
+    out = sorted(
+        (r["bucket"], r["n"], r["bucket_lo"], r["bucket_hi"])
+        for r in corpus.numeric_histogram(df, "v", n_buckets=10).collect()
+    )
+    assert [b for b, *_ in out] == list(range(10))
+    assert sum(n for _, n, *_ in out) == 100
+    # max value folds into the top bucket
+    assert out[-1][1] == 10
+
+
+def test_column_correlations_known(spark):
+    rows = [(float(i), 2.0 * i + 1.0, float(100 - i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r["r"] for r in
+           corpus.column_correlations(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0      # perfectly linear
+    assert out[("x", "z")] == -1.0     # perfectly anti-linear
+    const = spark.createDataFrame([(1.0, 5.0)] * 4, "a double, b double")
+    r = corpus.column_correlations(const, ["a", "b"]).collect()
+    assert all(row["r"] is None for row in r)  # zero variance -> NULL
