@@ -1191,21 +1191,31 @@ def basket_pairs(spark, sf_dir):
              ROUND(SUM(o_totalprice), 2) AS monetary
       FROM orders JOIN customer ON c_custkey = o_custkey
       GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(epoch(last_order), [0.2, 0.4, 0.6, 0.8]) AS rc,
+             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+      FROM rfm
     )
     SELECT c_custkey, last_order, frequency, monetary,
-           CAST(NTILE(5) OVER (ORDER BY last_order, c_custkey) AS INT) AS r_score,
-           CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey) AS INT) AS f_score,
-           CAST(NTILE(5) OVER (ORDER BY monetary, c_custkey) AS INT) AS m_score
-    FROM rfm""",
+      CAST(1 + (epoch(last_order) > rc[1])::INT + (epoch(last_order) > rc[2])::INT
+             + (epoch(last_order) > rc[3])::INT + (epoch(last_order) > rc[4])::INT
+           AS INT) AS r_score,
+      CAST(1 + (frequency > fc[1])::INT + (frequency > fc[2])::INT
+             + (frequency > fc[3])::INT + (frequency > fc[4])::INT AS INT) AS f_score,
+      CAST(1 + (monetary > mc[1])::INT + (monetary > mc[2])::INT
+             + (monetary > mc[3])::INT + (monetary > mc[4])::INT AS INT) AS m_score
+    FROM rfm CROSS JOIN cuts""",
 )
 def rfm_segments(spark, sf_dir):
-    """RFM customer segmentation: one aggregate per customer, three
-    NTILE(5) windows with full deterministic tie-breaks. The NTILE
-    windows are global-order by construction (segmentation IS a
-    global ranking); at 100 TB swap for percent_rank over a sampled
-    quantile table or approx_percentile cut-points."""
-    from pyspark.sql import Window
-
+    """RFM customer segmentation via quintile CUT-POINTS: exact
+    interpolated percentiles (one 1-row aggregate, broadcast back)
+    bucket each metric by comparison — fully distributed, unlike the
+    textbook NTILE formulation whose global window forces every row
+    into a single task. Ties at a cut fall to the lower bucket on
+    both engines; at 100 TB the drop-in is approx_percentile for the
+    cut-point aggregate (same shape, sketch-merged)."""
     t = load_tables(spark, sf_dir)
     rfm = (
         t["orders"]
@@ -1216,21 +1226,31 @@ def rfm_segments(spark, sf_dir):
             F.count("*").alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
+        .withColumn("rec", F.unix_timestamp("last_order").cast("double"))
     )
-    return rfm.select(
-        "c_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy("last_order", "c_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "c_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary", "c_custkey"))
-        .alias("m_score"),
+    cuts = rfm.agg(
+        F.expr("percentile(rec, array(0.2, 0.4, 0.6, 0.8))").alias("rc"),
+        F.expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").alias("fc"),
+        F.expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").alias("mc"),
+    )
+
+    def score(v, cut_col):
+        e = F.lit(1)
+        for k in range(1, 5):
+            e = e + F.when(v > F.element_at(F.col(cut_col), k), 1).otherwise(0)
+        return e.cast("int")
+
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .select(
+            "c_custkey",
+            "last_order",
+            "frequency",
+            "monetary",
+            score(F.col("rec"), "rc").alias("r_score"),
+            score(F.col("frequency").cast("double"), "fc").alias("f_score"),
+            score(F.col("monetary"), "mc").alias("m_score"),
+        )
     )
 
 
