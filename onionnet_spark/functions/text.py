@@ -39,11 +39,13 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     toks = tokens_col(F.col(text_col))
     n_chars = F.length(F.col(text_col))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    # empty docs are ubiquitous in real corpora: the ratio is NULL
+    # for them (DuckDB's x/0 semantics), not an ANSI crash
     return df.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
         n_chars.cast("bigint").alias("n_chars"),
-        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.when(n_chars > 0, F.round(n_punct / n_chars, 6)).alias("punct_ratio"),
         F.round(
             F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
             / F.size(toks),
@@ -76,10 +78,12 @@ def quality_score(
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.2) * F.least(F.lit(1.0), F.lit(5.0) * sw_ratio)
     )
+    # empty docs: the punct term is x/0 -> the whole score is NULL
+    # (DuckDB NULL-propagation semantics), never an ANSI crash
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
-        F.round(score, 6).alias("quality"),
+        F.when(n_chars > 0, F.round(score, 6)).alias("quality"),
     )
 
 

@@ -209,3 +209,23 @@ def test_bigram_logprob_short_docs(spark):
     assert set(out) == {3, 4}
     assert out[3]["n_bigrams"] == 1
     assert out[4]["n_bigrams"] == 3
+
+
+def test_text_ops_tolerate_empty_and_null_docs(spark):
+    # empty/NULL text must yield NULL ratios (DuckDB x/0 semantics),
+    # never an ANSI DIVIDE_BY_ZERO — empty docs are ubiquitous in
+    # real corpora and the shipped fixtures have none
+    from onionnet_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "hello, world. foo"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in text.text_stats(df).collect()}
+    assert stats[1]["punct_ratio"] is not None
+    assert stats[3]["punct_ratio"] is None and stats[3]["n_chars"] == 0
+    assert stats[2]["punct_ratio"] is None
+    q = {r["doc_id"]: r for r in text.quality_score(df).collect()}
+    assert q[1]["quality"] is not None
+    assert q[3]["quality"] is None
+    assert q[2]["quality"] is None

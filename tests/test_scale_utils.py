@@ -154,3 +154,39 @@ def test_fuzzy_join_is_equi_join_not_cartesian(spark, sf_dir):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bucketed_graph_property_merge_is_shuffle_free(spark, tpch_graph):
+    # property MERGE onto a bucket-aligned node table must not
+    # shuffle the node side: the scan delivers co-located buckets
+    from onionnet_spark.operators.properties import merge_node_properties
+    from onionnet_spark.sources.bucketed import (
+        read_graph_bucketed,
+        write_bucketed,
+        write_graph_bucketed,
+    )
+
+    write_graph_bucketed(tpch_graph, "bg", num_buckets=8)
+    try:
+        g = read_graph_bucketed(spark, "bg")
+        updates = g.nodes.select("layer", "node_id").withColumn(
+            "score", F.length("node_id").cast("double")
+        )
+        write_bucketed(updates, "bg_updates", ["layer", "node_id"], 8)
+        try:
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                merged = merge_node_properties(
+                    g, spark.table("bg_updates")
+                )
+                plan = merged.nodes._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange hashpartitioning" not in plan, plan[:600]
+                assert merged.nodes.filter(F.col("score").isNull()).count() == 0
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bg_updates")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bg_nodes")
+        spark.sql("DROP TABLE IF EXISTS bg_edges")
