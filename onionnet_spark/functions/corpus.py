@@ -249,9 +249,11 @@ def numeric_histogram(
         )
     v = F.col(value_col).cast("double")
     width = (F.col("_hi") - F.col("_lo")) / n_buckets
-    idx = F.least(
+    # degenerate range (all values equal): everything lands in
+    # bucket 0 instead of an ANSI divide-by-zero
+    idx = F.when(width > 0, F.least(
         F.floor((v - F.col("_lo")) / width).cast("int"), F.lit(n_buckets - 1)
-    )
+    )).otherwise(F.lit(0))
     return (
         with_b.filter(v.isNotNull())
         .groupBy(idx.alias("bucket"))

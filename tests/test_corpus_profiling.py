@@ -129,3 +129,9 @@ def test_column_correlations_known(spark):
     const = spark.createDataFrame([(1.0, 5.0)] * 4, "a double, b double")
     r = corpus.column_correlations(const, ["a", "b"]).collect()
     assert all(row["r"] is None for row in r)  # zero variance -> NULL
+
+
+def test_numeric_histogram_degenerate_range(spark):
+    df = spark.createDataFrame([(5.0,)] * 7, "v double")
+    out = corpus.numeric_histogram(df, "v", n_buckets=4).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["n"] == 7
