@@ -567,3 +567,107 @@ def ann_pq_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_ivf_pq_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_centroids: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """IVF + PQ: the production ANN composition. IVF restricts each
+    query to its `nprobe` nearest coarse cells (candidate set =
+    cells, not corpus); PQ scores those candidates by asymmetric
+    distance over m one-byte codes (per-pair cost = m lookups, not
+    dim multiplies). This is exactly the FAISS IVFPQ shape
+    re-expressed relationally:
+
+      coarse = seeded cosine k-means (broadcast K rows)
+      codes  = per-subspace argmin vs the PQ codebooks (broadcast)
+      score  = codes ⋈ ADC table on (subspace, code), grouped sum
+               — but only WITHIN a probed (query, cell) pair
+
+    Both codebooks are the deterministic seeded learners above, so
+    the full composition remains oracle-replayable. Ranks order by
+    6dp-rounded ADC distance, neighbor_id tie-break.
+    """
+    from pyspark.sql import Window
+
+    coarse = kmeans_codebook(
+        df, vec_col, id_col, k=n_centroids, iterations=iterations
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.col("cc").desc(), F.col("cid").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).localCheckpoint()
+    index_side = ranked.filter(F.col("rn") == 1).select(
+        "id", F.col("cid").alias("bucket")
+    )
+    probe_side = ranked.filter(F.col("rn") <= nprobe).select(
+        "id", F.col("cid").alias("bucket")
+    )
+    cand = (
+        probe_side.alias("q")
+        .join(index_side.alias("x"), on="bucket")
+        .filter(F.col("q.id") != F.col("x.id"))
+        .select(F.col("q.id").alias("query_id"), F.col("x.id").alias("nid"))
+    )
+
+    pq_cents = pq_codebooks(
+        df, vec_col, id_col, m=m, k=pq_centroids, iterations=iterations
+    )
+    dim = len(df.select(vec_col).first()[0])
+    sub = dim // m
+    svs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * sub + 1, sub),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    pq_scored = svs.join(F.broadcast(pq_cents), on="j").withColumn(
+        "d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6)
+    )
+    w_code = Window.partitionBy("j", "id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    codes = (
+        pq_scored.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias("nid"), "j", "cid")
+    )
+    qtab = pq_scored.select(F.col("id").alias("query_id"), "j", "cid", "d2")
+    # candidate-restricted ADC: join the (query, cell-candidate)
+    # pairs to the candidate's m codes, then to the query's ADC row
+    pairs = (
+        cand.join(codes, on="nid")
+        .join(qtab, on=["query_id", "j", "cid"])
+        .groupBy("query_id", F.col("nid").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1091,3 +1091,130 @@ def docs_profile(spark, sf_dir):
 )
 def bigram_logprob_q(spark, sf_dir):
     return text.bigram_logprob(_docs(spark, sf_dir))
+
+
+def _ann_ivf_pq_oracle(
+    k_cent: int = 8, nprobe: int = 2, m: int = 4, dim: int = 64,
+    pq_cent: int = 8, iterations: int = 2, topk: int = 5,
+) -> str:
+    """IVF cell restriction + PQ ADC scoring, both codebooks unrolled
+    (the same Lloyd recurrences as the standalone oracles; PQ CTEs
+    carry a p-prefix to avoid name clashes)."""
+    sub = dim // m
+    j_vals = ", ".join(f"({j})" for j in range(m))
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 6)"
+        )
+
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, list_transform(e, x -> round(x, 6)) AS cv
+       FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cent})""",
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        ctes.append(
+            f"""s{it} AS (SELECT v.vec_id AS id, v.e, c.cid, {_cos('v.e', 'c.cv')} AS cc
+       FROM v CROSS JOIN {prev} c)"""
+        )
+        ctes.append(
+            f"""a{it} AS (SELECT id, e, cid FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn
+         FROM s{it}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{it} AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM (
+         SELECT cid, pos, ROUND(AVG(x), 6) AS mval
+         FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM a{it})
+         GROUP BY cid, pos) GROUP BY cid)"""
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""sfc AS (SELECT v.vec_id AS id, c.cid, {_cos('v.e', 'c.cv')} AS cc
+       FROM v CROSS JOIN {prev} c)"""
+    )
+    ctes.append(
+        """rkc AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn
+       FROM sfc)"""
+    )
+    ctes.append("idx AS (SELECT id, cid AS bucket FROM rkc WHERE rn = 1)")
+    ctes.append(f"probe AS (SELECT id, cid AS bucket FROM rkc WHERE rn <= {nprobe})")
+    ctes.append(
+        """cand AS MATERIALIZED (
+       SELECT q.id AS query_id, x.id AS nid
+       FROM probe q JOIN idx x ON x.bucket = q.bucket AND x.id <> q.id)"""
+    )
+    # PQ side (p-prefixed)
+    ctes.append(
+        f"""sv AS MATERIALIZED (
+       SELECT v.vec_id AS id, t.j, v.e[t.j * {sub} + 1 : t.j * {sub} + {sub}] AS sv
+       FROM v CROSS JOIN (VALUES {j_vals}) t(j))"""
+    )
+    ctes.append(
+        f"""pseed AS (SELECT vec_id AS sid FROM v
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {pq_cent})"""
+    )
+    ctes.append(
+        """pc0 AS (SELECT sv.j, sv.id AS cid,
+         list_transform(sv.sv, x -> round(x, 6)) AS cv
+       FROM sv JOIN pseed ON sv.id = pseed.sid)"""
+    )
+    prev = "pc0"
+    for it in range(1, iterations + 1):
+        ctes.append(
+            f"""ps{it} AS MATERIALIZED (
+       SELECT sv.id, sv.j, sv.sv, c.cid, {d2('sv.sv', 'c.cv')} AS d2
+       FROM sv JOIN {prev} c ON c.j = sv.j)"""
+        )
+        ctes.append(
+            f"""pa{it} AS (SELECT id, j, sv, cid FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY j, id ORDER BY d2, cid) AS rn
+         FROM ps{it}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""pc{it} AS MATERIALIZED (SELECT j, cid, list(mval ORDER BY pos) AS cv FROM (
+         SELECT j, cid, pos, ROUND(AVG(x), 6) AS mval
+         FROM (SELECT j, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+               FROM pa{it})
+         GROUP BY j, cid, pos) GROUP BY j, cid)"""
+        )
+        prev = f"pc{it}"
+    ctes.append(
+        f"""psf AS MATERIALIZED (
+       SELECT sv.id, sv.j, sv.sv, c.cid, {d2('sv.sv', 'c.cv')} AS d2
+       FROM sv JOIN {prev} c ON c.j = sv.j)"""
+    )
+    ctes.append(
+        """pcodes AS MATERIALIZED (SELECT id AS nid, j, cid FROM (
+         SELECT id, j, cid, ROW_NUMBER() OVER (PARTITION BY j, id ORDER BY d2, cid) AS rn
+         FROM psf) WHERE rn = 1)"""
+    )
+    ctes.append(
+        """pairs AS (SELECT c.query_id, c.nid AS neighbor_id,
+           ROUND(SUM(q.d2), 6) AS pq_dist
+       FROM cand c
+       JOIN pcodes k ON k.nid = c.nid
+       JOIN psf q ON q.id = c.query_id AND q.j = k.j AND q.cid = k.cid
+       GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        """r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY pq_dist, neighbor_id) AS INT) AS rank
+       FROM pairs)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT query_id, neighbor_id, pq_dist, rank FROM r WHERE rank <= {topk}"
+    )
+
+
+@register("ann_ivf_pq_topk", _ann_ivf_pq_oracle())
+def ann_ivf_pq_topk_q(spark, sf_dir):
+    return similarity.ann_ivf_pq_topk(
+        _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2, m=4,
+        pq_centroids=8, iterations=2,
+    )

@@ -439,3 +439,26 @@ def test_transform_with_state_matches_batch(spark, events_df, tmp_path):
         w = want[r["user_id"]]
         assert (r["n_events"], r["n_types"]) == (w["n_events"], w["n_types"])
         assert abs(r["max_value"] - w["max_value"]) < 1e-9
+
+
+def test_streaming_anomaly_detection_matches_batch(spark, events_df, tmp_path):
+    # continuous aggregate (1-day buckets) + z-score snapshot ==
+    # batch anomaly_days: streaming analytics composition
+    from onionnet_spark.operators.timeseries import (
+        anomaly_days,
+        zscore_outlier_days,
+    )
+    from onionnet_spark.streaming.rollup_stream import StreamingRollupMaintainer
+
+    m = StreamingRollupMaintainer(spark, window_len="1 day")
+    stream = ev.stream_from_batch(spark, events_df, partitions=4)
+    q = m.attach(stream, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    daily = m.rollup.select(
+        F.col("window_start").alias("day"),
+        F.col("event_type").alias("key"),
+        F.col("n_events").alias("n"),
+    )
+    got = sorted(map(tuple, zscore_outlier_days(daily, 1.5).collect()))
+    want = sorted(map(tuple, anomaly_days(events_df, z_threshold=1.5).collect()))
+    assert got == want and len(got) > 0
