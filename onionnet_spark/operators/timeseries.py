@@ -215,3 +215,53 @@ def ema_daily(
             "ema",
         )
     )
+
+
+def changepoint_days(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_days: int = 3,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Change-point candidates in the daily count series: the
+    two-window edge score  |mean(next k days) - mean(prev k days)|
+    at each day, flagged when >= threshold. The sliding two-sample
+    statistic is the window-expressible cousin of CUSUM (whose
+    max-reset recursion doesn't map to a prefix sum); scores are
+    ratios of exact integer window sums, so 6dp-rounded values are
+    engine-stable. Only days with FULL windows on both sides score
+    (edges of the series are unscoreable by construction).
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(key_col).alias("key"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("key").orderBy("day")
+    prev_w = w.rowsBetween(-window_days, -1)
+    next_w = w.rowsBetween(1, window_days)
+    scored = (
+        daily.withColumn("s_prev", F.sum("n").over(prev_w))
+        .withColumn("c_prev", F.count("n").over(prev_w))
+        .withColumn("s_next", F.sum("n").over(next_w))
+        .withColumn("c_next", F.count("n").over(next_w))
+        .filter(
+            (F.col("c_prev") == window_days) & (F.col("c_next") == window_days)
+        )
+        .withColumn(
+            "shift",
+            F.round(
+                F.abs(
+                    F.col("s_next").cast("double") / window_days
+                    - F.col("s_prev").cast("double") / window_days
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.filter(F.col("shift") >= threshold).select(
+        "day",
+        F.col("key").alias("event_type"),
+        F.col("n").cast("bigint").alias("n_events"),
+        "shift",
+    )

@@ -370,3 +370,39 @@ def events_ema(spark, sf_dir):
     from onionnet_spark.operators import timeseries
 
     return timeseries.ema_daily(_events(spark, sf_dir), alpha=0.3)
+
+
+@register(
+    "events_changepoints",
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT day, key, n,
+        SUM(n) OVER (PARTITION BY key ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS s_prev,
+        COUNT(n) OVER (PARTITION BY key ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS c_prev,
+        SUM(n) OVER (PARTITION BY key ORDER BY day
+                     ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS s_next,
+        COUNT(n) OVER (PARTITION BY key ORDER BY day
+                       ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS c_next
+      FROM daily
+    )
+    SELECT day, key AS event_type, n AS n_events,
+           ROUND(abs(CAST(s_next AS DOUBLE) / 3 - CAST(s_prev AS DOUBLE) / 3), 6)
+             AS shift
+    FROM sc
+    WHERE c_prev = 3 AND c_next = 3
+      AND ROUND(abs(CAST(s_next AS DOUBLE) / 3 - CAST(s_prev AS DOUBLE) / 3), 6)
+          >= 3.0""",
+)
+def events_changepoints(spark, sf_dir):
+    """Two-window mean-shift change-point score over daily counts."""
+    from onionnet_spark.operators import timeseries
+
+    return timeseries.changepoint_days(
+        _events(spark, sf_dir), window_days=3, threshold=3.0
+    )

@@ -96,3 +96,26 @@ def test_ema_matches_recursive_definition(spark):
     assert got == [round(w, 6) for w in want] or all(
         abs(g - w) < 2e-6 for g, w in zip(got, want)
     )
+
+
+def test_changepoint_detects_level_shift(spark):
+    # 6 days at 5/day then 6 days at 20/day: the boundary days carry
+    # the max shift score
+    rows, eid = [], 0
+    for d in range(1, 7):
+        for _ in range(5):
+            rows.append((eid, _ts(d), 1, "view", 1.0, "{}")); eid += 1
+    for d in range(7, 13):
+        for _ in range(20):
+            rows.append((eid, _ts(d), 1, "view", 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = timeseries.changepoint_days(events, window_days=3, threshold=3.0)
+    got = {r["day"].day: r["shift"] for r in out.collect()}
+    assert got, "level shift not detected"
+    # day 6 or 7 (the boundary) must carry the maximum score of 15
+    assert max(got.values()) == 15.0
+    assert max(got, key=got.get) in (6, 7)
