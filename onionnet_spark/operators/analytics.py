@@ -1005,3 +1005,91 @@ def maximal_matching(
             "rounds; raise `rounds`"
         )
     return matched.select("a", "b")
+
+
+def degree_assortativity(graph: OnionGraph) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation between source-node and destination-node total
+    degree over all directed edges. Positive = hubs link to hubs.
+
+    All five sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    integers (degrees are integers), so the final double-precision
+    coefficient is a deterministic function of the graph in any
+    engine/summation order. One degree aggregation, two joins to
+    annotate edges, one 1-row reduce.
+    """
+    e = graph.edge_endpoints()
+    deg = (
+        e.select(F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id"))
+        .unionByName(
+            e.select(
+                F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
+            )
+        )
+        .groupBy("layer", "node_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    annotated = (
+        e.join(
+            deg.select(
+                F.col("layer").alias("src_layer"),
+                F.col("node_id").alias("src_id"),
+                F.col("deg").alias("dx"),
+            ),
+            on=["src_layer", "src_id"],
+        )
+        .join(
+            deg.select(
+                F.col("layer").alias("dst_layer"),
+                F.col("node_id").alias("dst_id"),
+                F.col("deg").alias("dy"),
+            ),
+            on=["dst_layer", "dst_id"],
+        )
+    )
+    sums = annotated.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    da = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    db = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.when((da > 0) & (db > 0), F.round(num / F.sqrt(da * db), 6)).alias(
+            "assortativity"
+        ),
+    )
+
+
+def reciprocity(graph: OnionGraph) -> DataFrame:
+    """Directed reciprocity: the fraction of edges whose reverse
+    edge also exists. One distinct pass + one self semi-join on the
+    reversed key — both shuffles on the endpoint-pair key.
+    """
+    e = graph.edge_endpoints().select(
+        "src_layer", "src_id", "dst_layer", "dst_id"
+    ).distinct()
+    rev = e.select(
+        F.col("dst_layer").alias("src_layer"),
+        F.col("dst_id").alias("src_id"),
+        F.col("src_layer").alias("dst_layer"),
+        F.col("src_id").alias("dst_id"),
+    )
+    recip = e.join(
+        rev, on=["src_layer", "src_id", "dst_layer", "dst_id"], how="left_semi"
+    )
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").alias("n_reciprocal"))
+    ).select(
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_reciprocal").cast("bigint").alias("n_reciprocal"),
+        F.round(
+            F.col("n_reciprocal") / F.col("n_edges"), 6
+        ).alias("reciprocity"),
+    )

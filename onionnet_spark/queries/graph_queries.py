@@ -1635,3 +1635,58 @@ def graph_matching_q(spark, sf_dir):
 
 
 _REG["graph_maximal_matching"] = (graph_matching_q, _matching_oracle())
+
+
+@register(
+    "graph_assortativity",
+    f"""WITH {CTES},
+    deg AS MATERIALIZED (
+      SELECT layer, node_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT src_layer AS layer, src_id AS node_id FROM edges_g
+        UNION ALL SELECT dst_layer, dst_id FROM edges_g)
+      GROUP BY 1, 2
+    ),
+    ann AS (
+      SELECT dx.deg AS dx, dy.deg AS dy
+      FROM edges_g e
+      JOIN deg dx ON dx.layer = e.src_layer AND dx.node_id = e.src_id
+      JOIN deg dy ON dy.layer = e.dst_layer AND dy.node_id = e.dst_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+             CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+             CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+             CAST(SUM(dy * dy) AS DOUBLE) AS syy,
+             CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM ann
+    )
+    SELECT n_edges,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN ROUND((n*sxy - sx*sy)
+                     / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+           END AS assortativity
+    FROM s""",
+)
+def graph_assortativity(spark, sf_dir):
+    return analytics.degree_assortativity(get_graph(spark, sf_dir))
+
+
+@register(
+    "graph_reciprocity",
+    f"""WITH {CTES},
+    e AS (SELECT DISTINCT src_layer, src_id, dst_layer, dst_id FROM edges_g),
+    r AS (
+      SELECT COUNT(*) AS n_reciprocal FROM e
+      WHERE EXISTS (SELECT 1 FROM e x
+                    WHERE x.src_layer = e.dst_layer AND x.src_id = e.dst_id
+                      AND x.dst_layer = e.src_layer AND x.dst_id = e.src_id)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
+           ROUND(r.n_reciprocal * 1.0 / (SELECT COUNT(*) FROM e), 6)
+             AS reciprocity
+    FROM r""",
+)
+def graph_reciprocity(spark, sf_dir):
+    return analytics.reciprocity(get_graph(spark, sf_dir))

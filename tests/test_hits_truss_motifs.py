@@ -113,3 +113,29 @@ def test_maximal_matching_guard(spark):
     )
     with _p.raises(RuntimeError, match="remain after"):
         maximal_matching(edges, rounds=0)
+
+
+def test_reciprocity_partial(spark):
+    from onionnet_spark.operators.analytics import reciprocity
+
+    g = _graph(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d")])
+    row = reciprocity(g).collect()[0]
+    assert row["n_edges"] == 4 and row["n_reciprocal"] == 2
+    assert row["reciprocity"] == 0.5
+
+
+def test_assortativity_star_is_negative(spark):
+    from onionnet_spark.operators.analytics import degree_assortativity
+
+    # star: hub (deg 4) links only to leaves (deg 1) -> strongly
+    # disassortative; with one hub the coefficient is exactly -1
+    # undefined? no: all edges are (4,1) pairs -> zero variance on
+    # both margins per direction -> NULL. Add one leaf-leaf edge to
+    # create variance; coefficient must be negative.
+    g = _graph(
+        spark,
+        [("h", "x"), ("h", "y"), ("h", "z"), ("h", "w"), ("x", "y")],
+    )
+    row = degree_assortativity(g).collect()[0]
+    assert row["n_edges"] == 5
+    assert row["assortativity"] is not None and row["assortativity"] < 0
