@@ -462,3 +462,57 @@ def test_streaming_anomaly_detection_matches_batch(spark, events_df, tmp_path):
     got = sorted(map(tuple, zscore_outlier_days(daily, 1.5).collect()))
     want = sorted(map(tuple, anomaly_days(events_df, z_threshold=1.5).collect()))
     assert got == want and len(got) > 0
+
+
+def test_watermark_append_mode_semantics(spark, tmp_path):
+    # append-mode tumbling agg with a 10-minute watermark over a
+    # 2-batch file replay. Documents the REAL watermark contract
+    # (verified on Spark 4.1): windows emit exactly once when the
+    # watermark passes their end; unclosed windows never emit; and
+    # the lateness guarantee is ONE-DIRECTIONAL — a beyond-watermark
+    # straggler "may or may not be dropped" (SS guide): state
+    # cleanup is guaranteed, strict drop is not (here the hour-9 row
+    # arrives after the watermark passed its window yet still
+    # aggregates, because no prior state existed to have been
+    # evicted).
+    import datetime
+    import time
+
+    d = str(tmp_path / "files")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)  # distinct mod-times => deterministic order
+
+    t = lambda h, m: datetime.datetime(2024, 3, 1, h, m)  # noqa: E731
+    write_batch([(i, t(10, 15), 1, "view", 1.0, "{}") for i in range(3)]
+                + [(9, t(12, 0), 1, "view", 1.0, "{}")])
+    write_batch([(100, t(9, 30), 1, "view", 1.0, "{}"),   # late: dropped
+                 (101, t(12, 30), 1, "view", 1.0, "{}")])
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    agg = ev.tumbling_counts(stream.withWatermark("ts", "10 minutes"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.sql("SELECT * FROM t_wm").collect()
+    }
+    assert rows.get(10) == 3      # closed by the watermark, emitted once
+    assert 12 not in rows         # never closed: never emitted
+    # the straggler may aggregate (fresh state) — both outcomes
+    # conform; what is GUARANTEED is it can never double-emit
+    assert rows.get(9) in (None, 1)
