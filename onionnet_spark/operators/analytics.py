@@ -1093,3 +1093,63 @@ def reciprocity(graph: OnionGraph) -> DataFrame:
             F.col("n_reciprocal") / F.col("n_edges"), 6
         ).alias("reciprocity"),
     )
+
+
+def modularity(graph: OnionGraph, assignment: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment over the
+    SYMMETRIZED simple graph (the graph LPA communities are defined
+    on): with A the doubled edge list (each undirected edge in both
+    directions, |A| = 2m),
+      Q = sum_c [ e_c/|A| - (d_c/|A|)^2 ]
+    where e_c counts A-rows internal to c and d_c sums A-out-degrees
+    of c's members. Every accumulator is an exact integer count, so
+    the single final double combination is engine-stable at 6 dp.
+
+    `assignment` must carry (layer, node_id, community). Returns one
+    row: (n_communities, modularity).
+    """
+    e = graph.edge_endpoints()
+    sym = (
+        e.select("src_layer", "src_id", "dst_layer", "dst_id")
+        .union(
+            e.select(
+                F.col("dst_layer").alias("src_layer"),
+                F.col("dst_id").alias("src_id"),
+                F.col("src_layer").alias("dst_layer"),
+                F.col("src_id").alias("dst_id"),
+            )
+        )
+        .distinct()
+    )
+    a = assignment.select(
+        F.col("layer").alias("src_layer"),
+        F.col("node_id").alias("src_id"),
+        F.col("community").alias("cu"),
+    )
+    b = assignment.select(
+        F.col("layer").alias("dst_layer"),
+        F.col("node_id").alias("dst_id"),
+        F.col("community").alias("cv"),
+    )
+    annotated = sym.join(a, on=["src_layer", "src_id"]).join(
+        b, on=["dst_layer", "dst_id"]
+    )
+    per_c = annotated.groupBy("cu").agg(
+        F.count("*").alias("d_c"),
+        F.sum(F.when(F.col("cu") == F.col("cv"), 1).otherwise(0)).alias("e_c"),
+    )
+    totals = per_c.agg(
+        F.count("*").alias("n_communities"),
+        F.sum("d_c").alias("m2"),
+        F.sum("e_c").alias("e_in"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("d_sq"),
+    )
+    m2 = F.col("m2").cast("double")
+    return totals.select(
+        F.col("n_communities").cast("bigint").alias("n_communities"),
+        F.round(
+            F.col("e_in").cast("double") / m2
+            - F.col("d_sq").cast("double") / (m2 * m2),
+            6,
+        ).alias("modularity"),
+    )

@@ -1690,3 +1690,45 @@ def graph_assortativity(spark, sf_dir):
 )
 def graph_reciprocity(spark, sf_dir):
     return analytics.reciprocity(get_graph(spark, sf_dir))
+
+
+def _modularity_oracle() -> str:
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    inner = _lpa_oracle()
+    return f"""WITH {CTES},
+    lpa AS MATERIALIZED (SELECT * FROM ({inner}) t),
+    es2 AS (SELECT * FROM edges_g
+            WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    sym2 AS (
+      SELECT DISTINCT src_layer, src_id, dst_layer, dst_id FROM es2
+      UNION
+      SELECT DISTINCT dst_layer, dst_id, src_layer, src_id FROM es2),
+    ann AS (
+      SELECT ca.community AS cu, cb.community AS cv
+      FROM sym2 s
+      JOIN lpa ca ON ca.layer = s.src_layer AND ca.node_id = s.src_id
+      JOIN lpa cb ON cb.layer = s.dst_layer AND cb.node_id = s.dst_id),
+    per_c AS (
+      SELECT cu, COUNT(*) AS d_c,
+             SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS e_c
+      FROM ann GROUP BY cu),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+             CAST(SUM(d_c) AS DOUBLE) AS m2,
+             CAST(SUM(e_c) AS DOUBLE) AS e_in,
+             CAST(SUM(d_c * d_c) AS DOUBLE) AS d_sq
+      FROM per_c)
+    SELECT n_communities, ROUND(e_in / m2 - d_sq / (m2 * m2), 6) AS modularity
+    FROM t"""
+
+
+@register("graph_modularity", _modularity_oracle())
+def graph_modularity_q(spark, sf_dir):
+    """Modularity of the 5-round LPA assignment — the quality metric
+    composed over the community operator (same subgraph)."""
+    from onionnet_spark.operators.components import label_propagation_communities
+
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return analytics.modularity(g, label_propagation_communities(g, n_rounds=5))

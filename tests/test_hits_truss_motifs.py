@@ -139,3 +139,26 @@ def test_assortativity_star_is_negative(spark):
     row = degree_assortativity(g).collect()[0]
     assert row["n_edges"] == 5
     assert row["assortativity"] is not None and row["assortativity"] < 0
+
+
+def test_modularity_two_cliques(spark):
+    from onionnet_spark.operators.analytics import modularity
+
+    # two triangles joined by one bridge: the natural 2-community
+    # split has strongly positive Q; the all-one-community split has
+    # Q == 0 by definition
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    g = _graph(spark, edges)
+    good = spark.createDataFrame(
+        [("L", n, "c1" if n in "abc" else "c2") for n in "abcxyz"],
+        "layer string, node_id string, community string",
+    )
+    one = spark.createDataFrame(
+        [("L", n, "all") for n in "abcxyz"],
+        "layer string, node_id string, community string",
+    )
+    q_good = modularity(g, good).collect()[0]["modularity"]
+    q_one = modularity(g, one).collect()[0]["modularity"]
+    assert q_one == 0.0
+    assert q_good > 0.3
