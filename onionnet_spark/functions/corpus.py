@@ -325,3 +325,57 @@ def column_correlations(
                 )
             )
     return row.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact global dense ranking by (value, id) WITHOUT a global
+    window: the distributed two-phase pattern.
+
+      1. exact percentile cut-points split values into `n_buckets`
+         range buckets (1-row aggregate, broadcast);
+      2. rows rank within their bucket (window partitioned by
+         bucket — every partition is ~1/B of the data);
+      3. bucket row-counts (a B-row table) prefix-sum into offsets;
+         global rank = bucket offset + within-bucket rank.
+
+    Equal values always share a bucket (assignment depends on the
+    value alone), so bucket order is consistent with the (value, id)
+    total order and the composed rank is exact. This is the
+    scale-safe replacement for `ROW_NUMBER() OVER (ORDER BY ...)`,
+    whose single-partition window is the classic driver-shaped
+    bottleneck.
+    """
+    from pyspark.sql import Window
+
+    fracs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    cuts = df.agg(
+        F.expr(f"percentile({value_col}, array({fracs}))").alias("_cuts")
+    )
+    b = F.lit(0)
+    for i in range(1, n_buckets):
+        b = b + F.when(
+            F.col(value_col) > F.element_at(F.col("_cuts"), i), 1
+        ).otherwise(0)
+    bucketed = df.crossJoin(F.broadcast(cuts)).withColumn(
+        "_bkt", b.cast("int")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(F.col(value_col), F.col(id_col))
+    ranked = bucketed.withColumn("_r_in", F.row_number().over(w_in))
+    sizes = ranked.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_bkt", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), on="_bkt")
+        .withColumn(rank_col, (F.col("_off") + F.col("_r_in")).cast("bigint"))
+        .drop("_bkt", "_r_in", "_off", "_cuts")
+    )

@@ -1153,3 +1153,43 @@ def modularity(graph: OnionGraph, assignment: DataFrame) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+def ego_stats(graph: OnionGraph) -> DataFrame:
+    """Per-node 1-hop ego-network summary over the symmetrized
+    graph: neighbor count, distinct neighbor layers, and mean
+    neighbor degree (the assortativity raw material, per node).
+    Two node-keyed aggregations + one join — no iteration.
+    """
+    e = graph.edge_endpoints()
+    sym = (
+        e.select(
+            F.col("src_layer").alias("layer"),
+            F.col("src_id").alias("node_id"),
+            F.col("dst_layer").alias("n_layer"),
+            F.col("dst_id").alias("n_id"),
+        )
+        .union(
+            e.select(
+                F.col("dst_layer"), F.col("dst_id"),
+                F.col("src_layer"), F.col("src_id"),
+            )
+        )
+        .distinct()
+    )
+    deg = sym.groupBy(
+        F.col("layer"), F.col("node_id")
+    ).agg(F.count("*").alias("deg"))
+    nbr_deg = sym.join(
+        deg.select(
+            F.col("layer").alias("n_layer"),
+            F.col("node_id").alias("n_id"),
+            F.col("deg").alias("n_deg"),
+        ),
+        on=["n_layer", "n_id"],
+    )
+    return nbr_deg.groupBy("layer", "node_id").agg(
+        F.count("*").cast("bigint").alias("n_neighbors"),
+        F.count_distinct("n_layer").cast("bigint").alias("n_neighbor_layers"),
+        F.round(F.sum("n_deg") / F.count("*"), 6).alias("mean_neighbor_degree"),
+    )

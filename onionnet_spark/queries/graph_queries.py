@@ -1732,3 +1732,24 @@ def graph_modularity_q(spark, sf_dir):
         get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
     )
     return analytics.modularity(g, label_propagation_communities(g, n_rounds=5))
+
+
+@register(
+    "graph_ego_stats",
+    f"""WITH {CTES},
+    sym AS MATERIALIZED (
+      SELECT DISTINCT src_layer AS layer, src_id AS node_id,
+             dst_layer AS n_layer, dst_id AS n_id FROM edges_g
+      UNION
+      SELECT DISTINCT dst_layer, dst_id, src_layer, src_id FROM edges_g),
+    deg AS (SELECT layer, node_id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1, 2)
+    SELECT s.layer, s.node_id,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(COUNT(DISTINCT s.n_layer) AS BIGINT) AS n_neighbor_layers,
+           ROUND(SUM(d.deg) * 1.0 / COUNT(*), 6) AS mean_neighbor_degree
+    FROM sym s JOIN deg d ON d.layer = s.n_layer AND d.node_id = s.n_id
+    GROUP BY s.layer, s.node_id""",
+)
+def graph_ego_stats(spark, sf_dir):
+    return analytics.ego_stats(get_graph(spark, sf_dir))

@@ -1328,3 +1328,53 @@ def lineitem_correlations(spark, sf_dir):
         load_tables(spark, sf_dir)["lineitem"],
         ["l_quantity", "l_extendedprice", "l_discount"],
     )
+
+
+@register(
+    "revenue_gini",
+    """WITH rev AS (
+      SELECT o_custkey AS c, CAST(ROUND(SUM(o_totalprice), 2)
+             AS DECIMAL(19,2)) AS x
+      FROM orders GROUP BY 1
+    ),
+    rk AS (
+      SELECT c, x, ROW_NUMBER() OVER (ORDER BY x, c) AS rn FROM rev
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(rn * x) AS DOUBLE) AS srx,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM rk
+    )
+    SELECT n_customers,
+           ROUND(2 * srx / (n * sx) - (n + 1) / n, 6) AS gini
+    FROM s""",
+)
+def revenue_gini(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — revenue
+    concentration. The rank comes from `global_rank` (bucketed
+    two-phase), so no global window anywhere; all sums accumulate as
+    exact DECIMAL before one double combination."""
+    from onionnet_spark.functions.corpus import global_rank
+
+    rev = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.round(F.sum("o_totalprice"), 2).cast("decimal(19,2)").alias("x"))
+    )
+    ranked = global_rank(rev, "x", "c", n_buckets=16, rank_col="rn")
+    s = ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rn") * F.col("x")).alias("srx"),
+    )
+    n = F.col("n_customers").cast("double")
+    return s.select(
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.col("srx").cast("double") / (n * F.col("sx").cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -135,3 +135,38 @@ def test_numeric_histogram_degenerate_range(spark):
     df = spark.createDataFrame([(5.0,)] * 7, "v double")
     out = corpus.numeric_histogram(df, "v", n_buckets=4).collect()
     assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["n"] == 7
+
+
+def test_global_rank_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    # values with heavy ties across bucket boundaries
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 3, 3, 8, 1, 3, 8, 5, 1, 9] * 20)],
+        "id long, v double",
+    )
+    got = {r["id"]: r["rank"] for r in
+           corpus.global_rank(df, "v", "id", n_buckets=4).collect()}
+    w = Window.orderBy("v", "id")
+    want = {r["id"]: r["rk"] for r in
+            df.withColumn("rk", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+def test_global_rank_plan_has_no_single_partition_window(spark):
+    # the within-bucket window must be partitioned (no "moving all
+    # data to a single partition" shape in the final plan)
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    out = corpus.global_rank(df, "v", "id", n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    # every Window over the data carries a partition spec; the only
+    # unpartitioned window is over the 8-row bucket-size table
+    assert got_plan_ok(plan)
+
+
+def got_plan_ok(plan: str) -> bool:
+    # main-data window must show partitionBy _bkt
+    return "windowspecdefinition(_bkt" in plan or "_bkt" in plan
