@@ -161,3 +161,42 @@ def bipartite_view(graph: OnionGraph, layer1: str, layer2: str) -> OnionGraph:
         | ((F.col("src_layer") == layer2) & (F.col("dst_layer") == layer1))
     )
     return prune_isolated(OnionGraph(nodes, cross, graph.directed))
+
+
+def project_bipartite(
+    graph: OnionGraph, layer: str, via_layer: str
+) -> DataFrame:
+    """One-mode projection of a bipartite view: connect two `layer`
+    nodes when they share a `via_layer` neighbor (either edge
+    direction), weighted by the shared-neighbor count — the standard
+    co-membership graph (co-purchase, co-supply, co-affiliation).
+
+    Plan: incidence pairs (layer node, via node) in one pass, then a
+    self equi-join keyed on the via node — the same
+    candidate-generation shape as the LSH bucket join, with the via
+    node's degree bounding the per-key fan-out. Skewed via-hubs are
+    the known hazard: cap or drop super-connectors upstream (cf. the
+    df-cap in node_jaccard) when projecting at corpus scale.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    e = graph.edge_endpoints()
+    inc = (
+        e.filter(
+            (F.col("src_layer") == layer) & (F.col("dst_layer") == via_layer)
+        )
+        .select(F.col("src_id").alias("id"), F.col("dst_id").alias("via"))
+        .union(
+            e.filter(
+                (F.col("dst_layer") == layer) & (F.col("src_layer") == via_layer)
+            ).select(F.col("dst_id").alias("id"), F.col("src_id").alias("via"))
+        )
+        .distinct()
+    )
+    return (
+        inc.alias("a")
+        .join(inc.alias("b"), on="via")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

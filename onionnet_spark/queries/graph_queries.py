@@ -1753,3 +1753,73 @@ def graph_modularity_q(spark, sf_dir):
 )
 def graph_ego_stats(spark, sf_dir):
     return analytics.ego_stats(get_graph(spark, sf_dir))
+
+
+def _pagerank_weighted_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    lyrs = "('lineitem', 'orders', 'part', 'supplier')"
+    stages = []
+    for i in range(1, n_iter + 1):
+        stages.append(
+            f"""wpr{i} AS MATERIALIZED (
+      SELECT ns.layer, ns.node_id,
+             (1 - {damping}) / (SELECT n FROM nn) + {damping} * COALESCE(c.contrib, 0) AS pr
+      FROM ns LEFT JOIN (
+        SELECT e.dst_layer AS layer, e.dst_id AS node_id,
+               SUM(p.pr * e.weight / d.wsum) AS contrib
+        FROM es e
+        JOIN wpr{i - 1} p ON p.layer = e.src_layer AND p.node_id = e.src_id
+        JOIN wdeg d ON d.src_layer = e.src_layer AND d.src_id = e.src_id
+        GROUP BY e.dst_layer, e.dst_id
+      ) c ON c.layer = ns.layer AND c.node_id = ns.node_id
+    )"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
+    es AS MATERIALIZED (SELECT * FROM edges_g
+                        WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    wdeg AS MATERIALIZED (SELECT src_layer, src_id, SUM(weight) AS wsum
+                          FROM es GROUP BY 1, 2),
+    nn AS (SELECT COUNT(*) AS n FROM ns),
+    wpr0 AS (SELECT layer, node_id, 1.0 / (SELECT n FROM nn) AS pr FROM ns),
+    {stage_sql}
+    SELECT layer, node_id, ROUND(pr, 6) AS pagerank FROM wpr{n_iter}"""
+
+
+def graph_pagerank_weighted_q(spark, sf_dir):
+    """Edge-weight-aware PageRank on the fact layers, where
+    lineitem's three out-edges carry genuinely different weights
+    (extendedprice vs quantity) — exercises the weighted mass split
+    the unweighted query can't."""
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["lineitem", "orders", "part", "supplier"]
+    )
+    pr = analytics.pagerank(g, n_iterations=5, damping=0.85, weight_col="weight")
+    return pr.select("layer", "node_id", F.round("pagerank", 6).alias("pagerank"))
+
+
+_REG["graph_pagerank_weighted"] = (
+    graph_pagerank_weighted_q, _pagerank_weighted_oracle()
+)
+
+
+@register(
+    "graph_bipartite_projection",
+    f"""WITH {CTES},
+    inc AS (
+      SELECT DISTINCT src_id AS id, dst_id AS via FROM edges_g
+      WHERE src_layer = 'customer' AND dst_layer = 'nation'
+      UNION
+      SELECT DISTINCT dst_id, src_id FROM edges_g
+      WHERE dst_layer = 'customer' AND src_layer = 'nation'
+    )
+    SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM inc a JOIN inc b ON a.via = b.via AND a.id < b.id
+    GROUP BY 1, 2""",
+)
+def graph_bipartite_projection(spark, sf_dir):
+    """Customer co-nationality projection: the one-mode co-membership
+    graph of the customer-nation bipartite view."""
+    return filters.project_bipartite(
+        get_graph(spark, sf_dir), layer="customer", via_layer="nation"
+    )
