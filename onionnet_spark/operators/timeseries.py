@@ -265,3 +265,37 @@ def changepoint_days(
         F.col("n").cast("bigint").alias("n_events"),
         "shift",
     )
+
+
+def day_of_week_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Weekly seasonality profile: per (key, ISO weekday), the mean
+    daily event count and its share of the key's weekly total —
+    the decomposition baseline for seasonal-adjusted monitoring.
+    Means are ratios of exact integer sums (events / days observed),
+    so the rounded profile is engine-stable. Two bounded
+    aggregations: daily reduction, then the 7-row-per-key profile.
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(key_col).alias("key"),
+    ).agg(F.count("*").alias("n"))
+    prof = daily.groupBy(
+        "key", F.dayofweek("day").alias("dow")
+    ).agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_days")
+    )
+    w = Window.partitionBy("key")
+    return prof.select(
+        F.col("key").alias("event_type"),
+        F.col("dow").cast("int").alias("dow"),
+        F.round(F.col("total").cast("double") / F.col("n_days"), 6).alias(
+            "mean_daily"
+        ),
+        F.round(
+            F.col("total").cast("double") / F.sum("total").over(w), 6
+        ).alias("share"),
+    )

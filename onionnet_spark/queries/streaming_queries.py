@@ -406,3 +406,30 @@ def events_changepoints(spark, sf_dir):
     return timeseries.changepoint_days(
         _events(spark, sf_dir), window_days=3, threshold=3.0
     )
+
+
+@register(
+    "events_dow_profile",
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT key, CAST(dayofweek(day) + 1 AS INT) AS dow,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT key AS event_type, dow,
+           ROUND(CAST(total AS DOUBLE) / n_days, 6) AS mean_daily,
+           ROUND(CAST(total AS DOUBLE)
+                 / SUM(total) OVER (PARTITION BY key), 6) AS share
+    FROM prof""",
+)
+def events_dow_profile(spark, sf_dir):
+    """Weekly seasonality profile per event type (Spark dayofweek is
+    1=Sunday; DuckDB dayofweek is 0=Sunday, shifted to match)."""
+    from onionnet_spark.operators import timeseries
+
+    return timeseries.day_of_week_profile(_events(spark, sf_dir))

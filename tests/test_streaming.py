@@ -516,3 +516,38 @@ def test_watermark_append_mode_semantics(spark, tmp_path):
     # the straggler may aggregate (fresh state) — both outcomes
     # conform; what is GUARANTEED is it can never double-emit
     assert rows.get(9) in (None, 1)
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_df, sf_dir, tmp_path):
+    # stream-static join: the streaming side enriches against a
+    # static dimension snapshot (planned as a broadcast per
+    # micro-batch); result must equal the batch join
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = ev.stream_from_batch(spark, events_df, partitions=3)
+    enriched = (
+        stream.join(cust, on="user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM t_enrich").collect()))
+    want = sorted(
+        map(
+            tuple,
+            events_df.join(cust, on="user_id")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
