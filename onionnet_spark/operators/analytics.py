@@ -1193,3 +1193,69 @@ def ego_stats(graph: OnionGraph) -> DataFrame:
         F.count_distinct("n_layer").cast("bigint").alias("n_neighbor_layers"),
         F.round(F.sum("n_deg") / F.count("*"), 6).alias("mean_neighbor_degree"),
     )
+
+
+def coreness(
+    edges: DataFrame,
+    k_max: int = 12,
+    rounds_per_k: int = 2,
+    a_col: str = "a",
+    b_col: str = "b",
+    guard: bool = True,
+) -> DataFrame:
+    """Full k-core decomposition: every node's core number (the
+    largest k for which it survives k-core peeling), by a FIXED
+    (k, round) peel schedule — k rises 1..k_max with `rounds_per_k`
+    peel sweeps each; converged sweeps are no-ops, keeping the
+    unrolled oracle in lockstep regardless of where peeling actually
+    stabilizes. A node is removed in phase k when its remaining
+    degree drops below k (including to zero via neighbor loss —
+    removal is the NODE-SET DIFFERENCE between consecutive sweeps,
+    not the explicit low-degree list, which would miss nodes whose
+    last edges vanished); its coreness is k-1.
+
+    With ``guard=True`` a RuntimeError is raised if nodes survive
+    the whole schedule (their coreness would exceed k_max-1). Each
+    sweep is one degree aggregation + two anti-joins on node keys —
+    O(k_max * rounds_per_k) bounded passes, no global ordering.
+
+    Returns (node, coreness).
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    removed = None
+    for k in range(1, k_max + 1):
+        for _ in range(rounds_per_k):
+            deg = adj.groupBy("u").agg(F.count("*").alias("c"))
+            low = deg.filter(F.col("c") < k).select("u")
+            nxt = (
+                adj.join(low, on="u", how="left_anti")
+                .join(low.select(F.col("u").alias("v")), on="v", how="left_anti")
+                .localCheckpoint()
+            )
+            gone = (
+                adj.select("u")
+                .distinct()
+                .join(nxt.select("u").distinct(), on="u", how="left_anti")
+                .select(F.col("u").alias("node"), F.lit(k - 1).alias("coreness"))
+            )
+            removed = (
+                gone
+                if removed is None
+                else removed.unionByName(gone).localCheckpoint(eager=False)
+            )
+            adj = nxt
+    if guard and adj.count():
+        raise RuntimeError(
+            f"coreness: nodes remain after k_max={k_max}; raise k_max"
+        )
+    return removed.select("node", F.col("coreness").cast("int").alias("coreness"))

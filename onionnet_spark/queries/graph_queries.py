@@ -1823,3 +1823,42 @@ def graph_bipartite_projection(spark, sf_dir):
     return filters.project_bipartite(
         get_graph(spark, sf_dir), layer="customer", via_layer="nation"
     )
+
+
+def _coreness_oracle(topn: int = 60, k_max: int = 12, rounds_per_k: int = 2) -> str:
+    stages, removed_selects = [], []
+    prev = "adj0"
+    i = 0
+    for k in range(1, k_max + 1):
+        for _ in range(rounds_per_k):
+            i += 1
+            stages.append(
+                f"""low{i} AS (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) < {k}),
+    adj{i} AS MATERIALIZED (
+      SELECT * FROM {prev}
+      WHERE u NOT IN (SELECT u FROM low{i})
+        AND v NOT IN (SELECT u FROM low{i})),
+    gone{i} AS (
+      SELECT u AS node, CAST({k - 1} AS INT) AS coreness
+      FROM (SELECT DISTINCT u FROM {prev})
+      WHERE u NOT IN (SELECT DISTINCT u FROM adj{i}))"""
+            )
+            removed_selects.append(f"SELECT node, coreness FROM gone{i}")
+            prev = f"adj{i}"
+    stage_sql = ",\n    ".join(stages)
+    union_sql = "\n    UNION ALL ".join(removed_selects)
+    return f"""WITH {_COSUPPLY_SQL.format(topn=topn)},
+    adj0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+                          UNION ALL SELECT b, a FROM e0),
+    {stage_sql}
+    {union_sql}"""
+
+
+@register("graph_coreness", _coreness_oracle())
+def graph_coreness(spark, sf_dir):
+    """Core numbers of the top-60 co-supply graph via the fixed-
+    schedule peel (k<=12, 2 sweeps per k — converged sweeps no-op,
+    keeping Spark and the unrolled oracle in lockstep)."""
+    return analytics.coreness(
+        _cosupply_top_pairs(spark, sf_dir, 60), k_max=12, rounds_per_k=2
+    )

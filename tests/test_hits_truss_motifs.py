@@ -162,3 +162,29 @@ def test_modularity_two_cliques(spark):
     q_one = modularity(g, one).collect()[0]["modularity"]
     assert q_one == 0.0
     assert q_good > 0.3
+
+
+def test_coreness_clique_with_tail(spark):
+    from onionnet_spark.operators.analytics import coreness
+
+    # K4 (coreness 3) with a 2-node tail hanging off d: tail nodes
+    # peel at k=2 (coreness 1)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("e", "f")],
+        "a string, b string",
+    )
+    got = {r["node"]: r["coreness"] for r in coreness(edges, k_max=6).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1}
+
+
+def test_coreness_guard(spark):
+    from onionnet_spark.operators.analytics import coreness
+    import pytest as _p
+
+    k4 = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "a string, b string",
+    )
+    with _p.raises(RuntimeError, match="nodes remain"):
+        coreness(k4, k_max=2)  # K4 survives k<=2: coreness 3 > k_max-1
