@@ -1218,3 +1218,33 @@ def ann_ivf_pq_topk_q(spark, sf_dir):
         _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2, m=4,
         pq_centroids=8, iterations=2,
     )
+
+
+def _cluster_sizes_oracle() -> str:
+    # wrap the full dedup_clusters closure and histogram the sizes
+    inner = _REG["dedup_clusters"][1]
+    return f"""SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+      SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM ({inner}) t GROUP BY canonical_id
+    ) s GROUP BY cluster_size"""
+
+
+def dedup_cluster_sizes_q(spark, sf_dir):
+    """Near-dup cluster-size distribution — the dedup health metric
+    (a fat tail means over-merging; all-1s means the thresholds
+    find nothing)."""
+    clusters = dedup.dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+    return (
+        clusters.groupBy("canonical_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("bigint").alias("cluster_size"),
+                "n_clusters")
+    )
+
+
+from onionnet_spark.queries import REGISTRY as _REG2  # noqa: E402
+
+_REG2["dedup_cluster_sizes"] = (dedup_cluster_sizes_q, _cluster_sizes_oracle())
