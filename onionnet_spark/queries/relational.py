@@ -1378,3 +1378,59 @@ def revenue_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "revenue_lorenz",
+    """WITH rev AS (
+      SELECT o_custkey AS c,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(19,2)) AS x
+      FROM orders GROUP BY 1
+    ),
+    rk AS (SELECT c, x, ROW_NUMBER() OVER (ORDER BY x, c) AS rn,
+                  COUNT(*) OVER () AS n FROM rev),
+    dec AS (
+      SELECT CAST(ceil(rn * 10.0 / n) AS INT) AS decile,
+             CAST(SUM(x) AS DECIMAL(28,2)) AS dx
+      FROM rk GROUP BY 1
+    )
+    SELECT decile,
+           ROUND(CAST(SUM(dx) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST((SELECT SUM(x) FROM rev) AS DOUBLE), 6)
+             AS cum_share
+    FROM dec""",
+)
+def revenue_lorenz(spark, sf_dir):
+    """Lorenz curve deciles of customer revenue (the curve whose
+    area gap is `revenue_gini`): customers ranked by revenue via
+    the distributed `global_rank`, bucketed into deciles, cumulative
+    revenue share per decile from exact DECIMAL sums. The cumulative
+    window runs over the 10-row decile table — never the data."""
+    from pyspark.sql import Window
+
+    from onionnet_spark.functions.corpus import global_rank
+
+    rev = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.round(F.sum("o_totalprice"), 2).cast("decimal(19,2)").alias("x"))
+    )
+    ranked = global_rank(rev, "x", "c", n_buckets=16, rank_col="rn")
+    n = ranked.count()
+    dec = ranked.withColumn(
+        "decile", F.ceil(F.col("rn") * 10.0 / n).cast("int")
+    ).groupBy("decile").agg(F.sum("x").alias("dx"))
+    total = dec.agg(F.sum("dx").alias("tot"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("dx").over(w).cast("double") / F.col("tot").cast("double"),
+                6,
+            ),
+        )
+        .select("decile", "cum_share")
+    )
