@@ -1862,3 +1862,45 @@ def graph_coreness(spark, sf_dir):
     return analytics.coreness(
         _cosupply_top_pairs(spark, sf_dir, 60), k_max=12, rounds_per_k=2
     )
+
+
+def _anf_growth_oracle(max_radius: int = 3) -> str:
+    per_r = "\n      UNION ALL ".join(
+        f"SELECT {r} AS radius, ROUND(AVG(est_ball), 6) AS mean_ball "
+        f"FROM ({_anf_oracle(radius=r)}) t{r}"
+        for r in range(1, max_radius + 1)
+    )
+    return f"""WITH g AS (
+      {per_r}
+    )
+    SELECT radius, mean_ball,
+           ROUND(mean_ball / MAX(mean_ball) OVER (), 6) AS frac_of_max
+    FROM g"""
+
+
+def graph_anf_growth_q(spark, sf_dir):
+    """Neighborhood-growth profile from the ANF sketch: mean
+    estimated ball size at radius 1..3 and its fraction of the
+    maximum — the effective-diameter read-out (the smallest radius
+    whose fraction clears 0.9). Three sketch passes share the same
+    deterministic md5 draws, so the profile is exactly replayable."""
+    from pyspark.sql import Window
+
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    rows = None
+    for r in (1, 2, 3):
+        sk = analytics.neighborhood_function_sketch(g, radius=r, k=8)
+        one = sk.agg(F.round(F.avg("est_ball"), 6).alias("mean_ball")).select(
+            F.lit(r).alias("radius"), "mean_ball"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    w = Window.partitionBy()
+    return rows.withColumn(
+        "frac_of_max",
+        F.round(F.col("mean_ball") / F.max("mean_ball").over(w), 6),
+    )
+
+
+_REG["graph_anf_growth"] = (graph_anf_growth_q, _anf_growth_oracle())
