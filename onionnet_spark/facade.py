@@ -59,8 +59,17 @@ class OnionNet:
         start_node: tuple[str, str],
         max_dist: int = 5,
         direction: str = "downstream",
+        include_upstream_children: bool = False,
     ) -> DataFrame:
-        return _traversal.k_hop(self._g(), start_node, max_dist, direction)
+        """Reference search (searcher.py:157-242), incl. the bi-mode
+        include_upstream_children widening (searcher.py:212-216)."""
+        return _traversal.k_hop(
+            self._g(),
+            start_node,
+            max_dist,
+            direction,
+            include_upstream_children=include_upstream_children,
+        )
 
     def compute_on_shortest(
         self, source: tuple[str, str], targets: list[tuple[str, str]]

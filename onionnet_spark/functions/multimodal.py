@@ -53,24 +53,45 @@ def attach_binary_payload(
 
 
 def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
-    """'Decode' payloads to image metadata via mapInPandas.
+    """Decode payloads to image metadata via mapInPandas.
 
-    With fake=True, width/height/channels are deterministic
-    functions of the payload (no image libs needed) — the Spark
-    side (Arrow batches, schema, partition-parallel decode) is
-    fully real. With fake=False this raises NotImplementedError
-    at execution time, marking where PIL/ffmpeg would plug in.
+    With fake=False, PNG payloads are REALLY decoded by the
+    pure-Python codec in functions/png.py (8-bit grey/RGB; stdlib
+    zlib — no PIL needed); any non-PNG payload raises
+    NotImplementedError, marking where PIL/ffmpeg would plug in for
+    the other formats. With fake=True, width/height/channels are
+    deterministic functions of the payload length — exercising the
+    identical Arrow-batch plumbing with no codec at all.
     """
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd  # noqa: F811
 
+        from onionnet_spark.functions import png as _png
+
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/ffmpeg (not in this container); "
-                    "use fake=True to exercise the pipeline"
+                ws, hs, cs = [], [], []
+                for payload in pdf["payload"]:
+                    if not _png.is_png(payload):
+                        raise NotImplementedError(
+                            "real decode implemented for PNG only (functions/"
+                            "png.py); JPEG/video need PIL/ffmpeg — not in "
+                            "this container. Use fake=True for those."
+                        )
+                    arr = _png.decode_png(payload)
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                    cs.append(1 if arr.ndim == 2 else arr.shape[2])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": pd.Series(ws, dtype="int32"),
+                        "height": pd.Series(hs, dtype="int32"),
+                        "n_channels": pd.Series(cs, dtype="int32"),
+                    }
                 )
+                continue
             n = pdf["payload"].map(len)
             yield pd.DataFrame(
                 {

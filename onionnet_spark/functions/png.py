@@ -1,0 +1,181 @@
+"""Minimal pure-Python PNG codec (stdlib zlib + numpy).
+
+VERDICT r2 item 7: the multimodal decode plug-in points were codec
+STUBS because PIL/ffmpeg are not in the container — but PNG needs
+only zlib (stdlib) and a filter-reconstruction pass, so `fake=False`
+can have a REAL path for one format. This module implements exactly
+the subset the pipeline needs:
+
+- 8-bit greyscale (color type 0) and 8-bit RGB (color type 2)
+- no interlacing, no palette, no ancillary-chunk interpretation
+- all five scanline filter types (None/Sub/Up/Average/Paeth) on
+  decode; encode cycles filters per row so round-trip tests exercise
+  every reconstruction branch
+
+At 100 TB scale the per-image work happens inside Arrow-batched
+mapInPandas workers (see multimodal.decode_image_meta); a production
+build would swap `decode_png` for a C codec behind the same
+signature — the Spark-side plumbing is identical.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def is_png(data: bytes) -> bool:
+    return bytes(data[:8]) == _SIGNATURE
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a (h, w) greyscale or (h, w, 3) RGB uint8 array.
+
+    Scanline filter types cycle 0..4 by row index so a decoder
+    round-trip covers every reconstruction branch.
+    """
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, n_ch = 0, 1
+        arr = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, n_ch = 2, 3
+    else:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    h, w = arr.shape[:2]
+    bpp = n_ch  # bytes per pixel at bit depth 8
+    raw = bytearray()
+    prior = np.zeros(w * n_ch, dtype=np.uint8)
+    for y in range(h):
+        line = arr[y].reshape(-1)
+        ftype = y % 5
+        if ftype == 0:
+            filt = line
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            filt = (line.astype(np.int16) - left).astype(np.uint8)
+        elif ftype == 2:  # Up
+            filt = (line.astype(np.int16) - prior).astype(np.uint8)
+        elif ftype == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            avg = (left.astype(np.int16) + prior.astype(np.int16)) // 2
+            filt = (line.astype(np.int16) - avg).astype(np.uint8)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+            pred = _paeth(left.astype(np.int16), prior.astype(np.int16),
+                          ul.astype(np.int16))
+            filt = (line.astype(np.int16) - pred).astype(np.uint8)
+        raw.append(ftype)
+        raw.extend(filt.tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
+    """Decode PNG bytes to a (h, w) or (h, w, 3) uint8 array.
+
+    Supports bit depth 8, color types 0 (grey) and 2 (RGB),
+    non-interlaced. Raises ValueError on anything else — callers
+    (multimodal.decode_image_meta) surface that as a per-format
+    NotImplementedError.
+    """
+    data = bytes(data)
+    if not is_png(data):
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if verify_crc:
+            (crc,) = struct.unpack(
+                ">I", data[pos + 8 + length : pos + 12 + length]
+            )
+            if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+                raise ValueError(f"bad CRC in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or comp or filt_method or interlace:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color_type={color_type} "
+            f"interlace={interlace} (only 8-bit grey/RGB non-interlaced)"
+        )
+    n_ch = 1 if color_type == 0 else 3
+    bpp = n_ch
+    stride = w * n_ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:  # Up — vectorizable
+            recon = (line + prior) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth have an intra-line dependency: each
+            # pixel needs the reconstructed pixel bpp bytes left, so
+            # reconstruct sequentially per pixel group
+            recon = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                recon[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(h, w) if n_ch == 1 else out.reshape(h, w, 3)

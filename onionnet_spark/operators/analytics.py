@@ -1198,26 +1198,30 @@ def ego_stats(graph: OnionGraph) -> DataFrame:
 def coreness(
     edges: DataFrame,
     k_max: int = 12,
-    rounds_per_k: int = 2,
     a_col: str = "a",
     b_col: str = "b",
     guard: bool = True,
+    max_sweeps: int = 200,
 ) -> DataFrame:
     """Full k-core decomposition: every node's core number (the
-    largest k for which it survives k-core peeling), by a FIXED
-    (k, round) peel schedule — k rises 1..k_max with `rounds_per_k`
-    peel sweeps each; converged sweeps are no-ops, keeping the
-    unrolled oracle in lockstep regardless of where peeling actually
-    stabilizes. A node is removed in phase k when its remaining
-    degree drops below k (including to zero via neighbor loss —
-    removal is the NODE-SET DIFFERENCE between consecutive sweeps,
-    not the explicit low-degree list, which would miss nodes whose
-    last edges vanished); its coreness is k-1.
+    largest k for which it survives k-core peeling). For each k
+    rising 1..k_max, peel sweeps run TO FIXPOINT — each sweep drops
+    every node whose remaining degree is below k, and the phase only
+    advances once a sweep removes nothing, so arbitrarily long
+    cascades (a path graph peels one end-pair per sweep at k=2) are
+    labeled in the phase where they actually fall. A node removed in
+    phase k has coreness k-1. Removal is the NODE-SET DIFFERENCE
+    between consecutive sweeps, not the explicit low-degree list,
+    which would miss nodes whose last edges vanished via neighbor
+    loss.
 
     With ``guard=True`` a RuntimeError is raised if nodes survive
-    the whole schedule (their coreness would exceed k_max-1). Each
-    sweep is one degree aggregation + two anti-joins on node keys —
-    O(k_max * rounds_per_k) bounded passes, no global ordering.
+    the whole schedule (their coreness would exceed k_max-1).
+    ``max_sweeps`` bounds total work across all phases (each
+    non-final sweep strictly shrinks the edge set, so the true bound
+    is |V|; the cap is a defensive backstop). Each sweep is one
+    degree aggregation + two anti-joins on node keys; sweep count
+    adapts to the data instead of being fixed per k.
 
     Returns (node, coreness).
     """
@@ -1232,9 +1236,17 @@ def coreness(
         .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .localCheckpoint()
     )
+    n_rows = adj.count()
     removed = None
+    sweeps = 0
     for k in range(1, k_max + 1):
-        for _ in range(rounds_per_k):
+        while n_rows:
+            sweeps += 1
+            if sweeps > max_sweeps:
+                raise RuntimeError(
+                    f"coreness: exceeded max_sweeps={max_sweeps}; "
+                    "raise the cap"
+                )
             deg = adj.groupBy("u").agg(F.count("*").alias("c"))
             low = deg.filter(F.col("c") < k).select("u")
             nxt = (
@@ -1242,6 +1254,9 @@ def coreness(
                 .join(low.select(F.col("u").alias("v")), on="v", how="left_anti")
                 .localCheckpoint()
             )
+            n_new = nxt.count()
+            if n_new == n_rows:
+                break  # phase-k fixpoint: nothing below k remains
             gone = (
                 adj.select("u")
                 .distinct()
@@ -1253,9 +1268,12 @@ def coreness(
                 if removed is None
                 else removed.unionByName(gone).localCheckpoint(eager=False)
             )
-            adj = nxt
-    if guard and adj.count():
+            adj, n_rows = nxt, n_new
+    if guard and n_rows:
         raise RuntimeError(
             f"coreness: nodes remain after k_max={k_max}; raise k_max"
         )
+    if removed is None:
+        schema = "node string, coreness int"
+        return adj.sparkSession.createDataFrame([], schema)
     return removed.select("node", F.col("coreness").cast("int").alias("coreness"))

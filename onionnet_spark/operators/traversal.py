@@ -52,6 +52,9 @@ def bfs_distances(
     sources: list[tuple[str, str]],
     direction: str = "downstream",
     max_dist: int | None = None,
+    stop_nodes: list[tuple[str, str]] | None = None,
+    dynamic_cap=None,
+    found_depths: list[int] | None = None,
 ) -> DataFrame:
     """Min hop distance from the source set to every reachable node.
 
@@ -59,6 +62,19 @@ def bfs_distances(
     dist 0. Multi-source: dist is the minimum over sources, which is
     exactly the artificial-source construction the reference uses in
     compute_on_shortest (searcher.py:75-86).
+
+    Early termination (VERDICT r2 perf item): ``stop_nodes`` stops
+    the expansion once EVERY stop node has been reached — on-shortest
+    membership only needs distances up to max(target dists), so
+    expanding past the last target's level is wasted work
+    (O(ego-radius) rounds instead of O(diameter) on a deep graph).
+    If some stop node is unreachable the loop degrades gracefully to
+    the normal fixpoint. ``found_depths`` (optional caller-owned
+    list) receives the depth at which each stop node was first seen.
+    ``dynamic_cap`` is a zero-arg callable polled between levels
+    returning None (no cap yet) or an int depth cap — it lets a
+    concurrently-running sibling BFS publish its max-target depth
+    mid-flight, capping this run without serializing the two.
     """
     spark = graph.nodes.sparkSession
     edges = _directed_endpoints(graph, direction)
@@ -72,7 +88,40 @@ def bfs_distances(
     frontiers = [frontier]
     n_frontier = frontier.count()
     depth = 0
-    while n_frontier > 0 and (max_dist is None or depth < max_dist):
+
+    remaining: set[tuple[str, str]] | None = None
+    if stop_nodes is not None:
+        remaining = {(l, str(i)) for (l, i) in stop_nodes}
+
+    def _mark_found(level_df: DataFrame, d: int) -> None:
+        # tiny job: broadcast the (small) remaining-target list
+        # against the already-checkpointed level frontier
+        if not remaining:
+            return
+        rem_df = F.broadcast(
+            spark.createDataFrame(list(remaining), "layer string, node_id string")
+        )
+        hits = level_df.join(rem_df, on=NODE_KEY, how="left_semi").select(*NODE_KEY)
+        for r in hits.collect():
+            remaining.discard((r["layer"], r["node_id"]))
+            if found_depths is not None:
+                found_depths.append(d)
+
+    if remaining is not None:
+        _mark_found(frontier, 0)
+
+    def _capped(d: int) -> bool:
+        if max_dist is not None and d >= max_dist:
+            return True
+        if remaining is not None and not remaining:
+            return True  # all stop nodes seen: current depth == max target dist
+        if dynamic_cap is not None:
+            c = dynamic_cap()
+            if c is not None and d >= c:
+                return True
+        return False
+
+    while n_frontier > 0 and not _capped(depth):
         f = frontier.select(
             F.col("layer").alias("src_layer"), F.col("node_id").alias("src_id")
         )
@@ -100,6 +149,8 @@ def bfs_distances(
         n_frontier = nxt.count()
         if n_frontier:
             frontiers.append(nxt)
+            if remaining:
+                _mark_found(nxt, depth)
         frontier = nxt
     out = frontiers[0]
     for prev in frontiers[1:]:
@@ -112,21 +163,51 @@ def k_hop(
     start: tuple[str, str],
     max_dist: int,
     direction: str = "downstream",
+    include_upstream_children: bool = False,
 ) -> DataFrame:
     """Ego subgraph node set within max_dist hops of start.
 
     Reference search (searcher.py:157-242). direction='bi' unions
     upstream and downstream reachable sets (searcher.py:222-223);
     dist is then the min of the two directions.
+
+    ``include_upstream_children`` (bi mode only, reference
+    searcher.py:212-216): additionally union the OUT-neighbors of
+    every upstream node — the reference's "children of ancestors"
+    widening. The reference returns membership only; here a
+    child-only node carries dist = min over its upstream parents of
+    (parent dist + 1), and nodes already reached keep the smaller of
+    that and their BFS dist. One extra single-hop join against the
+    cached downstream endpoints — no extra BFS fixpoint.
     """
+    if include_upstream_children and direction != "bi":
+        raise ValueError(
+            "include_upstream_children applies only to direction='bi' "
+            "(reference searcher.py:212)"
+        )
     if direction == "bi":
         down = bfs_distances(graph, [start], "downstream", max_dist)
         up = bfs_distances(graph, [start], "upstream", max_dist)
-        return (
-            down.unionByName(up)
-            .groupBy(*NODE_KEY)
-            .agg(F.min("dist").alias("dist"))
-        )
+        parts = down.unionByName(up)
+        if include_upstream_children:
+            out_edges = _directed_endpoints(graph, "downstream")
+            children = (
+                out_edges.join(
+                    up.select(
+                        F.col("layer").alias("src_layer"),
+                        F.col("node_id").alias("src_id"),
+                        "dist",
+                    ),
+                    on=["src_layer", "src_id"],
+                )
+                .select(
+                    F.col("dst_layer").alias("layer"),
+                    F.col("dst_id").alias("node_id"),
+                    (F.col("dist") + F.lit(1)).alias("dist"),
+                )
+            )
+            parts = parts.unionByName(children)
+        return parts.groupBy(*NODE_KEY).agg(F.min("dist").alias("dist"))
     return bfs_distances(graph, [start], direction, max_dist)
 
 
@@ -270,11 +351,42 @@ def on_shortest_path(
     # they are submitted from two threads and Spark interleaves their
     # jobs across the executor pool — roughly halving wall time (each
     # BFS level is a small job that underutilizes the cluster alone).
+    #
+    # Neither BFS needs its full fixpoint: membership requires
+    # d_f(v) + d_r(v) == some target distance td <= D where
+    # D = max(target dists), so d_f(v) <= D and d_r(v) <= D for every
+    # member. The forward run stops itself once all targets are seen
+    # (its stopping depth IS D); it publishes D through `cap_state`,
+    # and the reverse run polls it between levels so it also stops at
+    # D instead of the full reachable fixpoint (VERDICT r2: the
+    # difference between O(diameter) and O(ego-radius) rounds).
     from concurrent.futures import ThreadPoolExecutor
 
+    cap_state: dict[str, int | None] = {"cap": None}
+    found_depths: list[int] = []
+
+    def _run_forward() -> DataFrame:
+        out = bfs_distances(
+            graph,
+            [source],
+            "downstream",
+            stop_nodes=targets,
+            found_depths=found_depths,
+        )
+        # max depth among FOUND targets; unreachable targets never
+        # contribute to td so they don't raise the cap
+        cap_state["cap"] = max(found_depths) if found_depths else 0
+        return out
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_fwd = pool.submit(bfs_distances, graph, [source], "downstream")
-        f_rev = pool.submit(bfs_distances, graph, targets, "upstream")
+        f_fwd = pool.submit(_run_forward)
+        f_rev = pool.submit(
+            bfs_distances,
+            graph,
+            targets,
+            "upstream",
+            dynamic_cap=lambda: cap_state["cap"],
+        )
         fwd = f_fwd.result().withColumnRenamed("dist", "d_f")
         rev = f_rev.result().withColumnRenamed("dist", "d_r")
     target_dists = (

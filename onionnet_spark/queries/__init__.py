@@ -13,7 +13,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+class _Registry(dict):
+    """Dict that refuses silent overwrites: round 2 shipped a
+    duplicated graph_pagerank_weighted block where the second
+    registration silently won (VERDICT r2 'what's wrong' #1)."""
+
+    def __setitem__(self, key, value):  # noqa: D105
+        if key in self and self[key][0] is not value[0]:
+            # Attaching a generated oracle to the SAME callable
+            # (register(name, None) then _REG[name] = (fn, sql)) is the
+            # supported two-step pattern; a different callable is a
+            # genuine duplicate definition.
+            raise ValueError(f"duplicate query registration: {key!r}")
+        dict.__setitem__(self, key, value)
+
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = _Registry()
 
 
 def register(name: str, oracle: str | None):
@@ -24,15 +40,68 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# Driver-window rotation (round 3). The driver's CORRECTNESS_r{N}.json
+# records only the FIRST 50 registered queries per round. r01 recorded
+# graph/dedup/text heads; r02 recorded relational/streaming. These 41
+# keys have never had a driver correctness row (VERDICT r2 'next round'
+# item 1 lists them); they go first this round, followed by queries new
+# in round 3. Everything already green in a prior CORRECTNESS file
+# rotates behind them — it's on record.
+_R3_WINDOW: list[str] = [
+    # 23 round-2 graph-analytics ops, never driver-checked
+    "graph_ppr",
+    "graph_kcore",
+    "graph_coreness",
+    "graph_communities_lpa",
+    "graph_node_jaccard",
+    "graph_betweenness",
+    "graph_clustering_coeff",
+    "graph_anf",
+    "graph_anf_growth",
+    "graph_closeness",
+    "graph_annotate",
+    "graph_pagerank_weighted",
+    "graph_hits",
+    "graph_ktruss",
+    "graph_motif_open_triads",
+    "graph_random_walks",
+    "graph_temporal_reach",
+    "graph_maximal_matching",
+    "graph_assortativity",
+    "graph_reciprocity",
+    "graph_modularity",
+    "graph_ego_stats",
+    "graph_bipartite_projection",
+    # 18 pipeline ops, never driver-checked
+    "doc_length_quantiles_approx",
+    "decontamination",
+    "pii_scrub",
+    "corpus_curation",
+    "repetition_stats",
+    "unigram_logprob",
+    "bigram_logprob",
+    "source_cap",
+    "corpus_sample",
+    "sequence_packing",
+    "stratified_sample",
+    "source_length_percentiles",
+    "docs_profile",
+    "docs_term_stats",
+    "docs_bm25",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "dedup_cluster_sizes",
+    # new in round 3 (first driver check)
+    "khop_bi_children",
+    "components_strong_cyclic",
+    "multimodal_png_decode",
+    "numeric_histogram_bounded",
+    "column_correlations_nulls",
+    "graph_coreness_exact",
+]
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
-    # Registration order == driver evaluation order. Relational and
-    # streaming register FIRST: round 1's driver window recorded only
-    # the first 50 registered queries, leaving these 17 without a
-    # correctness row even though they pass the identical oracle
-    # locally (VERDICT r1). Front-loading them guarantees coverage
-    # even under a truncated window; the LLM-pipeline family
-    # (dedup/ANN/text — graded as first-class) precedes graph, whose
-    # rows were fully driver-recorded in round 1.
     from onionnet_spark.queries import (  # noqa: F401
         relational,
         streaming_queries,
@@ -40,4 +109,11 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         graph_queries,
     )
 
-    return REGISTRY
+    ordered: dict[str, tuple[QueryFn, str | None]] = {}
+    for name in _R3_WINDOW:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, entry in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = entry
+    return ordered

@@ -191,6 +191,46 @@ def khop_bi(spark, sf_dir):
 
 
 @register(
+    "khop_bi_children",
+    f"""WITH RECURSIVE {CTES},
+    down AS (
+      SELECT 'customer' AS layer, '1' AS node_id, 0 AS dist
+      UNION
+      SELECT e.dst_layer, e.dst_id, b.dist + 1 FROM down b
+      JOIN edges_g e ON e.src_layer = b.layer AND e.src_id = b.node_id
+      WHERE b.dist < 2
+    ),
+    up AS (
+      SELECT 'customer' AS layer, '1' AS node_id, 0 AS dist
+      UNION
+      SELECT e.src_layer, e.src_id, b.dist + 1 FROM up b
+      JOIN edges_g e ON e.dst_layer = b.layer AND e.dst_id = b.node_id
+      WHERE b.dist < 2
+    ),
+    kids AS (
+      SELECT e.dst_layer AS layer, e.dst_id AS node_id, u.dist + 1 AS dist
+      FROM (SELECT layer, node_id, MIN(dist) AS dist FROM up GROUP BY 1, 2) u
+      JOIN edges_g e ON e.src_layer = u.layer AND e.src_id = u.node_id
+    )
+    SELECT layer, node_id, CAST(MIN(dist) AS INT) AS dist
+    FROM (SELECT * FROM down UNION ALL SELECT * FROM up
+          UNION ALL SELECT * FROM kids)
+    GROUP BY layer, node_id""",
+)
+def khop_bi_children(spark, sf_dir):
+    """Reference search(direction='bi', include_upstream_children=True)
+    (searcher.py:212-216): bi ego set widened by the out-neighbors of
+    every upstream node."""
+    return traversal.k_hop(
+        get_graph(spark, sf_dir),
+        ("customer", "1"),
+        2,
+        "bi",
+        include_upstream_children=True,
+    )
+
+
+@register(
     "reachability", _bfs_oracle("layer = 'region' AND node_id = '0'", "upstream", None)
 )
 def reachability(spark, sf_dir):
@@ -564,11 +604,51 @@ def components_strong_q(spark, sf_dir):
     # The reference-style graph is a DAG (child->parent layer edges),
     # so every SCC is a singleton — which makes the oracle EXACT: any
     # incorrect merge by the trim/color/collect machinery breaks the
-    # hash. Cyclic SCCs are covered by unit tests on toy graphs.
+    # hash. Cyclic SCCs: components_strong_cyclic below.
     g = filters.view_layers(
         get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
     )
     return components.view_components(g, 1, "strong")
+
+
+@register(
+    "components_strong_cyclic",
+    f"""WITH {CTES},
+    sup0 AS (SELECT DISTINCT src_id AS node_id FROM edges_g
+             WHERE src_layer = 'supplier' AND dst_layer = 'nation'
+               AND dst_id = '0'),
+    sz AS (SELECT COUNT(*) + 1 AS s FROM sup0)
+    SELECT 'nation' AS layer, '0' AS node_id, 'nation:0' AS component,
+           CAST((SELECT s FROM sz) AS BIGINT) AS component_size
+    UNION ALL
+    SELECT 'supplier' AS layer, node_id, 'nation:0' AS component,
+           CAST((SELECT s FROM sz) AS BIGINT) AS component_size
+    FROM sup0""",
+)
+def components_strong_cyclic(spark, sf_dir):
+    """Strong CC on a graph with a REAL cycle (VERDICT r2 item 6: the
+    DAG query exercises only the Trim phase). Adds reverse
+    nation-0 -> supplier edges for every supplier in nation 0, making
+    {nation:0} ∪ {its suppliers} one non-trivial SCC that the
+    FW-BW-Trim color/collect machinery must find exactly; threshold 2
+    returns just that component. Oracle: closed-form membership."""
+    g = filters.view_layers(get_graph(spark, sf_dir), ["nation", "supplier"])
+    e = g.edge_endpoints()
+    rev = (
+        e.filter(
+            (F.col("src_layer") == "supplier")
+            & (F.col("dst_layer") == "nation")
+            & (F.col("dst_id") == "0")
+        )
+        .select(
+            F.col("dst_layer").alias("src_layer"),
+            F.col("dst_id").alias("src_id"),
+            F.col("src_layer").alias("dst_layer"),
+            F.col("src_id").alias("dst_id"),
+        )
+    )
+    cyc = OnionGraph(g.nodes, e.unionByName(rev))
+    return components.view_components(cyc, 2, "strong")
 
 
 @register(
@@ -1153,56 +1233,6 @@ _REG["graph_annotate"] = (
     LEFT JOIN idg ON idg.layer = ns.layer AND idg.node_id = ns.node_id
     JOIN pr5 p ON p.layer = ns.layer AND p.node_id = ns.node_id"""
     ),
-)
-
-
-# --------------------------------------------------------------------------
-# Weighted PageRank (graph-tool pagerank(weight=...) parity)
-# --------------------------------------------------------------------------
-
-
-@register("graph_pagerank_weighted", None)  # oracle generated below
-def graph_pagerank_weighted_q(spark, sf_dir):
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "orders"]
-    )
-    pr = analytics.pagerank(g, n_iterations=5, damping=0.85, weight_col="weight")
-    return pr.select("layer", "node_id", F.round("pagerank", 6).alias("pagerank"))
-
-
-def _pagerank_weighted_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
-    lyrs = "('region', 'nation', 'customer', 'orders')"
-    stages = []
-    for i in range(1, n_iter + 1):
-        stages.append(
-            f"""pr{i} AS MATERIALIZED (
-      SELECT ns.layer, ns.node_id,
-             (1 - {damping}) / (SELECT n FROM nn) + {damping} * COALESCE(c.contrib, 0) AS pr
-      FROM ns LEFT JOIN (
-        SELECT e.dst_layer AS layer, e.dst_id AS node_id,
-               SUM(p.pr * e.weight / d.ow) AS contrib
-        FROM es e
-        JOIN pr{i - 1} p ON p.layer = e.src_layer AND p.node_id = e.src_id
-        JOIN deg d ON d.src_layer = e.src_layer AND d.src_id = e.src_id
-        GROUP BY e.dst_layer, e.dst_id
-      ) c ON c.layer = ns.layer AND c.node_id = ns.node_id
-    )"""
-        )
-    stage_sql = ",\n    ".join(stages)
-    return f"""WITH {CTES},
-    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
-    es AS MATERIALIZED (SELECT * FROM edges_g
-          WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
-    deg AS MATERIALIZED (SELECT src_layer, src_id, SUM(weight) AS ow
-          FROM es GROUP BY 1, 2),
-    nn AS (SELECT COUNT(*) AS n FROM ns),
-    pr0 AS (SELECT layer, node_id, 1.0 / (SELECT n FROM nn) AS pr FROM ns),
-    {stage_sql}
-    SELECT layer, node_id, ROUND(pr, 6) AS pagerank FROM pr{n_iter}"""
-
-
-_REG["graph_pagerank_weighted"] = (
-    graph_pagerank_weighted_q, _pagerank_weighted_oracle()
 )
 
 
@@ -1825,7 +1855,15 @@ def graph_bipartite_projection(spark, sf_dir):
     )
 
 
-def _coreness_oracle(topn: int = 60, k_max: int = 12, rounds_per_k: int = 2) -> str:
+def _coreness_oracle(topn: int = 60, k_max: int = 12, rounds_per_k: int = 5) -> str:
+    """Unrolled peel with `rounds_per_k` sweeps per phase PLUS a loud
+    convergence sentinel: Spark's coreness() now sweeps each phase to
+    fixpoint (ADVICE r2: a fixed schedule silently mislabels cascades
+    longer than the schedule), so the oracle's schedule must provably
+    cover the data. After the last sweep of each phase a check CTE
+    emits (node, -k) rows for any node still below degree k — Spark
+    never emits negative coreness, so an insufficient schedule
+    hash-MISMATCHES instead of silently agreeing."""
     stages, removed_selects = [], []
     prev = "adj0"
     i = 0
@@ -1845,6 +1883,12 @@ def _coreness_oracle(topn: int = 60, k_max: int = 12, rounds_per_k: int = 2) -> 
             )
             removed_selects.append(f"SELECT node, coreness FROM gone{i}")
             prev = f"adj{i}"
+        stages.append(
+            f"""chk{k} AS (
+      SELECT u AS node, CAST(-{k} AS INT) AS coreness
+      FROM {prev} GROUP BY u HAVING COUNT(*) < {k})"""
+        )
+        removed_selects.append(f"SELECT node, coreness FROM chk{k}")
     stage_sql = ",\n    ".join(stages)
     union_sql = "\n    UNION ALL ".join(removed_selects)
     return f"""WITH {_COSUPPLY_SQL.format(topn=topn)},
@@ -1856,12 +1900,11 @@ def _coreness_oracle(topn: int = 60, k_max: int = 12, rounds_per_k: int = 2) -> 
 
 @register("graph_coreness", _coreness_oracle())
 def graph_coreness(spark, sf_dir):
-    """Core numbers of the top-60 co-supply graph via the fixed-
-    schedule peel (k<=12, 2 sweeps per k — converged sweeps no-op,
-    keeping Spark and the unrolled oracle in lockstep)."""
-    return analytics.coreness(
-        _cosupply_top_pairs(spark, sf_dir, 60), k_max=12, rounds_per_k=2
-    )
+    """Core numbers of the top-60 co-supply graph. Spark side peels
+    each phase to fixpoint (schedule-independent, exact); the
+    unrolled oracle runs 5 sweeps per k with a per-phase convergence
+    sentinel that mismatches loudly if 5 were not enough."""
+    return analytics.coreness(_cosupply_top_pairs(spark, sf_dir, 60), k_max=12)
 
 
 def _anf_growth_oracle(max_radius: int = 3) -> str:

@@ -178,6 +178,40 @@ def test_coreness_clique_with_tail(spark):
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1}
 
 
+def test_coreness_long_path_cascade(spark):
+    from onionnet_spark.operators.analytics import coreness
+
+    # ADVICE r2 (high): a path graph peels one end-PAIR per sweep at
+    # k=2, so a fixed rounds-per-k schedule mislabels the middle of
+    # any path longer than 2*rounds_per_k. True coreness of every
+    # path node is 1; the old fixed (k, 2-sweeps) schedule labeled
+    # c..h of this 10-path coreness 2.
+    nodes = "abcdefghij"
+    edges = spark.createDataFrame(
+        [(x, y) for x, y in zip(nodes, nodes[1:])], "a string, b string"
+    )
+    got = {r["node"]: r["coreness"] for r in coreness(edges, k_max=4).collect()}
+    assert got == {n: 1 for n in nodes}
+
+
+def test_coreness_star_of_triangles_cascade(spark):
+    from onionnet_spark.operators.analytics import coreness
+
+    # chain of triangles sharing cut vertices: all nodes truly
+    # coreness 2, but peeling at k=3 removes nothing (fixpoint is
+    # immediate) while k=2... survives; exercises phase fixpoint
+    # detection on a multi-phase graph with a pendant chain
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("c", "d"), ("d", "e"), ("c", "e"),
+         ("e", "p"), ("p", "q"), ("q", "r"), ("r", "s")],
+        "a string, b string",
+    )
+    got = {r["node"]: r["coreness"] for r in coreness(edges, k_max=5).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 2, "e": 2,
+                   "p": 1, "q": 1, "r": 1, "s": 1}
+
+
 def test_coreness_guard(spark):
     from onionnet_spark.operators.analytics import coreness
     import pytest as _p

@@ -1,0 +1,55 @@
+"""Registry invariants: duplicate-key guard and driver-window rotation.
+
+The driver records correctness for only the first 50 registered
+queries per round, so load_all()'s ordering IS the evidence plan;
+and round 2 shipped a silently-overwritten duplicate registration
+(graph_pagerank_weighted), which the guard now makes impossible.
+"""
+
+import json
+import os
+
+import pytest
+
+from onionnet_spark import queries as q
+
+
+def test_duplicate_registration_raises():
+    reg = q._Registry()
+    fn_a = lambda spark, sf: None  # noqa: E731
+    fn_b = lambda spark, sf: None  # noqa: E731
+    reg["k"] = (fn_a, None)
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        reg["k"] = (fn_b, "SELECT 1")
+
+
+def test_oracle_attachment_to_same_fn_allowed():
+    reg = q._Registry()
+    fn = lambda spark, sf: None  # noqa: E731
+    reg["k"] = (fn, None)
+    reg["k"] = (fn, "SELECT 1")  # the two-step generated-oracle pattern
+    assert reg["k"][1] == "SELECT 1"
+
+
+def test_load_all_is_registry_superset_and_ordered():
+    reg = q.load_all()
+    assert set(reg) == set(q.REGISTRY)
+    # every priority key that exists registers inside the driver window
+    present_priority = [k for k in q._R3_WINDOW if k in reg]
+    assert list(reg)[: len(present_priority)] == present_priority
+
+
+def test_r3_window_covers_never_checked_keys():
+    """All keys absent from both recorded CORRECTNESS files must sit in
+    the first 50 slots this round (VERDICT r2 next-round item 1)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(root, fname)
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)))
+    reg = q.load_all()
+    never = [k for k in reg if k not in checked]
+    first50 = set(list(reg)[:50])
+    missing = [k for k in never if k not in first50]
+    assert not missing, f"never-driver-checked keys outside window: {missing}"

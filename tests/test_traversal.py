@@ -44,10 +44,84 @@ def test_khop_bi_tiny(tiny_graph):
     assert got == {(0, "L", "c"), (1, "L", "d"), (1, "L", "a"), (1, "L", "b")}
 
 
+def test_khop_bi_children(spark):
+    # p0 -> p1 -> p2 -> p3, plus p1 -> x. bi from p2 with max_dist=1:
+    # down {p2, p3}, up {p2, p1}; upstream children adds x (p1's other
+    # out-neighbor, dist 1+1=2) — the reference searcher.py:212-216
+    # widening. Without the flag x is absent.
+    nodes = spark.createDataFrame(
+        [("L", n) for n in ["p0", "p1", "p2", "p3", "x"]],
+        "layer string, node_id string",
+    )
+    edges = spark.createDataFrame(
+        [("L", "p0", "L", "p1"), ("L", "p1", "L", "p2"),
+         ("L", "p2", "L", "p3"), ("L", "p1", "L", "x")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    plain = rows_to_set(k_hop(g, ("L", "p2"), 1, "bi"))
+    widened = rows_to_set(k_hop(g, ("L", "p2"), 1, "bi",
+                                include_upstream_children=True))
+    assert plain == {(0, "L", "p2"), (1, "L", "p3"), (1, "L", "p1")}
+    assert widened == plain | {(2, "L", "x")}
+
+
+def test_khop_children_requires_bi(tiny_graph):
+    with pytest.raises(ValueError, match="bi"):
+        k_hop(tiny_graph, ("L", "a"), 1, "downstream",
+              include_upstream_children=True)
+
+
 def test_on_shortest_tiny(tiny_graph):
     got = rows_to_set(on_shortest_path(tiny_graph, ("L", "a"), [("L", "d")]))
     # shortest a->d is a-c-d (len 2); b has d_f=1, d_r=2 -> 3 not in {2}
     assert {(r[2], r[3]) for r in got} == {("L", "a"), ("L", "c"), ("L", "d")}
+
+
+def test_bfs_stop_nodes_truncates_at_last_target(spark):
+    # deep path p0 -> p1 -> ... -> p9; stopping at {p3} must halt the
+    # expansion at depth 3 (the early-termination contract on_shortest
+    # relies on), not run to the depth-9 fixpoint
+    nodes = spark.createDataFrame(
+        [("L", f"p{i}") for i in range(10)], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("L", f"p{i}", "L", f"p{i+1}") for i in range(9)],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    depths: list[int] = []
+    got = rows_to_set(
+        bfs_distances(
+            g, [("L", "p0")], "downstream",
+            stop_nodes=[("L", "p3")], found_depths=depths,
+        )
+    )
+    assert got == {(i, "L", f"p{i}") for i in range(4)}
+    assert depths == [3]
+
+
+def test_on_shortest_deep_tail_unaffected_by_early_stop(spark):
+    # diamond a->{b,c}->d followed by a long tail d->t1->...->t6:
+    # early termination must not change membership (a, b, c, d — both
+    # b and c lie on a shortest a->d path of length 2)
+    tail = [("L", "d", "L", "t1")] + [
+        ("L", f"t{i}", "L", f"t{i+1}") for i in range(1, 6)
+    ]
+    nodes = spark.createDataFrame(
+        [("L", x) for x in ["a", "b", "c", "d"] + [f"t{i}" for i in range(1, 7)]],
+        "layer string, node_id string",
+    )
+    edges = spark.createDataFrame(
+        [("L", "a", "L", "b"), ("L", "a", "L", "c"),
+         ("L", "b", "L", "d"), ("L", "c", "L", "d")] + tail,
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    got = rows_to_set(on_shortest_path(g, ("L", "a"), [("L", "d")]))
+    assert {(r[2], r[3]) for r in got} == {
+        ("L", "a"), ("L", "b"), ("L", "c"), ("L", "d")
+    }
 
 
 def test_khop_upstream_matches_duckdb(tpch_graph, sf_dir):
