@@ -105,6 +105,82 @@ def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def synth_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG payload per id: width 4 + id%5, height
+    3 + id%4, greyscale for even ids / RGB for odd, pixel value
+    (id*7 + row*13 + col*31 + channel*17) % 256 — a closed form a
+    SQL oracle can recompute independently of the codec. Encoding
+    runs distributed in mapInPandas (the write half of the codec
+    round-trip)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import png as _png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                base = d * 7 + i * 13 + j * 31
+                if d % 2 == 0:
+                    img = (base % 256).astype(np.uint8)
+                else:
+                    c = np.arange(3)[None, None, :]
+                    img = ((base[:, :, None] + c * 17) % 256).astype(np.uint8)
+                payloads.append(_png.encode_png(img))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """REAL PNG decode to per-image pixel statistics via mapInPandas
+    (the read half of the round-trip; no fake path — raises on
+    non-PNG payloads). Returns (doc_id, width, height, n_channels,
+    pixel_sum)."""
+
+    def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import png as _png
+
+        for pdf in batches:
+            ws, hs, cs, sums = [], [], [], []
+            for payload in pdf["payload"]:
+                arr = _png.decode_png(payload)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                cs.append(1 if arr.ndim == 2 else arr.shape[2])
+                sums.append(int(arr.astype("int64").sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_channels": pd.Series(cs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(stats_batches, PNG_STATS_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

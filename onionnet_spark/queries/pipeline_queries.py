@@ -523,6 +523,37 @@ def multimodal_decode(spark, sf_dir):
     return multimodal.decode_image_meta(payload, fake=True)
 
 
+@register(
+    "multimodal_png_decode",
+    # The payload is a REAL PNG encoded from a closed-form pixel
+    # pattern (multimodal.synth_png_payload) and decoded back by the
+    # pure-Python codec (functions/png.py) inside mapInPandas; the
+    # oracle recomputes the dimensions and pixel sum straight from
+    # the pattern, never touching the codec — so a decode bug (wrong
+    # filter reconstruction, wrong channel order) hash-mismatches.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, d.ch,
+             (d.doc_id * 7 + i.i * 13 + j.j * 31 + c.c * 17) % 256 AS p
+      FROM dims d
+      JOIN range(0, 8) i(i) ON i.i < d.h
+      JOIN range(0, 9) j(j) ON j.j < d.w
+      JOIN range(0, 3) c(c) ON c.c < d.ch
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS n_channels,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, w, h, ch""",
+)
+def multimodal_png_decode(spark, sf_dir):
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_png_payload(ids)
+    return multimodal.decode_image_stats(payload)
+
+
 from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["ann_lsh_bucketed"] = (ann_lsh_bucketed, _ann_lsh_oracle())

@@ -157,6 +157,40 @@ def test_multimodal_real_decode_raises(docs):
         multimodal.decode_image_meta(payload, fake=False).collect()
 
 
+def test_multimodal_png_real_decode_end_to_end(spark):
+    # REAL codec path: encode PNGs in one mapInPandas stage, decode in
+    # another, verify dims + pixel sums against the closed form
+    import numpy as np
+
+    ids = spark.createDataFrame([(d,) for d in range(12)], "doc_id long")
+    payload = multimodal.synth_png_payload(ids)
+    got = {r["doc_id"]: r for r in multimodal.decode_image_stats(payload).collect()}
+    assert len(got) == 12
+    for d in range(12):
+        w, h = 4 + d % 5, 3 + d % 4
+        ch = 1 if d % 2 == 0 else 3
+        i = np.arange(h)[:, None, None]
+        j = np.arange(w)[None, :, None]
+        c = np.arange(ch)[None, None, :]
+        expect = int(((d * 7 + i * 13 + j * 31 + c * 17) % 256).sum())
+        r = got[d]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, ch)
+        assert r["pixel_sum"] == expect, d
+
+
+def test_multimodal_png_meta_via_decode_image_meta(spark):
+    # decode_image_meta(fake=False) on genuine PNG payloads: the
+    # formerly-stubbed plug-in point now has a real in-container path
+    ids = spark.createDataFrame([(d,) for d in range(6)], "doc_id long")
+    payload = multimodal.synth_png_payload(ids)
+    meta = {r["doc_id"]: r for r in
+            multimodal.decode_image_meta(payload, fake=False).collect()}
+    for d in range(6):
+        assert meta[d]["width"] == 4 + d % 5
+        assert meta[d]["height"] == 3 + d % 4
+        assert meta[d]["n_channels"] == (1 if d % 2 == 0 else 3)
+
+
 def test_multimodal_resize_and_frames(docs):
     from onionnet_spark.functions import multimodal
 
