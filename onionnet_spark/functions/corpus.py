@@ -233,10 +233,15 @@ def numeric_histogram(
     [0, n_buckets) over [lo, hi) (bounds default to the observed
     min/max, computed in the same job via a broadcast 1-row
     aggregate). Values at exactly `hi` fold into the top bucket,
-    the usual closed-right convention. One aggregation for bounds,
-    one shuffle on the (tiny) bucket key — profiling cost is a scan,
-    never a sort.
+    the usual closed-right convention. With EXPLICIT bounds, rows
+    outside [lo, hi] are excluded — previously (ADVICE r2) a value
+    below lo produced a negative bucket index and a value above hi
+    silently folded into the top bucket, both violating the
+    [0, n_buckets) contract. One aggregation for bounds, one shuffle
+    on the (tiny) bucket key — profiling cost is a scan, never a
+    sort.
     """
+    v = F.col(value_col).cast("double")
     if lo is None or hi is None:
         bounds = df.agg(
             F.min(value_col).cast("double").alias("_lo"),
@@ -246,14 +251,14 @@ def numeric_histogram(
     else:
         with_b = df.withColumn("_lo", F.lit(float(lo))).withColumn(
             "_hi", F.lit(float(hi))
-        )
-    v = F.col(value_col).cast("double")
+        ).filter((v >= float(lo)) & (v <= float(hi)))
     width = (F.col("_hi") - F.col("_lo")) / n_buckets
     # degenerate range (all values equal): everything lands in
-    # bucket 0 instead of an ANSI divide-by-zero
-    idx = F.when(width > 0, F.least(
+    # bucket 0 instead of an ANSI divide-by-zero; greatest(0, ...)
+    # guards the floor against float round-down at v == lo
+    idx = F.when(width > 0, F.greatest(F.lit(0), F.least(
         F.floor((v - F.col("_lo")) / width).cast("int"), F.lit(n_buckets - 1)
-    )).otherwise(F.lit(0))
+    ))).otherwise(F.lit(0))
     return (
         with_b.filter(v.isNotNull())
         .groupBy(idx.alias("bucket"))
@@ -290,19 +295,30 @@ def column_correlations(
     differ across summation orders by whole units — the decimal
     accumulation is what makes this hashable). Zero-variance
     columns yield NULL r (guarded, no ANSI division error).
+
+    NULL handling (ADVICE r2): every statistic — including n and the
+    single-column sums — is accumulated per PAIR over the
+    pairwise-complete rows (both sides non-NULL), the standard
+    pairwise-deletion Pearson. A single shared count(*) with
+    NULL-skipping sums would silently skew r on any column with
+    NULLs. Still ONE aggregation pass; 6 aggregates per pair.
     """
-    aggs = [F.count("*").alias("_n")]
-    for c in columns:
-        v = F.col(c).cast("decimal(18,6)")
-        aggs.append(F.sum(v).alias(f"_s_{c}"))
-        aggs.append(F.sum(v * v).alias(f"_q_{c}"))
+    aggs = []
     for i, a in enumerate(columns):
         for b in columns[i + 1:]:
-            aggs.append(
-                F.sum(
-                    F.col(a).cast("decimal(18,6)")
-                    * F.col(b).cast("decimal(18,6)")
-                ).alias(f"_x_{a}_{b}")
+            va = F.col(a).cast("decimal(18,6)")
+            vb = F.col(b).cast("decimal(18,6)")
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            p = f"{a}_{b}"
+            aggs.extend(
+                [
+                    F.sum(F.when(both, 1).otherwise(0)).alias(f"_n_{p}"),
+                    F.sum(F.when(both, va)).alias(f"_sa_{p}"),
+                    F.sum(F.when(both, vb)).alias(f"_sb_{p}"),
+                    F.sum(F.when(both, va * va)).alias(f"_qa_{p}"),
+                    F.sum(F.when(both, vb * vb)).alias(f"_qb_{p}"),
+                    F.sum(F.when(both, va * vb)).alias(f"_x_{p}"),
+                ]
             )
     row = df.agg(*aggs)
 
@@ -312,10 +328,11 @@ def column_correlations(
     pairs = []
     for i, a in enumerate(columns):
         for b in columns[i + 1:]:
-            n = F.col("_n").cast("double")
-            num = n * d(f"_x_{a}_{b}") - d(f"_s_{a}") * d(f"_s_{b}")
-            da = n * d(f"_q_{a}") - d(f"_s_{a}") * d(f"_s_{a}")
-            db = n * d(f"_q_{b}") - d(f"_s_{b}") * d(f"_s_{b}")
+            p = f"{a}_{b}"
+            n = d(f"_n_{p}")
+            num = n * d(f"_x_{p}") - d(f"_sa_{p}") * d(f"_sb_{p}")
+            da = n * d(f"_qa_{p}") - d(f"_sa_{p}") * d(f"_sa_{p}")
+            db = n * d(f"_qb_{p}") - d(f"_sb_{p}") * d(f"_sb_{p}")
             r = F.when(
                 (da > 0) & (db > 0), F.round(num / F.sqrt(da * db), 6)
             )

@@ -272,7 +272,8 @@ def day_of_week_profile(
     ts_col: str = "ts",
     key_col: str = "event_type",
 ) -> DataFrame:
-    """Weekly seasonality profile: per (key, ISO weekday), the mean
+    """Weekly seasonality profile: per (key, day-of-week — Spark
+    `dayofweek` numbering, Sunday=1..Saturday=7, NOT ISO), the mean
     daily event count and its share of the key's weekly total —
     the decomposition baseline for seasonal-adjusted monitoring.
     Means are ratios of exact integer sums (events / days observed),

@@ -1280,6 +1280,77 @@ def price_histogram(spark, sf_dir):
 
 
 @register(
+    "numeric_histogram_bounded",
+    # explicit [10, 40] bounds on l_quantity (values run 1..50):
+    # out-of-range rows are EXCLUDED (ADVICE r2 contract fix), value
+    # 40 folds closed-right into the top bucket
+    """SELECT bucket,
+           ROUND(10 + bucket * 5.0, 6) AS bucket_lo,
+           ROUND(10 + (bucket + 1) * 5.0, 6) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT GREATEST(0, LEAST(CAST(floor(
+               (CAST(l_quantity AS DOUBLE) - 10) / 5.0) AS INT), 5)) AS bucket
+      FROM lineitem
+      WHERE CAST(l_quantity AS DOUBLE) BETWEEN 10 AND 40)
+    GROUP BY bucket""",
+)
+def numeric_histogram_bounded(spark, sf_dir):
+    from onionnet_spark.functions.corpus import numeric_histogram
+
+    return numeric_histogram(
+        load_tables(spark, sf_dir)["lineitem"], "l_quantity",
+        n_buckets=6, lo=10, hi=40,
+    )
+
+
+def _corr_nulls_oracle() -> str:
+    """Pairwise-deletion Pearson over columns with injected NULLs:
+    q = l_quantity (never NULL), p = l_extendedprice NULLed where
+    l_partkey % 7 = 0, d = l_discount NULLed where l_orderkey % 5 = 0.
+    Each pair's six statistics accumulate over ITS complete rows."""
+    cols = {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount"}
+    conds = {
+        ("q", "p"): "l_partkey % 7 <> 0",
+        ("q", "d"): "l_orderkey % 5 <> 0",
+        ("p", "d"): "l_partkey % 7 <> 0 AND l_orderkey % 5 <> 0",
+    }
+    ctes, selects = [], []
+    for (a, b), cond in conds.items():
+        ca = f"CAST({cols[a]} AS DECIMAL(19,6))"
+        cb = f"CAST({cols[b]} AS DECIMAL(19,6))"
+        ctes.append(
+            f"""s_{a}{b} AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM({ca}) AS DOUBLE) AS sa, CAST(SUM({cb}) AS DOUBLE) AS sb,
+        CAST(SUM({ca} * {ca}) AS DOUBLE) AS qa,
+        CAST(SUM({cb} * {cb}) AS DOUBLE) AS qb,
+        CAST(SUM({ca} * {cb}) AS DOUBLE) AS x
+      FROM lineitem WHERE {cond})"""
+        )
+        selects.append(
+            f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+      CASE WHEN (n*qa - sa*sa) > 0 AND (n*qb - sb*sb) > 0
+           THEN ROUND((n*x - sa*sb) / sqrt((n*qa - sa*sa) * (n*qb - sb*sb)), 6)
+      END AS r FROM s_{a}{b}"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("column_correlations_nulls", _corr_nulls_oracle())
+def column_correlations_nulls(spark, sf_dir):
+    from onionnet_spark.functions.corpus import column_correlations
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    df = li.select(
+        F.col("l_quantity").alias("q"),
+        F.when(F.col("l_partkey") % 7 != 0, F.col("l_extendedprice")).alias("p"),
+        F.when(F.col("l_orderkey") % 5 != 0, F.col("l_discount")).alias("d"),
+    )
+    return column_correlations(df, ["q", "p", "d"])
+
+
+@register(
     "lineitem_correlations",
     """WITH s AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,

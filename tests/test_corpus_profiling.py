@@ -131,6 +131,38 @@ def test_column_correlations_known(spark):
     assert all(row["r"] is None for row in r)  # zero variance -> NULL
 
 
+def test_numeric_histogram_explicit_bounds_exclude_outliers(spark):
+    # ADVICE r2: values below lo used to get NEGATIVE bucket indices
+    # and values above hi folded into the top bucket; both are now
+    # excluded. hi itself still folds closed-right into the top bucket.
+    df = spark.createDataFrame(
+        [(float(v),) for v in [-5, 0, 9.99, 10, 15, 25, 39.9, 40, 40.01, 99]],
+        "v double",
+    )
+    out = {r["bucket"]: r["n"]
+           for r in corpus.numeric_histogram(
+               df, "v", n_buckets=6, lo=10, hi=40).collect()}
+    # kept: 10 (b0), 15 (b1), 25 (b3), 39.9 (b5), 40 (b5 closed-right)
+    assert out == {0: 1, 1: 1, 3: 1, 5: 2}
+    assert all(0 <= b < 6 for b in out)
+
+
+def test_column_correlations_pairwise_null_deletion(spark):
+    # ADVICE r2: a shared count(*) with NULL-skipping sums skewed r
+    # for any column with NULLs. y is NULL on odd rows; the (x, y)
+    # correlation must equal the correlation over even rows only —
+    # which is exactly 1.0 here (y = 2x on even rows), while a
+    # mismatched-n formula gives garbage.
+    rows = [(float(i), 2.0 * i if i % 2 == 0 else None, float(3 * i))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r["r"] for r in
+           corpus.column_correlations(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("y", "z")] == 1.0   # both linear in i on even rows
+    assert out[("x", "z")] == 1.0
+
+
 def test_numeric_histogram_degenerate_range(spark):
     df = spark.createDataFrame([(5.0,)] * 7, "v double")
     out = corpus.numeric_histogram(df, "v", n_buckets=4).collect()
