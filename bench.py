@@ -52,6 +52,13 @@ HEADLINE = [
     "events_tumbling",
     "events_sessions",
     "events_json_agg",
+    # round-2 surface (added r3 so its perf is tracked round-over-round)
+    "graph_hits",
+    "graph_kcore",
+    "ann_ivf_pq_topk",
+    "docs_bm25",
+    "corpus_curation",
+    "events_scd2",
 ]
 
 

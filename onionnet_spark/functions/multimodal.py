@@ -181,6 +181,80 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(stats_batches, PNG_STATS_SCHEMA)
 
 
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_sum", LongType()),
+        StructField("peak_abs", IntegerType()),
+    ]
+)
+
+
+def synth_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM WAV payload per id: 40 + id%13 frames,
+    1 + id%2 channels, sample rate 8000 + 1000*(id%3), sample value
+    ((id*31 + t*7 + c*11) % 2003) - 1001 — closed-form for an
+    independent SQL oracle. Encoding runs distributed in
+    mapInPandas."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import wav as _wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n, ch = 40 + d % 13, 1 + d % 2
+                t = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                s = (((d * 31 + t * 7 + c * 11) % 2003) - 1001).astype(np.int16)
+                payloads.append(_wav.encode_wav(s, 8000 + 1000 * (d % 3)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """REAL WAV decode to per-clip statistics via mapInPandas
+    (functions/wav.py; raises on non-PCM payloads, where an MP3/AAC
+    codec would plug in). Returns (doc_id, sample_rate, n_samples,
+    n_channels, sample_sum, peak_abs)."""
+
+    def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import wav as _wav
+
+        for pdf in batches:
+            srs, ns, chs, sums, peaks = [], [], [], [], []
+            for payload in pdf["payload"]:
+                samples, sr = _wav.decode_wav(payload)
+                srs.append(sr)
+                ns.append(samples.shape[0])
+                chs.append(samples.shape[1])
+                sums.append(int(samples.astype("int64").sum()))
+                peaks.append(int(np.abs(samples.astype("int64")).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "peak_abs": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(stats_batches, WAV_STATS_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

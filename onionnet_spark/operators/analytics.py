@@ -256,18 +256,36 @@ def personalized_pagerank(
 
 
 def k_core(
-    graph: OnionGraph, k: int = 2, max_iterations: int = 50
+    graph: OnionGraph,
+    k: int = 2,
+    max_iterations: int = 50,
+    rebaseline_cap: int = 2_000_000,
 ) -> DataFrame:
     """The k-core: the maximal subgraph where every node has
-    UNDIRECTED degree >= k — iterative peeling (remove all nodes
-    below k, recompute degrees, repeat to fixpoint). The classic
-    noise-trimming / dense-region primitive.
+    UNDIRECTED degree >= k — DELTA peeling. The naive loop
+    (recompute all degrees + filter the full edge set every round)
+    pays O(|E|) shuffles per round even when a round removes a
+    handful of nodes — at sf0.1 that was 18s for a 2-round peel
+    (BENCH r3 flagged it). Instead:
 
-    Each round is one groupBy over the shrinking canonical edge set
-    plus two semi-joins; rounds needed = peel depth (bounded by the
-    degeneracy ordering length, typically tiny). Edge set is
-    localCheckpoint-ed per round. Raises if the cap is hit before
-    the fixpoint. Returns (layer, node_id, core_degree) for members.
+      1. ONE full degree aggregation (deg0, checkpointed).
+      2. Per round, only the DELTA moves: the freshly-removed node
+         set L (tiny) is broadcast against the static canonical edge
+         list to produce per-neighbor decrements; cumulative
+         decrements and the removed set stay small and broadcast.
+         A node can only drop below k if it was just decremented, so
+         each round examines the decremented candidates, not |V|.
+      3. The k-core membership and degrees come from ONE final pass
+         filtering the edge list against the total removed set.
+
+    If the cumulative removed set outgrows the broadcast budget
+    (deep-cascade regime: k-core of a social graph can shed most of
+    the graph), the loop RE-BASELINES: materializes the shrunken
+    edge set, recomputes deg0, and resets the ledgers — bounding the
+    broadcast size while keeping the common case at 3 total big
+    shuffles regardless of peel depth. Raises if `max_iterations`
+    rounds don't reach the fixpoint. Returns (layer, node_id,
+    core_degree) for members.
     """
     a_key = F.concat_ws(":", "src_layer", "src_id")
     b_key = F.concat_ws(":", "dst_layer", "dst_id")
@@ -281,35 +299,126 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
-    n_edges = canon.count()
-    converged = False
-    for _ in range(max_iterations):
-        deg = (
-            canon.select(F.col("a").alias("n"))
-            .unionByName(canon.select(F.col("b").alias("n")))
+    spark = canon.sparkSession
+    # rebaseline_cap: max removed/low keys kept broadcast-side before
+    # falling back to a shuffle round + ledger reset (parameterized
+    # so tests can drive the deep-cascade paths on toy graphs)
+
+    def _full_degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("a").alias("n"))
+            .unionByName(edges.select(F.col("b").alias("n")))
             .groupBy("n")
             .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("n")
-        pruned = (
-            canon.join(keep.select(F.col("n").alias("a")), on="a", how="left_semi")
-            .join(keep.select(F.col("n").alias("b")), on="b", how="left_semi")
             .localCheckpoint()
         )
-        n_new = pruned.count()
-        canon = pruned
-        if n_new == n_edges:
-            converged = True
-            break
-        n_edges = n_new
-    if not converged:
-        raise RuntimeError(
-            f"k_core did not reach a fixpoint within {max_iterations} "
-            f"peeling rounds; raise max_iterations"
+
+    deg0 = _full_degrees(canon)
+    # cum_dec: node -> total decrements since the last re-baseline
+    cum_dec = spark.createDataFrame([], "n string, c bigint").localCheckpoint()
+    removed = spark.createDataFrame([], "n string").localCheckpoint()
+    n_removed = 0
+    low = deg0.filter(F.col("d") < k).select("n").localCheckpoint()
+    n_low = low.count()
+    rounds = 0
+    while n_low > 0:
+        rounds += 1
+        if rounds > max_iterations:
+            raise RuntimeError(
+                f"k_core did not reach a fixpoint within {max_iterations} "
+                f"peeling rounds; raise max_iterations"
+            )
+        if n_low > rebaseline_cap:
+            # a single huge removal wave (large k): too big to
+            # broadcast — shuffle-filter the edge set once and
+            # re-baseline; this IS the classic full round, paid only
+            # in the regime where every strategy must touch |E|
+            canon = (
+                canon.join(
+                    low.select(F.col("n").alias("a")), on="a", how="left_anti"
+                )
+                .join(low.select(F.col("n").alias("b")), on="b", how="left_anti")
+                .localCheckpoint()
+            )
+            deg0 = _full_degrees(canon)
+            cum_dec = spark.createDataFrame(
+                [], "n string, c bigint"
+            ).localCheckpoint()
+            removed = spark.createDataFrame([], "n string").localCheckpoint()
+            n_removed = 0
+            low = deg0.filter(F.col("d") < k).select("n").localCheckpoint()
+            n_low = low.count()
+            continue
+        removed = removed.unionByName(low).localCheckpoint()
+        n_removed += n_low
+        # decrements: edges with exactly one endpoint freshly removed
+        # and the other endpoint still alive
+        dead_a = F.broadcast(low.select(F.col("n").alias("a")))
+        dead_b = F.broadcast(low.select(F.col("n").alias("b")))
+        gone_a = F.broadcast(removed.select(F.col("n").alias("a")))
+        gone_b = F.broadcast(removed.select(F.col("n").alias("b")))
+        dec_b = (
+            canon.join(dead_a, on="a", how="left_semi")
+            .join(gone_b, on="b", how="left_anti")
+            .select(F.col("b").alias("n"))
+        )
+        dec_a = (
+            canon.join(dead_b, on="b", how="left_semi")
+            .join(gone_a, on="a", how="left_anti")
+            .select(F.col("a").alias("n"))
+        )
+        dec = (
+            dec_b.unionByName(dec_a)
+            .groupBy("n")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .localCheckpoint()
+        )
+        cum_dec = (
+            cum_dec.unionByName(dec)
+            .groupBy("n")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        # only just-decremented nodes can newly fall below k
+        low = (
+            deg0.join(F.broadcast(dec.select("n")), on="n", how="left_semi")
+            .join(F.broadcast(removed), on="n", how="left_anti")
+            .join(F.broadcast(cum_dec), on="n", how="left")
+            .filter(F.col("d") - F.coalesce(F.col("c"), F.lit(0)) < k)
+            .select("n")
+            .localCheckpoint()
+        )
+        n_low = low.count()
+        if n_removed > rebaseline_cap:
+            gone_a = F.broadcast(removed.select(F.col("n").alias("a")))
+            gone_b = F.broadcast(removed.select(F.col("n").alias("b")))
+            canon = (
+                canon.join(gone_a, on="a", how="left_anti")
+                .join(gone_b, on="b", how="left_anti")
+                .localCheckpoint()
+            )
+            deg0 = _full_degrees(canon)
+            cum_dec = spark.createDataFrame(
+                [], "n string, c bigint"
+            ).localCheckpoint()
+            removed = spark.createDataFrame([], "n string").localCheckpoint()
+            n_removed = 0
+            if n_low:
+                low = deg0.filter(F.col("d") < k).select("n").localCheckpoint()
+                n_low = low.count()
+    # final single pass: core edges + member degrees
+    core = canon
+    if n_removed:
+        core = canon.join(
+            F.broadcast(removed.select(F.col("n").alias("a"))),
+            on="a", how="left_anti",
+        ).join(
+            F.broadcast(removed.select(F.col("n").alias("b"))),
+            on="b", how="left_anti",
         )
     deg = (
-        canon.select(F.col("a").alias("key"))
-        .unionByName(canon.select(F.col("b").alias("key")))
+        core.select(F.col("a").alias("key"))
+        .unionByName(core.select(F.col("b").alias("key")))
         .groupBy("key")
         .agg(F.count("*").cast("bigint").alias("core_degree"))
     )

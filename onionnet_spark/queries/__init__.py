@@ -95,9 +95,9 @@ _R3_WINDOW: list[str] = [
     "khop_bi_children",
     "components_strong_cyclic",
     "multimodal_png_decode",
+    "multimodal_wav_decode",
     "numeric_histogram_bounded",
     "column_correlations_nulls",
-    "graph_coreness_exact",
 ]
 
 

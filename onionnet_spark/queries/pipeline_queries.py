@@ -554,6 +554,35 @@ def multimodal_png_decode(spark, sf_dir):
     return multimodal.decode_image_stats(payload)
 
 
+@register(
+    "multimodal_wav_decode",
+    # Same pattern as multimodal_png_decode for the audio half:
+    # closed-form PCM samples encoded to real RIFF/WAV bytes in one
+    # mapInPandas stage and decoded by functions/wav.py in another;
+    # the oracle recomputes rate/frames/sum/peak from the formula.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 40 + doc_id % 13 AS n, 1 + doc_id % 2 AS ch,
+                    8000 + 1000 * (doc_id % 3) AS sr
+             FROM ids),
+    sv AS (
+      SELECT d.doc_id, d.n, d.ch, d.sr,
+             ((d.doc_id * 31 + t.t * 7 + c.c * 11) % 2003) - 1001 AS v
+      FROM dims d
+      JOIN range(0, 53) t(t) ON t.t < d.n
+      JOIN range(0, 2) c(c) ON c.c < d.ch
+    )
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+           CAST(ch AS INT) AS n_channels,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS(v)) AS INT) AS peak_abs
+    FROM sv GROUP BY doc_id, sr, n, ch""",
+)
+def multimodal_wav_decode(spark, sf_dir):
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_wav_payload(ids)
+    return multimodal.decode_audio_stats(payload)
+
+
 from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["ann_lsh_bucketed"] = (ann_lsh_bucketed, _ann_lsh_oracle())

@@ -392,6 +392,38 @@ def test_k_core_peels_tail(spark):
     assert got == {"a": 2, "b": 2, "c": 2}
     # k=3: nothing survives
     assert k_core(g, k=3).count() == 0
+    # rebaseline_cap=1 forces the bulk-round and ledger-reset paths
+    # (every round's removal set exceeds the broadcast budget): the
+    # delta and fallback strategies must agree exactly
+    got_bulk = {r["node_id"]: r["core_degree"]
+                for r in k_core(g, k=2, rebaseline_cap=1).collect()}
+    assert got_bulk == got
+    assert k_core(g, k=3, rebaseline_cap=1).count() == 0
+
+
+def test_k_core_deep_cascade_long_chain(spark):
+    # 30-node path + one triangle at the end: k=2 peeling cascades 29
+    # rounds through the chain (one pendant at a time) — exercises
+    # many delta rounds and the removed-ledger growth
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.analytics import k_core
+
+    chain = [f"n{i}" for i in range(30)]
+    tri = ["t0", "t1", "t2"]
+    nodes = spark.createDataFrame(
+        [("L", x) for x in chain + tri], "layer string, node_id string"
+    )
+    chain_edges = [("L", chain[i], "L", chain[i + 1]) for i in range(29)]
+    tri_edges = [("L", "t0", "L", "t1"), ("L", "t1", "L", "t2"),
+                 ("L", "t0", "L", "t2"), ("L", chain[-1], "L", "t0")]
+    edges = spark.createDataFrame(
+        chain_edges + tri_edges,
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = grow_onion(nodes, edges)
+    got = {r["node_id"]: r["core_degree"]
+           for r in k_core(g, k=2, rebaseline_cap=8).collect()}
+    assert got == {"t0": 2, "t1": 2, "t2": 2}
 
 
 def test_personalized_pagerank_seeds_localize(spark):

@@ -191,6 +191,24 @@ def test_multimodal_png_meta_via_decode_image_meta(spark):
         assert meta[d]["n_channels"] == (1 if d % 2 == 0 else 3)
 
 
+def test_multimodal_wav_real_decode_end_to_end(spark):
+    import numpy as np
+
+    ids = spark.createDataFrame([(d,) for d in range(10)], "doc_id long")
+    payload = multimodal.synth_wav_payload(ids)
+    got = {r["doc_id"]: r for r in multimodal.decode_audio_stats(payload).collect()}
+    assert len(got) == 10
+    for d in range(10):
+        n, ch, sr = 40 + d % 13, 1 + d % 2, 8000 + 1000 * (d % 3)
+        t = np.arange(n)[:, None]
+        c = np.arange(ch)[None, :]
+        s = ((d * 31 + t * 7 + c * 11) % 2003) - 1001
+        r = got[d]
+        assert (r["sample_rate"], r["n_samples"], r["n_channels"]) == (sr, n, ch)
+        assert r["sample_sum"] == int(s.sum())
+        assert r["peak_abs"] == int(np.abs(s).max())
+
+
 def test_multimodal_resize_and_frames(docs):
     from onionnet_spark.functions import multimodal
 
