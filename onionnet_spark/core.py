@@ -36,9 +36,24 @@ class OnionGraph:
             dst_layer, dst_id`` (strings) plus property columns.
         directed: semantic flag; edges are always stored as
             (src, dst) rows, undirected algorithms symmetrize.
+        edges_unique_undirected: builder-asserted invariant — every
+            undirected node pair {u, v} (u != v) appears in AT MOST
+            ONE edge row, and there are no self-loops. When true the
+            undirected views skip their dedup `distinct()`, which at
+            full scale is the single biggest exchange in every
+            undirected analytic's plan (it shuffles the whole edge
+            table to remove nothing). Set it only when the producer
+            guarantees the invariant; edge-subset operations (filters,
+            induced subgraphs) preserve it, unions/projections do not.
     """
 
-    def __init__(self, nodes: DataFrame, edges: DataFrame, directed: bool = True):
+    def __init__(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        directed: bool = True,
+        edges_unique_undirected: bool = False,
+    ):
         missing_n = set(NODE_KEY) - set(nodes.columns)
         missing_e = set(EDGE_KEY) - set(edges.columns)
         if missing_n:
@@ -48,6 +63,7 @@ class OnionGraph:
         self.nodes = nodes
         self.edges = edges
         self.directed = directed
+        self.edges_unique_undirected = edges_unique_undirected
         self._endpoint_cache: dict[str, DataFrame] = {}
 
     # ---- basic accessors -------------------------------------------------
@@ -66,7 +82,12 @@ class OnionGraph:
         return self.edges.select(*EDGE_KEY)
 
     def symmetrized_edges(self) -> DataFrame:
-        """Undirected view: each edge emitted in both directions, deduped."""
+        """Undirected view: each edge emitted in both directions, deduped.
+
+        Under the ``edges_unique_undirected`` invariant the union of
+        forward + reversed rows is already duplicate-free, so the
+        dedup shuffle is skipped entirely.
+        """
         e = self.edge_endpoints()
         rev = e.select(
             F.col("dst_layer").alias("src_layer"),
@@ -74,7 +95,49 @@ class OnionGraph:
             F.col("src_layer").alias("dst_layer"),
             F.col("src_id").alias("dst_id"),
         )
-        return e.unionByName(rev).distinct()
+        out = e.unionByName(rev)
+        return out if self.edges_unique_undirected else out.distinct()
+
+    def cached_symmetrized(self) -> DataFrame:
+        """``symmetrized_edges()``, persisted once per graph instance.
+
+        Every undirected neighborhood analytic (weak CC, LPA,
+        node-Jaccard, betweenness, ego stats, closeness) starts from
+        exactly this view; sharing one materialization amortizes the
+        symmetrize (and, without the uniqueness invariant, its dedup
+        exchange) across all of them and across iterations within
+        one of them.
+        """
+        if "sym" not in self._endpoint_cache:
+            self._endpoint_cache["sym"] = self.symmetrized_edges().persist()
+        return self._endpoint_cache["sym"]
+
+    def canonical_edges(self) -> DataFrame:
+        """Undirected canonical edge list (a, b): 'layer:node_id'
+        string keys with a < b, self-loops dropped, one row per
+        undirected pair — persisted once per graph instance because
+        every pair-oriented analytic (triangles, clustering
+        coefficient, k-core, coreness, k-truss, matching) starts
+        from exactly this projection. Under the
+        ``edges_unique_undirected`` invariant the dedup `distinct()`
+        (a full shuffle of the edge table that removes nothing on
+        builder output) is skipped.
+        """
+        if "canonical" not in self._endpoint_cache:
+            a_key = F.concat_ws(":", "src_layer", "src_id")
+            b_key = F.concat_ws(":", "dst_layer", "dst_id")
+            e = (
+                self.edge_endpoints()
+                .select(
+                    F.when(a_key < b_key, a_key).otherwise(b_key).alias("a"),
+                    F.when(a_key < b_key, b_key).otherwise(a_key).alias("b"),
+                )
+                .filter(F.col("a") != F.col("b"))
+            )
+            if not self.edges_unique_undirected:
+                e = e.distinct()
+            self._endpoint_cache["canonical"] = e.persist()
+        return self._endpoint_cache["canonical"]
 
     # ---- invariants ------------------------------------------------------
     def persist(self) -> "OnionGraph":

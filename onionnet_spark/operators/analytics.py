@@ -287,18 +287,7 @@ def k_core(
     rounds don't reach the fixpoint. Returns (layer, node_id,
     core_degree) for members.
     """
-    a_key = F.concat_ws(":", "src_layer", "src_id")
-    b_key = F.concat_ws(":", "dst_layer", "dst_id")
-    canon = (
-        graph.edge_endpoints()
-        .select(
-            F.when(a_key < b_key, a_key).otherwise(b_key).alias("a"),
-            F.when(a_key < b_key, b_key).otherwise(a_key).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    canon = graph.canonical_edges()
     spark = canon.sparkSession
     # rebaseline_cap: max removed/low keys kept broadcast-side before
     # falling back to a shuffle round + ledger reset (parameterized
@@ -461,7 +450,7 @@ def betweenness_sampled(
     joins. Returns (layer, node_id, betweenness) over all nodes
     (0 for untouched), rounded to 6 dp.
     """
-    sym = graph.symmetrized_edges().select(
+    sym = graph.cached_symmetrized().select(
         F.concat_ws(":", "src_layer", "src_id").alias("src"),
         F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
     ).localCheckpoint()
@@ -569,7 +558,7 @@ def node_jaccard(
     (id_a, id_b, jaccard), id_a < id_b, jaccard >= min_jaccard,
     rounded to 6 dp.
     """
-    sym = graph.symmetrized_edges()
+    sym = graph.cached_symmetrized()
     nbr = (
         sym.filter(F.col("src_layer") == layer)
         .select(
@@ -613,18 +602,11 @@ def node_jaccard(
 
 def _canonical_edges(graph: OnionGraph) -> DataFrame:
     """Undirected canonical edge list: (a, b) with key(a) < key(b),
-    deduped, self-loops dropped."""
-    e = graph.edge_endpoints()
-    a_key = F.concat_ws(":", "src_layer", "src_id")
-    b_key = F.concat_ws(":", "dst_layer", "dst_id")
-    return (
-        e.select(
-            F.when(a_key < b_key, a_key).otherwise(b_key).alias("a"),
-            F.when(a_key < b_key, b_key).otherwise(a_key).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    deduped, self-loops dropped. Delegates to the per-graph persisted
+    cache so the projection (and its dedup shuffle, when the builder
+    can't vouch for uniqueness) is paid once per graph instance, not
+    once per analytic."""
+    return graph.canonical_edges()
 
 
 def triangle_count(graph: OnionGraph) -> DataFrame:
@@ -634,7 +616,7 @@ def triangle_count(graph: OnionGraph) -> DataFrame:
     dropped), then each triangle a<b<c is found exactly once via
     e(a,b) ⋈ e(b,c) ⋈ e(a,c).
     """
-    canon = _canonical_edges(graph).localCheckpoint()
+    canon = _canonical_edges(graph)
     # Degree ordering (node-iterator++): orient every undirected edge
     # from the (degree, key)-SMALLER endpoint to the larger one and
     # pivot wedges only at the smaller endpoint. Wedge count drops
@@ -692,7 +674,7 @@ def local_clustering_coefficient(graph: OnionGraph) -> DataFrame:
     edge set. Returns (layer, node_id, degree, n_triangles,
     clustering_coeff) over all nodes, coefficient rounded to 6 dp.
     """
-    canon = _canonical_edges(graph).localCheckpoint()
+    canon = _canonical_edges(graph)
     deg = (
         canon.select(F.col("a").alias("k"))
         .unionByName(canon.select(F.col("b").alias("k")))
@@ -1270,21 +1252,11 @@ def ego_stats(graph: OnionGraph) -> DataFrame:
     neighbor degree (the assortativity raw material, per node).
     Two node-keyed aggregations + one join — no iteration.
     """
-    e = graph.edge_endpoints()
-    sym = (
-        e.select(
-            F.col("src_layer").alias("layer"),
-            F.col("src_id").alias("node_id"),
-            F.col("dst_layer").alias("n_layer"),
-            F.col("dst_id").alias("n_id"),
-        )
-        .union(
-            e.select(
-                F.col("dst_layer"), F.col("dst_id"),
-                F.col("src_layer"), F.col("src_id"),
-            )
-        )
-        .distinct()
+    sym = graph.cached_symmetrized().select(
+        F.col("src_layer").alias("layer"),
+        F.col("src_id").alias("node_id"),
+        F.col("dst_layer").alias("n_layer"),
+        F.col("dst_id").alias("n_id"),
     )
     deg = sym.groupBy(
         F.col("layer"), F.col("node_id")

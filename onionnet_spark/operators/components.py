@@ -34,65 +34,62 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
     Returns DataFrame(layer, node_id, component) where component is
     the min 'layer:node_id' string key in the node's component.
     """
-    sym = graph.symmetrized_edges().persist()
+    sym = graph.cached_symmetrized()
     labels = graph.nodes.select(
         "layer", "node_id", graph.node_key_col().alias("component")
     ).persist()
-    try:
-        changed = 0
-        for it in range(max_iterations):
-            # candidate label for each dst = min label among in-neighbors
-            cand = (
-                sym.join(
-                    labels.select(
-                        F.col("layer").alias("src_layer"),
-                        F.col("node_id").alias("src_id"),
-                        F.col("component").alias("nbr_component"),
-                    ),
-                    on=["src_layer", "src_id"],
-                )
-                .groupBy(
-                    F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
-                )
-                .agg(F.min("nbr_component").alias("nbr_component"))
+    changed = 0
+    for it in range(max_iterations):
+        # candidate label for each dst = min label among in-neighbors
+        cand = (
+            sym.join(
+                labels.select(
+                    F.col("layer").alias("src_layer"),
+                    F.col("node_id").alias("src_id"),
+                    F.col("component").alias("nbr_component"),
+                ),
+                on=["src_layer", "src_id"],
             )
-            # One join carries BOTH the new label and an 'improved'
-            # flag, so convergence detection costs a metadata-cheap
-            # filter over the just-materialized checkpoint instead of
-            # a second full labels-vs-labels shuffle join.
-            new_labels = (
-                labels.join(cand, on=NODE_KEY, how="left")
-                .select(
-                    "layer",
-                    "node_id",
-                    F.least(
-                        F.col("component"), F.coalesce("nbr_component", "component")
-                    ).alias("component"),
-                    (
-                        F.col("nbr_component").isNotNull()
-                        & (F.col("nbr_component") < F.col("component"))
-                    ).alias("improved"),
-                )
-                .localCheckpoint()
+            .groupBy(
+                F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
             )
-            changed = new_labels.filter("improved").limit(1).count()
-            labels.unpersist()
-            labels = new_labels.drop("improved")
-            if changed == 0:
-                break
-        if changed != 0:
-            # Never hand back silently-wrong labels: min-label
-            # propagation needs `diameter` rounds, so a deep graph
-            # can exhaust the cap mid-flight.
-            raise RuntimeError(
-                f"connected_components did not converge within "
-                f"{max_iterations} iterations (graph diameter exceeds the "
-                f"cap); raise max_iterations or use "
-                f"connected_components_star (diameter-independent)"
+            .agg(F.min("nbr_component").alias("nbr_component"))
+        )
+        # One join carries BOTH the new label and an 'improved'
+        # flag, so convergence detection costs a metadata-cheap
+        # filter over the just-materialized checkpoint instead of
+        # a second full labels-vs-labels shuffle join.
+        new_labels = (
+            labels.join(cand, on=NODE_KEY, how="left")
+            .select(
+                "layer",
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (
+                    F.col("nbr_component").isNotNull()
+                    & (F.col("nbr_component") < F.col("component"))
+                ).alias("improved"),
             )
-        return labels
-    finally:
-        sym.unpersist()
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("improved").limit(1).count()
+        labels.unpersist()
+        labels = new_labels.drop("improved")
+        if changed == 0:
+            break
+    if changed != 0:
+        # Never hand back silently-wrong labels: min-label
+        # propagation needs `diameter` rounds, so a deep graph
+        # can exhaust the cap mid-flight.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations (graph diameter exceeds the "
+            f"cap); raise max_iterations or use "
+            f"connected_components_star (diameter-independent)"
+        )
+    return labels
 
 
 def connected_components_star(
@@ -381,10 +378,10 @@ def label_propagation_communities(
     """
     from pyspark.sql import Window
 
-    sym = graph.symmetrized_edges().select(
+    sym = graph.cached_symmetrized().select(
         F.concat_ws(":", "src_layer", "src_id").alias("src"),
         F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
-    ).persist()
+    )
     # Plain projection of the (typically already-cached) node table —
     # persisting it here would pin CacheManager storage past the call.
     nodes = graph.nodes.select(
@@ -415,7 +412,6 @@ def label_propagation_communities(
     out = nodes.join(labels, on="key").select(
         "layer", "node_id", F.col("label").alias("community")
     )
-    sym.unpersist()
     return out
 
 

@@ -55,12 +55,23 @@ def induced_edges(edges: DataFrame, node_keys: DataFrame) -> DataFrame:
 def filter_nodes(graph: OnionGraph, condition: Column) -> OnionGraph:
     """Vertex-filtered view with induced edges (vfilt semantics)."""
     nodes = graph.nodes.filter(condition)
-    return OnionGraph(nodes, induced_edges(graph.edges, nodes), graph.directed)
+    return OnionGraph(
+        nodes,
+        induced_edges(graph.edges, nodes),
+        graph.directed,
+        # edge subset: the uniqueness invariant survives filtering
+        edges_unique_undirected=graph.edges_unique_undirected,
+    )
 
 
 def filter_edges(graph: OnionGraph, condition: Column, prune: bool = False) -> OnionGraph:
     """Edge-filtered view (efilt semantics); prune drops isolated vertices."""
-    g = OnionGraph(graph.nodes, graph.edges.filter(condition), graph.directed)
+    g = OnionGraph(
+        graph.nodes,
+        graph.edges.filter(condition),
+        graph.directed,
+        edges_unique_undirected=graph.edges_unique_undirected,
+    )
     return prune_isolated(g) if prune else g
 
 
@@ -80,7 +91,10 @@ def prune_isolated(graph: OnionGraph) -> OnionGraph:
         e.select(F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id"))
     )
     return OnionGraph(
-        graph.nodes.join(touched, on=NODE_KEY, how="left_semi"), graph.edges, graph.directed
+        graph.nodes.join(touched, on=NODE_KEY, how="left_semi"),
+        graph.edges,
+        graph.directed,
+        edges_unique_undirected=graph.edges_unique_undirected,
     )
 
 

@@ -32,6 +32,7 @@ def with_node_labels(graph: OnionGraph, prop_name: str = "node_label") -> OnionG
         graph.nodes.withColumn(prop_name, graph.node_key_col()),
         graph.edges,
         graph.directed,
+        edges_unique_undirected=graph.edges_unique_undirected,
     )
 
 
@@ -68,7 +69,10 @@ def set_node_property(
         nodes = graph.nodes.withColumn(
             prop_name, F.when(key_match, F.lit(value))
         )
-    return OnionGraph(nodes, graph.edges, graph.directed)
+    return OnionGraph(
+        nodes, graph.edges, graph.directed,
+        edges_unique_undirected=graph.edges_unique_undirected,
+    )
 
 
 def merge_node_properties(graph: OnionGraph, updates: DataFrame) -> OnionGraph:
@@ -95,7 +99,10 @@ def merge_node_properties(graph: OnionGraph, updates: DataFrame) -> OnionGraph:
         else:
             nodes = nodes.withColumn(c, F.col(f"_upd_{c}"))
     nodes = nodes.drop(*[f"_upd_{c}" for c in upd_props])
-    return OnionGraph(nodes, graph.edges, graph.directed)
+    return OnionGraph(
+        nodes, graph.edges, graph.directed,
+        edges_unique_undirected=graph.edges_unique_undirected,
+    )
 
 
 def set_edge_property(
@@ -120,7 +127,10 @@ def set_edge_property(
         )
     else:
         edges = graph.edges.withColumn(prop_name, F.when(key_match, F.lit(value)))
-    return OnionGraph(graph.nodes, edges, graph.directed)
+    return OnionGraph(
+        graph.nodes, edges, graph.directed,
+        edges_unique_undirected=graph.edges_unique_undirected,
+    )
 
 
 def export_nodes(graph: OnionGraph, prop_names: list[str] | None = None) -> DataFrame:

@@ -189,7 +189,7 @@ def build_graph(spark: SparkSession, sf_dir: str, validate: bool = False) -> Oni
     Tests cover validate=True separately.
     """
     t = load_tables(spark, sf_dir)
-    return grow_onion(
+    g = grow_onion(
         node_frames(t),
         edge_frames(t),
         node_prop_cols=["name", "val"],
@@ -197,6 +197,16 @@ def build_graph(spark: SparkSession, sf_dir: str, validate: bool = False) -> Oni
         drop_duplicates=False,  # source keys are unique by construction
         validate_endpoints=validate,
     )
+    # Builder-asserted invariant: every edge type above joins two
+    # DIFFERENT layers, each (src, dst) pair is key-unique within its
+    # type (src is the source table's primary key), and no two types
+    # connect the same layer pair in opposite directions — so each
+    # undirected node pair appears in exactly one edge row and there
+    # are no self-loops. Lets canonical/symmetrized views skip their
+    # dedup shuffle (the biggest exchange in every undirected
+    # analytic at scale).
+    g.edges_unique_undirected = True
+    return g
 
 
 # ---------------------------------------------------------------------------
