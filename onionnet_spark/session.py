@@ -38,7 +38,11 @@ def get_spark(
         # timestamp type, so read as long and convert in the loader
         # (sources/tpch_graph.py) via integer division to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("ONIONNET_DRIVER_MEM", "8g"))
+        # local[] mode: the driver IS the executor; with the whole
+        # bench's caches (graph + canonical/symmetrized views + table
+        # readers) in one JVM, 8g left so little headroom that GC
+        # inflated every query ~40%. The test box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("ONIONNET_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

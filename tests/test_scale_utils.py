@@ -190,3 +190,72 @@ def test_bucketed_graph_property_merge_is_shuffle_free(spark, tpch_graph):
     finally:
         spark.sql("DROP TABLE IF EXISTS bg_nodes")
         spark.sql("DROP TABLE IF EXISTS bg_edges")
+
+
+# ---- edges_unique_undirected invariant ------------------------------------
+
+
+@pytest.fixture()
+def toy_graph_dup(spark):
+    from onionnet_spark.core import OnionGraph
+
+    nodes = spark.createDataFrame(
+        [("l", "a"), ("l", "b"), ("l", "c")], "layer string, node_id string"
+    )
+    # b->a duplicates a->b after canonicalization; a->a is a self-loop
+    edges = spark.createDataFrame(
+        [
+            ("l", "a", "l", "b"),
+            ("l", "b", "l", "a"),
+            ("l", "b", "l", "c"),
+            ("l", "a", "l", "a"),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    return OnionGraph(nodes, edges)
+
+
+def test_canonical_edges_dedups_by_default(toy_graph_dup):
+    got = {tuple(r) for r in toy_graph_dup.canonical_edges().collect()}
+    assert got == {("l:a", "l:b"), ("l:b", "l:c")}
+
+
+def test_canonical_edges_skips_dedup_under_invariant(spark):
+    from onionnet_spark.core import OnionGraph
+
+    nodes = spark.createDataFrame(
+        [("l", "a"), ("l", "b"), ("l", "c")], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("l", "a", "l", "b"), ("l", "b", "l", "c")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g_plain = OnionGraph(nodes, edges)
+    g_flag = OnionGraph(nodes, edges, edges_unique_undirected=True)
+    # identical results on invariant-satisfying data...
+    assert {tuple(r) for r in g_flag.canonical_edges().collect()} == {
+        tuple(r) for r in g_plain.canonical_edges().collect()
+    }
+    assert {tuple(r) for r in g_flag.symmetrized_edges().collect()} == {
+        tuple(r) for r in g_plain.symmetrized_edges().collect()
+    }
+    # ...but the flagged plan carries no dedup aggregation at all
+    plan_flag = (
+        g_flag.symmetrized_edges()._jdf.queryExecution().executedPlan().toString()
+    )
+    plan_plain = (
+        g_plain.symmetrized_edges()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" not in plan_flag, plan_flag[:600]
+    assert "HashAggregate" in plan_plain
+
+
+def test_tpch_builder_asserts_uniqueness_and_filters_preserve_it(tpch_graph):
+    from onionnet_spark.operators.filters import view_layers
+
+    assert tpch_graph.edges_unique_undirected
+    sub = view_layers(tpch_graph, ["region", "nation", "supplier"])
+    assert sub.edges_unique_undirected
+    # the invariant actually holds: canonical pairs are already unique
+    canon = tpch_graph.canonical_edges()
+    assert canon.count() == canon.distinct().count()
