@@ -139,6 +139,23 @@ class OnionGraph:
             self._endpoint_cache["canonical"] = e.persist()
         return self._endpoint_cache["canonical"]
 
+    def canonical_degrees(self) -> DataFrame:
+        """Undirected degree per node key over ``canonical_edges()``:
+        DataFrame(n, d). Persisted per instance — the k-core peel
+        baseline, triangle orientation, and clustering coefficient
+        all start from exactly this aggregation.
+        """
+        if "canonical_deg" not in self._endpoint_cache:
+            canon = self.canonical_edges()
+            deg = (
+                canon.select(F.col("a").alias("n"))
+                .unionByName(canon.select(F.col("b").alias("n")))
+                .groupBy("n")
+                .agg(F.count("*").alias("d"))
+            )
+            self._endpoint_cache["canonical_deg"] = deg.persist()
+        return self._endpoint_cache["canonical_deg"]
+
     # ---- invariants ------------------------------------------------------
     def persist(self) -> "OnionGraph":
         self.nodes = self.nodes.persist()

@@ -302,12 +302,15 @@ def k_core(
             .localCheckpoint()
         )
 
-    deg0 = _full_degrees(canon)
+    # Baseline degrees come from the per-graph cache (shared with
+    # triangle orientation / clustering); _full_degrees is only for
+    # post-rebaseline recomputes over the shrunken edge set.
+    deg0 = graph.canonical_degrees()
     # cum_dec: node -> total decrements since the last re-baseline
     cum_dec = spark.createDataFrame([], "n string, c bigint").localCheckpoint()
     removed = spark.createDataFrame([], "n string").localCheckpoint()
     n_removed = 0
-    low = deg0.filter(F.col("d") < k).select("n").localCheckpoint()
+    low = deg0.filter(F.col("d") < k).select("n").localCheckpoint(eager=False)
     n_low = low.count()
     rounds = 0
     while n_low > 0:
@@ -338,7 +341,7 @@ def k_core(
             low = deg0.filter(F.col("d") < k).select("n").localCheckpoint()
             n_low = low.count()
             continue
-        removed = removed.unionByName(low).localCheckpoint()
+        removed = removed.unionByName(low).localCheckpoint(eager=False)
         n_removed += n_low
         # decrements: edges with exactly one endpoint freshly removed
         # and the other endpoint still alive
@@ -360,13 +363,13 @@ def k_core(
             dec_b.unionByName(dec_a)
             .groupBy("n")
             .agg(F.count("*").cast("bigint").alias("c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cum_dec = (
             cum_dec.unionByName(dec)
             .groupBy("n")
             .agg(F.sum("c").alias("c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # only just-decremented nodes can newly fall below k
         low = (
@@ -375,7 +378,7 @@ def k_core(
             .join(F.broadcast(cum_dec), on="n", how="left")
             .filter(F.col("d") - F.coalesce(F.col("c"), F.lit(0)) < k)
             .select("n")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_low = low.count()
         if n_removed > rebaseline_cap:
@@ -623,11 +626,8 @@ def triangle_count(graph: OnionGraph) -> DataFrame:
     # from sum(deg^2) to sum over edges of min-degree — the standard
     # trick that makes distributed triangle counting survive
     # power-law hubs (a celebrity node never becomes a pivot).
-    deg = (
-        canon.select(F.col("a").alias("k"))
-        .unionByName(canon.select(F.col("b").alias("k")))
-        .groupBy("k")
-        .agg(F.count("*").alias("d"))
+    deg = graph.canonical_degrees().select(
+        F.col("n").alias("k"), "d"
     )
     with_deg = (
         canon.join(deg.select(F.col("k").alias("a"), F.col("d").alias("da")), "a")
@@ -675,11 +675,8 @@ def local_clustering_coefficient(graph: OnionGraph) -> DataFrame:
     clustering_coeff) over all nodes, coefficient rounded to 6 dp.
     """
     canon = _canonical_edges(graph)
-    deg = (
-        canon.select(F.col("a").alias("k"))
-        .unionByName(canon.select(F.col("b").alias("k")))
-        .groupBy("k")
-        .agg(F.count("*").alias("d"))
+    deg = graph.canonical_degrees().select(
+        F.col("n").alias("k"), "d"
     )
     with_deg = (
         canon.join(deg.select(F.col("k").alias("a"), F.col("d").alias("da")), "a")
