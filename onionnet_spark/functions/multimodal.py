@@ -6,11 +6,13 @@ opaque `binary` column (or a pointer to object storage); metadata
 JVM-side; decode / feature-extraction runs in Arrow-batched
 `mapInPandas` so Python touches data only in vectorized batches.
 
-The decode libraries (PIL/ffmpeg/librosa) are NOT in this
-container, so the actual decoders are stubbed: `decode_image_meta`
-raises NotImplementedError unless `fake=True`, in which case a
-deterministic fake (derived from the payload bytes) exercises the
-full Spark plumbing — schema, batching, partitioning — for real.
+PNG and PCM-WAV have REAL pure-Python codecs (functions/png.py,
+functions/wav.py): encode, decode, nearest-neighbor resize and
+nearest-sample resample all run for real through mapInPandas.
+Formats that need PIL/ffmpeg/librosa (JPEG, video, compressed
+audio) keep stubbed plug-in gates: those paths raise
+NotImplementedError unless `fake=True`, whose deterministic fake
+exercises the full Spark plumbing — schema, batching, partitioning.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -346,3 +349,126 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
             )
 
     return df.select("doc_id", "payload").mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+PNG_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_png_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize for PNG payloads: decode (functions/png.py),
+    nearest-neighbor resample with integer source indices
+    src = (dst * src_dim) // dst_dim, re-encode to PNG — all inside
+    one Arrow-batched mapInPandas stage. Nearest-neighbor (not
+    bilinear) keeps every output pixel an exact source pixel, so an
+    independent SQL oracle can recompute pixel_sum from a closed-form
+    source pattern with integer arithmetic only. `resize_images`
+    remains the plug-in gate for formats that need PIL.
+
+    Returns (doc_id, width, height, n_channels, pixel_sum, payload)
+    where payload is the re-encoded resized PNG.
+    """
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import png as _png
+
+        for pdf in batches:
+            chs, sums, outs = [], [], []
+            for payload in pdf["payload"]:
+                img = _png.decode_png(bytes(payload))
+                h_src, w_src = img.shape[0], img.shape[1]
+                ri = (np.arange(height) * h_src) // height
+                ci = (np.arange(width) * w_src) // width
+                resized = img[ri][:, ci]
+                chs.append(1 if resized.ndim == 2 else resized.shape[2])
+                sums.append(int(resized.astype("int64").sum()))
+                outs.append(_png.encode_png(resized))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "payload": outs,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        resize_batches, PNG_RESIZE_SCHEMA
+    )
+
+
+WAV_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_sum", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resample_wav_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """REAL sample-rate conversion for PCM WAV payloads: decode
+    (functions/wav.py), nearest-sample resample with integer source
+    indices src = (t * sr_src) // target_rate over
+    n_out = (n_src * target_rate) // sr_src output frames, re-encode
+    at the target rate — one mapInPandas stage. Nearest-sample (not
+    windowed-sinc) keeps every output sample an exact source sample,
+    integer-replayable by a SQL oracle; a band-limited resampler
+    would plug in behind the same contract.
+
+    Returns (doc_id, sample_rate, n_samples, n_channels, sample_sum,
+    payload) with payload the re-encoded WAV at `target_rate`.
+    """
+
+    def resample_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import wav as _wav
+
+        for pdf in batches:
+            ns, chs, sums, outs = [], [], [], []
+            for payload in pdf["payload"]:
+                samples, sr = _wav.decode_wav(bytes(payload))
+                n_src = samples.shape[0]
+                n_out = (n_src * target_rate) // sr
+                ti = (np.arange(n_out) * sr) // target_rate
+                res = samples[ti]
+                ns.append(n_out)
+                chs.append(res.shape[1])
+                sums.append(int(res.astype("int64").sum()))
+                outs.append(_wav.encode_wav(res, target_rate))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(
+                        [target_rate] * len(pdf), dtype="int32"
+                    ),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "payload": outs,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        resample_batches, WAV_RESAMPLE_SCHEMA
+    )

@@ -96,6 +96,8 @@ _R3_WINDOW: list[str] = [
     "components_strong_cyclic",
     "multimodal_png_decode",
     "multimodal_wav_decode",
+    "multimodal_png_resize",
+    "multimodal_wav_resample",
     "numeric_histogram_bounded",
     "column_correlations_nulls",
 ]

@@ -583,6 +583,73 @@ def multimodal_wav_decode(spark, sf_dir):
     return multimodal.decode_audio_stats(payload)
 
 
+@register(
+    "multimodal_png_resize",
+    # Full codec round-trip THROUGH a transform: synth pattern ->
+    # real PNG encode -> real decode -> nearest-neighbor resize to
+    # 3x2 -> pixel stats. The oracle recomputes each output pixel
+    # straight from the closed-form source pattern with the same
+    # integer index map src = (dst * src_dim) // dst_dim — a wrong
+    # filter reconstruction, channel order, or index rounding
+    # hash-mismatches.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.ch,
+             (d.doc_id * 7 + ((r.r * d.h) // 2) * 13
+              + ((c.c * d.w) // 3) * 31 + k.k * 17) % 256 AS p
+      FROM dims d
+      JOIN range(0, 2) r(r) ON true
+      JOIN range(0, 3) c(c) ON true
+      JOIN range(0, 3) k(k) ON k.k < d.ch
+    )
+    SELECT doc_id, CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(ch AS INT) AS n_channels,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, ch""",
+)
+def multimodal_png_resize(spark, sf_dir):
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_png_payload(ids)
+    return multimodal.resize_png_images(payload, width=3, height=2).select(
+        "doc_id", "width", "height", "n_channels", "pixel_sum"
+    )
+
+
+@register(
+    "multimodal_wav_resample",
+    # Audio round-trip through a transform: closed-form PCM -> real
+    # WAV encode -> decode -> nearest-sample resample to 12 kHz ->
+    # stats; the oracle replays n_out = (n * 12000) // sr and
+    # src = (t * sr) // 12000 from the sample formula.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 40 + doc_id % 13 AS n, 1 + doc_id % 2 AS ch,
+                    8000 + 1000 * (doc_id % 3) AS sr
+             FROM ids),
+    sv AS (
+      SELECT d.doc_id, d.n, d.ch, d.sr,
+             ((d.doc_id * 31 + ((t.t * d.sr) // 12000) * 7 + c.c * 11)
+              % 2003) - 1001 AS v
+      FROM dims d
+      JOIN range(0, 79) t(t) ON t.t < (d.n * 12000) // d.sr
+      JOIN range(0, 2) c(c) ON c.c < d.ch
+    )
+    SELECT doc_id, CAST(12000 AS INT) AS sample_rate,
+           CAST((n * 12000) // sr AS INT) AS n_samples,
+           CAST(ch AS INT) AS n_channels,
+           CAST(SUM(v) AS BIGINT) AS sample_sum
+    FROM sv GROUP BY doc_id, n, ch, sr""",
+)
+def multimodal_wav_resample(spark, sf_dir):
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_wav_payload(ids)
+    return multimodal.resample_wav_audio(payload, target_rate=12000).select(
+        "doc_id", "sample_rate", "n_samples", "n_channels", "sample_sum"
+    )
+
+
 from onionnet_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["ann_lsh_bucketed"] = (ann_lsh_bucketed, _ann_lsh_oracle())

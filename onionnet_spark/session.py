@@ -16,6 +16,18 @@ def get_spark(
     app_name: str = "onionnet-spark",
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # mapInPandas/Arrow UDF workers are separate Python processes that
+    # do NOT inherit the driver's sys.path — only PYTHONPATH. Without
+    # this, any UDF importing onionnet_spark (the multimodal codecs)
+    # fails unless the driver happens to run from the repo root. On a
+    # real cluster the equivalent is shipping the package via
+    # --py-files / a wheel; for local[] the env var is the mechanism.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

@@ -412,3 +412,64 @@ def test_pq_topk_structure_and_l2_recall(spark, sf_dir):
         hits += sum(1 for r in rows if r["neighbor_id"] in exact_ids)
         total += len(rows)
     assert hits / total >= 0.06, f"PQ no better than random: {hits}/{total}"
+
+
+def test_png_resize_real_round_trip(spark):
+    import numpy as np
+
+    from onionnet_spark.functions import multimodal
+    from onionnet_spark.functions import png as _png
+
+    ids = spark.createDataFrame([(d,) for d in range(8)], "doc_id long")
+    payload = multimodal.synth_png_payload(ids)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_png_images(payload, width=3, height=2).collect()
+    }
+    assert len(out) == 8
+    for d in range(8):
+        w, h = 4 + d % 5, 3 + d % 4
+        ch = 1 if d % 2 == 0 else 3
+        i = np.arange(h)[:, None]
+        j = np.arange(w)[None, :]
+        base = d * 7 + i * 13 + j * 31
+        img = (
+            (base % 256)
+            if ch == 1
+            else ((base[:, :, None] + np.arange(3)[None, None, :] * 17) % 256)
+        ).astype(np.uint8)
+        ri = (np.arange(2) * h) // 2
+        ci = (np.arange(3) * w) // 3
+        want = img[ri][:, ci]
+        r = out[d]
+        assert (r["width"], r["height"], r["n_channels"]) == (3, 2, ch)
+        assert r["pixel_sum"] == int(want.astype("int64").sum())
+        # the emitted payload is a valid PNG of exactly the resized pixels
+        back = _png.decode_png(bytes(r["payload"]))
+        assert np.array_equal(back, want)
+
+
+def test_wav_resample_real_round_trip(spark):
+    import numpy as np
+
+    from onionnet_spark.functions import multimodal
+    from onionnet_spark.functions import wav as _wav
+
+    ids = spark.createDataFrame([(d,) for d in range(8)], "doc_id long")
+    payload = multimodal.synth_wav_payload(ids)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resample_wav_audio(payload, target_rate=12000).collect()
+    }
+    for d in range(8):
+        n, ch, sr = 40 + d % 13, 1 + d % 2, 8000 + 1000 * (d % 3)
+        t = np.arange(n)[:, None]
+        c = np.arange(ch)[None, :]
+        s = (((d * 31 + t * 7 + c * 11) % 2003) - 1001).astype(np.int16)
+        n_out = (n * 12000) // sr
+        want = s[(np.arange(n_out) * sr) // 12000]
+        r = out[d]
+        assert (r["sample_rate"], r["n_samples"], r["n_channels"]) == (12000, n_out, ch)
+        assert r["sample_sum"] == int(want.astype("int64").sum())
+        back, back_sr = _wav.decode_wav(bytes(r["payload"]))
+        assert back_sr == 12000 and np.array_equal(back, want)
