@@ -596,11 +596,24 @@ def ann_ivf_pq_topk(
     the full composition remains oracle-replayable. Ranks order by
     6dp-rounded ADC distance, neighbor_id tie-break.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window
 
-    coarse = kmeans_codebook(
-        df, vec_col, id_col, k=n_centroids, iterations=iterations
-    )
+    # The coarse (IVF) and PQ codebooks train on the same input but
+    # are fully independent — run both Lloyd loops CONCURRENTLY so
+    # their (small, serial) per-iteration jobs interleave on the
+    # scheduler instead of queueing end-to-end. Same dual-thread
+    # pattern as on_shortest_path's forward/reverse BFS.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        coarse_fut = pool.submit(
+            kmeans_codebook, df, vec_col, id_col, n_centroids, iterations
+        )
+        pq_fut = pool.submit(
+            pq_codebooks, df, vec_col, id_col, m, pq_centroids, iterations
+        )
+        coarse = coarse_fut.result()
+        pq_cents = pq_fut.result()
     scored = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(coarse))
@@ -623,9 +636,6 @@ def ann_ivf_pq_topk(
         .select(F.col("q.id").alias("query_id"), F.col("x.id").alias("nid"))
     )
 
-    pq_cents = pq_codebooks(
-        df, vec_col, id_col, m=m, k=pq_centroids, iterations=iterations
-    )
     dim = len(df.select(vec_col).first()[0])
     sub = dim // m
     svs = df.select(
