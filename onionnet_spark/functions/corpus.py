@@ -396,3 +396,76 @@ def global_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_r_in")).cast("bigint"))
         .drop("_bkt", "_r_in", "_off", "_cuts")
     )
+
+
+def mixture_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 1.0,
+    cap_frac: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Quality-weighted token-budget allocation across sources — the
+    training-mix primitive: given a global token budget, how many
+    tokens to draw from each corpus source.
+
+    Per source s: avail_s = total whitespace tokens, q_s = mean
+    heuristic quality (functions/text.quality_score). The raw share
+    is proportional to q_s^alpha * avail_s (alpha tilts the mix
+    toward higher-quality sources; alpha=0 is availability-
+    proportional). The allocation is the single-pass
+    alloc_s = min(avail_s, floor(cap_frac * budget),
+                  floor(budget * share_s)) — per-source caps are
+    applied AFTER proportional split, and freed budget is NOT
+    re-distributed (single-pass semantics keep the result a pure
+    aggregation; an iterative water-filling refinement would bolt on
+    behind the same contract).
+
+    Shape: one groupBy(source) over per-doc stats, one broadcast of
+    the 1-row weight total — no shuffle beyond the per-source
+    aggregate, no driver-side data. Returns (source, n_docs,
+    avail_tokens, mean_quality, weight, alloc_tokens, sample_frac)
+    with weight/sample_frac rounded to 6 dp.
+    """
+    from onionnet_spark.functions.text import quality_score
+
+    q = quality_score(docs, text_col=text_col)
+    per_doc = docs.select(source_col, "doc_id").join(q, on="doc_id")
+    per_src = per_doc.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("avail_tokens"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+    raw_w = F.pow(F.col("mean_quality"), F.lit(float(alpha))) * F.col("avail_tokens")
+    per_src = per_src.withColumn("raw_w", raw_w)
+    total = per_src.agg(F.sum("raw_w").alias("tot_w"))
+    cap = int(cap_frac * budget_tokens)
+    out = (
+        per_src.crossJoin(F.broadcast(total))
+        .withColumn("weight", F.round(F.col("raw_w") / F.col("tot_w"), 6))
+        .withColumn(
+            "alloc_tokens",
+            F.least(
+                F.col("avail_tokens"),
+                F.lit(cap).cast("bigint"),
+                F.floor(F.lit(float(budget_tokens)) * F.col("raw_w") / F.col("tot_w")).cast(
+                    "bigint"
+                ),
+            ),
+        )
+        .withColumn(
+            "sample_frac",
+            F.round(F.col("alloc_tokens") / F.col("avail_tokens"), 6),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "avail_tokens",
+            "mean_quality",
+            "weight",
+            "alloc_tokens",
+            "sample_frac",
+        )
+    )
+    return out

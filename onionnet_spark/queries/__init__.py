@@ -98,6 +98,7 @@ _R3_WINDOW: list[str] = [
     "multimodal_wav_decode",
     "multimodal_png_resize",
     "multimodal_wav_resample",
+    "mixture_allocation",
     "numeric_histogram_bounded",
     "column_correlations_nulls",
 ]

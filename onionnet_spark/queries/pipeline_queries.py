@@ -444,6 +444,52 @@ def quality_score(spark, sf_dir):
     return text.quality_score(_docs(spark, sf_dir))
 
 
+@register(
+    "mixture_allocation",
+    # Training-mix budget split: per-source mean quality and token
+    # availability -> proportional share with per-source caps; the
+    # oracle replays the same single-pass arithmetic (floor + least)
+    # over the identical quality formula.
+    f"""WITH base AS (
+      SELECT doc_id, source, {_TOKS} AS a,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               * 1.0 / length(text) AS punct_ratio
+      FROM documents
+    ),
+    scored_m AS (
+      SELECT doc_id, source, len(a) AS n_tokens,
+        ROUND(0.5 * least(1.0, len(a) / 100.0)
+              + 0.3 * (1.0 - punct_ratio)
+              + 0.2 * least(1.0, 5.0 * len(list_filter(a, x -> x IN ({_sw_list('en')})))
+                            * 1.0 / len(a)), 6) AS quality
+      FROM base),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens,
+             ROUND(AVG(quality), 6) AS mean_quality
+      FROM scored_m GROUP BY source),
+    w AS (
+      SELECT *, POW(mean_quality, 1.0) * avail_tokens AS raw_w FROM per_src),
+    t AS (SELECT SUM(raw_w) AS tot_w FROM w)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, avail_tokens,
+           mean_quality,
+           ROUND(raw_w / tot_w, 6) AS weight,
+           CAST(least(avail_tokens, 500000,
+                      CAST(FLOOR(1000000.0 * raw_w / tot_w) AS BIGINT))
+                AS BIGINT) AS alloc_tokens,
+           ROUND(least(avail_tokens, 500000,
+                       CAST(FLOOR(1000000.0 * raw_w / tot_w) AS BIGINT))
+                 * 1.0 / avail_tokens, 6) AS sample_frac
+    FROM w, t""",
+)
+def mixture_allocation_q(spark, sf_dir):
+    from onionnet_spark.functions.corpus import mixture_allocation
+
+    return mixture_allocation(
+        _docs(spark, sf_dir), budget_tokens=1_000_000, alpha=1.0, cap_frac=0.5
+    )
+
+
 def _lang_id_oracle() -> str:
     langs = sorted(text.STOPWORDS)
     hits = ", ".join(

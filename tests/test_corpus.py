@@ -177,3 +177,45 @@ def test_annotate_nodes_pipeline(spark):
     assert ann.edges is g.edges  # edges untouched
     with pytest.raises(ValueError):
         annotate_nodes(g, {"bad": lambda gg: degrees(gg)})  # 3 value cols
+
+
+def test_mixture_allocation_caps_and_proportionality(spark):
+    from onionnet_spark.functions.corpus import mixture_allocation
+
+    docs = spark.createDataFrame(
+        [
+            # source 'big': 3 fluent docs; 'small': 1 doc; 'tiny': 1 short doc
+            (1, "the quick brown fox jumps over the lazy dog again and again", "big"),
+            (2, "a plain sentence with the usual words and the common stops", "big"),
+            (3, "more of the same fluent text with the typical word mix", "big"),
+            (4, "short but fine text with the usual words", "small"),
+            (5, "x", "tiny"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_allocation(
+            docs, budget_tokens=100, alpha=1.0, cap_frac=0.4
+        ).collect()
+    }
+    assert set(out) == {"big", "small", "tiny"}
+    total_w = sum(r["weight"] for r in out.values())
+    assert abs(total_w - 1.0) < 1e-4
+    for r in out.values():
+        # hard caps: never more than available, never more than cap_frac*budget
+        assert r["alloc_tokens"] <= r["avail_tokens"]
+        assert r["alloc_tokens"] <= 40
+        assert 0.0 <= r["sample_frac"] <= 1.0
+    # the big fluent source gets the largest share
+    assert out["big"]["weight"] == max(r["weight"] for r in out.values())
+    # alpha=0 ignores quality: weights become availability-proportional
+    out0 = {
+        r["source"]: r
+        for r in mixture_allocation(
+            docs, budget_tokens=100, alpha=0.0, cap_frac=1.0
+        ).collect()
+    }
+    tot_avail = sum(r["avail_tokens"] for r in out0.values())
+    for r in out0.values():
+        assert abs(r["weight"] - r["avail_tokens"] / tot_avail) < 1e-4
