@@ -157,26 +157,40 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     shingles: DataFrame, num_perm: int = 16
 ) -> DataFrame:
-    """MinHash signature per id: permutation i's hash of shingle s is
-    the md5 hex string of 'i|s'; the signature element is the
-    lexicographic min.
+    """MinHash signature per id: one md5-derived base hash per
+    shingle, permuted by num_perm affine maps
+    h_p = (a_p*h + b_p) mod (2^31-1) (Broder's construction); the
+    signature element is the integer min per permutation.
 
     WIDE layout — one row per id with columns s0..s{num_perm-1} —
     computed as num_perm parallel min() aggregates over the shingle
     rows. Compared to exploding (id, perm, shingle) rows this
     shuffles num_perm× fewer rows (same bytes, far fewer per-row
     overheads) and leaves the signature pre-assembled for banding
-    with NO second shuffle or collect_list/array_sort.
+    with NO second shuffle or collect_list/array_sort; compared to
+    hashing num_perm times per shingle it does 1/num_perm of the
+    md5 work, the dominant CPU term at corpus scale.
     """
-    hashes = shingles.select(
-        "id",
-        *[
-            F.md5(F.concat_ws("|", F.lit(str(p)), F.col("shingle"))).alias(f"h{p}")
-            for p in range(num_perm)
-        ],
+    # Broder-style permutation family: ONE base hash per shingle
+    # (60 md5 bits reduced mod the Mersenne prime 2^31-1), then
+    # num_perm affine permutations h_p = (a_p*h + b_p) mod P — one
+    # md5 per shingle row instead of num_perm, which at corpus scale
+    # is the dominant CPU term of signature building. Constants stay
+    # below 2^21 so a_p*h fits comfortably in a BIGINT; every step is
+    # exact integer arithmetic any engine replays bit-for-bit.
+    P = 2_147_483_647
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+        % F.lit(P)
     )
+    hashes = shingles.select("id", base.alias("hm"))
     return hashes.groupBy("id").agg(
-        *[F.min(f"h{p}").alias(f"s{p}") for p in range(num_perm)]
+        *[
+            F.min(
+                (F.lit(104729 * (p + 1)) * F.col("hm") + F.lit(7919 * p)) % F.lit(P)
+            ).alias(f"s{p}")
+            for p in range(num_perm)
+        ]
     )
 
 
@@ -199,7 +213,7 @@ def minhash_band_keys(
                         F.concat_ws(
                             ",",
                             *[
-                                F.col(f"s{b * rows_per_band + j}")
+                                F.col(f"s{b * rows_per_band + j}").cast("string")
                                 for j in range(rows_per_band)
                             ],
                         )

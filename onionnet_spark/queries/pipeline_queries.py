@@ -77,11 +77,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     f"""WITH {_SHINGLES_SQL},
     perms AS (SELECT UNNEST(range(0, 16)) AS perm),
     sigs AS (
-      SELECT id, perm, MIN(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
+      SELECT id, perm,
+             MIN((104729 * (perm + 1)
+                  * ((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647)
+                  + 7919 * perm) % 2147483647) AS sig
       FROM sh CROSS JOIN perms GROUP BY id, perm
     ),
     bands AS (
-      SELECT id, perm // 4 AS band, md5(string_agg(sig, ',' ORDER BY perm)) AS band_key
+      SELECT id, perm // 4 AS band,
+             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS band_key
       FROM sigs GROUP BY id, perm // 4
     ),
     cand AS (
@@ -112,11 +116,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     f"""WITH RECURSIVE {_SHINGLES_SQL},
     perms AS (SELECT UNNEST(range(0, 16)) AS perm),
     sigs AS (
-      SELECT id, perm, MIN(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
+      SELECT id, perm,
+             MIN((104729 * (perm + 1)
+                  * ((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647)
+                  + 7919 * perm) % 2147483647) AS sig
       FROM sh CROSS JOIN perms GROUP BY id, perm
     ),
     bands AS (
-      SELECT id, perm // 4 AS band, md5(string_agg(sig, ',' ORDER BY perm)) AS band_key
+      SELECT id, perm // 4 AS band,
+             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS band_key
       FROM sigs GROUP BY id, perm // 4
     ),
     cand AS (
