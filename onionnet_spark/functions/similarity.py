@@ -159,6 +159,41 @@ def _hyperplane_component(plane: int, dim_idx: Column) -> Column:
     return v / F.lit(float(16 ** 6 / 2)) - F.lit(1.0)
 
 
+def lsh_bucket_col(vec: Column, n_planes: int = 8) -> Column:
+    """Hyperplane-sign LSH bucket id: bit p is set iff the projection
+    of `vec` onto deterministic (md5-derived) hyperplane p is
+    positive. One bucket per vector, so a pair collides in at most
+    one bucket — shared by the batch pair finder, the top-k path,
+    and the streaming index maintainer so all three bucket
+    identically."""
+
+    def coef_fn(plane: int):
+        # NOTE: must be a factory returning a ONE-argument lambda.
+        # PySpark infers the lambda arity from the Python signature,
+        # so the `lambda i, _p=plane:` default-arg idiom silently
+        # becomes an (element, index) lambda and `_p` gets bound to
+        # the index Column — str(plane) then hashes a Column repr.
+        return lambda i: _hyperplane_component(plane, i)
+
+    b = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1), coef_fn(p)
+                ),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        b = b + F.when(proj > 0, F.lit(2 ** p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return b
+
+
 def ann_lsh_topk(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -171,33 +206,8 @@ def ann_lsh_topk(
     is bucket-local so cost is sum over buckets of |bucket|²."""
     from pyspark.sql import Window
 
-    def coef_fn(plane: int):
-        # NOTE: must be a factory returning a ONE-argument lambda.
-        # PySpark infers the lambda arity from the Python signature,
-        # so the `lambda i, _p=plane:` default-arg idiom silently
-        # becomes an (element, index) lambda and `_p` gets bound to
-        # the index Column — str(plane) then hashes a Column repr.
-        return lambda i: _hyperplane_component(plane, i)
-
     def bucket_col(vec: Column) -> Column:
-        b = F.lit(0).cast("bigint")
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(vec) - 1),
-                        coef_fn(p),
-                    ),
-                    lambda x, r: x.cast("double") * r,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            b = b + F.when(proj > 0, F.lit(2 ** p).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        return b
+        return lsh_bucket_col(vec, n_planes)
 
     with_bucket = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
@@ -235,27 +245,8 @@ def cosine_near_dup_pairs(
     LSH stage makes this approximate-recall like every production
     embedding dedup: a near-dup pair split by a plane is missed.
     """
-    def coef_fn(plane: int):
-        return lambda i: _hyperplane_component(plane, i)
-
     def bucket_col(vec: Column) -> Column:
-        b = F.lit(0).cast("bigint")
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(vec) - 1), coef_fn(p)
-                    ),
-                    lambda x, r: x.cast("double") * r,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            b = b + F.when(proj > 0, F.lit(2 ** p).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        return b
+        return lsh_bucket_col(vec, n_planes)
 
     with_bucket = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")

@@ -551,3 +551,38 @@ def test_stream_static_enrichment_matches_batch(spark, events_df, sf_dir, tmp_pa
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_ann_index_matches_batch(spark, tmp_path):
+    # replay the embedding table as a multi-batch file stream; the
+    # union of per-batch emitted pairs must equal the one-shot batch
+    # cosine_near_dup_pairs result (same planes, same threshold)
+    from onionnet_spark.functions.similarity import cosine_near_dup_pairs
+    from onionnet_spark.streaming.ann_stream import StreamingAnnIndex
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    batch = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.4, n_planes=4).collect()
+    }
+    assert batch  # the corpus must actually contain near-dup vectors
+
+    d = str(tmp_path / "emb")
+    emb.repartition(4).write.mode("overwrite").parquet(d)
+    m = StreamingAnnIndex(spark, threshold=0.4, n_planes=4)
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    assert m.n_batches >= 3  # genuinely incremental
+    streamed = {
+        (r["id_a"], r["id_b"], r["cosine"]) for r in m.pairs.collect()
+    }
+    assert streamed == batch
+    # no pair is ever emitted twice
+    assert m.pairs.count() == m.pairs.distinct().count()
