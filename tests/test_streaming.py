@@ -586,3 +586,34 @@ def test_streaming_ann_index_matches_batch(spark, tmp_path):
     assert streamed == batch
     # no pair is ever emitted twice
     assert m.pairs.count() == m.pairs.distinct().count()
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    # stream the TRAINING corpus in batches against a static test
+    # set; the snapshot must equal the one-shot batch overlap metric
+    from onionnet_spark.functions.dedup import contamination_overlap
+    from onionnet_spark.streaming.decon_stream import StreamingDecontamination
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    test = docs.filter("doc_id < 40")
+    train = docs.filter("doc_id >= 40")
+    want = sorted(
+        map(tuple, contamination_overlap(train, test, n=3).collect())
+    )
+    assert any(r[2] > 0 for r in want)  # some overlap actually exists
+
+    d = str(tmp_path / "train")
+    train.repartition(4).write.mode("overwrite").parquet(d)
+    m = StreamingDecontamination(spark, test, n=3)
+    stream = (
+        spark.readStream.schema(train.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    assert m.n_batches >= 3
+    got = sorted(map(tuple, m.snapshot().collect()))
+    assert got == want
