@@ -66,6 +66,19 @@ class OnionGraph:
         self.edges_unique_undirected = edges_unique_undirected
         self._endpoint_cache: dict[str, DataFrame] = {}
 
+    def __del__(self):
+        # Best-effort release of the per-instance cached views when
+        # the graph is garbage-collected: transient graphs (filter
+        # views built inside one query) would otherwise pin
+        # CacheManager storage until session end. Errors are
+        # swallowed — at interpreter shutdown the JVM may already be
+        # gone.
+        try:
+            for df in self._endpoint_cache.values():
+                df.unpersist()
+        except Exception:
+            pass
+
     # ---- basic accessors -------------------------------------------------
     def node_prop_cols(self) -> list[str]:
         return [c for c in self.nodes.columns if c not in NODE_KEY]
@@ -109,6 +122,13 @@ class OnionGraph:
         one of them.
         """
         if "sym" not in self._endpoint_cache:
+            # persist, not a lazy localCheckpoint: tasks probe the
+            # block cache BEFORE computing, so multiple uses of this
+            # view inside one job share the first materialization (a
+            # lazy checkpoint replays the subtree per use — measured
+            # 10x slowdown on triangle counting). The session-lifetime
+            # CacheManager pin for throwaway graph instances is
+            # released by __del__ below.
             self._endpoint_cache["sym"] = self.symmetrized_edges().persist()
         return self._endpoint_cache["sym"]
 
@@ -136,6 +156,7 @@ class OnionGraph:
             )
             if not self.edges_unique_undirected:
                 e = e.distinct()
+            # persist: see cached_symmetrized
             self._endpoint_cache["canonical"] = e.persist()
         return self._endpoint_cache["canonical"]
 
@@ -153,6 +174,7 @@ class OnionGraph:
                 .groupBy("n")
                 .agg(F.count("*").alias("d"))
             )
+            # persist: see cached_symmetrized
             self._endpoint_cache["canonical_deg"] = deg.persist()
         return self._endpoint_cache["canonical_deg"]
 
@@ -190,6 +212,7 @@ class OnionGraph:
                     F.col("src_layer").alias("dst_layer"),
                     F.col("src_id").alias("dst_id"),
                 )
+            # persist: see cached_symmetrized
             self._endpoint_cache[direction] = e.persist()
         return self._endpoint_cache[direction]
 

@@ -303,6 +303,12 @@ def column_correlations(
     NULL-skipping sums would silently skew r on any column with
     NULLs. Still ONE aggregation pass; 6 aggregates per pair.
     """
+    if len(columns) < 2:
+        # no pairs to correlate: empty result with the output schema
+        # (df.agg(*[]) would raise on zero expressions)
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, r double"
+        )
     aggs = []
     for i, a in enumerate(columns):
         for b in columns[i + 1:]:

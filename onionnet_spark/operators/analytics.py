@@ -324,12 +324,18 @@ def k_core(
             # a single huge removal wave (large k): too big to
             # broadcast — shuffle-filter the edge set once and
             # re-baseline; this IS the classic full round, paid only
-            # in the regime where every strategy must touch |E|
+            # in the regime where every strategy must touch |E|.
+            # The filter must apply BOTH ledgers: dropping only `low`
+            # would resurrect earlier-removed nodes whose edges are
+            # still in canon (they re-peel correctly by confluence,
+            # but burn rounds against max_iterations and repeat the
+            # |E| shuffles).
+            gone = removed.unionByName(low)
             canon = (
                 canon.join(
-                    low.select(F.col("n").alias("a")), on="a", how="left_anti"
+                    gone.select(F.col("n").alias("a")), on="a", how="left_anti"
                 )
-                .join(low.select(F.col("n").alias("b")), on="b", how="left_anti")
+                .join(gone.select(F.col("n").alias("b")), on="b", how="left_anti")
                 .localCheckpoint()
             )
             deg0 = _full_degrees(canon)
@@ -381,7 +387,11 @@ def k_core(
             .localCheckpoint(eager=False)
         )
         n_low = low.count()
-        if n_removed > rebaseline_cap:
+        # cum_dec rows ~ sum of removed nodes' degrees — it is
+        # broadcast each round, so IT must respect the broadcast
+        # budget too, not just the removed-node count
+        n_cum = cum_dec.count()
+        if n_removed > rebaseline_cap or n_cum > rebaseline_cap:
             gone_a = F.broadcast(removed.select(F.col("n").alias("a")))
             gone_b = F.broadcast(removed.select(F.col("n").alias("b")))
             canon = (
@@ -1279,7 +1289,7 @@ def coreness(
     a_col: str = "a",
     b_col: str = "b",
     guard: bool = True,
-    max_sweeps: int = 200,
+    max_sweeps: int | None = None,
 ) -> DataFrame:
     """Full k-core decomposition: every node's core number (the
     largest k for which it survives k-core peeling). For each k
@@ -1295,11 +1305,15 @@ def coreness(
 
     With ``guard=True`` a RuntimeError is raised if nodes survive
     the whole schedule (their coreness would exceed k_max-1).
-    ``max_sweeps`` bounds total work across all phases (each
-    non-final sweep strictly shrinks the edge set, so the true bound
-    is |V|; the cap is a defensive backstop). Each sweep is one
-    degree aggregation + two anti-joins on node keys; sweep count
-    adapts to the data instead of being fixed per k.
+    ``max_sweeps`` bounds total work across all phases; the default
+    (None) derives the bound from the data as |V| + k_max — the true
+    worst case, reached by path graphs that peel one end-pair per
+    sweep — because any fixed constant is wrong for some valid
+    input. It is a defensive backstop against implementation bugs
+    only: each non-final sweep strictly shrinks the node set, so
+    termination is guaranteed. Each sweep is one degree aggregation
+    + two anti-joins on node keys; sweep count adapts to the data
+    instead of being fixed per k.
 
     Returns (node, coreness).
     """
@@ -1315,6 +1329,11 @@ def coreness(
         .localCheckpoint()
     )
     n_rows = adj.count()
+    if max_sweeps is None:
+        # |V| + k_max: the worst-case sweep count (path graphs peel
+        # one end-pair per sweep), derived from the data instead of
+        # a constant that under-shoots long cascades
+        max_sweeps = adj.select("u").distinct().count() + k_max
     removed = None
     sweeps = 0
     for k in range(1, k_max + 1):

@@ -12,6 +12,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    try:
+        phys_gb = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        ) // (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(4, min(32, phys_gb // 4))}g"
+
+
 def get_spark(
     app_name: str = "onionnet-spark",
     shuffle_partitions: int | None = None,
@@ -53,8 +63,10 @@ def get_spark(
         # local[] mode: the driver IS the executor; with the whole
         # bench's caches (graph + canonical/symmetrized views + table
         # readers) in one JVM, 8g left so little headroom that GC
-        # inflated every query ~40%. The test box has 128 GiB.
-        .config("spark.driver.memory", os.environ.get("ONIONNET_DRIVER_MEM", "32g"))
+        # inflated every query ~40% on the 128 GiB test box. Derived
+        # from physical RAM (a quarter, clamped to [4g, 32g]) so a
+        # 16 GiB laptop isn't handed a 32g heap it cannot start.
+        .config("spark.driver.memory", os.environ.get("ONIONNET_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -42,9 +42,10 @@ class StreamingDecontamination:
         self.text_col = text_col
         self.id_col = id_col
         self.n = n
-        # duplicate shingles within a test doc stay duplicate rows:
-        # the batch metric counts shingle OCCURRENCES, not distinct
-        # shingles, and the replay-equality contract inherits that.
+        # word_shingles dedups per (doc, shingle) — n_shingles below
+        # counts a doc's DISTINCT shingles, matching the batch
+        # metric's denominator exactly (both sides share the same
+        # shingler, which is what the replay-equality rests on).
         self.test_shingles = (
             word_shingles(test_df, text_col, id_col, n)
             .select("id", F.xxhash64("shingle").alias("shingle"))

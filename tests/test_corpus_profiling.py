@@ -202,3 +202,11 @@ def test_global_rank_plan_has_no_single_partition_window(spark):
 def got_plan_ok(plan: str) -> bool:
     # main-data window must show partitionBy _bkt
     return "windowspecdefinition(_bkt" in plan or "_bkt" in plan
+
+
+def test_column_correlations_single_column_is_empty(spark):
+    from onionnet_spark.functions.corpus import column_correlations
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    assert column_correlations(df, ["x"]).count() == 0
+    assert column_correlations(df, []).count() == 0

@@ -461,3 +461,46 @@ def test_triangles_k4(spark):
     )
     g = grow_onion(nodes, edges)
     assert triangle_count(g).collect()[0][0] == 4
+
+
+def test_k_core_big_wave_after_small_waves_keeps_ledger(spark):
+    # regression: the over-cap "big wave" rebaseline used to filter
+    # the edge set against the wave only, resurrecting nodes peeled
+    # in EARLIER small rounds (their edges were still in canon).
+    # Shape (k=3): a depth-5 binary tree peels ROOT-DOWN — the root
+    # (deg 2) goes first, each removal drops its two children to
+    # deg 2, so waves double: 1, 2, 4, 8, then 16 > rebaseline_cap
+    # with 15 earlier-removed nodes on the ledger. Leaves are pinned
+    # at deg 3 by two heavy hubs until their parent dies, and the
+    # hubs + two companions form the surviving K4.
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.analytics import k_core
+
+    depth = 5
+    tree = [f"v{i}" for i in range(1, 2 ** (depth + 1))]  # v1..v63, v1 root
+    names = tree + ["H1", "H2", "q0", "q1"]
+    edges = []
+    for i in range(1, 2 ** depth):  # internal nodes v1..v31
+        edges.append(("L", f"v{i}", "L", f"v{2 * i}"))
+        edges.append(("L", f"v{i}", "L", f"v{2 * i + 1}"))
+    for i in range(2 ** depth, 2 ** (depth + 1)):  # leaves v32..v63
+        edges.append(("L", f"v{i}", "L", "H1"))
+        edges.append(("L", f"v{i}", "L", "H2"))
+    edges += [("L", "H1", "L", "H2"), ("L", "H1", "L", "q0"),
+              ("L", "H1", "L", "q1"), ("L", "H2", "L", "q0"),
+              ("L", "H2", "L", "q1"), ("L", "q0", "L", "q1")]
+    nodes = spark.createDataFrame(
+        [("L", x) for x in names], "layer string, node_id string"
+    )
+    g = grow_onion(
+        nodes,
+        spark.createDataFrame(
+            edges,
+            "src_layer string, src_id string, dst_layer string, dst_id string",
+        ),
+    )
+    got = {
+        r["node_id"]: r["core_degree"]
+        for r in k_core(g, k=3, rebaseline_cap=10, max_iterations=20).collect()
+    }
+    assert got == {"H1": 3, "H2": 3, "q0": 3, "q1": 3}

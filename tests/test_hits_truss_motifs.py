@@ -222,3 +222,20 @@ def test_coreness_guard(spark):
     )
     with _p.raises(RuntimeError, match="nodes remain"):
         coreness(k4, k_max=2)  # K4 survives k<=2: coreness 3 > k_max-1
+
+
+def test_coreness_sweep_cap_is_data_derived(spark):
+    # the old fixed default (200) raised on valid long-cascade inputs;
+    # the None default derives |V| + k_max from the data, and an
+    # explicit too-small cap still raises loudly
+    import pytest as _pytest
+
+    from onionnet_spark.operators.analytics import coreness
+
+    path = spark.createDataFrame(
+        [(f"p{i}", f"p{i+1}") for i in range(20)], "a string, b string"
+    )
+    got = {r["node"]: r["coreness"] for r in coreness(path, k_max=3).collect()}
+    assert set(got.values()) == {1}  # every path node has coreness 1
+    with _pytest.raises(RuntimeError, match="max_sweeps"):
+        coreness(path, k_max=3, max_sweeps=3).collect()
