@@ -377,7 +377,14 @@ def compose_filters_q(spark, sf_dir):
     SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM touched GROUP BY layer""",
 )
 def bipartite_view_q(spark, sf_dir):
-    g = filters.bipartite_view(get_graph(spark, sf_dir), "lineitem", "part")
+    g = derived_graph(
+        spark, sf_dir, "bipartite_li_part",
+        # persist: the expensive part is the prune semi-joins over
+        # lineitem, not a cached view, so cache the frames themselves
+        lambda: filters.bipartite_view(
+            get_graph(spark, sf_dir), "lineitem", "part"
+        ).persist(),
+    )
     return g.nodes.groupBy("layer").agg(F.count("*").alias("n_nodes"))
 
 
