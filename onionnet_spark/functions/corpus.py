@@ -404,6 +404,49 @@ def global_rank(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "s0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard layout — the last
+    step before a training run writes its data: every document gets a
+    pseudo-random global position (seeded, reproducible) and shards
+    are dealt round-robin from that order, so (a) each shard is an
+    unbiased sample of the corpus and (b) shard sizes differ by at
+    most one document.
+
+    Position = exact global rank of (md5(seed:id) as a 48-bit int,
+    id). The rank is computed with the two-phase bucketed
+    `global_rank` (percentile cut-points -> per-bucket windows ->
+    offset compose), NOT a single-partition ROW_NUMBER window — the
+    md5 keys are uniform, so every bucket holds ~1/B of the corpus
+    and the plan has no global sort anywhere. shard = pos % n_shards,
+    pos_in_shard = pos // n_shards: a downstream writer can
+    partitionBy(shard) + sortWithinPartitions(pos_in_shard) and
+    stream each shard in order.
+
+    Seeded md5 (not Spark's rand) keeps the layout engine- and
+    partitioning-independent: the same corpus + seed reproduces the
+    same shard assignment anywhere, months later.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint").alias("_hv"),
+    )
+    ranked = global_rank(keyed, "_hv", id_col, rank_col="_rank")
+    pos = F.col("_rank") - 1
+    return ranked.select(
+        F.col(id_col),
+        (pos % n_shards).cast("int").alias("shard"),
+        F.floor(pos / n_shards).cast("bigint").alias("pos_in_shard"),
+    )
+
+
 def mixture_allocation(
     docs: DataFrame,
     budget_tokens: int,

@@ -340,6 +340,67 @@ def contamination_overlap(
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    chunk_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style duplicate-span removal accounting: cut each document
+    into consecutive non-overlapping `chunk_words`-word chunks (the
+    last chunk may be shorter) and keep only the FIRST corpus-wide
+    occurrence of each chunk text, "first" = smallest (doc_id,
+    chunk_idx). C4 dropped repeated three-sentence spans this way;
+    on whitespace corpora the fixed word window is the
+    tokenizer-free equivalent.
+
+    Returns per document: (doc_id, n_chunks, n_dup_chunks,
+    n_tokens_kept) — the numbers a curation run reports (how much
+    boilerplate each document loses).
+
+    Scale shape: chunks shuffle by md5(chunk) — 32-byte keys, uniform
+    (a hot boilerplate chunk concentrates ONE key; its window ranks
+    |occurrences| rows, the same bound every dedup has) — then one
+    groupBy(doc_id). Documents never move whole; both exchanges
+    carry (id, idx, len, hash) rows only.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size("t") / F.lit(chunk_words)).cast("int")
+    chunked = (
+        df.select(F.col(id_col).alias("id"), toks.alias("t"))
+        .select(
+            "id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+        )
+        .select(
+            "id",
+            "ci",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), F.col("ci") * chunk_words + 1, chunk_words)
+                )
+            ).alias("ch"),
+            F.least(
+                F.lit(chunk_words), F.size("t") - F.col("ci") * chunk_words
+            ).alias("clen"),
+        )
+    )
+    w = Window.partitionBy("ch").orderBy("id", "ci")
+    ranked = chunked.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+        F.sum(F.when(F.col("rk") == 1, F.col("clen")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

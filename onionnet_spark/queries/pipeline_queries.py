@@ -1429,3 +1429,60 @@ def dedup_cluster_sizes_q(spark, sf_dir):
 from onionnet_spark.queries import REGISTRY as _REG2  # noqa: E402
 
 _REG2["dedup_cluster_sizes"] = (dedup_cluster_sizes_q, _cluster_sizes_oracle())
+
+
+# --------------------------------------------------------------------------
+# Training-data layout (round 3 additions; driver-recorded from r4 on)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_shuffle_shards",
+    """WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS hv
+      FROM documents),
+    r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1 AS pos
+          FROM h)
+    SELECT doc_id, CAST(pos % 8 AS INT) AS shard,
+           CAST(pos // 8 AS BIGINT) AS pos_in_shard FROM r""",
+)
+def corpus_shuffle_shards_q(spark, sf_dir):
+    """Deterministic seeded global shuffle dealt into 8 shards —
+    the training-order layout step. The oracle's global ROW_NUMBER
+    is fine at sf0.01; the Spark side composes the rank from
+    percentile buckets (functions/corpus.global_rank), no global
+    window anywhere."""
+    from onionnet_spark.functions.corpus import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), n_shards=8, seed="s0")
+
+
+@register(
+    "chunk_dedup",
+    f"""WITH norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+    nums AS (SELECT UNNEST(range(0, 5000)) AS i),
+    chunks AS (
+      SELECT doc_id AS id, i AS ci,
+             md5(array_to_string(a[i*10+1 : i*10+10], ' ')) AS ch,
+             LEAST(10, len(a) - i*10) AS clen
+      FROM norm JOIN nums ON i < CAST(ceil(len(a) / 10.0) AS INT)
+    ),
+    ranked AS (
+      SELECT id, ci, clen,
+             ROW_NUMBER() OVER (PARTITION BY ch ORDER BY id, ci) AS rk
+      FROM chunks
+    )
+    SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN rk = 1 THEN clen ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+    FROM ranked GROUP BY id""",
+)
+def chunk_dedup_q(spark, sf_dir):
+    """C4-style duplicate-span accounting: first corpus-wide
+    occurrence of each 10-word chunk wins; per-doc kept/dropped
+    counts."""
+    return dedup.chunk_dedup(_docs(spark, sf_dir), chunk_words=10)

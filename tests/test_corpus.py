@@ -219,3 +219,55 @@ def test_mixture_allocation_caps_and_proportionality(spark):
     tot_avail = sum(r["avail_tokens"] for r in out0.values())
     for r in out0.values():
         assert abs(r["weight"] - r["avail_tokens"] / tot_avail) < 1e-4
+
+
+def test_shuffle_shards_balanced_deterministic_and_seeded(docs):
+    out = corpus.shuffle_shards(docs, n_shards=7, seed="a").collect()
+    assert len(out) == 60
+    # shards balanced within 1 and positions are 0..len(shard)-1 in each
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    sizes = {len(v) for v in by_shard.values()}
+    assert max(sizes) - min(sizes) <= 1
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic across calls; different seed permutes
+    again = corpus.shuffle_shards(docs, n_shards=7, seed="a").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = corpus.shuffle_shards(docs, n_shards=7, seed="b").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    # matches the serial definition: rank of md5("a:"+id) hex prefix
+    import hashlib
+
+    def hv(i):
+        return int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:12], 16)
+
+    order = sorted(range(60), key=lambda i: (hv(i), i))
+    expect = {
+        did: (pos % 7, pos // 7) for pos, did in enumerate(order)
+    }
+    got = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in out}
+    assert got == expect
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from onionnet_spark.functions.dedup import chunk_dedup
+
+    # doc 0: 2 chunks (a..e | f..h); doc 1 repeats doc 0's first
+    # chunk then fresh words; doc 2 repeats doc 1 entirely.
+    c1 = "a b c d e"
+    d0 = c1 + " f g h"
+    d1 = c1 + " x y z"
+    rows = [(0, d0), (1, d1), (2, d1)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["n_tokens_kept"])
+        for r in chunk_dedup(df, chunk_words=5).collect()
+    }
+    # doc0 first: keeps both chunks (5 + 3 tokens)
+    assert out[0] == (2, 0, 8)
+    # doc1: first chunk is a dup of doc0's, second ('x y z') is novel
+    assert out[1] == (2, 1, 3)
+    # doc2: both chunks already seen
+    assert out[2] == (2, 2, 0)
