@@ -277,6 +277,42 @@ def numeric_histogram(
     )
 
 
+def key_skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the top `top_n` hottest
+    keys with their row counts, share of the table, and skew factor
+    vs the mean key (n_rows * n_keys / total — the multiple of an
+    even spread this key carries). This is the report you run BEFORE
+    choosing a shuffle strategy: skew_vs_mean >> 1 on the join key
+    means AQE skew splitting or explicit salting; ~1 means plain
+    hash partitioning is fine.
+
+    Shape: one groupBy on the key, a broadcast 1-row total, and a
+    TakeOrdered limit for the top-N (no global sort shuffle). Ties
+    break by key ascending so the report is deterministic.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count("*").alias("_n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(top_n)
+        .select(
+            "key",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6
+            ).alias("skew_vs_mean"),
+        )
+    )
+
+
 def column_correlations(
     df: DataFrame, columns: list[str]
 ) -> DataFrame:

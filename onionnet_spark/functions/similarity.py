@@ -570,6 +570,8 @@ def ann_ivf_pq_topk(
     m: int = 4,
     pq_centroids: int = 8,
     iterations: int = 2,
+    coarse: DataFrame | None = None,
+    pq_cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ: the production ANN composition. IVF restricts each
     query to its `nprobe` nearest coarse cells (candidate set =
@@ -585,26 +587,32 @@ def ann_ivf_pq_topk(
 
     Both codebooks are the deterministic seeded learners above, so
     the full composition remains oracle-replayable. Ranks order by
-    6dp-rounded ADC distance, neighbor_id tie-break.
+    6dp-rounded ADC distance, neighbor_id tie-break. Pre-trained
+    codebooks can be injected via `coarse` / `pq_cents` (both or
+    neither) — training is deterministic, so a caller serving many
+    queries trains once and reuses.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import Window
 
-    # The coarse (IVF) and PQ codebooks train on the same input but
-    # are fully independent — run both Lloyd loops CONCURRENTLY so
-    # their (small, serial) per-iteration jobs interleave on the
-    # scheduler instead of queueing end-to-end. Same dual-thread
-    # pattern as on_shortest_path's forward/reverse BFS.
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        coarse_fut = pool.submit(
-            kmeans_codebook, df, vec_col, id_col, n_centroids, iterations
-        )
-        pq_fut = pool.submit(
-            pq_codebooks, df, vec_col, id_col, m, pq_centroids, iterations
-        )
-        coarse = coarse_fut.result()
-        pq_cents = pq_fut.result()
+    if (coarse is None) != (pq_cents is None):
+        raise ValueError("pass both coarse and pq_cents, or neither")
+    if coarse is None:
+        # The coarse (IVF) and PQ codebooks train on the same input
+        # but are fully independent — run both Lloyd loops
+        # CONCURRENTLY so their (small, serial) per-iteration jobs
+        # interleave on the scheduler instead of queueing end-to-end.
+        # Same dual-thread pattern as on_shortest_path's BFS arms.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            coarse_fut = pool.submit(
+                kmeans_codebook, df, vec_col, id_col, n_centroids, iterations
+            )
+            pq_fut = pool.submit(
+                pq_codebooks, df, vec_col, id_col, m, pq_centroids, iterations
+            )
+            coarse = coarse_fut.result()
+            pq_cents = pq_fut.result()
     scored = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(coarse))

@@ -964,6 +964,122 @@ def hits(graph: OnionGraph, n_iterations: int = 3) -> DataFrame:
     )
 
 
+def eigenvector_centrality(graph: OnionGraph, n_iterations: int = 4) -> DataFrame:
+    """Eigenvector centrality by power iteration on the SYMMETRIZED
+    adjacency (graph-tool's `eigenvector` on an undirected view):
+    x_{k+1}(v) = sum_{u~v} x_k(u), x_0 = 1.
+
+    Iterates stay un-normalized whole doubles (exact integers below
+    2^53, order-independent sums — the HITS trick above), so the
+    trajectory is bit-identical in every engine; the single L1
+    normalization happens once at the end. x_k(v) counts k-walks
+    ending at v, so callers keep n_iterations small enough that the
+    total walk count stays under 2^53 — the default 4 is safe on the
+    bench graphs because high-degree hubs only neighbor low-degree
+    nodes (bipartite-ish layers), which caps per-round growth.
+
+    Scale shape: the symmetrized edge view comes from the per-graph
+    persisted cache and is pre-shuffled ONCE on the gather key; each
+    round is one join + one aggregation moving only (node, score)
+    rows.
+    """
+    e_by_src = (
+        graph.cached_symmetrized()
+        .repartition("src_layer", "src_id")
+        .localCheckpoint()
+    )
+    x = graph.nodes.select("layer", "node_id", F.lit(1.0).alias("x"))
+    for _ in range(n_iterations):
+        x = (
+            e_by_src.join(
+                x.select(
+                    F.col("layer").alias("src_layer"),
+                    F.col("node_id").alias("src_id"),
+                    "x",
+                ),
+                on=["src_layer", "src_id"],
+            )
+            .groupBy(
+                F.col("dst_layer").alias("layer"),
+                F.col("dst_id").alias("node_id"),
+            )
+            .agg(F.sum("x").alias("x"))
+            .localCheckpoint(eager=False)
+        )
+    total = x.agg(F.sum("x").alias("tx"))
+    return (
+        graph.nodes.select("layer", "node_id")
+        .join(x, on=["layer", "node_id"], how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "layer",
+            "node_id",
+            F.round(F.coalesce("x", F.lit(0.0)) / F.col("tx"), 6).alias(
+                "eigenvector"
+            ),
+        )
+    )
+
+
+def katz_centrality(
+    graph: OnionGraph,
+    n_iterations: int = 4,
+    inv_alpha: int = 8,
+) -> DataFrame:
+    """Katz centrality, truncated series: c = sum_{k=1..n} a^k (A^k 1)
+    over the DIRECTED in-edge adjacency (a walk INTO v confers
+    status), with attenuation a = 1/inv_alpha.
+
+    Engine-exact trick: the recurrence is computed in the SCALED
+    integer domain z_n = inv_alpha^n * c_n, which satisfies
+    z_n = A (z_{n-1} + inv_alpha^{n-1}) with z_0 = 0 — every iterate
+    is a whole double (exact below 2^53, sum-order independent), and
+    the single division by inv_alpha^n happens once at the end.
+    inv_alpha must be an integer >= 2 (alpha below 1/spectral-radius
+    keeps the truncated series close to convergent; 1/8 is safely
+    below for the bench graphs).
+    """
+    if inv_alpha < 2:
+        raise ValueError(f"inv_alpha must be >= 2, got {inv_alpha}")
+    e_by_src = (
+        graph.edge_endpoints()
+        .repartition("src_layer", "src_id")
+        .localCheckpoint()
+    )
+    z = graph.nodes.select("layer", "node_id", F.lit(0.0).alias("z"))
+    for k in range(1, n_iterations + 1):
+        seed = float(inv_alpha ** (k - 1))
+        z = (
+            e_by_src.join(
+                z.select(
+                    F.col("layer").alias("src_layer"),
+                    F.col("node_id").alias("src_id"),
+                    "z",
+                ),
+                on=["src_layer", "src_id"],
+                how="inner",
+            )
+            .groupBy(
+                F.col("dst_layer").alias("layer"),
+                F.col("dst_id").alias("node_id"),
+            )
+            .agg(F.sum(F.col("z") + F.lit(seed)).alias("z"))
+            .localCheckpoint(eager=False)
+        )
+        # nodes with no in-edges fall out of the aggregate; they
+        # re-enter the NEXT round's gather via their out-edges, so
+        # re-anchor z on the full node set with 0 fill.
+        z = (
+            graph.nodes.select("layer", "node_id")
+            .join(z, on=["layer", "node_id"], how="left")
+            .select("layer", "node_id", F.coalesce("z", F.lit(0.0)).alias("z"))
+        )
+    scale = float(inv_alpha**n_iterations)
+    return z.select(
+        "layer", "node_id", F.round(F.col("z") / scale, 6).alias("katz")
+    )
+
+
 def k_truss(
     edges: DataFrame,
     k: int = 4,

@@ -36,8 +36,12 @@ def _directed_endpoints(graph: OnionGraph, direction: str) -> DataFrame:
     persisted once per graph (core.cached_endpoints).
 
     'downstream' follows src->dst (out-edges, searcher.py:217-219),
-    'upstream' follows dst->src (in-edges, searcher.py:205-211).
+    'upstream' follows dst->src (in-edges, searcher.py:205-211);
+    'sym' traverses the undirected (symmetrized) view — both caches
+    are persisted once per graph instance.
     """
+    if direction == "sym":
+        return graph.cached_symmetrized()
     return graph.cached_endpoints(direction)
 
 
@@ -217,6 +221,46 @@ def reachable(
     """Full reachability fixpoint (reference _bfs_traversal,
     searcher.py:119-155)."""
     return bfs_distances(graph, [start], direction, max_dist=None)
+
+
+def pseudo_diameter(
+    graph: OnionGraph, start: tuple[str, str], n_sweeps: int = 2
+) -> DataFrame:
+    """Pseudo-diameter by iterated double-sweep BFS on the undirected
+    view (graph-tool `pseudo_diameter` parity): BFS from `start`,
+    jump to the farthest node (ties broken by smallest (layer,
+    node_id)), BFS again; the last sweep's eccentricity is a lower
+    bound on the true diameter that is exact on trees and near-exact
+    in practice. `n_sweeps` is FIXED (default 2, the classic double
+    sweep) so the result is engine-reproducible — graph-tool's
+    iterate-to-no-improvement variant would make the answer depend
+    on BFS tie-breaking.
+
+    Returns one row: (start_layer, start_id, peak_layer, peak_id,
+    pseudo_diameter) where peak is the farthest node found by the
+    final sweep. Each sweep is the shared frontier-broadcast BFS
+    (one shuffle per level, localCheckpoint-flattened plans); the
+    per-sweep argmax is a TakeOrdered limit(1) — a scalar fetch, not
+    a data collect.
+    """
+    if n_sweeps < 1:
+        raise ValueError(f"n_sweeps must be >= 1, got {n_sweeps}")
+    src = (start[0], str(start[1]))
+    far = None
+    ecc = 0
+    for _ in range(n_sweeps):
+        d = bfs_distances(graph, [src], direction="sym")
+        row = (
+            d.orderBy(F.desc("dist"), "layer", "node_id").limit(1).collect()[0]
+        )
+        far, ecc = (row["layer"], row["node_id"]), int(row["dist"])
+        src = far
+    spark = graph.nodes.sparkSession
+    return spark.createDataFrame(
+        [(start[0], str(start[1]), far[0], far[1], ecc)],
+        "start_layer string, start_id string, peak_layer string, "
+        "peak_id string, pseudo_diameter int",
+    )
 
 
 def weighted_sssp(

@@ -1981,3 +1981,117 @@ def graph_anf_growth_q(spark, sf_dir):
 
 
 _REG["graph_anf_growth"] = (graph_anf_growth_q, _anf_growth_oracle())
+
+
+# --------------------------------------------------------------------------
+# Round-3 session additions (driver-recorded from r4 on)
+# --------------------------------------------------------------------------
+
+_SYM_SQL = """sym AS MATERIALIZED (
+      SELECT src_layer, src_id, dst_layer, dst_id FROM edges_g
+      UNION ALL
+      SELECT dst_layer, dst_id, src_layer, src_id FROM edges_g)"""
+
+
+def _eigenvector_oracle(n_iter: int = 4) -> str:
+    stages = []
+    for i in range(1, n_iter + 1):
+        stages.append(
+            f"""x{i} AS MATERIALIZED (
+      SELECT e.dst_layer AS layer, e.dst_id AS node_id, SUM(p.x) AS x
+      FROM sym e
+      JOIN x{i - 1} p ON p.layer = e.src_layer AND p.node_id = e.src_id
+      GROUP BY 1, 2)"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    {_SYM_SQL},
+    x0 AS (SELECT layer, node_id, 1.0 AS x FROM nodes_g),
+    {stage_sql},
+    tot AS (SELECT SUM(x) AS tx FROM x{n_iter})
+    SELECT n.layer, n.node_id,
+           ROUND(COALESCE(p.x, 0) / (SELECT tx FROM tot), 6) AS eigenvector
+    FROM nodes_g n LEFT JOIN x{n_iter} p USING (layer, node_id)"""
+
+
+@register("graph_eigenvector", _eigenvector_oracle())
+def graph_eigenvector_q(spark, sf_dir):
+    """Power-iteration eigenvector centrality on the undirected view
+    (graph-tool `eigenvector` parity); integer-exact iterates, one
+    final L1 normalize."""
+    return analytics.eigenvector_centrality(
+        get_graph(spark, sf_dir), n_iterations=4
+    )
+
+
+def _katz_oracle(n_iter: int = 4, inv_alpha: int = 8) -> str:
+    stages = []
+    for i in range(1, n_iter + 1):
+        seed = inv_alpha ** (i - 1)
+        stages.append(
+            f"""z{i} AS MATERIALIZED (
+      SELECT n.layer, n.node_id, COALESCE(r.z, 0) AS z
+      FROM nodes_g n LEFT JOIN (
+        SELECT e.dst_layer AS layer, e.dst_id AS node_id,
+               SUM(p.z + {seed}.0) AS z
+        FROM edges_g e
+        JOIN z{i - 1} p ON p.layer = e.src_layer AND p.node_id = e.src_id
+        GROUP BY 1, 2
+      ) r ON r.layer = n.layer AND r.node_id = n.node_id)"""
+        )
+    scale = inv_alpha**n_iter
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    z0 AS (SELECT layer, node_id, 0.0 AS z FROM nodes_g),
+    {stage_sql}
+    SELECT layer, node_id, ROUND(z / {scale}.0, 6) AS katz FROM z{n_iter}"""
+
+
+@register("graph_katz", _katz_oracle())
+def graph_katz_q(spark, sf_dir):
+    """Truncated-series Katz centrality (directed in-walks,
+    alpha = 1/8) via the scaled-integer recurrence — every iterate a
+    whole double, one final division."""
+    return analytics.katz_centrality(
+        get_graph(spark, sf_dir), n_iterations=4, inv_alpha=8
+    )
+
+
+@register(
+    "graph_pseudo_diameter",
+    f"""WITH RECURSIVE {CTES},
+    sym AS (
+      SELECT src_layer, src_id, dst_layer, dst_id FROM edges_g
+      UNION ALL
+      SELECT dst_layer, dst_id, src_layer, src_id FROM edges_g),
+    b1 AS (
+      SELECT 'region' AS layer, '0' AS node_id, 0 AS dist
+      UNION
+      SELECT e.dst_layer, e.dst_id, b.dist + 1 FROM b1 b
+      JOIN sym e ON e.src_layer = b.layer AND e.src_id = b.node_id
+      WHERE b.dist < 15
+    ),
+    d1 AS (SELECT layer, node_id, MIN(dist) AS dist FROM b1 GROUP BY 1, 2),
+    far1 AS (SELECT layer, node_id FROM d1
+             ORDER BY dist DESC, layer, node_id LIMIT 1),
+    b2 AS (
+      SELECT layer, node_id, 0 AS dist FROM far1
+      UNION
+      SELECT e.dst_layer, e.dst_id, b.dist + 1 FROM b2 b
+      JOIN sym e ON e.src_layer = b.layer AND e.src_id = b.node_id
+      WHERE b.dist < 15
+    ),
+    d2 AS (SELECT layer, node_id, MIN(dist) AS dist FROM b2 GROUP BY 1, 2),
+    far2 AS (SELECT layer, node_id, dist FROM d2
+             ORDER BY dist DESC, layer, node_id LIMIT 1)
+    SELECT 'region' AS start_layer, '0' AS start_id,
+           layer AS peak_layer, node_id AS peak_id,
+           CAST(dist AS INT) AS pseudo_diameter
+    FROM far2""",
+)
+def graph_pseudo_diameter_q(spark, sf_dir):
+    """Double-sweep BFS pseudo-diameter on the undirected view
+    (graph-tool `pseudo_diameter` parity, fixed 2 sweeps)."""
+    return traversal.pseudo_diameter(
+        get_graph(spark, sf_dir), ("region", "0"), n_sweeps=2
+    )

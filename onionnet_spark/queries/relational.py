@@ -1505,3 +1505,25 @@ def revenue_lorenz(spark, sf_dir):
         )
         .select("decile", "cum_share")
     )
+
+
+@register(
+    "orders_custkey_skew",
+    """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+                         COUNT(*) AS n_rows
+                  FROM orders GROUP BY 1),
+    t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+    SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(n_rows * 1.0 / t.total, 6) AS share,
+           ROUND(n_rows * 1.0 * t.n_keys / t.total, 6) AS skew_vs_mean
+    FROM c, t ORDER BY n_rows DESC, key LIMIT 10""",
+)
+def orders_custkey_skew_q(spark, sf_dir):
+    """Shuffle-key skew diagnostic over the orders->customer join
+    key: top-10 hottest keys with share and multiple-of-even-spread.
+    The pre-flight report for choosing salting / AQE skew handling."""
+    from onionnet_spark.functions.corpus import key_skew_report
+
+    return key_skew_report(
+        load_tables(spark, sf_dir)["orders"], "o_custkey", top_n=10
+    )

@@ -239,3 +239,65 @@ def test_coreness_sweep_cap_is_data_derived(spark):
     assert set(got.values()) == {1}  # every path node has coreness 1
     with _pytest.raises(RuntimeError, match="max_sweeps"):
         coreness(path, k_max=3, max_sweeps=3).collect()
+
+
+def test_eigenvector_star_and_isolated(spark):
+    from onionnet_spark.operators.analytics import eigenvector_centrality
+
+    # undirected star center m with leaves x,y,z plus isolated pair
+    # p-q: after k iterations x_k(m)=3^ceil? hand-check k=2:
+    # x1: m=3, leaves=1 each; p=q=1
+    # x2: m=3 (sum of leaves), leaves=3 each; p=q=1
+    # total = 3 + 9 + 2 = 14
+    g = _graph(spark, [("x", "m"), ("y", "m"), ("z", "m"), ("p", "q")])
+    out = {
+        r["node_id"]: r["eigenvector"]
+        for r in eigenvector_centrality(g, n_iterations=2).collect()
+    }
+    assert out["m"] == pytest.approx(3 / 14, abs=1e-6)
+    for v in "xyz":
+        assert out[v] == pytest.approx(3 / 14, abs=1e-6)
+    assert out["p"] == pytest.approx(1 / 14, abs=1e-6)
+
+
+def test_katz_chain_hand_computed(spark):
+    from onionnet_spark.operators.analytics import katz_centrality
+
+    # a -> b -> c, alpha = 1/2, 3 iterations:
+    # katz = sum_k a^k (A^k 1): b gets 1/2 (walk a->b);
+    # c gets 1/2 (b->c) + 1/4 (a->b->c); a gets 0
+    g = _graph(spark, [("a", "b"), ("b", "c")])
+    out = {
+        r["node_id"]: r["katz"]
+        for r in katz_centrality(g, n_iterations=3, inv_alpha=2).collect()
+    }
+    assert out["a"] == 0.0
+    assert out["b"] == pytest.approx(0.5, abs=1e-6)
+    assert out["c"] == pytest.approx(0.75, abs=1e-6)
+    with pytest.raises(ValueError, match="inv_alpha"):
+        katz_centrality(g, inv_alpha=1)
+
+
+def test_pseudo_diameter_path_graph(spark):
+    from onionnet_spark.operators.traversal import pseudo_diameter
+
+    # path a-b-c-d-e (directed edges, but the sweep is undirected):
+    # starting from the middle, double sweep finds the true diameter 4
+    g = _graph(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    row = pseudo_diameter(g, ("L", "c"), n_sweeps=2).collect()[0]
+    assert row["pseudo_diameter"] == 4
+    assert row["peak_id"] in ("a", "e")
+    with pytest.raises(ValueError, match="n_sweeps"):
+        pseudo_diameter(g, ("L", "c"), n_sweeps=0)
+
+
+def test_key_skew_report_hand_computed(spark):
+    from onionnet_spark.functions.corpus import key_skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 1 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_n=2).collect()
+    assert [(r["key"], r["n_rows"]) for r in out] == [("a", 6), ("b", 2)]
+    # a carries 60% of 10 rows over 4 keys -> 2.4x an even spread
+    assert out[0]["share"] == pytest.approx(0.6, abs=1e-6)
+    assert out[0]["skew_vs_mean"] == pytest.approx(2.4, abs=1e-6)
