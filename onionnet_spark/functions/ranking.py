@@ -125,3 +125,76 @@ def bm25_topk(
     return scored.withColumn("rank", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "bm25", "rank"
     )
+
+
+def tf_cosine_topk(
+    df: DataFrame,
+    k: int = 3,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse-vector document similarity search: for every document,
+    its `k` most-similar other documents by cosine over raw
+    term-frequency vectors, computed with an inverted-index self-join
+    (documents meet only through shared terms — the sparse analogue
+    of the dense ANN family in functions/similarity.py).
+
+    Engine-exact: tf vectors are integers, so dot products and
+    squared norms are exact whole sums in any order; the single
+    double division + sqrt at the end is IEEE-identical everywhere,
+    rounded to 6 dp before ranking (ties break on neighbor id).
+
+    Scale shape: the join fans out per term as df(term)^2 — zipfian
+    head terms are the skew path, and `max_df` drops them from BOTH
+    the pairing and the norms (the stop-term cap every all-pairs
+    similarity system applies: DIMSUM, prefix filtering). With the
+    cap, candidate volume is bounded by max_df * |vocab above the
+    cap|; output is always n_docs * k.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
+        .select("id", F.explode("t").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    if max_df is not None:
+        hot = (
+            tf.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("term")
+        )
+        tf = tf.join(F.broadcast(hot), on="term", how="left_anti")
+    tf = tf.localCheckpoint(eager=False)
+    norms = tf.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    dots = (
+        tf.alias("a")
+        .join(tf.alias("b"), on="term")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("id").alias("query_id"),
+                               F.col("n2").alias("na")), on="query_id")
+        .join(norms.select(F.col("id").alias("neighbor_id"),
+                           F.col("n2").alias("nb")), on="neighbor_id")
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1510,3 +1510,40 @@ def chunk_dedup_q(spark, sf_dir):
     occurrence of each 10-word chunk wins; per-doc kept/dropped
     counts."""
     return dedup.chunk_dedup(_docs(spark, sf_dir), chunk_words=10)
+
+
+@register(
+    "docs_tf_cosine_topk",
+    f"""WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf0 AS (SELECT doc_id AS id, term, COUNT(*) AS tf
+            FROM toks GROUP BY 1, 2),
+    hot AS (SELECT term FROM tf0 GROUP BY term HAVING COUNT(*) > 390),
+    tf AS (SELECT * FROM tf0 WHERE term NOT IN (SELECT term FROM hot)),
+    norms AS (SELECT id, SUM(tf * tf) AS n2 FROM tf GROUP BY id),
+    dots AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id,
+             SUM(a.tf * b.tf) AS dot
+      FROM tf a JOIN tf b USING (term)
+      WHERE a.id <> b.id GROUP BY 1, 2),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             ROUND(d.dot / sqrt(na.n2 * nb.n2), 6) AS cos
+      FROM dots d
+      JOIN norms na ON na.id = d.query_id
+      JOIN norms nb ON nb.id = d.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3""",
+)
+def docs_tf_cosine_topk_q(spark, sf_dir):
+    """Sparse inverted-index cosine top-3 per document with the
+    df > 390 stop-term cap exercised (8 head terms drop at sf0.01)."""
+    from onionnet_spark.functions.ranking import tf_cosine_topk
+
+    return tf_cosine_topk(_docs(spark, sf_dir), k=3, max_df=390).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("bigint").alias("rank")
+    )

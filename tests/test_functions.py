@@ -473,3 +473,32 @@ def test_wav_resample_real_round_trip(spark):
         assert r["sample_sum"] == int(want.astype("int64").sum())
         back, back_sr = _wav.decode_wav(bytes(r["payload"]))
         assert back_sr == 12000 and np.array_equal(back, want)
+
+
+def test_tf_cosine_topk_hand_computed(spark):
+    from onionnet_spark.functions.ranking import tf_cosine_topk
+
+    rows = [
+        (1, "apple apple banana"),   # tf a=2 b=1
+        (2, "apple banana"),         # tf a=1 b=1
+        (3, "cherry cherry"),        # disjoint from 1 and 2
+        (4, "banana cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+           for r in tf_cosine_topk(df, k=2).collect()}
+    import math
+
+    # doc1 ~ doc2: (2*1+1*1)/(sqrt(5)*sqrt(2)) = 3/sqrt(10)
+    assert out[(1, 1)][0] == 2
+    assert out[(1, 1)][1] == round(3 / math.sqrt(10), 6)
+    # doc3's only overlap is doc4 via cherry
+    assert out[(3, 1)][0] == 4
+    assert (3, 2) not in out
+    # max_df cap drops 'banana' (df=3): doc1/doc2 meet via apple
+    # only, and norms are over the CAPPED term space, so the
+    # remaining vectors are collinear (cos = 1.0)
+    capped = {(r["query_id"], r["neighbor_id"]): r["cos"]
+              for r in tf_cosine_topk(df, k=2, max_df=2).collect()}
+    assert capped[(1, 2)] == 1.0
+    assert (1, 4) not in capped  # banana link gone
