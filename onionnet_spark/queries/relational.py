@@ -1527,3 +1527,48 @@ def orders_custkey_skew_q(spark, sf_dir):
     return key_skew_report(
         load_tables(spark, sf_dir)["orders"], "o_custkey", top_n=10
     )
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    n = 1 << bits
+    terms = []
+    for j in range(bits):
+        terms.append(f"((qx // {1 << j}) % 2) * {1 << (2 * j + 1)}")
+        terms.append(f"((qy // {1 << j}) % 2) * {1 << (2 * j)}")
+    interleave = " + ".join(terms)
+    month = "l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'"
+
+    def quant(col: str, lo: str, hi: str) -> str:
+        return f"""CASE WHEN (b.{hi} - b.{lo}) > 0 THEN
+        LEAST({n - 1}, GREATEST(0, CAST(FLOOR(
+          (CAST({col} AS DOUBLE) - b.{lo}) / ((b.{hi} - b.{lo}) / {n})
+        ) AS INT))) ELSE 0 END"""
+
+    return f"""WITH li AS (SELECT * FROM lineitem WHERE {month}),
+    b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lox,
+                 MAX(CAST(l_extendedprice AS DOUBLE)) AS hix,
+                 MIN(CAST(l_quantity AS DOUBLE)) AS loy,
+                 MAX(CAST(l_quantity AS DOUBLE)) AS hiy
+          FROM li),
+    q AS (SELECT l_orderkey, l_linenumber,
+                 {quant("l_extendedprice", "lox", "hix")} AS qx,
+                 {quant("l_quantity", "loy", "hiy")} AS qy
+          FROM li, b)
+    SELECT l_orderkey, l_linenumber,
+           CAST({interleave} AS BIGINT) AS zval
+    FROM q"""
+
+
+@register("lineitem_zorder_key", _zorder_oracle())
+def lineitem_zorder_key_q(spark, sf_dir):
+    """Morton z-key of (l_extendedprice, l_quantity) over the 1996-01 ship
+    month — the clustering key behind `write_zordered`'s 2-D
+    data-skipping layout (sources/layout.py)."""
+    from onionnet_spark.sources.layout import zorder_key
+
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    return zorder_key(li, "l_extendedprice", "l_quantity", bits=8).select(
+        "l_orderkey", "l_linenumber", "zval"
+    )

@@ -1,0 +1,104 @@
+"""Z-order (Morton-curve) data layout: multidimensional clustering
+for parquet data skipping.
+
+A range-partitioned, sorted write clusters ONE column; filters on a
+second column then touch every file. Interleaving the quantized bits
+of two columns into a single Morton key and sorting by THAT gives
+every file a tight bounding box in BOTH dimensions, so parquet
+footer min/max stats prune files/row-groups for 2-D box predicates
+— the layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`.
+
+Everything is integer arithmetic on quantized buckets (engine-exact,
+DuckDB-replayable); the write path is repartitionByRange on the
+z-key (a range shuffle whose sampled boundaries balance output
+files) + sortWithinPartitions — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _quantize(v: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Map v in [lo, hi] onto integer buckets [0, 2^bits): equi-width,
+    top value folded into the last bucket, degenerate range -> 0."""
+    n = 1 << bits
+    width = (hi - lo) / n
+    q = F.when(
+        width > 0,
+        F.least(
+            F.lit(n - 1),
+            F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")),
+        ),
+    ).otherwise(F.lit(0))
+    return q
+
+
+def _interleave(qx: Column, qy: Column, bits: int) -> Column:
+    """Morton key: bit j of qx lands at position 2j+1, of qy at 2j.
+    Built from shift/and/sum — pure integer ops inside codegen."""
+    z = F.lit(0).cast("bigint")
+    for j in range(bits):
+        z = z + F.shiftleft(
+            F.shiftright(qx.cast("bigint"), j).bitwiseAND(F.lit(1)), 2 * j + 1
+        )
+        z = z + F.shiftleft(
+            F.shiftright(qy.cast("bigint"), j).bitwiseAND(F.lit(1)), 2 * j
+        )
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 8,
+    key_col: str = "zval",
+) -> DataFrame:
+    """Append the Morton z-key of (col_x, col_y), quantized to
+    2^bits equi-width buckets over each column's observed min/max
+    (one broadcast 1-row aggregate — the same job computes both
+    bounds; no extra pass)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    bounds = df.agg(
+        F.min(col_x).cast("double").alias("_lox"),
+        F.max(col_x).cast("double").alias("_hix"),
+        F.min(col_y).cast("double").alias("_loy"),
+        F.max(col_y).cast("double").alias("_hiy"),
+    )
+    with_b = df.crossJoin(F.broadcast(bounds))
+    qx = _quantize(
+        F.col(col_x).cast("double"), F.col("_lox"), F.col("_hix"), bits
+    )
+    qy = _quantize(
+        F.col(col_y).cast("double"), F.col("_loy"), F.col("_hiy"), bits
+    )
+    return with_b.withColumn(key_col, _interleave(qx, qy, bits)).drop(
+        "_lox", "_hix", "_loy", "_hiy"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 8,
+    n_files: int = 16,
+) -> None:
+    """Write `df` as parquet clustered along the (col_x, col_y)
+    Morton curve: range-partition on the z-key (sampled boundaries
+    -> balanced files, no global sort) and sort within each
+    partition, so every output file covers a compact curve segment
+    and its footer min/max on BOTH columns is tight. Readers filter
+    with ordinary predicates; pruning is free from the stats."""
+    keyed = zorder_key(df, col_x, col_y, bits)
+    (
+        keyed.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -259,3 +259,60 @@ def test_tpch_builder_asserts_uniqueness_and_filters_preserve_it(tpch_graph):
     # the invariant actually holds: canonical pairs are already unique
     canon = tpch_graph.canonical_edges()
     assert canon.count() == canon.distinct().count()
+
+
+def test_zorder_layout_prunes_2d_boxes_better_than_1d_sort(spark, tmp_path):
+    """Write the same table z-ordered vs single-column-sorted and
+    count, from parquet FOOTER stats alone, how many files a 2-D box
+    predicate must touch: the Morton layout must touch strictly
+    fewer — that pruning is exactly what a reader gets for free."""
+    import pyarrow.parquet as pq
+    from onionnet_spark.sources.layout import write_zordered, zorder_key
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "sort1d")
+    write_zordered(df, zpath, "l_extendedprice", "l_quantity", n_files=16)
+    (
+        df.repartitionByRange(16, "l_extendedprice")
+        .sortWithinPartitions("l_extendedprice")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def files_touched(path, box):
+        import glob
+
+        (xlo, xhi), (ylo, yhi) = box
+        touched = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            fx_lo = fy_lo = float("inf")
+            fx_hi = fy_hi = float("-inf")
+            for rg in range(md.num_row_groups):
+                sx = md.row_group(rg).column(names["l_extendedprice"]).statistics
+                sy = md.row_group(rg).column(names["l_quantity"]).statistics
+                fx_lo, fx_hi = min(fx_lo, float(sx.min)), max(fx_hi, float(sx.max))
+                fy_lo, fy_hi = min(fy_lo, float(sy.min)), max(fy_hi, float(sy.max))
+            total += 1
+            if fx_hi >= xlo and fx_lo <= xhi and fy_hi >= ylo and fy_lo <= yhi:
+                touched += 1
+        return touched, total
+
+    # a predicate on the SECOND dimension only: the 1-D price sort
+    # cannot prune it at all (every file spans all quantities), the
+    # Morton layout must — that is the whole point of interleaving
+    box = ((-1e18, 1e18), (10.0, 14.0))
+    z_touch, z_total = files_touched(zpath, box)
+    s_touch, s_total = files_touched(spath, box)
+    assert z_total >= 8 and s_total >= 8
+    assert s_touch == s_total  # 1-D layout: no pruning on y
+    assert z_touch < s_touch  # Morton layout: real pruning on y
+    # and the z-key itself round-trips the quantization contract
+    zk = zorder_key(df.limit(1000), "l_extendedprice", "l_quantity", bits=4)
+    mx = zk.agg(F.max("zval"), F.min("zval")).collect()[0]
+    assert 0 <= mx[1] <= mx[0] < 256  # 4+4 bits -> < 2^8
