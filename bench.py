@@ -60,6 +60,13 @@ HEADLINE = [
     "docs_bm25",
     "corpus_curation",
     "events_scd2",
+    # round-3 session additions (also excluded from the subtotal)
+    "graph_eigenvector",
+    "chunk_dedup",
+    "corpus_shuffle_shards",
+    "multimodal_jpeg_decode",
+    "lineitem_zorder_key",
+    "orders_custkey_skew",
 ]
 
 
@@ -99,6 +106,9 @@ def main() -> None:
     r3_added = {
         "graph_hits", "graph_kcore", "ann_ivf_pq_topk",
         "docs_bm25", "corpus_curation", "events_scd2",
+        "graph_eigenvector", "chunk_dedup", "corpus_shuffle_shards",
+        "multimodal_jpeg_decode", "lineitem_zorder_key",
+        "orders_custkey_skew",
     }
     r2_subset = sum(v for k, v in timings.items() if k not in r3_added)
     print(

@@ -55,14 +55,33 @@ def attach_binary_payload(
     )
 
 
+def _decode_any_image(payload) -> "np.ndarray":
+    """Signature-dispatched real decode: PNG via functions/png.py,
+    baseline JPEG via functions/jpeg.py; anything else raises
+    NotImplementedError (the plug-in point a PIL/ffmpeg-backed build
+    fills for video frames and exotic formats)."""
+    from onionnet_spark.functions import jpeg as _jpeg
+    from onionnet_spark.functions import png as _png
+
+    if _png.is_png(payload):
+        return _png.decode_png(payload)
+    if _jpeg.is_jpeg(payload):
+        return _jpeg.decode_jpeg(payload)
+    raise NotImplementedError(
+        "real decode implemented for PNG (functions/png.py) and baseline "
+        "JPEG (functions/jpeg.py); video/exotic formats need PIL/ffmpeg — "
+        "not in this container. Use fake=True for those."
+    )
+
+
 def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads to image metadata via mapInPandas.
 
-    With fake=False, PNG payloads are REALLY decoded by the
-    pure-Python codec in functions/png.py (8-bit grey/RGB; stdlib
-    zlib — no PIL needed); any non-PNG payload raises
+    With fake=False, PNG and baseline-JPEG payloads are REALLY
+    decoded by the pure-Python codecs in functions/png.py and
+    functions/jpeg.py (no PIL needed); any other payload raises
     NotImplementedError, marking where PIL/ffmpeg would plug in for
-    the other formats. With fake=True, width/height/channels are
+    the remaining formats. With fake=True, width/height/channels are
     deterministic functions of the payload length — exercising the
     identical Arrow-batch plumbing with no codec at all.
     """
@@ -76,13 +95,7 @@ def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
             if not fake:
                 ws, hs, cs = [], [], []
                 for payload in pdf["payload"]:
-                    if not _png.is_png(payload):
-                        raise NotImplementedError(
-                            "real decode implemented for PNG only (functions/"
-                            "png.py); JPEG/video need PIL/ffmpeg — not in "
-                            "this container. Use fake=True for those."
-                        )
-                    arr = _png.decode_png(payload)
+                    arr = _decode_any_image(payload)
                     hs.append(arr.shape[0])
                     ws.append(arr.shape[1])
                     cs.append(1 if arr.ndim == 2 else arr.shape[2])
@@ -152,21 +165,49 @@ def synth_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
 
 
+def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JPEG payload per id: a UNIFORM
+    greyscale image, width 9 + id%9, height 6 + id%7 (straddles the
+    8x8 block grid, so edge-replicate padding is exercised), pixel
+    value (id*6 + 4) % 256 — always EVEN, so the DC quantizer
+    (luma Q00 = 16) divides 8*(v-128) exactly and the lossy codec
+    round-trips the image BIT-EXACTLY: a closed form the SQL oracle
+    recomputes with no codec. Encoding runs distributed in
+    mapInPandas."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import jpeg as _jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h, v = 9 + d % 9, 6 + d % 7, (d * 6 + 4) % 256
+                payloads.append(
+                    _jpeg.encode_jpeg(np.full((h, w), v, dtype=np.uint8))
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
 def decode_image_stats(df: DataFrame) -> DataFrame:
-    """REAL PNG decode to per-image pixel statistics via mapInPandas
-    (the read half of the round-trip; no fake path — raises on
-    non-PNG payloads). Returns (doc_id, width, height, n_channels,
+    """REAL image decode (PNG or baseline JPEG, dispatched by
+    signature) to per-image pixel statistics via mapInPandas (the
+    read half of the round-trip; no fake path — raises on other
+    payloads). Returns (doc_id, width, height, n_channels,
     pixel_sum)."""
 
     def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd  # noqa: F811
 
-        from onionnet_spark.functions import png as _png
-
         for pdf in batches:
             ws, hs, cs, sums = [], [], [], []
             for payload in pdf["payload"]:
-                arr = _png.decode_png(payload)
+                arr = _decode_any_image(payload)
                 hs.append(arr.shape[0])
                 ws.append(arr.shape[1])
                 cs.append(1 if arr.ndim == 2 else arr.shape[2])

@@ -104,6 +104,22 @@ _R3_WINDOW: list[str] = [
 ]
 
 
+# Queries added later in round 3, AFTER the 50-slot window was full
+# of equally-unrecorded keys: first in line for the round-4 window
+# (all pass tools/check_correctness.py locally; see SURVEY §5).
+_R4_BACKLOG: list[str] = [
+    "corpus_shuffle_shards",
+    "chunk_dedup",
+    "graph_eigenvector",
+    "graph_katz",
+    "graph_pseudo_diameter",
+    "orders_custkey_skew",
+    "docs_tf_cosine_topk",
+    "lineitem_zorder_key",
+    "multimodal_jpeg_decode",
+]
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
         relational,

