@@ -277,6 +277,44 @@ def numeric_histogram(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    seed: str = "w0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, top-n by the
+    Efraimidis–Spirakis key: each row draws u in (0,1] from a seeded
+    md5 (deterministic, engine-reproducible) and ranks by
+    ln(u)/weight — the classic one-pass distributed weighted sample
+    (a row with twice the weight is twice as likely to make the
+    cut, exactly). Rows with weight <= 0 are excluded.
+
+    Scale shape: the draw and key are map-side; selection is a
+    TakeOrdered top-n (no global sort shuffle). This is the
+    quality-weighted corpus subsample: weight by a quality score and
+    the sample tilts toward better documents while every document
+    keeps a nonzero chance.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    hv = F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+    u = (hv + 1.0) / float((1 << 48) + 1)
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            key.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), F.col(id_col))
+        .limit(n)
+        .select(id_col, "weight", F.round("_k", 6).alias("sel_key"))
+    )
+
+
 def key_skew_report(
     df: DataFrame, key_col: str, top_n: int = 10
 ) -> DataFrame:

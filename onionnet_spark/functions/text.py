@@ -388,3 +388,48 @@ def bpe_token_stats(
         F.size(words).cast("bigint").alias("n_word_tokens"),
         F.round(F.size(toks) / F.size(words), 6).alias("bpe_per_word"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First step of BPE tokenizer training: corpus-wide counts of
+    adjacent CHARACTER pairs within words (weighted by word
+    occurrence, the standard formulation) — the pair with the top
+    count is the first merge a BPE trainer would learn. Returns the
+    `top_n` candidates as (pair, n, rank), count-desc with pair-asc
+    tie-break.
+
+    Shape: words explode map-side into (position, 2-char substring)
+    pairs via posexplode over a length sequence — all inside
+    whole-stage codegen; one shuffle on the pair key (a few hundred
+    distinct pairs, however large the corpus — partial aggregation
+    collapses it map-side) and a TakeOrdered top-n. This IS the scale
+    path: real BPE training iterates this counting job, re-tokenizing
+    against the merges learned so far.
+    """
+    words = df.select(
+        F.explode(tokens_col(F.col(text_col))).alias("w")
+    ).filter(F.length("w") >= 2)
+    from pyspark.sql import Window
+
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), "pair")
+            ),
+        )
+    )

@@ -117,6 +117,8 @@ _R4_BACKLOG: list[str] = [
     "docs_tf_cosine_topk",
     "lineitem_zorder_key",
     "multimodal_jpeg_decode",
+    "corpus_weighted_sample",
+    "bpe_merge_candidates",
 ]
 
 

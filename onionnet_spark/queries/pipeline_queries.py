@@ -1569,3 +1569,45 @@ def multimodal_jpeg_decode(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_jpeg_payload(ids)
     return multimodal.decode_image_stats(payload)
+
+
+@register(
+    "corpus_weighted_sample",
+    """WITH h AS (
+      SELECT doc_id, n_chars,
+             CAST('0x' || substr(md5('w0:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS hv
+      FROM documents WHERE n_chars > 0),
+    k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                 ln((hv + 1.0) / 281474976710657.0)
+                   / CAST(n_chars AS DOUBLE) AS key
+          FROM h)
+    SELECT doc_id, weight, ROUND(key, 6) AS sel_key
+    FROM k ORDER BY key DESC, doc_id LIMIT 50""",
+)
+def corpus_weighted_sample_q(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample (n=50, weight=n_chars):
+    longer documents proportionally likelier, selection a TakeOrdered
+    top-n over seeded md5 draws — reproducible in any engine."""
+    from onionnet_spark.functions.corpus import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), "n_chars", n=50, seed="w0")
+
+
+@register(
+    "bpe_merge_candidates",
+    f"""WITH w0 AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    w2 AS (SELECT w FROM w0 WHERE length(w) >= 2),
+    nums AS (SELECT unnest(range(1, 100)) AS i),
+    p AS (SELECT substr(w, i, 2) AS pair
+          FROM w2 JOIN nums ON i <= length(w) - 1),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair),
+    r AS (SELECT pair, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+          FROM c)
+    SELECT pair, n, rank FROM r WHERE rank <= 20""",
+)
+def bpe_merge_candidates_q(spark, sf_dir):
+    """Corpus-wide adjacent character-pair counts (top 20) — the
+    first merge table a BPE tokenizer trainer learns."""
+    return text.bpe_merge_candidates(_docs(spark, sf_dir), top_n=20)

@@ -271,3 +271,37 @@ def test_chunk_dedup_first_occurrence_wins(spark):
     assert out[1] == (2, 1, 3)
     # doc2: both chunks already seen
     assert out[2] == (2, 2, 0)
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    # weight 9 vs 1: across many disjoint seeds the heavy item should
+    # win the n=1 slot roughly 90% of the time
+    rows = [(0, 9.0), (1, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, weight double")
+    wins = 0
+    trials = 30
+    for t in range(trials):
+        got = corpus.weighted_sample(df, "weight", n=1, seed=f"s{t}").collect()
+        wins += got[0]["doc_id"] == 0
+    assert wins >= trials * 0.7  # E[wins]=0.9*30=27; 21 is ~4 sigma down
+    # deterministic given the seed; zero/negative weights excluded
+    a = corpus.weighted_sample(df, "weight", n=2, seed="x").collect()
+    b = corpus.weighted_sample(df, "weight", n=2, seed="x").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    df0 = spark.createDataFrame(
+        [(0, 5.0), (1, 0.0), (2, -1.0)], "doc_id bigint, weight double"
+    )
+    got = corpus.weighted_sample(df0, "weight", n=3).collect()
+    assert [r["doc_id"] for r in got] == [0]
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    from onionnet_spark.functions.text import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(0, "abab ab"), (1, "abc x")], "doc_id bigint, text string"
+    )
+    # pairs: 'abab' -> ab, ba, ab; 'ab' -> ab; 'abc' -> ab, bc; 'x' skipped
+    got = [(r["pair"], r["n"], r["rank"]) for r in
+           bpe_merge_candidates(df, top_n=3).collect()]
+    assert got == [("ab", 4, 1), ("ba", 1, 2), ("bc", 1, 3)]
