@@ -981,7 +981,12 @@ def eigenvector_centrality(graph: OnionGraph, n_iterations: int = 4) -> DataFram
     Scale shape: the symmetrized edge view comes from the per-graph
     persisted cache and is pre-shuffled ONCE on the gather key; each
     round is one join + one aggregation moving only (node, score)
-    rows.
+    rows. The handful of iterations stay one LAZY plan (no
+    per-round checkpoint blocks): the nesting is shallow, and not
+    writing a block-manager entry per round keeps a long bench /
+    notebook session from churning out the per-graph persisted
+    views other analytics depend on. Past ~8 rounds, re-introduce a
+    lineage cut.
     """
     e_by_src = (
         graph.cached_symmetrized()
@@ -1004,7 +1009,6 @@ def eigenvector_centrality(graph: OnionGraph, n_iterations: int = 4) -> DataFram
                 F.col("dst_id").alias("node_id"),
             )
             .agg(F.sum("x").alias("x"))
-            .localCheckpoint(eager=False)
         )
     total = x.agg(F.sum("x").alias("tx"))
     return (

@@ -1987,13 +1987,8 @@ _REG["graph_anf_growth"] = (graph_anf_growth_q, _anf_growth_oracle())
 # Round-3 session additions (driver-recorded from r4 on)
 # --------------------------------------------------------------------------
 
-_SYM_SQL = """sym AS MATERIALIZED (
-      SELECT src_layer, src_id, dst_layer, dst_id FROM edges_g
-      UNION ALL
-      SELECT dst_layer, dst_id, src_layer, src_id FROM edges_g)"""
-
-
 def _eigenvector_oracle(n_iter: int = 4) -> str:
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
     stages = []
     for i in range(1, n_iter + 1):
         stages.append(
@@ -2005,23 +2000,40 @@ def _eigenvector_oracle(n_iter: int = 4) -> str:
         )
     stage_sql = ",\n    ".join(stages)
     return f"""WITH {CTES},
-    {_SYM_SQL},
-    x0 AS (SELECT layer, node_id, 1.0 AS x FROM nodes_g),
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
+    es AS (SELECT * FROM edges_g
+           WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    sym AS MATERIALIZED (
+      SELECT src_layer, src_id, dst_layer, dst_id FROM es
+      UNION ALL
+      SELECT dst_layer, dst_id, src_layer, src_id FROM es),
+    x0 AS (SELECT layer, node_id, 1.0 AS x FROM ns),
     {stage_sql},
     tot AS (SELECT SUM(x) AS tx FROM x{n_iter})
     SELECT n.layer, n.node_id,
            ROUND(COALESCE(p.x, 0) / (SELECT tx FROM tot), 6) AS eigenvector
-    FROM nodes_g n LEFT JOIN x{n_iter} p USING (layer, node_id)"""
+    FROM ns n LEFT JOIN x{n_iter} p USING (layer, node_id)"""
 
 
 @register("graph_eigenvector", _eigenvector_oracle())
 def graph_eigenvector_q(spark, sf_dir):
     """Power-iteration eigenvector centrality on the undirected view
-    (graph-tool `eigenvector` parity); integer-exact iterates, one
-    final L1 normalize."""
-    return analytics.eigenvector_centrality(
-        get_graph(spark, sf_dir), n_iterations=4
+    of the dimension layers (same subgraph as `pagerank` — hub
+    centrality is a dimension-graph question; the fact layers would
+    drown it in lineitem degree mass). Integer-exact iterates, one
+    final L1 normalize. The layer view is memoized per (session,
+    sf_dir) so its persisted symmetrized cache is shared across
+    calls."""
+    g = derived_graph(
+        spark,
+        sf_dir,
+        "eigen_layers",
+        lambda: filters.view_layers(
+            get_graph(spark, sf_dir),
+            ["region", "nation", "customer", "supplier"],
+        ),
     )
+    return analytics.eigenvector_centrality(g, n_iterations=4)
 
 
 def _katz_oracle(n_iter: int = 4, inv_alpha: int = 8) -> str:
