@@ -340,6 +340,41 @@ def contamination_overlap(
     )
 
 
+def doc_chunks(
+    df: DataFrame,
+    chunk_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Consecutive non-overlapping `chunk_words`-word chunks per doc:
+    (id, ci, ch: md5 of the chunk text, clen: its token count). The
+    shared chunking step of batch `chunk_dedup` and the streaming
+    maintainer."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size("t") / F.lit(chunk_words)).cast("int")
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("t"))
+        .select(
+            "id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+        )
+        .select(
+            "id",
+            "ci",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("t"), F.col("ci") * chunk_words + 1, chunk_words),
+                )
+            ).alias("ch"),
+            F.least(
+                F.lit(chunk_words), F.size("t") - F.col("ci") * chunk_words
+            ).alias("clen"),
+        )
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     chunk_words: int = 10,
@@ -366,28 +401,7 @@ def chunk_dedup(
     """
     from pyspark.sql import Window
 
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    n_chunks = F.ceil(F.size("t") / F.lit(chunk_words)).cast("int")
-    chunked = (
-        df.select(F.col(id_col).alias("id"), toks.alias("t"))
-        .select(
-            "id",
-            "t",
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
-        )
-        .select(
-            "id",
-            "ci",
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice(F.col("t"), F.col("ci") * chunk_words + 1, chunk_words)
-                )
-            ).alias("ch"),
-            F.least(
-                F.lit(chunk_words), F.size("t") - F.col("ci") * chunk_words
-            ).alias("clen"),
-        )
-    )
+    chunked = doc_chunks(df, chunk_words, text_col, id_col)
     w = Window.partitionBy("ch").orderBy("id", "ci")
     ranked = chunked.withColumn("rk", F.row_number().over(w))
     return ranked.groupBy(F.col("id").alias(id_col)).agg(

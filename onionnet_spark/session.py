@@ -67,6 +67,14 @@ def get_spark(
         # from physical RAM (a quarter, clamped to [4g, 32g]) so a
         # 16 GiB laptop isn't handed a 32g heap it cannot start.
         .config("spark.driver.memory", os.environ.get("ONIONNET_DRIVER_MEM", _default_driver_mem()))
+        # ContextCleaner frees out-of-scope localCheckpoint / shuffle /
+        # broadcast blocks only after a DRIVER JVM GC; the default
+        # periodic-GC interval is 30min, so a long session (the bench
+        # runs ~40 queries, many with per-level checkpoint blocks)
+        # accumulates dead blocks that crowd the block manager and
+        # slow later iterative queries. 2min keeps the ledger short;
+        # the stop-the-world cost is trivial next to any query here.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
