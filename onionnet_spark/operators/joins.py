@@ -233,3 +233,93 @@ def fuzzy_self_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "val_a", "val_b", "edit_dist")
     )
+
+
+def bloom_filter_df(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over `keys` as a ONE-ROW DataFrame with
+    an array<bigint> bitmap column `bloom_words` (n_bits packed into
+    64-bit words) — entirely DataFrame-side: keys explode into their
+    k bit positions, bits reduce per word with bit_or, and the word
+    array assembles with a dense-index collect_list. No driver-side
+    data; the single row broadcasts wherever it's used.
+    """
+    n_words = (n_bits + 63) // 64
+    pos = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ]
+    bits = (
+        keys.select(F.explode(F.array(*pos)).alias("bit"))
+        .select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("bit") % 64).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+    )
+    # dense word array: left join the full index so absent words are 0
+    idx = keys.sparkSession.range(n_words).select(F.col("id").cast("int").alias("w"))
+    return (
+        idx.join(bits, on="w", how="left")
+        .select("w", F.coalesce("m", F.lit(0).cast("bigint")).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "m"))), lambda s: s["m"]
+            ).alias("bloom_words")
+        )
+    )
+
+
+def bloom_might_contain(
+    key: "F.Column", bloom_words: "F.Column", n_bits: int = 1 << 20, n_hashes: int = 5
+) -> "F.Column":
+    """Membership test against a `bloom_filter_df` bitmap column:
+    true iff ALL k bits are set (no false negatives; false positives
+    at the standard (1 - e^{-kn/m})^k rate)."""
+    cond = F.lit(True)
+    for i in range(n_hashes):
+        bit = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits))
+        word = F.element_at(bloom_words, (bit / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (bit % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Inner equi-join with a runtime Bloom-filter prune of the fact
+    side: build a Bloom filter over the (filtered) dim keys, drop
+    fact rows whose key cannot match BEFORE the join shuffle, then
+    join exactly. The result is IDENTICAL to `fact.join(dim, on)` —
+    the filter admits false positives, never false negatives, and
+    the exact join removes the positives — but the shuffle moves
+    only the surviving fraction of the fact table. This is the
+    runtime-filter technique engines inject for selective dim
+    filters at scale (Spark's own runtime bloom pushdown, dynamic
+    partition pruning's hash-key sibling), exposed as an explicit
+    operator: at 100 TB, shuffling 2% of a fact table instead of
+    100% IS the job.
+
+    The bitmap stays a DataFrame: one row, n_bits/64 longs,
+    broadcast into the fact scan's filter — the membership test
+    runs inside whole-stage codegen (xxhash64 + shift/and), no UDF.
+    """
+    bloom = bloom_filter_df(dim.select(on), on, n_bits, n_hashes)
+    pruned = fact.crossJoin(F.broadcast(bloom)).filter(
+        bloom_might_contain(F.col(on), F.col("bloom_words"), n_bits, n_hashes)
+    ).drop("bloom_words")
+    return pruned.join(dim, on=on)

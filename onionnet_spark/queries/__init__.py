@@ -119,6 +119,7 @@ _R4_BACKLOG: list[str] = [
     "multimodal_jpeg_decode",
     "corpus_weighted_sample",
     "bpe_merge_candidates",
+    "bloom_pruned_revenue",
 ]
 
 

@@ -1572,3 +1572,49 @@ def lineitem_zorder_key_q(spark, sf_dir):
     return zorder_key(li, "l_extendedprice", "l_quantity", bits=8).select(
         "l_orderkey", "l_linenumber", "zval"
     )
+
+
+@register(
+    "bloom_pruned_revenue",
+    # the Bloom filter admits false positives and the exact join
+    # removes them, so the ORACLE is simply the plain join — any
+    # false NEGATIVE (a dropped matching row) hash-mismatches.
+    """SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                AS DECIMAL(18,2)) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1""",
+)
+def bloom_pruned_revenue_q(spark, sf_dir):
+    """Runtime Bloom-filter join pruning: the urgent-1996 order keys
+    build a bitmap that drops non-matching lineitem rows BEFORE the
+    join shuffle (codegen xxhash64+shift/and, no UDF); the exact
+    join then yields the identical result to the plain join."""
+    from onionnet_spark.operators.joins import bloom_pruned_join
+
+    t = load_tables(spark, sf_dir)
+    dim = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.month("o_orderdate").alias("month"),
+        )
+    )
+    fact = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = bloom_pruned_join(fact, dim, on="l_orderkey")
+    return joined.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).cast("decimal(18,2)").alias("revenue"),
+    )

@@ -316,3 +316,37 @@ def test_zorder_layout_prunes_2d_boxes_better_than_1d_sort(spark, tmp_path):
     zk = zorder_key(df.limit(1000), "l_extendedprice", "l_quantity", bits=4)
     mx = zk.agg(F.max("zval"), F.min("zval")).collect()[0]
     assert 0 <= mx[1] <= mx[0] < 256  # 4+4 bits -> < 2^8
+
+
+def test_bloom_pruned_join_exact_and_selective(spark, sf_dir):
+    from onionnet_spark.operators.joins import (
+        bloom_filter_df,
+        bloom_might_contain,
+        bloom_pruned_join,
+    )
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    t = load_tables(spark, sf_dir)
+    dim = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .limit(50)
+    )
+    fact = t["lineitem"].select("l_orderkey", "l_quantity")
+    want = sorted(map(tuple, fact.join(dim, on="l_orderkey").collect()))
+    got = sorted(map(tuple, bloom_pruned_join(fact, dim, on="l_orderkey").collect()))
+    assert got == want  # bloom never drops a matching row
+    # the prune must actually bite: the admitted fraction of the fact
+    # table tracks the dim selectivity (plus a small FP rate)
+    bloom = bloom_filter_df(dim, "l_orderkey")
+    admitted = (
+        fact.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("l_orderkey"), F.col("bloom_words")))
+        .count()
+    )
+    total = fact.count()
+    assert admitted < total * 0.2, (admitted, total)
+    # membership test stays JVM-side: no Python eval in the plan
+    plan = bloom_pruned_join(fact, dim, on="l_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
