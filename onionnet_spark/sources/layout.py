@@ -102,3 +102,36 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(rows / target_rows_per_file) files — the maintenance job
+    every long-lived table needs (streaming sinks and incremental
+    appends shed thousands of KB-scale files; scans then pay a
+    per-file open/footer cost that dwarfs the data read).
+
+    Row-count-based sizing keeps the policy engine-portable; the
+    rewrite is one round-robin repartition (or a range partition on
+    `sort_col`, preserving clustering for stats pruning) and a
+    single write. At 100 TB you run this per PARTITION DIRECTORY
+    (date=.../) so each compaction touches one partition's files,
+    not the table. Returns the number of files written.
+    """
+    df = spark.read.parquet(src_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

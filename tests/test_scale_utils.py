@@ -350,3 +350,37 @@ def test_bloom_pruned_join_exact_and_selective(spark, sf_dir):
     # membership test stays JVM-side: no Python eval in the plan
     plan = bloom_pruned_join(fact, dim, on="l_orderkey")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    from onionnet_spark.sources.layout import compact_parquet
+
+    df = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
+    src = str(tmp_path / "fragmented")
+    df.repartition(37).write.parquet(src)  # the streaming-sink mess
+    assert len(glob.glob(f"{src}/*.parquet")) == 37
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_rows_per_file=40)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n == -(-df.count() // 40)
+    assert rows_to_set(spark.read.parquet(dst)) == rows_to_set(df)
+    # sorted variant keeps clustering: per-file key ranges must not
+    # overlap
+    dst2 = str(tmp_path / "compact_sorted")
+    compact_parquet(spark, src, dst2, target_rows_per_file=40,
+                    sort_col="s_suppkey")
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(f"{dst2}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(names["s_suppkey"]).statistics
+        lo = st.min
+        st2 = md.row_group(md.num_row_groups - 1).column(names["s_suppkey"]).statistics
+        ranges.append((lo, st2.max))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo
