@@ -550,7 +550,12 @@ def ann_pq_topk(
         codes.join(F.broadcast(qtab), on=["j", "cid"])
         .filter(F.col("id") != F.col("query_id"))
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
-        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+        # scaled-integer sum of the 6dp summands: see ann_ivf_pq_topk
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("d2") * 1e6).cast("bigint")) / 1e6, 6
+            ).alias("pq_dist")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc()
@@ -672,7 +677,170 @@ def ann_ivf_pq_topk(
         cand.join(codes, on="nid")
         .join(qtab, on=["query_id", "j", "cid"])
         .groupBy("query_id", F.col("nid").alias("neighbor_id"))
-        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+        # the m summands are 6dp-rounded values; summing them as
+        # scaled INTEGERS (x1e6) then dividing once avoids the
+        # double-rounding tie where a .5-at-the-7th-digit sum rounds
+        # differently across engines
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("d2") * 1e6).cast("bigint")) / 1e6, 6
+            ).alias("pq_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ann_ivf_pq_residual_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_centroids: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """IVF + PQ with RESIDUAL encoding — the exact FAISS IVFPQ
+    layout: each vector is PQ-coded not on its raw coordinates but
+    on its residual v − c(cell) after coarse assignment, which
+    centers every cell's data around zero and lets the same small
+    PQ codebook describe all cells far more precisely. The query
+    side mirrors it: the ADC table is built from the QUERY'S
+    residual with respect to EACH probed cell (a different residual
+    per cell), so distances compare like with like.
+
+    All arithmetic stays engine-exact: residuals are rounded to 6dp
+    before PQ training/coding (deterministic inputs), both Lloyd
+    learners are the seeded deterministic ones above, and the final
+    ADC sums are 6dp-rounded before ranking. One extra broadcast
+    join (coarse centroids onto vectors) versus the raw-coordinate
+    variant; candidate generation is identical — bucket-bounded,
+    never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    coarse = kmeans_codebook(df, vec_col, id_col, n_centroids, iterations)
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.col("cc").desc(), F.col("cid").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).localCheckpoint()
+    index_side = ranked.filter(F.col("rn") == 1).select(
+        "id", F.col("cid").alias("bucket")
+    )
+    probe_side = ranked.filter(F.col("rn") <= nprobe).select(
+        "id", F.col("cid").alias("bucket")
+    )
+    cand = (
+        probe_side.alias("q")
+        .join(index_side.alias("x"), on="bucket")
+        .filter(F.col("q.id") != F.col("x.id"))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("x.id").alias("nid"),
+            "bucket",
+        )
+    )
+
+    def _residual(frame: DataFrame) -> DataFrame:
+        # v - c(bucket), rounded 6dp: the deterministic PQ input
+        return (
+            frame.join(
+                F.broadcast(coarse.select(F.col("cid").alias("bucket"), "cv")),
+                on="bucket",
+            )
+            .withColumn(
+                # x1e6-scaled integer quantization via floor(x+0.5):
+                # FLOOR of identical IEEE doubles is identical in any
+                # engine — unlike decimal ROUND, whose JVM
+                # (BigDecimal-on-shortest-repr) and C (binary float)
+                # implementations disagree on boundary-adjacent
+                # values, which hash-flunked the first cut of this
+                # operator. All downstream PQ math then runs on
+                # integer-valued doubles (exact below 2^53).
+                "res",
+                F.zip_with(
+                    "v",
+                    "cv",
+                    lambda a, b: F.floor(
+                        (a.cast("double") - b) * 1e6 + 0.5
+                    ).cast("double"),
+                ),
+            )
+            .drop("cv")
+        )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    index_res = _residual(index_side.join(base, on="id")).select("id", "res")
+    pq_cents = pq_codebooks(index_res, "res", "id", m, pq_centroids, iterations)
+
+    dim = len(df.select(vec_col).first()[0])
+    sub = dim // m
+
+    def _subspaces(frame: DataFrame, keys: list[str]) -> DataFrame:
+        return frame.select(
+            *keys,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.slice(F.col("res"), j * sub + 1, sub).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s"),
+        ).select(*keys, F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+
+    # data-side codes: argmin PQ centroid per (vector, subspace) —
+    # residuals and centroids are 6dp-quantized, so the distances are
+    # EXACT scaled integers (no rounding, no cross-engine ties)
+    code_scored = _subspaces(index_res, ["id"]).join(
+        F.broadcast(pq_cents), on="j"
+    ).withColumn(
+        "d2", F.floor(_l2sq(F.col("sv"), F.col("cv")) + 0.5).cast("bigint")
+    )
+    w_code = Window.partitionBy("j", "id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    codes = (
+        code_scored.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias("nid"), "j", "cid")
+    )
+    # query-side ADC rows: the query's residual PER PROBED CELL
+    query_res = _residual(probe_side.join(base, on="id"))
+    qtab = _subspaces(query_res, ["id", "bucket"]).join(
+        F.broadcast(pq_cents), on="j"
+    ).select(
+        F.col("id").alias("query_id"),
+        "bucket",
+        "j",
+        "cid",
+        F.floor(_l2sq(F.col("sv"), F.col("cv")) + 0.5)
+        .cast("bigint")
+        .alias("d2"),
+    )
+    pairs = (
+        cand.join(codes, on="nid")
+        .join(qtab, on=["query_id", "bucket", "j", "cid"])
+        .groupBy("query_id", F.col("nid").alias("neighbor_id"))
+        # d2 summands are exact x1e12-scaled integers: one integer
+        # sum, one IEEE division, no decimal round anywhere — the
+        # comparison harness rounds both engines' identical doubles
+        # identically
+        .agg((F.sum("d2") / F.lit(1e12)).alias("pq_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc()

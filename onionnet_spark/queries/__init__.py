@@ -120,6 +120,8 @@ _R4_BACKLOG: list[str] = [
     "corpus_weighted_sample",
     "bpe_merge_candidates",
     "bloom_pruned_revenue",
+    "corpus_ingest_delta",
+    "ann_ivf_pq_residual_topk",
 ]
 
 

@@ -1158,7 +1158,8 @@ def _ann_pq_oracle(
     )
     ctes.append(
         """pairs AS (SELECT q.id AS query_id, codes.id AS neighbor_id,
-           ROUND(SUM(q.d2), 6) AS pq_dist
+           ROUND(SUM(CAST(ROUND(q.d2 * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS pq_dist
        FROM codes JOIN sf q ON q.j = codes.j AND q.cid = codes.cid
          AND q.id <> codes.id
        GROUP BY 1, 2)"""
@@ -1375,7 +1376,8 @@ def _ann_ivf_pq_oracle(
     )
     ctes.append(
         """pairs AS (SELECT c.query_id, c.nid AS neighbor_id,
-           ROUND(SUM(q.d2), 6) AS pq_dist
+           ROUND(SUM(CAST(ROUND(q.d2 * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS pq_dist
        FROM cand c
        JOIN pcodes k ON k.nid = c.nid
        JOIN psf q ON q.id = c.query_id AND q.j = k.j AND q.cid = k.cid
@@ -1611,3 +1613,218 @@ def bpe_merge_candidates_q(spark, sf_dir):
     """Corpus-wide adjacent character-pair counts (top 20) — the
     first merge table a BPE tokenizer trainer learns."""
     return text.bpe_merge_candidates(_docs(spark, sf_dir), top_n=20)
+
+
+@register(
+    "corpus_ingest_delta",
+    f"""WITH b AS (SELECT * FROM documents WHERE doc_id < 350),
+    d AS (SELECT * FROM documents WHERE doc_id >= 350),
+    bh AS (SELECT doc_id AS bid, md5({_NORM}) AS ch FROM b),
+    dh AS (SELECT doc_id AS id, md5({_NORM}) AS ch FROM d),
+    exact AS (
+      SELECT id, MIN(bid) AS match_id, 'exact_dup' AS status,
+             1.0 AS jaccard
+      FROM dh JOIN bh USING (ch) GROUP BY id),
+    rem AS (SELECT * FROM d
+            WHERE doc_id NOT IN (SELECT id FROM exact)),
+    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    dn AS (SELECT doc_id, {_TOKS} AS a FROM rem),
+    bn AS (SELECT doc_id, {_TOKS} AS a FROM b),
+    dsh AS (SELECT DISTINCT doc_id AS id,
+                   a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM dn JOIN nums ON i <= len(a) - 2),
+    bsh AS (SELECT DISTINCT doc_id AS bid,
+                   a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM bn JOIN nums ON i <= len(a) - 2),
+    dsz AS (SELECT id, COUNT(*) AS na FROM dsh GROUP BY id),
+    bsz AS (SELECT bid, COUNT(*) AS nb FROM bsh GROUP BY bid),
+    inter AS (SELECT id, bid, COUNT(*) AS i
+              FROM dsh JOIN bsh USING (shingle) GROUP BY id, bid),
+    jac AS (
+      SELECT inter.id, inter.bid,
+             ROUND(i * 1.0 / (na + nb - i), 6) AS jaccard
+      FROM inter JOIN dsz USING (id) JOIN bsz USING (bid)
+      WHERE i * 1.0 / (na + nb - i) >= 0.5),
+    near AS (
+      SELECT id, bid AS match_id, 'near_dup' AS status, jaccard
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY jaccard DESC, bid) AS rk FROM jac)
+      WHERE rk = 1),
+    cls AS (SELECT * FROM exact UNION ALL SELECT * FROM near)
+    SELECT d.doc_id, COALESCE(cls.status, 'new') AS status,
+           cls.match_id, cls.jaccard
+    FROM d LEFT JOIN cls ON cls.id = d.doc_id""",
+)
+def corpus_ingest_delta_q(spark, sf_dir):
+    """Incremental corpus ingest: docs >= 350 classified against the
+    base corpus (< 350) as exact_dup / near_dup / new."""
+    docs = _docs(spark, sf_dir)
+    return dedup.ingest_delta(
+        docs.filter(F.col("doc_id") < 350),
+        docs.filter(F.col("doc_id") >= 350),
+        threshold=0.5,
+    )
+
+
+def _ann_ivf_pq_residual_oracle(
+    k_cent: int = 8, nprobe: int = 2, m: int = 4, dim: int = 64,
+    pq_cent: int = 8, iterations: int = 2, topk: int = 5,
+) -> str:
+    """Residual-encoding IVFPQ: the coarse Lloyd loop is identical to
+    _ann_ivf_pq_oracle; PQ then trains/codes on v - c(assigned cell)
+    and the query ADC rows use the query's residual per PROBED cell."""
+    sub = dim // m
+    j_vals = ", ".join(f"({j})" for j in range(m))
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 6)"
+        )
+
+    def d2s(a: str, b: str) -> str:
+        # FLOOR-to-integer of the same float expansion Spark's _l2sq
+        # computes: identical IEEE inputs -> identical integer
+        return (
+            f"CAST(FLOOR(list_dot_product({a}, {a})"
+            f" - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}) + 0.5) AS BIGINT)"
+        )
+
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, list_transform(e, x -> round(x, 6)) AS cv
+       FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cent})""",
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        ctes.append(
+            f"""s{it} AS (SELECT v.vec_id AS id, v.e, c.cid, {_cos('v.e', 'c.cv')} AS cc
+       FROM v CROSS JOIN {prev} c)"""
+        )
+        ctes.append(
+            f"""a{it} AS (SELECT id, e, cid FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn
+         FROM s{it}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{it} AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM (
+         SELECT cid, pos, ROUND(AVG(x), 6) AS mval
+         FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM a{it})
+         GROUP BY cid, pos) GROUP BY cid)"""
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""sfc AS (SELECT v.vec_id AS id, c.cid, {_cos('v.e', 'c.cv')} AS cc
+       FROM v CROSS JOIN {prev} c)"""
+    )
+    ctes.append(
+        """rkc AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn
+       FROM sfc)"""
+    )
+    ctes.append("idx AS (SELECT id, cid AS bucket FROM rkc WHERE rn = 1)")
+    ctes.append(f"probe AS (SELECT id, cid AS bucket FROM rkc WHERE rn <= {nprobe})")
+    ctes.append(
+        """cand AS MATERIALIZED (
+       SELECT q.id AS query_id, x.id AS nid, q.bucket
+       FROM probe q JOIN idx x ON x.bucket = q.bucket AND x.id <> q.id)"""
+    )
+    # residuals wrt the INDEX cell (rounded 6dp = the PQ input)
+    ctes.append(
+        f"""resv AS MATERIALIZED (
+       SELECT v.vec_id AS id,
+              list_transform(range(1, {dim + 1}),
+                             i -> FLOOR((v.e[i] - c.cv[i]) * 1000000 + 0.5)) AS e
+       FROM v JOIN idx ON idx.id = v.vec_id
+       JOIN {prev} c ON c.cid = idx.bucket)"""
+    )
+    ctes.append(
+        f"""sv AS MATERIALIZED (
+       SELECT r.id, t.j, r.e[t.j * {sub} + 1 : t.j * {sub} + {sub}] AS sv
+       FROM resv r CROSS JOIN (VALUES {j_vals}) t(j))"""
+    )
+    ctes.append(
+        f"""pseed AS (SELECT vec_id AS sid FROM v
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {pq_cent})"""
+    )
+    ctes.append(
+        """pc0 AS (SELECT sv.j, sv.id AS cid,
+         list_transform(sv.sv, x -> round(x, 6)) AS cv
+       FROM sv JOIN pseed ON sv.id = pseed.sid)"""
+    )
+    prev_p = "pc0"
+    for it in range(1, iterations + 1):
+        ctes.append(
+            f"""ps{it} AS MATERIALIZED (
+       SELECT sv.id, sv.j, sv.sv, c.cid, {d2('sv.sv', 'c.cv')} AS d2
+       FROM sv JOIN {prev_p} c ON c.j = sv.j)"""
+        )
+        ctes.append(
+            f"""pa{it} AS (SELECT id, j, sv, cid FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY j, id ORDER BY d2, cid) AS rn
+         FROM ps{it}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""pc{it} AS MATERIALIZED (SELECT j, cid, list(mval ORDER BY pos) AS cv FROM (
+         SELECT j, cid, pos, ROUND(AVG(x), 6) AS mval
+         FROM (SELECT j, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+               FROM pa{it})
+         GROUP BY j, cid, pos) GROUP BY j, cid)"""
+        )
+        prev_p = f"pc{it}"
+    ctes.append(
+        f"""psf AS MATERIALIZED (
+       SELECT sv.id, sv.j, sv.sv, c.cid, {d2s('sv.sv', 'c.cv')} AS d2
+       FROM sv JOIN {prev_p} c ON c.j = sv.j)"""
+    )
+    ctes.append(
+        """pcodes AS MATERIALIZED (SELECT id AS nid, j, cid FROM (
+         SELECT id, j, cid, ROW_NUMBER() OVER (PARTITION BY j, id ORDER BY d2, cid) AS rn
+         FROM psf) WHERE rn = 1)"""
+    )
+    # query residual per PROBED cell -> ADC rows
+    ctes.append(
+        f"""qres AS MATERIALIZED (
+       SELECT p.id, p.bucket,
+              list_transform(range(1, {dim + 1}),
+                             i -> FLOOR((v.e[i] - c.cv[i]) * 1000000 + 0.5)) AS e
+       FROM probe p JOIN v ON v.vec_id = p.id
+       JOIN {prev} c ON c.cid = p.bucket)"""
+    )
+    ctes.append(
+        f"""qsv AS (SELECT q.id, q.bucket, t.j,
+              q.e[t.j * {sub} + 1 : t.j * {sub} + {sub}] AS sv
+       FROM qres q CROSS JOIN (VALUES {j_vals}) t(j))"""
+    )
+    ctes.append(
+        f"""qd AS MATERIALIZED (
+       SELECT q.id, q.bucket, q.j, c.cid, {d2s('q.sv', 'c.cv')} AS d2
+       FROM qsv q JOIN {prev_p} c ON c.j = q.j)"""
+    )
+    ctes.append(
+        """pairs AS (SELECT c.query_id, c.nid AS neighbor_id,
+           CAST(SUM(q.d2) AS DOUBLE) / 1000000000000.0 AS pq_dist
+       FROM cand c
+       JOIN pcodes k ON k.nid = c.nid
+       JOIN qd q ON q.id = c.query_id AND q.bucket = c.bucket
+                AND q.j = k.j AND q.cid = k.cid
+       GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        """r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY pq_dist, neighbor_id) AS INT) AS rank
+       FROM pairs)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT query_id, neighbor_id, pq_dist, rank FROM r WHERE rank <= {topk}"
+    )
+
+
+@register("ann_ivf_pq_residual_topk", _ann_ivf_pq_residual_oracle())
+def ann_ivf_pq_residual_topk_q(spark, sf_dir):
+    return similarity.ann_ivf_pq_residual_topk(
+        _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2, m=4,
+        pq_centroids=8, iterations=2,
+    )

@@ -158,3 +158,93 @@ def test_exact_dedup_matches_dict_grouping(spark, docs):
         for i in ids:
             want[i] = (min(ids), len(ids))
     assert got == want
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=40), min_size=1, max_size=10
+)
+
+
+@given(docs=doc_texts, w=st.integers(min_value=1, max_value=4))
+@SET
+def test_chunk_dedup_matches_serial_reference(spark, docs, w):
+    import re
+
+    from onionnet_spark.functions.dedup import chunk_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["n_tokens_kept"])
+        for r in chunk_dedup(df, chunk_words=w).collect()
+    }
+
+    seen: set[str] = set()
+    want = {}
+    for i, t in enumerate(docs):
+        toks = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        chunks = [toks[j : j + w] for j in range(0, len(toks), w)]
+        dup = kept = 0
+        for c in chunks:
+            key = " ".join(c)
+            if key in seen:
+                dup += 1
+            else:
+                seen.add(key)
+                kept += len(c)
+        want[i] = (len(chunks), dup, kept)
+    assert got == want
+
+
+@given(
+    n_docs=st.integers(min_value=1, max_value=25),
+    n_shards=st.integers(min_value=1, max_value=7),
+)
+@SET
+def test_shuffle_shards_is_a_balanced_permutation(spark, n_docs, n_shards):
+    from pyspark.sql import functions as F
+
+    from onionnet_spark.functions.corpus import shuffle_shards
+
+    df = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(df, n_shards=n_shards, seed="p").collect()
+    assert len(out) == n_docs
+    # (shard, pos) pairs form exactly the round-robin deal of 0..n-1
+    dealt = sorted((r["shard"], r["pos_in_shard"]) for r in out)
+    assert dealt == sorted((p % n_shards, p // n_shards) for p in range(n_docs))
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    bits=st.integers(min_value=1, max_value=6),
+)
+@SET
+def test_zorder_key_bounds_and_quadrant_order(spark, vals, bits):
+    from onionnet_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(vals)],
+        "id long, x double, y double",
+    )
+    rows = zorder_key(df, "x", "y", bits=bits).collect()
+    zmax = 1 << (2 * bits)
+    assert all(0 <= r["zval"] < zmax for r in rows)
+    # the min-corner point always gets z = 0, the max corner the max
+    # occupied cell's key; and z is monotone under quadrant
+    # refinement: points in the low-low half-plane of both dims sort
+    # before the high-high corner point
+    xs = [x for x, _ in vals]
+    ys = [y for _, y in vals]
+    by_id = {r["id"]: r["zval"] for r in rows}
+    i_min = next(
+        i for i, (x, y) in enumerate(vals) if x == min(xs) and y == min(ys)
+    ) if any(x == min(xs) and y == min(ys) for x, y in vals) else None
+    if i_min is not None:
+        assert by_id[i_min] == 0
