@@ -72,3 +72,33 @@ def random_walks(
             )
         )
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) training pairs from walk rows —
+    the DeepWalk/node2vec corpus step that turns `random_walks`
+    output into word2vec-shaped examples: within each walk, every
+    ordered pair of positions at distance 1..window, aggregated to
+    (center, context, n) counts.
+
+    One self-join keyed on the walk id (walks are short, so each
+    join group is tiny — no skew possible by construction) and one
+    count aggregation. Deterministic because the walks are.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select(
+        "start", F.col("step").alias("sa"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "start", F.col("step").alias("sb"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, on="start")
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

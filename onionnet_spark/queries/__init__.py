@@ -122,6 +122,7 @@ _R4_BACKLOG: list[str] = [
     "bloom_pruned_revenue",
     "corpus_ingest_delta",
     "ann_ivf_pq_residual_topk",
+    "graph_walk_skipgrams",
 ]
 
 

@@ -2107,3 +2107,27 @@ def graph_pseudo_diameter_q(spark, sf_dir):
     return traversal.pseudo_diameter(
         get_graph(spark, sf_dir), ("region", "0"), n_sweeps=2
     )
+
+
+def _skipgram_oracle() -> str:
+    # MATERIALIZED wrap: the walks closure is an unrolled 8-step CTE
+    # chain referenced TWICE below — inlined, DuckDB would replay it
+    # per reference (the 2^n lesson from on_shortest_weighted)
+    inner = _REG["graph_random_walks"][1]
+    return f"""WITH w AS MATERIALIZED ({inner})
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w a JOIN w b
+      ON a.start = b.start AND a.step <> b.step
+     AND ABS(a.step - b.step) <= 2
+    GROUP BY 1, 2"""
+
+
+@register("graph_walk_skipgrams", _skipgram_oracle())
+def graph_walk_skipgrams_q(spark, sf_dir):
+    """Skip-gram (center, context, n) corpus from the deterministic
+    DeepWalk walks — the graph-embedding training-data export."""
+    from onionnet_spark.operators.walks import random_walks, skipgram_pairs
+
+    g = _cosupply_graph(spark, sf_dir, 60)
+    return skipgram_pairs(random_walks(g, walk_len=8), window=2)

@@ -301,3 +301,23 @@ def test_key_skew_report_hand_computed(spark):
     # a carries 60% of 10 rows over 4 keys -> 2.4x an even spread
     assert out[0]["share"] == pytest.approx(0.6, abs=1e-6)
     assert out[0]["skew_vs_mean"] == pytest.approx(2.4, abs=1e-6)
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from onionnet_spark.operators.walks import skipgram_pairs
+
+    # one walk a->b->c, window 1: adjacent pairs only, both directions
+    rows = [("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c")]
+    walks = spark.createDataFrame(rows, "start string, step int, node string")
+    got = {(r["center"], r["context"]): r["n"]
+           for r in skipgram_pairs(walks, window=1).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1,
+                   ("b", "c"): 1, ("c", "b"): 1}
+    # window 2 adds the distance-2 pairs
+    got2 = {(r["center"], r["context"]): r["n"]
+            for r in skipgram_pairs(walks, window=2).collect()}
+    assert got2[("a", "c")] == 1 and len(got2) == 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        skipgram_pairs(walks, window=0)
