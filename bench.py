@@ -67,6 +67,8 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "lineitem_zorder_key",
     "orders_custkey_skew",
+    "bloom_pruned_revenue",
+    "corpus_ingest_delta",
 ]
 
 
@@ -108,7 +110,8 @@ def main() -> None:
         "docs_bm25", "corpus_curation", "events_scd2",
         "graph_eigenvector", "chunk_dedup", "corpus_shuffle_shards",
         "multimodal_jpeg_decode", "lineitem_zorder_key",
-        "orders_custkey_skew",
+        "orders_custkey_skew", "bloom_pruned_revenue",
+        "corpus_ingest_delta",
     }
     r2_subset = sum(v for k, v in timings.items() if k not in r3_added)
     print(
