@@ -282,3 +282,30 @@ def annotate_nodes(
             out, res.select(*NODE_KEY, F.col(val_cols[0]).alias(name))
         )
     return out
+
+
+def export_adjacency(graph: OnionGraph, direction: str = "downstream") -> DataFrame:
+    """Adjacency-list export: per node, the SORTED array of its
+    'layer:id' neighbor keys plus degree — the CSR-shaped layout a
+    GNN data loader or sampling service consumes (one row per node,
+    neighbors contiguous, deterministic order).
+
+    One shuffle on the source key; collect_list runs inside the
+    aggregation (map-side partials). A hub's array is as big as its
+    degree — at 100 TB pair this with a degree cap or the bucketed
+    graph layout so one row never exceeds task memory.
+    """
+    if direction == "sym":
+        e = graph.cached_symmetrized()
+    else:
+        e = graph.cached_endpoints(direction)
+    u = F.concat_ws(":", "src_layer", "src_id")
+    v = F.concat_ws(":", "dst_layer", "dst_id")
+    return (
+        e.select(u.alias("node_key"), v.alias("nbr"))
+        .groupBy("node_key")
+        .agg(
+            F.array_sort(F.collect_list("nbr")).alias("neighbors"),
+            F.count("*").cast("bigint").alias("degree"),
+        )
+    )

@@ -123,6 +123,7 @@ _R4_BACKLOG: list[str] = [
     "corpus_ingest_delta",
     "ann_ivf_pq_residual_topk",
     "graph_walk_skipgrams",
+    "graph_adjacency_export",
 ]
 
 

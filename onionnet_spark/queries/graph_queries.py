@@ -2133,3 +2133,19 @@ def graph_walk_skipgrams_q(spark, sf_dir):
 
     g = _cosupply_graph(spark, sf_dir, 60)
     return skipgram_pairs(random_walks(g, walk_len=8), window=2)
+
+
+@register(
+    "graph_adjacency_export",
+    f"""WITH {CTES},
+    e AS (SELECT src_layer || ':' || src_id AS u,
+                 dst_layer || ':' || dst_id AS v
+          FROM edges_g)
+    SELECT u AS node_key, list(v ORDER BY v) AS neighbors,
+           CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e GROUP BY u""",
+)
+def graph_adjacency_export_q(spark, sf_dir):
+    """CSR-shaped adjacency export (sorted neighbor arrays + degree)
+    — the GNN-loader layout."""
+    return properties.export_adjacency(get_graph(spark, sf_dir), "downstream")
