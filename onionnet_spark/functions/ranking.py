@@ -166,7 +166,10 @@ def tf_cosine_topk(
             .select("term")
         )
         tf = tf.join(F.broadcast(hot), on="term", how="left_anti")
-    tf = tf.localCheckpoint(eager=False)
+    # EAGER checkpoint: tf feeds three consumers (norms + both join
+    # sides); a lazy checkpoint would replay the tokenize/cap subtree
+    # per consumer (the 10x lesson from the symmetrized-edge cache)
+    tf = tf.localCheckpoint()
     norms = tf.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     dots = (
         tf.alias("a")

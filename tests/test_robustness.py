@@ -229,3 +229,50 @@ def test_text_ops_tolerate_empty_and_null_docs(spark):
     assert q[1]["quality"] is not None
     assert q[3]["quality"] is None
     assert q[2]["quality"] is None
+
+
+def test_bloom_pruned_join_empty_dim(spark):
+    # zero dim keys -> all-zero bitmap -> every fact row pruned ->
+    # empty join (and no divide/overflow anywhere on the way)
+    from pyspark.sql import functions as F
+
+    from onionnet_spark.operators.joins import bloom_pruned_join
+
+    fact = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    dim = spark.range(0).select(F.col("id").alias("k"))
+    assert bloom_pruned_join(fact, dim, on="k").count() == 0
+
+
+def test_ingest_delta_empty_sides(spark):
+    from onionnet_spark.functions.dedup import ingest_delta
+
+    docs = spark.createDataFrame(
+        [(1, "some base document with words")], "doc_id long, text string"
+    )
+    empty = docs.limit(0)
+    # empty delta -> empty classification
+    assert ingest_delta(docs, empty).count() == 0
+    # empty base -> everything is new
+    out = ingest_delta(empty, docs).collect()
+    assert [(r["doc_id"], r["status"]) for r in out] == [(1, "new")]
+
+
+def test_chunk_dedup_empty_and_single_token_docs(spark):
+    from onionnet_spark.functions.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "word")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"]) for r in
+           chunk_dedup(df, chunk_words=3).collect()}
+    # empty text normalizes to one empty token -> one chunk; doc 3's
+    # single chunk duplicates doc 2's
+    assert out[2] == (1, 0) and out[3] == (1, 1)
+    assert out[1][0] == 1
+
+
+def test_weighted_sample_n_larger_than_population(spark):
+    from onionnet_spark.functions.corpus import weighted_sample
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "doc_id long, weight double")
+    assert weighted_sample(df, "weight", n=10).count() == 2
