@@ -6,11 +6,12 @@ opaque `binary` column (or a pointer to object storage); metadata
 JVM-side; decode / feature-extraction runs in Arrow-batched
 `mapInPandas` so Python touches data only in vectorized batches.
 
-PNG and PCM-WAV have REAL pure-Python codecs (functions/png.py,
-functions/wav.py): encode, decode, nearest-neighbor resize and
-nearest-sample resample all run for real through mapInPandas.
-Formats that need PIL/ffmpeg/librosa (JPEG, video, compressed
-audio) keep stubbed plug-in gates: those paths raise
+PNG, baseline JPEG and PCM-WAV have REAL pure-Python codecs
+(functions/png.py, functions/jpeg.py, functions/wav.py): encode,
+decode, nearest-neighbor resize, nearest-sample resample and
+perceptual dHash all run for real through mapInPandas. Formats that
+need PIL/ffmpeg/librosa (video, compressed audio, progressive/
+subsampled JPEG) keep stubbed plug-in gates: those paths raise
 NotImplementedError unless `fake=True`, whose deterministic fake
 exercises the full Spark plumbing — schema, batching, partitioning.
 """
@@ -512,4 +513,48 @@ def resample_wav_audio(df: DataFrame, target_rate: int) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         resample_batches, WAV_RESAMPLE_SCHEMA
+    )
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    near-duplicate IMAGE fingerprint: decode (PNG or baseline JPEG,
+    real codecs), integer-mean grayscale ((r+g+b)//3), nearest-
+    neighbor resize to 9x8 (src = (dst*src_dim)//dst_dim, the same
+    convention as resize_png_images), then bit(r,c) = 1 iff
+    pixel[r][c+1] > pixel[r][c]. Returns (doc_id, dhash) with the
+    64 bits as a '0'/'1' string in (row, col) order — a plain
+    equality/grouping key in any engine (and hamming-distance
+    bucketing composes exactly like SimHash's bands).
+
+    All integer arithmetic end to end, so a SQL oracle recomputes
+    the hash from a closed-form pixel pattern while THIS path runs
+    through the real byte-level decode — a codec bug flips bits.
+    """
+
+    def dhash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                arr = _decode_any_image(payload)
+                if arr.ndim == 3:
+                    arr = (
+                        arr[:, :, 0].astype(np.int64)
+                        + arr[:, :, 1]
+                        + arr[:, :, 2]
+                    ) // 3
+                arr = arr.astype(np.int64)
+                h, w = arr.shape
+                rows = (np.arange(8) * h) // 8
+                cols = (np.arange(9) * w) // 9
+                small = arr[np.ix_(rows, cols)]
+                bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8)
+                hashes.append("".join(str(b) for b in bits.flatten()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        dhash_batches, "doc_id long, dhash string"
     )

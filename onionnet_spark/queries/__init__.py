@@ -124,6 +124,7 @@ _R4_BACKLOG: list[str] = [
     "ann_ivf_pq_residual_topk",
     "graph_walk_skipgrams",
     "graph_adjacency_export",
+    "multimodal_image_dhash",
 ]
 
 

@@ -1828,3 +1828,43 @@ def ann_ivf_pq_residual_topk_q(spark, sf_dir):
         _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2, m=4,
         pq_centroids=8, iterations=2,
     )
+
+
+@register(
+    "multimodal_image_dhash",
+    # dHash from REAL decoded pixels vs a closed-form replay: the
+    # oracle recomputes grayscale (integer channel mean), the
+    # nearest-neighbor 9x8 resize (src = (dst*src_dim)//dst_dim),
+    # and the 64 adjacent-pixel comparisons straight from the synth
+    # pattern — any codec or resize-index bug flips bits.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+             FROM ids),
+    cells AS (
+      SELECT d.doc_id, d.w, d.h, di.di, dj.dj,
+             (di.di * d.h) // 8 AS si, (dj.dj * d.w) // 9 AS sj
+      FROM dims d, range(0, 8) di(di), range(0, 9) dj(dj)),
+    px AS (
+      SELECT doc_id, di, dj,
+             CASE WHEN doc_id % 2 = 0
+               THEN (doc_id * 7 + si * 13 + sj * 31) % 256
+               ELSE ((doc_id * 7 + si * 13 + sj * 31) % 256
+                   + (doc_id * 7 + si * 13 + sj * 31 + 17) % 256
+                   + (doc_id * 7 + si * 13 + sj * 31 + 34) % 256) // 3
+             END AS p
+      FROM cells),
+    bits AS (
+      SELECT a.doc_id, a.di, a.dj,
+             CASE WHEN b.p > a.p THEN '1' ELSE '0' END AS bit
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.di = a.di AND b.dj = a.dj + 1
+      WHERE a.dj < 8)
+    SELECT doc_id, string_agg(bit, '' ORDER BY di, dj) AS dhash
+    FROM bits GROUP BY doc_id""",
+)
+def multimodal_image_dhash(spark, sf_dir):
+    """Perceptual dHash over really-decoded PNG payloads — the
+    multimodal near-dup fingerprint (group by dhash to dedup, band
+    the bitstring for hamming-near pairs like SimHash)."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return multimodal.image_dhash(multimodal.synth_png_payload(ids))

@@ -621,3 +621,42 @@ def test_ivf_pq_residual_beats_raw_coordinates(spark, sf_dir):
     rows = similarity.ann_ivf_pq_residual_topk(embs, **kw).collect()
     assert all(1 <= r["rank"] <= 5 and r["query_id"] != r["neighbor_id"]
                for r in rows)
+
+
+def test_image_dhash_similarity_properties(spark):
+    import numpy as np
+
+    from onionnet_spark.functions import png as _png
+    from onionnet_spark.functions.multimodal import image_dhash
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[0, 0] = (int(tweaked[0, 0]) + 3) % 256  # tiny perturbation
+    different = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+    rows = [
+        (1, _png.encode_png(base)),
+        (2, _png.encode_png(base)),       # identical bytes
+        (3, _png.encode_png(tweaked)),
+        (4, _png.encode_png(different)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in h.values())
+    assert h[1] == h[2]  # identical images hash identically
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert ham(h[1], h[3]) <= 2        # near-identical: tiny distance
+    assert ham(h[1], h[4]) > 10        # unrelated: far
+
+
+def test_image_dhash_decodes_jpeg_payloads_too(spark):
+    from onionnet_spark.functions import multimodal
+
+    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    h = {r["doc_id"]: r["dhash"] for r in
+         multimodal.image_dhash(multimodal.synth_jpeg_payload(ids)).collect()}
+    # uniform images have NO increasing adjacent pairs: all-zero hash
+    assert set(h.values()) == {"0" * 64}
