@@ -558,3 +558,50 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         dhash_batches, "doc_id long, dhash string"
     )
+
+
+def audio_fingerprint(df: DataFrame, frame_len: int = 8) -> DataFrame:
+    """Energy-delta audio fingerprint — the Shazam-family idea in
+    its simplest robust form: decode (real PCM codec), mix to mono
+    by SUMMING channels (integer-exact, no division), cut into
+    `frame_len`-sample frames (trailing partial frame kept), take
+    per-frame energy = sum of squared samples, and emit one bit per
+    adjacent frame pair: 1 iff energy rose. Identical clips collide;
+    a re-gained copy (scaled samples) keeps most bits because only
+    the SIGN of the energy delta matters.
+
+    Returns (doc_id, n_frames, fingerprint) with the bits as a
+    '0'/'1' string in time order — a grouping key like image_dhash,
+    all integer arithmetic, SQL-oracle-replayable.
+    """
+
+    def fp_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import wav as _wav
+
+        for pdf in batches:
+            nfs, fps = [], []
+            for payload in pdf["payload"]:
+                samples, _sr = _wav.decode_wav(payload)
+                mono = samples.astype(np.int64).sum(axis=1)
+                n_frames = -(-len(mono) // frame_len)
+                pad = n_frames * frame_len - len(mono)
+                if pad:
+                    mono = np.concatenate([mono, np.zeros(pad, dtype=np.int64)])
+                energy = (mono.reshape(n_frames, frame_len) ** 2).sum(axis=1)
+                bits = (energy[1:] > energy[:-1]).astype(np.uint8)
+                nfs.append(n_frames)
+                fps.append("".join(str(b) for b in bits))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "fingerprint": fps,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        fp_batches, "doc_id long, n_frames int, fingerprint string"
+    )

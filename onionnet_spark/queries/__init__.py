@@ -125,6 +125,7 @@ _R4_BACKLOG: list[str] = [
     "graph_walk_skipgrams",
     "graph_adjacency_export",
     "multimodal_image_dhash",
+    "multimodal_audio_fingerprint",
 ]
 
 

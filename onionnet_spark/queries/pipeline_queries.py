@@ -1868,3 +1868,40 @@ def multimodal_image_dhash(spark, sf_dir):
     the bitstring for hamming-near pairs like SimHash)."""
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     return multimodal.image_dhash(multimodal.synth_png_payload(ids))
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    # energy-delta bits replayed from the closed-form PCM pattern;
+    # mono mix is a channel SUM (no division) and energies are exact
+    # integer sums, so the oracle is pure integer arithmetic
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 40 + doc_id % 13 AS n, 1 + doc_id % 2 AS ch
+             FROM ids),
+    sv AS (
+      SELECT d.doc_id, d.n, t.t, t.t // 8 AS frame,
+             SUM(((d.doc_id * 31 + t.t * 7 + c.c * 11) % 2003) - 1001) AS mono
+      FROM dims d
+      JOIN range(0, 53) t(t) ON t.t < d.n
+      JOIN range(0, 2) c(c) ON c.c < d.ch
+      GROUP BY d.doc_id, d.n, t.t),
+    en AS (SELECT doc_id, n, frame, SUM(mono * mono) AS energy
+           FROM sv GROUP BY doc_id, n, frame),
+    lagged AS (
+      SELECT doc_id, n, frame, energy,
+             LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+      FROM en),
+    bits AS (
+      SELECT doc_id, n, frame,
+             CASE WHEN energy > prev THEN '1' ELSE '0' END AS bit
+      FROM lagged WHERE prev IS NOT NULL)
+    SELECT doc_id,
+           CAST(CEIL(MAX(n) / 8.0) AS INT) AS n_frames,
+           string_agg(bit, '' ORDER BY frame) AS fingerprint
+    FROM bits GROUP BY doc_id""",
+)
+def multimodal_audio_fingerprint(spark, sf_dir):
+    """Energy-delta fingerprint over really-decoded PCM — the audio
+    sibling of multimodal_image_dhash."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return multimodal.audio_fingerprint(multimodal.synth_wav_payload(ids))

@@ -660,3 +660,28 @@ def test_image_dhash_decodes_jpeg_payloads_too(spark):
          multimodal.image_dhash(multimodal.synth_jpeg_payload(ids)).collect()}
     # uniform images have NO increasing adjacent pairs: all-zero hash
     assert set(h.values()) == {"0" * 64}
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    import numpy as np
+
+    from onionnet_spark.functions import wav as _wav
+    from onionnet_spark.functions.multimodal import audio_fingerprint
+
+    rng = np.random.default_rng(3)
+    clip = rng.integers(-800, 800, (64, 1)).astype(np.int16)
+    louder = (clip * 2).astype(np.int16)  # re-gained copy
+    other = rng.integers(-800, 800, (64, 1)).astype(np.int16)
+    rows = [
+        (1, _wav.encode_wav(clip, 8000)),
+        (2, _wav.encode_wav(clip, 8000)),
+        (3, _wav.encode_wav(louder, 8000)),
+        (4, _wav.encode_wav(other, 8000)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["n_frames"], r["fingerprint"])
+           for r in audio_fingerprint(df).collect()}
+    assert got[1] == got[2]            # identical clips collide
+    assert got[1] == got[3]            # uniform gain: energy ORDER unchanged
+    assert got[1] != got[4]            # different content differs
+    assert got[1][0] == 8 and len(got[1][1]) == 7
