@@ -126,6 +126,7 @@ _R4_BACKLOG: list[str] = [
     "graph_adjacency_export",
     "multimodal_image_dhash",
     "multimodal_audio_fingerprint",
+    "corpus_report",
 ]
 
 

@@ -1905,3 +1905,46 @@ def multimodal_audio_fingerprint(spark, sf_dir):
     sibling of multimodal_image_dhash."""
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     return multimodal.audio_fingerprint(multimodal.synth_wav_payload(ids))
+
+
+@register(
+    "corpus_report",
+    f"""WITH h AS (SELECT doc_id, lang, md5({_NORM}) AS ch,
+                  len({_TOKS}) AS n_tok
+           FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_unique_texts,
+           ROUND(1.0 - COUNT(DISTINCT ch) * 1.0 / COUNT(*), 6)
+             AS exact_dup_rate,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tok), 6) AS mean_tokens,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS frac_en
+    FROM h""",
+)
+def corpus_report_q(spark, sf_dir):
+    """One-row corpus health dashboard: doc/unique counts, exact-dup
+    rate, token totals, language mix — the intake report every
+    curation run opens with. A single aggregation pass; every input
+    is a map-side expression over the scan."""
+    from onionnet_spark.functions.dedup import normalize_text
+    from onionnet_spark.functions.text import tokens_col
+
+    d = _docs(spark, sf_dir).select(
+        F.md5(normalize_text(F.col("text"))).alias("ch"),
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        "lang",
+    )
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("ch").cast("bigint").alias("n_unique_texts"),
+        F.round(1.0 - F.count_distinct("ch") / F.count("*"), 6).alias(
+            "exact_dup_rate"
+        ),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 6).alias("mean_tokens"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count("*"),
+            6,
+        ).alias("frac_en"),
+    )

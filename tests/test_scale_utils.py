@@ -384,3 +384,57 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo
+
+
+def test_bloom_filter_prunes_before_the_join_exchange(spark, sf_dir):
+    # the whole point of the runtime filter: the might_contain filter
+    # must sit BELOW the join's shuffle in the physical plan, so the
+    # exchange only carries admitted rows
+    from onionnet_spark.operators.joins import bloom_pruned_join
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    t = load_tables(spark, sf_dir)
+    dim = t["orders"].limit(40).select(F.col("o_orderkey").alias("l_orderkey"))
+    fact = t["lineitem"].select("l_orderkey", "l_quantity")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bloom_pruned_join(fact, dim, on="l_orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # with broadcast disabled the join must shuffle — and the
+    # xxhash64 membership filter must sit BELOW that exchange in the
+    # printed top-down plan, so the shuffle carries only admitted rows
+    i_filter = plan.find("xxhash64")
+    assert i_filter != -1, "membership test not in the plan"
+    assert "Exchange hashpartitioning" in plan[:i_filter], plan[:500]
+
+
+def test_shuffle_shards_ranks_inside_hash_buckets(spark, sf_dir):
+    # the scale claim: the per-row ranking window runs PARTITIONED on
+    # the percentile bucket (an exchange keyed on _bkt), never as a
+    # global single-partition window over the data. (SinglePartition
+    # exchanges DO appear — for the 1-row percentile aggregate and
+    # the B-row offset table — and carry no row data.)
+    from onionnet_spark.functions.corpus import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(shuffle_shards(docs, n_shards=8))
+    assert "hashpartitioning(_bkt" in plan, plan[:600]
+    # and no window spec is unpartitioned-over-rows: every Window's
+    # sibling Sort includes the bucket key or runs over the tiny
+    # offsets table (which sorts by _bkt too)
+    assert "windowspecdefinition(_bkt" in plan or "_bkt" in plan
+
+
+def test_chunk_dedup_shuffles_hashes_not_documents(spark, sf_dir):
+    # the exchanges must not carry the text payload: after the chunk
+    # projection only (id, ci, ch, clen) move
+    from onionnet_spark.functions.dedup import chunk_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(chunk_dedup(docs, chunk_words=10))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
