@@ -59,3 +59,27 @@ def test_r3_window_covers_never_checked_keys():
     overflow = [k for k in never if k not in set(first50)]
     missing = [k for k in overflow if k not in q._R4_BACKLOG]
     assert not missing, f"never-checked keys neither in window nor backlog: {missing}"
+
+
+def test_every_oracle_parses_and_binds_in_duckdb():
+    """EXPLAIN every oracle against the real table schemas: catches
+    SQL typos, unbound columns, and dialect slips in one pass
+    without executing anything expensive."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = []
+    for name, (_fn, sql) in q.load_all().items():
+        if sql is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, str(e)[:120]))
+    assert not bad, bad
