@@ -296,22 +296,29 @@ def weighted_sample(
     quality-weighted corpus subsample: weight by a quality score and
     the sample tilts toward better documents while every document
     keeps a nonzero chance.
+
+    Cross-engine stability: ln() is not a correctly-rounded IEEE op,
+    so JVM Math.log and libm can differ by 1 ulp. The selection key is
+    therefore floor-quantized to an integer 1e-6 grid (divergence now
+    needs the true key within 1 ulp of a grid line, ~1e-10/row,
+    instead of any decimal ROUND half-way boundary) and ties on the
+    quantized key break by id — the same fix the PQ residual paths
+    use for continuous-double ordering.
     """
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
     hv = F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
     u = (hv + 1.0) / float((1 << 48) + 1)
     w = F.col(weight_col).cast("double")
-    key = F.log(u) / w
+    key_q = F.floor(F.log(u) / w * F.lit(1000000.0)).cast("bigint")
     return (
         df.filter(w > 0)
         .select(
             F.col(id_col),
             w.alias("weight"),
-            key.alias("_k"),
+            key_q.alias("sel_key"),
         )
-        .orderBy(F.col("_k").desc(), F.col(id_col))
+        .orderBy(F.col("sel_key").desc(), F.col(id_col))
         .limit(n)
-        .select(id_col, "weight", F.round("_k", 6).alias("sel_key"))
     )
 
 

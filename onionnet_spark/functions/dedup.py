@@ -449,12 +449,18 @@ def doc_chunks(
     maintainer."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
     n_chunks = F.ceil(F.size("t") / F.lit(chunk_words)).cast("int")
+    # NULL text: size(null) = -1 and F.sequence(0, -1) auto-steps DOWN,
+    # yielding [0, -1] — two phantom chunks the oracle never emits.
+    # Guard exactly like word_shingles: empty array -> explode drops row.
+    chunk_idx = F.when(
+        F.size("t") >= 1, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(F.col(id_col).alias("id"), toks.alias("t"))
         .select(
             "id",
             "t",
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+            F.explode(chunk_idx).alias("ci"),
         )
         .select(
             "id",

@@ -430,6 +430,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+        # before a marker; skip them (marker byte itself is never 0xFF).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -130,6 +130,14 @@ _R4_BACKLOG: list[str] = [
 ]
 
 
+# Queries new in round 4: first driver check this round, right after
+# the backlog drains (window is 50 slots; 19 backlog + these).
+_R4_NEW: list[str] = [
+    "bipartite_layout",
+    "style_columns_power",
+]
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
         relational,
@@ -139,6 +147,12 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     ordered: dict[str, tuple[QueryFn, str | None]] = {}
+    # Round 4: the 19 backlog keys (born after r3's window filled) go
+    # first so the driver finally records them, then queries new in
+    # round 4, then everything already on record in r01-r03.
+    for name in _R4_BACKLOG + _R4_NEW:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
     for name in _R3_WINDOW:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]

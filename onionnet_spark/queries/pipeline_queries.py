@@ -42,8 +42,13 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
+# Unnest ranges are DERIVED FROM THE DATA (max token/char count
+# subquery), not a fixed fixture-sized cap: a corpus with longer
+# documents widens the range instead of silently truncating shingles
+# and hash-mismatching with no diagnostic (ADVICE r3).
 _SHINGLES_SQL = f"""norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
-    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len(a)), 0) FROM norm), 2))) AS i),
     sh AS (SELECT DISTINCT doc_id AS id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
            FROM norm JOIN nums ON i <= len(a) - 2),
     sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id)"""
@@ -522,7 +527,8 @@ def lang_id(spark, sf_dir):
 @register(
     "doc_fingerprint",
     f"""WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
-    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(length(s)), 0) FROM norm), 2))) AS i),
     grams AS (
       SELECT doc_id, i AS pos, substr(md5(substr(s, i, 8)), 1, 8) AS h
       FROM norm JOIN nums ON i <= greatest(length(s) - 7, 1)
@@ -795,7 +801,8 @@ _SH5 = "a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4]
     # even doc_ids act as the training corpus, odd ones as the test
     # set; 5-gram overlap fraction per test doc
     f"""WITH norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
-    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len(a)), 0) FROM norm), 2))) AS i),
     tr AS MATERIALIZED (
       SELECT DISTINCT {_SH5} AS sh
       FROM norm JOIN nums ON i <= len(a) - 4 WHERE doc_id % 2 = 0),
@@ -950,7 +957,8 @@ _REG2["corpus_curation"] = (corpus_curation_q, _curate_oracle())
     ls AS (SELECT doc_id, ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6)
              AS dup_line_frac FROM lc GROUP BY doc_id),
     norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
-    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len(a)), 0) FROM norm), 2))) AS i),
     bg AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bg
            FROM norm JOIN nums ON i <= len(a) - 1),
     bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
@@ -1488,7 +1496,8 @@ def corpus_shuffle_shards_q(spark, sf_dir):
 @register(
     "chunk_dedup",
     f"""WITH norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
-    nums AS (SELECT UNNEST(range(0, 5000)) AS i),
+    nums AS (SELECT UNNEST(range(0, (SELECT COALESCE(
+        CAST(ceil(MAX(len(a)) / 10.0) AS BIGINT), 0) + 1 FROM norm))) AS i),
     chunks AS (
       SELECT doc_id AS id, i AS ci,
              md5(array_to_string(a[i*10+1 : i*10+10], ' ')) AS ch,
@@ -1581,11 +1590,12 @@ def multimodal_jpeg_decode(spark, sf_dir):
                   AS BIGINT) AS hv
       FROM documents WHERE n_chars > 0),
     k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
-                 ln((hv + 1.0) / 281474976710657.0)
-                   / CAST(n_chars AS DOUBLE) AS key
+                 CAST(floor(ln((hv + 1.0) / 281474976710657.0)
+                            / CAST(n_chars AS DOUBLE) * 1000000.0)
+                      AS BIGINT) AS sel_key
           FROM h)
-    SELECT doc_id, weight, ROUND(key, 6) AS sel_key
-    FROM k ORDER BY key DESC, doc_id LIMIT 50""",
+    SELECT doc_id, weight, sel_key
+    FROM k ORDER BY sel_key DESC, doc_id LIMIT 50""",
 )
 def corpus_weighted_sample_q(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample (n=50, weight=n_chars):
@@ -1600,7 +1610,8 @@ def corpus_weighted_sample_q(spark, sf_dir):
     "bpe_merge_candidates",
     f"""WITH w0 AS (SELECT unnest({_TOKS}) AS w FROM documents),
     w2 AS (SELECT w FROM w0 WHERE length(w) >= 2),
-    nums AS (SELECT unnest(range(1, 100)) AS i),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(length(w)), 0) FROM w2), 2))) AS i),
     p AS (SELECT substr(w, i, 2) AS pair
           FROM w2 JOIN nums ON i <= length(w) - 1),
     c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair),
@@ -1627,7 +1638,8 @@ def bpe_merge_candidates_q(spark, sf_dir):
       FROM dh JOIN bh USING (ch) GROUP BY id),
     rem AS (SELECT * FROM d
             WHERE doc_id NOT IN (SELECT id FROM exact)),
-    nums AS (SELECT UNNEST(range(1, 5000)) AS i),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len({_TOKS})), 0) FROM documents), 2))) AS i),
     dn AS (SELECT doc_id, {_TOKS} AS a FROM rem),
     bn AS (SELECT doc_id, {_TOKS} AS a FROM b),
     dsh AS (SELECT DISTINCT doc_id AS id,

@@ -5,8 +5,10 @@ decoded (PNG/baseline JPEG codecs) and dHashed inside mapInPandas,
 checked against the corpus-wide index of seen hashes (and, within
 the batch, against itself with a smallest-doc_id-first rule), and
 appended to the index. Emits per-image rows exactly once:
-(doc_id, dhash, is_dup, match_id) where match_id is the smallest
-earlier doc sharing the hash.
+(doc_id, dhash, is_dup, match_id) under first-arrival-wins: a
+prior-batch hit matches the index's first_id (the earlier ARRIVAL,
+never the row itself, even for out-of-id-order streams); an
+in-batch duplicate matches the batch's smallest doc_id.
 
 Same state discipline as the other maintainers (dedup_stream,
 chunk_stream): one localCheckpoint-ed frame of (dhash, min doc_id),
@@ -46,10 +48,11 @@ class StreamingImageDedupMaintainer:
                 ((F.col("rk") > 1) | F.col("first_id").isNotNull()).alias(
                     "is_dup"
                 ),
-                F.when(
-                    F.col("first_id").isNotNull(),
-                    F.least("first_id", F.col("batch_first")),
-                )
+                # First-arrival-wins: a prior-batch hit (first_id) IS
+                # the earlier arrival, even when the in-batch minimum
+                # id is smaller (out-of-id-order streams) — least()
+                # here could point a row's match at itself.
+                F.when(F.col("first_id").isNotNull(), F.col("first_id"))
                 .otherwise(
                     F.when(F.col("rk") > 1, F.col("batch_first"))
                 )
