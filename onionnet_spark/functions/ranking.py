@@ -121,6 +121,8 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col("id").asc())
         .limit(k)
     )
+    # unpartitioned Window is BOUNDED: `scored` is post-limit(k),
+    # so the single-partition rank touches at most k rows
     w = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "bm25", "rank"

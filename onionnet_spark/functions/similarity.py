@@ -276,8 +276,14 @@ def kmeans_codebook(
 
     - Seeds: the k vectors whose md5(id) sort first — a deterministic
       pseudo-random sample (no RNG, reproducible across engines).
-    - Assign: argmax cosine to current centroids (broadcast K-row
-      table + window argmax; cosines rounded to 6 dp, cid tie-break).
+    - Assign: argmax cosine to current centroids as a
+      groupBy(id).agg(min_by) — the crossJoin with the broadcast
+      K-row codebook emits each vector's K scored rows inside one
+      task, so the argmax completes in the MAP-SIDE partial
+      aggregation and the exchange carries one row per vector,
+      instead of the previous window's N*K-row shuffle plus per-id
+      sort. min_by on struct(-cc, cid) reproduces the exact
+      (cc desc, cid asc) tie-break (cosines rounded to 6 dp first).
     - Update: per-dimension mean of assigned vectors via posexplode +
       groupBy(cid, pos) — one shuffle keyed on (cid, pos), rebuilt
       into arrays with array_sort(collect_list(struct)). Every
@@ -288,10 +294,10 @@ def kmeans_codebook(
     behavior). Returns DataFrame(cid, cv: array<double>); cid is the
     seed vector's id. Scale: data is touched `iterations` times with
     map-side cost K*dim per row; only the K-row codebook is ever
-    broadcast/checkpointed.
+    broadcast/checkpointed. `k` here is the codebook size: the
+    default 8 is a test-scale toy — size it ~sqrt(N) for a corpus
+    (see ann_ivf_topk's scale contract).
     """
-    from pyspark.sql import Window
-
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cents = (
         v.orderBy(F.md5(F.col("id").cast("string")), "id")
@@ -302,16 +308,18 @@ def kmeans_codebook(
         )
         .localCheckpoint()
     )
-    w_assign = Window.partitionBy("id").orderBy(
-        F.col("cc").desc(), F.col("cid").asc()
-    )
     for _ in range(iterations):
         assigned = (
             v.crossJoin(F.broadcast(cents))
             .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("id", "v", "cid")
+            .groupBy("id")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "v"),
+                    F.struct((-F.col("cc")).alias("nc"), F.col("cid").alias("tb")),
+                ).alias("a")
+            )
+            .select("id", F.col("a.v").alias("v"), F.col("a.cid").alias("cid"))
         )
         cents = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -346,6 +354,16 @@ def ann_ivf_topk(
     into exactly one cell; a query probing `nprobe` cells therefore
     sees each candidate at most once. Search cost is
     nprobe * sum(cell * |cell|) instead of n².
+
+    SCALE CONTRACT: n_centroids=8 / nprobe=1 are sf-toy defaults for
+    the 2.5k-vector fixtures. At corpus scale size the codebook
+    ~sqrt(N) (FAISS guidance: 4*sqrt(N)..16*sqrt(N) cells for
+    N >= 1e6) so mean cell size ~sqrt(N) — with 8 cells a 1e9-vector
+    corpus would put ~1.25e8 candidates in EVERY probe and the
+    cell-local join degenerates toward all-pairs. Train once via
+    kmeans_codebook(k=...) and inject through `codebook`/`cents`
+    injection (ann_ivf_pq_topk's `coarse`/`pq_cents`); training is
+    deterministic so the codebook is reusable across runs.
     """
     from pyspark.sql import Window
 
@@ -364,16 +382,32 @@ def ann_ivf_topk(
         .crossJoin(F.broadcast(cents))
         .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
     )
-    w_assign = Window.partitionBy("id").orderBy(
-        F.col("cc").desc(), F.col("cid").asc()
+    # top-nprobe cells per vector WITHOUT a window: the broadcast
+    # crossJoin emits each id's K scored rows in one task, so
+    # collect_list + array_sort + slice finishes in the map-side
+    # partial agg and the exchange carries ONE row per vector (v
+    # rides along via first()) instead of N*K rows through a per-id
+    # sort. struct(-cc, cid) ascending == (cc desc, cid asc) exactly.
+    top = (
+        scored.groupBy("id")
+        .agg(
+            F.first("v").alias("v"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("cc")).alias("nc"), F.col("cid").alias("cid"))
+                    )
+                ),
+                1,
+                max(nprobe, 1),
+            ).alias("cand"),
+        )
+        .select("id", "v", F.posexplode("cand").alias("pos", "c"))
+        .select("id", "v", F.col("c.cid").alias("bucket"), "pos")
+        .localCheckpoint()
     )
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).localCheckpoint()
-    index_side = ranked.filter(F.col("rn") == 1).select(
-        "id", "v", F.col("cid").alias("bucket")
-    )
-    probe_side = ranked.filter(F.col("rn") <= nprobe).select(
-        "id", "v", F.col("cid").alias("bucket")
-    )
+    index_side = top.filter(F.col("pos") == 0).select("id", "v", "bucket")
+    probe_side = top.select("id", "v", "bucket")
     pairs = (
         probe_side.alias("a")
         .join(index_side.alias("b"), on="bucket")
@@ -388,6 +422,34 @@ def ann_ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _top_cells(scored: DataFrame, nprobe: int) -> DataFrame:
+    """Top-`nprobe` coarse cells per vector from an (id, cid, cc)
+    scored frame, windowless: the broadcast crossJoin that produced
+    `scored` emits each id's K rows inside one task, so collect_list
+    + array_sort + slice completes in the map-side partial
+    aggregation and the exchange carries one light row per vector —
+    not N*K rows through a per-id sort. struct(-cc, cid) ascending
+    reproduces (cc desc, cid asc) exactly. Returns (id, bucket, pos)
+    with pos 0-based (pos 0 = the vector's own cell).
+    """
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("cc")).alias("nc"), F.col("cid").alias("cid"))
+                    )
+                ),
+                1,
+                max(nprobe, 1),
+            ).alias("cand")
+        )
+        .select("id", F.posexplode("cand").alias("pos", "c"))
+        .select("id", F.col("c.cid").alias("bucket"), "pos")
+    )
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -453,18 +515,21 @@ def pq_codebooks(
         )
         .localCheckpoint()
     )
-    from pyspark.sql import Window
-
-    w_assign = Window.partitionBy("j", "id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
+    # argmin centroid per (subspace, vector) as a map-side min_by
+    # partial aggregation — see kmeans_codebook's assign note.
     for _ in range(iterations):
         assigned = (
             svs.join(F.broadcast(cents), on="j")
             .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("j", "id", "sv", "cid")
+            .groupBy("j", "id")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "sv"), F.struct("d2", "cid")
+                ).alias("a")
+            )
+            .select(
+                "j", "id", F.col("a.sv").alias("sv"), F.col("a.cid").alias("cid")
+            )
         )
         cents = (
             assigned.select("j", "cid", F.posexplode("sv").alias("pos", "x"))
@@ -533,13 +598,10 @@ def ann_pq_topk(
     scored = svs.join(F.broadcast(cents), on="j").withColumn(
         "d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6)
     )
-    w_code = Window.partitionBy("j", "id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
-    codes = (
-        scored.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select(F.col("id"), "j", "cid")
+    # per-(vector, subspace) code = argmin centroid as a map-side
+    # min_by partial aggregation (see kmeans_codebook's assign note)
+    codes = scored.groupBy("id", "j").agg(
+        F.min_by("cid", F.struct("d2", "cid")).alias("cid")
     )
     # ADC lookup table: every row of `scored` IS a query-to-centroid
     # subdistance — reuse it directly
@@ -596,6 +658,12 @@ def ann_ivf_pq_topk(
     codebooks can be injected via `coarse` / `pq_cents` (both or
     neither) — training is deterministic, so a caller serving many
     queries trains once and reuses.
+
+    SCALE CONTRACT: n_centroids=8 / nprobe=2 / m=4 are sf-toy
+    defaults. At corpus scale, n_centroids ~sqrt(N) (see
+    ann_ivf_topk) or the per-cell candidate joins explode; m scales
+    with dim (FAISS: dim/m in 4..16 floats per subspace); train the
+    codebooks once and inject them via `coarse`/`pq_cents`.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -623,16 +691,10 @@ def ann_ivf_pq_topk(
         .crossJoin(F.broadcast(coarse))
         .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
     )
-    w_assign = Window.partitionBy("id").orderBy(
-        F.col("cc").desc(), F.col("cid").asc()
-    )
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).localCheckpoint()
-    index_side = ranked.filter(F.col("rn") == 1).select(
-        "id", F.col("cid").alias("bucket")
-    )
-    probe_side = ranked.filter(F.col("rn") <= nprobe).select(
-        "id", F.col("cid").alias("bucket")
-    )
+    # map-side top-nprobe cell assignment — see ann_ivf_topk's note
+    top = _top_cells(scored, nprobe).localCheckpoint()
+    index_side = top.filter(F.col("pos") == 0).select("id", "bucket")
+    probe_side = top.select("id", "bucket")
     cand = (
         probe_side.alias("q")
         .join(index_side.alias("x"), on="bucket")
@@ -662,12 +724,9 @@ def ann_ivf_pq_topk(
     pq_scored = svs.join(F.broadcast(pq_cents), on="j").withColumn(
         "d2", F.round(_l2sq(F.col("sv"), F.col("cv")), 6)
     )
-    w_code = Window.partitionBy("j", "id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
     codes = (
-        pq_scored.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
+        pq_scored.groupBy("id", "j")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
         .select(F.col("id").alias("nid"), "j", "cid")
     )
     qtab = pq_scored.select(F.col("id").alias("query_id"), "j", "cid", "d2")
@@ -731,16 +790,10 @@ def ann_ivf_pq_residual_topk(
         .crossJoin(F.broadcast(coarse))
         .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
     )
-    w_assign = Window.partitionBy("id").orderBy(
-        F.col("cc").desc(), F.col("cid").asc()
-    )
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).localCheckpoint()
-    index_side = ranked.filter(F.col("rn") == 1).select(
-        "id", F.col("cid").alias("bucket")
-    )
-    probe_side = ranked.filter(F.col("rn") <= nprobe).select(
-        "id", F.col("cid").alias("bucket")
-    )
+    # map-side top-nprobe cell assignment — see ann_ivf_topk's note
+    top = _top_cells(scored, nprobe).localCheckpoint()
+    index_side = top.filter(F.col("pos") == 0).select("id", "bucket")
+    probe_side = top.select("id", "bucket")
     cand = (
         probe_side.alias("q")
         .join(index_side.alias("x"), on="bucket")
@@ -811,12 +864,9 @@ def ann_ivf_pq_residual_topk(
     ).withColumn(
         "d2", F.floor(_l2sq(F.col("sv"), F.col("cv")) + 0.5).cast("bigint")
     )
-    w_code = Window.partitionBy("j", "id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
     codes = (
-        code_scored.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
+        code_scored.groupBy("id", "j")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
         .select(F.col("id").alias("nid"), "j", "cid")
     )
     # query-side ADC rows: the query's residual PER PROBED CELL

@@ -426,6 +426,8 @@ def bpe_merge_candidates(
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy(F.desc("n"), "pair")
         .limit(top_n)
+        # unpartitioned Window is BOUNDED: it runs after limit(top_n),
+        # so at most top_n rows funnel through the single partition
         .withColumn(
             "rank",
             F.row_number().over(

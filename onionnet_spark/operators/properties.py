@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from onionnet_spark.core import NODE_KEY, OnionGraph
@@ -209,45 +209,180 @@ def layout_by_layer(
     )
 
 
+_STYLE_TRANSFORMS = {
+    "abs": F.abs,
+    "sqrt": F.sqrt,
+    "log1p": F.log1p,
+}
+
+
 def style_columns(
     graph: OnionGraph,
     size_prop: str,
     color_prop: str,
     size_range: tuple[float, float] = (1.0, 10.0),
+    power: float = 1.0,
+    transform: str | Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Property-to-size/color mapping: the data side of the
-    reference's visualisation helpers (onionnet/visualisation.py maps
-    a numeric property to vertex size and a categorical property to
-    a color index before graph_draw).
+    reference's visualisation helpers (onionnet/visualisation.py
+    prop_to_size, :734-790, maps a numeric property to vertex size
+    with optional transform_func and power; graph_draw colors by a
+    categorical property).
 
-    size  = min-max scaling of `size_prop` into `size_range`
-            (constant mid-range if the property is constant);
+    size  = lo + ((t(v) - mn) / (mx - mn)) ** power * (hi - lo)
+            where t = `transform` (named: abs/sqrt/log1p, or any
+            Column -> Column callable) applied BEFORE the min/max,
+            and (lo, hi) = `size_range`. Constant property ->
+            mid-range, like the reference. The reference applies the
+            power to the RAW values but interps them against the
+            un-powered min/max (np.interp then clamps most of the
+            range to `ma`); scaling the NORMALIZED value keeps the
+            documented intent — nonlinear emphasis inside the full
+            output range — without the clamp artifact.
     color = dense dictionary code of `color_prop` (broadcast dict).
+
+    Cross-engine note: small integer powers are expanded to repeated
+    multiplication (correctly-rounded IEEE ops, bit-identical in any
+    engine); fractional powers go through pow(), which libm does not
+    correctly round — oracles should prefer integer powers.
 
     Returns (layer, node_id, size, color_code).
     """
     from onionnet_spark.functions.encoding import build_dictionary
 
-    stats = graph.nodes.agg(
-        F.min(size_prop).alias("mn"), F.max(size_prop).alias("mx")
-    )
+    if transform is None:
+        tcol = F.col(size_prop)
+    elif callable(transform):
+        tcol = transform(F.col(size_prop))
+    else:
+        try:
+            tcol = _STYLE_TRANSFORMS[transform](F.col(size_prop))
+        except KeyError:
+            raise ValueError(
+                f"unknown transform {transform!r}; "
+                f"named options: {sorted(_STYLE_TRANSFORMS)}"
+            ) from None
+
+    base = graph.nodes.withColumn("_tv", tcol)
+    stats = base.agg(F.min("_tv").alias("mn"), F.max("_tv").alias("mx"))
     color_dict = build_dictionary(graph.nodes, color_prop).select(
         F.col("value").alias(color_prop), F.col("code").alias("color_code")
     )
     lo, hi = size_range
     span = F.col("mx") - F.col("mn")
-    size = F.when(
-        span > 0,
-        lo + (F.col(size_prop) - F.col("mn")) / span * (hi - lo),
-    ).otherwise(F.lit((lo + hi) / 2.0))
+    norm = (F.col("_tv") - F.col("mn")) / span
+    if float(power) == 1.0:
+        powered = norm
+    elif float(power).is_integer() and 2 <= int(power) <= 4:
+        powered = norm
+        for _ in range(int(power) - 1):
+            powered = powered * norm
+    else:
+        powered = F.pow(norm, float(power))
+    size = F.when(span > 0, lo + powered * (hi - lo)).otherwise(
+        F.lit((lo + hi) / 2.0)
+    )
     return (
-        graph.nodes.crossJoin(F.broadcast(stats))
+        base.crossJoin(F.broadcast(stats))
         .join(F.broadcast(color_dict), on=color_prop, how="left")
         .select(
             "layer",
             "node_id",
             F.round(size, 6).alias("size"),
             "color_code",
+        )
+    )
+
+
+def bipartite_ordered_layout(
+    graph: OnionGraph,
+    left_layer: str,
+    right_layer: str,
+    sort_left_by: str = "node_id",
+    vertical_spacing: float = 30.0,
+    horizontal_spacing: float = 1.0,
+) -> DataFrame:
+    """Barycenter bipartite layout: coordinates that make the
+    left-right edges as horizontal as possible (the data side of
+    reference visualisation.py:539-624 bipartite_ordered_layout).
+
+    1) left side  = nodes of `left_layer`, ranked by `sort_left_by`
+       (reference default: vertex id -> our node_id);
+    2) right side = nodes of `right_layer`, ranked by the AVERAGE
+       left-rank of their neighbors across edges in either direction
+       (no-neighbor nodes average 0, like the reference; ties break
+       by node_id where the reference's stable sort keeps vertex
+       order). Per reference all_neighbors semantics, multi-edges
+       count once per edge in the average.
+    3) x = 0 (left) / `horizontal_spacing` (right);
+       y = rank * `vertical_spacing`.
+
+    Scale shape: the per-side ranks are windows partitioned by layer
+    — one partition per side, fine for the rendering-sized graphs a
+    layout targets; for a layout over a billion-node side, swap the
+    rank for functions.corpus.global_rank's two-phase
+    percentile-bucket ranking. The average is an integer-sum /
+    count division (correctly-rounded IEEE), so rank order is
+    engine-exact.
+
+    Returns (layer, node_id, x, y).
+    """
+    from pyspark.sql import Window
+
+    left = graph.nodes.filter(F.col("layer") == left_layer)
+    right = graph.nodes.filter(F.col("layer") == right_layer)
+    lw = Window.partitionBy("layer").orderBy(sort_left_by)
+    left_idx = left.select(
+        "layer",
+        "node_id",
+        (F.row_number().over(lw) - 1).cast("bigint").alias("idx"),
+    )
+
+    e = graph.edge_endpoints()
+    pairs = (
+        e.filter(
+            (F.col("src_layer") == left_layer)
+            & (F.col("dst_layer") == right_layer)
+        )
+        .select(F.col("src_id").alias("lid"), F.col("dst_id").alias("rid"))
+        .unionByName(
+            e.filter(
+                (F.col("src_layer") == right_layer)
+                & (F.col("dst_layer") == left_layer)
+            ).select(F.col("dst_id").alias("lid"), F.col("src_id").alias("rid"))
+        )
+    )
+    avg_idx = (
+        pairs.join(
+            left_idx.select(F.col("node_id").alias("lid"), "idx"), on="lid"
+        )
+        .groupBy("rid")
+        .agg(F.avg("idx").alias("aidx"))
+    )
+    rw = Window.partitionBy("layer").orderBy("aidx", "node_id")
+    right_idx = (
+        right.join(
+            avg_idx.withColumnRenamed("rid", "node_id"), on="node_id", how="left"
+        )
+        .withColumn("aidx", F.coalesce("aidx", F.lit(0.0)))
+        .select(
+            "layer",
+            "node_id",
+            (F.row_number().over(rw) - 1).cast("bigint").alias("idx"),
+        )
+    )
+    return left_idx.select(
+        "layer",
+        "node_id",
+        F.lit(0.0).alias("x"),
+        (F.col("idx") * vertical_spacing).alias("y"),
+    ).unionByName(
+        right_idx.select(
+            "layer",
+            "node_id",
+            F.lit(float(horizontal_spacing)).alias("x"),
+            (F.col("idx") * vertical_spacing).alias("y"),
         )
     )
 

@@ -532,6 +532,72 @@ def layout_by_layer_q(spark, sf_dir):
     return properties.layout_by_layer(get_graph(spark, sf_dir), x_spacing=2.0)
 
 
+@register(
+    "style_columns_power",
+    # Every op exact cross-engine: abs, subtraction, one division
+    # (correctly-rounded IEEE), norm*norm (power=2 expands to
+    # multiplication, never libm pow), *9, +1.
+    f"""WITH {CTES},
+    t AS (SELECT layer, node_id, ABS(val) AS tv FROM nodes_g),
+    stats AS (SELECT MIN(tv) AS mn, MAX(tv) AS mx FROM t),
+    d AS (SELECT value AS layer, CAST(ROW_NUMBER() OVER (ORDER BY value) - 1 AS INT) AS color_code
+          FROM (SELECT DISTINCT layer AS value FROM nodes_g))
+    SELECT n.layer, n.node_id,
+           ROUND(CASE WHEN s.mx - s.mn > 0
+                      THEN 1.0 + ((n.tv - s.mn) / (s.mx - s.mn))
+                               * ((n.tv - s.mn) / (s.mx - s.mn)) * 9.0
+                      ELSE 5.5 END, 6) AS size,
+           d.color_code
+    FROM t n CROSS JOIN stats s JOIN d USING (layer)""",
+)
+def style_columns_power_q(spark, sf_dir):
+    """prop_to_size's power/transform path (reference
+    visualisation.py:734): |val| -> min-max -> squared emphasis.
+    power=2 exercises the nonlinear branch; abs the transform hook
+    (val has negatives, so abs also keeps the domain sane)."""
+    return properties.style_columns(
+        get_graph(spark, sf_dir),
+        size_prop="val",
+        color_prop="layer",
+        power=2,
+        transform="abs",
+    )
+
+
+@register(
+    "bipartite_layout",
+    f"""WITH {CTES},
+    li AS (SELECT node_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY node_id) - 1 AS BIGINT) AS idx
+           FROM nodes_g WHERE layer = 'customer'),
+    pairs AS (
+      SELECT src_id AS lid, dst_id AS rid FROM edges_g
+      WHERE src_layer = 'customer' AND dst_layer = 'nation'
+      UNION ALL
+      SELECT dst_id, src_id FROM edges_g
+      WHERE dst_layer = 'customer' AND src_layer = 'nation'),
+    av AS (SELECT rid, AVG(li.idx) AS aidx
+           FROM pairs JOIN li ON li.node_id = pairs.lid GROUP BY rid),
+    rn AS (SELECT n.node_id, COALESCE(av.aidx, 0.0) AS aidx
+           FROM nodes_g n LEFT JOIN av ON av.rid = n.node_id
+           WHERE n.layer = 'nation'),
+    ri AS (SELECT node_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY aidx, node_id) - 1 AS BIGINT) AS idx
+           FROM rn)
+    SELECT 'customer' AS layer, node_id, 0.0 AS x, idx * 30.0 AS y FROM li
+    UNION ALL
+    SELECT 'nation' AS layer, node_id, 1.0 AS x, idx * 30.0 AS y FROM ri""",
+)
+def bipartite_layout_q(spark, sf_dir):
+    """Barycenter bipartite layout of the customer-nation cut:
+    customers ranked by id on the left, nations ordered by the mean
+    left-rank of their customers on the right (reference
+    visualisation.py:539-624)."""
+    return properties.bipartite_ordered_layout(
+        get_graph(spark, sf_dir), left_layer="customer", right_layer="nation"
+    )
+
+
 def _sssp_weighted_oracle(n_steps: int = 8) -> str:
     # unrolled Bellman-Ford: d_{k} = min(d_{k-1}, d_{k-1}+w over
     # reversed edges); 8 steps > the 5-hop layer diameter, so the
@@ -1374,39 +1440,14 @@ def _ktruss_oracle(topn: int = _KTRUSS_TOPN, k: int = _KTRUSS_K,
 def graph_ktruss_q(spark, sf_dir):
     """k-truss of the nation co-supply graph, sparsified to the
     top-N pairs by shared-part count (a deterministic count-based
-    cut — percentile thresholds would drift across SFs)."""
-    from pyspark.sql import Window
-
-    from onionnet_spark.sources.tpch_graph import load_tables
-
-    t = load_tables(spark, sf_dir)
-    sp = (
-        t["lineitem"]
-        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
-        .select(
-            F.col("l_partkey").alias("part"),
-            F.col("s_nationkey").cast("string").alias("nat"),
-        )
-        .distinct()
-    )
-    pairs = (
-        sp.alias("x")
-        .join(sp.alias("y"), on="part")
-        .filter(F.col("x.nat") < F.col("y.nat"))
-        .groupBy(
-            F.concat(F.lit("nation:"), F.col("x.nat")).alias("a"),
-            F.concat(F.lit("nation:"), F.col("y.nat")).alias("b"),
-        )
-        .agg(F.count("*").alias("shared"))
-    )
-    w = Window.orderBy(F.col("shared").desc(), "a", "b")
-    top = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KTRUSS_TOPN)
-        .select("a", "b")
-    )
+    cut — percentile thresholds would drift across SFs). Pair
+    derivation is the shared _cosupply_top_pairs helper (VERDICT r3:
+    the inlined copy here had started to drift)."""
     return analytics.k_truss(
-        top, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS, guard=True
+        _cosupply_top_pairs(spark, sf_dir, _KTRUSS_TOPN),
+        k=_KTRUSS_K,
+        rounds=_KTRUSS_ROUNDS,
+        guard=True,
     )
 
 
@@ -1440,6 +1481,8 @@ def _cosupply_top_pairs(spark, sf_dir, topn: int):
         )
         .agg(F.count("*").alias("shared"))
     )
+    # unpartitioned Window is BOUNDED: `pairs` has at most
+    # |nations|^2 = 625 rows (nation-level co-supply aggregate)
     w = Window.orderBy(F.col("shared").desc(), "a", "b")
     return (
         pairs.withColumn("rn", F.row_number().over(w))

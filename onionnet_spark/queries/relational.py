@@ -1174,6 +1174,8 @@ def basket_pairs(spark, sf_dir):
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 3)
     )
+    # unpartitioned Window is BOUNDED: it ranks the post-limit(100)
+    # frame, never the full pair table
     w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
     return (
         pairs.orderBy(F.col("support").desc(), "part_a", "part_b")
