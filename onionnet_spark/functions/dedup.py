@@ -610,3 +610,47 @@ def dedup_clusters(
         F.min(F.col(id_col)).over(w).alias("canonical_id"),
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+def line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide line-level dedup accounting (the C4 rule applied
+    at line granularity, complementing chunk_dedup's fixed word
+    windows): every non-empty trimmed line keeps only its FIRST
+    corpus-wide occurrence, "first" = smallest (doc_id, line_idx).
+    Boilerplate headers/footers/nav-bars repeat verbatim as LINES
+    across pages, which word-window chunking can straddle and miss.
+
+    Returns per document: (doc_id, n_lines, n_dup_lines,
+    n_kept_chars) — kept chars = total trimmed length of the lines
+    this document contributes first.
+
+    Scale shape: identical to chunk_dedup — lines shuffle by
+    md5(line) (fixed-width keys; a hot boilerplate line concentrates
+    one key whose window ranks |occurrences| rows), then one
+    groupBy(doc_id). The exchanges carry (id, idx, len, hash), never
+    document payloads.
+    """
+    from pyspark.sql import Window
+
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("li", "line"),
+        )
+        .select("id", "li", F.trim("line").alias("line"))
+        .filter(F.length("line") > 0)
+        .select("id", "li", F.md5("line").alias("lh"), F.length("line").alias("ln"))
+    )
+    w = Window.partitionBy("lh").orderBy("id", "li")
+    ranked = lines.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_lines"),
+        F.sum(F.when(F.col("rk") == 1, F.col("ln")).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept_chars"),
+    )

@@ -898,3 +898,111 @@ def ann_ivf_pq_residual_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension profile of an embedding column: n, mean, min,
+    max, sample variance — the pre-flight check before whitening, PQ
+    subspace splits, or quantization (a dead or wildly-scaled
+    dimension distorts all of them).
+
+    One posexplode + one groupBy(pos). Sums run on 1e-6-quantized
+    INTEGER values promoted to decimal(38,0): double summation order
+    is engine-dependent, and bigint x² sums overflow past ~1e9 rows —
+    decimal accumulators are exact in both engines at any corpus
+    size. Variance uses the integer-exact closed form
+    (n*Σx² - (Σx)²) / (n*(n-1)). Returns
+    (pos, n, mean, min_val, max_val, variance), floats 6dp.
+    """
+    q = F.floor(F.col("x") * 1e6).cast("decimal(38,0)")
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "x0")
+    ).select("pos", F.col("x0").cast("double").alias("x"))
+    return (
+        exploded.select("pos", "x", q.alias("q"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum("q").cast("double") / 1e6 / F.count("*"), 6
+            ).alias("mean"),
+            F.round(F.min("x"), 6).alias("min_val"),
+            F.round(F.max("x"), 6).alias("max_val"),
+            F.round(
+                (
+                    F.count("*") * F.sum(F.col("q") * F.col("q"))
+                    - F.sum("q") * F.sum("q")
+                ).cast("double")
+                / (F.count("*") * (F.count("*") - F.lit(1)))
+                / 1e12,
+                6,
+            ).alias("variance"),
+        )
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    seed: str = "rp0",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a seeded ±1
+    (Rademacher) matrix derived from md5 — no RNG state, no
+    materialized matrix: sign(i, j) = parity of the first hex digit
+    of md5('seed:i:j'), so any engine regenerates the identical
+    projection. Inputs are 1e-6-quantized to integers, making each
+    output coordinate an exact integer sum (order-independent).
+
+    Plan: posexplode x broadcast j-range, then groupBy(id, j) — the
+    sign and quantization are map-side; the exchange carries
+    |vectors| x out_dim light rows. Returns (vec_id, j, y) with
+    y = (Σ_i sign_ij * q_i) / 1e6, 6dp.
+    """
+    sess = df.sparkSession
+    js = sess.createDataFrame([(j,) for j in range(out_dim)], "j int")
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        id_col, "pos", F.floor(F.col("x").cast("double") * 1e6).cast("bigint").alias("q")
+    )
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col("pos"), F.col("j")))
+    sign = F.lit(1) - 2 * (F.conv(F.substring(h, 1, 1), 16, 10).cast("int") % 2)
+    return (
+        exploded.crossJoin(F.broadcast(js))
+        .groupBy(id_col, "j")
+        .agg(F.round(F.sum(sign * F.col("q")) / 1e6, 6).alias("y"))
+    )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization: scale_j =
+    max |x_j| over the corpus, code = floor(x / scale * 127 + 0.5)
+    in [-127, 127] — the storage layout a 100-TB vector corpus
+    actually ships (4x smaller than float32, SIMD-friendly ADC).
+
+    Two passes: a per-dimension max-abs aggregate (broadcast back —
+    it is `dim` rows), then a map-side encode. Every op is exact
+    cross-engine: max is order-free, x/scale and *127 are single
+    correctly-rounded IEEE ops, floor is exact. Zero-scale (dead)
+    dimensions encode 0. Returns (vec_id, pos, code, scale 6dp).
+    """
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x0")
+    ).select(id_col, "pos", F.col("x0").cast("double").alias("x"))
+    scales = exploded.groupBy("pos").agg(F.max(F.abs(F.col("x"))).alias("scale"))
+    code = F.when(
+        F.col("scale") > 0,
+        F.floor(F.col("x") / F.col("scale") * 127 + 0.5).cast("int"),
+    ).otherwise(F.lit(0))
+    return exploded.join(F.broadcast(scales), on="pos").select(
+        id_col,
+        "pos",
+        code.alias("code"),
+        F.round("scale", 6).alias("scale"),
+    )

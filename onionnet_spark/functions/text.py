@@ -435,3 +435,207 @@ def bpe_merge_candidates(
             ),
         )
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, 'Data Selection
+    for Language Models via Importance Resampling'): per document,
+    the mean per-token log-ratio ln p_target(w) / ln p_corpus(w)
+    between an add-1-smoothed unigram model of the TARGET slice
+    (rows where `target` is true) and the whole corpus. Sampling
+    proportionally to this weight tilts a pretraining mix toward the
+    target domain; here we emit the score itself (the selection is
+    `weighted_sample` / `corpus_sample` downstream).
+
+    Plan: one token explode feeds both models (the target count is a
+    conditional sum in the SAME aggregation — no second scan); the
+    Zipf-bounded vocab table with its quantized per-word weight
+    broadcasts back onto the token stream. Per-word weights are
+    floor-quantized to a 1e-6 integer grid before the per-doc sum,
+    so scores are engine-exact (double summation order is not).
+
+    Returns (doc_id, n_tokens, logratio) — logratio 6dp.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.cast("int").alias("is_t"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("cc"), F.sum("is_t").alias("ct")
+    )
+    totals = vocab.agg(
+        F.sum("cc").alias("nc"),
+        F.sum("ct").alias("nt"),
+        F.count("*").alias("v"),
+    )
+    wtab = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.floor(
+                (
+                    F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+                    - F.log((F.col("cc") + 1) / (F.col("nc") + F.col("v")))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("w_q"),
+        )
+    )
+    return (
+        toks.join(wtab, on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("w_q") / 1e6 / F.count("*"), 6).alias("logratio"),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate against the corpus's own top-`vocab_size`
+    tokens (ties broken lexicographically) — the tokenizer-coverage
+    probe: a doc whose tokens mostly fall outside the head vocabulary
+    will shatter into many subword pieces.
+
+    The vocab is a TakeOrdered top-N (bounded, broadcast); the rate is
+    one exploded left join + one groupBy. Returns
+    (doc_id, n_tokens, n_oov, oov_rate 6dp).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def zipf_slope(df: DataFrame, top_n: int = 100, text_col: str = "text") -> DataFrame:
+    """Zipf-law fit of the term frequency distribution: OLS slope of
+    ln(frequency) against ln(rank) over the top-`top_n` terms —
+    natural corpora sit near -1; heavily templated/duplicated text
+    drifts shallow. One aggregation for counts, a bounded top-N, and
+    a closed-form slope from INTEGER sums of 1e-6-quantized logs
+    (slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)) — the products stay
+    under 2^63 for any top_n <= ~1e4 and the result is engine-exact
+    up to the final division. Returns one row (n_terms, slope 6dp).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(top_n)
+    )
+    # unpartitioned Window is BOUNDED: post-limit(top_n) rows only
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = counts.withColumn("r", F.row_number().over(w)).select(
+        F.floor(F.log(F.col("r").cast("double")) * 1e6).cast("bigint").alias("xq"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("bigint").alias("yq"),
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(
+            (F.count("*") * F.sum(F.col("xq") * F.col("yq"))
+             - F.sum("xq") * F.sum("yq")).cast("double")
+            / (F.count("*") * F.sum(F.col("xq") * F.col("xq"))
+               - F.sum("xq") * F.sum("xq")).cast("double"),
+            6,
+        ).alias("slope"),
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    min_df: int = 5,
+    max_df: int = 390,
+    min_cooc: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-level pointwise mutual information for token pairs:
+    pmi(a,b) = ln(n_ab * D / (df_a * df_b)) over distinct-token
+    co-occurrence in the same document — the collocation/topic-pair
+    extractor.
+
+    Scale shape: tokens outside [min_df, max_df] are dropped BEFORE
+    the self-join (the df cap is the same semantic skew bound as
+    stop-shingles in dedup: a token in every document pairs with
+    everything), so per-doc fan-out is bounded by the filtered
+    distinct-token count. The ln argument is a ratio of exact BIGINT
+    products, identical in any engine; only the final ln/ROUND touch
+    floating point. Returns (tok_a, tok_b, n_ab, pmi 6dp).
+    """
+    dt = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).distinct()
+    dfreq = dt.groupBy("tok").agg(F.count("*").alias("df_t"))
+    keep = dfreq.filter(
+        (F.col("df_t") >= min_df) & (F.col("df_t") <= max_df)
+    )
+    dtf = dt.join(F.broadcast(keep), on="tok")
+    n_docs = df.agg(F.count("*").alias("d"))
+    pairs = (
+        dtf.alias("a")
+        .join(
+            dtf.select(
+                "id", F.col("tok").alias("tok_b"), F.col("df_t").alias("df_b")
+            ).alias("b"),
+            on="id",
+        )
+        .filter(F.col("a.tok") < F.col("tok_b"))
+        .groupBy(
+            F.col("a.tok").alias("tok_a"),
+            "tok_b",
+            F.col("a.df_t").alias("df_a"),
+            "df_b",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_cooc)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        F.round(
+            F.log(
+                (F.col("n_ab") * F.col("d")).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double")
+            ),
+            6,
+        ).alias("pmi"),
+    )

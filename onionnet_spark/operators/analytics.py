@@ -1494,3 +1494,247 @@ def coreness(
         schema = "node string, coreness int"
         return adj.sparkSession.createDataFrame([], schema)
     return removed.select("node", F.col("coreness").cast("int").alias("coreness"))
+
+
+def neighbor_agg(
+    graph: OnionGraph,
+    prop: str,
+    direction: str = "downstream",
+    quantize_scale: float | None = None,
+) -> DataFrame:
+    """GNN-style neighbor feature aggregation (one message-passing
+    layer): per node, aggregate a numeric node property over its
+    neighbors — n_nbrs, sum, mean (6dp), min, max. The workhorse of
+    GraphSAGE-mean / feature smoothing, expressed as the two
+    relational steps it really is: join the neighbor's property onto
+    the edge list, then groupBy the receiving node (Catalyst runs the
+    partial aggregation map-side).
+
+    direction: 'downstream' aggregates over edge targets,
+    'upstream' over edge sources, 'sym' over both. NULL properties
+    are skipped by sum/mean/min/max (Spark and ANSI SQL agree);
+    n_nbrs counts all neighbor edges (multi-edges count per edge —
+    message passing sends one message per edge). Nodes with no
+    neighbors report n_nbrs=0 and NULL aggregates.
+
+    `quantize_scale` (e.g. 100 for cent-precision properties) sums
+    floor(v*scale+0.5) integers instead of raw doubles: double
+    summation is ORDER-dependent, so two engines (or two Spark runs
+    with different partition merges) can disagree in the last ulp —
+    integer sums cannot. min/max/count need no such guard.
+
+    Scale: one shuffle to join the property, one keyed aggregation.
+    At 100 TB the join co-locates if nodes and edges share the node
+    bucketing; hub receivers are plain aggregation skew, which AQE
+    splits (no per-key state beyond the five accumulators).
+    """
+    if direction == "sym":
+        e = graph.cached_symmetrized()
+    elif direction == "downstream":
+        e = graph.edge_endpoints()
+    elif direction == "upstream":
+        e = graph.edge_endpoints().select(
+            F.col("dst_layer").alias("src_layer"),
+            F.col("dst_id").alias("src_id"),
+            F.col("src_layer").alias("dst_layer"),
+            F.col("src_id").alias("dst_id"),
+        )
+    else:
+        raise ValueError("direction must be downstream/upstream/sym")
+    nbr_prop = graph.nodes.select(
+        F.col("layer").alias("dst_layer"),
+        F.col("node_id").alias("dst_id"),
+        F.col(prop).alias("_p"),
+    )
+    if quantize_scale is not None:
+        q = F.floor(F.col("_p") * quantize_scale + F.lit(0.5)).cast("bigint")
+        sum_expr = F.round(F.sum(q) / quantize_scale, 6).alias("sum_val")
+        mean_expr = F.round(
+            F.sum(q) / quantize_scale / F.count("_p"), 6
+        ).alias("mean_val")
+    else:
+        sum_expr = F.round(F.sum("_p"), 6).alias("sum_val")
+        mean_expr = F.round(F.avg("_p"), 6).alias("mean_val")
+    agg = (
+        e.select("src_layer", "src_id", "dst_layer", "dst_id")
+        .join(nbr_prop, on=["dst_layer", "dst_id"])
+        .groupBy(
+            F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_nbrs"),
+            sum_expr,
+            mean_expr,
+            F.min("_p").alias("min_val"),
+            F.max("_p").alias("max_val"),
+        )
+    )
+    return (
+        graph.nodes.select(*NODE_KEY)
+        .join(agg, on=NODE_KEY, how="left")
+        .withColumn("n_nbrs", F.coalesce("n_nbrs", F.lit(0)))
+    )
+
+
+def link_prediction(
+    graph: OnionGraph,
+    layer: str,
+    min_common: int = 2,
+    max_nbr_df: int | None = 1000,
+) -> DataFrame:
+    """Link-prediction scores for candidate pairs of `layer` nodes
+    sharing >= `min_common` undirected neighbors: common-neighbor
+    count, Jaccard, and Adamic-Adar (sum over shared neighbors of
+    1/ln(df)). The classic triad of similarity heuristics —
+    candidates come only from shared-neighbor buckets (the
+    node_jaccard shape), never an all-pairs product; `max_nbr_df`
+    drops hub neighbors exactly like node_jaccard.
+
+    Cross-engine exactness: each neighbor's 1/ln(df) weight is
+    floor-quantized to a 1e-6 integer grid BEFORE the per-pair sum,
+    so the sum is an order-independent integer add (double summation
+    order would otherwise differ between engines); df >= 2 is
+    guaranteed for shared neighbors, so ln(df) > 0.
+
+    Returns (id_a, id_b, common, jaccard, adamic_adar), id_a < id_b.
+    """
+    sym = graph.cached_symmetrized()
+    nbr = (
+        sym.filter(F.col("src_layer") == layer)
+        .select(
+            F.col("src_id").alias("id"),
+            F.concat_ws(":", "dst_layer", "dst_id").alias("nbr"),
+        )
+        .distinct()
+    )
+    dfreq = nbr.groupBy("nbr").agg(F.count("*").alias("df"))
+    if max_nbr_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_nbr_df)
+    # integer-quantized Adamic-Adar weight per neighbor. df == 1
+    # neighbors never produce a pair (so never enter an AA sum) but
+    # would make 1/ln(df) infinite — weight them 0 instead.
+    wtab = dfreq.withColumn(
+        "w_q",
+        F.when(
+            F.col("df") >= 2,
+            F.floor(F.lit(1e6) / F.log(F.col("df").cast("double"))).cast("bigint"),
+        ).otherwise(F.lit(0)),
+    )
+    nbr_w = nbr.join(F.broadcast(wtab), on="nbr")
+    sizes = nbr_w.groupBy("id").agg(F.count("*").alias("n"))
+    pair = (
+        nbr_w.alias("a")
+        .join(nbr_w.select("nbr", F.col("id").alias("id_b")).alias("b"), on="nbr")
+        .filter(F.col("a.id") < F.col("id_b"))
+        .groupBy(F.col("a.id").alias("id_a"), "id_b")
+        .agg(
+            F.count("*").cast("bigint").alias("common"),
+            F.sum("w_q").alias("aa_q"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        pair.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+            F.round(F.col("aa_q") / 1e6, 6).alias("adamic_adar"),
+        )
+    )
+
+
+def degree_distribution(graph: OnionGraph) -> DataFrame:
+    """Undirected degree histogram: (degree, n_nodes), isolated
+    nodes included at degree 0. Two aggregations over the canonical
+    degree view — the first profile anyone runs on a new graph, and
+    the input to the power-law fit below."""
+    deg = graph.canonical_degrees().select(F.col("n").alias("node"), "d")
+    all_nodes = graph.nodes.select(
+        F.concat_ws(":", "layer", "node_id").alias("node")
+    )
+    full = all_nodes.join(deg, on="node", how="left").select(
+        F.coalesce("d", F.lit(0)).alias("degree")
+    )
+    return full.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+def powerlaw_alpha(graph: OnionGraph, d_min: int = 2) -> DataFrame:
+    """Continuous-MLE power-law exponent of the undirected degree
+    tail (Clauset-Shalizi-Newman eq. 3.1 with the standard -0.5
+    continuity correction): alpha = 1 + n / sum(ln(d_i/(d_min-0.5)))
+    over nodes with degree >= d_min. One aggregation; the per-node
+    ln is floor-quantized to a 1e-6 integer grid before the sum so
+    the result is engine-exact (double summation order is not).
+
+    Returns one row (n_tail, d_min, alpha) — alpha 6dp, NULL if the
+    tail is empty or degenerate."""
+    deg = graph.canonical_degrees().filter(F.col("d") >= d_min)
+    lq = F.floor(
+        F.log(F.col("d").cast("double") / (d_min - 0.5)) * 1e6
+    ).cast("bigint")
+    return deg.agg(
+        F.count("*").cast("bigint").alias("n_tail"),
+        F.lit(d_min).cast("int").alias("d_min"),
+        F.round(
+            1.0 + F.count("*") / (F.sum(lq) / F.lit(1e6)), 6
+        ).alias("alpha"),
+    )
+
+
+def rich_club(graph: OnionGraph, k_values: list[int]) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (n_k*(n_k-1)): the
+    density of the subgraph induced by nodes of degree > k, for each
+    k in `k_values` — the 'do hubs stick together' diagnostic.
+
+    Plan: per-edge min endpoint degree once, then each k is two
+    broadcast-filterable aggregates (n_k from the degree view, E_k =
+    edges whose min endpoint degree > k) unioned via a tiny exploded
+    k-table join — no per-k scan of the graph. Division is a single
+    correctly-rounded IEEE op; returns (k, n_nodes, n_edges, phi),
+    phi NULL when n_k < 2.
+    """
+    sess = graph.nodes.sparkSession
+    ks = sess.createDataFrame([(int(k),) for k in k_values], "k int")
+    deg = graph.canonical_degrees().select(F.col("n").alias("node"), "d")
+    canon = graph.canonical_edges()
+    edge_mind = (
+        canon.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .select(F.least("da", "db").alias("mind"))
+    )
+    nk = (
+        ks.crossJoin(deg)
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    ek = (
+        ks.crossJoin(edge_mind)
+        .filter(F.col("mind") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    return (
+        ks.join(nk, on="k", how="left")
+        .join(ek, on="k", how="left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.when(
+                F.coalesce(F.col("n_nodes"), F.lit(0)) >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_edges", F.lit(0))
+                    / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )

@@ -300,3 +300,36 @@ def day_of_week_profile(
             F.col("total").cast("double") / F.sum("total").over(w), 6
         ).alias("share"),
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key event inter-arrival profile: number of events, mean
+    and max gap in seconds between consecutive events — the cadence
+    fingerprint behind rate limiting, bot detection, and session
+    tuning.
+
+    Gaps come from a lag window PARTITIONED by the key (each key's
+    events sort locally; no global funnel) on integer epoch
+    MICROseconds, so the sums are exact whole numbers in any engine;
+    only the final mean division touches floating point. Keys with a
+    single event report 0 gaps and NULL stats. Returns
+    (user_id, n_events, n_gaps, mean_gap_s, max_gap_s), 6dp.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gaps = events.select(
+        F.col(key_col),
+        (
+            F.unix_micros(F.col(ts_col))
+            - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+        ).alias("gap_us"),
+    )
+    return gaps.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.round(F.sum("gap_us") / 1e6 / F.count("gap_us"), 6).alias("mean_gap_s"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+    )

@@ -135,6 +135,20 @@ _R4_BACKLOG: list[str] = [
 _R4_NEW: list[str] = [
     "bipartite_layout",
     "style_columns_power",
+    "graph_neighbor_agg",
+    "graph_link_prediction",
+    "graph_degree_distribution",
+    "graph_powerlaw_alpha",
+    "graph_rich_club",
+    "line_dedup",
+    "dsir_logratio",
+    "oov_rate",
+    "zipf_slope",
+    "pmi_pairs",
+    "embedding_dim_stats",
+    "embedding_random_projection",
+    "embedding_quantize_int8",
+    "events_interarrival",
 ]
 
 

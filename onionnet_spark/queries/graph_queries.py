@@ -2192,3 +2192,175 @@ def graph_adjacency_export_q(spark, sf_dir):
     """CSR-shaped adjacency export (sorted neighbor arrays + degree)
     — the GNN-loader layout."""
     return properties.export_adjacency(get_graph(spark, sf_dir), "downstream")
+
+
+# --------------------------------------------------------------------------
+# Round 4: feature aggregation, link prediction, degree-tail profile
+# --------------------------------------------------------------------------
+
+_CANON_SQL = """canon AS MATERIALIZED (
+      SELECT DISTINCT
+        LEAST(src_layer || ':' || src_id, dst_layer || ':' || dst_id) AS a,
+        GREATEST(src_layer || ':' || src_id, dst_layer || ':' || dst_id) AS b
+      FROM edges_g
+      WHERE src_layer || ':' || src_id <> dst_layer || ':' || dst_id),
+    cdeg AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
+      GROUP BY n)"""
+
+
+@register(
+    "graph_neighbor_agg",
+    # quantize_scale=100: val is a 2dp money-like property, so the
+    # sums run on exact integer cents (double summation order is
+    # engine-dependent; integer sums are not)
+    f"""WITH {CTES},
+    agg AS (
+      SELECT e.src_layer AS layer, e.src_id AS node_id,
+             CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+             SUM(CAST(floor(p.val * 100 + 0.5) AS BIGINT)) AS sq,
+             COUNT(p.val) AS nv,
+             MIN(p.val) AS min_val, MAX(p.val) AS max_val
+      FROM edges_g e
+      JOIN nodes_g p ON p.layer = e.dst_layer AND p.node_id = e.dst_id
+      GROUP BY 1, 2)
+    SELECT n.layer, n.node_id,
+           COALESCE(a.n_nbrs, 0) AS n_nbrs,
+           ROUND(a.sq / 100.0, 6) AS sum_val,
+           ROUND(a.sq / 100.0 / a.nv, 6) AS mean_val,
+           a.min_val, a.max_val
+    FROM nodes_g n LEFT JOIN agg a
+      ON a.layer = n.layer AND a.node_id = n.node_id""",
+)
+def graph_neighbor_agg_q(spark, sf_dir):
+    """One GNN message-passing layer: every node aggregates the
+    numeric `val` property of its downstream neighbors."""
+    return analytics.neighbor_agg(
+        get_graph(spark, sf_dir), prop="val", direction="downstream",
+        quantize_scale=100,
+    )
+
+
+@register(
+    "graph_link_prediction",
+    # supplier-part incidence graph: suppliers pair through shared
+    # parts; AA weights are 1e-6-grid integer sums (see operator)
+    """WITH sp AS (
+      SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS id,
+                      'part:' || CAST(l_partkey AS VARCHAR) AS nbr
+      FROM lineitem),
+    dfreq AS (SELECT nbr, COUNT(*) AS df FROM sp GROUP BY nbr),
+    wtab AS (SELECT nbr, df,
+                    CASE WHEN df >= 2
+                         THEN CAST(floor(1000000.0 / ln(CAST(df AS DOUBLE))) AS BIGINT)
+                         ELSE 0 END AS w_q
+             FROM dfreq WHERE df <= 1000),
+    nw AS (SELECT sp.id, sp.nbr, w.w_q FROM sp JOIN wtab w ON w.nbr = sp.nbr),
+    sizes AS (SELECT id, COUNT(*) AS n FROM nw GROUP BY id),
+    pair AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS common, SUM(a.w_q) AS aa_q
+      FROM nw a JOIN nw b ON a.nbr = b.nbr AND a.id < b.id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT id_a, id_b, common,
+           ROUND(common / (sa.n + sb.n - common), 6) AS jaccard,
+           ROUND(aa_q / 1000000.0, 6) AS adamic_adar
+    FROM pair JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b""",
+)
+def graph_link_prediction_q(spark, sf_dir):
+    """Common-neighbors / Jaccard / Adamic-Adar over the
+    supplier-part incidence graph: which suppliers stock similar
+    part portfolios (>= 2 shared parts)."""
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    nodes = (
+        li.select(
+            F.lit("supplier").alias("layer"),
+            F.col("l_suppkey").cast("string").alias("node_id"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("part").alias("layer"),
+                F.col("l_partkey").cast("string").alias("node_id"),
+            )
+        )
+        .distinct()
+    )
+    edges = li.select(
+        F.lit("supplier").alias("src_layer"),
+        F.col("l_suppkey").cast("string").alias("src_id"),
+        F.lit("part").alias("dst_layer"),
+        F.col("l_partkey").cast("string").alias("dst_id"),
+    ).distinct()
+    g = derived_graph(
+        spark, sf_dir, "supplier_part",
+        lambda: OnionGraph(nodes, edges).persist(),
+    )
+    return analytics.link_prediction(g, layer="supplier", min_common=2)
+
+
+@register(
+    "graph_degree_distribution",
+    f"""WITH {CTES},
+    {_CANON_SQL},
+    alln AS (SELECT layer || ':' || node_id AS node FROM nodes_g)
+    SELECT CAST(COALESCE(c.d, 0) AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM alln LEFT JOIN cdeg c ON c.n = alln.node
+    GROUP BY 1""",
+)
+def graph_degree_distribution_q(spark, sf_dir):
+    """Undirected degree histogram over the full multilayer graph,
+    isolated nodes included at degree 0."""
+    return analytics.degree_distribution(get_graph(spark, sf_dir))
+
+
+@register(
+    "graph_powerlaw_alpha",
+    f"""WITH {CTES},
+    {_CANON_SQL},
+    t AS (SELECT d FROM cdeg WHERE d >= 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(2 AS INT) AS d_min,
+           ROUND(1.0 + COUNT(*)
+                 / (SUM(CAST(floor(ln(CAST(d AS DOUBLE) / 1.5) * 1000000) AS BIGINT))
+                    / 1000000.0), 6) AS alpha
+    FROM t""",
+)
+def graph_powerlaw_alpha_q(spark, sf_dir):
+    """Clauset-Shalizi-Newman continuous-MLE power-law exponent of
+    the degree tail (d >= 2), engine-exact via 1e-6-grid integer
+    log sums."""
+    return analytics.powerlaw_alpha(get_graph(spark, sf_dir), d_min=2)
+
+
+_RICH_KS = [1, 2, 4, 8, 16, 32]
+
+
+@register(
+    "graph_rich_club",
+    f"""WITH {CTES},
+    {_CANON_SQL},
+    ks AS (SELECT UNNEST({_RICH_KS}) AS k),
+    mind AS (
+      SELECT LEAST(da.d, db.d) AS mind
+      FROM canon e JOIN cdeg da ON da.n = e.a JOIN cdeg db ON db.n = e.b),
+    nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           FROM ks JOIN cdeg ON d > k GROUP BY k),
+    ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+           FROM ks JOIN mind ON mind > k GROUP BY k)
+    SELECT ks.k, COALESCE(nk.n_nodes, 0) AS n_nodes,
+           COALESCE(ek.n_edges, 0) AS n_edges,
+           CASE WHEN COALESCE(nk.n_nodes, 0) >= 2
+                THEN ROUND(2.0 * COALESCE(ek.n_edges, 0)
+                           / (nk.n_nodes * (nk.n_nodes - 1)), 6)
+           END AS phi
+    FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k""",
+)
+def graph_rich_club_q(spark, sf_dir):
+    """Rich-club coefficient phi(k) for k in {1,2,4,8,16,32}: edge
+    density among nodes of undirected degree > k."""
+    return analytics.rich_club(get_graph(spark, sf_dir), _RICH_KS)

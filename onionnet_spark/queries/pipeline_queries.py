@@ -1960,3 +1960,197 @@ def corpus_report_q(spark, sf_dir):
             6,
         ).alias("frac_en"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: line dedup, DSIR, vocab/zipf/PMI, embedding profile/codec
+# --------------------------------------------------------------------------
+
+
+@register(
+    "line_dedup",
+    """WITH lx AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM documents),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len(a)), 0) + 1 FROM lx), 2))) AS i),
+    lines AS (SELECT doc_id AS id, i AS li, trim(a[i]) AS line
+              FROM lx JOIN nums ON i <= len(a)),
+    lf AS (SELECT id, li, md5(line) AS lh, length(line) AS ln
+           FROM lines WHERE length(line) > 0),
+    ranked AS (SELECT id, ln,
+                      ROW_NUMBER() OVER (PARTITION BY lh ORDER BY id, li) AS rk
+               FROM lf)
+    SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           CAST(SUM(CASE WHEN rk = 1 THEN ln ELSE 0 END) AS BIGINT) AS n_kept_chars
+    FROM ranked GROUP BY id""",
+)
+def line_dedup_q(spark, sf_dir):
+    """Corpus-wide first-occurrence line dedup accounting (C4 rule at
+    line granularity — catches repeated boilerplate lines that word
+    windows straddle)."""
+    return dedup.line_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "dsir_logratio",
+    f"""WITH toks AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             UNNEST({_TOKS}) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cc, SUM(is_t) AS ct FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cc) AS nc, SUM(ct) AS nt, COUNT(*) AS v FROM vocab),
+    wtab AS (
+      SELECT tok,
+             CAST(floor((ln((ct + 1) / (nt + v)) - ln((cc + 1) / (nc + v)))
+                        * 1000000) AS BIGINT) AS w_q
+      FROM vocab CROSS JOIN tot)
+    SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(w_q) / 1000000.0 / COUNT(*), 6) AS logratio
+    FROM toks JOIN wtab ON wtab.tok = toks.tok
+    GROUP BY toks.doc_id""",
+)
+def dsir_logratio_q(spark, sf_dir):
+    """DSIR importance score toward the English slice: mean
+    per-token log-ratio of the add-1 unigram LM of lang='en' docs vs
+    the whole corpus."""
+    return text.dsir_logratio(_docs(spark, sf_dir), target=F.col("lang") == "en")
+
+
+@register(
+    "oov_rate",
+    f"""WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+        FROM toks GROUP BY tok) WHERE rn <= 10)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS oov_rate
+    FROM toks LEFT JOIN vocab v ON v.tok = toks.tok
+    GROUP BY doc_id""",
+)
+def oov_rate_q(spark, sf_dir):
+    """Per-document OOV fraction against the top-10 corpus vocabulary
+    (the fixture vocabulary is 31 words, so a 10-word head leaves a
+    real OOV tail)."""
+    return text.oov_rate(_docs(spark, sf_dir), vocab_size=10)
+
+
+@register(
+    "zipf_slope",
+    f"""WITH toks AS (SELECT UNNEST({_TOKS}) AS tok FROM documents),
+    top AS (
+      SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+      ORDER BY c DESC, tok LIMIT 100),
+    q AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+                 CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+          FROM top)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(CAST(COUNT(*) * SUM(xq * yq) - SUM(xq) * SUM(yq) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(xq * xq) - SUM(xq) * SUM(xq) AS DOUBLE),
+                 6) AS slope
+    FROM q""",
+)
+def zipf_slope_q(spark, sf_dir):
+    """Zipf-law OLS slope of ln(freq) vs ln(rank) over the top terms
+    — engine-exact via integer sums of quantized logs."""
+    return text.zipf_slope(_docs(spark, sf_dir), top_n=100)
+
+
+@register(
+    "pmi_pairs",
+    f"""WITH dt AS (SELECT DISTINCT doc_id AS id, UNNEST({_TOKS}) AS tok
+                    FROM documents),
+    dfreq AS (SELECT tok, COUNT(*) AS df_t FROM dt GROUP BY tok),
+    keep AS (SELECT tok, df_t FROM dfreq WHERE df_t BETWEEN 5 AND 390),
+    dtf AS (SELECT dt.id, dt.tok, keep.df_t FROM dt JOIN keep ON keep.tok = dt.tok),
+    nd AS (SELECT COUNT(*) AS d FROM documents),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, a.df_t AS df_a, b.df_t AS df_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM dtf a JOIN dtf b ON a.id = b.id AND a.tok < b.tok
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) >= 5)
+    SELECT tok_a, tok_b, n_ab,
+           ROUND(ln(CAST(n_ab * d AS DOUBLE) / CAST(df_a * df_b AS DOUBLE)), 6)
+             AS pmi
+    FROM pairs CROSS JOIN nd""",
+)
+def pmi_pairs_q(spark, sf_dir):
+    """Document-level PMI collocations with the [5, 390] df band cap
+    (the stop-token skew bound) exercised on the fixture's head
+    terms."""
+    return text.pmi_pairs(_docs(spark, sf_dir), min_df=5, max_df=390, min_cooc=5)
+
+
+_ENUM = """enums AS (SELECT UNNEST(range(1, GREATEST(
+    (SELECT COALESCE(MAX(len(embedding)), 0) + 1 FROM embeddings), 2))) AS i)"""
+
+
+@register(
+    "embedding_dim_stats",
+    f"""WITH {_ENUM},
+    ex AS (SELECT CAST(i - 1 AS INT) AS pos,
+                  CAST(embedding[i] AS DOUBLE) AS x,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                       AS DECIMAL(38, 0)) AS q
+           FROM embeddings JOIN enums ON i <= len(embedding))
+    SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(q) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean,
+           ROUND(MIN(x), 6) AS min_val, ROUND(MAX(x), 6) AS max_val,
+           ROUND(CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS DOUBLE)
+                 / (COUNT(*) * (COUNT(*) - 1)) / 1e12, 6) AS variance
+    FROM ex GROUP BY pos""",
+)
+def embedding_dim_stats_q(spark, sf_dir):
+    """Per-dimension embedding profile (n/mean/min/max/variance) on
+    exact decimal accumulators — the pre-whitening / pre-PQ check."""
+    from onionnet_spark.functions.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(_embs(spark, sf_dir))
+
+
+@register(
+    "embedding_random_projection",
+    f"""WITH {_ENUM},
+    ex AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    js AS (SELECT CAST(UNNEST(range(0, 8)) AS INT) AS j)
+    SELECT vec_id, j,
+           ROUND(SUM((1 - 2 * (('0x' || substr(md5('rp0:' || CAST(pos AS VARCHAR)
+                       || ':' || CAST(j AS VARCHAR)), 1, 1))::BIGINT % 2)) * q)
+                 / 1000000.0, 6) AS y
+    FROM ex CROSS JOIN js GROUP BY vec_id, j""",
+)
+def embedding_random_projection_q(spark, sf_dir):
+    """Seeded Johnson-Lindenstrauss ±1 projection to 8 dims —
+    md5-derived signs, integer-exact sums, fully engine-replayable."""
+    from onionnet_spark.functions.similarity import random_projection
+
+    return random_projection(_embs(spark, sf_dir), out_dim=8, seed="rp0")
+
+
+@register(
+    "embedding_quantize_int8",
+    f"""WITH {_ENUM},
+    ex AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                  CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    sc AS (SELECT pos, MAX(ABS(x)) AS scale FROM ex GROUP BY pos)
+    SELECT vec_id, pos,
+           CASE WHEN scale > 0
+                THEN CAST(floor(x / scale * 127 + 0.5) AS INT)
+                ELSE 0 END AS code,
+           ROUND(scale, 6) AS scale
+    FROM ex JOIN sc USING (pos)""",
+)
+def embedding_quantize_int8_q(spark, sf_dir):
+    """Symmetric per-dimension int8 quantization (max-abs scales) —
+    the 4x-smaller storage codec for a 100-TB vector corpus."""
+    from onionnet_spark.functions.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(_embs(spark, sf_dir))

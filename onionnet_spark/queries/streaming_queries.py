@@ -433,3 +433,25 @@ def events_dow_profile(spark, sf_dir):
     from onionnet_spark.operators import timeseries
 
     return timeseries.day_of_week_profile(_events(spark, sf_dir))
+
+
+@register(
+    "events_interarrival",
+    """WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+      FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(SUM(gap_us) / 1000000.0 / COUNT(gap_us), 6) AS mean_gap_s,
+           ROUND(MAX(gap_us) / 1000000.0, 6) AS max_gap_s
+    FROM g GROUP BY user_id""",
+)
+def events_interarrival(spark, sf_dir):
+    """Per-user event cadence: gap stats over integer epoch-micros
+    (tie order cannot change the gap multiset of a sorted sequence,
+    so the result is engine-exact)."""
+    from onionnet_spark.operators import timeseries
+
+    return timeseries.interarrival_stats(_events(spark, sf_dir))
