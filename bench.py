@@ -69,6 +69,12 @@ HEADLINE = [
     "orders_custkey_skew",
     "bloom_pruned_revenue",
     "corpus_ingest_delta",
+    # round-4 session additions (also excluded from the subtotal)
+    "graph_link_prediction",
+    "line_dedup",
+    "dsir_logratio",
+    "embedding_quantize_int8",
+    "ann_ivf_pq_residual_topk",
 ]
 
 
@@ -112,6 +118,9 @@ def main() -> None:
         "multimodal_jpeg_decode", "lineitem_zorder_key",
         "orders_custkey_skew", "bloom_pruned_revenue",
         "corpus_ingest_delta",
+        # round-4 additions
+        "graph_link_prediction", "line_dedup", "dsir_logratio",
+        "embedding_quantize_int8", "ann_ivf_pq_residual_topk",
     }
     r2_subset = sum(v for k, v in timings.items() if k not in r3_added)
     print(
