@@ -654,3 +654,90 @@ def line_dedup(
         .cast("bigint")
         .alias("n_kept_chars"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    the number of shared distinct word `n`-shingles and the
+    containment of the smaller side (shared / min(|A|, |B|)) — the
+    corpus-intake view of decontamination (which crawl snapshots
+    and curated sets are secretly the same data?).
+
+    Shingles collapse to (source, xxhash64) before the self-join, so
+    the pair fan-out per shingle is bounded by the SOURCE count (not
+    document df) — no stop-shingle cap needed; exchanges carry
+    (source, 8-byte hash). Returns (src_a, src_b, n_shared,
+    containment 6dp), src_a < src_b.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    src = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("src"))
+    ss = (
+        sh.join(src, on="id")
+        .select("src", F.xxhash64("shingle").alias("sh"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = ss.groupBy("src").agg(F.count("*").alias("n_sh"))
+    inter = (
+        ss.alias("a")
+        .join(ss.select(F.col("src").alias("src_b"), "sh").alias("b"), on="sh")
+        .filter(F.col("a.src") < F.col("src_b"))
+        .groupBy(F.col("a.src").alias("src_a"), "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("src").alias("src_a"), F.col("n_sh").alias("na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("src").alias("src_b"), F.col("n_sh").alias("nb")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+def dup_rate_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate rate per group (source/domain/language): a doc
+    counts as a duplicate when it is NOT the min-id holder of its
+    corpus-wide normalized-text hash group. The per-source dedup
+    scoreboard every intake pipeline reports.
+
+    One hash groupBy + one group aggregation. Returns
+    (source, n_docs, n_dups, dup_rate 6dp).
+    """
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.md5(normalize_text(F.col(text_col))).alias("ch"),
+    )
+    w = Window.partitionBy("ch")
+    marked = hashed.select(
+        "grp", (F.col("id") != F.min("id").over(w)).cast("int").alias("is_dup")
+    )
+    return marked.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dups"),
+        F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_rate"),
+    )

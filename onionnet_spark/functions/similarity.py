@@ -1006,3 +1006,52 @@ def quantize_embeddings_int8(
         code.alias("code"),
         F.round("scale", 6).alias("scale"),
     )
+
+
+def cosine_histogram(
+    df: DataFrame,
+    sample_frac: float = 0.2,
+    n_bins: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairwise-cosine distribution over a deterministic md5 sample of
+    the corpus — the separability probe run before choosing a near-dup
+    cosine threshold or an ANN recall target (a hump near 1.0 means
+    duplicates; mass near 0 means the space discriminates).
+
+    The sample is seed-free and partitioning-stable (md5-prefix
+    threshold, same device as hash_sample); pair count is
+    (frac*N)^2/2, so the caller keeps frac*N around 1e4 at corpus
+    scale — the histogram is a diagnostic, not a scan. Cosines are
+    6dp-rounded, then binned over [-1, 1]. Returns
+    (bucket, bucket_lo, bucket_hi, n_pairs).
+    """
+    thresh = int(sample_frac * 65536)
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+    sample = (
+        df.filter(h.cast("bigint") < thresh)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .localCheckpoint()
+    )
+    width = 2.0 / n_bins
+    pairs = (
+        sample.alias("a")
+        .join(sample.select(F.col("id").alias("id_b"), F.col("v").alias("vb")).alias("b"),
+              F.col("a.id") < F.col("id_b"))
+        .select(F.round(cosine(F.col("a.v"), F.col("vb")), 6).alias("c"))
+    )
+    bucket = F.least(
+        F.floor((F.col("c") + 1.0) / width).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        pairs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * width - 1.0, 6).alias("bucket_lo"),
+            F.round((F.col("bucket") + 1) * width - 1.0, 6).alias("bucket_hi"),
+            "n_pairs",
+        )
+    )

@@ -639,3 +639,48 @@ def pmi_pairs(
             6,
         ).alias("pmi"),
     )
+
+
+def tokenize_to_ids(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tensorize documents against the corpus's own frequency-ranked
+    vocabulary: token id = rank by (count desc, token asc), 0-based —
+    the final layout step before a pretraining loader reads the
+    corpus (ids arrays concat into token streams; compose with
+    `pack_sequences` for fixed-length rows).
+
+    The vocab rank is an unpartitioned window, BOUNDED by the
+    Zipf-capped distinct-token count (vocab tables are millions of
+    rows when corpora are petabytes); the ids array is rebuilt in
+    position order via array_sort(collect_list(struct)) — no
+    assumption that collect_list preserves order. Returns
+    (doc_id, n_tokens, ids: array<int>).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "tid",
+            (F.row_number().over(Window.orderBy(F.desc("c"), "tok")) - 1).cast(
+                "int"
+            ),
+        )
+        .select("tok", "tid")
+    )
+    return (
+        toks.join(F.broadcast(vocab), on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("ids"),
+        )
+    )

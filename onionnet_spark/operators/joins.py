@@ -24,6 +24,7 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     suffix: str = "_asof",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left as-of join (backward): latest right row with
     right_ts <= left_ts per `on` key.
@@ -31,6 +32,12 @@ def asof_join(
     Output: all left columns + right_value_cols renamed with suffix
     + right_ts as f'{right_ts}{suffix}'. Right side should be unique
     per (on, right_ts) for deterministic results (pre-aggregate it).
+
+    `tolerance` (kdb/pandas merge_asof semantics): a match older than
+    `tolerance` is nulled out — in the ts columns' native double
+    scale (epoch SECONDS for timestamps via the double cast, raw
+    units for numerics). The stale-quote guard of every market-data
+    as-of join.
     """
     left_cols = left.columns
     carry = [c for c in left_cols if c not in on and c != left_ts]
@@ -66,9 +73,18 @@ def asof_join(
         *[F.col(c) for c in carry],
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_right],
     )
-    return filled.filter(F.col("_side") == 1).drop("_side").withColumnRenamed(
+    out = filled.filter(F.col("_side") == 1).drop("_side").withColumnRenamed(
         "_ts", left_ts
     )
+    if tolerance is not None:
+        rts = f"{right_ts}{suffix}"
+        fresh = F.col(rts).isNotNull() & (
+            F.col(left_ts).cast("double") - F.col(rts).cast("double")
+            <= float(tolerance)
+        )
+        for c in out_right:
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+    return out
 
 
 def salted_join(

@@ -149,6 +149,11 @@ _R4_NEW: list[str] = [
     "embedding_random_projection",
     "embedding_quantize_int8",
     "events_interarrival",
+    "tokenize_to_ids",
+    "source_overlap_matrix",
+    "dedup_rate_by_source",
+    "embedding_cosine_histogram",
+    "asof_join_tolerance",
 ]
 
 

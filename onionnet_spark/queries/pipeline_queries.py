@@ -2154,3 +2154,94 @@ def embedding_quantize_int8_q(spark, sf_dir):
     from onionnet_spark.functions.similarity import quantize_embeddings_int8
 
     return quantize_embeddings_int8(_embs(spark, sf_dir))
+
+
+@register(
+    "tokenize_to_ids",
+    f"""WITH norm AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len(a)), 0) + 1 FROM norm), 2))) AS i),
+    toks AS (SELECT doc_id, i - 1 AS pos, a[i] AS tok
+             FROM norm JOIN nums ON i <= len(a)),
+    vocab AS (SELECT tok,
+                     CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) - 1 AS INT)
+                       AS tid
+              FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(tid ORDER BY pos) AS ids
+    FROM toks JOIN vocab USING (tok) GROUP BY doc_id""",
+)
+def tokenize_to_ids_q(spark, sf_dir):
+    """Tensorization: docs as arrays of frequency-ranked vocab ids —
+    the layout a pretraining loader consumes (compose with
+    sequence_packing)."""
+    return text.tokenize_to_ids(_docs(spark, sf_dir))
+
+
+@register(
+    "source_overlap_matrix",
+    f"""WITH norm AS (SELECT doc_id, source, {_TOKS} AS a FROM documents),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len(a)), 0) FROM norm), 2))) AS i),
+    ss AS (SELECT DISTINCT source AS src,
+                  a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+           FROM norm JOIN nums ON i <= len(a) - 2),
+    sizes AS (SELECT src, COUNT(*) AS n_sh FROM ss GROUP BY src),
+    inter AS (SELECT a.src AS src_a, b.src AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM ss a JOIN ss b ON a.sh = b.sh AND a.src < b.src
+              GROUP BY 1, 2)
+    SELECT src_a, src_b, n_shared,
+           ROUND(n_shared / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM inter JOIN sizes sa ON sa.src = src_a
+               JOIN sizes sb ON sb.src = src_b""",
+)
+def source_overlap_matrix_q(spark, sf_dir):
+    """Cross-source 3-shingle contamination matrix: shared shingles +
+    containment of the smaller source, for every source pair."""
+    return dedup.source_overlap(_docs(spark, sf_dir), group_col="source", n=3)
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""WITH h AS (SELECT doc_id, source, md5({_NORM}) AS ch FROM documents),
+    m AS (SELECT source,
+                 CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY ch)
+                      THEN 1 ELSE 0 END AS is_dup
+          FROM h)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           ROUND(SUM(is_dup) / COUNT(*), 6) AS dup_rate
+    FROM m GROUP BY source""",
+)
+def dedup_rate_by_source_q(spark, sf_dir):
+    """Per-source exact-duplicate scoreboard: a doc is a dup when it
+    is not the min-id holder of its corpus-wide content hash."""
+    return dedup.dup_rate_by_group(_docs(spark, sf_dir), group_col="source")
+
+
+@register(
+    "embedding_cosine_histogram",
+    """WITH s AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT < 13107),
+    pairs AS (
+      SELECT ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS c
+      FROM s a JOIN s b ON a.id < b.id),
+    bk AS (SELECT LEAST(CAST(floor((c + 1.0) / 0.1) AS INT), 19) AS bucket
+           FROM pairs)
+    SELECT bucket,
+           ROUND(CAST(bucket AS DOUBLE) * 0.1 - 1.0, 6) AS bucket_lo,
+           ROUND(CAST(bucket + 1 AS DOUBLE) * 0.1 - 1.0, 6) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM bk GROUP BY bucket""",
+)
+def embedding_cosine_histogram_q(spark, sf_dir):
+    """Pairwise-cosine distribution over a 20% deterministic md5
+    sample — the separability probe behind near-dup threshold and
+    ANN recall choices."""
+    from onionnet_spark.functions.similarity import cosine_histogram
+
+    return cosine_histogram(_embs(spark, sf_dir), sample_frac=0.2, n_bins=20)

@@ -1620,3 +1620,49 @@ def bloom_pruned_revenue_q(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).cast("decimal(18,2)").alias("revenue"),
     )
+
+
+@register(
+    "asof_join_tolerance",
+    """WITH p AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN epoch(c.ts) - epoch(p.ts) <= 86400
+                THEN p.purchase_event_id END AS purchase_event_id,
+           CASE WHEN epoch(c.ts) - epoch(p.ts) <= 86400
+                THEN p.ts END AS purchase_ts
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+)
+def asof_join_tolerance_q(spark, sf_dir):
+    """As-of join with a 1-day staleness tolerance (kdb/pandas
+    merge_asof semantics): purchases older than the tolerance are
+    nulled, not matched — the stale-quote guard."""
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["purchase_event_id"],
+        suffix="_p",
+        tolerance=86400.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_event_id_p").alias("purchase_event_id"),
+        F.col("ts_p").alias("purchase_ts"),
+    )
