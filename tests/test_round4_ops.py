@@ -1,0 +1,359 @@
+"""Round-4 operator tests: edge cases the sf fixtures can't reach
+(NULLs, empty inputs, boundary buckets, degenerate graphs) plus
+partitioning-invariance checks for the ops that promise it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from onionnet_spark.core import OnionGraph
+
+
+def _toy_graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("L", "a", 10.0),
+            ("L", "b", 20.0),
+            ("L", "c", None),
+            ("R", "x", 5.0),
+            ("R", "y", 7.5),
+        ],
+        "layer string, node_id string, val double",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("L", "a", "R", "x"),
+            ("L", "b", "R", "x"),
+            ("L", "b", "R", "y"),
+            ("L", "c", "R", "y"),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    return OnionGraph(nodes, edges)
+
+
+# ---------------------------------------------------------------- graph ops
+
+
+def test_neighbor_agg_directions_and_nulls(spark):
+    from onionnet_spark.operators.analytics import neighbor_agg
+
+    g = _toy_graph(spark)
+    down = {r["node_id"]: r for r in neighbor_agg(g, "val").collect()}
+    # a -> x only: sum 5.0; isolated receivers report 0 neighbors
+    assert down["a"]["n_nbrs"] == 1 and down["a"]["sum_val"] == 5.0
+    assert down["b"]["n_nbrs"] == 2 and down["b"]["sum_val"] == 12.5
+    assert down["x"]["n_nbrs"] == 0 and down["x"]["sum_val"] is None
+    up = {r["node_id"]: r for r in neighbor_agg(g, "val", "upstream").collect()}
+    # y's upstream neighbors are b (20.0) and c (NULL): NULL skipped
+    # by sum/mean but counted in n_nbrs
+    assert up["y"]["n_nbrs"] == 2
+    assert up["y"]["sum_val"] == 20.0 and up["y"]["mean_val"] == 20.0
+    sym = {r["node_id"]: r for r in neighbor_agg(g, "val", "sym").collect()}
+    assert sym["x"]["n_nbrs"] == 2 and sym["x"]["sum_val"] == 30.0
+    with pytest.raises(ValueError):
+        neighbor_agg(g, "val", "sideways")
+
+
+def test_neighbor_agg_quantized_matches_raw_on_2dp_values(spark):
+    from onionnet_spark.operators.analytics import neighbor_agg
+
+    g = _toy_graph(spark)
+    raw = {
+        (r["layer"], r["node_id"]): (r["sum_val"], r["mean_val"])
+        for r in neighbor_agg(g, "val").collect()
+    }
+    quant = {
+        (r["layer"], r["node_id"]): (r["sum_val"], r["mean_val"])
+        for r in neighbor_agg(g, "val", quantize_scale=100).collect()
+    }
+    assert raw == quant
+
+
+def test_link_prediction_counts_and_aa(spark):
+    from math import floor, log
+
+    from onionnet_spark.operators.analytics import link_prediction
+
+    # suppliers u,v share parts p1,p2 (df 2 each); w shares only p1
+    edges = spark.createDataFrame(
+        [
+            ("S", "u", "P", "p1"),
+            ("S", "u", "P", "p2"),
+            ("S", "v", "P", "p1"),
+            ("S", "v", "P", "p2"),
+            ("S", "w", "P", "p1"),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = edges.selectExpr(
+        "src_layer as layer", "src_id as node_id"
+    ).union(edges.selectExpr("dst_layer", "dst_id")).distinct()
+    g = OnionGraph(nodes, edges)
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in link_prediction(g, "S", min_common=1).collect()
+    }
+    uv = rows[("u", "v")]
+    assert uv["common"] == 2 and uv["jaccard"] == 1.0
+    # p1 has df 3 (u, v, w), p2 has df 2
+    expect_aa = round(
+        (floor(1e6 / log(3.0)) + floor(1e6 / log(2.0))) / 1e6, 6
+    )
+    assert uv["adamic_adar"] == expect_aa
+    assert rows[("u", "w")]["common"] == 1
+    # min_common=2 drops the single-shared pairs
+    pairs2 = {
+        (r["id_a"], r["id_b"])
+        for r in link_prediction(g, "S", min_common=2).collect()
+    }
+    assert pairs2 == {("u", "v")}
+
+
+def test_degree_distribution_counts_isolated(spark):
+    from onionnet_spark.operators.analytics import degree_distribution
+
+    nodes = spark.createDataFrame(
+        [("L", "a"), ("L", "b"), ("L", "lonely")],
+        "layer string, node_id string",
+    )
+    edges = spark.createDataFrame(
+        [("L", "a", "L", "b")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    hist = {
+        r["degree"]: r["n_nodes"]
+        for r in degree_distribution(OnionGraph(nodes, edges)).collect()
+    }
+    assert hist == {0: 1, 1: 2}
+
+
+def test_powerlaw_alpha_closed_form(spark):
+    from math import floor, log
+
+    from onionnet_spark.operators.analytics import powerlaw_alpha
+
+    # star: hub degree 4, leaves degree 1 -> tail (d>=2) = {4}
+    edges = spark.createDataFrame(
+        [("L", "h", "L", f"l{i}") for i in range(4)],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = edges.selectExpr("src_layer as layer", "src_id as node_id").union(
+        edges.selectExpr("dst_layer", "dst_id")
+    ).distinct()
+    row = powerlaw_alpha(OnionGraph(nodes, edges), d_min=2).collect()[0]
+    assert row["n_tail"] == 1
+    assert row["alpha"] == round(1.0 + 1 / (floor(log(4 / 1.5) * 1e6) / 1e6), 6)
+
+
+def test_rich_club_dense_core(spark):
+    from onionnet_spark.operators.analytics import rich_club
+
+    # triangle core {a,b,c} (degrees 3,3,2) + pendant d on a, e on b
+    edges = spark.createDataFrame(
+        [
+            ("L", "a", "L", "b"),
+            ("L", "b", "L", "c"),
+            ("L", "a", "L", "c"),
+            ("L", "a", "L", "d"),
+            ("L", "b", "L", "e"),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = edges.selectExpr("src_layer as layer", "src_id as node_id").union(
+        edges.selectExpr("dst_layer", "dst_id")
+    ).distinct()
+    rows = {r["k"]: r for r in rich_club(OnionGraph(nodes, edges), [1, 2, 9]).collect()}
+    # k=2: nodes with degree > 2 = {a, b}; the a-b edge survives -> phi = 1
+    assert rows[2]["n_nodes"] == 2 and rows[2]["n_edges"] == 1
+    assert rows[2]["phi"] == 1.0
+    # k=9: empty club -> zero counts, NULL phi
+    assert rows[9]["n_nodes"] == 0 and rows[9]["phi"] is None
+
+
+def test_bipartite_layout_barycenter_order(spark):
+    from onionnet_spark.operators.properties import bipartite_ordered_layout
+
+    g = _toy_graph(spark)
+    pos = {r["node_id"]: r for r in bipartite_ordered_layout(g, "L", "R").collect()}
+    # left ranked by node_id: a=0, b=1, c=2
+    assert [pos[n]["y"] for n in "abc"] == [0.0, 30.0, 60.0]
+    assert all(pos[n]["x"] == 0.0 for n in "abc")
+    # x: avg rank of {a, b} = 0.5; y: avg of {b, c} = 1.5 -> x before y
+    assert pos["x"]["y"] == 0.0 and pos["y"]["y"] == 30.0
+    assert pos["x"]["x"] == 1.0 and pos["y"]["x"] == 1.0
+
+
+def test_style_columns_power_and_transform(spark):
+    from onionnet_spark.operators.properties import style_columns
+
+    nodes = spark.createDataFrame(
+        [("L", "a", -4.0), ("L", "b", 0.0), ("L", "c", 2.0)],
+        "layer string, node_id string, val double",
+    )
+    g = OnionGraph(nodes, nodes.limit(0).selectExpr(
+        "layer as src_layer", "node_id as src_id",
+        "layer as dst_layer", "node_id as dst_id"))
+    out = {
+        r["node_id"]: r["size"]
+        for r in style_columns(
+            g, "val", "layer", power=2, transform="abs"
+        ).collect()
+    }
+    # |val| in {4, 0, 2}; norm {1, 0, 0.5}; squared {1, 0, 0.25}
+    assert out["a"] == 10.0 and out["b"] == 1.0 and out["c"] == 3.25
+    with pytest.raises(ValueError):
+        style_columns(g, "val", "layer", transform="cube")
+
+
+# ------------------------------------------------------------ pipeline ops
+
+
+def test_line_dedup_null_and_boilerplate(spark):
+    from onionnet_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nunique one\n\n  header  "),
+            (2, "header\nunique two"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # doc 1: 'header' (kept), 'unique one' (kept), trimmed dup 'header'
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_dup_lines"] == 1
+    assert rows[2]["n_lines"] == 2 and rows[2]["n_dup_lines"] == 1
+    assert rows[2]["n_kept_chars"] == len("unique two")
+    # null/empty docs emit no rows at all
+    assert 3 not in rows and 4 not in rows
+
+
+def test_tokenize_to_ids_roundtrip(spark):
+    from onionnet_spark.functions.text import tokenize_to_ids
+
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "a c")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in tokenize_to_ids(docs).collect()}
+    # counts: a=3, b=1, c=1 -> ids a=0, b=1, c=2 (freq desc, tok asc)
+    assert out[1]["ids"] == [1, 0, 0]
+    assert out[2]["ids"] == [0, 2]
+    assert out[1]["n_tokens"] == 3
+
+
+def test_oov_and_dsir_agree_on_structure(spark, sf_dir):
+    from onionnet_spark.functions.text import dsir_logratio, oov_rate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    oov = oov_rate(docs, vocab_size=10)
+    assert oov.filter(
+        (F.col("oov_rate") < 0) | (F.col("oov_rate") > 1)
+    ).count() == 0
+    dsir = dsir_logratio(docs, target=F.col("lang") == "en")
+    # English docs must score higher toward the English target on avg
+    means = {
+        r["is_en"]: r["m"]
+        for r in dsir.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("logratio").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_cosine_histogram_boundary_bucket(spark):
+    from onionnet_spark.functions.similarity import cosine_histogram
+
+    # identical vectors -> cosine exactly 1.0 must land in the LAST
+    # bucket (the least() clamp), never a phantom bucket 20
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = cosine_histogram(df, sample_frac=1.0, n_bins=20).collect()
+    assert len(rows) == 1
+    assert rows[0]["bucket"] == 19 and rows[0]["bucket_hi"] == 1.0
+    assert rows[0]["n_pairs"] == 8 * 7 // 2
+
+
+def test_quantize_int8_range_and_dead_dim(spark):
+    from onionnet_spark.functions.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.0, -2.0]), (2, [-0.5, 0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {(r["vec_id"], r["pos"]): r for r in quantize_embeddings_int8(df).collect()}
+    assert rows[(1, 0)]["code"] == 127 and rows[(2, 0)]["code"] == -127
+    # dead dimension: scale 0, code 0 (no division by zero)
+    assert rows[(1, 1)]["code"] == 0 and rows[(1, 1)]["scale"] == 0.0
+    assert rows[(1, 2)]["code"] == -127 and rows[(2, 2)]["code"] == 64
+    codes = [r["code"] for r in rows.values()]
+    assert all(-127 <= c <= 127 for c in codes)
+
+
+def test_random_projection_partitioning_invariant(spark):
+    from onionnet_spark.functions.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5) / 7, float(i % 3) - 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    a = sorted(map(tuple, random_projection(df, out_dim=4).collect()))
+    b = sorted(
+        map(tuple, random_projection(df.repartition(13), out_dim=4).collect())
+    )
+    assert a == b  # integer sums: partition merge order cannot matter
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from onionnet_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100.0), (2, "k", 500.0)], "id bigint, k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("k", 90.0, "fresh"), ("k", 10.0, "stale")],
+        "k string, ts double, tag string",
+    )
+    out = {
+        r["id"]: r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_value_cols=["tag"], tolerance=50.0,
+        ).collect()
+    }
+    # id 1: match at 90 (gap 10 <= 50) kept; id 2: match at 90
+    # (gap 410 > 50) nulled — including the matched ts column
+    assert out[1]["tag_asof"] == "fresh" and out[1]["ts_asof"] == 90.0
+    assert out[2]["tag_asof"] is None and out[2]["ts_asof"] is None
+
+
+def test_interarrival_gap_identity(spark, sf_dir):
+    from onionnet_spark.operators.timeseries import interarrival_stats
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = interarrival_stats(ev)
+    # identity: n_gaps == n_events - 1 for every key; mean <= max
+    bad = out.filter(
+        (F.col("n_gaps") != F.col("n_events") - 1)
+        | (F.col("mean_gap_s") > F.col("max_gap_s"))
+    )
+    assert bad.count() == 0
+
+
+def test_source_overlap_containment_bounds(spark, sf_dir):
+    from onionnet_spark.functions.dedup import source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = source_overlap(docs, n=3)
+    assert out.filter(
+        (F.col("containment") <= 0) | (F.col("containment") > 1)
+    ).count() == 0
+    # symmetry of the canonical form: every pair appears once, a < b
+    assert out.filter(F.col("src_a") >= F.col("src_b")).count() == 0
