@@ -1055,3 +1055,51 @@ def cosine_histogram(
             "n_pairs",
         )
     )
+
+
+def knn_label_accuracy(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy of a labeled
+    embedding table — the standard embedding-quality eval (do
+    same-label vectors actually cluster?): every vector's label is
+    predicted by the majority label of its exact top-k cosine
+    neighbors (ties -> count desc, label asc) and compared to its
+    own.
+
+    Reuses brute_force_topk's zero-driver block matrix-multiply for
+    the neighbor lists; the vote is one broadcast label join + a
+    map-side min_by majority. Returns one row
+    (n_vectors, k, accuracy 6dp) — the division is count-exact.
+    """
+    topk = brute_force_topk(df, vec_col, id_col, k=k)
+    labels = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), on="neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.min_by(
+            "nl", F.struct((-F.col("cnt")).alias("nc"), F.col("nl").alias("tb"))
+        ).alias("pred")
+    )
+    own = df.select(F.col(id_col).alias("query_id"), F.col(label_col).alias("own"))
+    return (
+        own.join(pred, on="query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.lit(k).cast("int").alias("k"),
+            F.round(
+                F.sum(F.when(F.col("pred") == F.col("own"), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("accuracy"),
+        )
+    )

@@ -684,3 +684,43 @@ def tokenize_to_ids(
             ).alias("ids"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy in nats,
+    H = ln(n) - (Σ c·ln c)/n over lower-cased character counts — the
+    encoding-garbage detector (mojibake and binary-in-text score far
+    off the natural-language band; highly repetitive text scores
+    low).
+
+    Characters explode via substring positions (linear in corpus
+    bytes, the same cost class as tokenization); the per-character
+    c·ln(c) terms are floor-quantized to a 1e-6 integer grid before
+    the per-doc sum, so H is engine-exact up to the final two ops.
+    NULL/empty docs emit no row. Returns (doc_id, n_chars, entropy
+    6dp).
+    """
+    s = F.lower(F.col(text_col))
+    chars = (
+        df.filter(F.length(s) > 0)
+        .select(F.col(id_col), s.alias("s"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"),
+            "s",
+        )
+        .select(id_col, F.col("s").substr(F.col("i"), F.lit(1)).alias("ch"))
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    term = F.floor(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")) * 1e6
+    ).cast("bigint")
+    return counts.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.round(
+            F.log(F.sum("c").cast("double")) - F.sum(term) / 1e6 / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )

@@ -333,3 +333,25 @@ def interarrival_stats(
         F.round(F.sum("gap_us") / 1e6 / F.count("gap_us"), 6).alias("mean_gap_s"),
         F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
     )
+
+
+def daily_topk_types(
+    events: DataFrame,
+    k: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Top-`k` event types per day by count — the 'what's trending'
+    rollup every event dashboard leads with. One aggregation, then a
+    rank windowed PER DAY (each day's partition holds at most
+    |event types| rows — never a global funnel). Returns
+    (day, event_type, n_events, rank)."""
+    counts = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(key_col).alias("event_type"),
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    w = Window.partitionBy("day").orderBy(F.desc("n_events"), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

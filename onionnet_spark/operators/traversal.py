@@ -636,3 +636,67 @@ def temporal_earliest_arrival(
         )
         frontier = improved
     return best
+
+
+def topological_levels(
+    graph: OnionGraph, max_iterations: int = 20, guard: bool = True
+) -> DataFrame:
+    """Topological generation of every node in a DAG: level(v) =
+    length of the LONGEST directed path reaching v (sources sit at
+    0) — the layer scheduler's view of an onion graph (everything at
+    level k depends only on levels < k), and a cycle detector for
+    free: a cycle keeps relaxing forever, so hitting the iteration
+    cap with changes still flowing raises (like weighted_sssp's
+    convergence guard).
+
+    Iterative max-relaxation — level'(d) = max(level(d),
+    max over in-edges of level(s)+1) — converging in longest-path-
+    depth rounds; each round is one join + one groupBy on the edge
+    key, with the per-round change count the only driver scalar.
+    Returns (layer, node_id, level).
+    """
+    e = graph.edge_endpoints().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("s"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("d"),
+    )
+    lv = graph.nodes.select(
+        F.concat_ws(":", "layer", "node_id").alias("n"), F.lit(0).alias("level")
+    ).localCheckpoint()
+    converged = False
+    for _ in range(max_iterations):
+        upd = (
+            e.join(lv.withColumnRenamed("n", "s"), on="s")
+            .groupBy(F.col("d").alias("n"))
+            .agg((F.max("level") + 1).alias("cand"))
+        )
+        nxt = (
+            lv.join(upd, on="n", how="left")
+            .select(
+                "n",
+                F.greatest("level", F.coalesce("cand", F.lit(0))).alias("level"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            nxt.join(lv.withColumnRenamed("level", "old"), on="n")
+            .filter(F.col("level") != F.col("old"))
+            .count()
+        )
+        lv = nxt
+        if n_changed == 0:
+            converged = True
+            break
+    if guard and not converged:
+        raise RuntimeError(
+            f"topological_levels: still relaxing after {max_iterations} "
+            "rounds — graph has a cycle or raise max_iterations"
+        )
+    # key split mirrors the oracle: everything after the FIRST ':'
+    # is the node_id (ids may themselves contain ':')
+    return lv.select(
+        F.split_part(F.col("n"), F.lit(":"), F.lit(1)).alias("layer"),
+        F.expr(
+            "substring(n, length(split_part(n, ':', 1)) + 2)"
+        ).alias("node_id"),
+        F.col("level").cast("int").alias("level"),
+    )

@@ -154,6 +154,10 @@ _R4_NEW: list[str] = [
     "dedup_rate_by_source",
     "embedding_cosine_histogram",
     "asof_join_tolerance",
+    "graph_topo_levels",
+    "embedding_knn_accuracy",
+    "char_entropy",
+    "events_daily_topk",
 ]
 
 

@@ -2364,3 +2364,38 @@ def graph_rich_club_q(spark, sf_dir):
     """Rich-club coefficient phi(k) for k in {1,2,4,8,16,32}: edge
     density among nodes of undirected degree > k."""
     return analytics.rich_club(get_graph(spark, sf_dir), _RICH_KS)
+
+
+def _topo_oracle(n_stages: int = 8) -> str:
+    """Unrolled longest-path max-relaxation; MATERIALIZED per stage
+    (each stage reads the previous one twice)."""
+    stages = []
+    for i in range(1, n_stages + 1):
+        stages.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT n, MAX(lv) AS lv FROM (
+        SELECT n, lv FROM l{i - 1}
+        UNION ALL
+        SELECT e.d, p.lv + 1 FROM l{i - 1} p JOIN e ON e.s = p.n
+      ) GROUP BY n
+    )"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    e AS MATERIALIZED (SELECT src_layer || ':' || src_id AS s,
+                              dst_layer || ':' || dst_id AS d FROM edges_g),
+    l0 AS (SELECT layer || ':' || node_id AS n, 0 AS lv FROM nodes_g),
+    {stage_sql}
+    SELECT split_part(n, ':', 1) AS layer,
+           substr(n, length(split_part(n, ':', 1)) + 2) AS node_id,
+           CAST(lv AS INT) AS level
+    FROM l{n_stages}"""
+
+
+@register("graph_topo_levels", _topo_oracle())
+def graph_topo_levels_q(spark, sf_dir):
+    """Topological generations of the TPC-H multilayer DAG (lineitem
+    0 ... region 4): longest-path level per node, cycle-guarded."""
+    from onionnet_spark.operators.traversal import topological_levels
+
+    return topological_levels(get_graph(spark, sf_dir))

@@ -2245,3 +2245,60 @@ def embedding_cosine_histogram_q(spark, sf_dir):
     from onionnet_spark.functions.similarity import cosine_histogram
 
     return cosine_histogram(_embs(spark, sf_dir), sample_frac=0.2, n_bins=20)
+
+
+@register(
+    "embedding_knn_accuracy",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+    r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p),
+    votes AS (
+      SELECT t.query_id, e.label AS nl, COUNT(*) AS cnt
+      FROM r t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      WHERE t.rank <= 5 GROUP BY 1, 2),
+    pred AS (
+      SELECT query_id, nl AS pred FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cnt DESC, nl) AS rn FROM votes)
+      WHERE rn = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(5 AS INT) AS k,
+           ROUND(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS accuracy
+    FROM embeddings e JOIN pred p ON p.query_id = e.vec_id""",
+)
+def embedding_knn_accuracy_q(spark, sf_dir):
+    """Leave-one-out 5-NN label accuracy over the labeled embedding
+    table — the embedding-quality eval, on the exact brute-force
+    neighbor lists."""
+    from onionnet_spark.functions.similarity import knn_label_accuracy
+
+    return knn_label_accuracy(_embs(spark, sf_dir), k=5)
+
+
+@register(
+    "char_entropy",
+    """WITH s0 AS (SELECT doc_id, lower(text) AS s FROM documents
+                   WHERE length(lower(text)) > 0),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(length(s)), 0) + 1 FROM s0), 2))) AS i),
+    chars AS (SELECT doc_id, substr(s, i, 1) AS ch
+              FROM s0 JOIN nums ON i <= length(s)),
+    counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                  * 1000000) AS BIGINT))
+                   / 1000000.0 / SUM(c), 6) AS entropy
+    FROM counts GROUP BY doc_id""",
+)
+def char_entropy_q(spark, sf_dir):
+    """Character-level Shannon entropy per document (nats) — the
+    mojibake/repetition band check, integer-quantized c*ln(c) sums."""
+    return text.char_entropy(_docs(spark, sf_dir))

@@ -455,3 +455,23 @@ def events_interarrival(spark, sf_dir):
     from onionnet_spark.operators import timeseries
 
     return timeseries.interarrival_stats(_events(spark, sf_dir))
+
+
+@register(
+    "events_daily_topk",
+    """WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n_events, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY day
+                ORDER BY n_events DESC, event_type) AS INT) AS rank
+      FROM c)
+    WHERE rank <= 3""",
+)
+def events_daily_topk(spark, sf_dir):
+    """Top-3 trending event types per day (rank windows are per-day,
+    bounded by the event-type count)."""
+    from onionnet_spark.operators import timeseries
+
+    return timeseries.daily_topk_types(_events(spark, sf_dir), k=3)

@@ -357,3 +357,79 @@ def test_source_overlap_containment_bounds(spark, sf_dir):
     ).count() == 0
     # symmetry of the canonical form: every pair appears once, a < b
     assert out.filter(F.col("src_a") >= F.col("src_b")).count() == 0
+
+
+def test_topological_levels_dag_and_cycle_guard(spark):
+    from onionnet_spark.operators.traversal import topological_levels
+
+    # diamond: a -> b -> d, a -> c -> d, plus long arm a -> e -> b
+    edges = spark.createDataFrame(
+        [
+            ("L", "a", "L", "b"),
+            ("L", "b", "L", "d"),
+            ("L", "a", "L", "c"),
+            ("L", "c", "L", "d"),
+            ("L", "a", "L", "e"),
+            ("L", "e", "L", "b"),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = edges.selectExpr("src_layer as layer", "src_id as node_id").union(
+        edges.selectExpr("dst_layer", "dst_id")
+    ).distinct()
+    lv = {
+        r["node_id"]: r["level"]
+        for r in topological_levels(OnionGraph(nodes, edges)).collect()
+    }
+    # LONGEST path: b sits at 2 (via e), d at 3
+    assert lv == {"a": 0, "e": 1, "b": 2, "c": 1, "d": 3}
+
+    cyc = spark.createDataFrame(
+        [("L", "a", "L", "b"), ("L", "b", "L", "a")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    cnodes = cyc.selectExpr("src_layer as layer", "src_id as node_id").union(
+        cyc.selectExpr("dst_layer", "dst_id")
+    ).distinct()
+    with pytest.raises(RuntimeError, match="cycle"):
+        topological_levels(OnionGraph(cnodes, cyc), max_iterations=5)
+
+
+def test_knn_accuracy_separable_labels(spark):
+    from onionnet_spark.functions.similarity import knn_label_accuracy
+
+    # two well-separated label clusters -> LOO 3-NN is perfect
+    rows = [(i, [1.0, 0.01 * i], 0) for i in range(6)] + [
+        (10 + i, [-1.0, 0.01 * i], 1) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = knn_label_accuracy(df, k=3).collect()[0]
+    assert out["n_vectors"] == 12 and out["accuracy"] == 1.0
+
+
+def test_char_entropy_closed_forms(spark):
+    from math import floor, log
+
+    from onionnet_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, None), (4, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["entropy"] == 0.0  # single symbol: zero entropy
+    # two symbols, equal counts: ln(4) - 2*floor(2*ln2*1e6)/1e6/4
+    expect = round(log(4.0) - 2 * floor(2 * log(2.0) * 1e6) / 1e6 / 4, 6)
+    assert out[2]["entropy"] == expect
+    assert 3 not in out and 4 not in out  # null/empty emit nothing
+
+
+def test_daily_topk_rank_bounds(spark, sf_dir):
+    from onionnet_spark.operators.timeseries import daily_topk_types
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = daily_topk_types(ev, k=3)
+    assert out.filter((F.col("rank") < 1) | (F.col("rank") > 3)).count() == 0
+    per_day = out.groupBy("day").count()
+    assert per_day.filter(F.col("count") > 3).count() == 0
