@@ -612,6 +612,25 @@ def dedup_clusters(
     )
 
 
+def doc_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Non-empty trimmed lines per doc: (id, li, lh: md5 of the
+    line, ln: its char count). The shared step of batch `line_dedup`
+    and the streaming maintainer (streaming/line_stream.py)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("li", "line"),
+        )
+        .select("id", "li", F.trim("line").alias("line"))
+        .filter(F.length("line") > 0)
+        .select(
+            "id", "li", F.md5("line").alias("lh"), F.length("line").alias("ln")
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -634,15 +653,7 @@ def line_dedup(
     """
     from pyspark.sql import Window
 
-    lines = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("li", "line"),
-        )
-        .select("id", "li", F.trim("line").alias("line"))
-        .filter(F.length("line") > 0)
-        .select("id", "li", F.md5("line").alias("lh"), F.length("line").alias("ln"))
-    )
+    lines = doc_lines(df, text_col, id_col)
     w = Window.partitionBy("lh").orderBy("id", "li")
     ranked = lines.withColumn("rk", F.row_number().over(w))
     return ranked.groupBy(F.col("id").alias(id_col)).agg(
@@ -740,4 +751,114 @@ def dup_rate_by_group(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("is_dup").cast("bigint").alias("n_dups"),
         F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_rate"),
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH index health report: per band, the bucket-count /
+    occupancy / candidate-pair-volume profile of the MinHash band
+    buckets — the diagnostic run BEFORE committing to an LSH dedup
+    pass at corpus scale (a band whose max bucket holds 10^6 docs
+    means 10^12 candidate pairs from that bucket alone; the fix is
+    more bands/rows or a stop-shingle cap, and this report is how
+    you see it coming).
+
+    Uses the exact same signature/banding pipeline as
+    ``minhash_lsh_pairs`` (minhash_signatures + minhash_band_keys),
+    so the numbers describe the real index. Two aggregations, both
+    with map-side partials: (band, band_key) -> bucket size, then
+    band -> stats. Candidate pairs per bucket = s*(s-1)/2. Returns
+    (band, n_docs, n_buckets, max_bucket, n_singletons,
+    n_candidate_pairs), one row per band.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sigs = minhash_signatures(sh, num_perm)
+    bk = minhash_band_keys(sigs, num_perm, bands)
+    buckets = bk.groupBy("band", "band_key").agg(F.count("*").alias("s"))
+    return buckets.groupBy("band").agg(
+        F.sum("s").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("s").cast("bigint").alias("max_bucket"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+        F.sum(F.col("s") * (F.col("s") - 1) / 2)
+        .cast("bigint")
+        .alias("n_candidate_pairs"),
+    )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_mod: int = 10,
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Train/validation split with a near-duplicate leakage audit:
+    docs are split deterministically by md5(id) (id % val_mod == 0
+    of the hash -> val), then every verified MinHash near-dup pair
+    (jaccard >= threshold) is checked for crossing the boundary — a
+    cross-split pair means the validation set leaks training data
+    and its loss is an overestimate of generalization.
+
+    The split is a seed-free projection (stable under repartition
+    and re-runs); the pair list is ``minhash_lsh_pairs`` unchanged,
+    so the audit costs one extra broadcast-sized join over the
+    banded candidate path — never a corpus x corpus scan. Returns
+    one row: (n_train, n_val, n_dup_pairs, n_leaky_pairs,
+    leak_rate 6dp of val docs with a train-side near-dup).
+    """
+    split = df.select(
+        F.col(id_col).alias("id"),
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+            .cast("bigint")
+            % val_mod
+            == 0
+        ).alias("is_val"),
+    ).localCheckpoint()
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, threshold=threshold, **lsh_kwargs
+    )
+    flagged = (
+        pairs.join(
+            split.select(F.col("id").alias("id_a"), F.col("is_val").alias("va")),
+            on="id_a",
+        )
+        .join(
+            split.select(F.col("id").alias("id_b"), F.col("is_val").alias("vb")),
+            on="id_b",
+        )
+        .select("id_a", "id_b", "va", "vb")
+        .localCheckpoint()
+    )
+    leaky_val_docs = (
+        flagged.filter(F.col("va") != F.col("vb"))
+        .select(
+            F.when(F.col("va"), F.col("id_a")).otherwise(F.col("id_b")).alias("vid")
+        )
+        .distinct()
+        .count()
+    )
+    counts = split.agg(
+        F.sum(F.when(~F.col("is_val"), 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("is_val"), 1).otherwise(0)).alias("n_val"),
+    )
+    return counts.select(
+        F.col("n_train").cast("bigint"),
+        F.col("n_val").cast("bigint"),
+        F.lit(flagged.count()).cast("bigint").alias("n_dup_pairs"),
+        F.lit(
+            flagged.filter(F.col("va") != F.col("vb")).count()
+        ).cast("bigint").alias("n_leaky_pairs"),
+        F.round(F.lit(leaky_val_docs) / F.col("n_val"), 6).alias("leak_rate"),
     )

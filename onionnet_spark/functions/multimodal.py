@@ -605,3 +605,60 @@ def audio_fingerprint(df: DataFrame, frame_len: int = 8) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         fp_batches, "doc_id long, n_frames int, fingerprint string"
     )
+
+
+CHANNEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channel", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def decode_channel_stats(df: DataFrame) -> DataFrame:
+    """REAL image decode to PER-CHANNEL pixel statistics — the
+    feature-extraction step of an image-curation pipeline (channel
+    means feed normalization constants; a channel whose min == max
+    flags synthetic/blank frames for exclusion). One row per
+    (image, channel) from the same mapInPandas decode path as
+    decode_image_stats; greyscale images emit channel 0. Integer
+    sums only — engine-exact for the closed-form oracle. Returns
+    (doc_id, channel, n_px, px_sum, px_min, px_max).
+    """
+
+    def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            ids, chans, ns, sums, mins, maxs = [], [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _decode_any_image(payload)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                a64 = arr.astype(np.int64)
+                for c in range(arr.shape[2]):
+                    ids.append(int(did))
+                    chans.append(c)
+                    ns.append(int(arr.shape[0] * arr.shape[1]))
+                    sums.append(int(a64[:, :, c].sum()))
+                    mins.append(int(arr[:, :, c].min()))
+                    maxs.append(int(arr[:, :, c].max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "channel": pd.Series(chans, dtype="int32"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "px_min": pd.Series(mins, dtype="int32"),
+                    "px_max": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        stats_batches, CHANNEL_STATS_SCHEMA
+    )

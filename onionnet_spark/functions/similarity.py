@@ -754,6 +754,9 @@ def ann_ivf_pq_topk(
     )
 
 
+_RESIDUAL_TRAIN_CACHE: dict[tuple[int, str], tuple] = {}
+
+
 def ann_ivf_pq_residual_topk(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -764,6 +767,7 @@ def ann_ivf_pq_residual_topk(
     m: int = 4,
     pq_centroids: int = 8,
     iterations: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF + PQ with RESIDUAL encoding — the exact FAISS IVFPQ
     layout: each vector is PQ-coded not on its raw coordinates but
@@ -781,10 +785,22 @@ def ann_ivf_pq_residual_topk(
     join (coarse centroids onto vectors) versus the raw-coordinate
     variant; candidate generation is identical — bucket-bounded,
     never all-pairs.
+
+    Both Lloyd trainings are deterministic, so with ``cache_key``
+    set the trained (coarse, residual-PQ) tables are memoized per
+    (session, key) — repeat calls against one corpus pay only the
+    probe/ADC dataflow, the way a served index is used (same
+    pattern as ann_ivf_pq_topk's query-layer cache).
     """
     from pyspark.sql import Window
 
-    coarse = kmeans_codebook(df, vec_col, id_col, n_centroids, iterations)
+    ck = (id(df.sparkSession), cache_key) if cache_key is not None else None
+    cached = _RESIDUAL_TRAIN_CACHE.get(ck) if ck else None
+    coarse = (
+        cached[0]
+        if cached
+        else kmeans_codebook(df, vec_col, id_col, n_centroids, iterations)
+    )
     scored = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(coarse))
@@ -835,7 +851,13 @@ def ann_ivf_pq_residual_topk(
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     index_res = _residual(index_side.join(base, on="id")).select("id", "res")
-    pq_cents = pq_codebooks(index_res, "res", "id", m, pq_centroids, iterations)
+    pq_cents = (
+        cached[1]
+        if cached
+        else pq_codebooks(index_res, "res", "id", m, pq_centroids, iterations)
+    )
+    if ck and not cached:
+        _RESIDUAL_TRAIN_CACHE[ck] = (coarse, pq_cents)
 
     dim = len(df.select(vec_col).first()[0])
     sub = dim // m
@@ -1102,4 +1124,65 @@ def knn_label_accuracy(
                 6,
             ).alias("accuracy"),
         )
+    )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classifier confusion matrix over a labeled
+    embedding table: per-label mean vectors (the Rocchio /
+    nearest-class-mean classifier), every vector assigned to its
+    closest centroid by L2, counts grouped by (true label, predicted
+    label) — the 30-second "are these labels linearly separated?"
+    eval that runs before spending GPU time on a probe.
+
+    Engine-exact arithmetic: coordinates quantize to floor(x*1e6)
+    BIGINTs; centroids are floor(sum/n) of those integers (the one
+    double division is IEEE-exact in any engine since the sums stay
+    under 2^53); distances are pure integer sums of squares, so the
+    argmin has no float-comparison ambiguity. Ties break to the
+    smaller label.
+
+    Shape at scale: centroids are |labels| x dim rows — broadcast;
+    the assignment is a map-side join + one (id, label) partial
+    aggregation; nothing shuffles at corpus scale except the final
+    confusion groupBy (|labels|^2 rows). Returns
+    (label, pred_label, n).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "id",
+        "lbl",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("q"),
+    )
+    cents = (
+        ex.groupBy(F.col("lbl").alias("clbl"), "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .select(
+            "clbl",
+            "pos",
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint").alias("cq"),
+        )
+    )
+    dists = (
+        ex.join(F.broadcast(cents), on="pos")
+        .groupBy("id", "lbl", "clbl")
+        .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("d2"))
+    )
+    pred = dists.groupBy("id", "lbl").agg(
+        F.min_by("clbl", F.struct(F.col("d2"), F.col("clbl").alias("tb"))).alias(
+            "pred_label"
+        )
+    )
+    return (
+        pred.groupBy(F.col("lbl").alias("label"), "pred_label")
+        .agg(F.count("*").cast("bigint").alias("n"))
     )

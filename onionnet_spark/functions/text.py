@@ -724,3 +724,50 @@ def char_entropy(
             6,
         ).alias("entropy"),
     )
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count — the
+    boilerplate-phrase / contamination-probe staple (the head of
+    this list at crawl scale is always licence text and cookie
+    banners, which is exactly what you want to find).
+
+    N-grams are built JVM-side with transform over the token array
+    (no Python, no self-join); one count aggregation with map-side
+    partials, then a global (count desc, ngram) top-k. The rank
+    window runs AFTER limit(k), so it orders k rows, not the corpus
+    (bounded unpartitioned window by construction). Returns
+    (rank, ngram, n_occurrences).
+    """
+    a = tokens_col(F.col(text_col))
+    grams = df.select(
+        F.explode(
+            F.when(
+                F.size(a) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(a) - n),
+                    lambda i: F.concat_ws(" ", F.slice(a, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram")
+    )
+    top = (
+        grams.groupBy("ngram")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    # bounded window: <= k rows survive the limit above
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "ngram",
+        "n_occurrences",
+    )

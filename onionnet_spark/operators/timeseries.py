@@ -355,3 +355,50 @@ def daily_topk_types(
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rolling_features(
+    events: DataFrame,
+    window_s: int = 7 * 86400,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-event rolling feature vector — the feature-engineering
+    primitive of behavioral training data: for every event, the gap
+    to the key's previous event and the count / value-sum of the
+    key's events in the trailing ``window_s`` seconds (inclusive of
+    peers at the same timestamp, per RANGE-frame semantics).
+
+    Both windows partition by the key, so the single shuffle is the
+    per-key repartition and every frame is evaluated in one sorted
+    pass per key — no self-join, no explode-by-day. Value sums
+    accumulate as floor(value*1e6) BIGINTs (order-independent and
+    engine-exact, unlike float window sums). The lag orders by
+    (epoch, event_id) so same-second events resolve
+    deterministically. Returns (key, event_id, epoch, gap_s NULL on
+    the key's first event, cnt_w, sum_w 6dp).
+    """
+    e = events.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("eid"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("epoch"),
+        F.floor(F.col(value_col).cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    w_lag = Window.partitionBy("key").orderBy("epoch", "eid")
+    w_rng = (
+        Window.partitionBy("key")
+        .orderBy("epoch")
+        .rangeBetween(-window_s, 0)
+    )
+    return e.select(
+        F.col("key").alias(key_col),
+        F.col("eid").alias(id_col),
+        "epoch",
+        (F.col("epoch") - F.lag("epoch").over(w_lag)).cast("bigint").alias("gap_s"),
+        F.count("*").over(w_rng).cast("bigint").alias("cnt_w"),
+        F.round(F.sum("vq").over(w_rng) / 1_000_000.0, 6).alias("sum_w"),
+    )

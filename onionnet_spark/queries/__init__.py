@@ -158,6 +158,13 @@ _R4_NEW: list[str] = [
     "embedding_knn_accuracy",
     "char_entropy",
     "events_daily_topk",
+    # added in the round-4 continuation session (window slots 45-50)
+    "ngram_topk",
+    "embedding_nearest_centroid",
+    "lsh_bucket_stats",
+    "split_leakage_audit",
+    "multimodal_channel_stats",
+    "events_rolling_features",
 ]
 
 

@@ -1838,7 +1838,7 @@ def _ann_ivf_pq_residual_oracle(
 def ann_ivf_pq_residual_topk_q(spark, sf_dir):
     return similarity.ann_ivf_pq_residual_topk(
         _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2, m=4,
-        pq_centroids=8, iterations=2,
+        pq_centroids=8, iterations=2, cache_key=sf_dir,
     )
 
 
@@ -2302,3 +2302,180 @@ def char_entropy_q(spark, sf_dir):
     """Character-level Shannon entropy per document (nats) — the
     mojibake/repetition band check, integer-quantized c*ln(c) sums."""
     return text.char_entropy(_docs(spark, sf_dir))
+
+
+@register(
+    "ngram_topk",
+    f"""WITH norm AS (SELECT {_TOKS} AS a FROM documents),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len(a)), 0) FROM norm), 2))) AS i),
+    g AS (SELECT a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS ngram
+          FROM norm JOIN nums ON i <= len(a) - 2),
+    top AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram LIMIT 50)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram) AS INT)
+             AS rank,
+           ngram, n_occurrences
+    FROM top""",
+)
+def ngram_topk_q(spark, sf_dir):
+    """Corpus top-50 word trigrams — the boilerplate-phrase probe;
+    JVM-side transform over token arrays, rank window bounded by
+    limit(k)."""
+    return text.ngram_topk(_docs(spark, sf_dir), n=3, k=50)
+
+
+@register(
+    "embedding_nearest_centroid",
+    f"""WITH {_ENUM},
+    ex AS (SELECT vec_id, label AS lbl, CAST(i - 1 AS INT) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                    AS q
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    cents AS (SELECT lbl AS clbl, pos,
+                     CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                       AS cq
+              FROM ex GROUP BY lbl, pos),
+    dists AS (SELECT ex.vec_id, ex.lbl, c.clbl,
+                     SUM((q - cq) * (q - cq)) AS d2
+              FROM ex JOIN cents c ON c.pos = ex.pos
+              GROUP BY 1, 2, 3),
+    pred AS (SELECT vec_id, lbl, clbl AS pred_label FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY d2, clbl) AS rn FROM dists)
+             WHERE rn = 1)
+    SELECT lbl AS label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2""",
+)
+def embedding_nearest_centroid_q(spark, sf_dir):
+    """Nearest-class-mean confusion matrix on integer-quantized
+    coordinates — exact-arithmetic argmin, broadcast centroids."""
+    from onionnet_spark.functions.similarity import nearest_centroid_confusion
+
+    return nearest_centroid_confusion(_embs(spark, sf_dir))
+
+
+@register(
+    "lsh_bucket_stats",
+    f"""WITH {_SHINGLES_SQL},
+    perms AS (SELECT UNNEST(range(0, 16)) AS perm),
+    sigs AS (
+      SELECT id, perm,
+             MIN((104729 * (perm + 1)
+                  * ((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647)
+                  + 7919 * perm) % 2147483647) AS sig
+      FROM sh CROSS JOIN perms GROUP BY id, perm
+    ),
+    bands AS (
+      SELECT id, perm // 4 AS band,
+             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS band_key
+      FROM sigs GROUP BY id, perm // 4
+    ),
+    buckets AS (SELECT band, band_key, COUNT(*) AS s
+                FROM bands GROUP BY band, band_key)
+    SELECT CAST(band AS INT) AS band, CAST(SUM(s) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(s) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS n_candidate_pairs
+    FROM buckets GROUP BY band""",
+)
+def lsh_bucket_stats_q(spark, sf_dir):
+    """Per-band LSH bucket occupancy / candidate-volume report over
+    the exact production signature pipeline."""
+    return dedup.lsh_bucket_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "split_leakage_audit",
+    f"""WITH {_SHINGLES_SQL},
+    perms AS (SELECT UNNEST(range(0, 16)) AS perm),
+    sigs AS (
+      SELECT id, perm,
+             MIN((104729 * (perm + 1)
+                  * ((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647)
+                  + 7919 * perm) % 2147483647) AS sig
+      FROM sh CROSS JOIN perms GROUP BY id, perm
+    ),
+    bands AS (
+      SELECT id, perm // 4 AS band,
+             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS band_key
+      FROM sigs GROUP BY id, perm // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5
+    ),
+    split AS (
+      SELECT doc_id AS id,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+              % 10 = 0) AS is_val
+      FROM documents
+    ),
+    flagged AS (
+      SELECT p.id_a, p.id_b, sa.is_val AS va, sb.is_val AS vb
+      FROM pairs p
+      JOIN split sa ON sa.id = p.id_a
+      JOIN split sb ON sb.id = p.id_b
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM split WHERE NOT is_val) AS n_train,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM split WHERE is_val) AS n_val,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged) AS n_dup_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged WHERE va <> vb)
+        AS n_leaky_pairs,
+      ROUND((SELECT COUNT(DISTINCT CASE WHEN va THEN id_a ELSE id_b END)
+             FROM flagged WHERE va <> vb) * 1.0
+            / (SELECT COUNT(*) FROM split WHERE is_val), 6) AS leak_rate""",
+)
+def split_leakage_audit_q(spark, sf_dir):
+    """Deterministic hash train/val split + MinHash near-dup
+    leakage audit across the boundary — the eval-contamination gate
+    every pretraining split needs."""
+    return dedup.split_leakage_audit(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_channel_stats",
+    # Same closed-form-payload contract as multimodal_png_decode:
+    # the oracle recomputes per-channel sums/extrema from the
+    # synthesis formula, never touching the codec, so a decode bug
+    # in any scanline filter or the channel interleave mismatches.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, c.c,
+             (d.doc_id * 7 + i.i * 13 + j.j * 31 + c.c * 17) % 256 AS p
+      FROM dims d
+      JOIN range(0, 8) i(i) ON i.i < d.h
+      JOIN range(0, 9) j(j) ON j.j < d.w
+      JOIN range(0, 3) c(c) ON c.c < d.ch
+    )
+    SELECT doc_id, CAST(c AS INT) AS channel, CAST(w * h AS BIGINT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS px_sum, CAST(MIN(p) AS INT) AS px_min,
+           CAST(MAX(p) AS INT) AS px_max
+    FROM px GROUP BY doc_id, c, w, h""",
+)
+def multimodal_channel_stats_q(spark, sf_dir):
+    """Per-channel pixel statistics from REAL PNG decode — the
+    normalization-constant / blank-frame feature extractor."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_png_payload(ids)
+    return multimodal.decode_channel_stats(payload)

@@ -475,3 +475,28 @@ def events_daily_topk(spark, sf_dir):
     from onionnet_spark.operators import timeseries
 
     return timeseries.daily_topk_types(_events(spark, sf_dir), k=3)
+
+
+@register(
+    "events_rolling_features",
+    """WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+             CAST(floor(value * 1000000) AS BIGINT) AS vq
+      FROM events)
+    SELECT user_id, event_id, epoch,
+           CAST(epoch - LAG(epoch) OVER (PARTITION BY user_id
+                ORDER BY epoch, event_id) AS BIGINT) AS gap_s,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cnt_w,
+           ROUND(SUM(vq) OVER w / 1000000.0, 6) AS sum_w
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""",
+)
+def events_rolling_features(spark, sf_dir):
+    """Per-event trailing-7-day rolling features (gap to previous
+    event, count, integer-exact value sum) via RANGE-frame windows —
+    one shuffle on the key, no self-join."""
+    from onionnet_spark.operators import timeseries
+
+    return timeseries.rolling_features(_events(spark, sf_dir))

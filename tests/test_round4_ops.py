@@ -433,3 +433,172 @@ def test_daily_topk_rank_bounds(spark, sf_dir):
     assert out.filter((F.col("rank") < 1) | (F.col("rank") > 3)).count() == 0
     per_day = out.groupBy("day").count()
     assert per_day.filter(F.col("count") > 3).count() == 0
+
+
+def test_streaming_line_dedup_matches_batch_for_ordered_split(spark):
+    # id-ordered 3-batch replay must equal batch line_dedup exactly
+    from onionnet_spark.functions.dedup import line_dedup
+    from onionnet_spark.streaming.line_stream import StreamingLineDedupMaintainer
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        # sf0.001 texts have no naturally repeated lines; append a shared
+        # boilerplate footer to every third doc so cross-doc AND
+        # cross-batch line duplicates actually occur.
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat_ws(
+                    "\n", F.col("text"), F.lit("standard boilerplate footer")
+                ),
+            ).otherwise(F.col("text")),
+        )
+    )
+    want = sorted(map(tuple, line_dedup(docs).collect()))
+    m = StreamingLineDedupMaintainer(spark)
+    for lo, hi in [(0, 150), (150, 300), (300, 10**9)]:
+        m.process_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        )
+    assert m.n_batches == 3
+    got = sorted(map(tuple, m.stats.collect()))
+    assert got == want
+    # duplicate lines must actually occur, or the test is vacuous
+    assert sum(t[2] for t in got) > 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: ngram_topk / nearest-centroid / LSH stats /
+# split leakage / channel stats / rolling features
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_topk_short_and_null_docs_emit_nothing(spark):
+    from onionnet_spark.functions.text import ngram_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "only two"),          # < n tokens -> no trigram
+            (2, None),                # NULL text -> no trigram
+            (3, "a b c a b c"),       # 4 trigrams, "a b c" twice
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["ngram"]: (r["rank"], r["n_occurrences"]) for r in ngram_topk(docs).collect()}
+    assert rows["a b c"] == (1, 2)
+    assert len(rows) == 3  # "a b c" x2, "b c a", "c a b"
+    assert sum(c for _, c in rows.values()) == 4
+    assert all(" " in g for g in rows)
+
+
+def test_nearest_centroid_tie_breaks_to_smaller_label(spark):
+    from onionnet_spark.functions.similarity import nearest_centroid_confusion
+
+    # labels 1 and 2 have IDENTICAL centroids; every vector is
+    # equidistant -> predicted label must be the smaller (1).
+    embs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),
+            (2, [-1.0, 0.0], 1),
+            (3, [0.0, 1.0], 2),
+            (4, [0.0, -1.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["pred_label"]): r["n"] for r in nearest_centroid_confusion(embs).collect()}
+    assert out == {(1, 1): 2, (2, 1): 2}
+
+
+def test_nearest_centroid_separated_labels_are_diagonal(spark):
+    from onionnet_spark.functions.similarity import nearest_centroid_confusion
+
+    embs = spark.createDataFrame(
+        [(i, [10.0 + i, 0.1 * i], 7) for i in range(3)]
+        + [(10 + i, [-10.0 - i, 0.1 * i], 8) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["pred_label"]): r["n"] for r in nearest_centroid_confusion(embs).collect()}
+    assert out == {(7, 7): 3, (8, 8): 3}
+
+
+def test_lsh_bucket_stats_identical_docs_share_one_bucket(spark):
+    from onionnet_spark.functions.dedup import lsh_bucket_stats
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(4)] + [(9, "a completely different sentence with its own shingle set here")],
+        "doc_id long, text string",
+    )
+    out = lsh_bucket_stats(docs).collect()
+    assert len(out) == 4  # one row per band
+    for r in out:
+        assert r["n_docs"] == 5
+        assert r["max_bucket"] == 4          # the 4 clones collide
+        assert r["n_candidate_pairs"] == 6   # C(4,2)
+        assert r["n_singletons"] == 1
+        assert r["n_buckets"] == 2
+
+
+def test_split_leakage_audit_counts_cross_split_pairs(spark):
+    from onionnet_spark.functions.dedup import split_leakage_audit
+
+    # md5-split: ids 2 and 9 land in val, 0/1/3 in train (verified in
+    # the fixture-finding script). Doc 2 (val) duplicates doc 1
+    # (train) -> exactly one leaky pair; docs 3 and 4... keep ids to
+    # {0,1,2,3}: 0,1,3 train; 2 val.
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    u = "an entirely unrelated document with distinct vocabulary throughout body"
+    docs = spark.createDataFrame(
+        [(0, u), (1, t), (2, t), (3, t)],
+        "doc_id long, text string",
+    )
+    row = split_leakage_audit(docs).collect()[0]
+    assert (row["n_train"], row["n_val"]) == (3, 1)
+    # pairs among {1,2,3}: (1,2) cross, (1,3) train-train, (2,3) cross
+    assert row["n_dup_pairs"] == 3
+    assert row["n_leaky_pairs"] == 2
+    assert row["leak_rate"] == 1.0  # the single val doc leaks
+
+
+def test_channel_stats_grey_vs_rgb_shapes(spark):
+    from onionnet_spark.functions import multimodal
+
+    ids = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    out = multimodal.decode_channel_stats(multimodal.synth_png_payload(ids))
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and len(by_doc[1]) == 3  # grey / RGB
+    for r in rows:
+        assert 0 <= r["px_min"] <= r["px_max"] <= 255
+        w, h = 4 + r["doc_id"] % 5, 3 + r["doc_id"] % 4
+        assert r["n_px"] == w * h
+
+
+def test_rolling_features_range_frame_includes_peers(spark):
+    from onionnet_spark.operators.timeseries import rolling_features
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, 1.0),
+            (2, "2024-01-01 00:00:00", 7, 2.0),   # same-second peer
+            (3, "2024-01-05 00:00:00", 7, 4.0),
+            (4, "2024-01-20 00:00:00", 7, 8.0),   # outside 7d of 1-3
+            (5, "2024-01-02 00:00:00", 8, None),  # NULL value, other key
+        ],
+        "event_id long, ts string, user_id long, value double",
+    )
+    out = {r["event_id"]: r for r in rolling_features(events).collect()}
+    # peers at the same epoch see each other (RANGE semantics)
+    assert out[1]["cnt_w"] == 2 and out[2]["cnt_w"] == 2
+    assert out[1]["sum_w"] == 3.0 and out[2]["sum_w"] == 3.0
+    # lag is still deterministic within the tie (ordered by event_id)
+    assert out[1]["gap_s"] is None and out[2]["gap_s"] == 0
+    assert out[3]["cnt_w"] == 3 and out[3]["sum_w"] == 7.0
+    assert out[4]["cnt_w"] == 1 and out[4]["sum_w"] == 8.0
+    assert out[4]["gap_s"] == 15 * 86400
+    # NULL value: counted in cnt_w, skipped by the sum
+    assert out[5]["cnt_w"] == 1 and out[5]["sum_w"] is None
