@@ -862,3 +862,25 @@ def split_leakage_audit(
         ).cast("bigint").alias("n_leaky_pairs"),
         F.round(F.lit(leaky_val_docs) / F.col("n_val"), 6).alias("leak_rate"),
     )
+
+
+def minhash_signature_export(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """The MinHash signature store in long layout (id, perm, sig) —
+    what an incremental dedup pipeline persists between ingests so
+    tomorrow's delta never re-hashes today's corpus (ingest_delta
+    consumes exactly these signatures). Computed by the production
+    minhash_signatures wide aggregation, then unpivoted with stack()
+    — a projection, no extra shuffle.
+    """
+    sigs = minhash_signatures(word_shingles(df, text_col, id_col, n), num_perm)
+    stack_args = ", ".join(f"{p}, s{p}" for p in range(num_perm))
+    return sigs.select(
+        F.col("id").alias(id_col),
+        F.expr(f"stack({num_perm}, {stack_args}) AS (perm, sig)"),
+    ).select(id_col, F.col("perm").cast("int"), F.col("sig").cast("bigint"))

@@ -771,3 +771,93 @@ def ngram_topk(
         "ngram",
         "n_occurrences",
     )
+
+
+def c4_line_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    deterministic subset): a line survives iff it ends in terminal
+    punctuation (. ! ? ") and has at least 3 words; the cleaned
+    document is the surviving lines re-joined in original order.
+    The single most effective boilerplate remover for crawled text
+    (menus, buttons and cookie banners almost never end a sentence).
+
+    One explode + one groupBy (map-side partials); the in-order
+    re-join is array_sort(collect_list(struct(idx, line))) — no
+    window, no second shuffle. The cleaned text is returned as
+    md5 + length, so the output row stays narrow whatever the doc
+    size. Returns (doc_id, n_kept, n_dropped, clean_len, clean_md5).
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("li", "raw"),
+        )
+        .select("id", "li", F.trim("raw").alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    keep = F.col("line").rlike('[.!?"]$') & (
+        F.size(F.split(F.col("line"), WS_SPLIT)) >= 3
+    )
+    marked = lines.withColumn("keep", keep)
+    return (
+        marked.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("li"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("clean"),
+        )
+        .select(
+            id_col,
+            "n_kept",
+            "n_dropped",
+            F.length("clean").cast("bigint").alias("clean_len"),
+            F.md5("clean").alias("clean_md5"),
+        )
+    )
+
+
+def pii_counts_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII exposure scoreboard per group (source/domain): documents
+    scanned, documents with any hit, and total email/IPv4/phone
+    matches — the compliance report a corpus intake publishes, built
+    on the same JVM regex passes (and ordering) as scrub_pii.
+    Returns (source, n_docs, n_docs_with_pii, n_emails, n_ipv4,
+    n_phones).
+    """
+    per_doc = scrub_pii(df, text_col, id_col).join(
+        df.select(F.col(id_col), F.col(group_col).alias("grp")), on=id_col
+    )
+    hits = F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")
+    return per_doc.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(hits > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+    )

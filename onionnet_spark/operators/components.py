@@ -434,3 +434,60 @@ def view_components(
         F.broadcast(sizes.filter(F.col("component_size") >= size_threshold)),
         on="component",
     )
+
+
+def community_conductance(
+    graph: OnionGraph, n_rounds: int = 5
+) -> DataFrame:
+    """Community quality report: for every LPA community, its node
+    count, volume (directed-symmetric edge endpoints inside), cut
+    size (edges leaving it) and conductance cut/min(vol, 2E−vol) —
+    the standard "are these communities real or artifacts?" check
+    run after any clustering pass.
+
+    Reuses label_propagation_communities verbatim (same rounds, same
+    tie-break) and the shared cached symmetrized edge view; the
+    conductance itself is two hash aggregations plus a broadcast of
+    the single-row edge total. Isolated-node communities have zero
+    volume and report NULL conductance. Returns (community, n_nodes,
+    volume, cut_edges, conductance 6dp).
+    """
+    labels = label_propagation_communities(graph, n_rounds)
+    lab = labels.select(
+        F.concat_ws(":", "layer", "node_id").alias("key"), "community"
+    ).localCheckpoint()
+    sym = graph.cached_symmetrized().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("src"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
+    )
+    joined = sym.join(
+        lab.select(F.col("key").alias("src"), F.col("community").alias("ca")),
+        on="src",
+    ).join(
+        lab.select(F.col("key").alias("dst"), F.col("community").alias("cb")),
+        on="dst",
+    )
+    per = joined.groupBy(F.col("ca").alias("community")).agg(
+        F.count("*").cast("bigint").alias("volume"),
+        F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cut_edges"),
+    )
+    tot = joined.agg(F.count("*").cast("bigint").alias("e2"))
+    nn = labels.groupBy("community").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    denom = F.least(F.col("volume"), F.col("e2") - F.col("volume"))
+    return (
+        nn.join(per, on="community", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("volume", F.lit(0)).cast("bigint").alias("volume"),
+            F.coalesce("cut_edges", F.lit(0)).cast("bigint").alias("cut_edges"),
+            F.when(
+                denom > 0, F.round(F.col("cut_edges") / denom, 6)
+            ).alias("conductance"),
+        )
+    )

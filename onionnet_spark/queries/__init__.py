@@ -168,6 +168,19 @@ _R4_NEW: list[str] = [
 ]
 
 
+# Queries added AFTER the round-4 window filled (50 slots = 19
+# backlog + 31 new): first in line for the round-5 window, exactly
+# like _R4_BACKLOG was for round 4. All pass
+# tools/check_correctness.py locally at sf0.01 AND sf0.001.
+_R5_BACKLOG: list[str] = [
+    "c4_line_filter",
+    "pii_by_source",
+    "minhash_signatures",
+    "graph_conductance",
+    "orders_revenue_mom",
+]
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
         relational,
@@ -180,7 +193,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     # Round 4: the 19 backlog keys (born after r3's window filled) go
     # first so the driver finally records them, then queries new in
     # round 4, then everything already on record in r01-r03.
-    for name in _R4_BACKLOG + _R4_NEW:
+    for name in _R4_BACKLOG + _R4_NEW + _R5_BACKLOG:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name in _R3_WINDOW:

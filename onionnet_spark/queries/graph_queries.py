@@ -2399,3 +2399,58 @@ def graph_topo_levels_q(spark, sf_dir):
     from onionnet_spark.operators.traversal import topological_levels
 
     return topological_levels(get_graph(spark, sf_dir))
+
+
+@register("graph_conductance", None)  # oracle composed below
+def graph_conductance_q(spark, sf_dir):
+    """Per-community conductance over the LPA communities (same
+    layer view, rounds and tie-break as graph_communities_lpa)."""
+    from onionnet_spark.operators.components import community_conductance
+
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return community_conductance(g, n_rounds=5)
+
+
+def _conductance_oracle() -> str:
+    # Re-package the full LPA oracle as one nested MATERIALIZED CTE
+    # (its own WITH chain stays scoped inside), then aggregate
+    # volume / cut / conductance over the SAME distinct
+    # directed-symmetric edge set the Spark side uses.
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    return f"""WITH {CTES},
+    lpa AS MATERIALIZED ({_lpa_oracle()}),
+    es AS (SELECT * FROM edges_g
+           WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT src_layer || ':' || src_id AS src,
+                      dst_layer || ':' || dst_id AS dst FROM es
+      UNION
+      SELECT DISTINCT dst_layer || ':' || dst_id, src_layer || ':' || src_id FROM es),
+    lab AS (SELECT layer || ':' || node_id AS key, community FROM lpa),
+    joined AS (
+      SELECT la.community AS ca, lb.community AS cb
+      FROM sym s
+      JOIN lab la ON la.key = s.src
+      JOIN lab lb ON lb.key = s.dst),
+    per AS (
+      SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS volume,
+             CAST(SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT)
+               AS cut_edges
+      FROM joined GROUP BY ca),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS e2 FROM joined),
+    nn AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           FROM lpa GROUP BY community)
+    SELECT nn.community, nn.n_nodes,
+           COALESCE(per.volume, 0) AS volume,
+           COALESCE(per.cut_edges, 0) AS cut_edges,
+           CASE WHEN LEAST(per.volume, tot.e2 - per.volume) > 0
+                THEN ROUND(per.cut_edges * 1.0
+                           / LEAST(per.volume, tot.e2 - per.volume), 6)
+           END AS conductance
+    FROM nn LEFT JOIN per ON per.community = nn.community
+    CROSS JOIN tot"""
+
+
+_REG["graph_conductance"] = (graph_conductance_q, _conductance_oracle())

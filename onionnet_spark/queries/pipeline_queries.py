@@ -2479,3 +2479,99 @@ def multimodal_channel_stats_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_png_payload(ids)
     return multimodal.decode_channel_stats(payload)
+
+
+@register(
+    "c4_line_filter",
+    r"""WITH arr AS (SELECT doc_id, string_split(text, chr(10)) AS a
+                     FROM documents),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len(a)), 0) + 1 FROM arr), 2))) AS i),
+    lines AS (
+      SELECT doc_id, i - 1 AS li, trim(a[i]) AS line
+      FROM arr JOIN nums ON i <= len(a)
+      WHERE length(trim(a[i])) > 0),
+    marked AS (
+      SELECT doc_id, li, line,
+             (regexp_matches(line, '[.!?"]$')
+              AND len(regexp_split_to_array(line, '\s+')) >= 3) AS keep
+      FROM lines)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(length(COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                           chr(10) ORDER BY li), ''))
+                AS BIGINT) AS clean_len,
+           md5(COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY li), '')) AS clean_md5
+    FROM marked GROUP BY doc_id""",
+)
+def c4_line_filter_q(spark, sf_dir):
+    """C4-style terminal-punctuation line filter; cleaned text
+    re-joined in order and fingerprinted."""
+    return text.c4_line_filter(_docs(spark, sf_dir))
+
+
+@register(
+    "pii_by_source",
+    f"""WITH injected AS (
+      SELECT doc_id, source, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    ),
+    s1 AS (SELECT doc_id, source,
+      CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails,
+      regexp_replace(text, '{text.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM injected),
+    s2 AS (SELECT doc_id, source, n_emails,
+      CAST(len(regexp_extract_all(t1, '{text.PII_IPV4}')) AS BIGINT) AS n_ipv4,
+      regexp_replace(t1, '{text.PII_IPV4}', '<IP>', 'g') AS t2
+      FROM s1),
+    per_doc AS (
+      SELECT doc_id, source, n_emails, n_ipv4,
+        CAST(len(regexp_extract_all(t2, '{text.PII_PHONE}')) AS BIGINT) AS n_phones
+      FROM s2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_ipv4 + n_phones > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones
+    FROM per_doc GROUP BY source""",
+)
+def pii_by_source_q(spark, sf_dir):
+    """Per-source PII exposure scoreboard over the same injected
+    fixture (and regex dialect) as pii_scrub."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 phone 555-123-4567"),
+        ).alias("text"),
+    )
+    return text.pii_counts_by_group(injected)
+
+
+@register(
+    "minhash_signatures",
+    f"""WITH {_SHINGLES_SQL},
+    perms AS (SELECT UNNEST(range(0, 16)) AS perm),
+    sigs AS (
+      SELECT id, perm,
+             MIN((104729 * (perm + 1)
+                  * ((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647)
+                  + 7919 * perm) % 2147483647) AS sig
+      FROM sh CROSS JOIN perms GROUP BY id, perm
+    )
+    SELECT id AS doc_id, CAST(perm AS INT) AS perm, CAST(sig AS BIGINT) AS sig
+    FROM sigs""",
+)
+def minhash_signatures_q(spark, sf_dir):
+    """The persisted signature store (long layout) the incremental
+    ingest consumes — wide aggregation unpivoted by stack()."""
+    return dedup.minhash_signature_export(_docs(spark, sf_dir))

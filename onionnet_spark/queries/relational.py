@@ -1666,3 +1666,46 @@ def asof_join_tolerance_q(spark, sf_dir):
         F.col("purchase_event_id_p").alias("purchase_event_id"),
         F.col("ts_p").alias("purchase_ts"),
     )
+
+
+@register(
+    "orders_revenue_mom",
+    """WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT month, revenue, n_orders,
+           CAST(floor((revenue - LAG(revenue) OVER (ORDER BY month))
+                      / LAG(revenue) OVER (ORDER BY month) * 1000000)
+                AS BIGINT) / 1000000.0 AS mom_pct
+    FROM m""",
+)
+def orders_revenue_mom(spark, sf_dir):
+    """Month-over-month revenue growth — the calendar-series lag
+    shape (one aggregation down to |months| rows, then a lag window
+    over that bounded series; the unpartitioned window touches
+    months, never orders). Growth is floor-quantized to 6dp — the
+    cross-engine-stable rounding for continuous ratios."""
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    # unpartitioned Window is BOUNDED: it orders the per-month
+    # aggregate (|months| rows), not the orders table
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        (
+            F.floor((F.col("revenue") - prev) / prev * 1_000_000).cast("bigint")
+            / 1_000_000.0
+        ).alias("mom_pct"),
+    )

@@ -602,3 +602,100 @@ def test_rolling_features_range_frame_includes_peers(spark):
     assert out[4]["gap_s"] == 15 * 86400
     # NULL value: counted in cnt_w, skipped by the sum
     assert out[5]["cnt_w"] == 1 and out[5]["sum_w"] is None
+
+
+def test_c4_line_filter_drops_boilerplate_keeps_order(spark):
+    import hashlib
+
+    from onionnet_spark.functions.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First real sentence here.\nMenu\nSecond sentence stays too!\nOK"),
+            (2, "Login\nSignup\nCart"),  # nothing survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    kept = "First real sentence here.\nSecond sentence stays too!"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 2
+    assert out[1]["clean_len"] == len(kept)
+    assert out[1]["clean_md5"] == hashlib.md5(kept.encode()).hexdigest()
+    # all-dropped doc still reports, with the empty-string fingerprint
+    assert out[2]["n_kept"] == 0 and out[2]["n_dropped"] == 3
+    assert out[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_pii_counts_by_group_aggregates(spark):
+    from onionnet_spark.functions.text import pii_counts_by_group
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "mail me at bob@x.com or alice@y.org"),
+            (2, "a", "clean text with no identifiers at all"),
+            (3, "b", "server 192.168.0.1 phone 555-123-4567"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in pii_counts_by_group(docs).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_docs_with_pii"] == 1
+    assert out["a"]["n_emails"] == 2 and out["a"]["n_phones"] == 0
+    assert out["b"]["n_ipv4"] == 1 and out["b"]["n_phones"] == 1
+
+
+def test_minhash_signature_export_matches_wide(spark):
+    from onionnet_spark.functions.dedup import (
+        minhash_signature_export,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog number %d" % i)
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    long = minhash_signature_export(docs)
+    assert long.count() == 5 * 16
+    wide = {r["id"]: r for r in minhash_signatures(word_shingles(docs)).collect()}
+    for r in long.collect():
+        assert r["sig"] == wide[r["doc_id"]][f"s{r['perm']}"]
+
+
+def test_community_conductance_cliques_and_isolate(spark):
+    from onionnet_spark.operators.components import community_conductance
+
+    # two triangles bridged by one edge + an isolated node
+    tri = lambda p: [
+        ("L", f"{p}1", "L", f"{p}2"),
+        ("L", f"{p}2", "L", f"{p}3"),
+        ("L", f"{p}1", "L", f"{p}3"),
+    ]
+    edges = spark.createDataFrame(
+        tri("a") + tri("b") + [("L", "a1", "L", "b1")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = edges.selectExpr("src_layer as layer", "src_id as node_id").union(
+        edges.selectExpr("dst_layer", "dst_id")
+    ).distinct().union(
+        spark.createDataFrame([("L", "zz")], "layer string, node_id string")
+    )
+    out = community_conductance(OnionGraph(nodes, edges), n_rounds=5).collect()
+    by_comm = {r["community"]: r for r in out}
+    assert sum(r["n_nodes"] for r in out) == 7
+    # the isolated node forms its own zero-volume community
+    iso = [r for r in out if r["volume"] == 0]
+    assert len(iso) == 1 and iso[0]["conductance"] is None
+    # every real community's conductance is in (0, 1]
+    for r in out:
+        if r["volume"] > 0:
+            assert r["conductance"] is None or 0 <= r["conductance"] <= 1
+
+
+def test_revenue_mom_first_month_null(spark, sf_dir):
+    import __spark_entry__ as e
+
+    out = e.queries()["orders_revenue_mom"](spark, sf_dir).orderBy("month").collect()
+    assert out[0]["mom_pct"] is None
+    assert all(r["mom_pct"] is not None for r in out[1:])
+    assert all(r["revenue"] > 0 for r in out)
