@@ -10,6 +10,7 @@ with max_examples tuned so the whole module stays under a minute.
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 SET = settings(
     max_examples=8,
@@ -248,3 +249,97 @@ def test_zorder_key_bounds_and_quadrant_order(spark, vals, bits):
     ) if any(x == min(xs) and y == min(ys) for x, y in vals) else None
     if i_min is not None:
         assert by_id[i_min] == 0
+
+
+# --------------------------------------------------------- rolling features
+
+ts_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # user
+        st.integers(min_value=0, max_value=20 * 86400),  # epoch offset
+        st.integers(min_value=-5000, max_value=5000),  # value millis
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SET
+@given(ts_events)
+def test_rolling_features_matches_python(spark, rows):
+    from onionnet_spark.operators.timeseries import rolling_features
+
+    base = 1_700_000_000
+    data = [
+        (i, base + off, u, v / 1000.0) for i, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(i, u, float(e), val) for (i, e, u, val) in data],
+        "event_id long, user_id long, ts double, value double",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    got = {
+        r["event_id"]: (r["gap_s"], r["cnt_w"], r["sum_w"])
+        for r in rolling_features(df).collect()
+    }
+    W = 7 * 86400
+    for eid, epoch, user, val in data:
+        mine = [(e2, i2) for (i2, e2, u2, _) in data if u2 == user]
+        prev = [e2 for (e2, i2) in mine if (e2, i2) < (epoch, eid)]
+        gap = epoch - max(prev) if prev else None
+        in_w = [
+            (i2, v2)
+            for (i2, e2, u2, v2) in data
+            if u2 == user and epoch - W <= e2 <= epoch
+        ]
+        cnt = len(in_w)
+        sw = round(sum(int(v2 * 1e6 // 1) for _, v2 in in_w) / 1e6, 6)
+        g_gap, g_cnt, g_sum = got[eid]
+        assert g_gap == gap and g_cnt == cnt
+        assert abs(g_sum - sw) < 2e-6
+
+
+# --------------------------------------------------------- c4 line filter
+
+doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab .!?\"\n")), min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@SET
+@given(doc_texts)
+def test_c4_line_filter_matches_python(spark, texts):
+    import hashlib
+    import re
+
+    from onionnet_spark.functions.text import c4_line_filter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    for i, t in enumerate(texts):
+        lines = [ln.strip() for ln in t.split("\n")]
+        lines = [ln for ln in lines if ln]
+        if not lines:
+            assert i not in got
+            continue
+        keep = [
+            ln
+            for ln in lines
+            if re.search(r'[.!?"]$', ln) and len(re.split(r"\s+", ln)) >= 3
+        ]
+        clean = "\n".join(keep)
+        r = got[i]
+        assert r["n_kept"] == len(keep)
+        assert r["n_dropped"] == len(lines) - len(keep)
+        assert r["clean_len"] == len(clean)
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()

@@ -497,3 +497,41 @@ def test_ivf_pq_codebook_injection_flows_through(spark, sf_dir):
     assert sorted(map(tuple, injected.collect())) == sorted(
         map(tuple, trained.collect())
     )
+
+
+def test_nearest_centroid_assignment_broadcasts_no_window(spark, sf_dir):
+    # the |labels| x dim centroid table must broadcast into the
+    # assignment join, and the argmin must be the map-side min_by
+    # aggregate — a Window here would mean an N x L shuffle + sort
+    from onionnet_spark.functions.similarity import nearest_centroid_confusion
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(nearest_centroid_confusion(embs))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_rolling_features_single_key_exchange(spark, sf_dir):
+    # both window frames partition by the key, so the plan needs
+    # exactly ONE shuffle of the events (hashpartitioning on the
+    # key); a second data exchange would mean the frames aren't
+    # sharing the partitioning
+    from onionnet_spark.operators.timeseries import rolling_features
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    out = rolling_features(load_tables(spark, sf_dir)["events"])
+    plan = _plan(out)
+    import re
+
+    ex = [l for l in plan.splitlines() if re.search(r"\bExchange hash", l)]
+    assert len(ex) == 1, plan
+
+
+def test_ngram_topk_is_take_ordered(spark, sf_dir):
+    # the global top-k must plan as TakeOrderedAndProject (per-
+    # partition heaps + driver merge of k), never a global Sort
+    from onionnet_spark.functions.text import ngram_topk
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    plan = _plan(ngram_topk(load_tables(spark, sf_dir)["documents"]))
+    assert "TakeOrderedAndProject" in plan
