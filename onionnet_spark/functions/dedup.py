@@ -884,3 +884,65 @@ def minhash_signature_export(
         F.col("id").alias(id_col),
         F.expr(f"stack({num_perm}, {stack_args}) AS (perm, sig)"),
     ).select(id_col, F.col("perm").cast("int"), F.col("sig").cast("bigint"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, found with
+    the band-exact-match trick (Manku et al. 2007, the crawl-scale
+    simhash dedup paper): split the fingerprint into ``bands`` equal
+    slices — any pair within Hamming distance ``bands - 1`` must
+    agree EXACTLY on at least one slice (pigeonhole), so candidates
+    come from ``bands`` equi-joins on an 8-bit key, never a pairwise
+    scan — then verify with bit_count(xor) <= max_hamming.
+
+    Requires max_hamming <= bands - 1 (the recall guarantee;
+    asserted). Everything is integer bit arithmetic both engines
+    replay exactly. Returns (id_a, id_b, hamming).
+    """
+    assert bits % bands == 0 and max_hamming <= bands - 1
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(df, text_col, id_col, bits).localCheckpoint()
+    bnd = sh.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col("simhash"), b * width) % F.lit(mask + 1))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    cand = (
+        bnd.alias("a")
+        .join(bnd.alias("b"), on=["band", "band_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha")),
+            on="id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb")),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1186,3 +1186,93 @@ def nearest_centroid_confusion(
         pred.groupBy(F.col("lbl").alias("label"), "pred_label")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 4,
+) -> DataFrame:
+    """Leading principal component of an embedding corpus by power
+    iteration on the (scaled) covariance matrix — the first question
+    of any embedding audit: is there one dominant axis (anisotropy /
+    a batch artifact) the pipeline should project out before cosine
+    retrieval?
+
+    Engine-exact throughout: coordinates quantize to floor(x*1e6)
+    BIGINTs; per-dim means are floor(sum/n); covariance entries are
+    exact integer sums of centered products, scaled by floor(S/(n*1e3))
+    so every matrix-vector product (|entries| <= 1e9 times iterate
+    coords <= 1e6, dim-bounded sum) stays inside BIGINT for ANY corpus
+    size; each iterate renormalizes to max-abs 1e6 with a two-IEEE-op
+    floor both engines replay bit-for-bit. Zero-variance degenerate
+    corpora yield the zero vector instead of dividing by zero.
+
+    The covariance build is the only corpus-scale stage: one self-join
+    keyed on the vector id (n*dim rows exchanged once) aggregated with
+    map-side partials down to dim^2 rows; the dim^2-sized matrix and
+    dim-sized iterates then live broadcast-side. Returns
+    (pos, loading) with loading in [-1, 1] (max-abs normalized).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        "id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("q"),
+    )
+    mu = ex.groupBy("pos").agg(
+        F.floor(F.sum("q").cast("double") / F.count("*")).cast("bigint").alias("mu")
+    )
+    cen = ex.join(F.broadcast(mu), on="pos").select(
+        "id", "pos", (F.col("q") - F.col("mu")).alias("cq")
+    )
+    n_row = df.select(F.count("*").alias("n"))
+    cov = (
+        cen.alias("a")
+        .join(cen.select(F.col("id"), F.col("pos").alias("j"),
+                         F.col("cq").alias("cqj")).alias("b"), on="id")
+        .groupBy(F.col("a.pos").alias("i"), "j")
+        .agg(F.sum(F.col("cq") * F.col("cqj")).alias("s"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            F.floor(F.col("s").cast("double") / (F.col("n") * 1000.0))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    dim_rows = cov.select("i").distinct()
+    v = dim_rows.select(
+        F.col("i").alias("pos"), F.lit(1_000_000).cast("bigint").alias("v")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        w = (
+            cov.join(v.select(F.col("pos").alias("j"), "v"), on="j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "pos",
+                F.when(
+                    F.col("m") > 0,
+                    F.floor(
+                        F.col("w").cast("double") * 1_000_000.0
+                        / F.col("m").cast("double")
+                    ).cast("bigint"),
+                )
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return v.select(
+        F.col("pos").cast("int"), (F.col("v") / 1_000_000.0).alias("loading")
+    )

@@ -178,6 +178,8 @@ _R5_BACKLOG: list[str] = [
     "minhash_signatures",
     "graph_conductance",
     "orders_revenue_mom",
+    "simhash_near_pairs",
+    "embedding_pca_top",
 ]
 
 

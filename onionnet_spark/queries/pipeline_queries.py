@@ -2575,3 +2575,75 @@ def minhash_signatures_q(spark, sf_dir):
     """The persisted signature store (long layout) the incremental
     ingest consumes — wide aggregation unpivoted by stack()."""
     return dedup.minhash_signature_export(_docs(spark, sf_dir))
+
+
+@register(
+    "simhash_near_pairs",
+    f"""WITH sh AS MATERIALIZED ({_simhash_oracle()}),
+    bnd AS (
+      SELECT doc_id AS id, b.b AS band,
+             (simhash >> (b.b * 8)) % 256 AS band_val
+      FROM sh CROSS JOIN range(0, 4) b(b)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
+      WHERE a.id < b.id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""",
+)
+def simhash_near_pairs_q(spark, sf_dir):
+    """Hamming-banded SimHash near-dup pairs (Manku et al. trick:
+    pigeonhole band equi-joins, never a pairwise scan)."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir))
+
+
+def _pca_oracle(iterations: int = 4) -> str:
+    stages = []
+    for t in range(1, iterations + 1):
+        stages.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT cov.i AS pos, SUM(c * v) AS w
+      FROM cov JOIN v{t - 1} ON v{t - 1}.pos = cov.j GROUP BY cov.i),
+    m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t}),
+    v{t} AS MATERIALIZED (
+      SELECT pos, CASE WHEN m > 0
+                  THEN CAST(floor(CAST(w AS DOUBLE) * 1000000.0
+                                  / CAST(m AS DOUBLE)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS v
+      FROM w{t} CROSS JOIN m{t})"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {_ENUM},
+    ex AS (SELECT vec_id AS id, CAST(i - 1 AS INT) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                    AS q
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    mu AS (SELECT pos, CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                    AS mu
+           FROM ex GROUP BY pos),
+    cen AS MATERIALIZED (
+      SELECT id, ex.pos, q - mu AS cq FROM ex JOIN mu ON mu.pos = ex.pos),
+    nr AS (SELECT COUNT(*) AS n FROM embeddings),
+    cov AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j,
+             CAST(floor(CAST(SUM(a.cq * b.cq) AS DOUBLE) / (nr.n * 1000.0))
+                  AS BIGINT) AS c
+      FROM cen a JOIN cen b ON a.id = b.id CROSS JOIN nr
+      GROUP BY a.pos, b.pos, nr.n),
+    v0 AS (SELECT DISTINCT i AS pos, CAST(1000000 AS BIGINT) AS v FROM cov),
+    {stage_sql}
+    SELECT CAST(pos AS INT) AS pos, v / 1000000.0 AS loading
+    FROM v{iterations}"""
+
+
+@register("embedding_pca_top", _pca_oracle())
+def embedding_pca_top_q(spark, sf_dir):
+    """Leading principal component by integer-exact power iteration
+    on the scaled covariance — the anisotropy audit."""
+    from onionnet_spark.functions.similarity import pca_top_component
+
+    return pca_top_component(_embs(spark, sf_dir))

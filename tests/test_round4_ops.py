@@ -699,3 +699,58 @@ def test_revenue_mom_first_month_null(spark, sf_dir):
     assert out[0]["mom_pct"] is None
     assert all(r["mom_pct"] is not None for r in out[1:])
     assert all(r["revenue"] > 0 for r in out)
+
+
+def test_simhash_near_pairs_recall_and_threshold(spark):
+    from onionnet_spark.functions.dedup import simhash, simhash_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog while counting stars"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # identical -> hamming 0
+            (3, base + " tonight"),          # near
+            (4, "completely different text about database query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # the banded candidates must achieve FULL recall at <= bands-1:
+    # every pair within the threshold by brute force must be found
+    import itertools
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        hd = bin(sh[a] ^ sh[b]).count("1")
+        if hd <= 3:
+            assert (a, b) in pairs and pairs[(a, b)] == hd
+        else:
+            assert (a, b) not in pairs
+
+
+def test_pca_top_component_finds_dominant_axis(spark):
+    from onionnet_spark.functions.similarity import pca_top_component
+
+    # variance concentrated on dim 2; small noise on dim 0
+    rows = [
+        (i, [0.001 * (i % 3), 0.0, float(i - 10), 0.0]) for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["pos"]: r["loading"] for r in pca_top_component(df).collect()}
+    assert abs(out[2]) == 1.0          # max-abs normalized dominant axis
+    assert all(abs(out[p]) < 0.01 for p in (1, 3))
+
+
+def test_pca_top_component_degenerate_zero_variance(spark):
+    from onionnet_spark.functions.similarity import pca_top_component
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_top_component(df).collect()
+    assert all(r["loading"] == 0.0 for r in out)
