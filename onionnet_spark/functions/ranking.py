@@ -203,3 +203,56 @@ def tf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def tfidf_doc_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — keyword extraction for
+    corpus metadata enrichment (the document-driven cousin of the
+    query-driven bm25_topk). idf = ln((N+1)/(df+1)) is
+    integer-quantized (floor * 1e6) before the tf multiply, so
+    scores are exact BIGINTs and the per-doc rank windows (bounded
+    by each doc's distinct-term count) have no float ties. Returns
+    (doc_id, rank, term, tf, tfidf 6dp).
+    """
+    from pyspark.sql import Window
+
+    from onionnet_spark.functions.text import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.count("*").alias("n"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.floor(
+            F.log((F.col("n") + 1).cast("double") / (F.col("df_t") + 1))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("idf_q"),
+    )
+    scored = tf.join(idf, on="term").select(
+        "id", "term", "tf", (F.col("tf") * F.col("idf_q")).alias("score_q")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_q").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("int"),
+            "term",
+            F.col("tf").cast("bigint"),
+            (F.col("score_q") / 1_000_000.0).alias("tfidf"),
+        )
+    )

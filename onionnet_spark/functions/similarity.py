@@ -1276,3 +1276,65 @@ def pca_top_component(
     return v.select(
         F.col("pos").cast("int"), (F.col("v") / 1_000_000.0).alias("loading")
     )
+
+
+def project_out_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 4,
+) -> DataFrame:
+    """Remove the leading principal component from every embedding —
+    the standard anisotropy correction (all-but-the-top, Mu & Viswanath
+    2018): r = q − round(α)·v with α = (q·v)/(v·v) on the SAME
+    integer-quantized coordinates and power-iteration component as
+    pca_top_component, so the whole correction is engine-exact
+    (both dot products are BIGINT sums — coords and component are
+    <= 1e6 over a dim-bounded sum — and α is one IEEE division).
+
+    The component is dim-sized and broadcast; the correction itself
+    is one map-side join over the exploded coordinates — nothing
+    corpus-scale shuffles beyond the covariance build inside
+    pca_top_component. Returns (vec_id, pos, res_q) with res_q the
+    1e-6-quantized residual coordinate.
+    """
+    comp = pca_top_component(df, vec_col, id_col, iterations).select(
+        "pos", F.floor(F.col("loading") * 1_000_000).cast("bigint").alias("vq")
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        "id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("q"),
+    )
+    vv = comp.agg(F.sum(F.col("vq") * F.col("vq")).alias("vv"))
+    alpha = (
+        ex.join(F.broadcast(comp), on="pos")
+        .groupBy("id")
+        .agg(F.sum(F.col("q") * F.col("vq")).alias("qv"))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "id",
+            F.when(
+                F.col("vv") > 0,
+                F.col("qv").cast("double") / F.col("vv").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("alpha"),
+        )
+    )
+    return (
+        ex.join(F.broadcast(comp), on="pos")
+        .join(alpha, on="id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("pos").cast("int"),
+            (
+                F.col("q")
+                - F.floor(F.col("alpha") * F.col("vq").cast("double") + 0.5).cast(
+                    "bigint"
+                )
+            ).alias("res_q"),
+        )
+    )

@@ -180,6 +180,9 @@ _R5_BACKLOG: list[str] = [
     "orders_revenue_mom",
     "simhash_near_pairs",
     "embedding_pca_top",
+    "tfidf_doc_topk",
+    "embedding_project_out",
+    "events_session_paths",
 ]
 
 

@@ -2647,3 +2647,62 @@ def embedding_pca_top_q(spark, sf_dir):
     from onionnet_spark.functions.similarity import pca_top_component
 
     return pca_top_component(_embs(spark, sf_dir))
+
+
+@register(
+    "tfidf_doc_topk",
+    f"""WITH toks AS (SELECT doc_id AS id, UNNEST({_TOKS}) AS term
+                      FROM documents),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    idf AS (SELECT term,
+                   CAST(floor(ln(CAST(n + 1 AS DOUBLE) / (df_t + 1)) * 1000000)
+                        AS BIGINT) AS idf_q
+            FROM dfreq CROSS JOIN nd),
+    scored AS (SELECT id, term, tf, tf * idf_q AS score_q
+               FROM tf JOIN idf USING (term))
+    SELECT id AS doc_id, CAST(rn AS INT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, score_q / 1000000.0 AS tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY score_q DESC, term) AS rn FROM scored)
+    WHERE rn <= 5""",
+)
+def tfidf_doc_topk_q(spark, sf_dir):
+    """Per-document top-5 TF-IDF keywords on integer-quantized idf —
+    the metadata-enrichment extractor."""
+    from onionnet_spark.functions.ranking import tfidf_doc_topk_terms
+
+    return tfidf_doc_topk_terms(_docs(spark, sf_dir), k=5)
+
+
+@register(
+    "embedding_project_out",
+    f"""WITH comp0 AS MATERIALIZED ({_pca_oracle()}),
+    comp AS (SELECT pos, CAST(floor(loading * 1000000) AS BIGINT) AS vq
+             FROM comp0),
+    {_ENUM},
+    ex AS (SELECT vec_id AS id, CAST(i - 1 AS INT) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                    AS q
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    vv AS (SELECT SUM(vq * vq) AS vv FROM comp),
+    qv AS (SELECT id, SUM(q * vq) AS qv
+           FROM ex JOIN comp ON comp.pos = ex.pos GROUP BY id),
+    al AS (SELECT id, CASE WHEN vv > 0
+                      THEN CAST(qv AS DOUBLE) / CAST(vv AS DOUBLE)
+                      ELSE 0.0 END AS alpha
+           FROM qv CROSS JOIN vv)
+    SELECT ex.id AS vec_id, CAST(ex.pos AS INT) AS pos,
+           q - CAST(floor(alpha * CAST(vq AS DOUBLE) + 0.5) AS BIGINT) AS res_q
+    FROM ex
+    JOIN comp ON comp.pos = ex.pos
+    JOIN al ON al.id = ex.id""",
+)
+def embedding_project_out_q(spark, sf_dir):
+    """All-but-the-top anisotropy correction: integer-exact removal
+    of the leading principal component from every embedding."""
+    from onionnet_spark.functions.similarity import project_out_component
+
+    return project_out_component(_embs(spark, sf_dir))

@@ -500,3 +500,37 @@ def events_rolling_features(spark, sf_dir):
     from onionnet_spark.operators import timeseries
 
     return timeseries.rolling_features(_events(spark, sf_dir))
+
+
+@register(
+    "events_session_paths",
+    """WITH e AS (
+      SELECT user_id AS key, event_id AS eid,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+             event_type AS etype
+      FROM events),
+    g AS (
+      SELECT *, CASE WHEN lag(epoch) OVER w IS NULL
+                       OR epoch - lag(epoch) OVER w > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY key ORDER BY epoch, eid)),
+    s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY key ORDER BY epoch, eid
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g),
+    p AS (SELECT key, session_id,
+                 string_agg(etype, '>' ORDER BY epoch, eid) AS path
+          FROM s GROUP BY 1, 2),
+    top AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS INT)
+             AS rank,
+           path, n_sessions
+    FROM top""",
+)
+def events_session_paths(spark, sf_dir):
+    """Top-20 session journey paths (gap sessionization + in-order
+    type sequence + global top-k)."""
+    from onionnet_spark.streaming.events import session_paths
+
+    return session_paths(_events(spark, sf_dir))

@@ -324,3 +324,69 @@ def time_rollup(events: DataFrame) -> DataFrame:
             F.grouping_id().cast("int").alias("gid"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_s: int = 1800,
+    k: int = 20,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-k session journey paths: events sessionize on the
+    ``gap_s`` inactivity rule (same recurrence as ``sessionize``),
+    each session becomes the '>'-joined sequence of its event types
+    ordered by (epoch, event_id) — deterministic under same-second
+    ties — and the k most frequent journeys are ranked. The
+    funnel-mining staple ("what do users actually do?").
+
+    Two key-partitioned windows (lag + running sum) share one
+    exchange; the in-order path build is
+    array_sort(collect_list(struct)) with no extra window; the
+    global top-k is orderBy+limit (TakeOrdered), then a rank window
+    bounded by k rows. Returns (rank, path, n_sessions).
+    """
+    from pyspark.sql import Window
+
+    e = events.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("eid"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("epoch"),
+        F.col(type_col).alias("etype"),
+    )
+    w = Window.partitionBy("key").orderBy("epoch", "eid")
+    marked = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("epoch").over(w).isNull()
+            | (F.col("epoch") - F.lag("epoch").over(w) > gap_s),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = marked.groupBy("key", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("epoch", "eid", "etype"))
+                ),
+                lambda s: s.getField("etype"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    top = (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+    # bounded window: <= k rows survive the limit above
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rank"), "path", "n_sessions"
+    )

@@ -754,3 +754,81 @@ def test_pca_top_component_degenerate_zero_variance(spark):
     )
     out = pca_top_component(df).collect()
     assert all(r["loading"] == 0.0 for r in out)
+
+
+def test_streaming_simhash_dedup_replay_equals_batch(spark):
+    from onionnet_spark.functions.dedup import simhash_near_pairs
+    from onionnet_spark.streaming.simhash_stream import StreamingSimhashDedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    want = sorted(map(tuple, simhash_near_pairs(docs).collect()))
+    assert want, "fixture must contain simhash near-dups"
+    m = StreamingSimhashDedup(spark)
+    for lo, hi in [(0, 120), (120, 301), (301, 10**9)]:
+        m.process_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        )
+    assert m.n_batches == 3
+    got = sorted(map(tuple, m.pairs.collect()))
+    assert got == want
+
+
+def test_tfidf_topk_rare_term_wins(spark):
+    from onionnet_spark.functions.ranking import tfidf_doc_topk_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra"),
+            (2, "common words here"),
+            (3, "common words again"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): r
+        for r in tfidf_doc_topk_terms(docs, k=2).collect()
+    }
+    # 'zebra' (df 1) outranks 'common' (df 3) despite tf 3 vs 1
+    assert out[(1, 1)]["term"] == "zebra"
+    assert out[(1, 2)]["term"] == "common"
+    assert out[(1, 1)]["tfidf"] > out[(1, 2)]["tfidf"]
+
+
+def test_session_paths_gap_splits_and_order(spark):
+    from onionnet_spark.streaming.events import session_paths
+
+    rows = [
+        # user 7: view > click, then a >30min gap, then purchase alone
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:10:00", 7, "click"),
+        (3, "2024-01-01 11:00:01", 7, "purchase"),
+        # user 8: same-second tie ordered by event_id
+        (5, "2024-01-02 09:00:00", 8, "b_second"),
+        (4, "2024-01-02 09:00:00", 8, "a_first"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+    out = {r["path"]: r for r in session_paths(df, gap_s=1800, k=10).collect()}
+    assert set(out) == {"view>click", "purchase", "a_first>b_second"}
+    assert all(r["n_sessions"] == 1 for r in out.values())
+
+
+def test_project_out_kills_dominant_axis(spark):
+    from onionnet_spark.functions.similarity import project_out_component
+
+    rows = [(i, [float(i - 10), 0.5, 0.0]) for i in range(21)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = project_out_component(df).collect()
+    by_pos = {}
+    for r in res:
+        by_pos.setdefault(r["pos"], []).append(r["res_q"])
+    # dominant axis (pos 0) residuals collapse to ~0; the constant
+    # orthogonal dim survives untouched
+    assert max(abs(v) for v in by_pos[0]) <= 1
+    assert all(v == 500_000 for v in by_pos[1])
+    assert all(v == 0 for v in by_pos[2])
