@@ -75,6 +75,12 @@ HEADLINE = [
     "dsir_logratio",
     "embedding_quantize_int8",
     "ann_ivf_pq_residual_topk",
+    # round-4 continuation additions (also excluded from the subtotal)
+    "simhash_near_pairs",
+    "c4_line_filter",
+    "embedding_pca_top",
+    "events_session_paths",
+    "tfidf_doc_topk",
 ]
 
 

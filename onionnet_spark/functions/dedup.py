@@ -946,3 +946,72 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by shingle CONTAINMENT |A∩B| / |A| — the
+    asymmetric measure that catches a document embedded inside a
+    larger one (quote farms, aggregator pages), which symmetric
+    Jaccard structurally misses: a 50-shingle doc inside a
+    5000-shingle doc has Jaccard <= 0.01 but containment 1.0.
+
+    Candidate generation CANNOT be Jaccard-tuned MinHash banding —
+    a small-inside-big pair's minima rarely survive into the big
+    doc's signature, so banding has near-zero recall exactly on the
+    pairs this measure exists for (caught by the doc-inside-doc
+    test). Instead it uses the same df-capped inverted shingle
+    index as ngram_jaccard_pairs: pairs sharing >= 1 non-hot
+    shingle meet in the equality self-join (full recall unless
+    every shared shingle is a stop-shingle), fan-out bounded by
+    max_shingle_df, all keys 8-byte hashes. Containment is measured
+    over the capped shingle space (sizes and intersections both
+    exclude stop-shingles — self-consistent at any scale). Emits
+    BOTH directions when both clear the threshold. Returns
+    (id_small, id_big, containment 6dp).
+    """
+    sh = (
+        word_shingles(df, text_col, id_col, n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh_j = sh.join(
+            F.broadcast(hot), on="shingle", how="left_anti"
+        ).localCheckpoint()
+    else:
+        sh_j = sh
+    sizes = sh_j.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh_j.alias("a")
+        .join(sh_j.alias("b"), on="shingle")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_small"), F.col("b.id").alias("id_big")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_small"), F.col("n_sh").alias("na")),
+            on="id_small",
+        )
+        .select(
+            "id_small",
+            "id_big",
+            F.round(F.col("inter") / F.col("na"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -861,3 +861,62 @@ def pii_counts_by_group(
         F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
         F.sum("n_phones").cast("bigint").alias("n_phones"),
     )
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    n_buckets: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: the corpus is cut into
+    ``n_buckets`` equal doc-id ranges and each row reports the
+    CUMULATIVE token count and distinct-vocabulary size through that
+    bucket — the "is more data still buying new vocabulary?" check
+    that sizes tokenizer vocabularies and flags corpus saturation.
+
+    Scale shape: each term collapses to (term, first doc-id) with
+    one aggregation, buckets aggregate to ``n_buckets`` rows, and
+    only that bounded series sees a cumulative window — the corpus
+    itself never meets a global ordering. Returns (bucket,
+    max_doc_id, n_tokens_cum, vocab_cum).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("t")
+    ).filter(F.length("t") > 0)
+    bounds = df.agg(F.max(F.col(id_col)).alias("mx"))
+    bucket_of = lambda c: F.least(
+        F.floor(c * n_buckets / (F.col("mx") + 1)).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    first = (
+        toks.groupBy("t")
+        .agg(F.min("id").alias("fid"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket_of(F.col("fid")).alias("bucket"))
+        .agg(F.count("*").alias("new_terms"))
+    )
+    per_bucket_tokens = (
+        toks.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket_of(F.col("id")).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.max("id").alias("max_doc_id"),
+        )
+    )
+    # bounded window: the series has n_buckets rows
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket_tokens.join(first, on="bucket", how="left")
+        .select(
+            "bucket",
+            F.col("max_doc_id").cast("bigint"),
+            F.sum("n_tokens").over(w).cast("bigint").alias("n_tokens_cum"),
+            F.sum(F.coalesce(F.col("new_terms"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_cum"),
+        )
+    )

@@ -183,6 +183,8 @@ _R5_BACKLOG: list[str] = [
     "tfidf_doc_topk",
     "embedding_project_out",
     "events_session_paths",
+    "containment_pairs",
+    "vocab_growth",
 ]
 
 

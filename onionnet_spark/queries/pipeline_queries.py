@@ -2706,3 +2706,52 @@ def embedding_project_out_q(spark, sf_dir):
     from onionnet_spark.functions.similarity import project_out_component
 
     return project_out_component(_embs(spark, sf_dir))
+
+
+@register(
+    "containment_pairs",
+    f"""WITH {_SHINGLES_SQL},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+    shf AS (SELECT id, shingle FROM sh
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizesf AS (SELECT id, COUNT(*) AS n_sh FROM shf GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_small, b.id AS id_big, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id <> b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_small, id_big, ROUND(i * 1.0 / sa.n_sh, 6) AS containment
+    FROM inter JOIN sizesf sa ON sa.id = id_small
+    WHERE i * 1.0 / sa.n_sh >= 0.8""",
+)
+def containment_pairs_q(spark, sf_dir):
+    """Asymmetric shingle-containment near-dups (doc-inside-doc),
+    banded candidates + exact verify."""
+    return dedup.containment_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "vocab_growth",
+    f"""WITH toks AS (SELECT doc_id AS id, t FROM (
+           SELECT doc_id, UNNEST({_TOKS}) AS t FROM documents)
+         WHERE length(t) > 0),
+    mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+    first AS (
+      SELECT LEAST(CAST(floor(fid * 20 / (mx + 1)) AS INT), 19) AS bucket,
+             COUNT(*) AS new_terms
+      FROM (SELECT t, MIN(id) AS fid FROM toks GROUP BY t) CROSS JOIN mx
+      GROUP BY 1),
+    pb AS (
+      SELECT LEAST(CAST(floor(id * 20 / (mx + 1)) AS INT), 19) AS bucket,
+             COUNT(*) AS n_tokens, MAX(id) AS max_doc_id
+      FROM toks CROSS JOIN mx GROUP BY 1)
+    SELECT pb.bucket, CAST(pb.max_doc_id AS BIGINT) AS max_doc_id,
+           CAST(SUM(pb.n_tokens) OVER w AS BIGINT) AS n_tokens_cum,
+           CAST(SUM(COALESCE(first.new_terms, 0)) OVER w AS BIGINT) AS vocab_cum
+    FROM pb LEFT JOIN first ON first.bucket = pb.bucket
+    WINDOW w AS (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING)""",
+)
+def vocab_growth_q(spark, sf_dir):
+    """Heaps-law cumulative vocabulary curve over 20 doc-id
+    buckets — the corpus-saturation check."""
+    return text.vocab_growth_curve(_docs(spark, sf_dir), n_buckets=20)

@@ -832,3 +832,47 @@ def test_project_out_kills_dominant_axis(spark):
     assert max(abs(v) for v in by_pos[0]) <= 1
     assert all(v == 500_000 for v in by_pos[1])
     assert all(v == 0 for v in by_pos[2])
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    from onionnet_spark.functions.dedup import containment_pairs, minhash_lsh_pairs
+
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    big = small + (
+        " lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+        " omega one two three four five six seven eight nine ten eleven"
+        " twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated text with entirely different words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    # the small doc is fully inside the big one...
+    assert got[(1, 2)] == 1.0
+    # ...but NOT the reverse, and symmetric Jaccard misses the pair
+    assert (2, 1) not in got
+    jac = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert not any(r["id_a"] == 1 and r["id_b"] == 2 for r in jac)
+
+
+def test_vocab_growth_monotone_and_totals(spark, sf_dir):
+    from onionnet_spark.functions.text import (
+        tokens_col,
+        vocab_growth_curve,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = vocab_growth_curve(docs, n_buckets=10).orderBy("bucket").collect()
+    assert len(out) <= 10
+    for a, b in zip(out, out[1:]):
+        assert b["n_tokens_cum"] >= a["n_tokens_cum"]
+        assert b["vocab_cum"] >= a["vocab_cum"]
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("t")).filter(
+        F.length("t") > 0
+    )
+    assert out[-1]["n_tokens_cum"] == toks.count()
+    assert out[-1]["vocab_cum"] == toks.distinct().count()
