@@ -102,3 +102,87 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+def node2vec_walks(
+    graph: OnionGraph,
+    walk_len: int = 6,
+    p: float = 4.0,
+    q: float = 0.25,
+    start_layer: str | None = None,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016):
+    from (prev, cur) the next neighbor v is drawn with weight
+    1/p if v == prev (return), 1 if (prev, v) is an edge (stay
+    near), 1/q otherwise (explore) — the p/q dial between BFS-like
+    and DFS-like neighborhoods that plain DeepWalk lacks.
+
+    Same determinism contract as random_walks: weights are
+    1e6-scaled integers, the step-t draw is the md5(start|cur|t)
+    integer mod the walk's total weight, and selection is by
+    cumulative-weight interval over neighbors ordered by key — all
+    exact integer arithmetic the DuckDB oracle replays verbatim.
+    Step 1 is uniform (no prev yet).
+
+    Per step: one equi-join of the frontier against the adjacency
+    (plus one broadcast-shaped membership probe of (prev, v) against
+    the edge set) and a per-walk window bounded by the current
+    node's out-degree. T steps = T joins, all walks advance
+    together. Returns (start, step, node).
+    """
+    wp = int(round(1_000_000 / p))
+    wf = int(round(1_000_000 / q))
+    key = lambda l, i: F.concat_ws(":", F.col(l), F.col(i))  # noqa: E731
+    e = graph.edge_endpoints().select(
+        key("src_layer", "src_id").alias("u"),
+        key("dst_layer", "dst_id").alias("v"),
+    ).distinct().localCheckpoint()
+    adj = e
+    starts = graph.nodes
+    if start_layer is not None:
+        starts = starts.filter(F.col("layer") == start_layer)
+    state = starts.select(
+        key("layer", "node_id").alias("start"),
+        key("layer", "node_id").alias("cur"),
+    ).withColumn("prev", F.lit(None).cast("string"))
+    # only nodes with out-edges can start a walk (matches the oracle,
+    # whose s0 is DISTINCT adj sources)
+    state = state.join(
+        adj.select(F.col("u").alias("cur")).distinct(), on="cur"
+    ).select("start", "cur", "prev")
+    out = state.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    wwin = Window.partitionBy("start").orderBy("v")
+    for t in range(1, walk_len + 1):
+        nbrs = state.join(adj, state["cur"] == adj["u"]).select(
+            "start", "prev", "cur", "v"
+        )
+        if t == 1:
+            nbrs = nbrs.withColumn("w", F.lit(1_000_000).cast("bigint"))
+        else:
+            near = adj.select(
+                F.col("u").alias("prev"), F.col("v"), F.lit(1).alias("_near")
+            )
+            nbrs = nbrs.join(near, on=["prev", "v"], how="left").withColumn(
+                "w",
+                F.when(F.col("v") == F.col("prev"), F.lit(wp))
+                .when(F.col("_near").isNotNull(), F.lit(1_000_000))
+                .otherwise(F.lit(wf))
+                .cast("bigint"),
+            )
+        cum = nbrs.withColumn("cum", F.sum("w").over(
+            wwin.rowsBetween(Window.unboundedPreceding, 0)
+        )).withColumn("tot", F.sum("w").over(wwin.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )))
+        draw = _draw(F.col("start"), F.col("cur"), t) % F.col("tot")
+        state = cum.filter(
+            (F.col("cum") - F.col("w") <= draw) & (draw < F.col("cum"))
+        ).select("start", F.col("cur").alias("prev"), F.col("v").alias("cur"))
+        out = out.unionByName(
+            state.select(
+                "start", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+        if t % 3 == 0:
+            state = state.localCheckpoint()
+    return out

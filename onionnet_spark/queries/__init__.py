@@ -185,6 +185,7 @@ _R5_BACKLOG: list[str] = [
     "events_session_paths",
     "containment_pairs",
     "vocab_growth",
+    "graph_node2vec_walks",
 ]
 
 

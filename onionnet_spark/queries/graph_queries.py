@@ -2454,3 +2454,66 @@ def _conductance_oracle() -> str:
 
 
 _REG["graph_conductance"] = (graph_conductance_q, _conductance_oracle())
+
+
+def _node2vec_oracle(
+    topn: int = 60, walk_len: int = 6, p: float = 4.0, q: float = 0.25
+) -> str:
+    wp = int(round(1_000_000 / p))
+    wf = int(round(1_000_000 / q))
+    draw = (
+        "CAST(substr(translate(md5(start || '|' || cur || '|' || '{t}'),"
+        " 'abcdef', '012345'), 1, 6) AS BIGINT)"
+    )
+    stages, selects = [], [
+        "SELECT start, CAST(0 AS INT) AS step, cur AS node FROM s0"
+    ]
+    for t in range(1, walk_len + 1):
+        if t == 1:
+            weight = "CAST(1000000 AS BIGINT)"
+            near_join = ""
+        else:
+            weight = f"""CASE WHEN a.v = s.prev THEN CAST({wp} AS BIGINT)
+                    WHEN en.u IS NOT NULL THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST({wf} AS BIGINT) END"""
+            near_join = "LEFT JOIN adjd en ON en.u = s.prev AND en.v = a.v"
+        stages.append(
+            f"""n{t} AS (
+      SELECT s.start, s.cur AS prev, a.v, {weight} AS w
+      FROM s{t - 1} s
+      JOIN adjd a ON a.u = s.cur
+      {near_join}),
+    c{t} AS (
+      SELECT start, prev, v, w, prev AS cur,
+             SUM(w) OVER (PARTITION BY start ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY start) AS tot
+      FROM n{t}),
+    s{t} AS MATERIALIZED (
+      SELECT start, prev, v AS cur FROM c{t}
+      WHERE cum - w <= {draw.format(t=t)} % tot
+        AND {draw.format(t=t)} % tot < cum
+    )"""
+        )
+        selects.append(
+            f"SELECT start, CAST({t} AS INT) AS step, cur AS node FROM s{t}"
+        )
+    stage_sql = ",\n    ".join(stages)
+    union_sql = "\n    UNION ALL ".join(selects)
+    return f"""WITH {_COSUPPLY_SQL.format(topn=topn)},
+    adjd AS MATERIALIZED (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+    s0 AS (SELECT DISTINCT u AS start, u AS cur, CAST(NULL AS VARCHAR) AS prev
+           FROM adjd),
+    {stage_sql}
+    {union_sql}"""
+
+
+@register("graph_node2vec_walks", _node2vec_oracle())
+def graph_node2vec_walks(spark, sf_dir):
+    """node2vec second-order biased walks (p=4, q=0.25, len 6) over
+    the symmetrized top-60 co-supply graph; integer weights +
+    cumulative-interval draw replayed verbatim by the oracle."""
+    from onionnet_spark.operators.walks import node2vec_walks
+
+    g = _cosupply_graph(spark, sf_dir, 60)
+    return node2vec_walks(g, walk_len=6, p=4.0, q=0.25)

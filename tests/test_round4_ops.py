@@ -876,3 +876,36 @@ def test_vocab_growth_monotone_and_totals(spark, sf_dir):
     )
     assert out[-1]["n_tokens_cum"] == toks.count()
     assert out[-1]["vocab_cum"] == toks.distinct().count()
+
+
+def test_node2vec_walk_structure_and_bias(spark):
+    from onionnet_spark.operators.walks import node2vec_walks
+
+    # triangle a-b-c plus pendant d on a (symmetrized)
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    edges = spark.createDataFrame(
+        [("L", u, "L", v) for u, v in und] + [("L", v, "L", u) for u, v in und],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = edges.selectExpr("src_layer as layer", "src_id as node_id").union(
+        edges.selectExpr("dst_layer", "dst_id")
+    ).distinct()
+    g = OnionGraph(nodes, edges)
+    rows = node2vec_walks(g, walk_len=5, p=4.0, q=0.25).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["start"], {})[r["step"]] = r["node"]
+    # every node starts one walk; exactly one node per step; each
+    # step moves along an edge
+    adj = {}
+    for u, v in und:
+        adj.setdefault("L:" + u, set()).add("L:" + v)
+        adj.setdefault("L:" + v, set()).add("L:" + u)
+    assert set(by_walk) == set(adj)
+    for start, path in by_walk.items():
+        assert sorted(path) == list(range(6))  # steps 0..5, one each
+        for s in range(5):
+            assert path[s + 1] in adj[path[s]]
+    # determinism: a second run replays identically
+    again = sorted(map(tuple, node2vec_walks(g, walk_len=5, p=4.0, q=0.25).collect()))
+    assert again == sorted(map(tuple, rows))
