@@ -662,3 +662,61 @@ def decode_channel_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         stats_batches, CHANNEL_STATS_SCHEMA
     )
+
+
+def image_dhash_near_pairs(
+    payload_df: DataFrame,
+    bands: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by dHash Hamming distance — the
+    multimodal twin of dedup.simhash_near_pairs: the 64-bit
+    fingerprint (computed by the REAL decode path in image_dhash)
+    splits into ``bands`` slices; any pair within Hamming distance
+    ``bands - 1`` agrees exactly on >= 1 slice (pigeonhole), so
+    candidates come from band equi-joins, then a 64-term
+    character-compare verifies the exact distance — all inside
+    codegen, no Python beyond the decode itself.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, hamming <=
+    max_hamming (which must stay <= bands - 1 for full recall).
+    """
+    assert 64 % bands == 0 and max_hamming <= bands - 1
+    width = 64 // bands
+    dh = image_dhash(payload_df).localCheckpoint()
+    bnd = dh.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("dhash"), b * width + 1, width)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    cand = (
+        bnd.alias("a")
+        .join(bnd.alias("b"), on=["band", "band_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ham = sum(
+        (
+            F.substring(F.col("ha"), i, 1) != F.substring(F.col("hb"), i, 1)
+        ).cast("int")
+        for i in range(1, 65)
+    )
+    return (
+        cand.join(
+            dh.select(F.col("doc_id").alias("id_a"), F.col("dhash").alias("ha")),
+            on="id_a",
+        )
+        .join(
+            dh.select(F.col("doc_id").alias("id_b"), F.col("dhash").alias("hb")),
+            on="id_b",
+        )
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

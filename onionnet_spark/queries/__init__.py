@@ -186,6 +186,7 @@ _R5_BACKLOG: list[str] = [
     "containment_pairs",
     "vocab_growth",
     "graph_node2vec_walks",
+    "multimodal_dhash_near_pairs",
 ]
 
 

@@ -1849,6 +1849,7 @@ def ann_ivf_pq_residual_topk_q(spark, sf_dir):
     # nearest-neighbor 9x8 resize (src = (dst*src_dim)//dst_dim),
     # and the 64 adjacent-pixel comparisons straight from the synth
     # pattern — any codec or resize-index bug flips bits.
+    # (Shared with multimodal_dhash_near_pairs below via _REG.)
     """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
     dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
              FROM ids),
@@ -2755,3 +2756,44 @@ def vocab_growth_q(spark, sf_dir):
     """Heaps-law cumulative vocabulary curve over 20 doc-id
     buckets — the corpus-saturation check."""
     return text.vocab_growth_curve(_docs(spark, sf_dir), n_buckets=20)
+
+
+def _dhash_pairs_oracle() -> str:
+    # Re-package the registered dHash oracle (closed-form pixel
+    # replay) as a nested MATERIALIZED CTE, then apply the identical
+    # band-candidate + 64-position compare as the Spark operator.
+    dhash_sql = _REG["multimodal_image_dhash"][1]
+    return f"""WITH dh AS MATERIALIZED ({dhash_sql}),
+    bnd AS (
+      SELECT doc_id AS id, b.b AS band,
+             substr(dhash, b.b * 8 + 1, 8) AS band_val
+      FROM dh CROSS JOIN range(0, 8) b(b)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_val = b.band_val
+      WHERE a.id < b.id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN substr(sa.dhash, i.i, 1)
+                             <> substr(sb.dhash, i.i, 1)
+                      THEN 1 ELSE 0 END) AS INT) AS hamming
+      FROM cand c
+      JOIN dh sa ON sa.doc_id = c.id_a
+      JOIN dh sb ON sb.doc_id = c.id_b
+      CROSS JOIN range(1, 65) i(i)
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 7"""
+
+
+@register("multimodal_dhash_near_pairs", None)  # oracle composed below
+def multimodal_dhash_near_pairs_q(spark, sf_dir):
+    """Hamming-banded perceptual image near-dups over REALLY-decoded
+    PNG payloads — dedup.simhash_near_pairs' multimodal twin."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return multimodal.image_dhash_near_pairs(multimodal.synth_png_payload(ids))
+
+
+_REG["multimodal_dhash_near_pairs"] = (
+    multimodal_dhash_near_pairs_q,
+    _dhash_pairs_oracle(),
+)

@@ -909,3 +909,27 @@ def test_node2vec_walk_structure_and_bias(spark):
     # determinism: a second run replays identically
     again = sorted(map(tuple, node2vec_walks(g, walk_len=5, p=4.0, q=0.25).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_image_dhash_near_pairs_recall(spark):
+    import itertools
+
+    from onionnet_spark.functions import multimodal
+
+    # synth payloads: ids with equal (w, h, channels) AND equal
+    # pixel-pattern mod-256 offsets produce correlated dhashes; just
+    # verify the band path achieves full recall vs brute force
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    payload = multimodal.synth_png_payload(ids)
+    dh = {r["doc_id"]: r["dhash"] for r in multimodal.image_dhash(payload).collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_dhash_near_pairs(payload).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(dh), 2):
+        hd = sum(x != y for x, y in zip(dh[a], dh[b]))
+        if hd <= 7:
+            want[(a, b)] = hd
+    assert got == want
+    assert want, "fixture must contain dhash near-dup pairs"
