@@ -535,3 +535,26 @@ def test_ngram_topk_is_take_ordered(spark, sf_dir):
 
     plan = _plan(ngram_topk(load_tables(spark, sf_dir)["documents"]))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_join_is_equi_not_cartesian(spark, sf_dir):
+    # the inverted-index candidate join must plan as an equi-join on
+    # the shingle hash — never BroadcastNestedLoop/CartesianProduct
+    from onionnet_spark.functions.dedup import containment_pairs
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    plan = _plan(containment_pairs(load_tables(spark, sf_dir)["documents"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_idf_table_join_shape(spark, sf_dir):
+    # no cartesian anywhere; the n_docs scalar enters via a
+    # broadcast nested-loop of a SINGLE-ROW frame (benign), and the
+    # tf x idf join is an equi-join on the term
+    from onionnet_spark.functions.ranking import tfidf_doc_topk_terms
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    plan = _plan(tfidf_doc_topk_terms(load_tables(spark, sf_dir)["documents"]))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
