@@ -64,8 +64,16 @@ def test_r4_window_covers_never_checked_keys():
     first = list(reg)[: min(50, len(never))]
     wasted = [k for k in first if k not in never]
     assert not wasted, f"window slots spent on already-checked keys: {wasted}"
+    # keys past the 50-slot window are structural once the round's
+    # window fills; each one must be EXPLICITLY queued for the next
+    # round's rotation (the _R4_BACKLOG pattern) — nothing falls
+    # through silently
     overflow = [k for k in never if k not in set(first)]
-    assert not overflow, f"never-checked keys missing from the window: {overflow}"
+    unqueued = [k for k in overflow if k not in set(q._R5_BACKLOG)]
+    assert not unqueued, (
+        f"never-checked keys neither in the window nor queued in "
+        f"_R5_BACKLOG: {unqueued}"
+    )
 
 
 def test_every_oracle_parses_and_binds_in_duckdb():
