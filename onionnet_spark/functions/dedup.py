@@ -829,38 +829,36 @@ def split_leakage_audit(
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, threshold=threshold, **lsh_kwargs
     )
-    flagged = (
-        pairs.join(
-            split.select(F.col("id").alias("id_a"), F.col("is_val").alias("va")),
-            on="id_a",
-        )
-        .join(
-            split.select(F.col("id").alias("id_b"), F.col("is_val").alias("vb")),
-            on="id_b",
-        )
-        .select("id_a", "id_b", "va", "vb")
-        .localCheckpoint()
+    flagged = pairs.join(
+        split.select(F.col("id").alias("id_a"), F.col("is_val").alias("va")),
+        on="id_a",
+    ).join(
+        split.select(F.col("id").alias("id_b"), F.col("is_val").alias("vb")),
+        on="id_b",
     )
-    leaky_val_docs = (
-        flagged.filter(F.col("va") != F.col("vb"))
-        .select(
-            F.when(F.col("va"), F.col("id_a")).otherwise(F.col("id_b")).alias("vid")
-        )
-        .distinct()
-        .count()
+    cross = F.col("va") != F.col("vb")
+    # single-pass: every output number is one distributed aggregation
+    # (no driver-side .count() round-trips), joined by a one-row
+    # broadcast cross join
+    pair_stats = flagged.agg(
+        F.count("*").cast("bigint").alias("n_dup_pairs"),
+        F.sum(F.when(cross, 1).otherwise(0)).cast("bigint").alias("n_leaky_pairs"),
+        F.count_distinct(
+            F.when(
+                cross, F.when(F.col("va"), F.col("id_a")).otherwise(F.col("id_b"))
+            )
+        ).alias("n_leaky_val_docs"),
     )
     counts = split.agg(
         F.sum(F.when(~F.col("is_val"), 1).otherwise(0)).alias("n_train"),
         F.sum(F.when(F.col("is_val"), 1).otherwise(0)).alias("n_val"),
     )
-    return counts.select(
+    return counts.crossJoin(F.broadcast(pair_stats)).select(
         F.col("n_train").cast("bigint"),
         F.col("n_val").cast("bigint"),
-        F.lit(flagged.count()).cast("bigint").alias("n_dup_pairs"),
-        F.lit(
-            flagged.filter(F.col("va") != F.col("vb")).count()
-        ).cast("bigint").alias("n_leaky_pairs"),
-        F.round(F.lit(leaky_val_docs) / F.col("n_val"), 6).alias("leak_rate"),
+        "n_dup_pairs",
+        "n_leaky_pairs",
+        F.round(F.col("n_leaky_val_docs") / F.col("n_val"), 6).alias("leak_rate"),
     )
 
 
