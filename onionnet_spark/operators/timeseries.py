@@ -402,3 +402,48 @@ def rolling_features(
         F.count("*").over(w_rng).cast("bigint").alias("cnt_w"),
         F.round(F.sum("vq").over(w_rng) / 1_000_000.0, 6).alias("sum_w"),
     )
+
+
+def active_users_rolling(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """DAU / WAU / MAU per calendar day — the growth-dashboard
+    staple, computed EXACTLY: distinct (user, day) pairs first (the
+    only corpus-scale aggregation), then each activity day fans out
+    to the <= 30 report days it contributes to (a bounded
+    day-offset explode, not an event-level one), and distinct users
+    per (report day, horizon) aggregate on day-level rows whose
+    volume is users x days x 30 at most — decoupled from the event
+    count. No sliding COUNT DISTINCT window (which neither engine
+    does exactly) and no 30x event blow-up. Returns
+    (day, dau, wau, mau).
+    """
+    ud = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", F.col(ts_col)).alias("d"),
+    ).distinct()
+    span = ud.select(F.col("d").alias("day")).distinct()
+    fan = ud.select(
+        "u", F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"), "d"
+    ).select("u", "off", F.date_add(F.col("d").cast("date"), F.col("off")).alias("rd"))
+    per = (
+        fan.groupBy(F.col("rd").alias("day_d"))
+        .agg(
+            F.count_distinct(F.when(F.col("off") == 0, F.col("u"))).alias("dau"),
+            F.count_distinct(F.when(F.col("off") <= 6, F.col("u"))).alias("wau"),
+            F.count_distinct("u").alias("mau"),
+        )
+    )
+    # keep only days that actually occur (the fan-out also lands on
+    # up to 29 days past the last activity day)
+    return (
+        span.join(per, span["day"] == F.col("day_d").cast("timestamp"))
+        .select(
+            "day",
+            F.col("dau").cast("bigint"),
+            F.col("wau").cast("bigint"),
+            F.col("mau").cast("bigint"),
+        )
+    )

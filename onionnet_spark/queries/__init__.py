@@ -187,6 +187,8 @@ _R5_BACKLOG: list[str] = [
     "vocab_growth",
     "graph_node2vec_walks",
     "multimodal_dhash_near_pairs",
+    "events_active_users",
+    "parts_abc_classes",
 ]
 
 

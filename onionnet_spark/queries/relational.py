@@ -1709,3 +1709,105 @@ def orders_revenue_mom(spark, sf_dir):
             / 1_000_000.0
         ).alias("mom_pct"),
     )
+
+
+@register(
+    "parts_abc_classes",
+    """WITH pr AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS rq
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(rq) AS tq FROM pr),
+    c AS (
+      SELECT pk, rq,
+             SUM(rq) OVER (ORDER BY rq DESC, pk
+                           ROWS UNBOUNDED PRECEDING) AS cum_q
+      FROM pr),
+    cls AS (
+      SELECT pk, rq,
+             CASE WHEN cum_q * 1.0 / tq <= 0.80 THEN 'A'
+                  WHEN cum_q * 1.0 / tq <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c CROSS JOIN tot)
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(rq) / 100.0, 2) AS revenue,
+           ROUND(SUM(rq) * 1.0 / (SELECT tq FROM tot), 6) AS revenue_share
+    FROM cls GROUP BY abc_class""",
+)
+def parts_abc_classes(spark, sf_dir):
+    """ABC / Pareto inventory classes: parts ranked by revenue, the
+    top cumulative-80% share is class A, the next 15% B, the tail C.
+
+    Cumulation runs on integer CENTS (floor-quantized from the
+    2dp-rounded per-part revenue), so partial sums are grouping- and
+    order-independent — which is what lets the distributed two-phase
+    prefix sum (percentile buckets + within-bucket running sums +
+    bucket offsets) reproduce the oracle's single sequential window
+    EXACTLY. No global window touches the parts table; only the
+    bucket-count series (n_buckets rows) is windowed unpartitioned.
+    """
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    # quantize to cents PER LINE ITEM: the row-level IEEE product is
+    # bit-identical in any engine, so the integer sums are exact and
+    # order-independent — ROUND-after-SUM here would re-expose the
+    # cross-engine decimal-rounding boundary (the repo's documented
+    # floor-quantize learning)
+    pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            ).cast("bigint")
+        ).alias("rq")
+    )
+    n_buckets = 32
+    fracs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    cuts = pr.agg(F.expr(f"percentile(rq, array({fracs}))").alias("_cuts"))
+    b = F.lit(0)
+    for i in range(1, n_buckets):
+        b = b + F.when(
+            F.col("rq") > F.element_at(F.col("_cuts"), i), 1
+        ).otherwise(0)
+    bucketed = pr.crossJoin(F.broadcast(cuts)).withColumn("_bkt", b.cast("int"))
+    w_in = Window.partitionBy("_bkt").orderBy(
+        F.col("rq").desc(), F.col("pk").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = bucketed.withColumn("_run", F.sum("rq").over(w_in))
+    sizes = bucketed.groupBy("_bkt").agg(F.sum("rq").alias("_bq"))
+    # bounded unpartitioned window: n_buckets rows only
+    w_off = Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_bq").over(w_off), F.lit(0))
+    ).select("_bkt", "_off")
+    tot = pr.agg(F.sum("rq").alias("tq"))
+    cls = (
+        ranked.join(F.broadcast(offsets), on="_bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pk",
+            "rq",
+            F.when((F.col("_off") + F.col("_run")) * 1.0 / F.col("tq") <= 0.80, "A")
+            .when((F.col("_off") + F.col("_run")) * 1.0 / F.col("tq") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("rq") / 100.0, 2).alias("revenue"),
+            F.sum("rq").alias("_sq"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue",
+            F.round(F.col("_sq") * 1.0 / F.col("tq"), 6).alias("revenue_share"),
+        )
+    )

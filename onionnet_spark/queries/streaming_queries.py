@@ -534,3 +534,30 @@ def events_session_paths(spark, sf_dir):
     from onionnet_spark.streaming.events import session_paths
 
     return session_paths(_events(spark, sf_dir))
+
+
+@register(
+    "events_active_users",
+    """WITH ud AS (
+      SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events),
+    span AS (SELECT DISTINCT d AS day FROM ud),
+    fan AS (
+      SELECT u, o.o AS off, CAST(d + o.o * INTERVAL 1 DAY AS TIMESTAMP) AS rd
+      FROM ud CROSS JOIN range(0, 30) o(o)),
+    per AS (
+      SELECT rd AS day_d,
+             COUNT(DISTINCT CASE WHEN off = 0 THEN u END) AS dau,
+             COUNT(DISTINCT CASE WHEN off <= 6 THEN u END) AS wau,
+             COUNT(DISTINCT u) AS mau
+      FROM fan GROUP BY rd)
+    SELECT span.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau
+    FROM span JOIN per ON per.day_d = span.day""",
+)
+def events_active_users(spark, sf_dir):
+    """Exact DAU/WAU/MAU per day via the bounded day-offset fan-out
+    (no event-level blow-up, no sliding COUNT DISTINCT window)."""
+    from onionnet_spark.operators.timeseries import active_users_rolling
+
+    return active_users_rolling(_events(spark, sf_dir))

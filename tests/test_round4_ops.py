@@ -933,3 +933,41 @@ def test_image_dhash_near_pairs_recall(spark):
             want[(a, b)] = hd
     assert got == want
     assert want, "fixture must contain dhash near-dup pairs"
+
+
+def test_active_users_rolling_windows(spark):
+    from onionnet_spark.operators.timeseries import active_users_rolling
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 11:00:00", 2),
+        (3, "2024-01-05 10:00:00", 1),   # within 7d of Jan 1
+        (4, "2024-01-20 10:00:00", 3),   # within 30d, outside 7d
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    out = {str(r["day"])[:10]: r for r in active_users_rolling(df).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-05", "2024-01-20"}
+    assert (out["2024-01-01"]["dau"], out["2024-01-01"]["wau"], out["2024-01-01"]["mau"]) == (2, 2, 2)
+    # Jan 5: dau=1 (u1); wau includes Jan1 actives {1,2}; mau same
+    assert (out["2024-01-05"]["dau"], out["2024-01-05"]["wau"], out["2024-01-05"]["mau"]) == (1, 2, 2)
+    # Jan 20: only u3 in the 7d window; all three in the 30d window
+    assert (out["2024-01-20"]["dau"], out["2024-01-20"]["wau"], out["2024-01-20"]["mau"]) == (1, 1, 3)
+
+
+def test_abc_classes_shares_partition(spark, sf_dir):
+    import __spark_entry__ as e
+
+    out = {r["abc_class"]: r for r in e.queries()["parts_abc_classes"](spark, sf_dir).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert abs(sum(r["revenue_share"] for r in out.values()) - 1.0) < 1e-5
+    # exact construction invariants: cumulative-share thresholds cap
+    # A at 0.80 and A+B at 0.95 (boundary-straddling parts fall to
+    # the NEXT class, so C can exceed 0.05 but A/B never overshoot)
+    assert 0.7 < out["A"]["revenue_share"] <= 0.8
+    assert out["A"]["revenue_share"] + out["B"]["revenue_share"] <= 0.95
+    assert out["C"]["revenue_share"] >= 0.05
+    # average revenue per part must still decrease A -> B -> C
+    avg = {k: r["revenue"] / r["n_parts"] for k, r in out.items()}
+    assert avg["A"] > avg["B"] > avg["C"]
