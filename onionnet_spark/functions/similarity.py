@@ -1338,3 +1338,65 @@ def project_out_component(
             ).alias("res_q"),
         )
     )
+
+
+def embedding_norm_outliers(
+    df: DataFrame,
+    z_threshold: float = 3.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vectors whose L2 norm is a statistical outlier — the
+    embedding-QA gate that catches truncated inputs (near-zero
+    norms) and exploded activations before they poison cosine
+    retrieval or k-means training.
+
+    Exact arithmetic end to end: squared norms are BIGINT sums of
+    1e-6-quantized coordinate squares; the corpus mean/variance of
+    those integers come from one aggregation (sums within BIGINT
+    for any corpus below ~2^63/1e12 rows — DECIMAL(38) guards the
+    square sum); z-scores floor-quantize to 6dp so the threshold
+    compare has no cross-engine ambiguity. Returns
+    (vec_id, norm 6dp, z 6dp) for |z| >= z_threshold.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        "id",
+        F.floor(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("q"),
+    )
+    n2 = ex.groupBy("id").agg(F.sum(F.col("q") * F.col("q")).alias("s2"))
+    stats = n2.agg(
+        F.count("*").alias("n"),
+        F.sum("s2").cast("decimal(38,0)").alias("sm"),
+        F.sum(F.col("s2").cast("decimal(38,0)") * F.col("s2")).alias("sq"),
+    )
+    z_num = F.col("s2").cast("double") - F.col("mean_s2")
+    return (
+        n2.crossJoin(F.broadcast(stats))
+        .withColumn("mean_s2", F.col("sm").cast("double") / F.col("n"))
+        .withColumn(
+            "std_s2",
+            F.sqrt(
+                (F.col("sq").cast("double") / F.col("n"))
+                - (F.col("sm").cast("double") / F.col("n"))
+                * (F.col("sm").cast("double") / F.col("n"))
+            ),
+        )
+        .withColumn(
+            "z",
+            F.when(
+                F.col("std_s2") > 0,
+                F.floor(z_num / F.col("std_s2") * 1_000_000).cast("bigint")
+                / 1_000_000.0,
+            ).otherwise(F.lit(0.0)),
+        )
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.sqrt(F.col("s2").cast("double")) / 1_000_000.0, 6).alias(
+                "norm"
+            ),
+            "z",
+        )
+    )

@@ -189,6 +189,7 @@ _R5_BACKLOG: list[str] = [
     "multimodal_dhash_near_pairs",
     "events_active_users",
     "parts_abc_classes",
+    "embedding_norm_outliers",
 ]
 
 

@@ -2797,3 +2797,41 @@ _REG["multimodal_dhash_near_pairs"] = (
     multimodal_dhash_near_pairs_q,
     _dhash_pairs_oracle(),
 )
+
+
+@register(
+    "embedding_norm_outliers",
+    f"""WITH {_ENUM},
+    ex AS (SELECT vec_id AS id,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                    AS q
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    n2 AS (SELECT id, SUM(q * q) AS s2 FROM ex GROUP BY id),
+    st AS (SELECT COUNT(*) AS n, SUM(s2) AS sm,
+                  SUM(CAST(s2 AS HUGEINT) * s2) AS sq
+           FROM n2),
+    zt AS (
+      SELECT id, s2,
+             CAST(sm AS DOUBLE) / n AS mean_s2,
+             sqrt(CAST(sq AS DOUBLE) / n
+                  - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))
+               AS std_s2
+      FROM n2 CROSS JOIN st)
+    SELECT id AS vec_id,
+           ROUND(sqrt(CAST(s2 AS DOUBLE)) / 1000000.0, 6) AS norm,
+           CASE WHEN std_s2 > 0
+                THEN CAST(floor((CAST(s2 AS DOUBLE) - mean_s2) / std_s2
+                                * 1000000) AS BIGINT) / 1000000.0
+                ELSE 0.0 END AS z
+    FROM zt
+    WHERE ABS(CASE WHEN std_s2 > 0
+              THEN CAST(floor((CAST(s2 AS DOUBLE) - mean_s2) / std_s2
+                              * 1000000) AS BIGINT) / 1000000.0
+              ELSE 0.0 END) >= 2.0""",
+)
+def embedding_norm_outliers_q(spark, sf_dir):
+    """Squared-norm z-score outlier vectors (|z| >= 2) — the
+    embedding-QA gate, integer-exact moments."""
+    from onionnet_spark.functions.similarity import embedding_norm_outliers
+
+    return embedding_norm_outliers(_embs(spark, sf_dir), z_threshold=2.0)

@@ -971,3 +971,27 @@ def test_abc_classes_shares_partition(spark, sf_dir):
     # average revenue per part must still decrease A -> B -> C
     avg = {k: r["revenue"] / r["n_parts"] for k, r in out.items()}
     assert avg["A"] > avg["B"] > avg["C"]
+
+
+def test_norm_outliers_flags_planted_vectors(spark):
+    from onionnet_spark.functions.similarity import embedding_norm_outliers
+
+    rows = [(i, [1.0] * 8) for i in range(30)] + [
+        (100, [30.0] * 8),   # exploded
+        (101, [0.0] * 8),    # truncated/zero
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_norm_outliers(df, 2.0).collect()}
+    assert 100 in out and out[100]["z"] > 2
+    assert out[100]["norm"] == round((8 * 30.0**2) ** 0.5, 6)
+    # the 30 identical vectors are never flagged
+    assert all(k in (100, 101) for k in out)
+
+
+def test_norm_outliers_degenerate_zero_variance(spark):
+    from onionnet_spark.functions.similarity import embedding_norm_outliers
+
+    df = spark.createDataFrame(
+        [(i, [2.0, 2.0]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    assert embedding_norm_outliers(df).count() == 0
