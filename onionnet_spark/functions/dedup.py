@@ -1013,3 +1013,66 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def dedup_method_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Side-by-side comparison of the four dedup families on one
+    corpus — the method-selection report run before committing a
+    100-TB pass to any single strategy: exact normalized-hash,
+    MinHash-LSH Jaccard (>= 0.5), SimHash Hamming (<= 3), and
+    asymmetric containment (>= 0.8). One row per method with its
+    pair count and the number of documents touched.
+
+    Each method runs its production operator unchanged (same
+    candidates, caps and thresholds as the standalone queries), so
+    the numbers are the real ones; the four method aggregates union
+    into a 4-row frame. Returns (method, n_pairs, n_docs).
+    """
+    norm_groups = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalize_text(F.col(text_col))).alias("ch"),
+        )
+        .groupBy("ch")
+        .agg(F.count("*").alias("s"))
+    )
+    exact = norm_groups.agg(
+        F.lit("exact").alias("method"),
+        F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("s") > 1, F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+    def _sym_stats(pairs: DataFrame, name: str) -> DataFrame:
+        ids = pairs.select(F.col("id_a").alias("i")).unionByName(
+            pairs.select(F.col("id_b").alias("i"))
+        )
+        return pairs.agg(
+            F.lit(name).alias("method"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        ).crossJoin(
+            F.broadcast(
+                ids.agg(F.count_distinct("i").cast("bigint").alias("n_docs"))
+            )
+        )
+
+    mh = _sym_stats(
+        minhash_lsh_pairs(df, text_col, id_col, threshold=0.5), "minhash_jaccard"
+    )
+    sh = _sym_stats(simhash_near_pairs(df, text_col, id_col), "simhash_hamming")
+    cont = containment_pairs(df, text_col, id_col, threshold=0.8)
+    ct = cont.agg(
+        F.lit("containment").alias("method"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    ).crossJoin(
+        F.broadcast(
+            cont.select(F.col("id_small").alias("i"))
+            .agg(F.count_distinct("i").cast("bigint").alias("n_docs"))
+        )
+    )
+    return exact.unionByName(mh).unionByName(sh).unionByName(ct)

@@ -190,6 +190,7 @@ _R5_BACKLOG: list[str] = [
     "events_active_users",
     "parts_abc_classes",
     "embedding_norm_outliers",
+    "dedup_method_report",
 ]
 
 

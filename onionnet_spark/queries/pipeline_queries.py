@@ -2835,3 +2835,47 @@ def embedding_norm_outliers_q(spark, sf_dir):
     from onionnet_spark.functions.similarity import embedding_norm_outliers
 
     return embedding_norm_outliers(_embs(spark, sf_dir), z_threshold=2.0)
+
+
+def _dedup_report_oracle() -> str:
+    # The three pair-finder oracles nest verbatim as MATERIALIZED
+    # CTEs (same thresholds as the standalone keys), so the report
+    # numbers are cross-checked against the exact same SQL that
+    # already gates each method individually.
+    mh = _REG["dedup_minhash_lsh"][1]
+    sh = _REG["simhash_near_pairs"][1]
+    ct = _REG["containment_pairs"][1]
+    return f"""WITH mh AS MATERIALIZED ({mh}),
+    shp AS MATERIALIZED ({sh}),
+    ctp AS MATERIALIZED ({ct}),
+    eg AS (SELECT md5({_NORM}) AS ch, COUNT(*) AS s
+           FROM documents GROUP BY 1)
+    SELECT 'exact' AS method,
+           CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN s > 1 THEN s ELSE 0 END) AS BIGINT) AS n_docs
+    FROM eg
+    UNION ALL
+    SELECT 'minhash_jaccard', CAST(COUNT(*) AS BIGINT),
+           (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) FROM
+             (SELECT id_a AS i FROM mh UNION ALL SELECT id_b FROM mh))
+    FROM mh
+    UNION ALL
+    SELECT 'simhash_hamming', CAST(COUNT(*) AS BIGINT),
+           (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) FROM
+             (SELECT id_a AS i FROM shp UNION ALL SELECT id_b FROM shp))
+    FROM shp
+    UNION ALL
+    SELECT 'containment', CAST(COUNT(*) AS BIGINT),
+           (SELECT CAST(COUNT(DISTINCT id_small) AS BIGINT) FROM ctp)
+    FROM ctp"""
+
+
+@register("dedup_method_report", None)  # oracle composed below
+def dedup_method_report_q(spark, sf_dir):
+    """Cross-method dedup scoreboard: exact / MinHash-Jaccard /
+    SimHash-Hamming / containment pair and doc counts side by
+    side."""
+    return dedup.dedup_method_report(_docs(spark, sf_dir))
+
+
+_REG["dedup_method_report"] = (dedup_method_report_q, _dedup_report_oracle())
