@@ -920,3 +920,39 @@ def vocab_growth_curve(
             .alias("vocab_cum"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch-Kincaid-style readability per document — the classic
+    quality-band feature (very low grade = listicle fragments, very
+    high = OCR noise and run-on boilerplate): words are whitespace
+    tokens, sentences are terminal-punctuation runs (min 1),
+    syllables are approximated by vowel-group counts (the standard
+    cheap estimator). All three are JVM regex counts inside codegen;
+    the grade 0.39*(W/S) + 11.8*(Y/W) - 15.59 floor-quantizes to
+    6dp so the value is engine-exact. Returns (doc_id, n_words,
+    n_sentences, n_syllables, fk_grade); empty/NULL docs drop.
+    """
+    t = F.lower(F.col(text_col))
+    n_words = F.size(tokens_col(F.col(text_col)))
+    n_sents = F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
+    n_syll = F.regexp_count(t, F.lit("[aeiouy]+"))
+    grade = (
+        F.lit(0.39) * (n_words.cast("double") / n_sents)
+        + F.lit(11.8) * (n_syll.cast("double") / n_words)
+        - F.lit(15.59)
+    )
+    return (
+        df.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+        .select(
+            F.col(id_col),
+            n_words.cast("bigint").alias("n_words"),
+            n_sents.cast("bigint").alias("n_sentences"),
+            n_syll.cast("bigint").alias("n_syllables"),
+            (F.floor(grade * 1_000_000).cast("bigint") / 1_000_000.0).alias(
+                "fk_grade"
+            ),
+        )
+    )

@@ -191,6 +191,8 @@ _R5_BACKLOG: list[str] = [
     "parts_abc_classes",
     "embedding_norm_outliers",
     "dedup_method_report",
+    "orders_open_per_day",
+    "text_readability",
 ]
 
 

@@ -2879,3 +2879,29 @@ def dedup_method_report_q(spark, sf_dir):
 
 
 _REG["dedup_method_report"] = (dedup_method_report_q, _dedup_report_oracle())
+
+
+@register(
+    "text_readability",
+    f"""WITH t AS (SELECT doc_id, lower(text) AS lt,
+                          {_TOKS} AS toks, text
+                   FROM documents
+                   WHERE length(trim(COALESCE(text, ''))) > 0),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(lt, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lt, '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM t)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                       - 15.59) * 1000000) AS BIGINT) / 1000000.0 AS fk_grade
+    FROM c""",
+)
+def text_readability_q(spark, sf_dir):
+    """Flesch-Kincaid-style grade per doc (vowel-group syllable
+    estimator), floor-quantized — the readability quality band."""
+    return text.readability_scores(_docs(spark, sf_dir))

