@@ -1045,3 +1045,22 @@ def test_readability_closed_form(spark):
     assert r["n_syllables"] == 6
     expect = floor((0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59) * 1e6) / 1e6
     assert r["fk_grade"] == expect
+
+
+def test_streaming_active_users_replay_equals_batch(spark):
+    from onionnet_spark.operators.timeseries import active_users_rolling
+    from onionnet_spark.sources.tpch_graph import load_tables
+    from onionnet_spark.streaming.active_stream import StreamingActiveUsers
+
+    events = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    want = sorted(map(tuple, active_users_rolling(events).collect()))
+    m = StreamingActiveUsers(spark)
+    # out-of-order, overlapping batches: the distinct-union monoid
+    # must absorb duplicates and ordering
+    for lo, hi in [(600, 1001), (0, 400), (300, 700)]:
+        m.process_batch(
+            events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        )
+    assert m.n_batches == 3
+    got = sorted(map(tuple, m.report().collect()))
+    assert got == want
