@@ -1076,3 +1076,54 @@ def dedup_method_report(
         )
     )
     return exact.unionByName(mh).unionByName(sh).unionByName(ct)
+
+
+def minhash_estimate_accuracy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sketch-accuracy report: for every verified near-dup pair, the
+    MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    slots) next to the exact value — the calibration check that
+    tells you whether num_perm is big enough BEFORE you trust the
+    estimate alone at a scale where exact verification is too
+    expensive.
+
+    Candidates and exact values come from the unchanged
+    minhash_lsh_pairs; the estimate is one join of the WIDE
+    signature rows per pair plus a num_perm-term equality sum (a
+    projection — no extra shuffle beyond the pair join). Returns
+    (id_a, id_b, jaccard, jaccard_est, abs_err), all 6dp.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_perm, bands, threshold
+    )
+    sigs = minhash_signatures(
+        word_shingles(df, text_col, id_col, n), num_perm
+    ).localCheckpoint()
+    sa = sigs.select(
+        F.col("id").alias("id_a"), *[F.col(f"s{p}").alias(f"a{p}") for p in range(num_perm)]
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"), *[F.col(f"s{p}").alias(f"b{p}") for p in range(num_perm)]
+    )
+    agree = sum(
+        (F.col(f"a{p}") == F.col(f"b{p}")).cast("int") for p in range(num_perm)
+    )
+    est = F.round(agree / F.lit(num_perm), 6)
+    return (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            est.alias("jaccard_est"),
+            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
+        )
+    )

@@ -193,6 +193,7 @@ _R5_BACKLOG: list[str] = [
     "dedup_method_report",
     "orders_open_per_day",
     "text_readability",
+    "minhash_est_accuracy",
 ]
 
 

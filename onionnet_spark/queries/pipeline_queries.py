@@ -2905,3 +2905,38 @@ def text_readability_q(spark, sf_dir):
     """Flesch-Kincaid-style grade per doc (vowel-group syllable
     estimator), floor-quantized — the readability quality band."""
     return text.readability_scores(_docs(spark, sf_dir))
+
+
+def _minhash_acc_oracle() -> str:
+    pairs_sql = _REG["dedup_minhash_lsh"][1]
+    return f"""WITH p AS MATERIALIZED ({pairs_sql}),
+    {_SHINGLES_SQL},
+    perms AS (SELECT UNNEST(range(0, 16)) AS perm),
+    sigs AS (
+      SELECT id, perm,
+             MIN((104729 * (perm + 1)
+                  * ((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647)
+                  + 7919 * perm) % 2147483647) AS sig
+      FROM sh CROSS JOIN perms GROUP BY id, perm
+    ),
+    agree AS (
+      SELECT p.id_a, p.id_b, p.jaccard,
+             ROUND(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) / 16.0, 6)
+               AS jaccard_est
+      FROM p
+      JOIN sigs a ON a.id = p.id_a
+      JOIN sigs b ON b.id = p.id_b AND b.perm = a.perm
+      GROUP BY 1, 2, 3)
+    SELECT id_a, id_b, jaccard, jaccard_est,
+           ROUND(ABS(jaccard - jaccard_est), 6) AS abs_err
+    FROM agree"""
+
+
+@register("minhash_est_accuracy", None)  # oracle composed below
+def minhash_est_accuracy_q(spark, sf_dir):
+    """MinHash-estimate vs exact-Jaccard calibration over the
+    verified near-dup pairs."""
+    return dedup.minhash_estimate_accuracy(_docs(spark, sf_dir))
+
+
+_REG["minhash_est_accuracy"] = (minhash_est_accuracy_q, _minhash_acc_oracle())
