@@ -194,6 +194,8 @@ _R5_BACKLOG: list[str] = [
     "orders_open_per_day",
     "text_readability",
     "minhash_est_accuracy",
+    "simhash_bit_balance",
+    "graph_centralization",
 ]
 
 

@@ -2517,3 +2517,62 @@ def graph_node2vec_walks(spark, sf_dir):
 
     g = _cosupply_graph(spark, sf_dir, 60)
     return node2vec_walks(g, walk_len=6, p=4.0, q=0.25)
+
+
+@register(
+    "graph_centralization",
+    f"""WITH {{ctes}},
+    sym AS (
+      SELECT DISTINCT src_layer || ':' || src_id AS u,
+                      dst_layer || ':' || dst_id AS v FROM edges_g
+      UNION
+      SELECT DISTINCT dst_layer || ':' || dst_id, src_layer || ':' || src_id
+      FROM edges_g),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    alln AS (
+      SELECT layer || ':' || node_id AS key FROM nodes_g),
+    degs AS (
+      SELECT a.key, COALESCE(deg.d, 0) AS d
+      FROM alln a LEFT JOIN deg ON deg.u = a.key),
+    st AS (SELECT COUNT(*) AS n, MAX(d) AS dmax, SUM(d) AS dsum FROM degs)
+    SELECT CAST(n AS BIGINT) AS n_nodes, CAST(dmax AS BIGINT) AS max_degree,
+           CAST(n * dmax - dsum AS BIGINT) AS centralization_num,
+           CASE WHEN n > 2
+                THEN ROUND(CAST(n * dmax - dsum AS DOUBLE)
+                           / ((n - 1.0) * (n - 2.0)), 6)
+           END AS centralization
+    FROM st""".format(ctes=CTES),
+)
+def graph_centralization_q(spark, sf_dir):
+    """Freeman degree centralization of the full multilayer graph —
+    the star-vs-mesh global-structure scalar: sum(dmax - d_i)
+    normalized by the star graph's maximum (n-1)(n-2). Degrees come
+    from the shared distinct-symmetrized view; isolated nodes count
+    with degree 0."""
+    g = get_graph(spark, sf_dir)
+    sym = g.cached_symmetrized().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("u")
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    alln = g.nodes.select(F.concat_ws(":", "layer", "node_id").alias("key"))
+    degs = alln.join(deg, alln["key"] == deg["u"], "left").select(
+        F.coalesce("d", F.lit(0)).alias("d")
+    )
+    st = degs.agg(
+        F.count("*").alias("n"), F.max("d").alias("dmax"), F.sum("d").alias("dsum")
+    )
+    return st.select(
+        F.col("n").cast("bigint").alias("n_nodes"),
+        F.col("dmax").cast("bigint").alias("max_degree"),
+        (F.col("n") * F.col("dmax") - F.col("dsum"))
+        .cast("bigint")
+        .alias("centralization_num"),
+        F.when(
+            F.col("n") > 2,
+            F.round(
+                (F.col("n") * F.col("dmax") - F.col("dsum")).cast("double")
+                / ((F.col("n") - 1.0) * (F.col("n") - 2.0)),
+                6,
+            ),
+        ).alias("centralization"),
+    )

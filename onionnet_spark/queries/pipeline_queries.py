@@ -2940,3 +2940,43 @@ def minhash_est_accuracy_q(spark, sf_dir):
 
 
 _REG["minhash_est_accuracy"] = (minhash_est_accuracy_q, _minhash_acc_oracle())
+
+
+def _simhash_balance_oracle() -> str:
+    sh_sql = _REG["dedup_simhash"][1]
+    return f"""WITH sh AS MATERIALIZED ({sh_sql}),
+    bits AS (
+      SELECT b.b AS bit, (simhash >> b.b) % 2 AS v
+      FROM sh CROSS JOIN range(0, 32) b(b))
+    SELECT CAST(bit AS INT) AS bit, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(v) AS BIGINT) AS n_ones,
+           ROUND(SUM(v) * 1.0 / COUNT(*), 6) AS p_one
+    FROM bits GROUP BY bit"""
+
+
+@register("simhash_bit_balance", None)  # oracle composed below
+def simhash_bit_balance_q(spark, sf_dir):
+    """Per-bit 1-frequency of the corpus SimHash fingerprints — the
+    sketch-health check (a bit far from p=0.5 carries little
+    entropy, weakening Hamming distances; systematic skew means the
+    token hash is biased). One projection + one 32-row aggregation
+    over the production fingerprints."""
+    sh = dedup.simhash(_docs(spark, sf_dir))
+    bits = sh.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col("simhash"), b) % 2).alias(f"b{b}")
+                    for b in range(32)
+                ]
+            )
+        ).alias("bit", "v")
+    )
+    return bits.groupBy(F.col("bit").cast("int").alias("bit")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("v").cast("bigint").alias("n_ones"),
+        F.round(F.sum("v") / F.count("*"), 6).alias("p_one"),
+    )
+
+
+_REG["simhash_bit_balance"] = (simhash_bit_balance_q, _simhash_balance_oracle())
