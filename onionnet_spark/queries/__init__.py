@@ -196,6 +196,8 @@ _R5_BACKLOG: list[str] = [
     "minhash_est_accuracy",
     "simhash_bit_balance",
     "graph_centralization",
+    "graph_layer_matrix",
+    "boilerplate_lines_topk",
 ]
 
 

@@ -2576,3 +2576,33 @@ def graph_centralization_q(spark, sf_dir):
             ),
         ).alias("centralization"),
     )
+
+
+@register(
+    "graph_layer_matrix",
+    f"""WITH {{ctes}},
+    e AS (SELECT src_layer, dst_layer,
+                 src_layer || ':' || src_id AS sk,
+                 dst_layer || ':' || dst_id AS dk
+          FROM edges_g)
+    SELECT src_layer, dst_layer, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_src_nodes,
+           CAST(COUNT(DISTINCT dk) AS BIGINT) AS n_dst_nodes
+    FROM e GROUP BY src_layer, dst_layer""".format(ctes=CTES),
+)
+def graph_layer_matrix_q(spark, sf_dir):
+    """Layer-connectivity matrix of the multilayer graph — per
+    (source layer, destination layer): edge count and distinct
+    endpoint counts. The first summary a reference user prints
+    after grow_onion (which layers actually talk to which?); one
+    aggregation with map-side partials."""
+    g = get_graph(spark, sf_dir)
+    return g.edge_endpoints().groupBy("src_layer", "dst_layer").agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.count_distinct(F.concat_ws(":", "src_layer", "src_id"))
+        .cast("bigint")
+        .alias("n_src_nodes"),
+        F.count_distinct(F.concat_ws(":", "dst_layer", "dst_id"))
+        .cast("bigint")
+        .alias("n_dst_nodes"),
+    )

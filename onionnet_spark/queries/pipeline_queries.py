@@ -2980,3 +2980,59 @@ def simhash_bit_balance_q(spark, sf_dir):
 
 
 _REG["simhash_bit_balance"] = (simhash_bit_balance_q, _simhash_balance_oracle())
+
+
+@register(
+    "boilerplate_lines_topk",
+    """WITH arr AS (SELECT doc_id, string_split(text, chr(10)) AS a
+                    FROM documents),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(len(a)), 0) + 1 FROM arr), 2))) AS i),
+    lines AS (
+      SELECT doc_id, trim(a[i]) AS line
+      FROM arr JOIN nums ON i <= len(a)
+      WHERE length(trim(a[i])) > 0),
+    top AS (
+      SELECT line, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM lines GROUP BY line
+      ORDER BY n_occurrences DESC, line LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, line) AS INT)
+             AS rank,
+           line, n_occurrences, n_docs
+    FROM top""",
+)
+def boilerplate_lines_topk_q(spark, sf_dir):
+    """The corpus's most repeated lines — the 'what IS the
+    boilerplate?' inspection view that pairs with line_dedup (run
+    this first, then decide the removal policy). One explode + one
+    count aggregation; the rank window orders the post-limit(k)
+    rows only."""
+    from pyspark.sql import Window
+
+    lines = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "\n")).alias("raw"),
+        )
+        .select("doc_id", F.trim("raw").alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    top = (
+        lines.groupBy("line")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("line"))
+        .limit(20)
+    )
+    # bounded window: <= 20 rows survive the limit above
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("line"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "line",
+        "n_occurrences",
+        "n_docs",
+    )
