@@ -1064,3 +1064,41 @@ def test_streaming_active_users_replay_equals_batch(spark):
     assert m.n_batches == 3
     got = sorted(map(tuple, m.report().collect()))
     assert got == want
+
+
+def test_centralization_star_is_one(spark):
+    from onionnet_spark.queries.graph_queries import graph_centralization_q  # noqa: F401
+
+    # star on 5 nodes: Freeman degree centralization = 1 by definition
+    edges = spark.createDataFrame(
+        [("L", "h", "L", f"x{i}") for i in range(4)],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = edges.selectExpr("src_layer as layer", "src_id as node_id").union(
+        edges.selectExpr("dst_layer", "dst_id")
+    ).distinct()
+    g = OnionGraph(nodes, edges)
+    sym = g.cached_symmetrized().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("u")
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    alln = g.nodes.select(F.concat_ws(":", "layer", "node_id").alias("key"))
+    degs = alln.join(deg, alln["key"] == deg["u"], "left").select(
+        F.coalesce("d", F.lit(0)).alias("d")
+    )
+    st = degs.agg(F.count("*").alias("n"), F.max("d").alias("dmax"),
+                  F.sum("d").alias("dsum")).collect()[0]
+    c = (st["n"] * st["dmax"] - st["dsum"]) / ((st["n"] - 1) * (st["n"] - 2))
+    assert c == 1.0
+
+
+def test_boilerplate_topk_counts_docs_and_occurrences(spark):
+    import __spark_entry__ as e
+
+    out = e.queries()["boilerplate_lines_topk"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["n_occurrences"] >= r["n_docs"] >= 1
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
