@@ -198,6 +198,8 @@ _R5_BACKLOG: list[str] = [
     "graph_centralization",
     "graph_layer_matrix",
     "boilerplate_lines_topk",
+    "embedding_exact_dup",
+    "docs_ngram_novelty",
 ]
 
 

@@ -3036,3 +3036,87 @@ def boilerplate_lines_topk_q(spark, sf_dir):
         "n_occurrences",
         "n_docs",
     )
+
+
+@register(
+    "embedding_exact_dup",
+    f"""WITH {_ENUM},
+    ex AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                    AS q
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    vh AS (SELECT vec_id,
+                  md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY pos)) AS h
+           FROM ex GROUP BY vec_id),
+    g AS (SELECT h, MIN(vec_id) AS canonical_id,
+                 CAST(COUNT(*) AS BIGINT) AS group_size
+          FROM vh GROUP BY h)
+    SELECT vh.vec_id, g.canonical_id, g.group_size
+    FROM vh JOIN g USING (h)""",
+)
+def embedding_exact_dup_q(spark, sf_dir):
+    """Exact duplicate embeddings (identical 1e-6-quantized
+    coordinate vectors): md5 over the in-order quantized coords is
+    the content hash, one groupBy — the cheap first tier before any
+    cosine near-dup pass. Only non-singleton groups are returned."""
+    from pyspark.sql import Window
+
+    ex = _embs(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("q"),
+    )
+    vh = ex.groupBy("vec_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "q"))),
+                    lambda s: s.getField("q").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("h")
+    )
+    w = Window.partitionBy("h")
+    return (
+        vh.select(
+            "vec_id",
+            F.min("vec_id").over(w).alias("canonical_id"),
+            F.count("*").over(w).cast("bigint").alias("group_size"),
+        )
+    )
+
+
+@register(
+    "docs_ngram_novelty",
+    f"""WITH {_SHINGLES_SQL},
+    firsts AS (SELECT shingle, MIN(id) AS fid FROM sh GROUP BY shingle),
+    marked AS (
+      SELECT sh.id, CASE WHEN f.fid = sh.id THEN 1 ELSE 0 END AS novel
+      FROM sh JOIN firsts f ON f.shingle = sh.shingle)
+    SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           ROUND(SUM(novel) * 1.0 / COUNT(*), 6) AS novelty_rate
+    FROM marked GROUP BY id""",
+)
+def docs_ngram_novelty_q(spark, sf_dir):
+    """Per-document n-gram novelty vs all earlier (lower-id) docs:
+    the share of a doc's distinct trigram shingles whose FIRST
+    corpus occurrence is this doc — the intake-ordering freshness
+    score (a crawl snapshot full of 0.05-novelty docs is re-crawl,
+    not new data). One shingle aggregation + one broadcast-shaped
+    join keyed on the shingle."""
+    from onionnet_spark.functions.dedup import word_shingles
+
+    sh = word_shingles(_docs(spark, sf_dir))
+    firsts = sh.groupBy("shingle").agg(F.min("id").alias("fid"))
+    marked = sh.join(firsts, on="shingle").select(
+        "id", (F.col("fid") == F.col("id")).cast("int").alias("novel")
+    )
+    return marked.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        F.round(F.sum("novel") / F.count("*"), 6).alias("novelty_rate"),
+    )
