@@ -6,14 +6,17 @@ opaque `binary` column (or a pointer to object storage); metadata
 JVM-side; decode / feature-extraction runs in Arrow-batched
 `mapInPandas` so Python touches data only in vectorized batches.
 
-PNG, baseline JPEG and PCM-WAV have REAL pure-Python codecs
-(functions/png.py, functions/jpeg.py, functions/wav.py): encode,
-decode, nearest-neighbor resize, nearest-sample resample and
-perceptual dHash all run for real through mapInPandas. Formats that
-need PIL/ffmpeg/librosa (video, compressed audio, progressive/
-subsampled JPEG) keep stubbed plug-in gates: those paths raise
-NotImplementedError unless `fake=True`, whose deterministic fake
-exercises the full Spark plumbing — schema, batching, partitioning.
+PNG, baseline JPEG, PCM-WAV, COMPRESSED audio (G.711 mu-law/A-law,
+IMA ADPCM — functions/g711.py, functions/adpcm.py, dispatched by the
+WAV format tag) and VIDEO (RIFF/AVI container with BI_RGB and
+Motion-JPEG streams — functions/avi.py) all have REAL pure-Python
+codecs: encode, decode, nearest-neighbor resize, nearest-sample
+resample, frame sampling and perceptual dHash run for real through
+mapInPandas. Formats that need PIL/ffmpeg/librosa (inter-frame
+video codecs, MP3/AAC, progressive/subsampled JPEG) keep stubbed
+plug-in gates: those paths raise NotImplementedError unless
+`fake=True`, whose deterministic fake exercises the full Spark
+plumbing — schema, batching, partitioning.
 """
 
 from __future__ import annotations
@@ -719,4 +722,198 @@ def image_dhash_near_pairs(
         )
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compressed audio (G.711 / IMA ADPCM) and real video (RIFF/AVI)
+# ---------------------------------------------------------------------------
+
+def synth_g711_wav_payload(
+    df: DataFrame, codec: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic COMPRESSED WAV payload per id (G.711 mu-law or
+    A-law, functions/g711.py): same closed-form PCM source as
+    synth_wav_payload — 40 + id%13 frames, 1 + id%2 channels, rate
+    8000 + 1000*(id%3), sample ((id*31 + t*7 + c*11) % 2003) - 1001 —
+    companded to 8-bit codes inside the container. The SQL oracle
+    recomputes decode(encode(x)) as a pure 8-segment quantization
+    CASE, so the gate covers arbitrary samples (unlike the
+    constant-signal ADPCM gate)."""
+    if codec not in ("ulaw", "alaw"):
+        raise ValueError("codec must be 'ulaw' or 'alaw'")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import wav as _wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n, ch = 40 + d % 13, 1 + d % 2
+                t = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                s = (((d * 31 + t * 7 + c * 11) % 2003) - 1001).astype(np.int16)
+                payloads.append(
+                    _wav.encode_wav(s, 8000 + 1000 * (d % 3), codec=codec)
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def synth_adpcm_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic IMA-ADPCM WAV payload per id: a CONSTANT mono
+    clip of 600 + id%101 samples (spans two 256-byte blocks) at
+    value ((id*37) % 2003) - 1001, rate 8000 + 500*(id%4). Constant
+    signals round-trip the adaptive codec bit-exactly (see
+    functions/adpcm.py), giving the history-dependent bitstream a
+    closed-form oracle; arbitrary-signal decode is pytest-gated."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import wav as _wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n, v = 600 + d % 101, ((d * 37) % 2003) - 1001
+                sig = np.full(n, v, dtype=np.int16)
+                payloads.append(
+                    _wav.encode_wav(sig, 8000 + 500 * (d % 4), codec="adpcm")
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pos_checksum", LongType()),
+    ]
+)
+
+
+def synth_avi_payload(
+    df: DataFrame, codec: str = "rgb", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic AVI payload per id (functions/avi.py).
+
+    codec 'rgb': 3 + id%4 uncompressed DIB frames, width 4 + id%3,
+    height 2 + id%3, RGB pixel (id*7 + f*19 + r*13 + c*31 + k*17)
+    % 256 — arbitrary per-position values, so the oracle's
+    position-weighted checksum catches bottom-up row order, BGR
+    channel order and row-padding bugs.
+
+    codec 'mjpeg': 3 + id%4 UNIFORM greyscale frames (value
+    (id*6 + f*10 + 4) % 256, always even -> the baseline JPEG codec
+    round-trips bit-exactly, same trick as synth_jpeg_payload),
+    width 9 + id%5, height 6 + id%4 (straddles the 8x8 block grid).
+    """
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import avi as _avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                nf = 3 + d % 4
+                if codec == "rgb":
+                    w, h = 4 + d % 3, 2 + d % 3
+                    r = np.arange(h)[:, None, None]
+                    c = np.arange(w)[None, :, None]
+                    k = np.arange(3)[None, None, :]
+                    frames = [
+                        ((d * 7 + f * 19 + r * 13 + c * 31 + k * 17) % 256).astype(
+                            np.uint8
+                        )
+                        for f in range(nf)
+                    ]
+                else:
+                    w, h = 9 + d % 5, 6 + d % 4
+                    frames = [
+                        np.full((h, w), (d * 6 + f * 10 + 4) % 256, dtype=np.uint8)
+                        for f in range(nf)
+                    ]
+                payloads.append(_avi.encode_avi(frames, fps=10 + d % 5, codec=codec))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_video_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video decode: parse the RIFF/AVI container
+    (functions/avi.py), decode each frame (BI_RGB or MJPG via the
+    baseline-JPEG codec), keep every `every_n`-th frame, and emit one
+    row per sampled frame — the frame-sampling batch shape every
+    video-training pipeline needs, with row fanout inside
+    mapInPandas so no executor ever holds a whole corpus of frames.
+
+    pos_checksum = sum(p * (1 + r*3 + c*5 + k*7)) detects row/
+    column/channel permutation bugs that a plain pixel_sum is blind
+    to. Unknown biCompression raises (the ffmpeg plug-in point)."""
+
+    def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import avi as _avi
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "fps", "width", "height",
+                "n_channels", "pixel_sum", "pos_checksum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, fps = _avi.decode_avi(payload)
+                for f_idx in range(0, len(frames), every_n):
+                    arr = frames[f_idx].astype(np.int64)
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    h, w, ch = arr.shape
+                    r = np.arange(h)[:, None, None]
+                    c = np.arange(w)[None, :, None]
+                    k = np.arange(ch)[None, None, :]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f_idx)
+                    rows["fps"].append(fps)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_channels"].append(ch)
+                    rows["pixel_sum"].append(int(arr.sum()))
+                    rows["pos_checksum"].append(
+                        int((arr * (1 + r * 3 + c * 5 + k * 7)).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "fps": pd.Series(rows["fps"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_channels": pd.Series(rows["n_channels"], dtype="int32"),
+                    "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                    "pos_checksum": pd.Series(rows["pos_checksum"], dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        stats_batches, VIDEO_STATS_SCHEMA
     )

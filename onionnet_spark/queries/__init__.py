@@ -200,6 +200,11 @@ _R5_BACKLOG: list[str] = [
     "boilerplate_lines_topk",
     "embedding_exact_dup",
     "docs_ngram_novelty",
+    "multimodal_ulaw_decode",
+    "multimodal_alaw_decode",
+    "multimodal_adpcm_decode",
+    "multimodal_video_frames",
+    "multimodal_mjpeg_frames",
 ]
 
 

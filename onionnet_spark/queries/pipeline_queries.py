@@ -3120,3 +3120,210 @@ def docs_ngram_novelty_q(spark, sf_dir):
         F.sum("novel").cast("bigint").alias("n_novel"),
         F.round(F.sum("novel") / F.count("*"), 6).alias("novelty_rate"),
     )
+
+
+@register(
+    "multimodal_ulaw_decode",
+    # COMPRESSED-audio gate with full-strength coverage: the payload
+    # is real G.711 mu-law (WAV format tag 7, functions/g711.py) and
+    # the oracle recomputes decode(encode(x)) as a pure 8-segment
+    # quantization — LEAST/ABS bias, a CASE for the segment, integer
+    # shifts for the mantissa — on every closed-form sample, no codec
+    # in the loop. Any companding-table, sign or container-dispatch
+    # bug hash-mismatches.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 40 + doc_id % 13 AS n, 1 + doc_id % 2 AS ch,
+                    8000 + 1000 * (doc_id % 3) AS sr
+             FROM ids),
+    sv AS (
+      SELECT d.doc_id, d.n, d.ch, d.sr,
+             ((d.doc_id * 31 + t.t * 7 + c.c * 11) % 2003) - 1001 AS v
+      FROM dims d
+      JOIN range(0, 53) t(t) ON t.t < d.n
+      JOIN range(0, 2) c(c) ON c.c < d.ch
+    ),
+    seg AS (
+      SELECT doc_id, n, ch, sr, v,
+             LEAST(ABS(v), 32635) + 132 AS mag,
+             CASE WHEN LEAST(ABS(v), 32635) + 132 < 256 THEN 0
+                  WHEN LEAST(ABS(v), 32635) + 132 < 512 THEN 1
+                  WHEN LEAST(ABS(v), 32635) + 132 < 1024 THEN 2
+                  WHEN LEAST(ABS(v), 32635) + 132 < 2048 THEN 3
+                  WHEN LEAST(ABS(v), 32635) + 132 < 4096 THEN 4
+                  WHEN LEAST(ABS(v), 32635) + 132 < 8192 THEN 5
+                  WHEN LEAST(ABS(v), 32635) + 132 < 16384 THEN 6
+                  ELSE 7 END AS e
+      FROM sv),
+    dec AS (
+      SELECT doc_id, n, ch, sr,
+             (CASE WHEN v < 0 THEN -1 ELSE 1 END)
+             * (((((mag >> (e + 3)) & 15) * 8 + 132) << e) - 132) AS dv
+      FROM seg)
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples, CAST(ch AS INT) AS n_channels,
+           CAST(SUM(dv) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS(dv)) AS INT) AS peak_abs
+    FROM dec GROUP BY doc_id, sr, n, ch""",
+)
+def multimodal_ulaw_decode_q(spark, sf_dir):
+    """REAL compressed-audio round-trip: closed-form PCM -> G.711
+    mu-law WAV (format tag 7) -> format-tag-dispatched decode
+    (functions/wav.py + g711.py) -> clip statistics."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_g711_wav_payload(ids, "ulaw")
+    return multimodal.decode_audio_stats(payload)
+
+
+@register(
+    "multimodal_alaw_decode",
+    # A-law twin of multimodal_ulaw_decode: 13-bit magnitude
+    # (x // 8, with the two's-complement -x-1 fold for negatives),
+    # segment CASE, seg<2 half-shift mantissa — exactly the ffmpeg
+    # pcm_alaw tables, recomputed sample-by-sample in SQL.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 40 + doc_id % 13 AS n, 1 + doc_id % 2 AS ch,
+                    8000 + 1000 * (doc_id % 3) AS sr
+             FROM ids),
+    sv AS (
+      SELECT d.doc_id, d.n, d.ch, d.sr,
+             ((d.doc_id * 31 + t.t * 7 + c.c * 11) % 2003) - 1001 AS v
+      FROM dims d
+      JOIN range(0, 53) t(t) ON t.t < d.n
+      JOIN range(0, 2) c(c) ON c.c < d.ch
+    ),
+    p13 AS (
+      SELECT doc_id, n, ch, sr, v,
+             CASE WHEN v >= 0 THEN v // 8 ELSE (-v - 1) // 8 END AS p
+      FROM sv),
+    seg AS (
+      SELECT *, CASE WHEN p < 32 THEN 0 WHEN p < 64 THEN 1
+                     WHEN p < 128 THEN 2 WHEN p < 256 THEN 3
+                     WHEN p < 512 THEN 4 WHEN p < 1024 THEN 5
+                     WHEN p < 2048 THEN 6 ELSE 7 END AS e
+      FROM p13),
+    mant AS (
+      SELECT *, CASE WHEN e < 2 THEN (p >> 1) & 15
+                     ELSE (p >> e) & 15 END AS m
+      FROM seg),
+    dec AS (
+      SELECT doc_id, n, ch, sr,
+             (CASE WHEN v >= 0 THEN 1 ELSE -1 END)
+             * (CASE WHEN e = 0 THEN m * 16 + 8
+                     ELSE (m * 16 + 264) << (e - 1) END) AS dv
+      FROM mant)
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples, CAST(ch AS INT) AS n_channels,
+           CAST(SUM(dv) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS(dv)) AS INT) AS peak_abs
+    FROM dec GROUP BY doc_id, sr, n, ch""",
+)
+def multimodal_alaw_decode_q(spark, sf_dir):
+    """REAL compressed-audio round-trip, A-law flavor (WAV format
+    tag 6)."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_g711_wav_payload(ids, "alaw")
+    return multimodal.decode_audio_stats(payload)
+
+
+@register(
+    "multimodal_adpcm_decode",
+    # IMA ADPCM is history-dependent (each nibble's meaning depends
+    # on the adaptive step index), so the oracle uses the codec's
+    # fixed point: a CONSTANT clip round-trips bit-exactly (header
+    # carries the first sample verbatim; diff 0 -> nibble 0 ->
+    # delta = 7 >> 3 = 0). The Spark side still runs the real
+    # two-block bitstream decode — any nibble-unpack / header /
+    # state-machine bug produces nonzero deltas and mismatches.
+    # Arbitrary-signal decode is pytest-gated (tests/test_codecs).
+    """SELECT doc_id,
+          CAST(8000 + 500 * (doc_id % 4) AS INT) AS sample_rate,
+          CAST(600 + doc_id % 101 AS INT) AS n_samples,
+          CAST(1 AS INT) AS n_channels,
+          CAST(((doc_id * 37) % 2003 - 1001)
+               * (600 + doc_id % 101) AS BIGINT) AS sample_sum,
+          CAST(ABS((doc_id * 37) % 2003 - 1001) AS INT) AS peak_abs
+    FROM documents WHERE doc_id < 150""",
+)
+def multimodal_adpcm_decode_q(spark, sf_dir):
+    """REAL IMA-ADPCM decode (WAV format tag 0x11, 4-bit adaptive
+    bitstream spanning two 256-byte blocks per clip) through the
+    same format-tag dispatch as PCM/G.711."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_adpcm_wav_payload(ids)
+    return multimodal.decode_audio_stats(payload)
+
+
+@register(
+    "multimodal_video_frames",
+    # REAL video path: the payload is a spec-shaped RIFF/AVI (hdrl
+    # avih/strh/strf + movi + idx1, functions/avi.py) holding
+    # uncompressed DIB frames — bottom-up rows, BGR order, 4-byte row
+    # padding — and the Spark side parses the container, decodes
+    # every frame and keeps every 2nd (frame-sampling). The oracle
+    # recomputes both pixel_sum AND a position-weighted checksum from
+    # the synthesis formula: a decoder that flips rows, swaps BGR or
+    # mis-skips padding keeps pixel_sum but breaks pos_checksum.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 4 + doc_id % 3 AS w,
+                    2 + doc_id % 3 AS h, 10 + doc_id % 5 AS fps
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.fps, d.w, d.h, f.f,
+             (d.doc_id * 7 + f.f * 19 + r.r * 13 + c.c * 31 + k.k * 17)
+               % 256 AS p,
+             1 + r.r * 3 + c.c * 5 + k.k * 7 AS wgt
+      FROM dims d
+      JOIN range(0, 6) f(f) ON f.f < d.nf AND f.f % 2 = 0
+      JOIN range(0, 4) r(r) ON r.r < d.h
+      JOIN range(0, 6) c(c) ON c.c < d.w
+      JOIN range(0, 3) k(k) ON true
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(fps AS INT) AS fps,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM(p * wgt) AS BIGINT) AS pos_checksum
+    FROM px GROUP BY doc_id, f, fps, w, h""",
+)
+def multimodal_video_frames_q(spark, sf_dir):
+    """REAL video frame-sampling: RIFF/AVI container parse + DIB
+    frame decode + every-2nd-frame sampling, one row per sampled
+    frame (row fanout inside mapInPandas)."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_avi_payload(ids, codec="rgb")
+    return multimodal.decode_video_stats(payload, every_n=2)
+
+
+@register(
+    "multimodal_mjpeg_frames",
+    # Motion-JPEG: every movi chunk is an independent baseline JPEG
+    # decoded by functions/jpeg.py. Frames are UNIFORM even-valued
+    # greyscale (the codec's bit-exact fixed point, same trick as
+    # multimodal_jpeg_decode), so the oracle is closed-form while the
+    # Spark side runs the full container parse + entropy decode.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 9 + doc_id % 5 AS w,
+                    6 + doc_id % 4 AS h, 10 + doc_id % 5 AS fps
+             FROM ids),
+    fr AS (
+      SELECT d.doc_id, d.fps, d.w, d.h, f.f,
+             (d.doc_id * 6 + f.f * 10 + 4) % 256 AS v
+      FROM dims d
+      JOIN range(0, 6) f(f) ON f.f < d.nf
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(fps AS INT) AS fps,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(v * w * h AS BIGINT) AS pixel_sum,
+           CAST(v * (w * h + 3 * w * (h * (h - 1) // 2)
+                     + 5 * h * (w * (w - 1) // 2)) AS BIGINT)
+             AS pos_checksum
+    FROM fr""",
+)
+def multimodal_mjpeg_frames_q(spark, sf_dir):
+    """REAL Motion-JPEG decode: AVI container parse + per-frame
+    baseline-JPEG entropy decode (functions/jpeg.py), all frames
+    kept (every_n=1)."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_avi_payload(ids, codec="mjpeg")
+    return multimodal.decode_video_stats(payload, every_n=1)

@@ -1,0 +1,227 @@
+"""Unit gates for the compressed-audio (G.711, IMA ADPCM) and video
+(RIFF/AVI) codecs, complementing the closed-form oracle queries
+(multimodal_ulaw_decode ... multimodal_mjpeg_frames): the oracles pin
+container-to-stats round-trips; these pin the codec internals on
+arbitrary signals the oracles' closed forms can't reach."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from onionnet_spark.functions import adpcm, avi, g711, wav
+
+
+def _rand16(n, seed=7):
+    return np.random.RandomState(seed).randint(-32768, 32768, size=n).astype(np.int16)
+
+
+# ---------------------------------------------------------------- G.711
+
+
+def test_g711_roundtrip_matches_scalar_reference():
+    x = _rand16(5000)
+    assert (
+        g711.ulaw_decode(g711.ulaw_encode(x))
+        == np.array([g711.ulaw_roundtrip_reference(v) for v in x], dtype=np.int16)
+    ).all()
+    assert (
+        g711.alaw_decode(g711.alaw_encode(x))
+        == np.array([g711.alaw_roundtrip_reference(v) for v in x], dtype=np.int16)
+    ).all()
+
+
+def test_g711_quantizer_fixed_points_and_error_bound():
+    x = _rand16(5000)
+    rt = g711.ulaw_decode(g711.ulaw_encode(x))
+    # decoded values are fixed points of the quantizer
+    assert (g711.ulaw_decode(g711.ulaw_encode(rt)) == rt).all()
+    # error bounded by the top segment's step (2^10), after clipping
+    clipped = np.clip(x.astype(np.int64), -g711.ULAW_CLIP, g711.ULAW_CLIP)
+    assert np.abs(rt.astype(np.int64) - clipped).max() <= 1024
+    rt_a = g711.alaw_decode(g711.alaw_encode(x))
+    assert (g711.alaw_decode(g711.alaw_encode(rt_a)) == rt_a).all()
+    assert np.abs(rt_a.astype(np.int64) - x.astype(np.int64)).max() <= 1024
+
+
+def test_g711_decoders_match_itu_tables():
+    """Pin both decoders to the ITU G.711 expansion tables via the
+    stdlib audioop implementation (skipped once audioop is removed,
+    Python >= 3.13 — the scalar-reference test above still pins the
+    round-trip)."""
+    audioop = pytest.importorskip("audioop")
+    codes = np.arange(256, dtype=np.uint8)
+    assert (
+        g711.ulaw_decode(codes)
+        == np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), dtype=np.int16)
+    ).all()
+    assert (
+        g711.alaw_decode(codes)
+        == np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), dtype=np.int16)
+    ).all()
+
+
+def test_g711_wav_container_roundtrip_stereo():
+    x = _rand16(200).reshape(100, 2)
+    for codec, dec_fn, enc_fn in (
+        ("ulaw", g711.ulaw_decode, g711.ulaw_encode),
+        ("alaw", g711.alaw_decode, g711.alaw_encode),
+    ):
+        payload = wav.encode_wav(x, 11000, codec=codec)
+        dec, sr = wav.decode_wav(payload)
+        assert sr == 11000 and dec.shape == (100, 2)
+        assert (dec == dec_fn(enc_fn(x.reshape(-1))).reshape(-1, 2)).all()
+
+
+def test_g711_wav_odd_payload_is_word_aligned():
+    # 8-bit mono with an odd sample count -> odd data chunk; the
+    # writer must pad and the reader must keep chunk-walking past it.
+    x = _rand16(101)
+    payload = wav.encode_wav(x, 8000, codec="ulaw")
+    dec, _ = wav.decode_wav(payload)
+    assert dec.shape == (101, 1)
+
+
+# ------------------------------------------------------------ IMA ADPCM
+
+
+def test_adpcm_constant_signal_roundtrips_bit_exactly():
+    for v in (-32768, -1001, 0, 5, 1234, 32767):
+        sig = np.full(700, v, dtype=np.int16)  # spans two blocks
+        dec, sr = wav.decode_wav(wav.encode_wav(sig, 9000, codec="adpcm"))
+        assert sr == 9000 and dec.shape == (700, 1)
+        assert (dec[:, 0] == v).all()
+
+
+def test_adpcm_tracks_smooth_signals():
+    t = np.arange(4000)
+    sig = (2000 * np.sin(2 * np.pi * t / 200)).astype(np.int16)
+    dec, _ = wav.decode_wav(wav.encode_wav(sig, 8000, codec="adpcm"))
+    err = np.abs(dec[:, 0].astype(np.int64) - sig.astype(np.int64))
+    assert err.mean() < 10 and err.max() < 200
+    # a ramp whose slope sits on the initial step's half-bit encodes exactly
+    ramp = np.arange(-2000, 2000, 3).astype(np.int16)
+    dec, _ = wav.decode_wav(wav.encode_wav(ramp, 8000, codec="adpcm"))
+    assert (dec[:, 0] == ramp).all()
+
+
+def test_adpcm_compression_ratio_and_guards():
+    sig = _rand16(2000)
+    payload = wav.encode_wav(sig, 8000, codec="adpcm")
+    # ~4:1 vs 16-bit PCM (block headers cost a little)
+    assert len(payload) < 2000 * 2 // 3
+    with pytest.raises(ValueError, match="mono"):
+        wav.encode_wav(sig.reshape(-1, 2), 8000, codec="adpcm")
+    with pytest.raises(ValueError, match="step index"):
+        adpcm.adpcm_decode_blocks(struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4, 8, 3)
+
+
+def test_adpcm_fact_chunk_truncates_block_padding():
+    # 505 samples/block at block_align 256; 510 samples -> the second
+    # block is mostly pad, and fact must truncate to exactly 510.
+    sig = np.full(510, 77, dtype=np.int16)
+    dec, _ = wav.decode_wav(wav.encode_wav(sig, 8000, codec="adpcm"))
+    assert dec.shape == (510, 1)
+
+
+# -------------------------------------------------------------- RIFF/AVI
+
+
+def test_avi_rgb_roundtrip_exact_with_row_padding():
+    rng = np.random.RandomState(3)
+    # width 7 -> 21-byte rows padded to 24: exercises the DIB stride
+    frames = [rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8) for _ in range(4)]
+    dec, fps = avi.decode_avi(avi.encode_avi(frames, fps=12, codec="rgb"))
+    assert fps == 12 and len(dec) == 4
+    for f, g in zip(frames, dec):
+        assert (f == g).all()
+
+
+def test_avi_mjpeg_roundtrip_on_jpeg_fixed_points():
+    frames = [np.full((6, 9), 10 + 2 * i, dtype=np.uint8) for i in range(5)]
+    dec, fps = avi.decode_avi(avi.encode_avi(frames, fps=5, codec="mjpeg"))
+    assert fps == 5 and len(dec) == 5
+    for f, g in zip(frames, dec):
+        assert f.shape == g.shape and (f == g).all()
+
+
+def test_avi_unknown_codec_raises_plugin_point():
+    payload = bytearray(
+        avi.encode_avi([np.zeros((2, 2, 3), dtype=np.uint8)], codec="rgb")
+    )
+    pos = payload.find(struct.pack("<I", 0) + struct.pack("<I", 4), 0)
+    # overwrite biCompression (offset 16 inside strf) with 'H264'
+    strf = payload.find(b"strf")
+    payload[strf + 8 + 16 : strf + 8 + 20] = b"H264"
+    with pytest.raises(ValueError, match="ffmpeg"):
+        avi.decode_avi(bytes(payload))
+
+
+def test_avi_frame_count_mismatch_raises():
+    payload = bytearray(
+        avi.encode_avi([np.zeros((2, 2, 3), dtype=np.uint8)] * 3, codec="rgb")
+    )
+    avih = payload.find(b"avih")
+    # dwTotalFrames is the 5th dword of the avih body
+    payload[avih + 8 + 16 : avih + 8 + 20] = struct.pack("<I", 99)
+    with pytest.raises(ValueError, match="promises 99"):
+        avi.decode_avi(bytes(payload))
+
+
+def test_avi_ignores_non_video_stream_chunks():
+    base = avi.encode_avi(
+        [np.full((2, 2, 3), 9, dtype=np.uint8)] * 2, codec="rgb"
+    )
+    # splice an audio chunk ('01wb') into movi, fixing both sizes
+    payload = bytearray(base)
+    movi = payload.find(b"LIST" + struct.pack("<I", 0), 0)
+    movi = payload.find(b"movi")
+    audio = b"01wb" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    (movi_len,) = struct.unpack("<I", payload[movi - 4 : movi])
+    payload[movi - 4 : movi] = struct.pack("<I", movi_len + len(audio))
+    payload[movi + 4 : movi + 4] = audio
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    payload[4:8] = struct.pack("<I", riff_len + len(audio))
+    dec, _ = avi.decode_avi(bytes(payload))
+    assert len(dec) == 2 and all((f == 9).all() for f in dec)
+
+
+# ------------------------------------------------------- Spark plumbing
+
+
+def test_decode_video_stats_samples_frames(spark):
+    from onionnet_spark.functions import multimodal
+
+    df = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    stats = multimodal.decode_video_stats(
+        multimodal.synth_avi_payload(df, codec="rgb"), every_n=2
+    ).toPandas()
+    # doc d has 3 + d%4 frames; sampled = ceil(nf / 2)
+    expected_rows = sum((3 + d % 4 + 1) // 2 for d in range(6))
+    assert len(stats) == expected_rows
+    assert set(stats["frame_idx"]) <= {0, 2, 4}
+    # spot-check one frame against direct numpy synthesis
+    row = stats[(stats.doc_id == 5) & (stats.frame_idx == 2)].iloc[0]
+    d, f = 5, 2
+    h, w = 2 + d % 3, 4 + d % 3
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    k = np.arange(3)[None, None, :]
+    px = (d * 7 + f * 19 + r * 13 + c * 31 + k * 17) % 256
+    assert row.pixel_sum == px.sum()
+    assert row.pos_checksum == (px * (1 + r * 3 + c * 5 + k * 7)).sum()
+
+
+def test_decode_audio_stats_dispatches_compressed_formats(spark):
+    from onionnet_spark.functions import multimodal
+
+    df = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    for maker in (
+        lambda d: multimodal.synth_g711_wav_payload(d, "ulaw"),
+        lambda d: multimodal.synth_g711_wav_payload(d, "alaw"),
+        multimodal.synth_adpcm_wav_payload,
+    ):
+        out = multimodal.decode_audio_stats(maker(df)).toPandas()
+        assert len(out) == 4 and (out["n_samples"] > 0).all()
