@@ -6,14 +6,15 @@ opaque `binary` column (or a pointer to object storage); metadata
 JVM-side; decode / feature-extraction runs in Arrow-batched
 `mapInPandas` so Python touches data only in vectorized batches.
 
-PNG, baseline JPEG, PCM-WAV, COMPRESSED audio (G.711 mu-law/A-law,
+PNG, JPEG (baseline + progressive), PCM-WAV, COMPRESSED audio (G.711 mu-law/A-law,
 IMA ADPCM — functions/g711.py, functions/adpcm.py, dispatched by the
 WAV format tag) and VIDEO (RIFF/AVI container with BI_RGB and
 Motion-JPEG streams — functions/avi.py) all have REAL pure-Python
 codecs: encode, decode, nearest-neighbor resize, nearest-sample
 resample, frame sampling and perceptual dHash run for real through
-mapInPandas. Formats that need PIL/ffmpeg/librosa (inter-frame
-video codecs, MP3/AAC, progressive/subsampled JPEG) keep stubbed
+mapInPandas; JPEG covers baseline AND progressive (SOF2) with 4:2:0
+subsampling. Formats that need PIL/ffmpeg/librosa (inter-frame
+video codecs, MP3/AAC, lossless/arithmetic JPEG) keep stubbed
 plug-in gates: those paths raise NotImplementedError unless
 `fake=True`, whose deterministic fake exercises the full Spark
 plumbing — schema, batching, partitioning.
@@ -61,7 +62,8 @@ def attach_binary_payload(
 
 def _decode_any_image(payload) -> "np.ndarray":
     """Signature-dispatched real decode: PNG via functions/png.py,
-    baseline JPEG via functions/jpeg.py; anything else raises
+    JPEG (baseline or progressive) via functions/jpeg.py; anything
+    else raises
     NotImplementedError (the plug-in point a PIL/ffmpeg-backed build
     fills for video frames and exotic formats)."""
     from onionnet_spark.functions import jpeg as _jpeg
@@ -72,7 +74,7 @@ def _decode_any_image(payload) -> "np.ndarray":
     if _jpeg.is_jpeg(payload):
         return _jpeg.decode_jpeg(payload)
     raise NotImplementedError(
-        "real decode implemented for PNG (functions/png.py) and baseline "
+        "real decode implemented for PNG (functions/png.py) and "
         "JPEG (functions/jpeg.py); video/exotic formats need PIL/ffmpeg — "
         "not in this container. Use fake=True for those."
     )
@@ -81,7 +83,7 @@ def _decode_any_image(payload) -> "np.ndarray":
 def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads to image metadata via mapInPandas.
 
-    With fake=False, PNG and baseline-JPEG payloads are REALLY
+    With fake=False, PNG and JPEG payloads are REALLY
     decoded by the pure-Python codecs in functions/png.py and
     functions/jpeg.py (no PIL needed); any other payload raises
     NotImplementedError, marking where PIL/ffmpeg would plug in for
@@ -169,15 +171,24 @@ def synth_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
 
 
-def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic baseline-JPEG payload per id: a UNIFORM
-    greyscale image, width 9 + id%9, height 6 + id%7 (straddles the
-    8x8 block grid, so edge-replicate padding is exercised), pixel
-    value (id*6 + 4) % 256 — always EVEN, so the DC quantizer
-    (luma Q00 = 16) divides 8*(v-128) exactly and the lossy codec
-    round-trips the image BIT-EXACTLY: a closed form the SQL oracle
-    recomputes with no codec. Encoding runs distributed in
-    mapInPandas."""
+def synth_jpeg_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    progressive: bool = False,
+    rgb: bool = False,
+    subsampling: str = "444",
+) -> DataFrame:
+    """Deterministic JPEG payload per id: a UNIFORM greyscale image
+    (or grey RGB when rgb=True), width 9 + id%9, height 6 + id%7
+    (straddles the 8x8 block grid, so edge-replicate padding is
+    exercised), pixel value (id*6 + 4) % 256 — always EVEN, so the
+    DC quantizer (luma Q00 = 16) divides 8*(v-128) exactly and the
+    lossy codec round-trips the image BIT-EXACTLY; for GREY RGB
+    pixels Cb/Cr sit exactly on 128, so the 4:2:0 chroma path
+    (subsampling='420') is exact too. progressive=True emits the
+    SOF2 multi-scan layering (encode_jpeg_progressive), which is
+    entropy-only and preserves the same closed form. Encoding runs
+    distributed in mapInPandas."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -190,16 +201,21 @@ def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for d in pdf[id_col]:
                 d = int(d)
                 w, h, v = 9 + d % 9, 6 + d % 7, (d * 6 + 4) % 256
-                payloads.append(
-                    _jpeg.encode_jpeg(np.full((h, w), v, dtype=np.uint8))
+                shape = (h, w, 3) if rgb else (h, w)
+                img = np.full(shape, v, dtype=np.uint8)
+                enc = (
+                    _jpeg.encode_jpeg_progressive
+                    if progressive
+                    else _jpeg.encode_jpeg
                 )
+                payloads.append(enc(img, subsampling=subsampling))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
 
 
 def decode_image_stats(df: DataFrame) -> DataFrame:
-    """REAL image decode (PNG or baseline JPEG, dispatched by
+    """REAL image decode (PNG or JPEG, dispatched by
     signature) to per-image pixel statistics via mapInPandas (the
     read half of the round-trip; no fake path — raises on other
     payloads). Returns (doc_id, width, height, n_channels,

@@ -205,6 +205,8 @@ _R5_BACKLOG: list[str] = [
     "multimodal_adpcm_decode",
     "multimodal_video_frames",
     "multimodal_mjpeg_frames",
+    "multimodal_jpeg420_decode",
+    "multimodal_jpeg_progressive_decode",
 ]
 
 

@@ -3327,3 +3327,55 @@ def multimodal_mjpeg_frames_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_avi_payload(ids, codec="mjpeg")
     return multimodal.decode_video_stats(payload, every_n=1)
+
+
+@register(
+    "multimodal_jpeg420_decode",
+    # Chroma-subsampled (4:2:0) color JPEG through the real codec:
+    # grey RGB pixels put Cb/Cr exactly on 128 (the chroma DC
+    # quantizes to exactly 0) and even grey values divide the luma DC
+    # quantizer exactly, so the MCU-interleaved subsampled pipeline —
+    # 2x2 box downsample, 4-luma-blocks-per-MCU scan order, chroma
+    # upsample, color convert — round-trips BIT-EXACTLY and the
+    # oracle stays closed-form. Any interleave/upsample/convert bug
+    # hash-mismatches.
+    """SELECT doc_id,
+          CAST(9 + doc_id % 9 AS INT) AS width,
+          CAST(6 + doc_id % 7 AS INT) AS height,
+          CAST(3 AS INT) AS n_channels,
+          CAST(3 * ((doc_id * 6 + 4) % 256)
+               * (9 + doc_id % 9) * (6 + doc_id % 7) AS BIGINT) AS pixel_sum
+    FROM documents WHERE doc_id < 150""",
+)
+def multimodal_jpeg420_decode_q(spark, sf_dir):
+    """REAL 4:2:0 chroma-subsampled color JPEG decode (MCU
+    interleaving + chroma upsampling, functions/jpeg.py)."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_jpeg_payload(ids, rgb=True, subsampling="420")
+    return multimodal.decode_image_stats(payload)
+
+
+@register(
+    "multimodal_jpeg_progressive_decode",
+    # PROGRESSIVE (SOF2) decode through the full multi-scan script:
+    # DC-first with successive approximation, raw-bit DC refinement,
+    # per-component AC-first with EOB runs, AC refinement with
+    # correction bits — layered over the same 4:2:0 color closed
+    # form as multimodal_jpeg420_decode (progressive entropy
+    # layering is lossless, so the oracle is identical).
+    """SELECT doc_id,
+          CAST(9 + doc_id % 9 AS INT) AS width,
+          CAST(6 + doc_id % 7 AS INT) AS height,
+          CAST(3 AS INT) AS n_channels,
+          CAST(3 * ((doc_id * 6 + 4) % 256)
+               * (9 + doc_id % 9) * (6 + doc_id % 7) AS BIGINT) AS pixel_sum
+    FROM documents WHERE doc_id < 150""",
+)
+def multimodal_jpeg_progressive_decode_q(spark, sf_dir):
+    """REAL progressive-JPEG decode (SOF2 spectral selection +
+    successive approximation), composed with 4:2:0 subsampling."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_jpeg_payload(
+        ids, progressive=True, rgb=True, subsampling="420"
+    )
+    return multimodal.decode_image_stats(payload)

@@ -225,3 +225,69 @@ def test_decode_audio_stats_dispatches_compressed_formats(spark):
     ):
         out = multimodal.decode_audio_stats(maker(df)).toPandas()
         assert len(out) == 4 and (out["n_samples"] > 0).all()
+
+
+# ------------------------------------------- JPEG: 4:2:0 + progressive
+
+
+def test_jpeg_420_roundtrip_tolerance_and_uniform_exact():
+    from onionnet_spark.functions import jpeg
+
+    img = np.zeros((20, 30, 3), dtype=np.uint8)
+    for c in range(3):
+        img[:, :, c] = (
+            np.add.outer(np.arange(20) * 3, np.arange(30) * 2) + c * 10
+        ) % 200
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, subsampling="420"))
+    assert dec.shape == img.shape
+    # chroma is quarter-resolution: looser bound than 4:4:4
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+    # grey RGB uniform: Cb/Cr sit exactly on 128 -> bit-exact
+    for v in (0, 44, 128, 254):
+        g = np.full((11, 13, 3), v, dtype=np.uint8)
+        assert (jpeg.decode_jpeg(jpeg.encode_jpeg(g, subsampling="420")) == g).all()
+
+
+def test_jpeg_progressive_equals_baseline_decode_exactly():
+    """Progressive layering is entropy-only: same quantized
+    coefficients, so decode parity with baseline must be EXACT —
+    this pins the whole SOF2 scan script (DC successive
+    approximation, raw-bit refinement, AC-first EOB runs, AC
+    refinement correction bits) on arbitrary images."""
+    from onionnet_spark.functions import jpeg
+
+    rng = np.random.RandomState(11)
+    for shape in [(6, 9), (16, 16), (17, 23, 3), (8, 8), (25, 14, 3), (1, 1)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        b = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+        p = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img))
+        assert b.shape == p.shape and (b == p).all(), shape
+    for shape in [(17, 23, 3), (32, 32, 3), (9, 9, 3)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, subsampling="420"))
+        p = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, subsampling="420"))
+        assert (b == p).all(), shape
+
+
+def test_jpeg_progressive_eob_runs_span_blocks():
+    from onionnet_spark.functions import jpeg
+
+    # near-uniform 64x64: most blocks are AC-empty, so the AC-first
+    # scan must code multi-block EOBn runs (the EOBRUN > 1 paths)
+    img = np.full((64, 64), 100, dtype=np.uint8)
+    img[5, 7] = 180
+    img[40, 40] = 20
+    data = jpeg.encode_jpeg_progressive(img)
+    assert data.count(b"\xff\xda") == 4  # DC first/refine + AC first/refine
+    assert (jpeg.decode_jpeg(data) == jpeg.decode_jpeg(jpeg.encode_jpeg(img))).all()
+
+
+def test_jpeg_progressive_is_smaller_scan_structure():
+    from onionnet_spark.functions import jpeg
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    data = jpeg.encode_jpeg_progressive(img, subsampling="420")
+    # SOF2 frame marker present, 8 scans (2 DC + 3x2 AC)
+    assert b"\xff\xc2" in data
+    assert data.count(b"\xff\xda") == 8

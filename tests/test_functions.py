@@ -540,17 +540,24 @@ def test_jpeg_unsupported_subset_raises():
 
     data = bytearray(encode_jpeg(np.full((8, 8), 50, dtype=np.uint8)))
     sof = data.find(b"\xff\xc0")
-    # flip SOF0 -> SOF2 (progressive): explicit plug-in point
-    data[sof + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    # flip SOF0 -> SOF3 (lossless): explicit plug-in point
+    data[sof + 1] = 0xC3
+    with _pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(data))
+    # 12-bit precision rejected
+    data[sof + 1] = 0xC0
+    data[sof + 4] = 12
+    with _pytest.raises(NotImplementedError, match="12-bit"):
         decode_jpeg(bytes(data))
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
-    # subsampling factors rejected
+    # non-integer sampling-factor ratios rejected (3x1 luma vs 2x1
+    # chroma); integer ratios like 4:2:0 now decode for real
     data = bytearray(encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8)))
     sof = data.find(b"\xff\xc0")
-    data[sof + 11] = 0x22  # Y component 2x2
-    with _pytest.raises(NotImplementedError, match="subsampled"):
+    data[sof + 11] = 0x31  # Y 3x1
+    data[sof + 14] = 0x21  # Cb 2x1
+    with _pytest.raises(NotImplementedError, match="non-integer sampling"):
         decode_jpeg(bytes(data))
 
 
