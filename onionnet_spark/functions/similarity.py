@@ -1127,6 +1127,42 @@ def knn_label_accuracy(
     )
 
 
+def _label_centroid_pred(
+    df: DataFrame, vec_col: str, id_col: str, label_col: str
+) -> DataFrame:
+    """Shared nearest-label-centroid assignment (integer-exact, see
+    nearest_centroid_confusion): returns (id, lbl, pred)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "id",
+        "lbl",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("q"),
+    )
+    cents = (
+        ex.groupBy(F.col("lbl").alias("clbl"), "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .select(
+            "clbl",
+            "pos",
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint").alias("cq"),
+        )
+    )
+    dists = (
+        ex.join(F.broadcast(cents), on="pos")
+        .groupBy("id", "lbl", "clbl")
+        .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("d2"))
+    )
+    return dists.groupBy("id", "lbl").agg(
+        F.min_by("clbl", F.struct(F.col("d2"), F.col("clbl").alias("tb"))).alias(
+            "pred"
+        )
+    )
+
+
 def nearest_centroid_confusion(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1153,38 +1189,97 @@ def nearest_centroid_confusion(
     confusion groupBy (|labels|^2 rows). Returns
     (label, pred_label, n).
     """
-    ex = df.select(
+    pred = _label_centroid_pred(df, vec_col, id_col, label_col)
+    return (
+        pred.select("lbl", F.col("pred").alias("pred_label"))
+        .groupBy(F.col("lbl").alias("label"), "pred_label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    threshold_num: int = 49,
+    threshold_den: int = 400,
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop every vector whose cosine to a SMALLER-ID
+    cluster-mate clears the threshold — semantically-redundant
+    documents that no lexical dedup (MinHash et al.) would pair.
+
+    Clustering here is the deterministic nearest-label-centroid
+    assignment (shared with nearest_centroid_confusion); a caller
+    with unlabeled data plugs kmeans_codebook labels in upstream.
+    Candidate generation is CLUSTER-LOCAL — the pair space is
+    sum(|cluster|^2), never corpus^2, the property that makes
+    SemDeDup run at billion-doc scale.
+
+    The cosine test is engine-exact: on floor(x * scale) integer
+    coordinates, cos(a, b) >= t  <=>  dot >= 0 AND
+    den * dot^2 >= num * |a|^2 * |b|^2 with t^2 = num/den (defaults:
+    t = 0.35, t^2 = 49/400) — no float sqrt, no ROUND, no
+    cross-engine boundary flakes. scale=1000 keeps den * dot^2 under
+    2^63 for unit-norm-ish vectors up to ~4096 dims.
+
+    Returns one row per vector: (vec_id, cluster, dup_of, is_kept)
+    with dup_of = smallest-id duplicate cluster-mate (NULL if kept).
+    """
+    pred = _label_centroid_pred(df, vec_col, id_col, label_col)
+
+    def quantize(x):
+        return F.floor(x.cast("double") * scale).cast("bigint")
+
+    vq = df.select(
         F.col(id_col).alias("id"),
-        F.col(label_col).alias("lbl"),
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    ).select(
-        "id",
-        "lbl",
-        "pos",
-        F.floor(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("q"),
+        F.transform(F.col(vec_col), quantize).alias("vq"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            "vq", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ),
     )
-    cents = (
-        ex.groupBy(F.col("lbl").alias("clbl"), "pos")
-        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+    vecs = vq.join(pred.select("id", F.col("pred").alias("cluster")), on="id")
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vq"), F.col("b.vq"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dup_of = (
+        a.join(b, on=(F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.id") < F.col("b.id")))
         .select(
-            "clbl",
-            "pos",
-            F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint").alias("cq"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dot.alias("dot"),
+            F.col("a.n2").alias("na"),
+            F.col("b.n2").alias("nb"),
         )
-    )
-    dists = (
-        ex.join(F.broadcast(cents), on="pos")
-        .groupBy("id", "lbl", "clbl")
-        .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("d2"))
-    )
-    pred = dists.groupBy("id", "lbl").agg(
-        F.min_by("clbl", F.struct(F.col("d2"), F.col("clbl").alias("tb"))).alias(
-            "pred_label"
+        .filter(
+            (F.col("dot") >= 0)
+            & (
+                F.lit(threshold_den) * F.col("dot") * F.col("dot")
+                >= F.lit(threshold_num) * F.col("na") * F.col("nb")
+            )
         )
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.min("id_a").alias("dup_of"))
     )
     return (
-        pred.groupBy(F.col("lbl").alias("label"), "pred_label")
-        .agg(F.count("*").cast("bigint").alias("n"))
+        vecs.select("id", "cluster")
+        .join(dup_of, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().cast("int").alias("is_kept"),
+        )
     )
 
 

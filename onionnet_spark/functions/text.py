@@ -956,3 +956,75 @@ def readability_scores(
             ),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-filter rule bundle (Rae et al. 2021, table A1):
+    one pass/fail bit per structural rule plus the conjunction — the
+    hard-rule production filter surface (quality_score is the
+    composite-score cousin). Every rule is an INTEGER comparison
+    with cross-multiplied thresholds, so the gate is engine-exact
+    with no float boundaries:
+
+      r_word_count     min_words <= n_words <= max_words
+      r_mean_word_len  3 <= mean word length <= 10
+                       (as 3*n_words <= total_chars <= 10*n_words)
+      r_symbol_ratio   (#'#' + #'...') / n_words <= 0.1
+      r_bullet_lines   lines starting with '-' or '*' <= 90%
+      r_ellipsis_lines lines ending with '...' <= 30%
+      r_alpha_words    words containing a letter >= 80%
+      r_stopwords      >= 2 distinct hits from the en stopword list
+
+    All expressions are JVM-side builtins over one row — a pure map
+    stage with no shuffle; at 100 TB this is scan-bound.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    total_wchars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).startswith("-") | F.trim(ln).startswith("*"),
+        )
+    )
+    n_ell_end = F.size(F.filter(lines, lambda ln: F.trim(ln).endswith("...")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in STOPWORDS["en"]
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (F.lit(3) * n_words <= total_wchars)
+        & (total_wchars <= F.lit(10) * n_words),
+        "r_symbol_ratio": F.lit(10) * (n_hash + n_ellipsis).cast("bigint")
+        <= n_words,
+        "r_bullet_lines": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
+        "r_ellipsis_lines": F.lit(10) * n_ell_end <= F.lit(3) * n_lines,
+        "r_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
+        "r_stopwords": stop_hits >= 2,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_lines.cast("bigint").alias("n_lines"),
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+        passes.cast("int").alias("passes"),
+    )

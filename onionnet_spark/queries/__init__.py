@@ -207,6 +207,8 @@ _R5_BACKLOG: list[str] = [
     "multimodal_mjpeg_frames",
     "multimodal_jpeg420_decode",
     "multimodal_jpeg_progressive_decode",
+    "semantic_dedup",
+    "gopher_rules",
 ]
 
 

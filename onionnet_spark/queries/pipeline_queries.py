@@ -3379,3 +3379,118 @@ def multimodal_jpeg_progressive_decode_q(spark, sf_dir):
         ids, progressive=True, rgb=True, subsampling="420"
     )
     return multimodal.decode_image_stats(payload)
+
+
+@register(
+    "semantic_dedup",
+    # SemDeDup (cluster-local embedding dedup): nearest-label-centroid
+    # clusters at the x1e6 integer scale (same arithmetic as
+    # embedding_nearest_centroid), then within-cluster pairs tested
+    # with the engine-exact integer cosine threshold
+    # dot >= 0 AND 400*dot^2 >= 49*|a|^2*|b|^2 (t = 0.35) on x1000
+    # quantized coordinates. One row per vector; dup_of = smallest-id
+    # duplicate cluster-mate.
+    f"""WITH {_ENUM},
+    ex AS (SELECT vec_id, label AS lbl, CAST(i - 1 AS INT) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                    AS q,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    AS qk
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    cents AS (SELECT lbl AS clbl, pos,
+                     CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                       AS cq
+              FROM ex GROUP BY lbl, pos),
+    dists AS (SELECT ex.vec_id, c.clbl, SUM((q - cq) * (q - cq)) AS d2
+              FROM ex JOIN cents c ON c.pos = ex.pos
+              GROUP BY 1, 2),
+    pred AS (SELECT vec_id, clbl AS cluster FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY d2, clbl) AS rn FROM dists)
+             WHERE rn = 1),
+    norms AS (SELECT vec_id, SUM(qk * qk) AS n2 FROM ex GROUP BY vec_id),
+    dots AS (SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
+                    SUM(ea.qk * eb.qk) AS dot
+             FROM ex ea
+             JOIN pred pa ON pa.vec_id = ea.vec_id
+             JOIN pred pb ON pb.cluster = pa.cluster
+             JOIN ex eb ON eb.vec_id = pb.vec_id AND eb.pos = ea.pos
+                        AND ea.vec_id < eb.vec_id
+             GROUP BY 1, 2),
+    dup AS (SELECT d.id_b AS vec_id, MIN(d.id_a) AS dup_of
+            FROM dots d
+            JOIN norms xa ON xa.vec_id = d.id_a
+            JOIN norms xb ON xb.vec_id = d.id_b
+            WHERE d.dot >= 0
+              AND 400 * d.dot * d.dot >= 49 * xa.n2 * xb.n2
+            GROUP BY 1)
+    SELECT p.vec_id, CAST(p.cluster AS INT) AS cluster, dup.dup_of,
+           CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_kept
+    FROM pred p LEFT JOIN dup ON dup.vec_id = p.vec_id""",
+)
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup: cluster-local exact-integer
+    cosine pruning over the embeddings table (similarity.py)."""
+    from onionnet_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir))
+
+
+@register(
+    "gopher_rules",
+    # Hard-rule Gopher filter bundle: every rule is an integer
+    # comparison (cross-multiplied thresholds), so Spark and DuckDB
+    # agree bit-for-bit — no float boundary can flip a rule.
+    f"""WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             string_split(text, chr(10)) AS lns
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        len(lns) AS n_lines,
+        list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+          AS total_wchars,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+        len(list_filter(lns, x -> starts_with(trim(x), '-')
+                                OR starts_with(trim(x), '*'))) AS n_bullet,
+        len(list_filter(lns, x -> trim(x) LIKE '%...')) AS n_ell_end,
+        len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'it') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'for') THEN 1 ELSE 0 END)
+          AS stop_hits
+      FROM t)
+    SELECT doc_id,
+      CAST(n_words AS BIGINT) AS n_words,
+      CAST(n_lines AS BIGINT) AS n_lines,
+      CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_word_count,
+      CAST(3 * n_words <= total_wchars
+           AND total_wchars <= 10 * n_words AS INT) AS r_mean_word_len,
+      CAST(10 * (n_hash + n_ell) <= n_words AS INT) AS r_symbol_ratio,
+      CAST(10 * n_bullet <= 9 * n_lines AS INT) AS r_bullet_lines,
+      CAST(10 * n_ell_end <= 3 * n_lines AS INT) AS r_ellipsis_lines,
+      CAST(5 * n_alpha >= 4 * n_words AS INT) AS r_alpha_words,
+      CAST(stop_hits >= 2 AS INT) AS r_stopwords,
+      CAST(n_words >= 50 AND n_words <= 100000
+           AND 3 * n_words <= total_wchars AND total_wchars <= 10 * n_words
+           AND 10 * (n_hash + n_ell) <= n_words
+           AND 10 * n_bullet <= 9 * n_lines
+           AND 10 * n_ell_end <= 3 * n_lines
+           AND 5 * n_alpha >= 4 * n_words
+           AND stop_hits >= 2 AS INT) AS passes
+    FROM m""",
+)
+def gopher_rules_q(spark, sf_dir):
+    """Gopher hard-rule filter bits per document (text.gopher_rules)
+    — the rule-set counterpart to the composite quality_score."""
+    return text.gopher_rules(_docs(spark, sf_dir))

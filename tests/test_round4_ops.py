@@ -1102,3 +1102,78 @@ def test_boilerplate_topk_counts_docs_and_occurrences(spark):
         assert r["n_occurrences"] >= r["n_docs"] >= 1
     ranks = [r["rank"] for r in rows]
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_semantic_dedup_cluster_local_and_first_wins(spark):
+    from onionnet_spark.functions.similarity import semantic_dedup
+
+    # ids 1,2,3 share label-0's region (near-identical directions ->
+    # cosine ~1); id 4 is orthogonal; ids 5,6 are near-identical but
+    # land in label-1's cluster — dedup must stay cluster-local.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),
+        (3, [0.998, 0.02, 0.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 0),
+        (5, [0.0, 1.0, 0.0, 0.0], 1),
+        (6, [0.01, 0.999, 0.0, 0.0], 1),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in semantic_dedup(embs).collect()}
+    assert out[1]["is_kept"] == 1 and out[1]["dup_of"] is None
+    # first-occurrence-wins: 2 and 3 both point at 1, not a chain
+    assert out[2]["dup_of"] == 1 and out[3]["dup_of"] == 1
+    assert out[4]["is_kept"] == 1  # orthogonal: no dup despite same cluster
+    assert out[5]["is_kept"] == 1 and out[6]["dup_of"] == 5
+    # clusters follow the nearest label centroid
+    assert out[1]["cluster"] == out[4]["cluster"] == 0
+    assert out[5]["cluster"] == 1
+
+
+def test_semantic_dedup_threshold_is_exact_integer_test(spark):
+    from onionnet_spark.functions.similarity import semantic_dedup
+
+    # cos(a, b) = 0.6 > 0.35 -> dup; cos(a, c) = 0 -> kept;
+    # negative-cosine twin must NOT count as a duplicate
+    rows = [
+        (1, [3.0, 4.0], 0),
+        (2, [4.0, 3.0], 0),     # cos = 24/25 = 0.96 with id 1
+        (3, [-3.0, -4.0], 0),   # cos = -1 with id 1: dot < 0 guard
+        (4, [4.0, -3.0], 0),    # cos = 0 with id 1
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: (r["is_kept"], r["dup_of"]) for r in semantic_dedup(embs).collect()}
+    assert out[2] == (0, 1)
+    assert out[3] == (1, None)
+    assert out[4] == (1, None)
+
+
+def test_gopher_rules_each_rule_can_fail(spark):
+    from onionnet_spark.functions.text import gopher_rules
+
+    good = (
+        "the quick brown foxes jumped over some lazy hounds and it was "
+        "good for everyone that sunny day " * 6
+    ).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # passes everything
+            (2, "the of and is"),                        # too few words
+            (3, ("aa " * 60).strip()),                   # mean len ok but no stopwords
+            (4, good + " " + "#" * 40 + " ####### ## #"),  # symbol ratio
+            (5, "\n".join("- " + good[:20] for _ in range(10))),  # bullets
+            (6, "\n".join(good[:20] + "..." for _ in range(10))),  # ellipsis ends
+            (7, good + " " + " ".join(["12345"] * 200)),  # alpha fraction
+            (8, ("supercalifragilistic " * 60 + "the of is and it ").strip()),  # mean word len > 10
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["passes"] == 1
+    assert out[2]["r_word_count"] == 0 and out[2]["passes"] == 0
+    assert out[3]["r_stopwords"] == 0
+    assert out[4]["r_symbol_ratio"] == 0
+    assert out[5]["r_bullet_lines"] == 0
+    assert out[6]["r_ellipsis_lines"] == 0
+    assert out[7]["r_alpha_words"] == 0
+    assert out[8]["r_mean_word_len"] == 0
