@@ -81,6 +81,12 @@ HEADLINE = [
     "embedding_pca_top",
     "events_session_paths",
     "tfidf_doc_topk",
+    # round-4 closing-session additions (also excluded)
+    "multimodal_video_frames",
+    "multimodal_jpeg_progressive_decode",
+    "multimodal_ulaw_decode",
+    "semantic_dedup",
+    "gopher_rules",
 ]
 
 
@@ -127,6 +133,12 @@ def main() -> None:
         # round-4 additions
         "graph_link_prediction", "line_dedup", "dsir_logratio",
         "embedding_quantize_int8", "ann_ivf_pq_residual_topk",
+        # round-4 continuation + closing-session additions (keeps
+        # value_r2_subset summing EXACTLY the 27 r1/r2 queries)
+        "simhash_near_pairs", "c4_line_filter", "embedding_pca_top",
+        "events_session_paths", "tfidf_doc_topk",
+        "multimodal_video_frames", "multimodal_jpeg_progressive_decode",
+        "multimodal_ulaw_decode", "semantic_dedup", "gopher_rules",
     }
     r2_subset = sum(v for k, v in timings.items() if k not in r3_added)
     print(

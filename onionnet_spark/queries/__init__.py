@@ -209,6 +209,7 @@ _R5_BACKLOG: list[str] = [
     "multimodal_jpeg_progressive_decode",
     "semantic_dedup",
     "gopher_rules",
+    "graph_salsa",
 ]
 
 

@@ -2606,3 +2606,80 @@ def graph_layer_matrix_q(spark, sf_dir):
         .cast("bigint")
         .alias("n_dst_nodes"),
     )
+
+
+@register(
+    "graph_salsa",
+    # SALSA's stationary distribution is closed-form (component share
+    # x in-degree share), so the oracle needs no power iteration —
+    # just weak CC over the hub/authority split graph. Min-label
+    # propagation is unrolled 10 MATERIALIZED rounds; split-graph
+    # min-label eccentricity is 6 at sf0.01/sf0.001, and a
+    # NOT-CONVERGED sentinel row makes any violation a loud row-count
+    # mismatch instead of a silent wrong answer. score_ppm is exact
+    # integer division on both engines (// here, div in Spark).
+    """WITH {ctes},
+    es AS MATERIALIZED (
+      SELECT 'h:' || src_layer || ':' || src_id AS h,
+             'a:' || dst_layer || ':' || dst_id AS a,
+             dst_layer, dst_id
+      FROM edges_g WHERE src_layer = 'lineitem'),
+    und AS MATERIALIZED (
+      SELECT h AS u, a AS v FROM es UNION SELECT a, h FROM es),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS c FROM und),
+    l1 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l0 l
+      JOIN und e ON e.u = l.n JOIN l0 r ON r.n = e.v GROUP BY l.n, l.c),
+    l2 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l1 l
+      JOIN und e ON e.u = l.n JOIN l1 r ON r.n = e.v GROUP BY l.n, l.c),
+    l3 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l2 l
+      JOIN und e ON e.u = l.n JOIN l2 r ON r.n = e.v GROUP BY l.n, l.c),
+    l4 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l3 l
+      JOIN und e ON e.u = l.n JOIN l3 r ON r.n = e.v GROUP BY l.n, l.c),
+    l5 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l4 l
+      JOIN und e ON e.u = l.n JOIN l4 r ON r.n = e.v GROUP BY l.n, l.c),
+    l6 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l5 l
+      JOIN und e ON e.u = l.n JOIN l5 r ON r.n = e.v GROUP BY l.n, l.c),
+    l7 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l6 l
+      JOIN und e ON e.u = l.n JOIN l6 r ON r.n = e.v GROUP BY l.n, l.c),
+    l8 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l7 l
+      JOIN und e ON e.u = l.n JOIN l7 r ON r.n = e.v GROUP BY l.n, l.c),
+    l9 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l8 l
+      JOIN und e ON e.u = l.n JOIN l8 r ON r.n = e.v GROUP BY l.n, l.c),
+    l10 AS MATERIALIZED (
+      SELECT l.n, LEAST(l.c, MIN(r.c)) AS c FROM l9 l
+      JOIN und e ON e.u = l.n JOIN l9 r ON r.n = e.v GROUP BY l.n, l.c),
+    ind AS MATERIALIZED (
+      SELECT a AS n, dst_layer, dst_id, CAST(COUNT(*) AS BIGINT) AS indeg
+      FROM es GROUP BY 1, 2, 3),
+    auth AS (SELECT n, c FROM l10 WHERE n LIKE 'a:%'),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_auth FROM ind),
+    comp AS (SELECT a.c, CAST(COUNT(*) AS BIGINT) AS comp_auth,
+                    CAST(SUM(i.indeg) AS BIGINT) AS comp_indeg
+             FROM auth a JOIN ind i ON i.n = a.n GROUP BY a.c)
+    SELECT i.dst_layer AS layer, i.dst_id AS node_id, i.indeg,
+           substring(a.c, 3) AS component,
+           CAST((1000000 * comp.comp_auth * i.indeg)
+                // (tot.n_auth * comp.comp_indeg) AS BIGINT) AS score_ppm
+    FROM ind i JOIN auth a ON a.n = i.n
+    JOIN comp ON comp.c = a.c CROSS JOIN tot
+    UNION ALL
+    SELECT 'NOT_CONVERGED', '', 0, '', 0
+    WHERE EXISTS (SELECT 1 FROM l10 j JOIN l9 p ON p.n = j.n
+                  WHERE p.c <> j.c)""".format(ctes=CTES),
+)
+def graph_salsa_q(spark, sf_dir):
+    """SALSA stationary authority scores over the lineitem ->
+    (orders, part, supplier) bipartite slice — iteration-free
+    closed form via node-splitting + one weak-CC fixpoint
+    (analytics.salsa_scores)."""
+    g = get_graph(spark, sf_dir)
+    return analytics.salsa_scores(g, hub_layers=["lineitem"])

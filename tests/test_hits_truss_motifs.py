@@ -321,3 +321,62 @@ def test_skipgram_pairs_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="window"):
         skipgram_pairs(walks, window=0)
+
+
+def test_salsa_closed_form_multi_component(spark):
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.analytics import salsa_scores
+
+    # two authority components: {a, b} via hubs h1/h2, {c, d} via h3.
+    # indeg: a=1, b=2, c=1, d=1; |A|=4.
+    #   comp {a,b}: share 2/4, indeg sum 3 -> a: 1/2*1/3, b: 1/2*2/3
+    #   comp {c,d}: share 2/4, indeg sum 2 -> c = d = 1/2*1/2
+    edges = spark.createDataFrame(
+        [
+            ("h", "h1", "x", "a"), ("h", "h1", "x", "b"),
+            ("h", "h2", "x", "b"), ("h", "h3", "x", "c"),
+            ("h", "h3", "x", "d"),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = (
+        edges.selectExpr("src_layer as layer", "src_id as node_id")
+        .union(edges.selectExpr("dst_layer", "dst_id"))
+        .distinct()
+    )
+    g = OnionGraph(nodes, edges, edges_unique_undirected=True)
+    out = {r["node_id"]: r for r in salsa_scores(g).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert out["a"]["score_ppm"] == 1_000_000 * 2 * 1 // (4 * 3)  # 166666
+    assert out["b"]["score_ppm"] == 1_000_000 * 2 * 2 // (4 * 3)  # 333333
+    assert out["c"]["score_ppm"] == 250_000
+    assert out["d"]["score_ppm"] == 250_000
+    # component labels are the min authority key, prefix-stripped
+    assert out["a"]["component"] == "x:a" and out["b"]["component"] == "x:a"
+    assert out["c"]["component"] == "x:c"
+    # scores sum to ~1 (ppm, up to integer-division truncation)
+    assert 999_990 <= sum(r["score_ppm"] for r in out.values()) <= 1_000_000
+
+
+def test_salsa_shared_node_is_split_not_merged(spark):
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.analytics import salsa_scores
+
+    # chain u -> v -> w: v is both authority (of u) and hub (of w).
+    # Node-splitting must NOT merge v's two roles: components are
+    # {v}, {w}, each with full indeg share within itself.
+    edges = spark.createDataFrame(
+        [("n", "u", "n", "v"), ("n", "v", "n", "w")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = (
+        edges.selectExpr("src_layer as layer", "src_id as node_id")
+        .union(edges.selectExpr("dst_layer", "dst_id"))
+        .distinct()
+    )
+    out = {r["node_id"]: r for r in salsa_scores(
+        OnionGraph(nodes, edges, edges_unique_undirected=True)
+    ).collect()}
+    assert set(out) == {"v", "w"}
+    assert out["v"]["score_ppm"] == 500_000 and out["w"]["score_ppm"] == 500_000
+    assert out["v"]["component"] != out["w"]["component"]
