@@ -933,3 +933,156 @@ def decode_video_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         stats_batches, VIDEO_STATS_SCHEMA
     )
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("is_silence", IntegerType()),
+    ]
+)
+
+
+def audio_window_rms(
+    df: DataFrame, window: int = 16, silence_rms: int = 300
+) -> DataFrame:
+    """Windowed loudness over REAL audio decode: per fixed-length
+    window of the channel-summed mono signal, the integer
+    sum-of-squares and a silence flag — the "drop silent/clipped
+    clips" filter every audio-training pipeline runs first.
+
+    is_silence tests rms <= silence_rms as the exact integer
+    comparison sum_sq <= silence_rms^2 * n (no sqrt, no float). The
+    final partial window keeps its true n. Row fanout happens inside
+    mapInPandas — one row per (clip, window), never a whole corpus
+    of samples on one executor.
+    """
+
+    def win_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import wav as _wav
+
+        thr = silence_rms * silence_rms
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "win_idx", "n_samples", "sum_sq", "is_silence",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _sr = _wav.decode_wav(payload)
+                mono = samples.astype(np.int64).sum(axis=1)
+                for w_idx in range(0, (len(mono) + window - 1) // window):
+                    seg = mono[w_idx * window : (w_idx + 1) * window]
+                    ss = int((seg * seg).sum())
+                    rows["doc_id"].append(doc_id)
+                    rows["win_idx"].append(w_idx)
+                    rows["n_samples"].append(len(seg))
+                    rows["sum_sq"].append(ss)
+                    rows["is_silence"].append(int(ss <= thr * len(seg)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "win_idx": pd.Series(rows["win_idx"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int32"),
+                    "sum_sq": pd.Series(rows["sum_sq"], dtype="int64"),
+                    "is_silence": pd.Series(rows["is_silence"], dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        win_batches, AUDIO_WINDOW_SCHEMA
+    )
+
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("sad", LongType()),
+        StructField("n_px", LongType()),
+        StructField("is_cut", IntegerType()),
+    ]
+)
+
+
+def synth_scene_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Scene-cut fixture: same RGB closed form as synth_avi_payload
+    but EVEN ids repeat each frame once (effective frame index
+    f // 2), so half their inter-frame diffs are exactly zero —
+    the non-vacuous half of the scene-cut gate. 4 + id%3 frames,
+    width 3 + id%3, height 2 + id%2."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import avi as _avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                nf, w, h = 4 + d % 3, 3 + d % 3, 2 + d % 2
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(3)[None, None, :]
+                frames = []
+                for f in range(nf):
+                    ef = f // 2 if d % 2 == 0 else f
+                    frames.append(
+                        ((d * 7 + ef * 19 + r * 13 + c * 31 + k * 17) % 256)
+                        .astype(np.uint8)
+                    )
+                payloads.append(_avi.encode_avi(frames, fps=10, codec="rgb"))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def video_scene_cuts(df: DataFrame, cut_mean_diff: int = 10) -> DataFrame:
+    """Scene-change detection over REAL video decode: per consecutive
+    frame pair, the sum of absolute pixel differences (SAD) and a cut
+    flag — the shot-boundary sampler that picks one keyframe per
+    scene instead of every k-th frame.
+
+    is_cut tests mean|diff| >= cut_mean_diff as the exact integer
+    comparison sad >= cut_mean_diff * n_px. frame_idx is the LATER
+    frame of the pair (so frame 0 never appears). All decode and
+    differencing happens inside mapInPandas with row fanout.
+    """
+
+    def cut_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import avi as _avi
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "sad", "n_px", "is_cut")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _fps = _avi.decode_avi(payload)
+                for f_idx in range(1, len(frames)):
+                    a = frames[f_idx - 1].astype(np.int64)
+                    b = frames[f_idx].astype(np.int64)
+                    sad = int(np.abs(b - a).sum())
+                    n_px = int(a.size)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f_idx)
+                    rows["sad"].append(sad)
+                    rows["n_px"].append(n_px)
+                    rows["is_cut"].append(int(sad >= cut_mean_diff * n_px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "sad": pd.Series(rows["sad"], dtype="int64"),
+                    "n_px": pd.Series(rows["n_px"], dtype="int64"),
+                    "is_cut": pd.Series(rows["is_cut"], dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(cut_batches, SCENE_CUT_SCHEMA)

@@ -1836,3 +1836,53 @@ def salsa_scores(
             ).cast("bigint").alias("score_ppm"),
         )
     )
+
+
+def edge_embeddedness(graph: OnionGraph) -> DataFrame:
+    """Per-edge embeddedness: |N(u) ∩ N(v)| on the undirected view —
+    the tie-strength signal of Granovetter-style link analysis (an
+    embeddedness-0 edge is a LOCAL BRIDGE: removing it leaves no
+    length-2 path between its endpoints).
+
+    Plan shape: each edge joins the symmetrized adjacency once per
+    endpoint, matched on the shared neighbor, then one count
+    aggregation — the same Σ deg(u)·deg(v) candidate space as
+    triangle counting (embeddedness IS the per-edge triangle count);
+    at 100 TB the degree-ordered variant in triangle_count bounds it
+    by Σ min-degree, worth switching to if the graph has power-law
+    hubs. Returns the edge key columns + embeddedness (0 for local
+    bridges, kept via left join).
+    """
+    e = graph.edge_endpoints().select(
+        "src_layer",
+        "src_id",
+        "dst_layer",
+        "dst_id",
+        F.concat_ws(":", "src_layer", "src_id").alias("ku"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("kv"),
+    )
+    adj = graph.cached_symmetrized().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("k"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("cn"),
+    )
+    a1 = adj.select(F.col("k").alias("ku"), F.col("cn").alias("cn"))
+    a2 = adj.select(F.col("k").alias("kv"), F.col("cn").alias("cn"))
+    common = (
+        e.select("ku", "kv")
+        .join(a1, on="ku")
+        .join(a2, on=["kv", "cn"])
+        .groupBy("ku", "kv")
+        .agg(F.count("*").cast("bigint").alias("embeddedness"))
+    )
+    return (
+        e.join(common, on=["ku", "kv"], how="left")
+        .select(
+            "src_layer",
+            "src_id",
+            "dst_layer",
+            "dst_id",
+            F.coalesce("embeddedness", F.lit(0))
+            .cast("bigint")
+            .alias("embeddedness"),
+        )
+    )

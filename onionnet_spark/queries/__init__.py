@@ -210,6 +210,9 @@ _R5_BACKLOG: list[str] = [
     "semantic_dedup",
     "gopher_rules",
     "graph_salsa",
+    "audio_window_rms",
+    "video_scene_cuts",
+    "graph_edge_embeddedness",
 ]
 
 

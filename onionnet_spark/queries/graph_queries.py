@@ -2683,3 +2683,71 @@ def graph_salsa_q(spark, sf_dir):
     (analytics.salsa_scores)."""
     g = get_graph(spark, sf_dir)
     return analytics.salsa_scores(g, hub_layers=["lineitem"])
+
+
+@register(
+    "graph_edge_embeddedness",
+    # Embeddedness = per-edge triangle count = |N(u) ∩ N(v)|; an
+    # embeddedness-0 edge is a local bridge. Graph: suppliers joined
+    # when their shared-part count clears 88% of the global max
+    # (data-derived threshold, integer cross-multiplied) — sparse
+    # with real triangle structure at sf0.01 (k in 0..11).
+    """WITH sp AS (
+      SELECT DISTINCT l_partkey AS part, CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem),
+    pairs AS (
+      SELECT a.s AS sa, b.s AS sb, COUNT(*) AS ns
+      FROM sp a JOIN sp b ON a.part = b.part AND a.s < b.s
+      GROUP BY 1, 2),
+    mx AS (SELECT MAX(ns) AS m FROM pairs),
+    e AS (SELECT sa, sb FROM pairs, mx WHERE 100 * ns >= 88 * m),
+    und AS (SELECT sa AS u, sb AS v FROM e UNION ALL SELECT sb, sa FROM e),
+    emb AS (
+      SELECT e.sa, e.sb, COUNT(av.v) AS k
+      FROM e
+      LEFT JOIN und au ON au.u = e.sa
+      LEFT JOIN und av ON av.u = e.sb AND av.v = au.v
+      GROUP BY 1, 2)
+    SELECT 'supplier' AS src_layer, sa AS src_id,
+           'supplier' AS dst_layer, sb AS dst_id,
+           CAST(k AS BIGINT) AS embeddedness
+    FROM emb""",
+)
+def graph_edge_embeddedness_q(spark, sf_dir):
+    """Per-edge embeddedness / local-bridge detection on the strong
+    co-supply supplier graph (analytics.edge_embeddedness)."""
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    def build():
+        t = load_tables(spark, sf_dir)
+        sp = t["lineitem"].select(
+            F.col("l_partkey").alias("part"),
+            F.col("l_suppkey").cast("string").alias("s"),
+        ).distinct()
+        pairs = (
+            sp.alias("a")
+            .join(sp.alias("b"), on="part")
+            .filter(F.col("a.s") < F.col("b.s"))
+            .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+            .agg(F.count("*").alias("ns"))
+        )
+        mx = pairs.agg(F.max("ns").alias("m"))
+        edges = (
+            pairs.crossJoin(F.broadcast(mx))
+            .filter(F.lit(100) * F.col("ns") >= F.lit(88) * F.col("m"))
+            .select(
+                F.lit("supplier").alias("src_layer"),
+                F.col("sa").alias("src_id"),
+                F.lit("supplier").alias("dst_layer"),
+                F.col("sb").alias("dst_id"),
+            )
+        )
+        suppliers = t["supplier"].select(
+            F.lit("supplier").alias("layer"),
+            F.col("s_suppkey").cast("string").alias("node_id"),
+        )
+        # canonical sa < sb pairs, each once: pair-unique, no loops
+        return OnionGraph(suppliers, edges, edges_unique_undirected=True)
+
+    g = derived_graph(spark, sf_dir, "cosupply_suppliers_strong", build)
+    return analytics.edge_embeddedness(g)

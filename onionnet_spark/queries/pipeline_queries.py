@@ -3494,3 +3494,77 @@ def gopher_rules_q(spark, sf_dir):
     """Gopher hard-rule filter bits per document (text.gopher_rules)
     — the rule-set counterpart to the composite quality_score."""
     return text.gopher_rules(_docs(spark, sf_dir))
+
+
+@register(
+    "audio_window_rms",
+    # Windowed loudness over REAL WAV decode: the oracle recomputes
+    # the channel-summed mono signal and per-16-sample integer
+    # sum-of-squares straight from the synthesis formula; is_silence
+    # is the exact integer test sum_sq <= rms^2 * n (600^2 = 360000).
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 40 + doc_id % 13 AS n, 1 + doc_id % 2 AS ch
+             FROM ids),
+    mono AS (
+      SELECT d.doc_id, t.t // 16 AS win_idx, t.t,
+             SUM(((d.doc_id * 31 + t.t * 7 + c.c * 11) % 2003) - 1001) AS m
+      FROM dims d
+      JOIN range(0, 53) t(t) ON t.t < d.n
+      JOIN range(0, 2) c(c) ON c.c < d.ch
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(m * m) AS BIGINT) AS sum_sq,
+           CAST(CASE WHEN SUM(m * m) <= 360000 * COUNT(*)
+                THEN 1 ELSE 0 END AS INT) AS is_silence
+    FROM mono GROUP BY doc_id, win_idx""",
+)
+def audio_window_rms_q(spark, sf_dir):
+    """Windowed RMS / silence detection over real PCM decode — the
+    drop-silent-clips filter (multimodal.audio_window_rms)."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_wav_payload(ids)
+    return multimodal.audio_window_rms(payload, window=16, silence_rms=600)
+
+
+@register(
+    "video_scene_cuts",
+    # Shot-boundary detection over REAL AVI decode: per consecutive
+    # frame pair the integer SAD; even ids repeat each frame once
+    # (effective index f // 2), so half their diffs are exactly 0 —
+    # both branches of is_cut fire. The oracle recomputes every
+    # pixel pair from the synthesis formula.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 3 AS nf, 3 + doc_id % 3 AS w,
+                    2 + doc_id % 2 AS h
+             FROM ids),
+    pairs AS (
+      SELECT d.doc_id, d.w, d.h, f.f,
+             CASE WHEN d.doc_id % 2 = 0 THEN f.f // 2 ELSE f.f END AS ea,
+             CASE WHEN d.doc_id % 2 = 0 THEN (f.f - 1) // 2
+                  ELSE f.f - 1 END AS eb
+      FROM dims d JOIN range(1, 6) f(f) ON f.f < d.nf),
+    px AS (
+      SELECT p.doc_id, p.f,
+             ABS((p.doc_id * 7 + p.ea * 19 + r.r * 13 + c.c * 31 + k.k * 17)
+                   % 256
+               - (p.doc_id * 7 + p.eb * 19 + r.r * 13 + c.c * 31 + k.k * 17)
+                   % 256) AS ad
+      FROM pairs p
+      JOIN range(0, 3) r(r) ON r.r < p.h
+      JOIN range(0, 5) c(c) ON c.c < p.w
+      JOIN range(0, 3) k(k) ON true)
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(SUM(ad) AS BIGINT) AS sad,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(CASE WHEN SUM(ad) >= 10 * COUNT(*) THEN 1 ELSE 0 END AS INT)
+             AS is_cut
+    FROM px GROUP BY doc_id, f""",
+)
+def video_scene_cuts_q(spark, sf_dir):
+    """Scene-change detection (SAD between consecutive frames) over
+    real RIFF/AVI decode — the keyframe-per-scene sampler
+    (multimodal.video_scene_cuts)."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_scene_avi_payload(ids)
+    return multimodal.video_scene_cuts(payload, cut_mean_diff=10)

@@ -291,3 +291,33 @@ def test_jpeg_progressive_is_smaller_scan_structure():
     # SOF2 frame marker present, 8 scans (2 DC + 3x2 AC)
     assert b"\xff\xc2" in data
     assert data.count(b"\xff\xda") == 8
+
+
+def test_audio_window_rms_partial_window_and_flags(spark):
+    from onionnet_spark.functions import multimodal
+
+    df = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    out = multimodal.audio_window_rms(
+        multimodal.synth_wav_payload(df), window=16, silence_rms=600
+    ).toPandas()
+    # doc d has 40 + d%13 samples -> last window is partial
+    for d in range(5):
+        n = 40 + d % 13
+        rows = out[out.doc_id == d].sort_values("win_idx")
+        assert list(rows.n_samples)[:-1] == [16] * (len(rows) - 1)
+        assert rows.n_samples.sum() == n
+    assert set(out.is_silence) == {0, 1}
+
+
+def test_video_scene_cuts_still_frames_are_not_cuts(spark):
+    from onionnet_spark.functions import multimodal
+
+    df = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    out = multimodal.video_scene_cuts(
+        multimodal.synth_scene_avi_payload(df), cut_mean_diff=10
+    ).toPandas()
+    # even ids repeat frames: odd frame_idx pairs are identical -> sad 0
+    even = out[(out.doc_id % 2 == 0) & (out.frame_idx % 2 == 1)]
+    assert len(even) > 0 and (even.sad == 0).all() and (even.is_cut == 0).all()
+    moving = out[out.doc_id % 2 == 1]
+    assert len(moving) > 0 and (moving.is_cut == 1).all()

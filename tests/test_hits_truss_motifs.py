@@ -380,3 +380,34 @@ def test_salsa_shared_node_is_split_not_merged(spark):
     assert set(out) == {"v", "w"}
     assert out["v"]["score_ppm"] == 500_000 and out["w"]["score_ppm"] == 500_000
     assert out["v"]["component"] != out["w"]["component"]
+
+
+def test_edge_embeddedness_square_with_diagonal(spark):
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.analytics import edge_embeddedness
+
+    # square a-b-c-d-a plus diagonal a-c: the diagonal sits inside
+    # two triangles (embeddedness 2); every square side in one; and
+    # a pendant edge d-e is a local bridge (embeddedness 0).
+    edges = spark.createDataFrame(
+        [
+            ("x", "a", "x", "b"), ("x", "b", "x", "c"),
+            ("x", "c", "x", "d"), ("x", "d", "x", "a"),
+            ("x", "a", "x", "c"), ("x", "d", "x", "e"),
+        ],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = (
+        edges.selectExpr("src_layer as layer", "src_id as node_id")
+        .union(edges.selectExpr("dst_layer", "dst_id"))
+        .distinct()
+    )
+    g = OnionGraph(nodes, edges, edges_unique_undirected=True)
+    out = {
+        (r["src_id"], r["dst_id"]): r["embeddedness"]
+        for r in edge_embeddedness(g).collect()
+    }
+    assert out[("a", "c")] == 2
+    assert out[("a", "b")] == out[("b", "c")] == 1
+    assert out[("c", "d")] == out[("d", "a")] == 1
+    assert out[("d", "e")] == 0  # local bridge survives the left join
