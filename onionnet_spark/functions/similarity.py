@@ -1127,22 +1127,35 @@ def knn_label_accuracy(
     )
 
 
-def _label_centroid_pred(
-    df: DataFrame, vec_col: str, id_col: str, label_col: str
+def _quantized_explode(
+    df: DataFrame, vec_col: str, id_col: str, label_col: str | None
 ) -> DataFrame:
-    """Shared nearest-label-centroid assignment (integer-exact, see
-    nearest_centroid_confusion): returns (id, lbl, pred)."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).alias("lbl"),
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    ).select(
-        "id",
-        "lbl",
+    """(id[, lbl], pos, q) with coordinates floor-quantized to the
+    x1e6 integer scale — the shared exact-arithmetic surface of the
+    nearest-centroid family."""
+    cols = [F.col(id_col).alias("id")]
+    if label_col is not None:
+        cols.append(F.col(label_col).alias("lbl"))
+    ex = df.select(*cols, F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    return ex.select(
+        *[c for c in ("id", "lbl") if c in ex.columns],
         "pos",
         F.floor(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("q"),
     )
-    cents = (
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean centroids on quantized coordinates:
+    (clbl, pos, cq) with cq = floor(sum/n) — the broadcastable
+    |labels| x dim table both the batch classifiers and the
+    streaming semantic-dedup maintainer assign against."""
+    ex = _quantized_explode(df, vec_col, id_col, label_col)
+    return (
         ex.groupBy(F.col("lbl").alias("clbl"), "pos")
         .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
         .select(
@@ -1151,6 +1164,35 @@ def _label_centroid_pred(
             F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint").alias("cq"),
         )
     )
+
+
+def assign_to_centroids(
+    df: DataFrame, cents: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, cluster): nearest centroid by exact integer L2 on the
+    x1e6 quantized coordinates; ties break to the smaller label.
+    cents is broadcast — the assignment is a map-side join plus one
+    (id, cluster) partial aggregation."""
+    ex = _quantized_explode(df, vec_col, id_col, None)
+    dists = (
+        ex.join(F.broadcast(cents), on="pos")
+        .groupBy("id", "clbl")
+        .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("d2"))
+    )
+    return dists.groupBy("id").agg(
+        F.min_by("clbl", F.struct(F.col("d2"), F.col("clbl").alias("tb"))).alias(
+            "cluster"
+        )
+    )
+
+
+def _label_centroid_pred(
+    df: DataFrame, vec_col: str, id_col: str, label_col: str
+) -> DataFrame:
+    """Shared nearest-label-centroid assignment (integer-exact, see
+    nearest_centroid_confusion): returns (id, lbl, pred)."""
+    ex = _quantized_explode(df, vec_col, id_col, label_col)
+    cents = label_centroids(df, vec_col, id_col, label_col)
     dists = (
         ex.join(F.broadcast(cents), on="pos")
         .groupBy("id", "lbl", "clbl")

@@ -558,3 +558,63 @@ def test_tfidf_idf_table_join_shape(spark, sf_dir):
     plan = _plan(tfidf_doc_topk_terms(load_tables(spark, sf_dir)["documents"]))
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
+
+
+def test_gopher_rules_is_single_map_stage(spark, sf_dir):
+    # every rule is a per-row expression: the plan must contain NO
+    # Exchange at all — a shuffle in a pure map filter would be a
+    # scan-bound operator paying aggregation cost at 100 TB
+    from onionnet_spark.functions.text import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(gopher_rules(docs))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_semantic_dedup_broadcasts_centroids_no_window(spark, sf_dir):
+    # the |labels| x dim centroid table must broadcast into the
+    # assignment join, and the argmin must be the map-side min_by
+    # aggregation, never a row_number window over the N x K cross
+    from onionnet_spark.functions.similarity import semantic_dedup
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(semantic_dedup(embs))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "Window" not in plan, plan[:800]
+
+
+def test_salsa_comp_stats_broadcast_no_window(spark):
+    # component stats (|components| rows) and the 1-row authority
+    # total must broadcast; the closed form needs no Window and no
+    # iteration beyond the CC fixpoint
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.analytics import salsa_scores
+
+    edges = spark.createDataFrame(
+        [("h", "h1", "x", "a"), ("h", "h1", "x", "b"), ("h", "h2", "x", "b")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    nodes = (
+        edges.selectExpr("src_layer as layer", "src_id as node_id")
+        .union(edges.selectExpr("dst_layer", "dst_id"))
+        .distinct()
+    )
+    out = salsa_scores(OnionGraph(nodes, edges, edges_unique_undirected=True))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "Window" not in plan, plan[:800]
+
+
+def test_multimodal_analysis_ops_have_no_shuffle(spark, sf_dir):
+    # decode -> window/diff -> flag is pure row fanout inside
+    # mapInPandas: scan + two ArrowEvalPython-free map stages, no
+    # Exchange (the fanout happens inside the worker, not via a
+    # repartition)
+    from onionnet_spark.functions import multimodal
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").limit(4)
+    rms = multimodal.audio_window_rms(multimodal.synth_wav_payload(ids))
+    cuts = multimodal.video_scene_cuts(multimodal.synth_scene_avi_payload(ids))
+    for df in (rms, cuts):
+        plan = _plan(df)
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
