@@ -284,22 +284,34 @@ def synth_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
 
 
+def _decode_any_audio(payload) -> "tuple[np.ndarray, int]":
+    """Signature-dispatched real audio decode: RIFF/WAVE containers
+    (PCM, G.711, IMA ADPCM — functions/wav.py) and FLAC streams
+    (functions/flac.py). Frame-based lossy codecs (MP3/AAC) raise —
+    the external-decoder plug-in point."""
+    from onionnet_spark.functions import flac as _flac
+    from onionnet_spark.functions import wav as _wav
+
+    if _flac.is_flac(payload):
+        return _flac.decode_flac(payload)
+    return _wav.decode_wav(payload)
+
+
 def decode_audio_stats(df: DataFrame) -> DataFrame:
-    """REAL WAV decode to per-clip statistics via mapInPandas
-    (functions/wav.py; raises on non-PCM payloads, where an MP3/AAC
-    codec would plug in). Returns (doc_id, sample_rate, n_samples,
-    n_channels, sample_sum, peak_abs)."""
+    """REAL audio decode to per-clip statistics via mapInPandas:
+    WAV containers (PCM/G.711/ADPCM, functions/wav.py) and FLAC
+    (functions/flac.py) dispatched by signature; MP3/AAC raise,
+    marking where an external codec would plug in. Returns (doc_id,
+    sample_rate, n_samples, n_channels, sample_sum, peak_abs)."""
 
     def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd  # noqa: F811
 
-        from onionnet_spark.functions import wav as _wav
-
         for pdf in batches:
             srs, ns, chs, sums, peaks = [], [], [], [], []
             for payload in pdf["payload"]:
-                samples, sr = _wav.decode_wav(payload)
+                samples, sr = _decode_any_audio(payload)
                 srs.append(sr)
                 ns.append(samples.shape[0])
                 chs.append(samples.shape[1])
@@ -776,6 +788,35 @@ def synth_g711_wav_payload(
                 payloads.append(
                     _wav.encode_wav(s, 8000 + 1000 * (d % 3), codec=codec)
                 )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def synth_flac_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic FLAC payload per id (functions/flac.py): a
+    smooth closed-form clip of 4090 + id%20 samples (so every 10th
+    id spans TWO frames — the multi-frame path runs inside the
+    gate), 1 + id%2 channels, rate 8000 + 1000*(id%3), sample
+    ((id*37 + t + c*5) % 997) - 498. FLAC is lossless, so the SQL
+    oracle recomputes the statistics on the raw closed form — the
+    gate covers arbitrary samples with no codec math in the oracle."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import flac as _flac
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n, ch = 4090 + d % 20, 1 + d % 2
+                t = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                s = (((d * 37 + t + c * 5) % 997) - 498).astype(np.int16)
+                payloads.append(_flac.encode_flac(s, 8000 + 1000 * (d % 3)))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")

@@ -213,6 +213,7 @@ _R5_BACKLOG: list[str] = [
     "audio_window_rms",
     "video_scene_cuts",
     "graph_edge_embeddedness",
+    "multimodal_flac_decode",
 ]
 
 

@@ -3254,6 +3254,43 @@ def multimodal_adpcm_decode_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_flac_decode",
+    # FRAME-BASED audio gate at full strength: the payload is a real
+    # FLAC stream (functions/flac.py — Rice-coded residuals, fixed
+    # predictors, CRC-8/16, UTF-8 frame numbers, STREAMINFO MD5
+    # verified on decode) and clips with id%20 >= 7 span TWO frames.
+    # FLAC is lossless, so decode(encode(x)) == x for ARBITRARY
+    # samples and the oracle aggregates the closed form directly —
+    # any bit-level encoder/decoder disagreement breaks the CRC/MD5
+    # checks or the hashes. range(0, 4110) provably covers n: it is
+    # defined two lines up as 4090 + doc_id%20 <= 4109.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4090 + doc_id % 20 AS n, 1 + doc_id % 2 AS ch,
+                    8000 + 1000 * (doc_id % 3) AS sr
+             FROM ids),
+    sv AS (
+      SELECT d.doc_id, d.n, d.ch, d.sr,
+             ((d.doc_id * 37 + t.t + c.c * 5) % 997) - 498 AS v
+      FROM dims d
+      JOIN range(0, 4110) t(t) ON t.t < d.n
+      JOIN range(0, 2) c(c) ON c.c < d.ch
+    )
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples, CAST(ch AS INT) AS n_channels,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS(v)) AS INT) AS peak_abs
+    FROM sv GROUP BY doc_id, sr, n, ch""",
+)
+def multimodal_flac_decode_q(spark, sf_dir):
+    """REAL frame-based audio: closed-form PCM -> FLAC encode
+    (fixed-predictor + Rice subset) -> signature-dispatched full
+    decode (functions/flac.py) -> clip statistics."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_flac_payload(ids)
+    return multimodal.decode_audio_stats(payload)
+
+
+@register(
     "multimodal_video_frames",
     # REAL video path: the payload is a spec-shaped RIFF/AVI (hdrl
     # avih/strh/strf + movi + idx1, functions/avi.py) holding

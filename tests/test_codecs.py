@@ -10,6 +10,7 @@ import struct
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from onionnet_spark.functions import adpcm, avi, g711, wav
 
@@ -321,3 +322,217 @@ def test_video_scene_cuts_still_frames_are_not_cuts(spark):
     assert len(even) > 0 and (even.sad == 0).all() and (even.is_cut == 0).all()
     moving = out[out.doc_id % 2 == 1]
     assert len(moving) > 0 and (moving.is_cut == 1).all()
+
+
+# ----------------------------------------------------------------- FLAC
+
+
+def _flac():
+    from onionnet_spark.functions import flac
+
+    return flac
+
+
+def test_flac_roundtrip_arbitrary_samples_bit_exact():
+    flac = _flac()
+    for shape, seed in [((40,), 1), ((4097, 2), 2), ((9000, 3), 3), ((1,), 4)]:
+        x = np.random.RandomState(seed).randint(
+            -32768, 32768, size=shape
+        ).astype(np.int16)
+        dec, sr = flac.decode_flac(flac.encode_flac(x, 44100))
+        want = x[:, None] if x.ndim == 1 else x
+        assert sr == 44100
+        assert np.array_equal(dec, want)
+
+
+def test_flac_fixed_predictors_compress_smooth_signals():
+    flac = _flac()
+    t = np.arange(12000)
+    x = (2000 * np.sin(t / 80)).astype(np.int16)
+    enc = flac.encode_flac(x, 8000)
+    dec, _ = flac.decode_flac(enc)
+    assert np.array_equal(dec[:, 0], x)
+    assert len(enc) < 0.25 * x.size * 2  # Rice-coded residuals, not verbatim
+
+    const = flac.encode_flac(np.full(4096, 77, np.int16))
+    assert len(const) < 80  # CONSTANT subframe
+
+
+def test_flac_crc_and_md5_catch_corruption():
+    flac = _flac()
+    enc = bytearray(flac.encode_flac(_rand16(500, seed=11)))
+    enc[60] ^= 0x01
+    with pytest.raises(ValueError):
+        flac.decode_flac(bytes(enc))
+
+
+def _flac_stream(subframe_bits, bs, ch=1, stereo_code=None, total=None):
+    """Hand-build a single-frame FLAC stream around raw subframe bits
+    (list of (writer_fn) callbacks) to reach decoder-only paths."""
+    flac = _flac()
+    bw = flac._BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 2)
+    bw.write(0b0111, 4)
+    bw.write(0, 4)
+    bw.write(stereo_code if stereo_code is not None else ch - 1, 4)
+    bw.write(0b100, 3)
+    bw.write(0, 1)
+    header = bw.getvalue() + flac._utf8_encode(0) + struct.pack(">H", bs - 1)
+    header += bytes([flac._crc8(header)])
+    body = flac._BitWriter()
+    for fn in subframe_bits:
+        fn(body)
+    body.align()
+    frame = header + body.getvalue()
+    frame += struct.pack(">H", flac._crc16(frame))
+    si = flac._BitWriter()
+    si.write(bs, 16)
+    si.write(bs, 16)
+    si.write(0, 48)
+    si.write(8000, 20)
+    si.write(ch - 1, 3)
+    si.write(15, 5)
+    si.write(total if total is not None else bs, 36)
+    streaminfo = si.getvalue() + b"\x00" * 16  # MD5 unset -> skip check
+    return (
+        b"fLaC"
+        + bytes([0x80])
+        + struct.pack(">I", len(streaminfo))[1:]
+        + streaminfo
+        + frame
+    )
+
+
+def test_flac_decodes_lpc_subframes():
+    flac = _flac()
+    # LPC order 2, coefs [2, -1] at shift 0 == FIXED order 2: x[i]
+    # follows a line, all residuals 0.
+    bs = 16
+    want = np.arange(100, 100 + 3 * bs, 3, dtype=np.int64)
+
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(0b100001, 6)  # LPC, order (1)+1 = 2
+        bw.write(0, 1)
+        bw.write_signed(int(want[0]), 16)
+        bw.write_signed(int(want[1]), 16)
+        bw.write(3, 4)  # precision 4 bits
+        bw.write_signed(0, 5)  # shift 0
+        bw.write_signed(2, 4)
+        bw.write_signed(-1, 4)
+        bw.write(0, 2)  # RICE
+        bw.write(0, 4)  # partition order 0
+        bw.write(0, 4)  # k = 0
+        for _ in range(bs - 2):
+            bw.write_unary(0)  # residual 0
+
+    dec, _ = flac.decode_flac(_flac_stream([sub], bs))
+    assert np.array_equal(dec[:, 0], want.astype(np.int16))
+
+
+def test_flac_decodes_rice2_and_partitions():
+    flac = _flac()
+    bs = 16
+    vals = np.array([5, -3, 7, 0, 2, 9, -8, 1] * 2, dtype=np.int64)
+
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(0b001000, 6)  # FIXED order 0 -> residual == sample
+        bw.write(0, 1)
+        bw.write(1, 2)  # RICE2 (5-bit params)
+        bw.write(1, 4)  # partition order 1 -> two partitions of 8
+        for part in (vals[:8], vals[8:]):
+            bw.write(2, 5)  # k = 2
+            for v in part:
+                u = (int(v) << 1) if v >= 0 else ((-int(v)) << 1) - 1
+                bw.write_unary(u >> 2)
+                bw.write(u & 3, 2)
+
+    dec, _ = flac.decode_flac(_flac_stream([sub], bs))
+    assert np.array_equal(dec[:, 0], vals.astype(np.int16))
+
+
+def test_flac_decodes_stereo_decorrelation():
+    flac = _flac()
+    bs = 8
+    left = np.array([100, -5, 38, 0, 7, 7, -100, 55], dtype=np.int64)
+    right = np.array([90, -5, 40, 1, -7, 6, -100, 54], dtype=np.int64)
+
+    def verbatim(vals, bits):
+        def sub(bw):
+            bw.write(0, 1)
+            bw.write(0b000001, 6)
+            bw.write(0, 1)
+            for v in vals:
+                bw.write_signed(int(v), bits)
+
+        return sub
+
+    # left-side (code 8): side = left - right, side gets 17 bits
+    data = _flac_stream(
+        [verbatim(left, 16), verbatim(left - right, 17)],
+        bs, ch=2, stereo_code=8,
+    )
+    dec, _ = flac.decode_flac(data)
+    assert np.array_equal(dec[:, 0], left) and np.array_equal(dec[:, 1], right)
+
+    # mid-side (code 10): mid = (l+r)>>1, side = l-r, side 17 bits
+    mid, side = (left + right) >> 1, left - right
+    data = _flac_stream(
+        [verbatim(mid, 16), verbatim(side, 17)], bs, ch=2, stereo_code=10
+    )
+    dec, _ = flac.decode_flac(data)
+    assert np.array_equal(dec[:, 0], left) and np.array_equal(dec[:, 1], right)
+
+
+def test_flac_decodes_wasted_bits_and_escape_residuals():
+    flac = _flac()
+    bs = 8
+    vals = np.array([-1024, 512, 2048, 0, 256, -512, 768, 1280], dtype=np.int64)
+    assert np.all(vals % 256 == 0)
+
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(0b000001, 6)  # VERBATIM
+        bw.write(1, 1)  # wasted-bits flag
+        bw.write_unary(7)  # 8 wasted bits
+        for v in vals >> 8:
+            bw.write_signed(int(v), 8)  # bps 16 - 8
+
+    dec, _ = flac.decode_flac(_flac_stream([sub], bs))
+    assert np.array_equal(dec[:, 0], vals.astype(np.int16))
+
+    def sub_escape(bw):
+        bw.write(0, 1)
+        bw.write(0b001000, 6)  # FIXED order 0
+        bw.write(0, 1)
+        bw.write(0, 2)  # RICE
+        bw.write(0, 4)  # partition order 0
+        bw.write(0xF, 4)  # escape
+        bw.write(16, 5)  # raw 16-bit residuals
+        for v in vals:
+            bw.write_signed(int(v), 16)
+
+    dec, _ = flac.decode_flac(_flac_stream([sub_escape], bs))
+    assert np.array_equal(dec[:, 0], vals.astype(np.int16))
+
+
+def test_flac_audio_stats_dispatch(spark):
+    from onionnet_spark.functions import multimodal
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    payload = multimodal.synth_flac_payload(df)
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.decode_audio_stats(payload).collect()
+    }
+    for d in range(3):
+        n, ch = 4090 + d % 20, 1 + d % 2
+        t = np.arange(n)[:, None]
+        c = np.arange(ch)[None, :]
+        s = ((d * 37 + t + c * 5) % 997) - 498
+        assert rows[d]["n_samples"] == n
+        assert rows[d]["n_channels"] == ch
+        assert rows[d]["sample_sum"] == int(s.sum())
+        assert rows[d]["peak_abs"] == int(np.abs(s).max())
