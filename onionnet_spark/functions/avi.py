@@ -86,6 +86,12 @@ def encode_avi(
         handler, compression, bitcount = b"MJPG", struct.unpack("<I", b"MJPG")[0], 8
         bodies = [_jpeg.encode_jpeg(f) for f in frames]
         ckid = b"00dc"
+    elif codec == "msvc":
+        from onionnet_spark.functions import msvideo1 as _msvc
+
+        handler, compression, bitcount = b"CRAM", struct.unpack("<I", b"CRAM")[0], 16
+        bodies = _msvc.encode_msvc_frames(frames)
+        ckid = b"00dc"
     else:
         raise ValueError(f"unknown codec {codec!r}")
     for f in frames:
@@ -174,6 +180,11 @@ def decode_avi(data: bytes) -> tuple[list[np.ndarray], int]:
         elif tag == b"LIST" and ltype == b"movi":
             if width is None or compression is None:
                 raise ValueError("movi before hdrl")
+            msvc_fourccs = {
+                struct.unpack("<I", cc)[0]
+                for cc in (b"CRAM", b"cram", b"MSVC", b"msvc", b"WHAM", b"wham")
+            }
+            prev555 = None
             for t2, _l2, s2, n2 in _walk_chunks(data, start, start + length):
                 if t2[2:4] not in (b"db", b"dc"):
                     continue  # audio / other streams: not ours
@@ -184,12 +195,21 @@ def decode_avi(data: bytes) -> tuple[list[np.ndarray], int]:
                     from onionnet_spark.functions import jpeg as _jpeg
 
                     frames.append(_jpeg.decode_jpeg(body))
+                elif compression in msvc_fourccs:
+                    from onionnet_spark.functions import msvideo1 as _msvc
+
+                    rgb = _msvc.decode_msvc_frame(
+                        body, width, abs(height), prev555
+                    )
+                    prev555 = _msvc._pack555(rgb)
+                    frames.append(rgb)
                 else:
                     fourcc = struct.pack("<I", compression)
                     raise ValueError(
-                        f"unsupported AVI codec {fourcc!r}: only BI_RGB and "
-                        "MJPG are built in; inter-frame codecs (H.264...) "
-                        "need ffmpeg — the documented plug-in point"
+                        f"unsupported AVI codec {fourcc!r}: only BI_RGB, "
+                        "MJPG and MS Video 1 (CRAM) are built in; "
+                        "motion-compensated codecs (H.264...) need ffmpeg — "
+                        "the documented plug-in point"
                     )
     if fps is None or not frames:
         raise ValueError("missing video stream or frames")

@@ -915,6 +915,54 @@ def synth_avi_payload(
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
 
 
+def synth_msvc_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MS Video 1 (CRAM) AVI payload per id
+    (functions/msvideo1.py): 3 + id%3 frames of 8 x (8 + 4*(id%2))
+    pixels built from solid 4x4 blocks whose colors are multiples of
+    8 (exact under RGB555), where blocks with (by + bx + id) % 2 == 0
+    are STATIC across frames — the encoder emits inter-frame skip
+    runs for them — and the rest change color every frame. Pixel
+    value: 8 * ((id + 3*by + 5*bx + 7*k + (0 if static else 9*f))
+    % 32). Closed-form per (id, f, y, x, k), so the oracle recomputes
+    every frame's statistics with no codec in the loop; a skip-run /
+    block-order / opcode bug corrupts later frames and mismatches."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import avi as _avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                nf, w, h = 3 + d % 3, 8 + 4 * (d % 2), 8
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                k = np.arange(3)[None, None, :]
+                static = ((y // 4) + (x // 4) + d) % 2 == 0
+                frames = [
+                    (
+                        8
+                        * (
+                            (
+                                d + 3 * (y // 4) + 5 * (x // 4) + 7 * k
+                                + np.where(static, 0, 9 * f)
+                            )
+                            % 32
+                        )
+                    ).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                payloads.append(
+                    _avi.encode_avi(frames, fps=10 + d % 5, codec="msvc")
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
 def decode_video_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL video decode: parse the RIFF/AVI container
     (functions/avi.py), decode each frame (BI_RGB or MJPG via the

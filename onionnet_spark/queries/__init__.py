@@ -214,6 +214,7 @@ _R5_BACKLOG: list[str] = [
     "video_scene_cuts",
     "graph_edge_embeddedness",
     "multimodal_flac_decode",
+    "multimodal_msvc_frames",
 ]
 
 

@@ -3254,6 +3254,49 @@ def multimodal_adpcm_decode_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_msvc_frames",
+    # INTER-FRAME video gate: the payload is MS Video 1 (biCompression
+    # 'CRAM', functions/msvideo1.py) inside the real AVI container —
+    # a block-based temporally-predicted codec whose static blocks are
+    # carried by skip-run opcodes, so frame f's pixels depend on the
+    # whole chain of prior frames. Colors are multiples of 8 (exact
+    # under RGB555 with the decoder's c5 << 3 expansion), making every
+    # frame closed-form; a skip-run accounting, bottom-up block order
+    # or opcode-space bug corrupts later frames and hash-mismatches.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 3 + doc_id % 3 AS nf, 8 + 4 * (doc_id % 2) AS w,
+                    8 AS h, 10 + doc_id % 5 AS fps
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.fps, d.w, d.h, f.f, y.y, x.x, k.k,
+             8 * ((d.doc_id + 3 * (y.y // 4) + 5 * (x.x // 4) + 7 * k.k
+                   + CASE WHEN ((y.y // 4) + (x.x // 4) + d.doc_id) % 2 = 0
+                          THEN 0 ELSE 9 * f.f END) % 32) AS v
+      FROM dims d
+      JOIN range(0, 5) f(f) ON f.f < d.nf
+      JOIN range(0, 8) y(y) ON y.y < d.h
+      JOIN range(0, 12) x(x) ON x.x < d.w
+      JOIN range(0, 3) k(k) ON true
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(fps AS INT) AS fps,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (1 + y * 3 + x * 5 + k * 7)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id, f, fps, w, h""",
+)
+def multimodal_msvc_frames_q(spark, sf_dir):
+    """REAL inter-frame video: closed-form solid-block frames ->
+    MS Video 1 encode (skip runs for static blocks) -> stateful
+    fourcc-dispatched decode (functions/avi.py + msvideo1.py) ->
+    per-frame statistics."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_msvc_avi_payload(ids)
+    return multimodal.decode_video_stats(payload)
+
+
+@register(
     "multimodal_flac_decode",
     # FRAME-BASED audio gate at full strength: the payload is a real
     # FLAC stream (functions/flac.py — Rice-coded residuals, fixed

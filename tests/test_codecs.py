@@ -536,3 +536,125 @@ def test_flac_audio_stats_dispatch(spark):
         assert rows[d]["n_channels"] == ch
         assert rows[d]["sample_sum"] == int(s.sum())
         assert rows[d]["peak_abs"] == int(np.abs(s).max())
+
+
+# ----------------------------------------------------- MS Video 1 (CRAM)
+
+
+def _msvc():
+    from onionnet_spark.functions import msvideo1
+
+    return msvideo1
+
+
+def _solid_block_frames(nf, h, w, seed):
+    """Frames of solid 4x4 blocks, colors multiples of 8 (RGB555-
+    exact); ~1/4 of blocks change per frame."""
+    r = np.random.RandomState(seed)
+    base = (r.randint(0, 32, size=(h // 4, w // 4, 3)) * 8).astype(np.uint8)
+    cur = np.kron(base, np.ones((4, 4, 1), dtype=np.uint8))
+    frames = [cur.copy()]
+    for _ in range(1, nf):
+        nxt = cur.copy()
+        nb = (h // 4) * (w // 4)
+        for b in r.randint(0, nb, size=max(1, nb // 4)):
+            by, bx = divmod(int(b), w // 4)
+            nxt[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                r.randint(0, 32, size=3) * 8
+            ).astype(np.uint8)
+        frames.append(nxt)
+        cur = nxt
+    return frames
+
+
+def test_msvc_interframe_roundtrip_exact_with_skip_runs():
+    mv = _msvc()
+    frames = _solid_block_frames(5, 16, 24, seed=11)
+    enc = avi.encode_avi(frames, fps=12, codec="msvc")
+    dec, fps = avi.decode_avi(enc)
+    assert fps == 12 and len(dec) == 5
+    for got, want in zip(dec, frames):
+        assert np.array_equal(got, want)
+    # temporal prediction is real: later chunks are smaller (skip runs)
+    chunks = mv.encode_msvc_frames(frames)
+    assert all(len(c) < len(chunks[0]) for c in chunks[1:])
+    # an unchanged frame is ONE skip-run opcode (2 bytes)
+    still = mv.encode_msvc_frames([frames[0], frames[0]])
+    assert len(still[1]) == 2
+
+
+def test_msvc_two_and_eight_color_blocks_exact():
+    mv = _msvc()
+    f = np.zeros((8, 8, 3), np.uint8)
+    f[:4, :4] = [8, 16, 24]
+    f[0, 1] = f[2, 3] = [240, 8, 64]   # 2-color block
+    f[:4, 4:] = [32, 64, 96]           # solid
+    f[4:, :4] = [8, 8, 8]
+    f[4, :4] = f[6, :4] = [128, 136, 8]  # 2-color, row-striped
+    dec = mv.decode_msvc_frame(mv.encode_msvc_frames([f])[0], 8, 8)
+    assert np.array_equal(dec, f)
+
+    f = np.zeros((4, 4, 3), np.uint8)  # 8-color: 2 colors per quadrant
+    for qi, (qy, qx) in enumerate([(0, 0), (0, 2), (2, 0), (2, 2)]):
+        f[qy : qy + 2, qx : qx + 2] = (8 * qi + 8, 8 * qi + 16, 8 * qi + 24)
+        f[qy, qx] = (200, 8 * qi + 8, 48)
+    dec = mv.decode_msvc_frame(mv.encode_msvc_frames([f])[0], 4, 4)
+    assert np.array_equal(dec, f)
+
+
+def test_msvc_mask_bit15_constraint_forces_color_swap():
+    mv = _msvc()
+    # top-right pixel (decode-order bit 15) holds the LOWER-sorting
+    # color: without the encoder's pair swap the mask word would set
+    # bit 15 and be misparsed as a 1-color opcode.
+    f = np.full((4, 4, 3), 240, np.uint8)
+    f[0, 3] = [8, 8, 8]
+    chunk = mv.encode_msvc_frames([f])[0]
+    words = struct.unpack(f"<{len(chunk) // 2}H", chunk)
+    assert words[0] < 0x8000  # mask parses as 2/8-color, not 1-color
+    dec = mv.decode_msvc_frame(chunk, 4, 4)
+    assert np.array_equal(dec, f)
+
+
+def test_msvc_skip_opcode_space_collision_colors():
+    mv = _msvc()
+    # RGB555 colors 0x0400-0x07FF collide with skip opcodes when
+    # emitted as 1-color blocks; the encoder must use a degenerate
+    # 2-color block instead.
+    f = np.full((4, 4, 3), [8, 200, 100], np.uint8)
+    c555 = (1 << 10) | ((200 >> 3) << 5) | (100 >> 3)
+    assert 0x0400 <= c555 <= 0x07FF
+    chunk = mv.encode_msvc_frames([f])[0]
+    words = struct.unpack(f"<{len(chunk) // 2}H", chunk)
+    assert (words[0] >> 8) & 0xFC != 0x84  # not parseable as a skip
+    dec = mv.decode_msvc_frame(chunk, 4, 4)
+    assert np.array_equal(dec, (f >> 3) << 3)
+
+
+def test_msvc_lossy_fallback_is_bounded():
+    mv = _msvc()
+    rs = np.random.RandomState(5)
+    noise = rs.randint(0, 256, size=(8, 12, 3)).astype(np.uint8)
+    dec = mv.decode_msvc_frame(mv.encode_msvc_frames([noise])[0], 12, 8)
+    assert np.abs(dec.astype(int) - noise.astype(int)).mean() < 72
+
+    h = w = 16
+    r, c = np.arange(h)[:, None], np.arange(w)[None, :]
+    grad = np.stack(
+        [(r * 8 + c) % 256, (r * 4 + c * 2) % 256,
+         np.broadcast_to((c * 8) % 256, (h, w))],
+        axis=2,
+    ).astype(np.uint8)
+    dec = mv.decode_msvc_frame(mv.encode_msvc_frames([grad])[0], w, h)
+    # structured content sits at the RGB555 quantization floor
+    assert np.abs(dec.astype(int) - grad.astype(int)).mean() < 6
+
+
+def test_msvc_guards():
+    mv = _msvc()
+    with pytest.raises(ValueError):
+        mv.encode_msvc_frames([np.zeros((6, 8, 3), np.uint8)])  # h % 4
+    with pytest.raises(ValueError):
+        mv.decode_msvc_frame(b"\x01\x84", 4, 4)  # skip with no prior frame
+    with pytest.raises(ValueError):
+        mv.decode_msvc_frame(b"\x00", 4, 4)  # truncated word
