@@ -333,6 +333,50 @@ def kmeans_codebook(
     return cents
 
 
+def kmeans_cluster_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Per-cluster health report for the deterministic k-means above
+    — the document-clustering readout every embedding pipeline wants
+    before topic labeling / SemDeDup / IVF sizing: cluster sizes and
+    cohesion (mean assigned-vector-to-centroid cosine).
+
+    Engine-exact by construction: assignment cosines are the
+    codebook's 6dp-rounded values, summed as exact ppm BIGINTs;
+    mean_cos_ppm is one IEEE division of two integers. Shape at
+    scale: one broadcast crossJoin with the K-row codebook, the
+    argmax finished by the map-side min_by partial, then ONE
+    aggregation over |K| keys. Returns (cluster_id, n_vectors,
+    sum_cos_ppm, mean_cos_ppm).
+    """
+    cents = kmeans_codebook(df, vec_col, id_col, k=k, iterations=iterations)
+    assigned = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.struct("cid", "cc"),
+                F.struct((-F.col("cc")).alias("nc"), F.col("cid").alias("tb")),
+            ).alias("a")
+        )
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.round(F.col("a.cc") * 1e6, 0).cast("long").alias("ppm"),
+        )
+    )
+    return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum("ppm").cast("bigint").alias("sum_cos_ppm"),
+        (F.sum("ppm") * F.lit(1.0) / F.count("*")).alias("mean_cos_ppm"),
+    )
+
+
 def ann_ivf_topk(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1028,3 +1028,106 @@ def gopher_rules(
         *[v.cast("int").alias(k) for k, v in rules.items()],
         passes.cast("int").alias("passes"),
     )
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): the
+    full iterative merge loop, not just the first-step candidate
+    count (bpe_merge_candidates). Returns the learned merge table
+    (merge_rank, left_sym, right_sym, pair_count) — the artifact a
+    tokenizer ships.
+
+    Algorithm per round: count adjacent SYMBOL pairs over the word-
+    frequency table (weighted by word count), pick the argmax
+    (count desc, pair asc — fully deterministic), apply the merge to
+    every word, repeat. Words are restricted to ^[a-z0-9]+$ (symbols
+    stay regex-safe by construction).
+
+    Merge application is engine-portable: each word is a space-
+    padded, DOUBLE-space-separated symbol string (' a  b  c '), and
+    the merge is one global regexp_replace of ' a  b ' -> ' ab '.
+    The double separators mean the pattern consumes only ONE of the
+    two boundary spaces on each side, so leftmost-rescan global
+    replace reproduces BPE's greedy left-to-right application
+    exactly even on runs like [a,a,a,a] (a single-space encoding
+    eats the shared boundary and diverges) — and Java regex and RE2
+    share these semantics, which is what makes the DuckDB oracle
+    possible with no lookarounds (RE2 has none).
+
+    Scale shape: the corpus is scanned ONCE to build the word-
+    frequency table (vocab-sized, ~sqrt-ish of corpus tokens);
+    every training round then runs on that compact table — one
+    map-side pair explode, one tiny (a, b)-keyed aggregation, a
+    single-row argmax broadcast back (no driver collect), one
+    codegen regexp_replace. localCheckpoint per round keeps the
+    plan flat at any n_merges.
+    """
+    wf = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
+                F.lit(" "),
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = None
+    for rank in range(1, n_merges + 1):
+        ls = F.split(F.trim(F.col("s")), "  ")
+        pairs = wf.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(ls, F.lit(1), F.size(ls) - 1),
+                    F.slice(ls, F.lit(2), F.size(ls) - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("n"))
+            .agg(
+                F.min_by(
+                    F.struct("a", "b", "n"),
+                    F.struct(
+                        (-F.col("n")).alias("nn"),
+                        F.col("a").alias("ta"),
+                        F.col("b").alias("tb"),
+                    ),
+                ).alias("m")
+            )
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("m.a").alias("left_sym"),
+                F.col("m.b").alias("right_sym"),
+                F.col("m.n").cast("bigint").alias("pair_count"),
+            )
+            .localCheckpoint()
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        wf = (
+            wf.crossJoin(F.broadcast(best))
+            .select(
+                F.regexp_replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(" "), "left_sym", F.lit("  "), "right_sym", F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), "left_sym", "right_sym", F.lit(" ")),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    return merges

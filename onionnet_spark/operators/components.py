@@ -436,6 +436,82 @@ def view_components(
     )
 
 
+def condensation_graph(
+    graph: OnionGraph, connectivity: str = "strong"
+) -> DataFrame:
+    """Condensation DAG — graph-tool ``condensation_graph`` parity
+    (the reference's gt graphs expose it one call away): contract
+    every (strongly) connected component to a super-node and
+    aggregate the cross-component edges.
+
+    Returns one row per condensed edge: (src_component,
+    dst_component, n_edges, src_size, dst_size), with intra-component
+    edges dropped — for connectivity='strong' the result is a DAG by
+    construction (any condensed cycle would have merged into one SCC).
+
+    Plan shape: the label table joins onto the edge list twice (both
+    keyed on the node key — the same exchanges every relabeling pass
+    pays), then ONE hash aggregation on the component pair with
+    map-side partials; component sizes, bounded by the component
+    count, broadcast back onto the condensed edges. No windows, no
+    driver-side data.
+    """
+    if connectivity.lower() == "strong":
+        labels = strongly_connected_components(graph)
+    else:
+        labels = connected_components(graph)
+    lab = labels.select(
+        F.concat_ws(":", "layer", "node_id").alias("key"), "component"
+    )
+    sizes = lab.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("size")
+    )
+    e = graph.edge_endpoints().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("sk"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("dk"),
+    )
+    condensed = (
+        e.join(
+            lab.select(
+                F.col("key").alias("sk"), F.col("component").alias("src_component")
+            ),
+            on="sk",
+        )
+        .join(
+            lab.select(
+                F.col("key").alias("dk"), F.col("component").alias("dst_component")
+            ),
+            on="dk",
+        )
+        .filter(F.col("src_component") != F.col("dst_component"))
+        .groupBy("src_component", "dst_component")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    return (
+        condensed.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("component").alias("src_component"),
+                    F.col("size").alias("src_size"),
+                )
+            ),
+            on="src_component",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("component").alias("dst_component"),
+                    F.col("size").alias("dst_size"),
+                )
+            ),
+            on="dst_component",
+        )
+        .select(
+            "src_component", "dst_component", "n_edges", "src_size", "dst_size"
+        )
+    )
+
+
 def community_conductance(
     graph: OnionGraph, n_rounds: int = 5
 ) -> DataFrame:

@@ -215,6 +215,9 @@ _R5_BACKLOG: list[str] = [
     "graph_edge_embeddedness",
     "multimodal_flac_decode",
     "multimodal_msvc_frames",
+    "graph_scc_condensation",
+    "embedding_kmeans_report",
+    "bpe_train_merges",
 ]
 
 

@@ -750,6 +750,78 @@ def components_strong_cyclic(spark, sf_dir):
 
 
 @register(
+    "graph_scc_condensation",
+    # graph-tool condensation_graph parity. The ring construction
+    # (nations of region 0 cycled by sorted node_id) makes ONE
+    # multi-node SCC whose members all point at region:0 — so the
+    # condensed edge carries a REAL multiplicity (n_edges = ring
+    # size), exercising the aggregation, not just the relabeling.
+    # Component label = min node key (string min; all ring keys share
+    # the 'nation:' prefix so MIN over the ids matches).
+    f"""WITH {{CTES}},
+    ring AS (SELECT DISTINCT src_id FROM edges_g
+             WHERE src_layer = 'nation' AND dst_layer = 'region'
+               AND dst_id = '0'),
+    rl AS (SELECT 'nation:' || MIN(src_id) AS lbl,
+                  COUNT(*) AS rs FROM ring),
+    ne AS (SELECT src_id, dst_id FROM edges_g
+           WHERE src_layer = 'nation' AND dst_layer = 'region'),
+    ce AS (
+      SELECT CASE WHEN src_id IN (SELECT src_id FROM ring)
+                  THEN (SELECT lbl FROM rl)
+                  ELSE 'nation:' || src_id END AS src_component,
+             'region:' || dst_id AS dst_component,
+             CASE WHEN src_id IN (SELECT src_id FROM ring)
+                  THEN (SELECT rs FROM rl) ELSE 1 END AS ssize
+      FROM ne)
+    SELECT src_component, dst_component,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(MIN(ssize) AS BIGINT) AS src_size,
+           CAST(1 AS BIGINT) AS dst_size
+    FROM ce GROUP BY src_component, dst_component""".replace(
+        "{CTES}", CTES
+    ),
+)
+def graph_scc_condensation_q(spark, sf_dir):
+    """Condensation DAG over a graph with a real multi-node SCC: the
+    nations of region 0 are cycled into a ring (i -> i+1 by sorted
+    node_id, derived from the data), so the condensation must emit
+    the ring super-node's edge to region:0 with multiplicity = ring
+    size, and every other nation as a singleton. The ring window is
+    bounded by |nations of one region| (5 rows) — not a global sort."""
+    from pyspark.sql import Window
+
+    g = filters.view_layers(get_graph(spark, sf_dir), ["nation", "region"])
+    e = g.edge_endpoints()
+    r0 = (
+        e.filter(
+            (F.col("src_layer") == "nation")
+            & (F.col("dst_layer") == "region")
+            & (F.col("dst_id") == "0")
+        )
+        .select("src_id")
+        .distinct()
+    )
+    w = Window.orderBy("src_id")  # bounded: nations of ONE region
+    ring = (
+        r0.select(
+            "src_id",
+            F.coalesce(
+                F.lead("src_id").over(w), F.first("src_id").over(w)
+            ).alias("next_id"),
+        )
+        .select(
+            F.lit("nation").alias("src_layer"),
+            F.col("src_id"),
+            F.lit("nation").alias("dst_layer"),
+            F.col("next_id").alias("dst_id"),
+        )
+    )
+    cyc = OnionGraph(g.nodes, e.unionByName(ring, allowMissingColumns=True))
+    return components.condensation_graph(cyc)
+
+
+@register(
     "pagerank",
     None,  # oracle generated below (unrolled iterations)
 )

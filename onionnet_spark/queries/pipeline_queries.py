@@ -322,15 +322,14 @@ def _cos(a: str, b: str) -> str:
     )
 
 
-def _ann_ivf_kmeans_oracle(
-    k_cent: int = 8, iterations: int = 2, nprobe: int = 2, topk: int = 5
-) -> str:
-    """Unrolls the deterministic seeded Lloyd iterations of
-    similarity.kmeans_codebook in pure SQL: seeds are the k vectors
-    sorting first by md5(id); each iteration reassigns by 6dp-rounded
-    cosine and recomputes 6dp-rounded per-dimension means, so DuckDB
-    reproduces the Spark codebook bit-for-bit (all intermediates are
-    rounded before reuse)."""
+def _kmeans_assign_ctes(k_cent: int = 8, iterations: int = 2) -> list[str]:
+    """Shared CTE prefix unrolling the deterministic seeded Lloyd
+    iterations of similarity.kmeans_codebook in pure SQL: seeds are
+    the k vectors sorting first by md5(id); each iteration reassigns
+    by 6dp-rounded cosine and recomputes 6dp-rounded per-dimension
+    means, so DuckDB reproduces the Spark codebook bit-for-bit (all
+    intermediates are rounded before reuse). Ends at `rk`: every
+    vector scored against the final codebook, rn = cosine rank."""
     ctes = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"""c0 AS (SELECT vec_id AS cid, list_transform(e, x -> round(x, 6)) AS cv
@@ -362,6 +361,13 @@ def _ann_ivf_kmeans_oracle(
         """rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn
        FROM sf)"""
     )
+    return ctes
+
+
+def _ann_ivf_kmeans_oracle(
+    k_cent: int = 8, iterations: int = 2, nprobe: int = 2, topk: int = 5
+) -> str:
+    ctes = _kmeans_assign_ctes(k_cent, iterations)
     ctes.append("idx AS (SELECT id, e, cid FROM rk WHERE rn = 1)")
     ctes.append(f"probe AS (SELECT id, e, cid FROM rk WHERE rn <= {nprobe})")
     ctes.append(
@@ -377,6 +383,32 @@ def _ann_ivf_kmeans_oracle(
         "WITH "
         + ",\n    ".join(ctes)
         + f"\n    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {topk}"
+    )
+
+
+def _kmeans_report_oracle(k_cent: int = 8, iterations: int = 2) -> str:
+    ctes = _kmeans_assign_ctes(k_cent, iterations)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(ROUND(cc * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cos_ppm,
+           SUM(CAST(ROUND(cc * 1000000, 0) AS BIGINT)) * 1.0 / COUNT(*)
+             AS mean_cos_ppm
+    FROM rk WHERE rn = 1 GROUP BY cid"""
+    )
+
+
+@register("embedding_kmeans_report", _kmeans_report_oracle())
+def embedding_kmeans_report_q(spark, sf_dir):
+    """Deterministic k-means document clustering readout: sizes and
+    cohesion per cluster (the pre-flight for topic labeling, SemDeDup
+    and IVF codebook sizing). Oracle unrolls the identical Lloyd
+    schedule."""
+    return similarity.kmeans_cluster_report(
+        _embs(spark, sf_dir), k=8, iterations=2
     )
 
 
@@ -1624,6 +1656,61 @@ def bpe_merge_candidates_q(spark, sf_dir):
     """Corpus-wide adjacent character-pair counts (top 20) — the
     first merge table a BPE tokenizer trainer learns."""
     return text.bpe_merge_candidates(_docs(spark, sf_dir), top_n=20)
+
+
+def _bpe_train_oracle(n_merges: int = 6) -> str:
+    """Unrolls text.bpe_train's merge rounds: same word-frequency
+    base, same double-space symbol encoding, same regexp_replace
+    merge application (RE2 and Java regex share leftmost-rescan
+    global-replace semantics — the encoding exists precisely so no
+    lookarounds are needed), same (count desc, pair asc) argmax. The
+    pair-position range is data-derived (max symbol count per round),
+    not a fixture-tuned cap."""
+    ctes = [
+        f"wds AS (SELECT unnest({_TOKS}) AS w FROM documents)",
+        """wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       FROM wds WHERE regexp_matches(w, '^[a-z0-9]+$') AND length(w) >= 2
+       GROUP BY w)""",
+        "w0 AS MATERIALIZED (SELECT ' ' || trim(regexp_replace(w, '(.)', "
+        "'\\1  ', 'g')) || ' ' AS s, freq FROM wf)",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""ls{i} AS MATERIALIZED (
+       SELECT string_split(trim(s), '  ') AS ls, freq FROM {prev})"""
+        )
+        ctes.append(
+            f"""nums{i} AS (SELECT UNNEST(range(1, (
+         SELECT COALESCE(MAX(len(ls)), 1) FROM ls{i}))) AS g)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+       SELECT a, b, SUM(freq) AS n FROM (
+         SELECT ls[g] AS a, ls[g + 1] AS b, freq
+         FROM ls{i} JOIN nums{i} ON g < len(ls))
+       GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (SELECT regexp_replace(s,
+         ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
+         ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ',
+         'g') AS s, freq FROM {prev})"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, CAST(n AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@register("bpe_train_merges", _bpe_train_oracle())
+def bpe_train_merges_q(spark, sf_dir):
+    """Distributed BPE tokenizer training: the full iterative merge
+    loop (6 rounds) over the corpus word-frequency table, returning
+    the learned merge table. Oracle unrolls the identical rounds."""
+    return text.bpe_train(_docs(spark, sf_dir), n_merges=6)
 
 
 @register(

@@ -1,0 +1,121 @@
+"""Unit gates for the round-4 closing-session operators: SCC
+condensation, the k-means cluster report, and distributed BPE
+training — invariants and exact toy answers the oracle fixtures
+can't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from onionnet_spark.core import OnionGraph
+from onionnet_spark.functions import similarity, text
+from onionnet_spark.operators.components import condensation_graph
+
+
+@pytest.fixture(scope="module")
+def scc_toy(spark):
+    # SCC {a, b, c} (3-cycle); d and e singletons; TWO edges from the
+    # SCC to e (a->e, c->e) so the condensed edge has multiplicity 2.
+    nodes = spark.createDataFrame(
+        [("L", x) for x in "abcde"], ["layer", "node_id"]
+    )
+    edges = spark.createDataFrame(
+        [
+            ("L", "a", "L", "b"),
+            ("L", "b", "L", "c"),
+            ("L", "c", "L", "a"),
+            ("L", "d", "L", "a"),
+            ("L", "a", "L", "e"),
+            ("L", "c", "L", "e"),
+        ],
+        ["src_layer", "src_id", "dst_layer", "dst_id"],
+    )
+    return OnionGraph(nodes, edges)
+
+
+def test_condensation_contracts_scc_and_counts_multiplicity(scc_toy):
+    rows = {
+        (r["src_component"], r["dst_component"]): r
+        for r in condensation_graph(scc_toy).collect()
+    }
+    # component label = min node key
+    assert set(rows) == {("L:d", "L:a"), ("L:a", "L:e")}
+    into = rows[("L:d", "L:a")]
+    assert into["n_edges"] == 1 and into["src_size"] == 1
+    assert into["dst_size"] == 3
+    out = rows[("L:a", "L:e")]
+    assert out["n_edges"] == 2  # a->e and c->e both leave the SCC
+    assert out["src_size"] == 3 and out["dst_size"] == 1
+
+
+def test_condensation_weak_mode_drops_all_edges_when_connected(scc_toy):
+    # weakly, the toy is ONE component -> every edge is intra-component
+    assert condensation_graph(scc_toy, connectivity="weak").count() == 0
+
+
+def test_kmeans_report_partitions_all_vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    data = [
+        (int(i), [float(x) for x in rng.randn(6)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    rep = similarity.kmeans_cluster_report(df, k=4, iterations=2).collect()
+    assert sum(r["n_vectors"] for r in rep) == 60
+    assert 1 <= len(rep) <= 4
+    for r in rep:
+        # cohesion is a mean of 6dp cosines in ppm
+        assert -1_000_000.0 <= r["mean_cos_ppm"] <= 1_000_000.0
+        assert abs(r["mean_cos_ppm"] * r["n_vectors"] - r["sum_cos_ppm"]) < 1
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa aaaa banana banana banana bandana"),
+            (2, "aaaa low lower lowest low low"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in text.bpe_train(df, n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # aaaa x3 contributes 3 (a,a) pairs each; banana x3 + bandana
+    # contribute 8 (a,n); then (l,o) / (lo,w) at 5 from the low family,
+    # and (an,a) = 4 once a+n has merged.
+    assert merges == [
+        ("a", "a", 9),
+        ("a", "n", 8),
+        ("l", "o", 5),
+        ("lo", "w", 5),
+        ("an", "a", 4),
+    ]
+
+
+def test_bpe_train_merge_application_is_greedy_left_to_right(spark):
+    # 'aaaaa' after merging (a,a) must become [aa, aa, a] (greedy
+    # left-to-right), NOT [aa, a, aa]: round 2 then sees pairs
+    # (aa,aa) and (aa,a) — tie at count 1 broken to (aa,a) by pair
+    # order. The [aa,a,aa] mis-application would instead offer
+    # (a,aa) and lose the tie-break differently.
+    df = spark.createDataFrame([(1, "aaaaa")], "doc_id long, text string")
+    merges = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in text.bpe_train(df, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    assert merges == [("a", "a", 4), ("aa", "a", 1)]
+
+
+def test_bpe_train_skips_non_alnum_words(spark):
+    df = spark.createDataFrame(
+        [(1, "foo-bar foo-bar foo-bar zz zz")], "doc_id long, text string"
+    )
+    merges = text.bpe_train(df, n_merges=1).collect()
+    # 'foo-bar' is filtered (regex-unsafe '-'); only 'zz' remains
+    assert merges[0]["left_sym"] == "z" and merges[0]["right_sym"] == "z"
+    assert merges[0]["pair_count"] == 2
