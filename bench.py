@@ -87,6 +87,12 @@ HEADLINE = [
     "multimodal_ulaw_decode",
     "semantic_dedup",
     "gopher_rules",
+    # round-4d session additions (also excluded)
+    "multimodal_flac_decode",
+    "multimodal_msvc_frames",
+    "bpe_train_merges",
+    "embedding_kmeans_report",
+    "graph_scc_condensation",
 ]
 
 
@@ -139,6 +145,9 @@ def main() -> None:
         "events_session_paths", "tfidf_doc_topk",
         "multimodal_video_frames", "multimodal_jpeg_progressive_decode",
         "multimodal_ulaw_decode", "semantic_dedup", "gopher_rules",
+        "multimodal_flac_decode", "multimodal_msvc_frames",
+        "bpe_train_merges", "embedding_kmeans_report",
+        "graph_scc_condensation",
     }
     r2_subset = sum(v for k, v in timings.items() if k not in r3_added)
     print(
