@@ -1066,12 +1066,23 @@ def bpe_train(
     codegen regexp_replace. localCheckpoint per round keeps the
     plan flat at any n_merges.
     """
+    merges, _wf = _bpe_train_state(df, n_merges, text_col, id_col)
+    return merges
+
+
+def _bpe_train_state(
+    df: DataFrame, n_merges: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """bpe_train's loop, also returning the final word table
+    (w, s, freq) — each word's post-merge symbol string, which is the
+    word -> subword segmentation bpe_encode applies to the corpus."""
     wf = (
         df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
         .filter(F.col("w").rlike("^[a-z0-9]+$") & (F.length("w") >= 2))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("freq"))
         .select(
+            "w",
             F.concat(
                 F.lit(" "),
                 F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
@@ -1119,6 +1130,7 @@ def bpe_train(
         wf = (
             wf.crossJoin(F.broadcast(best))
             .select(
+                "w",
                 F.regexp_replace(
                     F.col("s"),
                     F.concat(
@@ -1130,4 +1142,91 @@ def bpe_train(
             )
             .localCheckpoint()
         )
-    return merges
+    return merges, wf
+
+
+def bpe_encode(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE tokenizer APPLICATION: train the merge table (bpe_train's
+    loop) and encode every document into subword-id sequences — the
+    tensorization step after tokenizer training, composing with
+    sequence_packing exactly like tokenize_to_ids (its word-level
+    twin).
+
+    Subword vocabulary: the symbol set after n_merges rounds is
+    BOUNDED by |alphabet| + n_merges (every symbol is a single char
+    or the product of one merge), ranked by total corpus occurrence
+    (count desc, symbol asc) into dense ids — so the vocab table is
+    tiny and broadcast, and the per-vocab rank window is bounded (a
+    few dozen rows, never corpus-scale). Words outside ^[a-z0-9]+$
+    or shorter than 2 chars are out-of-vocabulary by the trainer's
+    own filter and are skipped (the n_words vs n_encoded_words gap
+    reports the OOV exposure per doc).
+
+    Shape at scale: encoding is ONE broadcast join of the corpus
+    token stream against the word->segmentation table (vocab-sized,
+    built once during training), one explode, and a per-doc
+    array_sort(collect_list(struct)) rebuild — no windows over data.
+    Returns (doc_id, n_words, n_encoded_words, n_subword_tokens,
+    ids array<int>).
+    """
+    _merges, wf = _bpe_train_state(df, n_merges, text_col, id_col)
+    seg = wf.select(
+        "w", F.split(F.trim("s"), "  ").alias("syms"), "freq"
+    ).localCheckpoint()
+    from pyspark.sql import Window
+
+    # bounded: |alphabet| + n_merges symbols, see docstring
+    vocab = (
+        seg.select(F.explode("syms").alias("sym"), "freq")
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("n"))
+        .withColumn(
+            "sym_id",
+            F.row_number().over(Window.orderBy(F.desc("n"), "sym")).cast("int"),
+        )
+        .select("sym", "sym_id")
+    )
+    seg_ids = (
+        seg.select("w", F.posexplode("syms").alias("sp", "sym"))
+        .join(F.broadcast(vocab), on="sym")
+        .groupBy("w")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sp", "sym_id"))
+            ).alias("ps")
+        )
+        .select("w", F.transform("ps", lambda s: s["sym_id"]).alias("wids"))
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("wp", "w"),
+    )
+    enc = toks.join(F.broadcast(seg_ids), on="w", how="left")
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.count("wids").cast("bigint").alias("n_encoded_words"),
+            F.coalesce(
+                F.sum(F.size("wids")), F.lit(0)
+            ).cast("bigint").alias("n_subword_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("wids").isNotNull(),
+                                F.struct("wp", "wids"),
+                            )
+                        )
+                    ),
+                    lambda s: s["wids"],
+                )
+            ).alias("ids"),
+        )
+    )

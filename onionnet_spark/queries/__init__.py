@@ -218,6 +218,7 @@ _R5_BACKLOG: list[str] = [
     "graph_scc_condensation",
     "embedding_kmeans_report",
     "bpe_train_merges",
+    "bpe_encode_ids",
 ]
 
 

@@ -1658,20 +1658,20 @@ def bpe_merge_candidates_q(spark, sf_dir):
     return text.bpe_merge_candidates(_docs(spark, sf_dir), top_n=20)
 
 
-def _bpe_train_oracle(n_merges: int = 6) -> str:
-    """Unrolls text.bpe_train's merge rounds: same word-frequency
-    base, same double-space symbol encoding, same regexp_replace
-    merge application (RE2 and Java regex share leftmost-rescan
-    global-replace semantics — the encoding exists precisely so no
-    lookarounds are needed), same (count desc, pair asc) argmax. The
-    pair-position range is data-derived (max symbol count per round),
-    not a fixture-tuned cap."""
+def _bpe_train_ctes(n_merges: int = 6) -> list[str]:
+    """Shared CTE list unrolling text.bpe_train's merge rounds: same
+    word-frequency base, same double-space symbol encoding, same
+    regexp_replace merge application (RE2 and Java regex share
+    leftmost-rescan global-replace semantics — the encoding exists
+    precisely so no lookarounds are needed), same (count desc,
+    pair asc) argmax. The pair-position range is data-derived (max
+    symbol count per round), not a fixture-tuned cap."""
     ctes = [
         f"wds AS (SELECT unnest({_TOKS}) AS w FROM documents)",
         """wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
        FROM wds WHERE regexp_matches(w, '^[a-z0-9]+$') AND length(w) >= 2
        GROUP BY w)""",
-        "w0 AS MATERIALIZED (SELECT ' ' || trim(regexp_replace(w, '(.)', "
+        "w0 AS MATERIALIZED (SELECT w, ' ' || trim(regexp_replace(w, '(.)', "
         "'\\1  ', 'g')) || ' ' AS s, freq FROM wf)",
     ]
     for i in range(1, n_merges + 1):
@@ -1692,17 +1692,21 @@ def _bpe_train_oracle(n_merges: int = 6) -> str:
        GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)"""
         )
         ctes.append(
-            f"""w{i} AS MATERIALIZED (SELECT regexp_replace(s,
+            f"""w{i} AS MATERIALIZED (SELECT w, regexp_replace(s,
          ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
          ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ',
          'g') AS s, freq FROM {prev})"""
         )
+    return ctes
+
+
+def _bpe_train_oracle(n_merges: int = 6) -> str:
     finals = "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS INT) AS merge_rank, a AS left_sym, "
         f"b AS right_sym, CAST(n AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+    return "WITH " + ",\n    ".join(_bpe_train_ctes(n_merges)) + "\n    " + finals
 
 
 @register("bpe_train_merges", _bpe_train_oracle())
@@ -1711,6 +1715,44 @@ def bpe_train_merges_q(spark, sf_dir):
     loop (6 rounds) over the corpus word-frequency table, returning
     the learned merge table. Oracle unrolls the identical rounds."""
     return text.bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
+def _bpe_encode_oracle(n_merges: int = 6) -> str:
+    """Composes the unrolled training rounds with the encoding pass:
+    final word segmentations -> occurrence-ranked subword vocab ->
+    per-doc subword-id sequences in word/symbol order."""
+    ctes = ",\n    ".join(_bpe_train_ctes(n_merges))
+    return f"""WITH {ctes},
+    seg AS MATERIALIZED (
+      SELECT w, string_split(trim(s), '  ') AS syms, freq FROM w{n_merges}),
+    vocab AS MATERIALIZED (
+      SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, sym) AS INT)
+               AS sym_id
+      FROM (SELECT sym, SUM(freq) AS n FROM (
+              SELECT unnest(syms) AS sym, freq FROM seg) GROUP BY sym)),
+    segid AS MATERIALIZED (
+      SELECT w, list(sym_id ORDER BY sp) AS wids FROM (
+        SELECT w, generate_subscripts(syms, 1) AS sp, unnest(syms) AS sym
+        FROM seg) JOIN vocab USING (sym) GROUP BY w),
+    toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS wp, unnest(t) AS w
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)),
+    enc AS (SELECT doc_id, wp, wids FROM toks LEFT JOIN segid USING (w))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(COUNT(wids) AS BIGINT) AS n_encoded_words,
+           CAST(COALESCE(SUM(len(wids)), 0) AS BIGINT) AS n_subword_tokens,
+           COALESCE(flatten(list(wids ORDER BY wp)
+                            FILTER (WHERE wids IS NOT NULL)),
+                    CAST([] AS INT[])) AS ids
+    FROM enc GROUP BY doc_id"""
+
+
+@register("bpe_encode_ids", _bpe_encode_oracle())
+def bpe_encode_ids_q(spark, sf_dir):
+    """BPE tokenizer application: documents encoded into subword-id
+    sequences with the merge table learned by the same 6 training
+    rounds — the tensorization endpoint of the tokenizer pipeline."""
+    return text.bpe_encode(_docs(spark, sf_dir), n_merges=6)
 
 
 @register(

@@ -119,3 +119,41 @@ def test_bpe_train_skips_non_alnum_words(spark):
     # 'foo-bar' is filtered (regex-unsafe '-'); only 'zz' remains
     assert merges[0]["left_sym"] == "z" and merges[0]["right_sym"] == "z"
     assert merges[0]["pair_count"] == 2
+
+
+def test_bpe_encode_segments_and_ids(spark):
+    df = spark.createDataFrame(
+        [(1, "banana banana band x!"), (2, "ban nab")],
+        "doc_id long, text string",
+    )
+    # merge 1 = (a,n) [count 6], merge 2 = (b,an) [count 4];
+    # segmentations: banana -> [ban, an, a], band -> [ban, d],
+    # ban -> [ban], nab -> [n, a, b]. Vocab by occurrence:
+    # ban(4)=1, a(3)=2, an(2)=3, b(1)=4, d(1)=5, n(1)=6.
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in text.bpe_train(df, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    assert merges == [("a", "n"), ("b", "an")]
+    enc = {r["doc_id"]: r for r in text.bpe_encode(df, n_merges=2).collect()}
+    # doc 1: 4 words; 'x!' is OOV ('!' fails the trainer's alnum filter)
+    assert enc[1]["n_words"] == 4 and enc[1]["n_encoded_words"] == 3
+    assert enc[2]["n_words"] == 2 and enc[2]["n_encoded_words"] == 2
+    assert list(enc[1]["ids"]) == [1, 3, 2, 1, 3, 2, 1, 5]
+    assert list(enc[2]["ids"]) == [1, 6, 2, 4]
+    assert enc[1]["n_subword_tokens"] == 8
+    assert enc[2]["n_subword_tokens"] == 4
+
+
+def test_bpe_encode_empty_and_oov_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "!!! ??? --"), (2, "hello hello")], "doc_id long, text string"
+    )
+    enc = {r["doc_id"]: r for r in text.bpe_encode(df, n_merges=1).collect()}
+    assert enc[1]["n_encoded_words"] == 0
+    assert enc[1]["n_subword_tokens"] == 0 and list(enc[1]["ids"]) == []
+    assert enc[2]["n_encoded_words"] == 2
+    # both 'hello' occurrences encode to the same segment ids
+    ids = list(enc[2]["ids"])
+    assert len(ids) % 2 == 0
+    assert ids[: len(ids) // 2] == ids[len(ids) // 2 :]
