@@ -963,6 +963,92 @@ def synth_msvc_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
 
 
+def synth_warc_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic .warc.gz payload per id (functions/warc.py,
+    per-record gzip members — the Common Crawl layout): one warcinfo
+    record ('software: onionnet-spark') plus 2 + id%3 response
+    records at https://example.com/{id}/{r}, each holding
+    n = 5 + (id + 2r) % 9 single-char space-joined tokens with
+    char k = chr(97 + (id + r + k) % 26) — fully closed-form for
+    the SQL oracle (content_length = 2n - 1, ascii sum has an exact
+    integer formula)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import warc as _warc
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                recs = [
+                    {"warc_type": "warcinfo", "payload": b"software: onionnet-spark"}
+                ]
+                for r in range(2 + d % 3):
+                    n = 5 + (d + 2 * r) % 9
+                    body = " ".join(
+                        chr(97 + (d + r + k) % 26) for k in range(n)
+                    ).encode()
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "url": f"https://example.com/{d}/{r}",
+                            "payload": body,
+                        }
+                    )
+                payloads.append(_warc.encode_warc(recs))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def read_warc_records(df: DataFrame) -> DataFrame:
+    """REAL WARC ingest via mapInPandas: member-gzip inflate + strict
+    record parse (functions/warc.py), one output row per record —
+    the first step of every web-scale corpus pipeline. ascii_sum is
+    the exact byte sum of the payload, so any inflate/framing bug
+    hash-mismatches. Returns (doc_id, record_idx, warc_type, url,
+    content_length, ascii_sum)."""
+
+    def rec_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import warc as _warc
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "record_idx", "warc_type", "url",
+                "content_length", "ascii_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, rec in enumerate(_warc.decode_warc(payload)):
+                    rows["doc_id"].append(doc_id)
+                    rows["record_idx"].append(i)
+                    rows["warc_type"].append(rec["warc_type"])
+                    rows["url"].append(rec["url"])
+                    rows["content_length"].append(len(rec["payload"]))
+                    rows["ascii_sum"].append(int(sum(rec["payload"])))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "record_idx": pd.Series(rows["record_idx"], dtype="int32"),
+                    "warc_type": pd.Series(rows["warc_type"], dtype="object"),
+                    "url": pd.Series(rows["url"], dtype="object"),
+                    "content_length": pd.Series(
+                        rows["content_length"], dtype="int32"
+                    ),
+                    "ascii_sum": pd.Series(rows["ascii_sum"], dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        rec_batches,
+        "doc_id long, record_idx int, warc_type string, url string, "
+        "content_length int, ascii_sum long",
+    )
+
+
 def decode_video_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL video decode: parse the RIFF/AVI container
     (functions/avi.py), decode each frame (BI_RGB or MJPG via the

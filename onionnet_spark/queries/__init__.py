@@ -219,6 +219,7 @@ _R5_BACKLOG: list[str] = [
     "embedding_kmeans_report",
     "bpe_train_merges",
     "bpe_encode_ids",
+    "warc_ingest",
 ]
 
 

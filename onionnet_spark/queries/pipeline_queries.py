@@ -3383,6 +3383,49 @@ def multimodal_adpcm_decode_q(spark, sf_dir):
 
 
 @register(
+    "warc_ingest",
+    # WARC ingest gate: the payload is a real .warc.gz with ONE gzip
+    # member PER RECORD (the Common Crawl layout) built and parsed by
+    # functions/warc.py; the oracle recomputes every record's
+    # content_length and exact payload byte sum from the closed form.
+    # warcinfo constants: 'software: onionnet-spark' is 24 bytes
+    # summing to 2429. range(0, 4) covers r < 2 + doc_id%3 <= 4 and
+    # range(0, 13) covers k < n <= 13 — both bounds follow from the
+    # formulas defined in this query, not the fixture.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    resp AS (
+      SELECT doc_id, r.r + 1 AS record_idx,
+             'https://example.com/' || doc_id || '/' || r.r AS url,
+             r.r AS r, 5 + (doc_id + 2 * r.r) % 9 AS n
+      FROM ids JOIN range(0, 4) r(r) ON r.r < 2 + doc_id % 3),
+    tok AS (
+      SELECT doc_id, record_idx, url, n,
+             97 + (doc_id + r + k.k) % 26 AS c
+      FROM resp JOIN range(0, 13) k(k) ON k.k < n),
+    respagg AS (
+      SELECT doc_id, record_idx, 'response' AS warc_type, url,
+             CAST(2 * n - 1 AS INT) AS content_length,
+             CAST(SUM(c) + 32 * (n - 1) AS BIGINT) AS ascii_sum
+      FROM tok GROUP BY doc_id, record_idx, url, n),
+    info AS (
+      SELECT doc_id, 0 AS record_idx, 'warcinfo' AS warc_type,
+             CAST(NULL AS VARCHAR) AS url, CAST(24 AS INT) AS content_length,
+             CAST(2429 AS BIGINT) AS ascii_sum
+      FROM ids)
+    SELECT doc_id, CAST(record_idx AS INT) AS record_idx, warc_type, url,
+           content_length, ascii_sum
+    FROM (SELECT * FROM info UNION ALL SELECT * FROM respagg)""",
+)
+def warc_ingest_q(spark, sf_dir):
+    """REAL web-archive ingest: closed-form records -> per-record
+    gzip-member .warc.gz (functions/warc.py) -> strict distributed
+    parse -> one row per WARC record."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_warc_payload(ids)
+    return multimodal.read_warc_records(payload)
+
+
+@register(
     "multimodal_msvc_frames",
     # INTER-FRAME video gate: the payload is MS Video 1 (biCompression
     # 'CRAM', functions/msvideo1.py) inside the real AVI container —

@@ -658,3 +658,68 @@ def test_msvc_guards():
         mv.decode_msvc_frame(b"\x01\x84", 4, 4)  # skip with no prior frame
     with pytest.raises(ValueError):
         mv.decode_msvc_frame(b"\x00", 4, 4)  # truncated word
+
+
+# ------------------------------------------------------------------ WARC
+
+
+def _warc():
+    from onionnet_spark.functions import warc
+
+    return warc
+
+
+def _warc_records():
+    return [
+        {"warc_type": "warcinfo", "payload": b"software: test"},
+        {
+            "warc_type": "response",
+            "url": "https://example.org/a",
+            "payload": b"hello world \x00\xff binary ok",
+        },
+        {"warc_type": "response", "url": "https://example.org/b", "payload": b""},
+    ]
+
+
+def test_warc_roundtrip_plain_and_member_gzipped():
+    warc = _warc()
+    recs = _warc_records()
+    for gz in (False, True):
+        data = warc.encode_warc(recs, gzip_members=gz)
+        out = warc.decode_warc(data)
+        assert [r["warc_type"] for r in out] == [
+            "warcinfo", "response", "response",
+        ]
+        assert out[0]["url"] is None
+        assert out[1]["url"] == "https://example.org/a"
+        assert [r["payload"] for r in out] == [r["payload"] for r in recs]
+
+
+def test_warc_gzip_members_are_independent():
+    # the Common Crawl property: each record is its own gzip member,
+    # so a reader can start at any member boundary
+    warc = _warc()
+    recs = _warc_records()
+    data = warc.encode_warc(recs, gzip_members=True)
+    # find the second member by its gzip magic and decode the tail
+    second = data.find(b"\x1f\x8b", 2)
+    assert second > 0
+    tail = warc.decode_warc(data[second:])
+    assert [r["warc_type"] for r in tail] == ["response", "response"]
+    assert tail[0]["payload"] == recs[1]["payload"]
+
+
+def test_warc_strict_parse_raises():
+    warc = _warc()
+    recs = _warc_records()
+    plain = bytearray(warc.encode_warc(recs, gzip_members=False))
+    with pytest.raises(ValueError, match="version line"):
+        warc.decode_warc(b"HTTP/1.0 200 OK\r\n\r\n")
+    # truncate the final terminator
+    with pytest.raises(ValueError, match="terminator"):
+        warc.decode_warc(bytes(plain[:-2]))
+    # corrupt a gzip member
+    gz = bytearray(warc.encode_warc(recs, gzip_members=True))
+    gz[12] ^= 0xFF
+    with pytest.raises((ValueError, Exception)):
+        warc.decode_warc(bytes(gz))
