@@ -963,6 +963,98 @@ def synth_msvc_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
 
 
+def synth_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic animated-GIF payload per id (functions/gif.py):
+    2 + id%3 frames of (4 + id%3) x (5 + id%4) pixels drawn from a
+    6-entry palette — palette index idx = (id + f*7 + r*3 + c*5) % 6,
+    channel k value = (id*(k+1) + idx*(11 + 18*k)) % 256. GIF is
+    lossless on paletted content, so every pixel is closed-form for
+    the SQL oracle."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import gif as _gif
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                nf, h, w = 2 + d % 3, 4 + d % 3, 5 + d % 4
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(3)[None, None, :]
+                frames = []
+                for f in range(nf):
+                    idx = (d + f * 7 + r * 3 + c * 5) % 6
+                    frames.append(
+                        ((d * (k + 1) + idx * (11 + 18 * k)) % 256).astype(
+                            np.uint8
+                        )
+                    )
+                payloads.append(_gif.encode_gif(frames, delay_cs=5 + d % 7))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_gif_stats(df: DataFrame) -> DataFrame:
+    """REAL animated-GIF decode via mapInPandas (functions/gif.py:
+    LZW + color tables + GCE): one row per frame with the same
+    position-weighted checksum as decode_video_stats, plus the GCE
+    frame delay. Returns (doc_id, frame_idx, delay_cs, width,
+    height, pixel_sum, pos_checksum)."""
+
+    def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import gif as _gif
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "delay_cs", "width", "height",
+                "pixel_sum", "pos_checksum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, delay = _gif.decode_gif(payload)
+                for f_idx, arr in enumerate(frames):
+                    arr = arr.astype(np.int64)
+                    h, w, ch = arr.shape
+                    r = np.arange(h)[:, None, None]
+                    c = np.arange(w)[None, :, None]
+                    k = np.arange(ch)[None, None, :]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f_idx)
+                    rows["delay_cs"].append(delay)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(int(arr.sum()))
+                    rows["pos_checksum"].append(
+                        int((arr * (1 + r * 3 + c * 5 + k * 7)).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "delay_cs": pd.Series(rows["delay_cs"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                    "pos_checksum": pd.Series(
+                        rows["pos_checksum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        stats_batches,
+        "doc_id long, frame_idx int, delay_cs int, width int, height int, "
+        "pixel_sum long, pos_checksum long",
+    )
+
+
 def synth_warc_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic .warc.gz payload per id (functions/warc.py,
     per-record gzip members — the Common Crawl layout): one warcinfo

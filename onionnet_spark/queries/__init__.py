@@ -220,6 +220,7 @@ _R5_BACKLOG: list[str] = [
     "bpe_train_merges",
     "bpe_encode_ids",
     "warc_ingest",
+    "multimodal_gif_frames",
 ]
 
 

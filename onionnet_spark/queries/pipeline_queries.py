@@ -3383,6 +3383,45 @@ def multimodal_adpcm_decode_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_frames",
+    # DICTIONARY-CODING image gate: the payload is a real animated
+    # GIF89a (functions/gif.py — variable-width LSB-first LZW with
+    # clear/EOI codes and the decoder-mirror width schedule, global
+    # color table, per-frame GCE delays). GIF is lossless on paletted
+    # content, so every pixel is closed-form; any LZW width-schedule,
+    # palette or frame-framing bug hash-mismatches.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 4 + doc_id % 3 AS h,
+                    5 + doc_id % 4 AS w, 5 + doc_id % 7 AS delay
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.delay, d.w, d.h, f.f, r.r, c.c, k.k,
+             (d.doc_id * (k.k + 1)
+              + ((d.doc_id + f.f * 7 + r.r * 3 + c.c * 5) % 6)
+                * (11 + 18 * k.k)) % 256 AS v
+      FROM dims d
+      JOIN range(0, 4) f(f) ON f.f < d.nf
+      JOIN range(0, 6) r(r) ON r.r < d.h
+      JOIN range(0, 8) c(c) ON c.c < d.w
+      JOIN range(0, 3) k(k) ON true
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(delay AS INT) AS delay_cs,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (1 + r * 3 + c * 5 + k * 7)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id, f, delay, w, h""",
+)
+def multimodal_gif_frames_q(spark, sf_dir):
+    """REAL dictionary-coded animation: closed-form paletted frames
+    -> GIF89a LZW encode -> full decode (functions/gif.py) ->
+    per-frame statistics."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_gif_payload(ids)
+    return multimodal.decode_gif_stats(payload)
+
+
+@register(
     "warc_ingest",
     # WARC ingest gate: the payload is a real .warc.gz with ONE gzip
     # member PER RECORD (the Common Crawl layout) built and parsed by

@@ -723,3 +723,67 @@ def test_warc_strict_parse_raises():
     gz[12] ^= 0xFF
     with pytest.raises((ValueError, Exception)):
         warc.decode_warc(bytes(gz))
+
+
+# ------------------------------------------------------------------- GIF
+
+
+def _gif():
+    from onionnet_spark.functions import gif
+
+    return gif
+
+
+def test_gif_lzw_stress_roundtrip():
+    gif = _gif()
+    rng = np.random.RandomState(9)
+    cases = [
+        (np.zeros(64, np.uint8), 2),        # KwKwK chain + final-code
+        (np.zeros(100000, np.uint8), 2),    # width schedule to 12 bits
+        (rng.randint(0, 4, 50000).astype(np.uint8), 2),
+        (rng.randint(0, 256, 120000).astype(np.uint8), 8),  # dict reset
+        (np.tile(np.arange(256, dtype=np.uint8), 500), 8),
+    ]
+    for idx, mcs in cases:
+        enc = gif._lzw_encode(idx, mcs)
+        assert np.array_equal(gif._lzw_decode(enc, mcs, len(idx)), idx)
+
+
+def test_gif_animated_roundtrip_exact():
+    gif = _gif()
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, size=(7, 3)).astype(np.uint8)
+    frames = [pal[rng.randint(0, 7, size=(13, 17))] for _ in range(4)]
+    dec, delay = gif.decode_gif(gif.encode_gif(frames, delay_cs=12))
+    assert delay == 12 and len(dec) == 4
+    for got, want in zip(dec, frames):
+        assert np.array_equal(got, want)
+
+
+def test_gif_full_palette_and_compression():
+    gif = _gif()
+    rng = np.random.RandomState(2)
+    pal = np.array(
+        [[i, (i * 3) % 256, (i * 7) % 256] for i in range(256)], np.uint8
+    )
+    img = pal[rng.randint(0, 256, size=(64, 64))]
+    assert np.array_equal(gif.decode_gif(gif.encode_gif([img]))[0][0], img)
+    rep = pal[np.tile(np.arange(256).reshape(16, 16), (16, 16))]
+    enc = gif.encode_gif([rep])
+    assert np.array_equal(gif.decode_gif(enc)[0][0], rep)
+    assert len(enc) < rep.size // 4  # LZW actually compresses
+
+
+def test_gif_guards():
+    gif = _gif()
+    with pytest.raises(ValueError, match="palette"):
+        img = np.random.RandomState(1).randint(0, 256, size=(20, 20, 3))
+        gif.encode_gif([img.astype(np.uint8)])  # ~400 distinct colors
+    with pytest.raises(ValueError, match="signature"):
+        gif.decode_gif(b"PNG whatever")
+    # interlace flag raises (documented gap)
+    enc = bytearray(gif.encode_gif([np.zeros((4, 4, 3), np.uint8)]))
+    desc = enc.find(b"\x2c")
+    enc[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        gif.decode_gif(bytes(enc))
