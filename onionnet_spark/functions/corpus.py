@@ -599,3 +599,100 @@ def mixture_allocation(
         )
     )
     return out
+
+def count_min_topk(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    with DETERMINISTIC row hashes, which makes this sketch fully
+    oracle-checkable — unusual for sketch code and the reason it is
+    not a rows-only gate like HLL: bucket_i(key) folds the first six
+    md5 hex chars of "i|key" to digits (the translate trick — no hex
+    cast needed in either engine) mod `width`.
+
+    Two passes, both sketch-shaped at 100 TB: the sketch itself is
+    depth x width counters built with map-side partial aggregation
+    (the exchange carries at most depth*width rows per task); the
+    query side re-hashes the DISTINCT keys, joins the broadcast
+    sketch, and takes min over the depth rows. est >= exact always
+    (CMS never underestimates); est - exact is the collision noise
+    the width buys down. Returns the top-k keys by estimate:
+    (key, est, exact).
+    """
+    key = F.col(key_col).cast("string")
+    rows = df.select(key.alias("k"))
+
+    def bucket(i: int) -> Column:
+        fold = F.translate(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("k"))), 1, 6
+            ),
+            "abcdef",
+            "012345",
+        )
+        return (fold.cast("int") % width).alias("b")
+
+    hashes = F.explode(
+        F.array(
+            *[F.struct(F.lit(i).alias("i"), bucket(i)) for i in range(depth)]
+        )
+    ).alias("ib")
+    sketch = (
+        rows.select(hashes)
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    keys = rows.groupBy("k").agg(F.count("*").cast("bigint").alias("exact"))
+    est = (
+        keys.select("k", "exact", hashes)
+        .select("k", "exact", F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .join(F.broadcast(sketch), on=["i", "b"])
+        .groupBy("k", "exact")
+        .agg(F.min("c").cast("bigint").alias("est"))
+    )
+    return (
+        est.orderBy(F.desc("est"), "k")
+        .limit(k)
+        .select(F.col("k").alias("key"), "est", "exact")
+    )
+
+def skyline_2d(
+    df: DataFrame, x_col: str, y_col: str, keep_cols: list[str]
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize both): a row survives
+    iff no other row is <= on both dimensions and strictly < on at
+    least one. Classic multi-criteria shortlist (cheapest-smallest
+    parts, fastest-cheapest suppliers).
+
+    Distributed shape — NOT the quadratic NOT-EXISTS the semantics
+    suggest: reduce to per-x min(y) (one keyed aggregation;
+    |distinct x| rows), take the strictly-decreasing prefix of that
+    bounded series (the only window runs over the aggregated series,
+    never the data), and broadcast the surviving (x, y) frontier
+    back onto the rows. Ties on both dimensions are mutually
+    non-dominating and all kept. The DuckDB oracle IS the quadratic
+    dominance definition, so the reduction itself is what the hash
+    gate proves.
+    """
+    agg = df.groupBy(x_col).agg(F.min(y_col).alias("_miny"))
+    # bounded: one row per distinct x (e.g. ~50 part sizes)
+    w = Window.orderBy(x_col).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        agg.withColumn("_prev", F.min("_miny").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_miny") < F.col("_prev")))
+        .select(F.col(x_col).alias("_fx"), "_miny")
+    )
+    return (
+        df.join(
+            F.broadcast(frontier),
+            on=[
+                F.col(x_col) == F.col("_fx"),
+                F.col(y_col) == F.col("_miny"),
+            ],
+        )
+        .select(*keep_cols)
+    )

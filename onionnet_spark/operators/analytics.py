@@ -1225,6 +1225,82 @@ def maximal_matching(
     return matched.select("a", "b")
 
 
+def maximal_independent_set(
+    edges: DataFrame,
+    rounds: int = 6,
+    a_col: str = "a",
+    b_col: str = "b",
+    guard: bool = True,
+) -> DataFrame:
+    """Luby's maximal independent set — the other classic distributed
+    symmetry-breaking primitive next to maximal_matching: each round,
+    an active node joins the MIS when its deterministic priority
+    (md5 of the node key) is strictly smaller than every ACTIVE
+    neighbor's; selected nodes and their neighbors deactivate, and
+    the rule repeats. Actives with no remaining active neighbor join
+    unconditionally. Expected O(log n) rounds; every round is one
+    node-keyed neighbor-min aggregation plus anti-joins — no global
+    ordering anywhere, the 100 TB shape.
+
+    With ``guard=True`` a RuntimeError is raised if active nodes
+    survive the round budget (the set would not be maximal). Returns
+    the MIS members as (node).
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    active = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    mis = None
+    for _ in range(rounds):
+        nbrmin = (
+            e.select(F.col("a").alias("node"), F.md5("b").alias("npri"))
+            .unionByName(e.select(F.col("b").alias("node"), F.md5("a").alias("npri")))
+            .groupBy("node")
+            .agg(F.min("npri").alias("mn"))
+        )
+        sel = (
+            active.join(nbrmin, on="node", how="left")
+            .filter(F.col("mn").isNull() | (F.md5("node") < F.col("mn")))
+            .select("node")
+            .localCheckpoint()
+        )
+        mis = sel if mis is None else mis.unionByName(sel).localCheckpoint()
+        dead = (
+            sel.unionByName(
+                e.join(sel.select(F.col("node").alias("a")), on="a").select(
+                    F.col("b").alias("node")
+                )
+            )
+            .unionByName(
+                e.join(sel.select(F.col("node").alias("b")), on="b").select(
+                    F.col("a").alias("node")
+                )
+            )
+            .distinct()
+        )
+        active = active.join(dead, on="node", how="left_anti").localCheckpoint()
+        e = (
+            e.join(active.select(F.col("node").alias("a")), on="a", how="left_semi")
+            .join(active.select(F.col("node").alias("b")), on="b", how="left_semi")
+            .localCheckpoint()
+        )
+    if guard and active.count():
+        raise RuntimeError(
+            f"maximal_independent_set: {active.count()} nodes still active "
+            f"after {rounds} rounds; raise `rounds`"
+        )
+    return mis.select("node")
+
+
 def degree_assortativity(graph: OnionGraph) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
     correlation between source-node and destination-node total

@@ -221,6 +221,9 @@ _R5_BACKLOG: list[str] = [
     "bpe_encode_ids",
     "warc_ingest",
     "multimodal_gif_frames",
+    "graph_mis",
+    "orders_custkey_cms",
+    "parts_skyline",
 ]
 
 

@@ -1818,6 +1818,75 @@ def graph_matching_q(spark, sf_dir):
 _REG["graph_maximal_matching"] = (graph_matching_q, _matching_oracle())
 
 
+def _mis_oracle(topn: int = 60, rounds: int = 6) -> str:
+    """Unrolls Luby's rounds on the same co-supply graph: per round,
+    actives with md5(node) strictly below every active neighbor's
+    md5 (or with no active neighbor) join; selected + neighbors
+    deactivate."""
+    stages = []
+    prev_n, prev_e = "n0", "ep"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""nm{i} AS (
+      SELECT node, MIN(npri) AS mn FROM (
+        SELECT a AS node, md5(b) AS npri FROM {prev_e}
+        UNION ALL SELECT b, md5(a) FROM {prev_e}) GROUP BY 1
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT n.node FROM {prev_n} n LEFT JOIN nm{i} m USING (node)
+      WHERE m.mn IS NULL OR md5(n.node) < m.mn
+    ),
+    dead{i} AS (
+      SELECT node FROM s{i}
+      UNION SELECT e.b FROM {prev_e} e JOIN s{i} s ON s.node = e.a
+      UNION SELECT e.a FROM {prev_e} e JOIN s{i} s ON s.node = e.b
+    ),
+    n{i} AS MATERIALIZED (
+      SELECT node FROM {prev_n}
+      WHERE node NOT IN (SELECT node FROM dead{i})
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT * FROM {prev_e}
+      WHERE a IN (SELECT node FROM n{i}) AND b IN (SELECT node FROM n{i})
+    )"""
+        )
+        prev_n, prev_e = f"n{i}", f"e{i}"
+    stage_sql = ",\n    ".join(stages)
+    union_sql = "\n    UNION ALL ".join(
+        f"SELECT node FROM s{i}" for i in range(1, rounds + 1)
+    )
+    return f"""WITH {CTES},
+    raw AS (SELECT src_layer || ':' || src_id AS u,
+                   dst_layer || ':' || dst_id AS v
+            FROM edges_g
+            WHERE src_layer IN ('supplier', 'customer')
+              AND dst_layer = 'nation'),
+    ep AS (SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM raw),
+    n0 AS (SELECT DISTINCT node FROM (
+      SELECT a AS node FROM ep UNION ALL SELECT b FROM ep)),
+    {stage_sql}
+    {union_sql}"""
+
+
+def graph_mis_q(spark, sf_dir):
+    """Luby's maximal independent set over the nation-star graph
+    (suppliers and customers joined to their nation) — paired with
+    graph_maximal_matching to cover both classic symmetry-breaking
+    primitives. The star topology makes the MIS substantial (most
+    leaves) while still forcing multi-round deactivation cascades."""
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["nation", "supplier", "customer"]
+    )
+    e = g.edge_endpoints().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("a"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("b"),
+    )
+    return analytics.maximal_independent_set(e, rounds=6, guard=True)
+
+
+_REG["graph_mis"] = (graph_mis_q, _mis_oracle())
+
+
 @register(
     "graph_assortativity",
     f"""WITH {CTES},

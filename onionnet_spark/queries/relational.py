@@ -1531,6 +1531,71 @@ def orders_custkey_skew_q(spark, sf_dir):
     )
 
 
+@register(
+    "orders_custkey_cms",
+    # FULLY-ORACLED sketch: the Count-Min hashes are deterministic
+    # (md5 digit-fold, the translate trick — no hex cast in DuckDB),
+    # so the oracle rebuilds the identical depth x width sketch and
+    # the exact estimates, not just bounds. est >= exact is a CMS
+    # invariant the pytest gate asserts on every key.
+    """WITH rws AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+    ib AS (SELECT k, i.i AS i,
+             CAST(translate(substr(md5(CAST(i.i AS VARCHAR) || '|' || k),
+                                   1, 6), 'abcdef', '012345') AS INT)
+               % 64 AS b
+           FROM rws JOIN range(0, 4) i(i) ON true),
+    sketch AS MATERIALIZED (
+      SELECT i, b, COUNT(*) AS c FROM ib GROUP BY i, b),
+    keys_ AS (SELECT k, COUNT(*) AS exact FROM rws GROUP BY k),
+    kb AS (SELECT kk.k, kk.exact, i.i AS i,
+             CAST(translate(substr(md5(CAST(i.i AS VARCHAR) || '|' || kk.k),
+                                   1, 6), 'abcdef', '012345') AS INT)
+               % 64 AS b
+           FROM keys_ kk JOIN range(0, 4) i(i) ON true)
+    SELECT k AS key, CAST(MIN(c) AS BIGINT) AS est,
+           CAST(MIN(exact) AS BIGINT) AS exact
+    FROM kb JOIN sketch s USING (i, b)
+    GROUP BY k ORDER BY est DESC, k LIMIT 20""",
+)
+def orders_custkey_cms_q(spark, sf_dir):
+    """Count-Min heavy hitters over the orders->customer join key:
+    the bounded-memory scoreboard that replaces an exact groupBy
+    when the key universe doesn't fit (top-20 by estimate, exact
+    count alongside for the error audit)."""
+    from onionnet_spark.functions.corpus import count_min_topk
+
+    return count_min_topk(
+        load_tables(spark, sf_dir)["orders"], "o_custkey",
+        depth=4, width=64, k=20,
+    )
+
+
+@register(
+    "parts_skyline",
+    # The oracle is the DEFINITION (quadratic one-strict dominance);
+    # the Spark side is the scale-shaped reduction (per-x min +
+    # strictly-decreasing prefix of the bounded series + broadcast
+    # frontier join) — the hash match proves the reduction correct.
+    """SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))""",
+)
+def parts_skyline_q(spark, sf_dir):
+    """Pareto frontier of parts minimizing (size, retail price) —
+    the multi-criteria shortlist query."""
+    from onionnet_spark.functions.corpus import skyline_2d
+
+    return skyline_2d(
+        load_tables(spark, sf_dir)["part"],
+        "p_size",
+        "p_retailprice",
+        ["p_partkey", "p_size", "p_retailprice"],
+    )
+
+
 def _zorder_oracle(bits: int = 8) -> str:
     n = 1 << bits
     terms = []

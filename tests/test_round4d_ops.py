@@ -157,3 +157,68 @@ def test_bpe_encode_empty_and_oov_docs(spark):
     ids = list(enc[2]["ids"])
     assert len(ids) % 2 == 0
     assert ids[: len(ids) // 2] == ids[len(ids) // 2 :]
+
+
+def test_mis_is_independent_and_maximal(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = list({
+        tuple(sorted(rnd.sample(range(40), 2))) for _ in range(120)
+    })
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], ["a", "b"]
+    )
+    from onionnet_spark.operators.analytics import maximal_independent_set
+
+    mis = {r["node"] for r in maximal_independent_set(df, rounds=8).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(f"n{a}", set()).add(f"n{b}")
+        adj.setdefault(f"n{b}", set()).add(f"n{a}")
+    # independent: no two MIS members adjacent
+    for n in mis:
+        assert not (adj.get(n, set()) & mis), n
+    # maximal: every non-member has a member neighbor
+    for n in adj:
+        if n not in mis:
+            assert adj[n] & mis, n
+
+
+def test_count_min_never_underestimates(spark):
+    from onionnet_spark.functions.corpus import count_min_topk
+
+    rows = [(f"k{i % 7}",) for i in range(300)] + [
+        (f"rare{i}",) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["key"])
+    out = count_min_topk(df, "key", depth=4, width=16, k=10).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["est"] >= r["exact"]  # the CMS invariant
+    # with 57 keys in 16 buckets the hot keys still rank on top
+    top = {r["key"] for r in out[:7]}
+    assert {f"k{i}" for i in range(7)} <= {r["key"] for r in out}
+
+
+def test_skyline_matches_bruteforce(spark):
+    import random
+
+    rnd = random.Random(3)
+    pts = [(i, rnd.randint(0, 30), rnd.randint(0, 30)) for i in range(200)]
+    df = spark.createDataFrame(pts, ["pid", "x", "y"])
+    from onionnet_spark.functions.corpus import skyline_2d
+
+    got = {
+        (r["pid"], r["x"], r["y"])
+        for r in skyline_2d(df, "x", "y", ["pid", "x", "y"]).collect()
+    }
+    want = {
+        (i, x, y)
+        for (i, x, y) in pts
+        if not any(
+            qx <= x and qy <= y and (qx < x or qy < y)
+            for (_, qx, qy) in pts
+        )
+    }
+    assert got == want and want  # non-empty frontier
