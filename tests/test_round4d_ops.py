@@ -222,3 +222,36 @@ def test_skyline_matches_bruteforce(spark):
         )
     }
     assert got == want and want  # non-empty frontier
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_skyline_plan_broadcasts_frontier_no_cartesian(spark):
+    from onionnet_spark.functions.corpus import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, i % 9, (i * 7) % 11) for i in range(100)], ["pid", "x", "y"]
+    )
+    plan = _plan(skyline_2d(df, "x", "y", ["pid", "x", "y"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only sort feeds the bounded per-x window, not the data
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_count_min_plan_broadcasts_sketch(spark):
+    from onionnet_spark.functions.corpus import count_min_topk
+
+    df = spark.createDataFrame([(f"k{i % 5}",) for i in range(50)], ["key"])
+    plan = _plan(count_min_topk(df, "key", depth=2, width=8, k=3))
+    assert "BroadcastHashJoin" in plan  # the depth*width sketch side
+    assert "CartesianProduct" not in plan
+
+
+def test_condensation_plan_broadcasts_sizes(scc_toy):
+    plan = _plan(condensation_graph(scc_toy))
+    # the two size joins onto the condensed edges are broadcasts
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

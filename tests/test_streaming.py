@@ -694,3 +694,27 @@ def test_streaming_image_dedup_matches_batch_for_ordered_split(spark):
     # (>= because tiny synth patterns can also collide perceptually
     # WITHIN the base batch — observed: 2 of the 10 share a dHash)
     assert sum(1 for t in got if t[2]) >= 20
+
+
+def test_streaming_count_min_matches_batch(spark, events_df, tmp_path):
+    # the CMS is a counter-wise monoid: a multi-batch replay's merged
+    # sketch must reproduce batch count_min_topk EXACTLY (same
+    # deterministic hashes, same estimates — not just same ranking)
+    from onionnet_spark.functions.corpus import count_min_topk
+    from onionnet_spark.streaming.cms_stream import StreamingCountMin
+
+    m = StreamingCountMin(spark, key_col="event_type", depth=3, width=8)
+    stream = ev.stream_from_batch(spark, events_df, partitions=4)
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert m.n_batches >= 2  # genuinely incremental
+    got = [tuple(r) for r in m.topk(10).collect()]
+    want = [
+        tuple(r)
+        for r in count_min_topk(
+            events_df, "event_type", depth=3, width=8, k=10
+        ).collect()
+    ]
+    assert got == want
+    for _key, est, exact in got:
+        assert est >= exact
