@@ -11,8 +11,8 @@ and multi-frame animations (one image descriptor per frame).
 
 GIF is lossless for paletted content, so decode(encode(x)) == x for
 any frame set with <= 256 distinct colors — the closed form the
-oracle query uses. Interlaced images (the 4-pass row shuffle) raise
-— the documented gap, rare in the wild and trivial to add.
+oracle query uses; interlaced images (the 4-pass row shuffle) are
+supported in both directions.
 
 Reference parity: no media surface in the reference; this extends
 SURVEY §2's multimodal rows alongside PNG/JPEG/AVI.
@@ -186,12 +186,27 @@ def _sub_blocks(body: bytes) -> bytes:
     return bytes(out)
 
 
+def _interlace_order(h: int) -> np.ndarray:
+    """GIF's 4-pass interlace row order (spec appendix E): rows
+    0,8,16.. then 4,12.. then 2,6,10.. then 1,3,5.."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
 def encode_gif(
-    frames: list[np.ndarray], delay_cs: int = 10
+    frames: list[np.ndarray], delay_cs: int = 10, interlace: bool = False
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB frames as an animated GIF89a with
     one global color table (union of frame colors, <= 256) and a
-    graphic control extension (delay in centiseconds) per frame."""
+    graphic control extension (delay in centiseconds) per frame.
+    With interlace=True rows are stored in the spec's 4-pass order
+    (and the image descriptor flag set accordingly)."""
     if not frames:
         raise ValueError("no frames")
     h, w = frames[0].shape[:2]
@@ -222,8 +237,10 @@ def encode_gif(
     out += pal.tobytes()
     for idx in index_frames:
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
         out.append(mcs)
+        if interlace:
+            idx = idx.reshape(h, w)[_interlace_order(h)].reshape(-1)
         out += _sub_blocks(_lzw_encode(idx, mcs))
     out += b"\x3b"
     return bytes(out)
@@ -233,7 +250,7 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], int]:
     """Decode GIF bytes to ([frames as (h, w, 3) uint8 RGB],
     delay_cs). Supports global and local color tables, GCE frame
     delays, comment/application extension skipping, and multi-frame
-    animations; interlaced images raise (documented gap)."""
+    animations, and the 4-pass interlace row order."""
     data = bytes(data)
     if not is_gif(data):
         raise ValueError("not a GIF: bad signature")
@@ -267,8 +284,6 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], int]:
         elif b == 0x2C:  # image descriptor
             left, top, fw, fh, ip = struct.unpack("<HHHHB", data[pos : pos + 9])
             pos += 9
-            if ip & 0x40:
-                raise ValueError("interlaced GIF not supported")
             pal = gct
             if ip & 0x80:
                 n = 2 << (ip & 0x07)
@@ -289,6 +304,11 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], int]:
             idx = _lzw_decode(bytes(lzw), mcs, fw * fh)
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("pixel index outside color table")
+            if ip & 0x40:  # undo the 4-pass interlace row order
+                rows = idx.reshape(fh, fw)
+                deinter = np.empty_like(rows)
+                deinter[_interlace_order(fh)] = rows
+                idx = deinter.reshape(-1)
             frame = pal[idx].reshape(fh, fw, 3)
             if (left, top, fw, fh) != (0, 0, w, h):
                 full = np.zeros((h, w, 3), dtype=np.uint8)

@@ -781,9 +781,21 @@ def test_gif_guards():
         gif.encode_gif([img.astype(np.uint8)])  # ~400 distinct colors
     with pytest.raises(ValueError, match="signature"):
         gif.decode_gif(b"PNG whatever")
-    # interlace flag raises (documented gap)
-    enc = bytearray(gif.encode_gif([np.zeros((4, 4, 3), np.uint8)]))
-    desc = enc.find(b"\x2c")
-    enc[desc + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        gif.decode_gif(bytes(enc))
+
+
+def test_gif_interlace_roundtrip_and_row_order():
+    gif = _gif()
+    # row-identifiable frame: pixel value encodes its row
+    h, w = 11, 5
+    pal = np.array([[r * 16, r * 8, r] for r in range(h)], np.uint8)
+    img = pal[np.repeat(np.arange(h), w).reshape(h, w)]
+    enc = gif.encode_gif([img], interlace=True)
+    dec, _ = gif.decode_gif(enc)
+    assert np.array_equal(dec[0], img)
+    # the stored row order really is the spec's 4-pass sequence
+    order = list(gif._interlace_order(h))
+    assert order == [0, 8, 4, 2, 6, 10, 1, 3, 5, 7, 9]
+    # the flag genuinely changes the stored pixel stream (rows are
+    # physically permuted, not just flagged)
+    plain = gif.encode_gif([img], interlace=False)
+    assert plain != enc
