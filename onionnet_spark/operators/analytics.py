@@ -1301,6 +1301,92 @@ def maximal_independent_set(
     return mis.select("node")
 
 
+def greedy_coloring(
+    edges: DataFrame,
+    rounds: int = 10,
+    a_col: str = "a",
+    b_col: str = "b",
+    guard: bool = True,
+) -> DataFrame:
+    """Jones-Plassmann distributed greedy graph coloring: each round,
+    every uncolored node whose deterministic md5 priority is STRICTLY
+    greater than all of its uncolored neighbors' takes the smallest
+    color unused by its already-colored neighbors (the mex). Two
+    adjacent nodes can never win the same round, so the coloring is
+    proper by construction; colors are bounded by max degree + 1
+    (greedy bound).
+
+    Per round: one neighbor-max aggregation over the uncolored
+    frontier, one mex aggregation over colored neighbors (the mex
+    folds a sorted distinct color array — per-node work bounded by
+    degree), anti-join updates. No global ordering anywhere. Returns
+    (node, color).
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    uncolored = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    colored = None
+    for _ in range(rounds):
+        unbrmax = (
+            sym.join(
+                uncolored.select(F.col("node").alias("v")), on="v", how="left_semi"
+            )
+            .select(F.col("u").alias("node"), F.md5("v").alias("npri"))
+            .groupBy("node")
+            .agg(F.max("npri").alias("mx"))
+        )
+        sel = (
+            uncolored.join(unbrmax, on="node", how="left")
+            .filter(F.col("mx").isNull() | (F.md5("node") > F.col("mx")))
+            .select("node")
+            .localCheckpoint()
+        )
+        nbr_colors = (
+            sym.join(sel.select(F.col("node").alias("u")), on="u", how="left_semi")
+            .join(
+                (colored if colored is not None else sel.limit(0).select(
+                    F.col("node"), F.lit(0).alias("color")
+                )).select(F.col("node").alias("v"), "color"),
+                on="v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.array_sort(F.collect_set("color")).alias("cs"))
+        )
+        assigned = (
+            sel.join(nbr_colors, on="node", how="left")
+            .select(
+                "node",
+                F.aggregate(
+                    F.coalesce("cs", F.array().cast("array<int>")),
+                    F.lit(0),
+                    lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
+                ).alias("color"),
+            )
+            .localCheckpoint()
+        )
+        colored = (
+            assigned
+            if colored is None
+            else colored.unionByName(assigned).localCheckpoint()
+        )
+        uncolored = uncolored.join(sel, on="node", how="left_anti").localCheckpoint()
+    if guard and uncolored.count():
+        raise RuntimeError(
+            f"greedy_coloring: {uncolored.count()} nodes uncolored after "
+            f"{rounds} rounds; raise `rounds`"
+        )
+    return colored.select("node", F.col("color").cast("int").alias("color"))
+
+
 def degree_assortativity(graph: OnionGraph) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
     correlation between source-node and destination-node total

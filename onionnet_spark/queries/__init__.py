@@ -224,6 +224,7 @@ _R5_BACKLOG: list[str] = [
     "graph_mis",
     "orders_custkey_cms",
     "parts_skyline",
+    "graph_coloring",
 ]
 
 

@@ -1887,6 +1887,85 @@ def graph_mis_q(spark, sf_dir):
 _REG["graph_mis"] = (graph_mis_q, _mis_oracle())
 
 
+def _coloring_oracle(rounds: int = 4) -> str:
+    """Unrolls Jones-Plassmann on the nation-star graph: per round,
+    uncolored local md5-maxima take the mex of their colored
+    neighbors' colors (mex computed positionally over the sorted
+    distinct color list — no capped ranges)."""
+    stages = []
+    prev_u, prev_c = "u0", "c0"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""unm{i} AS (
+      SELECT e.u AS node, MAX(md5(e.v)) AS mx
+      FROM sym e JOIN {prev_u} x ON x.node = e.v GROUP BY e.u
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT n.node FROM {prev_u} n LEFT JOIN unm{i} m USING (node)
+      WHERE m.mx IS NULL OR md5(n.node) > m.mx
+    ),
+    ndc{i} AS (
+      SELECT DISTINCT e.u AS node, c.color
+      FROM sym e
+      JOIN s{i} s ON s.node = e.u
+      JOIN {prev_c} c ON c.node = e.v
+    ),
+    ncl{i} AS (
+      SELECT node, list(color ORDER BY color) AS cs
+      FROM ndc{i} GROUP BY node
+    ),
+    mex{i} AS (
+      SELECT node, COALESCE(MIN(CASE WHEN x != g - 1 THEN g - 1 END),
+                            MAX(g)) AS color
+      FROM (SELECT node, generate_subscripts(cs, 1) AS g, unnest(cs) AS x
+            FROM ncl{i})
+      GROUP BY node
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT s.node, CAST(COALESCE(m.color, 0) AS INT) AS color
+      FROM s{i} s LEFT JOIN mex{i} m USING (node)
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT * FROM {prev_c} UNION ALL SELECT * FROM a{i}
+    ),
+    u{i} AS MATERIALIZED (
+      SELECT node FROM {prev_u}
+      WHERE node NOT IN (SELECT node FROM s{i})
+    )"""
+        )
+        prev_u, prev_c = f"u{i}", f"c{i}"
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {CTES},
+    raw AS (SELECT src_layer || ':' || src_id AS a,
+                   dst_layer || ':' || dst_id AS b
+            FROM edges_g
+            WHERE src_layer IN ('supplier', 'customer')
+              AND dst_layer = 'nation'),
+    sym AS MATERIALIZED (SELECT a AS u, b AS v FROM raw
+                         UNION ALL SELECT b, a FROM raw),
+    u0 AS (SELECT DISTINCT u AS node FROM sym),
+    c0 AS (SELECT node, color FROM (SELECT '' AS node, 0 AS color) WHERE false),
+    {stage_sql}
+    SELECT node, color FROM c{rounds}"""
+
+
+def graph_coloring_q(spark, sf_dir):
+    """Jones-Plassmann greedy coloring over the nation-star graph:
+    proper by construction (same-round winners are never adjacent),
+    colors bounded by max degree + 1."""
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["nation", "supplier", "customer"]
+    )
+    e = g.edge_endpoints().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("a"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("b"),
+    )
+    return analytics.greedy_coloring(e, rounds=4, guard=True)
+
+
+_REG["graph_coloring"] = (graph_coloring_q, _coloring_oracle())
+
+
 @register(
     "graph_assortativity",
     f"""WITH {CTES},

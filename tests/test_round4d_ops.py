@@ -255,3 +255,29 @@ def test_condensation_plan_broadcasts_sizes(scc_toy):
     # the two size joins onto the condensed edges are broadcasts
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_coloring_is_proper_and_bounded(spark):
+    import random
+
+    rnd = random.Random(11)
+    edges = list({
+        tuple(sorted(rnd.sample(range(30), 2))) for _ in range(90)
+    })
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], ["a", "b"]
+    )
+    from onionnet_spark.operators.analytics import greedy_coloring
+
+    colors = {
+        r["node"]: r["color"]
+        for r in greedy_coloring(df, rounds=12).collect()
+    }
+    deg = {}
+    for a, b in edges:
+        na, nb = f"n{a}", f"n{b}"
+        deg[na] = deg.get(na, 0) + 1
+        deg[nb] = deg.get(nb, 0) + 1
+        assert colors[na] != colors[nb]  # proper
+    for n, c in colors.items():
+        assert 0 <= c <= deg[n]  # greedy bound: mex <= degree
