@@ -1127,3 +1127,91 @@ def minhash_estimate_accuracy(
             F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
         )
     )
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (PPJoin family,
+    Xiao et al. 2008): a GUARANTEED-full-recall alternative to
+    MinHash banding (which is probabilistic and misses pairs by
+    band-lottery). Order each doc's shingles by ascending global
+    document frequency (rarest first); any pair with Jaccard >= t
+    MUST share a shingle within both docs' prefixes of length
+    |S| - ceil(t*|S|) + 1, so the inverted index only holds
+    prefixes. Hot shingles rank LAST in the frequency order and
+    almost never enter a prefix — prefix filtering is itself the
+    skew control that ngram_jaccard_pairs needs a df-cap for, with
+    no recall sacrifice.
+
+    Verification is candidate-local: each candidate pair joins the
+    two docs' shingle-set arrays and intersects them JVM-side
+    (array_intersect); the Jaccard test runs as the exact integer
+    cross-multiplication den*i >= num*(|A|+|B|-i). The per-doc rank
+    window is partitioned by doc (bounded by doc length). The DuckDB
+    oracle is the direct all-pairs Jaccard join — the hash match
+    proves the prefix filter lossless, not just plausible. Returns
+    (id_a, id_b, jaccard 6dp), id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    sh = (
+        word_shingles(df, text_col, id_col, n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+    )
+    dfq = sh.groupBy("shingle").agg(F.count("*").alias("dfq"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    ceil_t = F.floor(
+        (F.lit(threshold_num) * F.col("n_sh") + F.lit(threshold_den - 1))
+        / F.lit(threshold_den)
+    )
+    pref = (
+        sh.join(dfq, on="shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("dfq", "shingle")
+            ),
+        )
+        .join(sizes, on="id")
+        .filter(F.col("rk") <= F.col("n_sh") - ceil_t + 1)
+        .select("id", "shingle")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    arrs = sh.groupBy("id").agg(F.collect_set("shingle").alias("ss"))
+    verified = (
+        cand.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("ss").alias("sa")),
+            on="id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("ss").alias("sb")),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            (F.size("sa") + F.size("sb")).alias("tot"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("i")
+            >= F.lit(threshold_num) * (F.col("tot") - F.col("i"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("i") / (F.col("tot") - F.col("i")), 6).alias("jaccard"),
+    )

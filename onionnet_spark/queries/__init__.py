@@ -225,6 +225,7 @@ _R5_BACKLOG: list[str] = [
     "orders_custkey_cms",
     "parts_skyline",
     "graph_coloring",
+    "dedup_ppjoin",
 ]
 
 

@@ -78,6 +78,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_ppjoin",
+    # The oracle is the UNCAPPED direct all-pairs Jaccard join — the
+    # exact answer set. The Spark side only indexes frequency-ordered
+    # prefixes, so the hash match PROVES the prefix filter's
+    # full-recall theorem held on this corpus (a MinHash run at the
+    # same threshold is allowed to miss pairs; this op is not).
+    f"""WITH {_SHINGLES_SQL},
+    szs AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+    FROM inter JOIN szs sa ON sa.id = id_a JOIN szs sb ON sb.id = id_b
+    WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5""",
+)
+def dedup_ppjoin_q(spark, sf_dir):
+    """Prefix-filtered set-similarity join (PPJoin family): exact
+    Jaccard >= 0.5 pairs with full recall guaranteed by the prefix
+    theorem — the deterministic cousin of dedup_minhash_lsh."""
+    return dedup.ppjoin_pairs(
+        _docs(spark, sf_dir), threshold_num=1, threshold_den=2
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     f"""WITH {_SHINGLES_SQL},
     perms AS (SELECT UNNEST(range(0, 16)) AS perm),

@@ -281,3 +281,38 @@ def test_coloring_is_proper_and_bounded(spark):
         assert colors[na] != colors[nb]  # proper
     for n, c in colors.items():
         assert 0 <= c <= deg[n]  # greedy bound: mex <= degree
+
+
+def test_ppjoin_full_recall_vs_bruteforce(spark):
+    from onionnet_spark.functions import dedup
+
+    # near-dup families + unrelated docs; the prefix filter must find
+    # EVERY pair with Jaccard >= 1/2 (lossless, unlike MinHash)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base + " extra"),
+        (3, base.replace("gamma", "lambda")),
+        (4, "completely different words about other topics entirely here now"),
+        (5, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ppjoin_pairs(df, threshold_num=1, threshold_den=2).collect()
+    }
+    # brute force over word trigram sets
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i][1]), sh(docs[j][1])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:
+                want[(docs[i][0], docs[j][0])] = round(jac, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
