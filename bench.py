@@ -93,6 +93,11 @@ HEADLINE = [
     "bpe_train_merges",
     "embedding_kmeans_report",
     "graph_scc_condensation",
+    "dedup_ppjoin",
+    "graph_coloring",
+    "warc_ingest",
+    "multimodal_gif_frames",
+    "bpe_encode_ids",
 ]
 
 
@@ -147,7 +152,8 @@ def main() -> None:
         "multimodal_ulaw_decode", "semantic_dedup", "gopher_rules",
         "multimodal_flac_decode", "multimodal_msvc_frames",
         "bpe_train_merges", "embedding_kmeans_report",
-        "graph_scc_condensation",
+        "graph_scc_condensation", "dedup_ppjoin", "graph_coloring",
+        "warc_ingest", "multimodal_gif_frames", "bpe_encode_ids",
     }
     r2_subset = sum(v for k, v in timings.items() if k not in r3_added)
     print(
