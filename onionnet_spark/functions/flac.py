@@ -103,6 +103,23 @@ class _BitWriter:
             value -= 32
         self.write(1, value + 1)
 
+    def write_bit_array(self, bits: "np.ndarray") -> None:
+        """Append a uint8 0/1 array via np.packbits (the vectorized
+        fast path for residual/verbatim runs)."""
+        if self._n:
+            pend = np.array(
+                [(self._acc >> (self._n - 1 - i)) & 1 for i in range(self._n)],
+                dtype=np.uint8,
+            )
+            bits = np.concatenate([pend, bits])
+            self._acc = 0
+            self._n = 0
+        n_full = (len(bits) // 8) * 8
+        if n_full:
+            self._buf += np.packbits(bits[:n_full]).tobytes()
+        for b in bits[n_full:]:
+            self.write(int(b), 1)
+
     def align(self) -> None:
         if self._n:
             self.write(0, 8 - self._n)
@@ -110,6 +127,16 @@ class _BitWriter:
     def getvalue(self) -> bytes:
         assert self._n == 0, "unaligned"
         return bytes(self._buf)
+
+
+def _fixed_width_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """MSB-first fixed-width two's-complement bit matrix, flattened."""
+    v = np.asarray(vals, dtype=np.int64) & ((1 << width) - 1)
+    return (
+        ((v[:, None] >> np.arange(width - 1, -1, -1)[None, :]) & 1)
+        .astype(np.uint8)
+        .reshape(-1)
+    )
 
 
 class _BitReader:
@@ -147,6 +174,80 @@ class _BitReader:
         while self.read(1) == 0:
             n += 1
         return n
+
+    def read_rice_block(self, cnt: int, k: int) -> np.ndarray:
+        """Vectorized Rice run: decode `cnt` zigzag residuals with
+        parameter k. Terminator positions are found by walking a
+        flatnonzero(set-bit) index with a monotone pointer (total
+        work O(#set bits), not O(#bits)); quotients and low bits then
+        reconstruct as array arithmetic. ~5x the per-bit loop."""
+        if cnt == 0:
+            return np.empty(0, dtype=np.int64)
+        data = np.frombuffer(self._data, dtype=np.uint8)
+        bitpos = self._byte * 8 + self._bit
+        total_bits = len(self._data) * 8
+        off = bitpos % 8
+        base = bitpos - off  # byte-aligned absolute bit of bits[0]
+
+        def window(end_bit: int) -> tuple[np.ndarray, np.ndarray]:
+            w = np.unpackbits(data[base // 8 : (end_bit + 7) // 8])
+            return w, np.flatnonzero(w[off:]) + off
+
+        bits, ones = window(min(total_bits, bitpos + cnt * (k + 8) + 64))
+        T = np.empty(cnt, dtype=np.int64)
+        j = 0
+        s = off
+        for i in range(cnt):
+            while True:
+                n_ones = len(ones)
+                while j < n_ones and ones[j] < s:
+                    j += 1
+                if j < n_ones:
+                    break
+                covered = base + len(bits)
+                if covered >= total_bits:
+                    raise ValueError("FLAC bitstream truncated")
+                bits, ones = window(
+                    min(total_bits, covered + (cnt - i) * (k + 16) + 64)
+                )
+            T[i] = ones[j]
+            s = int(ones[j]) + 1 + k
+            j += 1
+        # low bits may overrun the unpacked window for the last sample
+        if s > len(bits):
+            bits, ones = window(min(total_bits, base + s + 8))
+        if base + s > total_bits:
+            raise ValueError("FLAC bitstream truncated")
+        starts = np.concatenate(([off], T[:-1] + 1 + k))
+        q = T - starts
+        if k:
+            low = bits[T[:, None] + 1 + np.arange(k)[None, :]]
+            lowv = low.astype(np.int64) @ (1 << np.arange(k - 1, -1, -1))
+        else:
+            lowv = np.zeros(cnt, dtype=np.int64)
+        u = (q << k) | lowv
+        out = np.where(u & 1 == 0, u >> 1, -((u + 1) >> 1))
+        newpos = base + s
+        self._byte, self._bit = newpos >> 3, newpos & 7
+        return out
+
+    def read_fixed_block(self, cnt: int, width: int) -> np.ndarray:
+        """Vectorized fixed-width signed reads (verbatim subframes,
+        escape residuals)."""
+        if cnt == 0 or width == 0:
+            return np.zeros(cnt, dtype=np.int64)
+        data = np.frombuffer(self._data, dtype=np.uint8)
+        bitpos = self._byte * 8 + self._bit
+        end = bitpos + cnt * width
+        if end > len(self._data) * 8:
+            raise ValueError("FLAC bitstream truncated")
+        off = bitpos % 8
+        bits = np.unpackbits(data[bitpos // 8 : (end + 7) // 8])
+        idx = off + np.arange(cnt)[:, None] * width + np.arange(width)[None, :]
+        vals = bits[idx].astype(np.int64) @ (1 << np.arange(width - 1, -1, -1))
+        vals = np.where(vals >= (1 << (width - 1)), vals - (1 << width), vals)
+        self._byte, self._bit = end >> 3, end & 7
+        return vals
 
     def align(self) -> None:
         if self._bit:
@@ -245,15 +346,19 @@ def _write_residual(bw: _BitWriter, res: np.ndarray, order: int) -> None:
         # escape: raw 17-bit residuals (order-2 diff of 16-bit fits)
         bw.write(0xF, 4)
         bw.write(17, 5)
-        for r in res:
-            bw.write_signed(int(r), 17)
+        bw.write_bit_array(_fixed_width_bits(res, 17))
         return
     bw.write(k, 4)
-    for r in res:
-        r = int(r)
-        u = (r << 1) if r >= 0 else ((-r) << 1) - 1
-        bw.write_unary(u >> k)
-        bw.write(u & ((1 << k) - 1), k)
+    u = np.where(res >= 0, res.astype(np.int64) << 1, ((-res) << 1) - 1)
+    q = u >> k
+    widths = q + 1 + k
+    starts = np.cumsum(widths) - widths
+    bits = np.zeros(int(widths.sum()), dtype=np.uint8)
+    term = starts + q
+    bits[term] = 1  # unary terminators
+    for j in range(k):
+        bits[term + 1 + (k - 1 - j)] = ((u >> j) & 1).astype(np.uint8)
+    bw.write_bit_array(bits)
 
 
 def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
@@ -276,8 +381,7 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
         bw.write(0, 1)
         bw.write(0b000001, 6)   # VERBATIM
         bw.write(0, 1)
-        for v in x64:
-            bw.write_signed(int(v), bps)
+        bw.write_bit_array(_fixed_width_bits(x64, bps))
         return
     bw.write(0, 1)
     bw.write(0b001000 | best_order, 6)  # FIXED, order
@@ -365,13 +469,9 @@ def _read_residual(
         k = br.read(pbits)
         if k == escape:
             raw = br.read(5)
-            for i in range(cnt):
-                out[pos + i] = br.read_signed(raw) if raw else 0
+            out[pos : pos + cnt] = br.read_fixed_block(cnt, raw)
         else:
-            for i in range(cnt):
-                q = br.read_unary()
-                u = (q << k) | br.read(k)
-                out[pos + i] = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+            out[pos : pos + cnt] = br.read_rice_block(cnt, k)
         pos += cnt
     return out
 
@@ -387,17 +487,20 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
     if stype == 0b000000:  # CONSTANT
         x = np.full(bs, br.read_signed(bps), dtype=np.int64)
     elif stype == 0b000001:  # VERBATIM
-        x = np.array([br.read_signed(bps) for _ in range(bs)], dtype=np.int64)
+        x = br.read_fixed_block(bs, bps)
     elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
         order = stype & 0x07
         warm = [br.read_signed(bps) for _ in range(order)]
         res = _read_residual(br, bs, order)
-        x = np.empty(bs, dtype=np.int64)
-        x[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, bs):
-            pred = sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
-            x[i] = res[i - order] + pred
+        # fixed prediction inverts order-o differencing: integrate o
+        # times, each pass seeded with the matching difference of the
+        # warm-up samples (d^j[order-1] = diff^j(warm)[-1])
+        warm_arr = np.asarray(warm, dtype=np.int64)
+        cur = res
+        for j in range(order - 1, -1, -1):
+            seed = np.diff(warm_arr, n=j)[-1] if order else 0
+            cur = seed + np.cumsum(cur)
+        x = np.concatenate([warm_arr, cur])
     elif stype & 0b100000:  # LPC, order 1-32
         order = (stype & 0x1F) + 1
         warm = [br.read_signed(bps) for _ in range(order)]

@@ -819,7 +819,12 @@ def synth_flac_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(_flac.encode_flac(s, 8000 + 1000 * (d % 3)))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+    # the filtered id list lands in 1-2 scan partitions; fan out so
+    # the (CPU-bound) codec work uses every core — at corpus scale
+    # the input is already many partitions and this is a no-op cost
+    return df.select(id_col).repartition(id_col).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
 
 
 def synth_adpcm_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
