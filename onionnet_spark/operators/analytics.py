@@ -1301,6 +1301,168 @@ def maximal_independent_set(
     return mis.select("node")
 
 
+def boruvka_msf(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    weight_col: str = "w",
+    rounds: int = 8,
+    cc_iterations: int = 25,
+    guard: bool = True,
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka's algorithm — THE
+    distributed MST (Kruskal/Prim are inherently sequential): every
+    round, each component selects its minimum outgoing edge under
+    the total order (weight, md5 edge key) — the tie-break makes
+    weights effectively distinct, so the MSF is UNIQUE and any
+    correct algorithm must produce this exact edge set (which is
+    what lets the oracle verify via the Kruskal cut property instead
+    of replaying rounds). Selected edges join the forest; components
+    merge by min-label propagation over the (component, component)
+    contraction graph — a table that at least HALVES every round, so
+    O(log n) rounds total and the propagation loop runs on
+    component-count-sized data, never the edge list.
+
+    Returns the forest edges (a, b, w). With ``guard=True`` a
+    RuntimeError is raised if cross-component edges survive the
+    round budget or a contraction fails to converge.
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    e = (
+        edges.select(
+            F.least(a, b).alias("a"),
+            F.greatest(a, b).alias("b"),
+            F.col(weight_col).alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .withColumn("ekey", F.md5(F.concat_ws("|", "a", "b")))
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    forest = None
+    for _ in range(rounds):
+        el = (
+            e.join(
+                labels.select(F.col("node").alias("a"), F.col("lbl").alias("la")),
+                on="a",
+            )
+            .join(
+                labels.select(F.col("node").alias("b"), F.col("lbl").alias("lb")),
+                on="b",
+            )
+            .filter(F.col("la") != F.col("lb"))
+            .localCheckpoint()
+        )
+        if not el.take(1):
+            break
+        pick = F.min_by(
+            F.struct("a", "b", "w", "ekey", "la", "lb"),
+            F.struct(F.col("w").alias("pw"), F.col("ekey").alias("pk")),
+        ).alias("m")
+        # per-label min edge over BOTH endpoint views
+        cand = el.select(
+            F.col("la").alias("lbl"), "a", "b", "w", "ekey", "la", "lb"
+        ).unionByName(
+            el.select(
+                F.col("lb").alias("lbl"), "a", "b", "w", "ekey", "la", "lb"
+            )
+        )
+        sel = (
+            cand.groupBy("lbl")
+            .agg(pick)
+            .select(
+                F.col("m.a").alias("a"),
+                F.col("m.b").alias("b"),
+                F.col("m.w").alias("w"),
+                F.col("m.ekey").alias("ekey"),
+                F.col("m.la").alias("la"),
+                F.col("m.lb").alias("lb"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        add = sel.select("a", "b", "w")
+        forest = add if forest is None else forest.unionByName(add)
+        forest = forest.distinct().localCheckpoint()
+        # contract: min-label propagation over the component graph
+        comp = sel.select(F.col("la").alias("u"), F.col("lb").alias("v"))
+        sym = comp.unionByName(
+            comp.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint()
+        cur = (
+            sym.select(F.col("u").alias("lbl"))
+            .distinct()
+            .select("lbl", F.col("lbl").alias("m"))
+            .localCheckpoint()
+        )
+        for _i in range(cc_iterations):
+            nbrmin = (
+                sym.join(
+                    cur.select(F.col("lbl").alias("v"), F.col("m").alias("mv")),
+                    on="v",
+                )
+                .groupBy(F.col("u").alias("lbl"))
+                .agg(F.min("mv").alias("mn"))
+            )
+            nxt = (
+                cur.join(nbrmin, on="lbl", how="left")
+                .select("lbl", F.least("m", F.coalesce("mn", "m")).alias("m"))
+                .localCheckpoint()
+            )
+            changed = (
+                nxt.join(cur.select("lbl", F.col("m").alias("m0")), on="lbl")
+                .filter(F.col("m") != F.col("m0"))
+                .count()
+            )
+            cur = nxt
+            if changed == 0:
+                break
+        else:
+            if guard:
+                raise RuntimeError(
+                    "boruvka_msf: component contraction did not converge; "
+                    "raise cc_iterations"
+                )
+        labels = (
+            labels.join(
+                cur.select(F.col("lbl"), F.col("m")), on="lbl", how="left"
+            )
+            .select("node", F.coalesce("m", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    else:
+        if guard:
+            left = (
+                e.join(
+                    labels.select(
+                        F.col("node").alias("a"), F.col("lbl").alias("la")
+                    ),
+                    on="a",
+                )
+                .join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("lbl").alias("lb")
+                    ),
+                    on="b",
+                )
+                .filter(F.col("la") != F.col("lb"))
+            )
+            if left.take(1):
+                raise RuntimeError(
+                    f"boruvka_msf: cross-component edges remain after "
+                    f"{rounds} rounds; raise `rounds`"
+                )
+    return (forest if forest is not None else e.limit(0)).select("a", "b", "w")
+
+
 def greedy_coloring(
     edges: DataFrame,
     rounds: int = 10,

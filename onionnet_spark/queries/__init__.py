@@ -226,6 +226,7 @@ _R5_BACKLOG: list[str] = [
     "parts_skyline",
     "graph_coloring",
     "dedup_ppjoin",
+    "graph_msf",
 ]
 
 

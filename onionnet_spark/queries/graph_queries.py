@@ -1526,9 +1526,10 @@ def graph_ktruss_q(spark, sf_dir):
 _REG["graph_ktruss"] = (graph_ktruss_q, _ktruss_oracle())
 
 
-def _cosupply_top_pairs(spark, sf_dir, topn: int):
+def _cosupply_top_pairs(spark, sf_dir, topn: int, with_weight: bool = False):
     """Canonical (a < b) nation co-supply pairs, top-N by shared
-    part count — shared derivation for k-truss / motif queries."""
+    part count — shared derivation for k-truss / motif / MSF
+    queries (with_weight=True keeps the shared count)."""
     from pyspark.sql import Window
 
     from onionnet_spark.sources.tpch_graph import load_tables
@@ -1556,11 +1557,10 @@ def _cosupply_top_pairs(spark, sf_dir, topn: int):
     # unpartitioned Window is BOUNDED: `pairs` has at most
     # |nations|^2 = 625 rows (nation-level co-supply aggregate)
     w = Window.orderBy(F.col("shared").desc(), "a", "b")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= topn)
-        .select("a", "b")
+    top = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= topn
     )
+    return top.select("a", "b", "shared") if with_weight else top.select("a", "b")
 
 
 _COSUPPLY_SQL = """sp AS (
@@ -1964,6 +1964,55 @@ def graph_coloring_q(spark, sf_dir):
 
 
 _REG["graph_coloring"] = (graph_coloring_q, _coloring_oracle())
+
+
+def _msf_oracle(topn: int = 60) -> str:
+    """Verifies the Borůvka output via the Kruskal CUT PROPERTY
+    instead of replaying rounds: under the total order
+    (shared DESC, ekey ASC) weights are effectively distinct, so the
+    maximum-similarity spanning forest is UNIQUE and an edge belongs
+    to it iff its endpoints are NOT connected by strictly-preferred
+    edges — a per-edge recursive reachability closure."""
+    return f"""WITH RECURSIVE {_COSUPPLY_SQL.format(topn=topn)},
+    cpairs2 AS (
+      SELECT e0.a, e0.b, c.shared FROM e0
+      JOIN cpairs c ON c.a = e0.a AND c.b = e0.b
+    ),
+    ew AS MATERIALIZED (
+      SELECT a, b, shared, md5(a || '|' || b) AS ekey,
+             ROW_NUMBER() OVER (ORDER BY a, b) AS eid
+      FROM cpairs2
+    ),
+    reach(eid, node) AS (
+      SELECT eid, a AS node FROM ew
+      UNION
+      SELECT r.eid, CASE WHEN g.a = r.node THEN g.b ELSE g.a END
+      FROM reach r
+      JOIN ew e ON e.eid = r.eid
+      JOIN ew g ON (g.a = r.node OR g.b = r.node)
+                AND (g.shared > e.shared
+                     OR (g.shared = e.shared AND g.ekey < e.ekey))
+    )
+    SELECT e.a, e.b, CAST(e.shared AS BIGINT) AS shared FROM ew e
+    WHERE NOT EXISTS (SELECT 1 FROM reach r
+                      WHERE r.eid = e.eid AND r.node = e.b)"""
+
+
+def graph_msf_q(spark, sf_dir):
+    """Maximum-similarity spanning backbone of the nation co-supply
+    graph via Borůvka (min spanning forest on negated shared
+    counts) — the graph-sparsification step before visualizing or
+    clustering a dense similarity graph."""
+    pairs = _cosupply_top_pairs(spark, sf_dir, 60, with_weight=True)
+    msf = analytics.boruvka_msf(
+        pairs.select("a", "b", (-F.col("shared")).alias("w")), rounds=8
+    )
+    return msf.select(
+        "a", "b", (-F.col("w")).cast("bigint").alias("shared")
+    )
+
+
+_REG["graph_msf"] = (graph_msf_q, _msf_oracle())
 
 
 @register(
