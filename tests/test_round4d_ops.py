@@ -316,3 +316,44 @@ def test_ppjoin_full_recall_vs_bruteforce(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_boruvka_matches_kruskal_bruteforce(spark):
+    import hashlib
+    import random
+
+    rnd = random.Random(5)
+    edges = {}
+    for _ in range(80):
+        u, v = sorted(rnd.sample(range(25), 2))
+        edges.setdefault((f"n{u:02d}", f"n{v:02d}"), rnd.randint(1, 40))
+    rows = [(a, b, w) for (a, b), w in edges.items()]
+    df = spark.createDataFrame(rows, ["a", "b", "w"])
+    from onionnet_spark.operators.analytics import boruvka_msf
+
+    got = {(r["a"], r["b"], r["w"]) for r in boruvka_msf(df, rounds=8).collect()}
+
+    # reference Kruskal under the SAME total order (w, md5 edge key)
+    def ekey(a, b):
+        return hashlib.md5(f"{a}|{b}".encode()).hexdigest()
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for (a, b), w in sorted(edges.items(), key=lambda kv: (kv[1], ekey(*kv[0]))):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.add((a, b, w))
+    assert got == want
+    # forest invariant: |edges| = |nodes| - |components|
+    nodes = {x for e in edges for x in e}
+    n_comp = len({find(x) for x in nodes})
+    assert len(got) == len(nodes) - n_comp
