@@ -98,6 +98,7 @@ HEADLINE = [
     "warc_ingest",
     "multimodal_gif_frames",
     "bpe_encode_ids",
+    "graph_msf",
 ]
 
 
@@ -154,6 +155,7 @@ def main() -> None:
         "bpe_train_merges", "embedding_kmeans_report",
         "graph_scc_condensation", "dedup_ppjoin", "graph_coloring",
         "warc_ingest", "multimodal_gif_frames", "bpe_encode_ids",
+        "graph_msf",
     }
     r2_subset = sum(v for k, v in timings.items() if k not in r3_added)
     print(
