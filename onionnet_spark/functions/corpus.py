@@ -696,3 +696,77 @@ def skyline_2d(
         )
         .select(*keep_cols)
     )
+
+def fd_profile(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs
+    (the Metanome/data-profiling primitive behind schema inference):
+    A -> B holds iff every A value maps to exactly one B value, i.e.
+    COUNT(DISTINCT A) == COUNT(DISTINCT (A, B)). Reports, per pair,
+    the two distinct counts, whether the FD holds, and the number of
+    VIOLATING determinant values (A values with >1 distinct B).
+
+    One aggregation pass per candidate pair over (A, B) — shuffles
+    key on the determinant, the candidate list is schema-sized. At
+    100 TB swap exact distincts for HLL per the approx twins'
+    pattern; the exact version IS the oracle surface.
+    """
+    outs = []
+    for a, b in pairs:
+        per_det = (
+            df.select(F.col(a).alias("det"), F.col(b).alias("dep"))
+            .groupBy("det")
+            .agg(F.countDistinct("dep").alias("n_dep"))
+        )
+        outs.append(
+            per_det.agg(
+                F.lit(a).alias("determinant"),
+                F.lit(b).alias("dependent"),
+                F.count("*").cast("bigint").alias("n_det_values"),
+                F.sum("n_dep").cast("bigint").alias("n_det_dep_pairs"),
+                (F.max("n_dep") <= 1).alias("fd_holds"),
+                F.sum((F.col("n_dep") > 1).cast("int"))
+                .cast("bigint")
+                .alias("n_violating_values"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def inclusion_profile(
+    dfs: dict[str, DataFrame], candidates: list[tuple[str, str, str, str]]
+) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery across tables:
+    for each candidate (child_table, child_col, parent_table,
+    parent_col), counts the child's distinct values missing from the
+    parent — 0 missing = the inclusion holds (an FK candidate).
+
+    Each candidate is one distinct-project per side plus a LEFT ANTI
+    join on the value — the classic scalable IND check (never a
+    row-level join). The candidate list is schema-sized.
+    """
+    outs = []
+    for ct, cc, pt, pc in candidates:
+        child = dfs[ct].select(F.col(cc).cast("string").alias("v")).distinct()
+        parent = dfs[pt].select(F.col(pc).cast("string").alias("v")).distinct()
+        missing = child.join(parent, on="v", how="left_anti")
+        outs.append(
+            child.agg(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                F.count("*").cast("bigint").alias("n_child_values"),
+            ).crossJoin(
+                missing.agg(
+                    F.count("*").cast("bigint").alias("n_missing"),
+                    (F.count("*") == 0).alias("inclusion_holds"),
+                )
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

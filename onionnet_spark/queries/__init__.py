@@ -227,6 +227,8 @@ _R5_BACKLOG: list[str] = [
     "graph_coloring",
     "dedup_ppjoin",
     "graph_msf",
+    "orders_fd_profile",
+    "fk_inclusion_profile",
 ]
 
 

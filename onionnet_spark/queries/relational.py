@@ -1596,6 +1596,98 @@ def parts_skyline_q(spark, sf_dir):
     )
 
 
+@register(
+    "orders_fd_profile",
+    # candidate classes: key-determined (o_orderkey -> o_custkey,
+    # holds), a genuinely violated wide candidate (o_custkey ->
+    # o_orderpriority), and a tiny-determinant violated candidate
+    # (o_orderstatus -> o_orderpriority)
+    """WITH a1 AS (SELECT o_orderkey AS det, COUNT(DISTINCT o_custkey) AS nd
+                  FROM orders GROUP BY 1),
+    a2 AS (SELECT o_custkey AS det, COUNT(DISTINCT o_orderpriority) AS nd
+           FROM orders GROUP BY 1),
+    a3 AS (SELECT o_orderstatus AS det, COUNT(DISTINCT o_orderpriority) AS nd
+           FROM orders GROUP BY 1)
+    SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+           CAST(COUNT(*) AS BIGINT) AS n_det_values,
+           CAST(SUM(nd) AS BIGINT) AS n_det_dep_pairs,
+           CAST(MAX(nd) <= 1 AS BOOLEAN) AS fd_holds,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_values
+    FROM a1
+    UNION ALL
+    SELECT 'o_custkey', 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(nd) AS BIGINT), CAST(MAX(nd) <= 1 AS BOOLEAN),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM a2
+    UNION ALL
+    SELECT 'o_orderstatus', 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(nd) AS BIGINT), CAST(MAX(nd) <= 1 AS BOOLEAN),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM a3""",
+)
+def orders_fd_profile_q(spark, sf_dir):
+    """Functional-dependency discovery over orders column pairs —
+    the schema-inference profiling primitive (holds / non-key holds /
+    violated candidates all exercised)."""
+    from onionnet_spark.functions.corpus import fd_profile
+
+    return fd_profile(
+        load_tables(spark, sf_dir)["orders"],
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    )
+
+
+@register(
+    "fk_inclusion_profile",
+    # two genuine FKs plus a candidate that genuinely FAILS (TPC-H
+    # customers without orders), so both branches of inclusion_holds
+    # are exercised
+    """SELECT 'lineitem.l_orderkey' AS child, 'orders.o_orderkey' AS parent,
+      CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+        AS n_child_values,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem)
+            WHERE v NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+        AS n_missing,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem)
+            WHERE v NOT IN (SELECT o_orderkey FROM orders)) = 0 AS BOOLEAN)
+        AS inclusion_holds
+    UNION ALL
+    SELECT 'orders.o_custkey', 'customer.c_custkey',
+      CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders)
+            WHERE v NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders)
+            WHERE v NOT IN (SELECT c_custkey FROM customer)) = 0 AS BOOLEAN)
+    UNION ALL
+    SELECT 'customer.c_custkey', 'orders.o_custkey',
+      CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey AS v FROM customer)
+            WHERE v NOT IN (SELECT o_custkey FROM orders)) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey AS v FROM customer)
+            WHERE v NOT IN (SELECT o_custkey FROM orders)) = 0 AS BOOLEAN)""",
+)
+def fk_inclusion_profile_q(spark, sf_dir):
+    """Inclusion-dependency (foreign-key) discovery across tables:
+    distinct-project + anti-join per candidate — two real FKs and
+    one violated direction (customers without orders)."""
+    from onionnet_spark.functions.corpus import inclusion_profile
+
+    t = load_tables(spark, sf_dir)
+    return inclusion_profile(
+        t,
+        [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_custkey", "orders", "o_custkey"),
+        ],
+    )
+
+
 def _zorder_oracle(bits: int = 8) -> str:
     n = 1 << bits
     terms = []

@@ -357,3 +357,40 @@ def test_boruvka_matches_kruskal_bruteforce(spark):
     nodes = {x for e in edges for x in e}
     n_comp = len({find(x) for x in nodes})
     assert len(got) == len(nodes) - n_comp
+
+
+def test_fd_profile_detects_held_and_violated(spark):
+    from onionnet_spark.functions.corpus import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "z")],
+        ["k", "det", "dep"],
+    )
+    out = {
+        (r["determinant"], r["dependent"]): r
+        for r in fd_profile(df, [("k", "det"), ("det", "dep")]).collect()
+    }
+    assert out[("k", "det")]["fd_holds"] is True
+    assert out[("k", "det")]["n_violating_values"] == 0
+    v = out[("det", "dep")]
+    assert v["fd_holds"] is False
+    assert v["n_violating_values"] == 1  # 'b' -> {y, z}
+    assert v["n_det_values"] == 2 and v["n_det_dep_pairs"] == 3
+
+
+def test_inclusion_profile_detects_fk_and_violation(spark):
+    from onionnet_spark.functions.corpus import inclusion_profile
+
+    child = spark.createDataFrame([(1,), (2,), (2,)], ["c"])
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["p"])
+    out = {
+        r["child"]: r
+        for r in inclusion_profile(
+            {"t1": child, "t2": parent},
+            [("t1", "c", "t2", "p"), ("t2", "p", "t1", "c")],
+        ).collect()
+    }
+    assert out["t1.c"]["inclusion_holds"] is True
+    assert out["t1.c"]["n_child_values"] == 2
+    assert out["t2.p"]["inclusion_holds"] is False
+    assert out["t2.p"]["n_missing"] == 1  # value 3
