@@ -436,6 +436,67 @@ def view_components(
     )
 
 
+def spread_labels(
+    graph: OnionGraph, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Semi-supervised label spreading from seed nodes (the
+    node-classification primitive: propagate a few known labels over
+    the graph structure): each round, every still-UNLABELED node
+    with at least one labeled undirected neighbor adopts the
+    MAJORITY label among its labeled neighbors (ties broken to the
+    lexicographically smallest label); labeled nodes — seeds
+    included — never change (clamped), so the fixpoint is the
+    seed-rooted BFS layering with per-ring majority votes.
+
+    `seeds`: DataFrame(layer, node_id, label). Per round: one
+    neighbor-label aggregation keyed on the node plus a window
+    argmax bounded by each node's distinct incoming labels. Returns
+    (layer, node_id, label, spread_round) with spread_round = 0 for
+    seeds, else the adoption round.
+    """
+    from pyspark.sql import Window
+
+    sym = graph.cached_symmetrized().select(
+        F.concat_ws(":", "src_layer", "src_id").alias("src"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
+    )
+    labeled = seeds.select(
+        F.concat_ws(":", "layer", "node_id").alias("key"),
+        F.col("label").cast("string").alias("label"),
+        F.lit(0).alias("spread_round"),
+    ).localCheckpoint()
+    w = Window.partitionBy("key").orderBy(F.col("c").desc(), F.col("label").asc())
+    for r in range(1, rounds + 1):
+        votes = (
+            sym.join(
+                labeled.select(F.col("key").alias("src"), "label"), on="src"
+            )
+            .join(
+                labeled.select(F.col("key").alias("dst")),
+                on="dst",
+                how="left_anti",
+            )
+            .groupBy(F.col("dst").alias("key"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        adopted = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("key", "label", F.lit(r).alias("spread_round"))
+        )
+        labeled = labeled.unionByName(adopted).localCheckpoint()
+    return labeled.select(
+        F.split_part(F.col("key"), F.lit(":"), F.lit(1)).alias("layer"),
+        F.substring(
+            F.col("key"),
+            F.length(F.split_part(F.col("key"), F.lit(":"), F.lit(1))) + 2,
+            2_000_000,
+        ).alias("node_id"),
+        "label",
+        "spread_round",
+    )
+
+
 def condensation_graph(
     graph: OnionGraph, connectivity: str = "strong"
 ) -> DataFrame:

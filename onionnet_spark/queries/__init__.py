@@ -229,6 +229,7 @@ _R5_BACKLOG: list[str] = [
     "graph_msf",
     "orders_fd_profile",
     "fk_inclusion_profile",
+    "graph_label_spread",
 ]
 
 

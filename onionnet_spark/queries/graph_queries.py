@@ -1966,6 +1966,44 @@ def graph_coloring_q(spark, sf_dir):
 _REG["graph_coloring"] = (graph_coloring_q, _coloring_oracle())
 
 
+@register(
+    "graph_label_spread",
+    # seed-rooted BFS layering with clamped labels: regions seed
+    # their own label, nations adopt in round 1, suppliers/customers
+    # in round 2 — each ring's majority is closed-form (one labeled
+    # neighbor), so the oracle is pure joins, no unrolling
+    f"""WITH {CTES},
+    rg AS (SELECT node_id FROM nodes_g WHERE layer = 'region'),
+    nat AS (SELECT src_id AS nid, dst_id AS rid FROM edges_g
+            WHERE src_layer = 'nation' AND dst_layer = 'region'),
+    sc AS (SELECT src_layer AS lyr, src_id AS sid, dst_id AS nid
+           FROM edges_g
+           WHERE src_layer IN ('supplier', 'customer')
+             AND dst_layer = 'nation')
+    SELECT 'region' AS layer, node_id, 'R' || node_id AS label,
+           CAST(0 AS INT) AS spread_round
+    FROM rg
+    UNION ALL
+    SELECT 'nation', nid, 'R' || rid, CAST(1 AS INT) FROM nat
+    UNION ALL
+    SELECT lyr, sid, 'R' || n.rid, CAST(2 AS INT)
+    FROM sc JOIN nat n USING (nid)""",
+)
+def graph_label_spread_q(spark, sf_dir):
+    """Semi-supervised label spreading: region seeds propagate down
+    the layer hierarchy (nation round 1, supplier/customer round 2);
+    majority-vote tie-breaking is pytest-gated on conflicting-seed
+    toys."""
+    g = filters.view_layers(
+        get_graph(spark, sf_dir),
+        ["region", "nation", "supplier", "customer"],
+    )
+    seeds = g.nodes.filter(F.col("layer") == "region").select(
+        "layer", "node_id", F.concat(F.lit("R"), "node_id").alias("label")
+    )
+    return components.spread_labels(g, seeds, rounds=2)
+
+
 def _msf_oracle(topn: int = 60) -> str:
     """Verifies the Borůvka output via the Kruskal CUT PROPERTY
     instead of replaying rounds: under the total order

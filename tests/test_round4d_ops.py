@@ -394,3 +394,42 @@ def test_inclusion_profile_detects_fk_and_violation(spark):
     assert out["t1.c"]["n_child_values"] == 2
     assert out["t2.p"]["inclusion_holds"] is False
     assert out["t2.p"]["n_missing"] == 1  # value 3
+
+
+def test_label_spread_majority_and_clamping(spark):
+    from onionnet_spark.operators.components import spread_labels
+
+    # v has three labeled neighbors (2 x A, 1 x B) -> majority A;
+    # w has one A and one B neighbor -> tie -> lexicographic min A;
+    # seed u stays clamped even though its neighbors disagree.
+    nodes = spark.createDataFrame(
+        [("L", x) for x in ["s1", "s2", "s3", "u", "v", "w"]],
+        ["layer", "node_id"],
+    )
+    edges = spark.createDataFrame(
+        [
+            ("L", "s1", "L", "v"),
+            ("L", "s2", "L", "v"),
+            ("L", "s3", "L", "v"),
+            ("L", "s1", "L", "w"),
+            ("L", "s3", "L", "w"),
+            ("L", "s3", "L", "u"),
+        ],
+        ["src_layer", "src_id", "dst_layer", "dst_id"],
+    )
+    from onionnet_spark.core import OnionGraph
+
+    g = OnionGraph(nodes, edges)
+    seeds = spark.createDataFrame(
+        [("L", "s1", "A"), ("L", "s2", "A"), ("L", "s3", "B"),
+         ("L", "u", "Z")],
+        ["layer", "node_id", "label"],
+    )
+    out = {
+        r["node_id"]: (r["label"], r["spread_round"])
+        for r in spread_labels(g, seeds, rounds=2).collect()
+    }
+    assert out["v"] == ("A", 1)   # majority 2A vs 1B
+    assert out["w"] == ("A", 1)   # tie A/B -> lexicographic min
+    assert out["u"] == ("Z", 0)   # clamped seed
+    assert out["s3"] == ("B", 0)
