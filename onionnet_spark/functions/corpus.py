@@ -770,3 +770,71 @@ def inclusion_profile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+# Benford expected first-digit shares log10(1 + 1/d), 6 dp — shared
+# literals on both engine sides so no cross-engine log10 boundary
+# can flake the comparison.
+BENFORD_EXPECTED_6DP = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of a positive
+    numeric column — the classic fraud / synthetic-data smell test.
+    The digit is taken from the decimal STRING form (portable: no
+    float log10 anywhere near a boundary); expected shares are fixed
+    6dp literals. One map-side-partial aggregation to 9 rows.
+    Returns (digit, n, share, expected_share, deviation).
+    """
+    digit = F.substring(F.col(value_col).cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    expected = F.create_map(
+        *[
+            x
+            for d, s in BENFORD_EXPECTED_6DP.items()
+            for x in (F.lit(d), F.lit(s))
+        ]
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") / F.col("_tot")).alias("share"),
+            F.element_at(expected, F.col("digit")).alias("expected_share"),
+        )
+        .withColumn("deviation", F.col("share") - F.col("expected_share"))
+    )
+
+
+def grouped_mad(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Median absolute deviation per group — the robust spread
+    monitor (outlier-proof, unlike stddev). Two exact interpolated
+    percentile passes: the per-group median, broadcast back, then
+    the median of absolute deviations. Both shuffles key on the
+    group; the 100 TB drop-in is approx_percentile in both passes.
+    Returns (group, n, median, mad).
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    return (
+        df.join(F.broadcast(med), on=group_col)
+        .withColumn("_ad", F.abs(F.col(value_col) - F.col("_med")))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.first("_med"), 6).alias("median"),
+            F.round(F.expr("percentile(_ad, 0.5)"), 6).alias("mad"),
+        )
+    )

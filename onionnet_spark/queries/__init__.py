@@ -230,6 +230,8 @@ _R5_BACKLOG: list[str] = [
     "orders_fd_profile",
     "fk_inclusion_profile",
     "graph_label_spread",
+    "lineitem_benford",
+    "orders_price_mad",
 ]
 
 

@@ -1688,6 +1688,60 @@ def fk_inclusion_profile_q(spark, sf_dir):
     )
 
 
+@register(
+    "lineitem_benford",
+    # first digit from the DECIMAL string form (no log10 near a
+    # boundary); expected shares are the same 6dp literals the Spark
+    # side embeds
+    """WITH c AS (
+      SELECT CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INT)
+               AS digit,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1),
+    t AS (SELECT SUM(n) AS tot FROM c),
+    e(digit, expected_share) AS (VALUES
+      (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+      (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+      (9, 0.045757))
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           c.n * 1.0 / t.tot AS share,
+           CAST(e.expected_share AS DOUBLE) AS expected_share,
+           c.n * 1.0 / t.tot - CAST(e.expected_share AS DOUBLE)
+             AS deviation
+    FROM c JOIN e USING (digit), t""",
+)
+def lineitem_benford_q(spark, sf_dir):
+    """Benford first-digit audit over lineitem extended prices — the
+    fraud / synthetic-data smell test (TPC-H prices are uniform-ish,
+    so deviations are LARGE, which exercises the comparison)."""
+    from onionnet_spark.functions.corpus import benford_profile
+
+    return benford_profile(load_tables(spark, sf_dir)["lineitem"], "l_extendedprice")
+
+
+@register(
+    "orders_price_mad",
+    """WITH m AS (SELECT o_orderpriority AS grp,
+                        percentile_cont(0.5) WITHIN GROUP
+                          (ORDER BY o_totalprice) AS med
+                 FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(m.med), 6) AS median,
+           ROUND(percentile_cont(0.5) WITHIN GROUP
+                   (ORDER BY ABS(o.o_totalprice - m.med)), 6) AS mad
+    FROM orders o JOIN m ON m.grp = o.o_orderpriority
+    GROUP BY 1""",
+)
+def orders_price_mad_q(spark, sf_dir):
+    """Robust per-group spread: median absolute deviation of order
+    totals per priority class."""
+    from onionnet_spark.functions.corpus import grouped_mad
+
+    return grouped_mad(
+        load_tables(spark, sf_dir)["orders"], "o_orderpriority", "o_totalprice"
+    ).withColumnRenamed("o_orderpriority", "grp")
+
+
 def _zorder_oracle(bits: int = 8) -> str:
     n = 1 << bits
     terms = []
