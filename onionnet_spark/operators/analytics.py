@@ -1301,6 +1301,102 @@ def maximal_independent_set(
     return mis.select("node")
 
 
+def spectral_bisection(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    iterations: int = 8,
+    target: int = 1_000_000,
+) -> DataFrame:
+    """Spectral graph bisection: the sign pattern of the Fiedler
+    vector (second-smallest Laplacian eigenvector), computed by a
+    DEFLATED power iteration on M = cI - L with c = maxdeg + 1 —
+    the dominant eigenvector of M is the constant vector (lambda_L
+    = 0), so every step re-projects out the mean: u = n*(Mv) -
+    sum(Mv), keeping the iterate in the Fiedler-dominant subspace.
+
+    Engine-exact: all arithmetic is BIGINT — the seed is an md5
+    digit-fold, and each step renormalizes by the data-dependent
+    divisor d = max(1, max|u| // target) via the portable floor
+    division (x - ((x % d + d) % d)) / d (DuckDB's % truncates where
+    Spark floors; the double-mod makes both floor, and the division
+    is exact by construction) — so the iterate magnitude stays
+    ~`target` on ANY graph size (a fixed divisor either overflows on
+    big graphs or collapses the vector on small ones). Fixed
+    `iterations` IS the spec, like the LPA/HITS/Katz family. Per
+    step: one neighbor-sum aggregation + three broadcast scalars.
+    Returns (node, fiedler_q, side) with side in {-1, 0, 1}.
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).localCheckpoint()
+    consts = deg.agg(
+        (F.max("deg") + 1).cast("long").alias("c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    fold = F.translate(F.substring(F.md5("node"), 1, 6), "abcdef", "012345")
+    v = deg.select(
+        "node", (fold.cast("long") - 500000).alias("v")
+    ).localCheckpoint()
+
+    for _ in range(iterations):
+        nbr = (
+            sym.join(v.select(F.col("node").alias("b"), "v"), on="b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.sum("v").cast("long").alias("nsum"))
+        )
+        w = (
+            v.join(deg, on="node")
+            .join(nbr, on="node", how="left")
+            .crossJoin(F.broadcast(consts))
+            .select(
+                "node",
+                "n",
+                (
+                    (F.col("c") - F.col("deg")) * F.col("v")
+                    + F.coalesce("nsum", F.lit(0))
+                ).cast("long").alias("w"),
+            )
+        )
+        tot = w.agg(F.sum("w").cast("long").alias("tot"))
+        proj = w.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("n") * F.col("w") - F.col("tot")).alias("x")
+        )
+        dv = proj.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                ((F.max(F.abs("x")) - F.max(F.abs("x")) % target) / target)
+                .cast("long"),
+            ).alias("d")
+        )
+        m = ((F.col("x") % F.col("d")) + F.col("d")) % F.col("d")
+        v = (
+            proj.crossJoin(F.broadcast(dv))
+            .select(
+                "node", ((F.col("x") - m) / F.col("d")).cast("long").alias("v")
+            )
+            .localCheckpoint()
+        )
+    return v.select(
+        "node",
+        F.col("v").alias("fiedler_q"),
+        F.when(F.col("v") > 0, 1)
+        .when(F.col("v") < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("side"),
+    )
+
+
 def boruvka_msf(
     edges: DataFrame,
     a_col: str = "a",

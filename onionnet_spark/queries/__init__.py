@@ -232,6 +232,7 @@ _R5_BACKLOG: list[str] = [
     "graph_label_spread",
     "lineitem_benford",
     "orders_price_mad",
+    "graph_spectral_bisection",
 ]
 
 

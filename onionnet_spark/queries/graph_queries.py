@@ -2053,6 +2053,72 @@ def graph_msf_q(spark, sf_dir):
 _REG["graph_msf"] = (graph_msf_q, _msf_oracle())
 
 
+def _bisection_oracle(topn: int = 60, iterations: int = 8) -> str:
+    """Unrolls the deflated power iteration: per step, w = (c-deg)*v
+    + neighbor-sum, then the mean projection n*w - sum(w), then the
+    portable floor-rescale (x - ((x % 1000 + 1000) % 1000)) // 1000
+    (DuckDB's % / // truncate where Spark floors; the double-mod
+    makes both floor, and the division is exact by construction)."""
+    stages = []
+    prev = "vv0"
+    for t in range(1, iterations + 1):
+        stages.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT d.node,
+             ((SELECT c FROM cn) - d.deg) * v.v + COALESCE(s.nsum, 0) AS w
+      FROM dg d JOIN {prev} v USING (node)
+      LEFT JOIN (SELECT s.a AS node, SUM(x.v) AS nsum
+                 FROM sym s JOIN {prev} x ON x.node = s.b
+                 GROUP BY 1) s USING (node)
+    ),
+    p{t} AS MATERIALIZED (
+      SELECT node,
+             (SELECT n FROM cn) * w - (SELECT SUM(w) FROM w{t}) AS x
+      FROM w{t}
+    ),
+    d{t} AS (
+      SELECT GREATEST(1, (MAX(ABS(x)) - MAX(ABS(x)) % 1000000) // 1000000)
+               AS d
+      FROM p{t}
+    ),
+    vv{t} AS MATERIALIZED (
+      SELECT node,
+             CAST((x - ((x % d + d) % d)) // d AS BIGINT) AS v
+      FROM p{t}, d{t}
+    )"""
+        )
+        prev = f"vv{t}"
+    stage_sql = ",\n    ".join(stages)
+    return f"""WITH {_COSUPPLY_SQL.format(topn=topn)},
+    sym AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    dg AS MATERIALIZED (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                        FROM sym GROUP BY 1),
+    cn AS (SELECT MAX(deg) + 1 AS c, COUNT(*) AS n FROM dg),
+    vv0 AS MATERIALIZED (
+      SELECT node,
+             CAST(translate(substr(md5(node), 1, 6),
+                            'abcdef', '012345') AS BIGINT) - 500000 AS v
+      FROM dg),
+    {stage_sql}
+    SELECT node, v AS fiedler_q,
+           CAST(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS INT)
+             AS side
+    FROM {prev}"""
+
+
+def graph_bisection_q(spark, sf_dir):
+    """Fiedler-sign spectral bisection of the nation co-supply
+    graph: integer-exact deflated power iteration (8 steps), the
+    graph-partitioning primitive behind recursive spectral
+    partitioners."""
+    return analytics.spectral_bisection(
+        _cosupply_top_pairs(spark, sf_dir, 60), iterations=8
+    )
+
+
+_REG["graph_spectral_bisection"] = (graph_bisection_q, _bisection_oracle())
+
+
 @register(
     "graph_assortativity",
     f"""WITH {CTES},
