@@ -1060,6 +1060,96 @@ def decode_gif_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def synth_compressed_text_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic compressed-text payload per id, cycling the
+    three stdlib codecs by id % 3 (0 = gzip, 1 = bzip2, 2 = xz/lzma)
+    — the shapes real corpora ship in (WET files are gzip; dumps are
+    commonly .bz2/.xz). Text: 20 + id%30 single-char tokens with
+    char k = chr(97 + (id + 2k) % 26), space-joined — closed-form
+    for the oracle since all three codecs are lossless."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import bz2
+        import gzip
+        import lzma
+
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 20 + d % 30
+                text = " ".join(
+                    chr(97 + (d + 2 * k) % 26) for k in range(n)
+                ).encode()
+                codec = d % 3
+                if codec == 0:
+                    payloads.append(gzip.compress(text, mtime=0))
+                elif codec == 1:
+                    payloads.append(bz2.compress(text))
+                else:
+                    payloads.append(lzma.compress(text))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def read_compressed_text(df: DataFrame) -> DataFrame:
+    """Magic-byte-dispatched decompression of text payloads (gzip
+    1f 8b, bzip2 'BZh', xz fd '7zXZ') inside mapInPandas, with token
+    and byte stats — the first step of ingesting compressed corpus
+    dumps. Unknown magics raise (zstd is the plug-in point: no
+    stdlib codec). Returns (doc_id, codec, n_bytes, n_tokens,
+    ascii_sum)."""
+
+    def dec_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import bz2
+        import gzip
+        import lzma
+
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "codec", "n_bytes", "n_tokens", "ascii_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:2] == b"\x1f\x8b":
+                    codec, text = "gzip", gzip.decompress(data)
+                elif data[:3] == b"BZh":
+                    codec, text = "bzip2", bz2.decompress(data)
+                elif data[:6] == b"\xfd7zXZ\x00":
+                    codec, text = "xz", lzma.decompress(data)
+                else:
+                    raise ValueError(
+                        f"unknown compression magic {data[:6]!r} "
+                        "(zstd needs an external codec — plug-in point)"
+                    )
+                rows["doc_id"].append(doc_id)
+                rows["codec"].append(codec)
+                rows["n_bytes"].append(len(text))
+                rows["n_tokens"].append(len(text.split()))
+                rows["ascii_sum"].append(int(sum(text)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "codec": pd.Series(rows["codec"], dtype="object"),
+                    "n_bytes": pd.Series(rows["n_bytes"], dtype="int32"),
+                    "n_tokens": pd.Series(rows["n_tokens"], dtype="int32"),
+                    "ascii_sum": pd.Series(rows["ascii_sum"], dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        dec_batches,
+        "doc_id long, codec string, n_bytes int, n_tokens int, ascii_sum long",
+    )
+
+
 def synth_warc_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic .warc.gz payload per id (functions/warc.py,
     per-record gzip members — the Common Crawl layout): one warcinfo

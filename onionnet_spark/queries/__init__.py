@@ -233,6 +233,7 @@ _R5_BACKLOG: list[str] = [
     "lineitem_benford",
     "orders_price_mad",
     "graph_spectral_bisection",
+    "compressed_text_ingest",
 ]
 
 

@@ -3449,6 +3449,35 @@ def multimodal_gif_frames_q(spark, sf_dir):
 
 
 @register(
+    "compressed_text_ingest",
+    # lossless stdlib codecs dispatched by magic bytes: gzip / bzip2
+    # / xz cycled by doc_id % 3; the oracle aggregates the closed
+    # form directly. n = 20 + id%30 tokens; byte length 2n - 1;
+    # range(0, 50) provably covers n <= 49 by the formula above.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 20 + doc_id % 30 AS n,
+                    CASE doc_id % 3 WHEN 0 THEN 'gzip'
+                                    WHEN 1 THEN 'bzip2'
+                                    ELSE 'xz' END AS codec
+             FROM ids),
+    tok AS (SELECT d.doc_id, d.codec, d.n,
+                   97 + (d.doc_id + 2 * k.k) % 26 AS c
+            FROM dims d JOIN range(0, 50) k(k) ON k.k < d.n)
+    SELECT doc_id, codec, CAST(2 * n - 1 AS INT) AS n_bytes,
+           CAST(n AS INT) AS n_tokens,
+           CAST(SUM(c) + 32 * (n - 1) AS BIGINT) AS ascii_sum
+    FROM tok GROUP BY doc_id, codec, n""",
+)
+def compressed_text_ingest_q(spark, sf_dir):
+    """Compressed corpus-dump ingest: closed-form text -> gzip /
+    bzip2 / xz (stdlib) -> magic-dispatched decompression + token
+    stats, distributed in mapInPandas."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_compressed_text_payload(ids)
+    return multimodal.read_compressed_text(payload)
+
+
+@register(
     "warc_ingest",
     # WARC ingest gate: the payload is a real .warc.gz with ONE gzip
     # member PER RECORD (the Common Crawl layout) built and parsed by
