@@ -1150,6 +1150,96 @@ def read_compressed_text(df: DataFrame) -> DataFrame:
     )
 
 
+def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic multi-page TIFF payload per id
+    (functions/tiff.py): 2 + id%2 grayscale pages of
+    (5 + id%4) x (6 + id%5), pixel (id*3 + p*7 + r*5 + c*11) % 256,
+    compression cycled by id % 3 (none / PackBits / LZW+predictor).
+    All three are lossless, so every page is closed-form for the
+    oracle."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import tiff as _tiff
+
+        comps = [_tiff.COMP_NONE, _tiff.COMP_PACKBITS, _tiff.COMP_LZW]
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                npg, h, w = 2 + d % 2, 5 + d % 4, 6 + d % 5
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                pages = [
+                    ((d * 3 + p * 7 + r * 5 + c * 11) % 256).astype(np.uint8)
+                    for p in range(npg)
+                ]
+                payloads.append(
+                    _tiff.encode_tiff(
+                        pages, compression=comps[d % 3], predictor=(d % 3 == 2)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_tiff_stats(df: DataFrame) -> DataFrame:
+    """REAL multi-page TIFF decode via mapInPandas (functions/tiff.py:
+    chained IFDs, PackBits, early-change MSB LZW, predictor 2): one
+    row per page with the position-weighted checksum. Returns
+    (doc_id, page_idx, width, height, pixel_sum, pos_checksum)."""
+
+    def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import tiff as _tiff
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "page_idx", "width", "height",
+                "pixel_sum", "pos_checksum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for p_idx, page in enumerate(_tiff.decode_tiff(payload)):
+                    arr = page.astype(np.int64)
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    h, w, ch = arr.shape
+                    r = np.arange(h)[:, None, None]
+                    c = np.arange(w)[None, :, None]
+                    k = np.arange(ch)[None, None, :]
+                    rows["doc_id"].append(doc_id)
+                    rows["page_idx"].append(p_idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(int(arr.sum()))
+                    rows["pos_checksum"].append(
+                        int((arr * (1 + r * 3 + c * 5 + k * 7)).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "page_idx": pd.Series(rows["page_idx"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                    "pos_checksum": pd.Series(
+                        rows["pos_checksum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        stats_batches,
+        "doc_id long, page_idx int, width int, height int, "
+        "pixel_sum long, pos_checksum long",
+    )
+
+
 def synth_warc_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic .warc.gz payload per id (functions/warc.py,
     per-record gzip members — the Common Crawl layout): one warcinfo

@@ -1,0 +1,370 @@
+"""Pure-Python baseline TIFF codec — stdlib struct + numpy.
+
+The archival/scanned-document format the image half of real corpora
+arrives in. Implemented faithfully from the TIFF 6.0 spec:
+
+- little-endian header, CHAINED IFDs (multi-page documents), the
+  baseline tag set (dimensions, bits/sample, compression,
+  photometric, strip offsets/counts, samples/pixel, rows/strip,
+  predictor).
+- Compression 1 (none), 32773 (PackBits run-length), and 5 (LZW) —
+  TIFF's LZW is NOT GIF's: codes pack MSB-first, the clear code is
+  256 over a full byte alphabet, and the code width bumps one entry
+  EARLY (when the next code would reach 2^width - 1, the famous
+  "early change" that bit every independent implementation), here
+  driven by the same decoder-mirror counter discipline as
+  functions/gif.py.
+- Predictor 2 (horizontal differencing) for LZW strips — per-row
+  per-channel byte deltas, the layout real TIFF writers emit.
+
+All three compressions are lossless, so decode(encode(x)) == x for
+arbitrary pages and the oracle aggregates closed forms directly.
+Tiled TIFFs, big-endian files and JPEG-in-TIFF raise (documented).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["is_tiff", "encode_tiff", "decode_tiff"]
+
+COMP_NONE = 1
+COMP_LZW = 5
+COMP_PACKBITS = 32773
+
+
+def is_tiff(data: bytes) -> bool:
+    head = bytes(data[:4])
+    return head in (b"II*\x00", b"MM\x00*")
+
+
+# ------------------------------------------------------------ PackBits
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out.append((257 - (j - i)) & 0xFF)  # -(run-1) as signed
+            out.append(data[i])
+            i = j
+        else:
+            # literal run until next >=2 repeat or 128 cap
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and data[j] == data[j + 1])
+            ):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("PackBits stream truncated")
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError("PackBits output length mismatch")
+    return bytes(out)
+
+
+# ------------------------------------------------------ TIFF LZW (MSB)
+
+_CLEAR = 256
+_EOI = 257
+_MAX = 4096
+
+
+def _tlzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table: dict[tuple[int, int], int] = {}
+    mirror = _EOI + 1  # decoder table size after reset
+    width = 9
+    first = True
+
+    def emit_data(code: int) -> bool:
+        nonlocal mirror, width, first
+        emit(code, width)
+        if first:
+            first = False
+            return False
+        mirror += 1
+        # EARLY CHANGE: bump when the NEXT code to assign would be
+        # 2^width - 1 (one entry before GIF's schedule)
+        if mirror >= (1 << width) - 1 and width < 12:
+            width += 1
+        return mirror >= _MAX - 2
+
+    def reset() -> None:
+        nonlocal table, mirror, width, first
+        emit(_CLEAR, width)
+        table = {}
+        mirror = _EOI + 1
+        width = 9
+        first = True
+
+    emit(_CLEAR, width)
+    prefix = -1
+    for k in data:
+        if prefix < 0:
+            prefix = k
+            continue
+        if (prefix, k) in table:
+            prefix = table[(prefix, k)]
+            continue
+        if emit_data(prefix):
+            reset()
+        else:
+            table[(prefix, k)] = mirror
+        prefix = k
+    if prefix >= 0:
+        emit_data(prefix)
+    emit(_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tlzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0  # bit position
+
+    def read(width: int) -> int:
+        nonlocal pos
+        byte, bit = pos >> 3, pos & 7
+        v = 0
+        got = 0
+        while got < width:
+            if byte >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            take = min(8 - bit, width - got)
+            v = (v << take) | (
+                (data[byte] >> (8 - bit - take)) & ((1 << take) - 1)
+            )
+            got += take
+            bit += take
+            if bit == 8:
+                bit = 0
+                byte += 1
+        pos += width
+        return v
+
+    table: list[bytes] = []
+
+    def reset() -> int:
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        return 9
+
+    width = reset()
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == _CLEAR:
+            width = reset()
+            prev = None
+            continue
+        if code == _EOI:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < _MAX:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    if len(out) != expected:
+        raise ValueError("TIFF LZW output length mismatch")
+    return bytes(out)
+
+
+# ------------------------------------------------------------ container
+
+def _predict2_encode(raw: np.ndarray) -> bytes:
+    """(h, w, ch) uint8 -> horizontal byte differences per row/chan."""
+    d = raw.astype(np.int16)
+    d[:, 1:, :] -= raw[:, :-1, :].astype(np.int16)
+    return (d % 256).astype(np.uint8).tobytes()
+
+
+def _predict2_decode(data: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    d = np.frombuffer(data, np.uint8).reshape(h, w, ch).astype(np.uint16)
+    return np.cumsum(d, axis=1, dtype=np.uint32).astype(np.uint8).reshape(
+        h, w, ch
+    )
+
+
+def encode_tiff(
+    pages: list[np.ndarray],
+    compression: int = COMP_LZW,
+    predictor: bool = True,
+) -> bytes:
+    """Encode pages — each (h, w) grayscale or (h, w, 3) RGB uint8 —
+    as a little-endian multi-page TIFF (chained IFDs, one strip per
+    page). predictor=True applies horizontal differencing (tag 317,
+    LZW only, as real writers do)."""
+    if not pages:
+        raise ValueError("no pages")
+    use_pred = predictor and compression == COMP_LZW
+    out = bytearray(b"II*\x00" + b"\x00\x00\x00\x00")
+    ifd_ptr_pos = 4
+    for page in pages:
+        if page.ndim == 2:
+            page = page[:, :, None]
+        h, w, ch = page.shape
+        if ch not in (1, 3):
+            raise ValueError("1 (gray) or 3 (RGB) samples per pixel")
+        raw = _predict2_encode(page) if use_pred else page.tobytes()
+        if compression == COMP_NONE:
+            strip = raw
+        elif compression == COMP_PACKBITS:
+            strip = _packbits_encode(raw)
+        elif compression == COMP_LZW:
+            strip = _tlzw_encode(raw)
+        else:
+            raise ValueError(f"unsupported compression {compression}")
+        strip_off = len(out)
+        out += strip
+        if len(out) & 1:
+            out += b"\x00"  # word-align the IFD
+        entries = [
+            (256, 3, 1, w),                      # ImageWidth
+            (257, 3, 1, h),                      # ImageLength
+            (259, 3, 1, compression),
+            (262, 3, 1, 1 if ch == 1 else 2),    # Photometric
+            (273, 4, 1, strip_off),              # StripOffsets
+            (277, 3, 1, ch),                     # SamplesPerPixel
+            (278, 3, 1, h),                      # RowsPerStrip
+            (279, 4, 1, len(strip)),             # StripByteCounts
+        ]
+        if ch == 1:
+            entries.insert(2, (258, 3, 1, 8))    # BitsPerSample
+        else:
+            # 3 SHORTs don't fit inline: store out-of-line
+            bps_off = len(out)
+            out += struct.pack("<HHH", 8, 8, 8) + b"\x00"
+            entries.insert(2, (258, 3, 3, bps_off))
+        if use_pred:
+            entries.append((317, 3, 1, 2))       # Predictor
+        entries.sort()
+        ifd_off = len(out)
+        struct.pack_into("<I", out, ifd_ptr_pos, ifd_off)
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHI", tag, typ, cnt)
+            if typ == 3 and cnt == 1:
+                out += struct.pack("<HH", val, 0)
+            else:
+                out += struct.pack("<I", val)
+        ifd_ptr_pos = len(out)
+        out += b"\x00\x00\x00\x00"  # next-IFD pointer (patched)
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> list[np.ndarray]:
+    """Decode a little-endian TIFF to its pages ((h, w) gray or
+    (h, w, 3) RGB uint8). Big-endian, tiled and exotic-compression
+    files raise (documented)."""
+    data = bytes(data)
+    if data[:4] == b"MM\x00*":
+        raise ValueError("big-endian TIFF not supported (documented gap)")
+    if data[:4] != b"II*\x00":
+        raise ValueError("not a TIFF: bad header")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    pages = []
+    while ifd_off:
+        (n_ent,) = struct.unpack_from("<H", data, ifd_off)
+        tags: dict[int, tuple[int, int, int]] = {}
+        for i in range(n_ent):
+            tag, typ, cnt, val = struct.unpack_from(
+                "<HHII", data, ifd_off + 2 + 12 * i
+            )
+            if typ == 3 and cnt == 1:
+                val &= 0xFFFF
+            tags[tag] = (typ, cnt, val)
+        (ifd_off,) = struct.unpack_from("<I", data, ifd_off + 2 + 12 * n_ent)
+
+        def tv(tag: int, default: int | None = None) -> int:
+            if tag not in tags:
+                if default is None:
+                    raise ValueError(f"missing required TIFF tag {tag}")
+                return default
+            return tags[tag][2]
+
+        if 322 in tags or 323 in tags:
+            raise ValueError("tiled TIFF not supported (documented gap)")
+        w, h = tv(256), tv(257)
+        comp = tv(259, COMP_NONE)
+        ch = tv(277, 1)
+        pred = tv(317, 1)
+        if 258 in tags:
+            typ, cnt, val = tags[258]
+            bps = val if cnt == 1 else struct.unpack_from("<H", data, val)[0]
+            if bps != 8:
+                raise ValueError(f"only 8 bits/sample supported (got {bps})")
+        off, nbytes = tv(273), tv(279)
+        strip = data[off : off + nbytes]
+        if len(strip) != nbytes:
+            raise ValueError("truncated strip")
+        expected = h * w * ch
+        if comp == COMP_NONE:
+            raw = strip
+            if len(raw) != expected:
+                raise ValueError("strip size mismatch")
+        elif comp == COMP_PACKBITS:
+            raw = _packbits_decode(strip, expected)
+        elif comp == COMP_LZW:
+            raw = _tlzw_decode(strip, expected)
+        else:
+            raise ValueError(
+                f"unsupported TIFF compression {comp} (JPEG-in-TIFF etc. "
+                "need external codecs)"
+            )
+        if pred == 2:
+            page = _predict2_decode(raw, h, w, ch)
+        elif pred == 1:
+            page = np.frombuffer(raw, np.uint8).reshape(h, w, ch)
+        else:
+            raise ValueError(f"unsupported predictor {pred}")
+        pages.append(page[:, :, 0] if ch == 1 else page)
+    if not pages:
+        raise ValueError("TIFF contains no pages")
+    return pages

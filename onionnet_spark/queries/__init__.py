@@ -234,6 +234,7 @@ _R5_BACKLOG: list[str] = [
     "orders_price_mad",
     "graph_spectral_bisection",
     "compressed_text_ingest",
+    "multimodal_tiff_decode",
 ]
 
 

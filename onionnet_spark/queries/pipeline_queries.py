@@ -3449,6 +3449,40 @@ def multimodal_gif_frames_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_tiff_decode",
+    # multi-page TIFF gate: chained IFDs, compression cycled
+    # none / PackBits / LZW+predictor by doc_id % 3 — all lossless,
+    # so the oracle aggregates the closed form; any IFD-walk,
+    # run-length, early-change-LZW or predictor bug mismatches.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 2 + doc_id % 2 AS np, 5 + doc_id % 4 AS h,
+                    6 + doc_id % 5 AS w
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, p.p, r.r, c.c,
+             (d.doc_id * 3 + p.p * 7 + r.r * 5 + c.c * 11) % 256 AS v
+      FROM dims d
+      JOIN range(0, 3) p(p) ON p.p < d.np
+      JOIN range(0, 9) r(r) ON r.r < d.h
+      JOIN range(0, 11) c(c) ON c.c < d.w
+    )
+    SELECT doc_id, CAST(p AS INT) AS page_idx, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (1 + r * 3 + c * 5 + 0 * 7)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id, p, w, h""",
+)
+def multimodal_tiff_decode_q(spark, sf_dir):
+    """REAL multi-page TIFF: closed-form grayscale pages ->
+    none/PackBits/LZW+predictor strips -> chained-IFD decode
+    (functions/tiff.py) -> per-page statistics."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_tiff_payload(ids)
+    return multimodal.decode_tiff_stats(payload)
+
+
+@register(
     "compressed_text_ingest",
     # lossless stdlib codecs dispatched by magic bytes: gzip / bzip2
     # / xz cycled by doc_id % 3; the oracle aggregates the closed

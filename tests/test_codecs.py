@@ -799,3 +799,76 @@ def test_gif_interlace_roundtrip_and_row_order():
     # physically permuted, not just flagged)
     plain = gif.encode_gif([img], interlace=False)
     assert plain != enc
+
+
+# ------------------------------------------------------------------ TIFF
+
+
+def _tiff():
+    from onionnet_spark.functions import tiff
+
+    return tiff
+
+
+def test_tiff_roundtrip_all_compressions_multipage():
+    tiff = _tiff()
+    rng = np.random.RandomState(4)
+    for comp in (tiff.COMP_NONE, tiff.COMP_PACKBITS, tiff.COMP_LZW):
+        for pred in (False, True):
+            pages = [
+                rng.randint(0, 256, size=(9, 13)).astype(np.uint8),
+                rng.randint(0, 256, size=(9, 13)).astype(np.uint8),
+            ]
+            dec = tiff.decode_tiff(
+                tiff.encode_tiff(pages, compression=comp, predictor=pred)
+            )
+            assert len(dec) == 2
+            for got, want in zip(dec, pages):
+                assert np.array_equal(got, want)
+            rgb = [rng.randint(0, 256, size=(7, 5, 3)).astype(np.uint8)]
+            dec = tiff.decode_tiff(
+                tiff.encode_tiff(rgb, compression=comp, predictor=pred)
+            )
+            assert np.array_equal(dec[0], rgb[0])
+
+
+def test_tiff_lzw_early_change_schedule():
+    tiff = _tiff()
+    # TIFF LZW bumps the code width when the next code would reach
+    # 2^width - 1 — ONE entry earlier than GIF. A stream crossing the
+    # 9->10 bit boundary decodes correctly only if both sides agree.
+    data = bytes(range(256)) * 4  # 258+ distinct-entry growth fast
+    assert tiff._tlzw_decode(tiff._tlzw_encode(data), len(data)) == data
+    runs = b"\x00" * 100000  # KwKwK chains deep into 12-bit + reset
+    assert tiff._tlzw_decode(tiff._tlzw_encode(runs), len(runs)) == runs
+    # and it genuinely differs from GIF's schedule: same payload,
+    # different bitstreams
+    from onionnet_spark.functions import gif
+
+    idx = np.frombuffer(bytes(range(256)) * 2, np.uint8)
+    assert tiff._tlzw_encode(bytes(idx)) != gif._lzw_encode(idx, 8)
+
+
+def test_tiff_predictor_improves_smooth_content():
+    tiff = _tiff()
+    smooth = (
+        (np.arange(200)[:, None] + np.arange(300)[None, :]) % 256
+    ).astype(np.uint8)
+    with_pred = tiff.encode_tiff([smooth], predictor=True)
+    without = tiff.encode_tiff([smooth], predictor=False)
+    assert len(with_pred) < len(without) / 3
+    assert np.array_equal(tiff.decode_tiff(with_pred)[0], smooth)
+
+
+def test_tiff_guards():
+    tiff = _tiff()
+    with pytest.raises(ValueError, match="big-endian"):
+        tiff.decode_tiff(b"MM\x00*" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        tiff.decode_tiff(b"PNG....")
+    enc = bytearray(tiff.encode_tiff([np.zeros((4, 4), np.uint8)]))
+    # flip compression tag value to JPEG-in-TIFF (7): find tag 259
+    i = enc.find(struct.pack("<HHI", 259, 3, 1))
+    enc[i + 8] = 7
+    with pytest.raises(ValueError, match="compression 7"):
+        tiff.decode_tiff(bytes(enc))
