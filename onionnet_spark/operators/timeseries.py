@@ -447,3 +447,50 @@ def active_users_rolling(
             F.col("mau").cast("bigint"),
         )
     )
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-data-capture apply — the lakehouse MERGE INTO /
+    CDC-compaction primitive: fold a changelog of I(nsert)/U(psert)/
+    D(elete) rows (ordered per key by `seq_col`) onto a base
+    snapshot and return the final state.
+
+    One plan: base rows enter the fold at sequence -infinity (NULL
+    sorts first), the per-key LAST change wins via one max_by
+    aggregation (map-side partial, no window over the union), and
+    keys whose last change is a delete drop out. Change rows carry
+    the full record (upsert semantics); at 100 TB this is exactly
+    the dataflow a Delta/Iceberg MERGE INTO compiles to, minus the
+    file-level pruning.
+    """
+    cols = [c for c in base.columns]
+    b = base.select(
+        *cols,
+        F.lit(None).cast("long").alias("_seq"),
+        F.lit("I").alias("_op"),
+    )
+    c = changes.select(
+        *cols,
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.col(op_col).alias("_op"),
+    )
+    folded = (
+        b.unionByName(c)
+        .groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(x) for x in cols], "_op"),
+                # NULL _seq (the base snapshot) sorts before any change
+                F.struct(F.coalesce("_seq", F.lit(-(1 << 62))).alias("s")),
+            ).alias("m")
+        )
+    )
+    return (
+        folded.filter(F.col("m._op") != "D")
+        .select(*[F.col(f"m.{x}").alias(x) for x in cols])
+    )

@@ -235,6 +235,7 @@ _R5_BACKLOG: list[str] = [
     "graph_spectral_bisection",
     "compressed_text_ingest",
     "multimodal_tiff_decode",
+    "orders_cdc_apply",
 ]
 
 

@@ -1742,6 +1742,56 @@ def orders_price_mad_q(spark, sf_dir):
     ).withColumnRenamed("o_orderpriority", "grp")
 
 
+@register(
+    "orders_cdc_apply",
+    # deterministic changelog derived from the table itself: deletes
+    # (key % 10 = 7), updates (% 10 = 3, with a SECOND higher-seq
+    # update for % 100 = 3 — last-wins must pick it), and inserts of
+    # genuinely new keys; the oracle constructs the final state
+    # directly
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 10 NOT IN (3, 7)
+    UNION ALL
+    SELECT o_orderkey, o_custkey,
+           o_totalprice + CASE WHEN o_orderkey % 100 = 3 THEN 2 ELSE 1 END
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_totalprice + 5
+    FROM orders WHERE o_orderkey % 10 = 1""",
+)
+def orders_cdc_apply_q(spark, sf_dir):
+    """CDC / MERGE INTO apply: fold an I/U/D changelog (with
+    multiple changes per key — last sequence wins) onto the orders
+    snapshot via one max_by aggregation, no window over the union."""
+    from onionnet_spark.operators.timeseries import apply_cdc
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    dels = o.filter(k % 10 == 7).withColumns(
+        {"seq": k * 10 + 1, "op": F.lit("D")}
+    )
+    upd1 = (
+        o.filter(k % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumns({"seq": k * 10 + 1, "op": F.lit("U")})
+    )
+    upd2 = (
+        o.filter(k % 100 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 2)
+        .withColumns({"seq": k * 10 + 2, "op": F.lit("U")})
+    )
+    ins = (
+        o.filter(k % 10 == 1)
+        .withColumn("o_orderkey", k + 100000000)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+        .withColumns({"seq": F.col("o_orderkey") * 10 + 1, "op": F.lit("I")})
+    )
+    changes = dels.unionByName(upd1).unionByName(upd2).unionByName(ins)
+    return apply_cdc(o, changes, "o_orderkey", "seq")
+
+
 def _zorder_oracle(bits: int = 8) -> str:
     n = 1 << bits
     terms = []

@@ -454,3 +454,27 @@ def test_spectral_bisection_splits_barbell(spark):
     assert len(lsides) == 1 and len(rsides) == 1
     assert lsides != rsides
     assert 0 not in (lsides | rsides)
+
+
+def test_cdc_apply_last_wins_and_deletes(spark):
+    from onionnet_spark.operators.timeseries import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 10, "U"),
+            (1, "a2", 20, "U"),   # higher seq wins
+            (2, "b", 5, "D"),
+            (4, "d", 7, "I"),
+            (5, "e", 1, "I"),
+            (5, "e", 2, "D"),     # inserted then deleted -> absent
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in apply_cdc(base, changes, "k", "seq").collect()
+    }
+    assert out == {1: "a2", 3: "c", 4: "d"}
