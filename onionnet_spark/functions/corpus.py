@@ -838,3 +838,42 @@ def grouped_mad(
             F.round(F.expr("percentile(_ad, 0.5)"), 6).alias("mad"),
         )
     )
+
+def binary_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney U with tie-AVERAGED ranks) of a
+    score against a binary label — the classifier-eval primitive,
+    computed WITHOUT ranking individual rows: group by distinct
+    score (the only window runs over the score-value series, bounded
+    by the score grid, never the corpus), accumulate doubled average
+    ranks as exact integers (2*avg_rank of a tie group = 2*cum_before
+    + n_group + 1 — integral by construction), and finish with ONE
+    IEEE division. Returns a single row (n_pos, n_neg, auc_num,
+    auc_den, auc) with auc_num/auc_den the exact rational.
+    """
+    g = (
+        df.select(
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("boolean").cast("int").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    # bounded: one row per DISTINCT score value
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn("cum", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("pos")).cast("long").alias("n_neg"),
+        (
+            F.sum(F.col("pos") * (2 * F.col("cum") + F.col("n") + 1))
+            - F.sum("pos") * (F.sum("pos") + 1)
+        ).cast("long").alias("auc_num"),
+        (2 * F.sum("pos") * (F.sum("n") - F.sum("pos")))
+        .cast("long")
+        .alias("auc_den"),
+    ).withColumn("auc", F.col("auc_num") / F.col("auc_den"))

@@ -236,6 +236,7 @@ _R5_BACKLOG: list[str] = [
     "compressed_text_ingest",
     "multimodal_tiff_decode",
     "orders_cdc_apply",
+    "docs_lang_auc",
 ]
 
 

@@ -584,6 +584,45 @@ def lang_id(spark, sf_dir):
 
 
 @register(
+    "docs_lang_auc",
+    # exact tie-averaged Mann-Whitney AUC of the English stopword-hit
+    # score against the lang == 'en' ground truth: integer scores are
+    # tie-HEAVY, so the averaged-rank path is what the hash proves
+    f"""WITH base AS (SELECT doc_id, {_TOKS} AS a, lang FROM documents),
+    sc AS (SELECT CAST(len(list_filter(a, x -> x IN ({_sw_list('en')})))
+                    AS INT) AS s,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM base),
+    g AS (SELECT s, COUNT(*) AS n, SUM(y) AS pos FROM sc GROUP BY s),
+    r AS (SELECT s, n, pos,
+                 COALESCE(SUM(n) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+          FROM g)
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n) - SUM(pos) AS BIGINT) AS n_neg,
+           CAST(SUM(pos * (2 * cum + n + 1))
+                - SUM(pos) * (SUM(pos) + 1) AS BIGINT) AS auc_num,
+           CAST(2 * SUM(pos) * (SUM(n) - SUM(pos)) AS BIGINT) AS auc_den,
+           (SUM(pos * (2 * cum + n + 1)) - SUM(pos) * (SUM(pos) + 1)) * 1.0
+             / (2 * SUM(pos) * (SUM(n) - SUM(pos))) AS auc
+    FROM r""",
+)
+def docs_lang_auc_q(spark, sf_dir):
+    """Classifier-eval primitive: exact AUC of the English
+    stopword-hit score against the language ground truth."""
+    from onionnet_spark.functions.corpus import binary_auc
+
+    d = _docs(spark, sf_dir)
+    scored = text.lang_id(d).join(d.select("doc_id", "lang"), on="doc_id")
+    return binary_auc(
+        scored.select("hits_en", (F.col("lang") == "en").alias("is_en")),
+        "hits_en",
+        "is_en",
+    )
+
+
+@register(
     "doc_fingerprint",
     f"""WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
     nums AS (SELECT UNNEST(range(1, GREATEST(

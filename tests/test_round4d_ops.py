@@ -478,3 +478,28 @@ def test_cdc_apply_last_wins_and_deletes(spark):
         for r in apply_cdc(base, changes, "k", "seq").collect()
     }
     assert out == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_binary_auc_matches_sklearn_formula(spark):
+    # hand-checkable case with heavy ties: scores [0,0,1,1,2],
+    # labels  [0,1,0,1,1]
+    from onionnet_spark.functions.corpus import binary_auc
+
+    rows = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 1)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    r = binary_auc(df, "s", "y").collect()[0]
+    # avg ranks: score 0 -> 1.5, score 1 -> 3.5, score 2 -> 5
+    # R_pos = 1.5 + 3.5 + 5 = 10; U = 10 - 3*4/2 = 4; AUC = 4/6
+    assert r["n_pos"] == 3 and r["n_neg"] == 2
+    assert r["auc_num"] == 8 and r["auc_den"] == 12  # doubled exact form
+    assert abs(r["auc"] - 4 / 6) < 1e-12
+
+    # perfect separation -> AUC 1; reversed -> 0
+    perfect = spark.createDataFrame(
+        [(i, 1 if i >= 5 else 0) for i in range(10)], ["s", "y"]
+    )
+    assert binary_auc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    rev = spark.createDataFrame(
+        [(i, 0 if i >= 5 else 1) for i in range(10)], ["s", "y"]
+    )
+    assert binary_auc(rev, "s", "y").collect()[0]["auc"] == 0.0
