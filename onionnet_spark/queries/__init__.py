@@ -237,6 +237,7 @@ _R5_BACKLOG: list[str] = [
     "multimodal_tiff_decode",
     "orders_cdc_apply",
     "docs_lang_auc",
+    "docs_split_finding",
 ]
 
 

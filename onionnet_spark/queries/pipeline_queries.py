@@ -622,6 +622,68 @@ def docs_lang_auc_q(spark, sf_dir):
     )
 
 
+def _split_finding_oracle(n_bins: int = 16) -> str:
+    """Mirrors histogram_split_finding per feature: equi-width
+    binning (FLOAT division + FLOOR in both engines — the bin grid
+    is too coarse for a 1-ulp boundary flip), n_bins-row prefix
+    sums, integer rate-gap argmax with lower-bin tie-break."""
+    feats = [
+        ("n_chars", "n_chars * 1.0"),
+        ("n_tokens", f"len({_TOKS}) * 1.0"),
+    ]
+    parts = []
+    for name, expr in feats:
+        parts.append(
+            f"""SELECT feature, split_bin, n_left, pos_left, n_right, pos_right,
+           gap_score
+    FROM (
+      SELECT '{name}' AS feature, CAST(b AS INT) AS split_bin,
+             CAST(cn AS BIGINT) AS n_left, CAST(cp AS BIGINT) AS pos_left,
+             CAST(tn - cn AS BIGINT) AS n_right,
+             CAST(tp - cp AS BIGINT) AS pos_right,
+             CAST(ABS(cp * (tn - cn) - (tp - cp) * cn) AS BIGINT)
+               AS gap_score,
+             ROW_NUMBER() OVER (
+               ORDER BY ABS(cp * (tn - cn) - (tp - cp) * cn) DESC, b) AS rn
+      FROM (
+        SELECT b, SUM(n) OVER (ORDER BY b) AS cn,
+               SUM(pos) OVER (ORDER BY b) AS cp,
+               SUM(n) OVER () AS tn, SUM(pos) OVER () AS tp
+        FROM (
+          SELECT CASE WHEN mx > mn
+                      THEN LEAST({n_bins - 1},
+                                 CAST(FLOOR((x - mn) * {n_bins} / (mx - mn))
+                                      AS INT))
+                      ELSE 0 END AS b,
+                 COUNT(*) AS n, SUM(y) AS pos
+          FROM (SELECT {expr} AS x,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents),
+               (SELECT MIN({expr}) AS mn, MAX({expr}) AS mx FROM documents)
+          GROUP BY 1))
+      WHERE cn < tn)
+    WHERE rn = 1"""
+        )
+    return "\n    UNION ALL ".join(parts)
+
+
+@register("docs_split_finding", _split_finding_oracle())
+def docs_split_finding_q(spark, sf_dir):
+    """GBDT histogram split search: best equi-width-bin split of
+    n_chars and token count against the is-English label — the
+    LightGBM/XGBoost inner loop as two bounded-series aggregations."""
+    from onionnet_spark.functions.corpus import histogram_split_finding
+
+    d = _docs(spark, sf_dir).select(
+        "n_chars",
+        F.size(text.tokens_col(F.col("text"))).alias("n_tokens"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return histogram_split_finding(
+        d, ["n_chars", "n_tokens"], "is_en", n_bins=16
+    )
+
+
 @register(
     "doc_fingerprint",
     f"""WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),

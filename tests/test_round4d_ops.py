@@ -503,3 +503,23 @@ def test_binary_auc_matches_sklearn_formula(spark):
         [(i, 0 if i >= 5 else 1) for i in range(10)], ["s", "y"]
     )
     assert binary_auc(rev, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_split_finding_locates_separating_threshold(spark):
+    from onionnet_spark.functions.corpus import histogram_split_finding
+
+    # feature x: negatives cluster at 0-9, positives at 100-109 ->
+    # the best split must separate them perfectly
+    rows = [(float(i), 0) for i in range(10)] + [
+        (float(100 + i), 1) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = histogram_split_finding(df, ["x"], "y", n_bins=8).collect()[0]
+    assert r["pos_left"] == 0 and r["n_left"] == 10
+    assert r["pos_right"] == 10 and r["n_right"] == 10
+    assert r["gap_score"] == 100  # |0*10 - 10*10|
+
+    # constant feature: everything lands in bin 0 -> no candidate
+    const = spark.createDataFrame([(1.0, i % 2) for i in range(6)], ["x", "y"])
+    rc = histogram_split_finding(const, ["x"], "y").collect()[0]
+    assert rc["split_bin"] is None  # no valid split exists
