@@ -718,3 +718,32 @@ def test_streaming_count_min_matches_batch(spark, events_df, tmp_path):
     assert got == want
     for _key, est, exact in got:
         assert est >= exact
+
+
+def test_streaming_cdc_maintainer_matches_batch(spark, tmp_path):
+    # replay a changelog in micro-batches; the maintained snapshot
+    # must equal the one-shot batch apply_cdc — including a delete
+    # arriving in an EARLIER batch than a lower-seq update for the
+    # same key (the tombstone case)
+    from onionnet_spark.operators.timeseries import apply_cdc
+    from onionnet_spark.streaming.cdc_stream import StreamingCdcMaintainer
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(1, "x1", 10, "U"), (1, "x2", 20, "U"), (2, "d", 30, "D"),
+         (21, "new", 5, "I"), (3, "late", 1, "U"), (2, "zombie", 15, "U"),
+         (22, "i", 2, "I"), (22, "i", 9, "D")],
+        ["k", "v", "seq", "op"],
+    )
+    m = StreamingCdcMaintainer(base, "k", "seq", "op")
+    stream = ev.stream_from_batch(spark, changes, partitions=4)
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert m.n_batches >= 2
+    got = sorted(map(tuple, m.snapshot().collect()))
+    want = sorted(map(tuple, apply_cdc(base, changes, "k", "seq").collect()))
+    assert got == want
+    # the zombie update (seq 15 < delete seq 30) must NOT resurrect k=2
+    assert not any(k == 2 for k, _ in got)
