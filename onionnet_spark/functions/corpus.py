@@ -857,6 +857,9 @@ def binary_auc(
             F.col(score_col).alias("s"),
             F.col(label_col).cast("boolean").cast("int").alias("y"),
         )
+        # NULL scores are unrankable — and Spark (NULLS FIRST) and
+        # DuckDB (NULLS LAST) would order them differently anyway
+        .filter(F.col("s").isNotNull())
         .groupBy("s")
         .agg(
             F.count("*").cast("long").alias("n"),
