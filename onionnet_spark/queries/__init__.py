@@ -238,6 +238,7 @@ _R5_BACKLOG: list[str] = [
     "orders_cdc_apply",
     "docs_lang_auc",
     "docs_split_finding",
+    "sorted_neighborhood_pairs",
 ]
 
 

@@ -1132,6 +1132,39 @@ def fuzzy_name_pairs(spark, sf_dir):
 
 
 @register(
+    "sorted_neighborhood_pairs",
+    # the oracle ranks with ONE window (fine at oracle scale); the
+    # Spark side must reproduce the identical pair set from the
+    # two-phase global_rank + bucket-adjacency join — the hash match
+    # proves the distributed rank and the +/-1 bucket probe lossless
+    """WITH c AS (
+      SELECT c_custkey AS id, c_name AS val,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.val AS val_a, b.val AS val_b,
+           CAST(ABS(a.rnk - b.rnk) AS INT) AS rank_gap,
+           CAST(levenshtein(a.val, b.val) AS INT) AS edit_dist
+    FROM c a JOIN c b
+      ON b.rnk BETWEEN a.rnk - 5 AND a.rnk + 5 AND a.id < b.id
+    WHERE levenshtein(a.val, b.val) <= 2""",
+)
+def sorted_neighborhood_q(spark, sf_dir):
+    """Sorted-neighborhood entity resolution over customer names:
+    rank-adjacent candidates (window 5) + Levenshtein <= 2 verify —
+    the blocking strategy that catches prefix-divergent near-dups."""
+    from onionnet_spark.operators.joins import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        load_tables(spark, sf_dir)["customer"],
+        col="c_name",
+        id_col="c_custkey",
+        window=5,
+        max_dist=2,
+    )
+
+
+@register(
     "basket_pairs",
     # market-basket co-occurrence: parts ordered together, support
     # >= 3, top-100 by support (deterministic tie-break)

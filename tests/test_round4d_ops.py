@@ -523,3 +523,28 @@ def test_split_finding_locates_separating_threshold(spark):
     const = spark.createDataFrame([(1.0, i % 2) for i in range(6)], ["x", "y"])
     rc = histogram_split_finding(const, ["x"], "y").collect()[0]
     assert rc["split_bin"] is None  # no valid split exists
+
+
+def test_sorted_neighborhood_catches_prefix_divergent_pairs(spark):
+    from onionnet_spark.operators.joins import sorted_neighborhood_pairs
+
+    # 'smith'/'smyth' share no 2-char PREFIX block but sort within
+    # the window; unrelated names don't pair
+    rows = [
+        (1, "smith"), (2, "smyth"), (3, "smithe"),
+        (4, "jones"), (5, "jonas"), (6, "zzzzz"),
+    ]
+    df = spark.createDataFrame(rows, ["cid", "name"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "name", "cid", window=3, max_dist=2
+        ).collect()
+    }
+    assert (1, 2) in pairs     # smith ~ smyth (edit 1, prefix-divergent)
+    assert (1, 3) in pairs     # smith ~ smithe
+    assert (4, 5) in pairs     # jones ~ jonas
+    assert not any(6 in p for p in pairs)
+    # every reported pair respects both bounds
+    for r in sorted_neighborhood_pairs(df, "name", "cid", 3, 2).collect():
+        assert r["rank_gap"] <= 3 and r["edit_dist"] <= 2
