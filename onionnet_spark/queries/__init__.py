@@ -239,6 +239,7 @@ _R5_BACKLOG: list[str] = [
     "docs_lang_auc",
     "docs_split_finding",
     "sorted_neighborhood_pairs",
+    "basket_triples",
 ]
 
 

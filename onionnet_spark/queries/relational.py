@@ -1165,6 +1165,90 @@ def sorted_neighborhood_q(spark, sf_dir):
 
 
 @register(
+    "basket_triples",
+    # the oracle counts triples DIRECTLY from the definition; the
+    # Spark side runs the real A-priori pruned plan (candidates only
+    # from frequent sub-pairs) — the hash match proves the pruning
+    # lossless, the same proof style as skjoin/skyline
+    """WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    tri AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a
+      JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, part_c, support, CAST(rn AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY support DESC, part_a, part_b, part_c) AS rn
+      FROM tri)
+    WHERE rn <= 50""",
+)
+def basket_triples(spark, sf_dir):
+    """A-priori level-3 frequent itemsets: candidate triples built
+    ONLY from frequent sub-pairs (the classic downward-closure
+    prune), then counted and ranked. The per-order pair table is
+    semi-joined against the frequent-pair list BEFORE the triple
+    join, so candidate volume is governed by frequent pairs, not
+    basket-size cubed."""
+    from pyspark.sql import Window
+
+    items = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint()
+    )
+    op = (
+        items.alias("a")
+        .join(items.alias("b"), on="ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select("ok", F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+    )
+    fp = (
+        op.groupBy("pa", "pb")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    fop = op.join(fp, on=["pa", "pb"], how="left_semi")
+    tri = (
+        fop.select("ok", F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .join(
+            fop.select(
+                "ok", F.col("pa").alias("b"), F.col("pb").alias("c")
+            ),
+            on=["ok", "b"],
+        )
+        .join(
+            fp.select(F.col("pa").alias("a"), F.col("pb").alias("c")),
+            on=["a", "c"],
+            how="left_semi",
+        )
+        .groupBy(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("c").alias("part_c"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    # unpartitioned Window is BOUNDED: ranks the post-limit(50) frame
+    w = Window.orderBy(
+        F.col("support").desc(), "part_a", "part_b", "part_c"
+    )
+    return (
+        tri.orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+@register(
     "basket_pairs",
     # market-basket co-occurrence: parts ordered together, support
     # >= 3, top-100 by support (deterministic tie-break)
