@@ -240,6 +240,7 @@ _R5_BACKLOG: list[str] = [
     "docs_split_finding",
     "sorted_neighborhood_pairs",
     "basket_triples",
+    "graph_percolation",
 ]
 
 

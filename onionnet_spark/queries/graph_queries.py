@@ -2053,6 +2053,94 @@ def graph_msf_q(spark, sf_dir):
 _REG["graph_msf"] = (graph_msf_q, _msf_oracle())
 
 
+def _percolation_oracle(ks: tuple[int, ...] = (20, 40, 60)) -> str:
+    """Per threshold k: weak CC over the top-k co-supply edges
+    (recursive min-label closure seeded from the FIXED top-60 node
+    universe, so pruned-away nodes count as singletons), summarized
+    to one row."""
+    parts = []
+    for k in ks:
+        parts.append(
+            f"""ek{k} AS (SELECT a, b FROM rk WHERE rn <= {k}),
+    reach{k} AS (
+      SELECT node AS s, node FROM uni
+      UNION
+      SELECT r.s, CASE WHEN e.a = r.node THEN e.b ELSE e.a END
+      FROM reach{k} r JOIN ek{k} e ON r.node IN (e.a, e.b)
+    ),
+    comp{k} AS (SELECT s, MIN(node) AS c FROM reach{k} GROUP BY s),
+    sz{k} AS (SELECT c, COUNT(*) AS n FROM comp{k} GROUP BY c),
+    row{k} AS (
+      SELECT CAST({k} AS INT) AS threshold_k,
+             CAST(COUNT(*) AS BIGINT) AS n_components,
+             CAST(MAX(n) AS BIGINT) AS largest_size,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons
+      FROM sz{k})"""
+        )
+    stage_sql = ",\n    ".join(parts)
+    union_sql = "\n    UNION ALL ".join(f"SELECT * FROM row{k}" for k in ks)
+    return f"""WITH RECURSIVE {_COSUPPLY_SQL.format(topn=60)},
+    rk AS MATERIALIZED (
+      SELECT e0.a, e0.b,
+             ROW_NUMBER() OVER (ORDER BY c.shared DESC, e0.a, e0.b) AS rn
+      FROM e0 JOIN cpairs c ON c.a = e0.a AND c.b = e0.b
+    ),
+    uni AS MATERIALIZED (SELECT DISTINCT a AS node FROM rk
+                         UNION SELECT b FROM rk),
+    {stage_sql}
+    {union_sql}"""
+
+
+def graph_percolation_q(spark, sf_dir):
+    """Percolation / fragmentation profile of the co-supply
+    similarity graph: weak-component structure as only the top-k
+    strongest edges are kept (k = 20, 40, 60) over the fixed top-60
+    node universe — the network-robustness readout behind backbone
+    extraction. The rank window is bounded by the 60-pair table."""
+    from pyspark.sql import Window
+
+    pairs = _cosupply_top_pairs(spark, sf_dir, 60, with_weight=True)
+    w = Window.orderBy(F.col("shared").desc(), "a", "b")  # bounded: 60 rows
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).localCheckpoint()
+    nodes = (
+        ranked.select(F.col("a").alias("key"))
+        .unionByName(ranked.select(F.col("b").alias("key")))
+        .distinct()
+        .select(
+            F.lit("nation").alias("layer"),
+            F.substring("key", 8, 1000).alias("node_id"),
+        )
+        .localCheckpoint()
+    )
+    out = None
+    for k in (20, 40, 60):
+        ek = ranked.filter(F.col("rn") <= k).select(
+            F.lit("nation").alias("src_layer"),
+            F.substring("a", 8, 1000).alias("src_id"),
+            F.lit("nation").alias("dst_layer"),
+            F.substring("b", 8, 1000).alias("dst_id"),
+        )
+        cc = components.connected_components(OnionGraph(nodes, ek))
+        row = (
+            cc.groupBy("component")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.lit(k).cast("int").alias("threshold_k"),
+                F.count("*").cast("bigint").alias("n_components"),
+                F.max("n").cast("bigint").alias("largest_size"),
+                F.sum((F.col("n") == 1).cast("int"))
+                .cast("bigint")
+                .alias("n_singletons"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_REG["graph_percolation"] = (graph_percolation_q, _percolation_oracle())
+
+
 def _bisection_oracle(topn: int = 60, iterations: int = 8) -> str:
     """Unrolls the deflated power iteration: per step, w = (c-deg)*v
     + neighbor-sum, then the mean projection n*w - sum(w), then the
