@@ -1581,3 +1581,63 @@ def embedding_norm_outliers(
             "z",
         )
     )
+
+def ann_lsh_multiprobe_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007): each query probes its
+    own hyperplane-sign bucket PLUS the n_planes single-bit-flip
+    neighbor buckets — the buckets a near neighbor most likely fell
+    into when one projection straddled zero. The candidate set
+    STRICTLY CONTAINS single-probe ann_lsh_topk's (flip 0 is the
+    identity probe; pytest-pinned), which is the standard way to buy
+    recall without multiplying hash tables.
+
+    Shape: the index side keeps ONE bucket per vector; only the
+    query side fans out (n_planes + 1 probe keys), so the join input
+    grows linearly in probes while the index stays put — at scale
+    the index is the big side and this is the cheap direction to
+    fan out. Each (query, neighbor) pair arises at most once (a
+    neighbor lives in exactly one bucket and probe keys are
+    distinct), so no dedup pass is needed.
+    """
+    from pyspark.sql import Window
+
+    with_bucket = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", lsh_bucket_col(F.col("v"), n_planes))
+        .localCheckpoint()
+    )
+    flips = F.array(
+        F.lit(0).cast("bigint"),
+        *[F.lit(1 << p).cast("bigint") for p in range(n_planes)],
+    )
+    probes = with_bucket.select(
+        "id", "v", "bucket", F.explode(flips).alias("flip")
+    ).select(
+        F.col("id"),
+        F.col("v"),
+        F.col("bucket").bitwiseXOR(F.col("flip")).alias("pb"),
+    )
+    pairs = (
+        probes.alias("a")
+        .join(
+            with_bucket.alias("b"), F.col("a.pb") == F.col("b.bucket")
+        )
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return pairs.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

@@ -241,6 +241,7 @@ _R5_BACKLOG: list[str] = [
     "sorted_neighborhood_pairs",
     "basket_triples",
     "graph_percolation",
+    "ann_lsh_multiprobe",
 ]
 
 

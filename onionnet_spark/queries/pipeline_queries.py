@@ -302,6 +302,48 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.ann_lsh_topk(_embs(spark, sf_dir), k=5)
 
 
+def _ann_lsh_multiprobe_oracle(
+    n_planes: int = 8, dim: int = 64, k: int = 5
+) -> str:
+    """Multi-probe variant of _ann_lsh_oracle: identical plane
+    literals and buckets; queries additionally probe the n_planes
+    single-bit-flip buckets via xor()."""
+    base = _ann_lsh_oracle(n_planes, dim, k)
+    prefix = base[: base.index("pairs AS (")]
+    flips = ", ".join(["(0)"] + [f"({1 << p})" for p in range(n_planes)])
+    return (
+        prefix
+        + f"""probes AS (
+      SELECT b.vec_id, b.e, xor(b.bucket, f.flip) AS pb
+      FROM buck b CROSS JOIN (VALUES {flips}) f(flip)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))),
+                   6) AS cosine
+      FROM probes a JOIN buck b
+        ON b.bucket = a.pb AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT)
+          AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}"""
+    )
+
+
+@register("ann_lsh_multiprobe", _ann_lsh_multiprobe_oracle())
+def ann_lsh_multiprobe_q(spark, sf_dir):
+    """Multi-probe LSH top-k: single-bit-flip neighbor buckets probed
+    alongside the home bucket — recall strictly contains the
+    single-probe variant at linear probe cost."""
+    return similarity.ann_lsh_multiprobe_topk(_embs(spark, sf_dir), k=5)
+
+
 def _cosine_neardup_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
     # same exact-literal hyperplane trick as _ann_lsh_oracle
     import hashlib

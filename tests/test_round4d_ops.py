@@ -548,3 +548,27 @@ def test_sorted_neighborhood_catches_prefix_divergent_pairs(spark):
     # every reported pair respects both bounds
     for r in sorted_neighborhood_pairs(df, "name", "cid", 3, 2).collect():
         assert r["rank_gap"] <= 3 and r["edit_dist"] <= 2
+
+
+def test_multiprobe_lsh_candidates_contain_single_probe(spark):
+    import numpy as np
+
+    from onionnet_spark.functions import similarity
+
+    rng = np.random.RandomState(6)
+    data = [(int(i), [float(x) for x in rng.randn(16)]) for i in range(120)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(df, k=100, n_planes=6).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_multiprobe_topk(
+            df, k=100, n_planes=6
+        ).collect()
+    }
+    # flip-0 is the identity probe: single-probe pairs are a subset
+    assert single <= multi
+    # and the flips genuinely add recall on this fixture
+    assert len(multi) > len(single)
