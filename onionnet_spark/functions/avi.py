@@ -216,3 +216,48 @@ def decode_avi(data: bytes) -> tuple[list[np.ndarray], int]:
     if n_frames is not None and n_frames != len(frames):
         raise ValueError(f"avih promises {n_frames} frames, movi has {len(frames)}")
     return frames, fps
+
+# ------------------------------------------------------- standalone BMP
+# The DIB pixel machinery above IS the BMP payload format; the
+# standalone file just adds a 14-byte BITMAPFILEHEADER + the
+# BITMAPINFOHEADER the AVI strf already uses.
+
+
+def is_bmp(data: bytes) -> bool:
+    return bytes(data[:2]) == b"BM"
+
+
+def encode_bmp(frame: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 -> 24-bit uncompressed BMP (bottom-up BGR
+    rows padded to 4 bytes — the classic DIB layout)."""
+    h, w, _ = frame.shape
+    pixels = _dib_encode(frame)
+    header_size = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0
+    )
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", header_size + len(pixels), 0, 0, header_size
+    )
+    return file_header + info + pixels
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (h, w, 3) RGB uint8.
+    Top-down DIBs (negative height) are handled; palettized/
+    compressed BMPs raise (documented)."""
+    data = bytes(data)
+    if not is_bmp(data):
+        raise ValueError("not a BMP: missing 'BM' magic")
+    (_sig, _size, _r1, _r2, offset) = struct.unpack_from("<2sIHHI", data, 0)
+    (hsz, w, h, _planes, bpp, comp) = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    body = data[offset:]
+    if h >= 0:
+        return _dib_decode(body, w, h)
+    # top-down DIB: rows already in display order -> undo the flip
+    return _dib_decode(body, w, -h)[::-1, :, :].copy()

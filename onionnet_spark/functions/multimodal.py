@@ -66,17 +66,26 @@ def _decode_any_image(payload) -> "np.ndarray":
     else raises
     NotImplementedError (the plug-in point a PIL/ffmpeg-backed build
     fills for video frames and exotic formats)."""
+    from onionnet_spark.functions import avi as _avi
+    from onionnet_spark.functions import gif as _gif
     from onionnet_spark.functions import jpeg as _jpeg
     from onionnet_spark.functions import png as _png
+    from onionnet_spark.functions import tiff as _tiff
 
     if _png.is_png(payload):
         return _png.decode_png(payload)
     if _jpeg.is_jpeg(payload):
         return _jpeg.decode_jpeg(payload)
+    if _avi.is_bmp(payload):
+        return _avi.decode_bmp(payload)
+    if _gif.is_gif(payload):
+        return _gif.decode_gif(payload)[0][0]  # first frame
+    if _tiff.is_tiff(payload):
+        return _tiff.decode_tiff(payload)[0]  # first page
     raise NotImplementedError(
-        "real decode implemented for PNG (functions/png.py) and "
-        "JPEG (functions/jpeg.py); video/exotic formats need PIL/ffmpeg — "
-        "not in this container. Use fake=True for those."
+        "real decode implemented for PNG, JPEG (baseline/progressive/"
+        "4:2:0), BMP, GIF and TIFF; WebP/HEIC-class formats need "
+        "PIL/ffmpeg — not in this container. Use fake=True for those."
     )
 
 

@@ -242,6 +242,7 @@ _R5_BACKLOG: list[str] = [
     "basket_triples",
     "graph_percolation",
     "ann_lsh_multiprobe",
+    "multimodal_bmp_decode",
 ]
 
 

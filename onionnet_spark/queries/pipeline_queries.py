@@ -3592,6 +3592,95 @@ def multimodal_gif_frames_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_bmp_decode",
+    # 24-bit BMP: the classic DIB layout (bottom-up BGR rows padded
+    # to 4 bytes) behind a BITMAPFILEHEADER; lossless, closed-form;
+    # the pos_checksum catches row-order/channel-order/pad bugs
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 4 AS h, 3 + doc_id % 5 AS w
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, r.r, c.c, k.k,
+             (d.doc_id * 5 + r.r * 7 + c.c * 11 + k.k * 13) % 256 AS v
+      FROM dims d
+      JOIN range(0, 8) r(r) ON r.r < d.h
+      JOIN range(0, 8) c(c) ON c.c < d.w
+      JOIN range(0, 3) k(k) ON true
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (1 + r * 3 + c * 5 + k * 7)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id, w, h""",
+)
+def multimodal_bmp_decode_q(spark, sf_dir):
+    """REAL BMP decode through the signature-dispatched image path
+    (functions/avi.py shares its DIB machinery with the AVI frames)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from onionnet_spark.functions import avi as _avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 4 + d % 4, 3 + d % 5
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(3)[None, None, :]
+                f = ((d * 5 + r * 7 + c * 11 + k * 13) % 256).astype(np.uint8)
+                payloads.append(_avi.encode_bmp(f))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id")
+    payload = ids.mapInPandas(gen, "doc_id long, payload binary")
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        from onionnet_spark.functions.multimodal import _decode_any_image
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "pixel_sum", "pos_checksum",
+            )}
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _decode_any_image(bytes(pl)).astype(np.int64)
+                h, w, ch = arr.shape
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(ch)[None, None, :]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(int(arr.sum()))
+                rows["pos_checksum"].append(
+                    int((arr * (1 + r * 3 + c * 5 + k * 7)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                    "pos_checksum": pd.Series(
+                        rows["pos_checksum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return payload.mapInPandas(
+        stats,
+        "doc_id long, width int, height int, pixel_sum long, "
+        "pos_checksum long",
+    )
+
+
+@register(
     "multimodal_tiff_decode",
     # multi-page TIFF gate: chained IFDs, compression cycled
     # none / PackBits / LZW+predictor by doc_id % 3 — all lossless,
