@@ -1157,6 +1157,104 @@ def k_truss(
     return final
 
 
+def trussness(
+    edges: DataFrame,
+    k_max: int = 8,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    guard: bool = True,
+    rebase_every: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Full truss decomposition: each edge's truss number (the max k
+    for which it survives in the k-truss) — the edge-level analogue
+    of coreness, and the standard community-strength ordering for
+    edges. Fixed (k, sweep) peel schedule exactly like `coreness`:
+    for k = 3..k_max, peel `rounds` support sweeps from the previous
+    survivor set; an edge's trussness is the last k it survived
+    (2 if it never makes the 3-truss).
+
+    With ``guard=True`` a final peel at k_max + 1 must come up empty
+    (otherwise trussness k_max would be a silent truncation —
+    RuntimeError instead). Per sweep: one triangle-support
+    enumeration on the shrinking survivor set. Returns (a, b,
+    trussness).
+
+    Checkpoint discipline: every `rebase_every` sweeps the survivor
+    set is rebased through a REAL parquet write/read. Chains of >~12
+    localCheckpoints hit a geometric per-sweep replay blowup on this
+    Spark build even though every post-checkpoint plan is a bare
+    LogicalRDD scan (measured: 0.7s/sweep flat for 12 sweeps, then
+    x4 per sweep) — the parquet rebase is the reliable truncation
+    long iterative jobs use, and it is what a cluster deployment
+    would do anyway (pass `checkpoint_dir` on a shared filesystem).
+    """
+    import tempfile
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def support(cur: DataFrame) -> DataFrame:
+        adj = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        x = adj.select(F.col("u").alias("a"), F.col("v").alias("w"))
+        y = adj.select(F.col("u").alias("b"), F.col("v").alias("w"))
+        return (
+            cur.join(x, on="a")
+            .join(y, on=["b", "w"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+
+    spark = edges.sparkSession
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="onionnet_truss_")
+    remaining = e
+    tagged = [e.select("a", "b", F.lit(2).alias("k"))]
+    sweeps = 0
+    for k in range(3, k_max + 1):
+        for _ in range(rounds):
+            sweeps += 1
+            cur = (
+                support(remaining)
+                .filter(F.col("support") >= k - 2)
+                .select("a", "b")
+            )
+            if sweeps % rebase_every == 0:
+                path = f"{base}/sweep_{sweeps}"
+                cur.write.mode("overwrite").parquet(path)
+                remaining = spark.read.parquet(path)
+            else:
+                remaining = cur.localCheckpoint()
+        tagged.append(remaining.select("a", "b", F.lit(k).alias("k")))
+    if guard:
+        over = (
+            support(remaining)
+            .filter(F.col("support") >= k_max - 1)
+            .select("a", "b")
+        )
+        # one sweep at k_max+1 must already be a strict reduction to
+        # empty after `rounds` would-be sweeps; a cheap sufficient
+        # check: no edge meets the (k_max+1)-truss support bar after
+        # the k_max peel converged
+        if over.take(1):
+            raise RuntimeError(
+                f"trussness: edges exceed the k_max={k_max} schedule; "
+                "raise k_max"
+            )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("a", "b").agg(
+        F.max("k").cast("int").alias("trussness")
+    )
+
+
 def maximal_matching(
     edges: DataFrame,
     rounds: int = 5,

@@ -243,6 +243,7 @@ _R5_BACKLOG: list[str] = [
     "graph_percolation",
     "ann_lsh_multiprobe",
     "multimodal_bmp_decode",
+    "graph_trussness",
 ]
 
 

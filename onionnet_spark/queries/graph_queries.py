@@ -1526,6 +1526,53 @@ def graph_ktruss_q(spark, sf_dir):
 _REG["graph_ktruss"] = (graph_ktruss_q, _ktruss_oracle())
 
 
+def _trussness_oracle(
+    topn: int = 60, k_max: int = 10, rounds: int = 3
+) -> str:
+    """Unrolls the full (k, round) truss-peeling schedule: the same
+    common-neighbor support join as the k-truss oracle, snapshots
+    tagged per k, final label = max k each edge survived."""
+    stages = []
+    step = 0
+    snaps = ["SELECT a, b, 2 AS k FROM t0"]
+    for k in range(3, k_max + 1):
+        for _ in range(rounds):
+            step += 1
+            stages.append(
+                f"""ta{step - 1} AS (SELECT a AS u, b AS v FROM t{step - 1}
+                    UNION ALL SELECT b, a FROM t{step - 1}),
+    t{step} AS MATERIALIZED (
+      SELECT s.a, s.b FROM (
+        SELECT e.a, e.b, COUNT(*) AS c
+        FROM t{step - 1} e
+        JOIN ta{step - 1} x ON x.u = e.a
+        JOIN ta{step - 1} y ON y.u = e.b AND y.v = x.v
+        GROUP BY e.a, e.b) s
+      WHERE s.c >= {k - 2}
+    )"""
+            )
+        snaps.append(f"SELECT a, b, {k} AS k FROM t{step}")
+    stage_sql = ",\n    ".join(stages)
+    union_sql = "\n      UNION ALL ".join(snaps)
+    return f"""WITH {_COSUPPLY_SQL.format(topn=topn)},
+    t0 AS MATERIALIZED (SELECT a, b FROM e0),
+    {stage_sql}
+    SELECT a, b, CAST(MAX(k) AS INT) AS trussness
+    FROM ({union_sql}) GROUP BY a, b"""
+
+
+def graph_trussness_q(spark, sf_dir):
+    """Full truss decomposition of the co-supply graph: per-edge
+    truss numbers over the fixed (k = 3..10, 3 sweeps) schedule —
+    the edge-level analogue of graph_coreness. Parquet-rebased
+    checkpointing every 8 sweeps (see trussness docstring)."""
+    return analytics.trussness(
+        _cosupply_top_pairs(spark, sf_dir, 60), k_max=10, rounds=3,
+        guard=True,
+    )
+
+
+
 def _cosupply_top_pairs(spark, sf_dir, topn: int, with_weight: bool = False):
     """Canonical (a < b) nation co-supply pairs, top-N by shared
     part count — shared derivation for k-truss / motif / MSF
@@ -1885,6 +1932,8 @@ def graph_mis_q(spark, sf_dir):
 
 
 _REG["graph_mis"] = (graph_mis_q, _mis_oracle())
+
+_REG["graph_trussness"] = (graph_trussness_q, _trussness_oracle())
 
 
 def _coloring_oracle(rounds: int = 4) -> str:

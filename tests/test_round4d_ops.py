@@ -572,3 +572,25 @@ def test_multiprobe_lsh_candidates_contain_single_probe(spark):
     assert single <= multi
     # and the flips genuinely add recall on this fixture
     assert len(multi) > len(single)
+
+
+def test_trussness_on_clique_plus_tail(spark):
+    from onionnet_spark.operators.analytics import trussness
+
+    # K5 clique (every edge trussness 5) + a pendant edge (trussness 2)
+    clique = [
+        (f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)
+    ]
+    df = spark.createDataFrame(clique + [("c0", "tail")], ["a", "b"])
+    out = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in trussness(df, k_max=6, rounds=2).collect()
+    }
+    for e in clique:
+        assert out[e] == 5, e
+    assert out[("c0", "tail")] == 2
+    # guard: k_max below the true max trussness must raise
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="k_max"):
+        trussness(df, k_max=4, rounds=2).collect()
