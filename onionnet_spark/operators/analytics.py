@@ -1190,7 +1190,7 @@ def trussness(
     long iterative jobs use, and it is what a cluster deployment
     would do anyway (pass `checkpoint_dir` on a shared filesystem).
     """
-    import tempfile
+    from onionnet_spark.operators.ckpt import IterCheckpointer
     a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
     e = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
@@ -1212,25 +1212,19 @@ def trussness(
             .agg(F.count("*").alias("support"))
         )
 
-    spark = edges.sparkSession
-    base = checkpoint_dir or tempfile.mkdtemp(prefix="onionnet_truss_")
+    ck = IterCheckpointer(
+        rebase_every=rebase_every, checkpoint_dir=checkpoint_dir,
+        prefix="onionnet_truss_",
+    )
     remaining = e
     tagged = [e.select("a", "b", F.lit(2).alias("k"))]
-    sweeps = 0
     for k in range(3, k_max + 1):
         for _ in range(rounds):
-            sweeps += 1
-            cur = (
+            remaining = ck.cut(
                 support(remaining)
                 .filter(F.col("support") >= k - 2)
                 .select("a", "b")
             )
-            if sweeps % rebase_every == 0:
-                path = f"{base}/sweep_{sweeps}"
-                cur.write.mode("overwrite").parquet(path)
-                remaining = spark.read.parquet(path)
-            else:
-                remaining = cur.localCheckpoint()
         tagged.append(remaining.select("a", "b", F.lit(k).alias("k")))
     if guard:
         over = (
@@ -1972,6 +1966,9 @@ def coreness(
         # one end-pair per sweep), derived from the data instead of
         # a constant that under-shoots long cascades
         max_sweeps = adj.select("u").distinct().count() + k_max
+    from onionnet_spark.operators.ckpt import IterCheckpointer
+
+    ck = IterCheckpointer(prefix="onionnet_coreness_")
     removed = None
     sweeps = 0
     for k in range(1, k_max + 1):
@@ -1984,10 +1981,11 @@ def coreness(
                 )
             deg = adj.groupBy("u").agg(F.count("*").alias("c"))
             low = deg.filter(F.col("c") < k).select("u")
-            nxt = (
+            # periodic parquet rebase: deep peel cascades run many
+            # sweeps and long localCheckpoint chains blow up (ckpt.py)
+            nxt = ck.cut(
                 adj.join(low, on="u", how="left_anti")
                 .join(low.select(F.col("u").alias("v")), on="v", how="left_anti")
-                .localCheckpoint()
             )
             n_new = nxt.count()
             if n_new == n_rows:

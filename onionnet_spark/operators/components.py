@@ -34,10 +34,16 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
     Returns DataFrame(layer, node_id, component) where component is
     the min 'layer:node_id' string key in the node's component.
     """
+    from onionnet_spark.operators.ckpt import IterCheckpointer
+
     sym = graph.cached_symmetrized()
     labels = graph.nodes.select(
         "layer", "node_id", graph.node_key_col().alias("component")
     ).persist()
+    # deep (high-diameter) graphs run many label rounds: rebase the
+    # checkpoint chain periodically (see operators/ckpt.py — long
+    # localCheckpoint chains hit a geometric replay blowup)
+    ck = IterCheckpointer(prefix="onionnet_cc_")
     changed = 0
     for it in range(max_iterations):
         # candidate label for each dst = min label among in-neighbors
@@ -59,7 +65,7 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
         # flag, so convergence detection costs a metadata-cheap
         # filter over the just-materialized checkpoint instead of
         # a second full labels-vs-labels shuffle join.
-        new_labels = (
+        new_labels = ck.cut(
             labels.join(cand, on=NODE_KEY, how="left")
             .select(
                 "layer",
@@ -72,7 +78,6 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
                     & (F.col("nbr_component") < F.col("component"))
                 ).alias("improved"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.filter("improved").limit(1).count()
         labels.unpersist()

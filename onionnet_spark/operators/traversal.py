@@ -88,6 +88,11 @@ def bfs_distances(
     # (all small), so there is no persist/unpersist churn and no
     # exponentially growing plan. The edge side comes from the
     # graph-level endpoint cache (persisted once per direction).
+    from onionnet_spark.operators.ckpt import IterCheckpointer
+
+    # deep BFS (diameter > ~12) would otherwise chain enough
+    # localCheckpoints to hit the geometric replay blowup (ckpt.py)
+    ck = IterCheckpointer(prefix="onionnet_bfs_")
     frontier = _sources_df(spark, sources).localCheckpoint()
     frontiers = [frontier]
     n_frontier = frontier.count()
@@ -147,8 +152,8 @@ def bfs_distances(
             # instead of two.
             .dropDuplicates(NODE_KEY)
             .join(visited_keys, on=NODE_KEY, how="left_anti")
-            .localCheckpoint()
         )
+        nxt = ck.cut(nxt)
         depth += 1
         n_frontier = nxt.count()
         if n_frontier:
