@@ -594,3 +594,22 @@ def test_trussness_on_clique_plus_tail(spark):
 
     with _pytest.raises(RuntimeError, match="k_max"):
         trussness(df, k_max=4, rounds=2).collect()
+
+
+def test_deep_iteration_chain_stays_flat(spark):
+    # 30-node path graph: min-label CC needs ~30 propagation rounds,
+    # far past the ~12-checkpoint chain where localCheckpoint replay
+    # turns geometric (x4/sweep — this test would effectively hang
+    # without IterCheckpointer's periodic parquet rebase).
+    nodes = spark.createDataFrame(
+        [("L", f"n{i:02d}") for i in range(30)], ["layer", "node_id"]
+    )
+    edges = spark.createDataFrame(
+        [("L", f"n{i:02d}", "L", f"n{i + 1:02d}") for i in range(29)],
+        ["src_layer", "src_id", "dst_layer", "dst_id"],
+    )
+    from onionnet_spark.operators.components import connected_components
+
+    cc = connected_components(OnionGraph(nodes, edges), max_iterations=40)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {"L:n00"}  # one chain, min-key label
