@@ -244,6 +244,7 @@ _R5_BACKLOG: list[str] = [
     "ann_lsh_multiprobe",
     "multimodal_bmp_decode",
     "graph_trussness",
+    "docs_lang_confusion",
 ]
 
 

@@ -726,6 +726,47 @@ def docs_split_finding_q(spark, sf_dir):
     )
 
 
+def _lang_confusion_oracle() -> str:
+    langs = sorted(text.STOPWORDS)
+    hits = ", ".join(
+        f"CAST(len(list_filter(a, x -> x IN ({_sw_list(lang)}))) AS INT)"
+        f" AS hits_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""WITH base AS (SELECT doc_id, {_TOKS} AS a, lang FROM documents),
+    h AS (SELECT doc_id, lang, {hits} FROM base),
+    p AS (SELECT lang AS true_lang, {case} AS pred_lang FROM h)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY true_lang),
+                 6) AS row_share
+    FROM p GROUP BY true_lang, pred_lang"""
+
+
+@register("docs_lang_confusion", _lang_confusion_oracle())
+def docs_lang_confusion_q(spark, sf_dir):
+    """Language-ID confusion matrix against the ground-truth lang
+    column: per (true, predicted) counts with row-normalized shares
+    — the eval readout next to docs_lang_auc. The share window is
+    bounded by the |langs|^2 confusion cells."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    p = text.lang_id(d).join(d.select("doc_id", "lang"), on="doc_id")
+    out = p.groupBy(
+        F.col("lang").alias("true_lang"), F.col("pred_lang")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("true_lang")  # bounded: |langs|^2 cells
+    return out.withColumn(
+        "row_share", F.round(F.col("n") / F.sum("n").over(w), 6)
+    )
+
+
 @register(
     "doc_fingerprint",
     f"""WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
