@@ -245,6 +245,7 @@ _R5_BACKLOG: list[str] = [
     "multimodal_bmp_decode",
     "graph_trussness",
     "docs_lang_confusion",
+    "events_cohort_ltv",
 ]
 
 

@@ -561,3 +561,71 @@ def events_active_users(spark, sf_dir):
     from onionnet_spark.operators.timeseries import active_users_rolling
 
     return active_users_rolling(_events(spark, sf_dir))
+
+
+@register(
+    "events_cohort_ltv",
+    # cohort lifetime-value curves: per (first-seen day, age) revenue
+    # and the running cumulative per cohort; the cumulative window
+    # runs over the bounded (cohort, age) cell table, never events.
+    # Cell revenues are 6dp-rounded BEFORE the running sum so both
+    # engines accumulate identical doubles in identical order.
+    """WITH f AS (SELECT user_id,
+                         MIN(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                           AS cohort_day
+                  FROM events GROUP BY user_id),
+    sz AS (SELECT cohort_day, COUNT(*) AS n_users FROM f GROUP BY 1),
+    cells AS (
+      SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day,
+                            CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                  AS INT) AS age_days,
+             ROUND(SUM(e.value), 6) AS revenue
+      FROM events e JOIN f USING (user_id)
+      GROUP BY 1, 2)
+    SELECT c.cohort_day, c.age_days, CAST(s.n_users AS BIGINT) AS n_users,
+           c.revenue,
+           ROUND(SUM(c.revenue) OVER (
+             PARTITION BY c.cohort_day ORDER BY c.age_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cum_revenue
+    FROM cells c JOIN sz s USING (cohort_day)""",
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: revenue by (first-seen day, age in days)
+    with the running cumulative per cohort — the growth-accounting
+    readout next to events_retention. Two-phase like retention (per
+    user first, then the bounded cell table); the cumulative window
+    runs over |days|^2 cells only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    sz = first.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    cells = (
+        e.join(first, on="user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).cast("int").alias("age_days"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )  # bounded: |days|^2 cohort-age cells
+    return (
+        cells.join(F.broadcast(sz), on="cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            "n_users",
+            "revenue",
+            F.round(F.sum("revenue").over(w), 6).alias("cum_revenue"),
+        )
+    )
