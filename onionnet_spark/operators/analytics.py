@@ -1470,11 +1470,14 @@ def spectral_bisection(
                 .cast("long"),
             ).alias("d")
         )
-        m = ((F.col("x") % F.col("d")) + F.col("d")) % F.col("d")
         v = (
             proj.crossJoin(F.broadcast(dv))
+            # `div` is integral long division (exact at any magnitude;
+            # a double `/` would lose exactness past 2^53 on graphs
+            # big enough that n * w overflows the mantissa)
             .select(
-                "node", ((F.col("x") - m) / F.col("d")).cast("long").alias("v")
+                "node",
+                F.expr("(x - ((x % d) + d) % d) div d").cast("long").alias("v"),
             )
             .localCheckpoint()
         )
