@@ -1740,6 +1740,63 @@ def greedy_coloring(
     return colored.select("node", F.col("color").cast("int").alias("color"))
 
 
+def attribute_assortativity(
+    edges: DataFrame,
+    attrs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Categorical (attribute) assortativity — Newman 2003's trace
+    formula over the mixing matrix: with e_ij the fraction of
+    undirected edge ENDS joining category i to j, a_i its row sums,
+    r = (sum_i e_ii - sum_i a_i^2) / (1 - sum_i a_i^2). Positive =
+    like links to like (homophily); -1..0 = disassortative.
+
+    Exact by construction: every e/a term is an integer edge-end
+    count over 2m ends; the formula is evaluated as ONE deterministic
+    double combination of integer sums (the degree_assortativity
+    discipline), so any engine computes the same bits. Two joins of
+    the attrs table onto the edge list, a |categories|^2 aggregation.
+    Returns one row (n_edges, n_same, r).
+    """
+    at = attrs.select(F.col(node_col).alias("n"), F.col(attr_col).alias("c"))
+    lab = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .join(at.select(F.col("n").alias("u"), F.col("c").alias("ca")), on="u")
+        .join(at.select(F.col("n").alias("v"), F.col("c").alias("cb")), on="v")
+    )
+    # symmetric edge-end counts: each undirected edge contributes one
+    # end to (ca, cb) and one to (cb, ca)
+    ends = lab.select("ca", "cb").unionByName(
+        lab.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
+    )
+    mix = ends.groupBy("ca", "cb").agg(F.count("*").alias("m"))
+    row = mix.groupBy("ca").agg(F.sum("m").alias("ra"))
+    tot = mix.agg(F.sum("m").alias("t"))
+    sums = (
+        mix.filter(F.col("ca") == F.col("cb"))
+        .agg(F.sum("m").alias("diag"))
+        .crossJoin(
+            row.crossJoin(tot).agg(
+                F.sum(F.col("ra") * F.col("ra")).alias("sq"),
+                F.first("t").alias("t"),
+            )
+        )
+    )
+    return sums.select(
+        (F.col("t") / 2).cast("bigint").alias("n_edges"),
+        (F.coalesce("diag", F.lit(0)) / 2).cast("bigint").alias("n_same"),
+        (
+            (
+                F.coalesce("diag", F.lit(0)) * F.col("t") - F.col("sq")
+            ).cast("double")
+            / (F.col("t") * F.col("t") - F.col("sq")).cast("double")
+        ).alias("r"),
+    )
+
+
 def degree_assortativity(graph: OnionGraph) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
     correlation between source-node and destination-node total

@@ -246,6 +246,7 @@ _R5_BACKLOG: list[str] = [
     "graph_trussness",
     "docs_lang_confusion",
     "events_cohort_ltv",
+    "graph_attr_assortativity",
 ]
 
 

@@ -1936,6 +1936,51 @@ _REG["graph_mis"] = (graph_mis_q, _mis_oracle())
 _REG["graph_trussness"] = (graph_trussness_q, _trussness_oracle())
 
 
+def _attr_assortativity_oracle(topn: int = 60) -> str:
+    return f"""WITH {_COSUPPLY_SQL.format(topn=topn)},
+    at AS (SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+                  CAST(n_regionkey AS VARCHAR) AS c
+           FROM nation),
+    lab AS (
+      SELECT x.c AS ca, y.c AS cb
+      FROM e0 JOIN at x ON x.n = e0.a JOIN at y ON y.n = e0.b),
+    ends AS (SELECT ca, cb FROM lab UNION ALL SELECT cb, ca FROM lab),
+    mix AS (SELECT ca, cb, COUNT(*) AS m FROM ends GROUP BY ca, cb),
+    s AS (
+      SELECT (SELECT COALESCE(SUM(m), 0) FROM mix WHERE ca = cb) AS diag,
+             (SELECT SUM(ra * ra) FROM (
+                SELECT SUM(m) AS ra FROM mix GROUP BY ca)) AS sq,
+             (SELECT SUM(m) FROM mix) AS t)
+    SELECT CAST(t / 2 AS BIGINT) AS n_edges,
+           CAST(diag / 2 AS BIGINT) AS n_same,
+           CAST(diag * t - sq AS DOUBLE) / CAST(t * t - sq AS DOUBLE) AS r
+    FROM s"""
+
+
+def graph_attr_assortativity_q(spark, sf_dir):
+    """Categorical assortativity of the co-supply graph by REGION:
+    do nations co-supply parts predominantly within their own
+    region? Newman's trace formula from exact integer edge-end
+    counts."""
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    nat = load_tables(spark, sf_dir)["nation"].select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias(
+            "node"
+        ),
+        F.col("n_regionkey").cast("string").alias("attr"),
+    )
+    return analytics.attribute_assortativity(
+        _cosupply_top_pairs(spark, sf_dir, 60), nat
+    )
+
+
+_REG["graph_attr_assortativity"] = (
+    graph_attr_assortativity_q,
+    _attr_assortativity_oracle(),
+)
+
+
 def _coloring_oracle(rounds: int = 4) -> str:
     """Unrolls Jones-Plassmann on the nation-star graph: per round,
     uncolored local md5-maxima take the mex of their colored
