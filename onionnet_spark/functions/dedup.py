@@ -1215,3 +1215,92 @@ def ppjoin_pairs(
         "id_b",
         F.round(F.col("i") / (F.col("tot") - F.col("i")), 6).alias("jaccard"),
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 5,
+) -> DataFrame:
+    """Exact-substring duplication spans (the ExactSubstr side of
+    Lee et al. 2022, 'Deduplicating Training Data Makes Language
+    Models Better'): every w-token window that occurs more than once
+    ANYWHERE in the corpus marks its positions as duplicated;
+    overlapping marked windows merge into maximal spans per doc.
+
+    Unlike chunk/line dedup (fixed boundaries), the windows slide —
+    this catches duplicated passages at arbitrary offsets inside
+    otherwise-distinct documents, which is what boilerplate and
+    quotation duplication actually look like.
+
+    Plan shape at 100 TB: one explode to ~n_tokens window rows with
+    fixed-width md5 keys, one count aggregation on the window hash,
+    one semi-join back (both shuffle on the hash — no pairwise doc
+    joins anywhere), then per-doc island merging under a window
+    partitioned BY DOC (bounded by tokens/doc, never global). The
+    doc payload itself never shuffles; only (id, position, hash)
+    triples do.
+
+    Returns (doc_id, n_tokens, n_dup_windows, n_spans, dup_tokens,
+    dup_fraction) for EVERY document (zeros when nothing repeats).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t")).select(
+        "id", "t", F.size("t").alias("n")
+    )
+    # guarded exactly like word_shingles: docs shorter than w tokens
+    # emit no windows (an unguarded sequence would auto-step DOWN)
+    positions = F.when(
+        F.col("n") >= w, F.sequence(F.lit(1), F.col("n") - F.lit(w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        base.select("id", "t", F.explode(positions).alias("i"))
+        .select(
+            "id",
+            "i",
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(w)))).alias(
+                "wh"
+            ),
+        )
+    )
+    dup_hashes = wins.groupBy("wh").agg(F.count("*").alias("c")).filter(
+        F.col("c") > 1
+    )
+    dup_starts = wins.join(dup_hashes.select("wh"), on="wh", how="leftsemi")
+    ww = Window.partitionBy("id").orderBy("i")
+    islands = dup_starts.withColumn(
+        "brk",
+        F.when(
+            F.lag("i").over(ww).isNull()
+            | (F.col("i") > F.lag("i").over(ww) + F.lit(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("isle", F.sum("brk").over(ww))
+    spans = islands.groupBy("id", "isle").agg(
+        F.min("i").alias("s0"), F.max("i").alias("s1")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("s1") - F.col("s0") + F.lit(w)).alias("dup_tokens"),
+    )
+    n_dup_w = dup_starts.groupBy("id").agg(F.count("*").alias("n_dup_windows"))
+    return (
+        base.select("id", "n")
+        .join(n_dup_w, on="id", how="left")
+        .join(per_doc, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -47,6 +47,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     k: int = 5,
     block_rows: int = 1024,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every vector.
 
@@ -70,6 +71,11 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine, rank), rank 1..k; ranks
     order by cosine ROUNDED to 6 dp with neighbor_id tie-break, so
     ordering is stable across engines and float summation orders.
+
+    `queries` (optional) restricts the QUERY side to a separate
+    frame with the same (id_col, vec_col) columns while candidates
+    stay the full `df` — the asymmetric eval layout (sampled
+    queries, full corpus); self-matches still drop by id equality.
     """
     import numpy as np
     import pandas as pd
@@ -77,8 +83,14 @@ def brute_force_topk(
 
     n = df.count()
     n_blocks = max(1, -(-n // block_rows))
-    n_groups = n_blocks  # symmetric tiling: G == B
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qbase = (
+        base
+        if queries is None
+        else queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    nq = n if queries is None else qbase.count()
+    n_groups = max(1, -(-nq // block_rows))
     # Candidates: hash-assigned to ONE block, replicated to every
     # query group. Queries: hash-assigned to ONE group, replicated
     # to every candidate block. (g, b) cogroup cells tile the full
@@ -86,7 +98,7 @@ def brute_force_topk(
     cand = base.withColumn(
         "b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
     ).withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))))
-    qry = base.withColumn(
+    qry = qbase.withColumn(
         "g", F.pmod(F.xxhash64("id"), F.lit(n_groups)).cast("int")
     ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
 
@@ -1641,3 +1653,130 @@ def ann_lsh_multiprobe_topk(
     return pairs.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def ann_recall_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    kmeans_iterations: int = 2,
+) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force
+    neighbor lists — the eval every ANN deployment runs before
+    trusting an index (FAISS's `eval` loop as one DataFrame plan).
+
+    Ground truth comes from brute_force_topk (block matrix-multiply,
+    exact); the approximate arm is ann_ivf_topk with the same seeded
+    k-means codebook the production path uses. Per-query recall is
+    |approx ∩ exact| / |exact| — an integer hit count divided once,
+    so the value is engine-exact. Queries the IVF path starved
+    (empty probe cells) still appear, with recall 0.
+
+    Shape at scale: both arms are the already-audited plans; the
+    comparison adds one equi-join on (query_id, neighbor_id) and one
+    aggregation keyed by query_id. Returns
+    (query_id, n_hits, n_exact, recall).
+    """
+    exact = brute_force_topk(df, vec_col, id_col, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivf_topk(
+        df,
+        vec_col,
+        id_col,
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        codebook="kmeans",
+        kmeans_iterations=kmeans_iterations,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            F.col("n_exact").cast("int").alias("n_exact"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple = (8, 16, 32),
+    k: int = 5,
+    sample_frac: float = 0.2,
+) -> DataFrame:
+    """Matryoshka truncation eval: neighbor recall@k when vectors are
+    cut to their first `d` dimensions, per dim budget — the curve
+    that decides how far an MRL-style embedding can be truncated for
+    a cheaper index before retrieval quality falls off.
+
+    Ground truth is full-dimension brute-force top-k over a
+    deterministic md5 query sample (neighbors always come from the
+    FULL corpus, only queries are sampled — the standard eval
+    layout); each budget reruns the same exact search on
+    slice(vec, 1, d). mean_recall is total integer hits divided once
+    by n_queries*k, so the output is engine-exact. Returns one row
+    per budget: (dim_budget, k, n_queries, total_hits, mean_recall).
+
+    Scale: cost is len(dims)+1 brute-force passes over
+    sample_frac*N queries x N candidates — an offline eval, run on a
+    sample by construction; the per-pass plan is the audited block
+    matrix-multiply with no driver-side data.
+    """
+    frac_cut = int(sample_frac * 65536)
+    sampled = df.filter(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        < frac_cut
+    ).localCheckpoint()
+
+    def _topk_ids(d: int | None) -> DataFrame:
+        def cut(frame: DataFrame) -> DataFrame:
+            vec = (
+                F.col(vec_col) if d is None else F.slice(F.col(vec_col), 1, d)
+            )
+            return frame.select(F.col(id_col), vec.alias(vec_col))
+
+        return brute_force_topk(
+            cut(df), vec_col, id_col, k=k, queries=cut(sampled)
+        ).select("query_id", "neighbor_id")
+
+    sample_ids = sampled.select(F.col(id_col).alias("query_id"))
+    truth = _topk_ids(None).localCheckpoint()
+    out = None
+    for d in dims:
+        approx = _topk_ids(d)
+        hits = truth.join(approx, on=["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("total_hits")
+        )
+        nq = sample_ids.agg(F.count("*").alias("n_queries"))
+        row = (
+            hits.crossJoin(nq)
+            .select(
+                F.lit(d).cast("int").alias("dim_budget"),
+                F.lit(k).cast("int").alias("k"),
+                F.col("n_queries").cast("bigint").alias("n_queries"),
+                F.col("total_hits").cast("bigint").alias("total_hits"),
+                F.round(
+                    F.col("total_hits") / (F.col("n_queries") * F.lit(k)), 6
+                ).alias("mean_recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

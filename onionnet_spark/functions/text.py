@@ -1230,3 +1230,86 @@ def bpe_encode(
             ).alias("ids"),
         )
     )
+
+
+def nb_lang_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained on the
+    corpus's own labels, evaluated as a confusion matrix — the
+    trained-model counterpart of the n-gram lang-ID heuristic (and
+    the template for any bag-of-words NB filter: spam, quality,
+    topic).
+
+    Training IS aggregation: per-(label, token) counts, per-label
+    totals, vocabulary size, label priors — four group-bys, no
+    solver. Scoring: Laplace-smoothed log P(tok|lang) quantized to
+    integer micro-nats (floor(ln(p)*1e6)) BEFORE summation, so the
+    per-doc score is an exact BIGINT sum (engine-independent
+    associativity) and argmax/tie-break (score desc, lang asc) is
+    deterministic. The (vocab x labels) probability grid is
+    Zipf-bounded and broadcast; the corpus only shuffles token keys.
+
+    Returns (actual_lang, pred_lang, n_docs) — at most |labels|²
+    rows. Docs with no tokens drop out (nothing to score), matching
+    the oracle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lang"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tl"))
+    vocab = toks.select("tok").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    langs = df.select(F.col(label_col).alias("lang")).distinct()
+    grid = (
+        langs.crossJoin(vocab)
+        .join(totals, on="lang")
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, on=["lang", "tok"], how="left")
+        .select(
+            "lang",
+            "tok",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tl") + F.col("v")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    n_docs = df.count()
+    priors = (
+        df.groupBy(F.col(label_col).alias("lang"))
+        .agg(F.count("*").alias("nl"))
+        .select(
+            "lang",
+            F.floor(F.log(F.col("nl").cast("double") / F.lit(float(n_docs))) * 1e6)
+            .cast("long")
+            .alias("pq"),
+        )
+    )
+    scores = (
+        toks.join(F.broadcast(grid.withColumnRenamed("lang", "cand")), on="tok")
+        .groupBy("id", "lang", "cand")
+        .agg(F.sum("q").alias("s"))
+        .join(F.broadcast(priors.withColumnRenamed("lang", "cand")), on="cand")
+        .select("id", "lang", "cand", (F.col("s") + F.col("pq")).alias("score"))
+    )
+    pred = scores.groupBy("id", "lang").agg(
+        F.min_by(
+            F.col("cand"),
+            F.struct((-F.col("score")).alias("ns"), F.col("cand").alias("tb")),
+        ).alias("pred_lang")
+    )
+    return pred.groupBy(
+        F.col("lang").alias("actual_lang"), F.col("pred_lang")
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))

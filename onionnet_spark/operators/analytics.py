@@ -2462,3 +2462,98 @@ def edge_embeddedness(graph: OnionGraph) -> DataFrame:
             .alias("embeddedness"),
         )
     )
+
+
+def wl_refinement(
+    edges: DataFrame,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement: every node's
+    color is iteratively rehashed from (own color, multiset of
+    neighbor colors) — the classic graph-isomorphism/GNN-expressivity
+    primitive (WL kernels, structural role discovery).
+
+    Colors are md5 hex STRINGS end to end: round 0 hashes the
+    degree; round t hashes ``old || '|' || sorted-joined neighbor
+    colors`` — a canonical multiset encoding both engines reproduce
+    byte-identically (array_sort + concat_ws here, string_agg ORDER
+    BY in SQL). Per round: one join keyed on node ids, one
+    aggregation — adjacency never rebuilt, colors are the only
+    moving table. `rounds` is fixed (not run-to-fixpoint) so an
+    unrolled SQL oracle stays in lockstep.
+
+    Input: undirected edge list, canonicalized/deduped here.
+    Returns (node_id, color) for every endpoint node.
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    canon = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    colors = adj.groupBy("u").agg(
+        F.md5(F.count("*").cast("string")).alias("c")
+    )
+    for _ in range(rounds):
+        nbr = (
+            adj.join(
+                colors.select(F.col("u").alias("v"), F.col("c").alias("cv")),
+                on="v",
+            )
+            .groupBy("u")
+            .agg(
+                F.concat_ws(",", F.array_sort(F.collect_list("cv"))).alias("s")
+            )
+        )
+        colors = colors.join(nbr, on="u").select(
+            "u", F.md5(F.concat(F.col("c"), F.lit("|"), F.col("s"))).alias("c")
+        )
+    return colors.select(F.col("u").alias("node_id"), F.col("c").alias("color"))
+
+
+def square_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Global 4-cycle (C4) census via wedge-endpoint aggregation
+    (Chiba-Nishizeki): count wedges u-v-w per unordered endpoint
+    pair (u, w); every 4-cycle contributes C(c,2) at each of its two
+    diagonal pairs, so n_squares = sum(C(c,2)) / 2 exactly.
+
+    Shape: adjacency self-join keyed on the wedge CENTER (one
+    shuffle on node ids), then one aggregation on endpoint pairs —
+    never an explicit 4-way join. Wedge volume is sum(deg²); at
+    power-law scale cap or salt hub centers (the same guard the
+    triangle path uses) — counts per (u, w) pair stay tiny either
+    way. Returns one row: (n_wedges, n_squares), both BIGINT-exact.
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    canon = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = canon.select(F.col("a").alias("v"), F.col("b").alias("x")).unionByName(
+        canon.select(F.col("b").alias("v"), F.col("a").alias("x"))
+    )
+    wedges = (
+        adj.select("v", F.col("x").alias("u"))
+        .join(adj.select("v", F.col("x").alias("w")), on="v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    # sum(c*(c-1)) = 4 * n_squares exactly (each C4 adds C(c,2) at
+    # both diagonal pairs); integral `div` keeps the path BIGINT-only
+    return wedges.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_wedges"),
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1)), F.lit(0))
+        .cast("bigint")
+        .alias("cc"),
+    ).select(
+        "n_wedges", F.expr("CAST(cc div 4 AS BIGINT)").alias("n_squares")
+    )

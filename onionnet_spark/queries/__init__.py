@@ -250,6 +250,22 @@ _R5_BACKLOG: list[str] = [
 ]
 
 
+# Queries new in round 5: behind _R5_BACKLOG in the rotation (the
+# round-5 driver window is exactly the 50 never-recorded round-4
+# keys; these queue after the R5 backlog for the following windows).
+# All pass tools/check_correctness.py locally at sf0.01 AND sf0.001.
+_R6_BACKLOG: list[str] = [
+    "ann_recall_report",
+    "embedding_matryoshka_eval",
+    "dup_span_stats",
+    "nb_lang_confusion",
+    "graph_wl_colors",
+    "graph_square_count",
+    "events_attribution",
+    "lineitem_monthly_trend",
+]
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
         relational,
@@ -262,7 +278,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     # Round 4: the 19 backlog keys (born after r3's window filled) go
     # first so the driver finally records them, then queries new in
     # round 4, then everything already on record in r01-r03.
-    for name in _R4_BACKLOG + _R4_NEW + _R5_BACKLOG:
+    for name in _R4_BACKLOG + _R4_NEW + _R5_BACKLOG + _R6_BACKLOG:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name in _R3_WINDOW:

@@ -3306,3 +3306,64 @@ def graph_edge_embeddedness_q(spark, sf_dir):
 
     g = derived_graph(spark, sf_dir, "cosupply_suppliers_strong", build)
     return analytics.edge_embeddedness(g)
+
+
+# --------------------------------------------------------------------------
+# Round 5: WL refinement + 4-cycle census
+# --------------------------------------------------------------------------
+
+
+def _wl_oracle(rounds: int = 3, topn: int = 60) -> str:
+    ctes = [
+        _COSUPPLY_SQL.format(topn=topn),
+        "adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0)",
+        "c0 AS (SELECT u, md5(CAST(COUNT(*) AS VARCHAR)) AS c FROM adj GROUP BY u)",
+    ]
+    prev = "c0"
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""n{t} AS (SELECT adj.u, string_agg(x.c, ',' ORDER BY x.c) AS s
+       FROM adj JOIN {prev} x ON x.u = adj.v GROUP BY adj.u)"""
+        )
+        ctes.append(
+            f"""c{t} AS (SELECT p.u, md5(p.c || '|' || n{t}.s) AS c
+       FROM {prev} p JOIN n{t} ON n{t}.u = p.u)"""
+        )
+        prev = f"c{t}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT u AS node_id, c AS color FROM {prev}"
+    )
+
+
+@register("graph_wl_colors", _wl_oracle())
+def graph_wl_colors_q(spark, sf_dir):
+    """1-WL color refinement (3 rounds) on the top-60 co-supply
+    graph: canonical structural-role colors per node — the
+    isomorphism-test / GNN-expressivity primitive. Oracle unrolls
+    the identical hash schedule."""
+    from onionnet_spark.operators.analytics import wl_refinement
+
+    return wl_refinement(_cosupply_top_pairs(spark, sf_dir, 60), rounds=3)
+
+
+@register(
+    "graph_square_count",
+    f"""WITH {_COSUPPLY_SQL.format(topn=60)},
+    adj AS (SELECT a AS ctr, b AS x FROM e0 UNION ALL SELECT b, a FROM e0),
+    wd AS (SELECT a1.x AS u, a2.x AS w, COUNT(*) AS c
+           FROM adj a1 JOIN adj a2 ON a1.ctr = a2.ctr AND a1.x < a2.x
+           GROUP BY a1.x, a2.x)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_wedges,
+           CAST(SUM(c * (c - 1)) // 4 AS BIGINT) AS n_squares
+    FROM wd""",
+)
+def graph_square_count_q(spark, sf_dir):
+    """Global 4-cycle census on the top-60 co-supply graph via
+    wedge-endpoint aggregation — the quadrilateral sibling of
+    triangle_count (C4 density drives bipartite-ness / redundancy
+    signals). Integer-exact: sum(c*(c-1)) div 4."""
+    from onionnet_spark.operators.analytics import square_count
+
+    return square_count(_cosupply_top_pairs(spark, sf_dir, 60))

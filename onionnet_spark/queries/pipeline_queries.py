@@ -4222,3 +4222,217 @@ def video_scene_cuts_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_scene_avi_payload(ids)
     return multimodal.video_scene_cuts(payload, cut_mean_diff=10)
+
+
+# --------------------------------------------------------------------------
+# Round 5: embedding / ANN evals
+# --------------------------------------------------------------------------
+
+
+def _bf_topk_ctes(
+    topk: int = 5, query_cte: str = "v", name: str = "ex", vec: str = "e"
+) -> list[str]:
+    """Brute-force exact top-k CTEs (cosine desc, neighbor_id asc,
+    6dp-rounded) from query CTE `query_cte` against candidate CTE
+    `v` — the same ground-truth layout as the knn-accuracy oracle."""
+    return [
+        f"""{name}_p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_cos(f'a.{vec}', 'b.e')} AS cosine
+       FROM {query_cte} a JOIN v b ON a.vec_id <> b.vec_id)""",
+        f"""{name}_r AS (SELECT *, ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       FROM {name}_p)""",
+        f"{name} AS (SELECT query_id, neighbor_id FROM {name}_r WHERE rn <= {topk})",
+    ]
+
+
+def _ann_recall_oracle(
+    k_cent: int = 8, iterations: int = 2, nprobe: int = 2, topk: int = 5
+) -> str:
+    ctes = _kmeans_assign_ctes(k_cent, iterations)
+    ctes.append("idx AS (SELECT id, e, cid FROM rk WHERE rn = 1)")
+    ctes.append(f"probe AS (SELECT id, e, cid FROM rk WHERE rn <= {nprobe})")
+    ctes.append(
+        f"""ivp AS (SELECT a.id AS query_id, b.id AS neighbor_id, {_cos('a.e', 'b.e')} AS cosine
+       FROM probe a JOIN idx b ON a.cid = b.cid AND a.id <> b.id)"""
+    )
+    ctes.append(
+        """ivr AS (SELECT *, ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       FROM ivp)"""
+    )
+    ctes.append(f"ap AS (SELECT query_id, neighbor_id FROM ivr WHERE rn <= {topk})")
+    ctes.extend(_bf_topk_ctes(topk))
+    ctes.append(
+        "bse AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id)"
+    )
+    ctes.append(
+        """hts AS (SELECT ex.query_id, COUNT(*) AS n_hits
+       FROM ex JOIN ap ON ap.query_id = ex.query_id
+                      AND ap.neighbor_id = ex.neighbor_id
+       GROUP BY ex.query_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT b.query_id, CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+           CAST(b.n_exact AS INT) AS n_exact,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / b.n_exact, 6) AS recall
+    FROM bse b LEFT JOIN hts h ON h.query_id = b.query_id"""
+    )
+
+
+@register("ann_recall_report", _ann_recall_oracle())
+def ann_recall_report_q(spark, sf_dir):
+    """Recall@5 of the production IVF index (seeded k-means codebook,
+    nprobe=2) against exact brute-force neighbors, per query — the
+    index-quality eval run before trusting an ANN deployment."""
+    return similarity.ann_recall_report(
+        _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2
+    )
+
+
+def _matryoshka_oracle(dims=(8, 16, 32), topk: int = 5, frac_cut: int = 13107) -> str:
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""s AS (SELECT vec_id, e FROM v
+       WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT < {frac_cut})""",
+    ]
+    ctes.extend(_bf_topk_ctes(topk, query_cte="s", name="tru"))
+    selects = []
+    for d in dims:
+        ctes.append(
+            f"sd{d} AS (SELECT vec_id, e[1:{d}] AS t FROM s)"
+        )
+        ctes.append(
+            f"vd{d} AS (SELECT vec_id, e[1:{d}] AS t FROM v)"
+        )
+        ctes.append(
+            f"""pd{d} AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_cos('a.t', 'b.t')} AS cosine
+       FROM sd{d} a JOIN vd{d} b ON a.vec_id <> b.vec_id)"""
+        )
+        ctes.append(
+            f"""rd{d} AS (SELECT *, ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       FROM pd{d})"""
+        )
+        ctes.append(
+            f"""hd{d} AS (SELECT COUNT(*) AS total_hits
+       FROM tru JOIN rd{d} a ON a.query_id = tru.query_id
+                            AND a.neighbor_id = tru.neighbor_id
+       WHERE a.rn <= {topk})"""
+        )
+        selects.append(
+            f"""SELECT CAST({d} AS INT) AS dim_budget, CAST({topk} AS INT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_queries,
+           CAST(total_hits AS BIGINT) AS total_hits,
+           ROUND(total_hits * 1.0
+                 / ((SELECT COUNT(*) FROM s) * {topk}), 6) AS mean_recall
+    FROM hd{d}"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("embedding_matryoshka_eval", _matryoshka_oracle())
+def embedding_matryoshka_eval_q(spark, sf_dir):
+    """Matryoshka truncation curve: neighbor recall@5 at dim budgets
+    8/16/32 vs the full 64-dim ground truth, over a 20% deterministic
+    md5 query sample — how far the embedding can be cut for a
+    cheaper index."""
+    return similarity.matryoshka_recall(
+        _embs(spark, sf_dir), dims=(8, 16, 32), k=5, sample_frac=0.2
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 5: exact-substring duplication spans
+# --------------------------------------------------------------------------
+
+_DUPSPAN_W = 5
+
+
+@register(
+    "dup_span_stats",
+    f"""WITH d0 AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS a
+         FROM documents),
+    dd AS (SELECT doc_id, a, len(a) AS n FROM d0),
+    nums AS (SELECT UNNEST(range(1, GREATEST(
+        (SELECT COALESCE(MAX(n), 0) FROM dd) + 1, 2))) AS i),
+    wins AS (SELECT doc_id, i,
+               md5(array_to_string(a[i:i+{_DUPSPAN_W - 1}], ' ')) AS wh
+             FROM dd JOIN nums ON i <= n - {_DUPSPAN_W} + 1),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+    ds AS (SELECT doc_id, i FROM wins WHERE wh IN (SELECT wh FROM dup)),
+    isl AS (SELECT doc_id, i,
+              CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                     OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                          + {_DUPSPAN_W}
+                   THEN 1 ELSE 0 END AS brk
+            FROM ds),
+    isl2 AS (SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isle
+             FROM isl),
+    spans AS (SELECT doc_id, isle, MIN(i) AS s0, MAX(i) AS s1
+              FROM isl2 GROUP BY doc_id, isle),
+    agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+              SUM(s1 - s0 + {_DUPSPAN_W}) AS dup_tokens
+            FROM spans GROUP BY doc_id),
+    dw AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM ds GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(dw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(agg.dup_tokens, 0) * 1.0 / d.n, 6) AS dup_fraction
+    FROM dd d LEFT JOIN dw ON dw.doc_id = d.doc_id
+              LEFT JOIN agg ON agg.doc_id = d.doc_id""",
+)
+def dup_span_stats_q(spark, sf_dir):
+    """Sliding-window exact-substring duplication audit: per-doc
+    merged spans of 5-token windows that repeat anywhere in the
+    corpus (ExactSubstr-style, boundary-free) — the signal chunk-
+    and line-dedup miss when duplicated passages sit at arbitrary
+    offsets."""
+    return dedup.dup_span_stats(_docs(spark, sf_dir), w=_DUPSPAN_W)
+
+
+@register(
+    "nb_lang_confusion",
+    f"""WITH t AS (SELECT doc_id, lang, UNNEST({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT lang, tok, COUNT(*) AS c FROM t GROUP BY lang, tok),
+    tot AS (SELECT lang, SUM(c) AS tl FROM cnt GROUP BY lang),
+    vsz AS (SELECT COUNT(DISTINCT tok) AS v FROM t),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    vocab AS (SELECT DISTINCT tok FROM t),
+    grid AS (SELECT l.lang, vb.tok,
+               CAST(floor(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(tot.tl + vsz.v AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS q
+             FROM langs l CROSS JOIN vocab vb
+             JOIN tot ON tot.lang = l.lang
+             CROSS JOIN vsz
+             LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = vb.tok),
+    pri AS (SELECT lang,
+              CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)
+                            / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE))
+                         * 1000000) AS BIGINT) AS pq
+            FROM documents GROUP BY lang),
+    sc AS (SELECT t.doc_id, t.lang, g.lang AS cand, SUM(g.q) AS s
+           FROM t JOIN grid g ON g.tok = t.tok
+           GROUP BY t.doc_id, t.lang, g.lang),
+    sc2 AS (SELECT sc.doc_id, sc.lang, sc.cand, sc.s + pri.pq AS score
+            FROM sc JOIN pri ON pri.lang = sc.cand),
+    pred AS (SELECT doc_id, lang, cand AS pred_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, cand) AS rn FROM sc2) WHERE rn = 1)
+    SELECT lang AS actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, pred_lang""",
+)
+def nb_lang_confusion_q(spark, sf_dir):
+    """Trained multinomial Naive Bayes language classifier
+    (Laplace-smoothed, integer micro-nat scores) evaluated as a
+    confusion matrix against the corpus's own labels — the trained
+    counterpart of the lang_id heuristic."""
+    return text.nb_lang_confusion(_docs(spark, sf_dir))

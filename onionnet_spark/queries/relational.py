@@ -2245,3 +2245,93 @@ def orders_open_per_day(spark, sf_dir):
     return byday.select(
         "day", F.sum("net").over(w).cast("bigint").alias("n_open")
     )
+
+
+@register(
+    "lineitem_monthly_trend",
+    """WITH m AS (
+      SELECT l_returnflag AS flag, date_trunc('month', l_shipdate) AS mo,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    xy AS (SELECT flag,
+             CAST((year(mo) - 1992) * 12 + month(mo) - 1 AS BIGINT) AS x,
+             CAST(ROUND(rev * 100, 0) AS BIGINT) AS y
+           FROM m),
+    s AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM xy GROUP BY flag),
+    f AS (SELECT flag, n,
+            CAST(n * sxy - sx * sy AS HUGEINT) AS num,
+            CAST(n * sxx - sx * sx AS HUGEINT) AS den,
+            CAST(sy AS HUGEINT) AS syh, CAST(sx AS HUGEINT) AS sxh
+          FROM s)
+    SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_months,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+             AS slope_cents_per_month,
+           ROUND(CAST(syh * den - num * sxh AS DOUBLE)
+                 / CAST(n * den AS DOUBLE), 6) AS intercept_cents
+    FROM f""",
+)
+def lineitem_monthly_trend(spark, sf_dir):
+    """Per-returnflag least-squares trend of monthly revenue —
+    regression as pure aggregation (the 100-TB-safe way to fit a
+    line: one pass building integer moment sums, closed-form
+    slope/intercept from exact BIGINT/DECIMAL moments, one IEEE
+    division at the very end). Monthly revenue is cent-quantized
+    after the engine-stable ROUND(SUM,2), so every moment is
+    integer-exact and the fit is engine-identical."""
+    return monthly_revenue_trend(load_tables(spark, sf_dir)["lineitem"])
+
+
+def monthly_revenue_trend(li):
+    """Closed-form OLS over cent-quantized monthly revenue per
+    returnflag; see lineitem_monthly_trend for the contract."""
+    monthly = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("mo"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+        .select(
+            "flag",
+            ((F.year("mo") - 1992) * 12 + F.month("mo") - 1)
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.col("rev") * 100, 0).cast("bigint").alias("y"),
+        )
+    )
+    s = monthly.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    f = s.select(
+        "flag",
+        "n",
+        (dec("n") * dec("sxy") - dec("sx") * dec("sy")).alias("num"),
+        (dec("n") * dec("sxx") - dec("sx") * dec("sx")).alias("den"),
+        dec("sy").alias("syh"),
+        dec("sx").alias("sxh"),
+        dec("n").alias("nh"),
+    )
+    return f.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("slope_cents_per_month"),
+        F.round(
+            (F.col("syh") * F.col("den") - F.col("num") * F.col("sxh")).cast(
+                "double"
+            )
+            / (F.col("nh") * F.col("den")).cast("double"),
+            6,
+        ).alias("intercept_cents"),
+    )

@@ -629,3 +629,73 @@ def events_cohort_ltv(spark, sf_dir):
             F.round(F.sum("revenue").over(w), 6).alias("cum_revenue"),
         )
     )
+
+
+@register(
+    "events_attribution",
+    """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+           FROM events WHERE event_type = 'purchase'),
+    pre AS (SELECT p.pid, e.event_type, e.ts, e.event_id
+            FROM p JOIN events e ON e.user_id = p.user_id
+             AND (e.ts < p.pts OR (e.ts = p.pts AND e.event_id < p.pid))
+             AND e.event_type <> 'purchase'),
+    ft AS (SELECT pid, event_type AS ch FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ts, event_id)
+          AS rn FROM pre) WHERE rn = 1),
+    lt AS (SELECT pid, event_type AS ch FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+          ORDER BY ts DESC, event_id DESC) AS rn FROM pre) WHERE rn = 1),
+    both_m AS (
+      SELECT 'first_touch' AS model, COALESCE(ft.ch, 'direct') AS channel,
+             p.value FROM p LEFT JOIN ft ON ft.pid = p.pid
+      UNION ALL
+      SELECT 'last_touch', COALESCE(lt.ch, 'direct'), p.value
+      FROM p LEFT JOIN lt ON lt.pid = p.pid)
+    SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM both_m GROUP BY model, channel""",
+)
+def events_attribution(spark, sf_dir):
+    """First-touch vs last-touch marketing attribution: each purchase
+    credits its revenue to the user's earliest / latest preceding
+    non-purchase event type ('direct' when none). Revenue is
+    cent-quantized BEFORE summation so totals are BIGINT-exact.
+    One pass, two windows partitioned by user — no per-purchase
+    joins on the Spark side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    ev_df = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.when(
+        F.col("event_type") != "purchase",
+        F.struct("ts", "event_id", "event_type"),
+    )
+    enriched = ev_df.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.first(nonp, ignorenulls=True).over(w)["event_type"].alias("ft_ch"),
+        F.last(nonp, ignorenulls=True).over(w)["event_type"].alias("lt_ch"),
+    ).filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    stacked = enriched.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce("ft_ch", F.lit("direct")).alias("channel"),
+        cents.alias("cents"),
+    ).unionByName(
+        enriched.select(
+            F.lit("last_touch").alias("model"),
+            F.coalesce("lt_ch", F.lit("direct")).alias("channel"),
+            cents.alias("cents"),
+        )
+    )
+    return stacked.groupBy("model", "channel").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
