@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StructField,
@@ -295,21 +296,28 @@ def synth_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def _decode_any_audio(payload) -> "tuple[np.ndarray, int]":
     """Signature-dispatched real audio decode: RIFF/WAVE containers
-    (PCM, G.711, IMA ADPCM — functions/wav.py) and FLAC streams
-    (functions/flac.py). Frame-based lossy codecs (MP3/AAC) raise —
-    the external-decoder plug-in point."""
+    (PCM, G.711, IMA ADPCM — functions/wav.py), FLAC streams
+    (functions/flac.py) and OMA1 lossy MDCT streams
+    (functions/mdct.py — the transform-codec family). Only the exact
+    MP3/AAC bitstream formats still raise — the external-decoder
+    plug-in point."""
     from onionnet_spark.functions import flac as _flac
+    from onionnet_spark.functions import mdct as _mdct
     from onionnet_spark.functions import wav as _wav
 
     if _flac.is_flac(payload):
         return _flac.decode_flac(payload)
+    if _mdct.is_oma(payload):
+        pcm, sr = _mdct.decode_mdct(payload)
+        return pcm.reshape(-1, 1), sr
     return _wav.decode_wav(payload)
 
 
 def decode_audio_stats(df: DataFrame) -> DataFrame:
     """REAL audio decode to per-clip statistics via mapInPandas:
-    WAV containers (PCM/G.711/ADPCM, functions/wav.py) and FLAC
-    (functions/flac.py) dispatched by signature; MP3/AAC raise,
+    WAV containers (PCM/G.711/ADPCM, functions/wav.py), FLAC
+    (functions/flac.py) and OMA1 lossy MDCT (functions/mdct.py)
+    dispatched by signature; only exact MP3/AAC bitstreams raise,
     marking where an external codec would plug in. Returns (doc_id,
     sample_rate, n_samples, n_channels, sample_sum, peak_abs)."""
 
@@ -1547,3 +1555,103 @@ def video_scene_cuts(df: DataFrame, cut_mean_diff: int = 10) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(cut_batches, SCENE_CUT_SCHEMA)
+
+
+MDCT_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("snr_ok", BooleanType()),
+        StructField("compressed_smaller", BooleanType()),
+    ]
+)
+
+
+def _mdct_synth_signal(d: int) -> "np.ndarray":
+    """Deterministic per-id test tone for the MDCT path: two sines
+    whose frequencies/amplitudes derive from the id. Only the DIMS
+    (n_samples, sample_rate) are SQL-closed-form; the waveform itself
+    never needs to be — the oracle checks structure plus the codec's
+    quality/compression contracts."""
+    import numpy as np
+
+    n = 2000 + (d % 10) * 100
+    t = np.arange(n)
+    f1, f2 = 200 + (d % 7) * 60, 900 + (d % 5) * 110
+    sig = 0.45 * np.sin(2 * np.pi * f1 * t / 16000.0) + 0.25 * np.sin(
+        2 * np.pi * f2 * t / 16000.0 + 0.3
+    )
+    return np.round(sig * 32767.0).astype(np.int16)
+
+
+def synth_mdct_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic OMA1 (lossy MDCT, functions/mdct.py) payload per
+    id: n = 2000 + (id%10)*100 samples at 16 kHz, encoded at the
+    default m=256 / qbits=10 operating point. Encoding runs
+    distributed in mapInPandas."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import mdct as _mdct
+
+        for pdf in batches:
+            payloads = [
+                _mdct.encode_mdct(_mdct_synth_signal(int(d)), sample_rate=16000)
+                for d in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def mdct_quality_stats(df: DataFrame, min_snr_db: float = 25.0) -> DataFrame:
+    """Decode OMA1 payloads and audit the lossy codec's CONTRACTS
+    end to end: structural dims, reconstruction SNR >= `min_snr_db`
+    against the re-synthesized original (the decoder has the same
+    closed-form generator the encoder used), and that the bitstream
+    actually compressed below raw 16-bit PCM. Returns (doc_id,
+    sample_rate, n_samples, n_channels, snr_ok, compressed_smaller)
+    — every column oracle-predictable, so a full hash gate covers a
+    LOSSY codec (the quality/compression booleans only hold if the
+    transform, quantizer and Rice coder all work)."""
+
+    def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import mdct as _mdct
+
+        for pdf in batches:
+            srs, ns, chs, oks, smalls = [], [], [], [], []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm, sr = _mdct.decode_mdct(bytes(payload))
+                orig = _mdct_synth_signal(int(d))
+                x = orig.astype(np.float64) / 32768.0
+                y = pcm.astype(np.float64) / 32768.0
+                err = x - y
+                pe = float(np.sum(err * err))
+                snr = float("inf") if pe == 0 else 10.0 * np.log10(
+                    float(np.sum(x * x)) / pe
+                )
+                srs.append(sr)
+                ns.append(len(pcm))
+                chs.append(1)
+                oks.append(bool(snr >= min_snr_db))
+                smalls.append(bool(len(payload) < 2 * len(orig)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "snr_ok": pd.Series(oks, dtype="bool"),
+                    "compressed_smaller": pd.Series(smalls, dtype="bool"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        stats_batches, MDCT_STATS_SCHEMA
+    )

@@ -263,6 +263,7 @@ _R6_BACKLOG: list[str] = [
     "graph_square_count",
     "events_attribution",
     "lineitem_monthly_trend",
+    "multimodal_mdct_decode",
 ]
 
 

@@ -4436,3 +4436,30 @@ def nb_lang_confusion_q(spark, sf_dir):
     confusion matrix against the corpus's own labels — the trained
     counterpart of the lang_id heuristic."""
     return text.nb_lang_confusion(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_mdct_decode",
+    # LOSSY frame-based audio with a FULL hash gate: the payload is a
+    # real MDCT transform codec (functions/mdct.py — sine-window TDAC
+    # analysis, per-frame transmitted float32 scale, Rice-coded
+    # zigzag coefficients). Lossy means the waveform itself can't be
+    # SQL-recomputed, so the oracle pins what IS invariant: the
+    # structural dims from the synth formula, reconstruction SNR over
+    # the codec's >= 25 dB contract (measured ~45-50 dB at qbits=10 —
+    # wide margin, deterministic float math), and genuine compression
+    # vs raw 16-bit PCM. Any transform/quantizer/Rice defect flips a
+    # boolean and breaks the hash.
+    """SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
+           CAST(2000 + (doc_id % 10) * 100 AS INT) AS n_samples,
+           CAST(1 AS INT) AS n_channels,
+           TRUE AS snr_ok, TRUE AS compressed_smaller
+    FROM documents WHERE doc_id < 150""",
+)
+def multimodal_mdct_decode_q(spark, sf_dir):
+    """REAL lossy MDCT audio: closed-form tones -> OMA1 encode
+    (mapInPandas) -> signature-dispatched decode -> per-clip
+    structure + quality-contract audit."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_mdct_payload(ids)
+    return multimodal.mdct_quality_stats(payload)

@@ -219,3 +219,78 @@ def test_monthly_trend_exact_line(spark):
     assert row["n_months"] == 6
     assert row["slope_cents_per_month"] == 50.0
     assert row["intercept_cents"] == 100.0
+
+
+# ------------------------------------------------------------ MDCT codec
+
+
+def test_mdct_tdac_identity_without_quantization():
+    import numpy as np
+
+    from onionnet_spark.functions.mdct import _frames, _tables
+
+    m = 64
+    rng = np.random.RandomState(7)
+    x = rng.randn(1000) * 0.3
+    w, cos = _tables(m)
+    coeffs = (_frames(x, m) * w[None, :]) @ cos.T
+    out = np.zeros(m + (-(-len(x) // m) + 1) * m + m)
+    for f, row in enumerate(coeffs):
+        out[f * m : f * m + 2 * m] += (row @ cos) * (2.0 / m) * w
+    assert np.max(np.abs(out[m : m + len(x)] - x)) < 1e-10
+
+
+def test_mdct_roundtrip_snr_and_determinism():
+    import numpy as np
+
+    from onionnet_spark.functions.mdct import (
+        decode_mdct,
+        encode_mdct,
+        mdct_roundtrip_snr,
+    )
+
+    t = np.arange(8000)
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t / 16000) + 0.2 * np.sin(
+        2 * np.pi * 1037 * t / 16000
+    )
+    pcm = np.round(sig * 32767).astype(np.int16)
+    # quality scales with qbits; the 25 dB contract holds with margin
+    assert mdct_roundtrip_snr(pcm, qbits=8) > 35
+    assert mdct_roundtrip_snr(pcm, qbits=10) > 45
+    assert mdct_roundtrip_snr(pcm, qbits=12) > 55
+    b = encode_mdct(pcm, sample_rate=22050)
+    assert b == encode_mdct(pcm, sample_rate=22050)  # bit-deterministic
+    assert len(b) < 2 * len(pcm)  # actually compresses vs raw PCM
+    y, sr = decode_mdct(b)
+    assert sr == 22050 and len(y) == len(pcm)
+
+
+def test_mdct_silence_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from onionnet_spark.functions.mdct import decode_mdct, encode_mdct
+
+    sil = np.zeros(1000, dtype=np.int16)
+    y, _ = decode_mdct(encode_mdct(sil))
+    assert np.array_equal(y, sil)  # silent frames are exact
+    with _pytest.raises(ValueError):
+        decode_mdct(b"RIFFnotoma")
+    with _pytest.raises(ValueError):
+        encode_mdct(sil, qbits=1)
+
+
+def test_mdct_spark_dispatch(spark):
+    from onionnet_spark.functions import multimodal
+
+    ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    payload = multimodal.synth_mdct_payload(ids)
+    out = {r["doc_id"]: r for r in multimodal.mdct_quality_stats(payload).collect()}
+    assert len(out) == 6
+    for d, r in out.items():
+        assert r["n_samples"] == 2000 + (d % 10) * 100
+        assert r["sample_rate"] == 16000 and r["n_channels"] == 1
+        assert r["snr_ok"] and r["compressed_smaller"]
+    # unified dispatch: decode_audio_stats handles OMA1 too
+    stats = {r["doc_id"]: r for r in multimodal.decode_audio_stats(payload).collect()}
+    assert stats[0]["n_samples"] == 2000 and stats[0]["n_channels"] == 1
