@@ -2557,3 +2557,181 @@ def square_count(
     ).select(
         "n_wedges", F.expr("CAST(cc div 4 AS BIGINT)").alias("n_squares")
     )
+
+
+def hyperanf(
+    graph: OnionGraph,
+    radius: int = 3,
+    m: int = 64,
+    direction: str = "downstream",
+) -> DataFrame:
+    """HyperANF proper (Boldi, Rosa & Vigna 2011): the neighborhood
+    function with HYPERLOGLOG registers — the scale path next to the
+    k-mins variant (neighborhood_function_sketch). Registers win at
+    100 TB because state per node is m 6-bit saturating counters
+    (vs k doubles), union is an elementwise MAX (idempotent, so the
+    fixpoint propagation is a semilattice exactly like k-mins), and
+    accuracy is the standard 1.04/sqrt(m) with the linear-counting
+    small-range regime handling the (ubiquitous) tiny balls.
+
+    Layout mirrors the k-mins operator: m register COLUMNS, one join
+    keyed on edge endpoints + one groupBy MAX per round — wide rows,
+    never an exploded (node, register) table. Hashing is md5-derived
+    (deterministic, engine-portable): register index = first hex
+    nibbles, rho = leading zeros of the following 52-bit field + 1.
+
+    Estimator: alpha_m * m^2 / sum(2^-M_j), replaced by linear
+    counting m*ln(m/V) when E < 2.5m and V (zero registers) > 0 —
+    the published HLL recipe. The register sum is computed as
+    sum(2^(53-M_j)) — an exact BIGINT (M_j <= 53, 64 terms <= 2^59)
+    — so the whole pipeline is engine-exact up to ONE final IEEE
+    division (or one ln in the linear-counting branch): like the
+    k-mins ANF, the APPROXIMATION is deterministic and fully
+    hash-oracle-able; only its relation to the true ball is
+    statistical (pytest-bounded). est_ball estimates |ball(v,
+    radius)| INCLUDING v itself. Returns (layer, node_id, est_ball)
+    rounded to 6 dp.
+    """
+    if direction not in ("downstream", "upstream"):
+        raise ValueError("direction must be 'upstream' or 'downstream'")
+    if m not in (16, 32, 64, 128, 256):
+        raise ValueError("m must be a power of two in [16, 256]")
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    e = graph.edge_endpoints()
+    if direction == "upstream":
+        e = e.select(
+            F.col("dst_layer").alias("src_layer"),
+            F.col("dst_id").alias("src_id"),
+            F.col("src_layer").alias("dst_layer"),
+            F.col("src_id").alias("dst_id"),
+        )
+    e = e.localCheckpoint()
+    key = graph.node_key_col()
+    hx = F.md5(key)
+    # register index from the first 2 hex chars (0..255 covers m<=256)
+    idx = F.pmod(F.conv(F.substring(hx, 1, 2), 16, 10).cast("int"), F.lit(m))
+    # 52-bit field from the next 13 hex chars; rho = leading zeros + 1
+    suffix = F.conv(F.substring(hx, 3, 13), 16, 10).cast("bigint")
+    rho = F.when(suffix == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(suffix))
+    )
+    rcols = [f"r{j}" for j in range(m)]
+    init = [
+        F.when(idx == j, rho).otherwise(F.lit(0)).cast("int").alias(f"r{j}")
+        for j in range(m)
+    ]
+    s = graph.nodes.select("layer", "node_id", *init).localCheckpoint()
+    for _ in range(radius):
+        prop = e.join(
+            s.select(
+                F.col("layer").alias("dst_layer"),
+                F.col("node_id").alias("dst_id"),
+                *rcols,
+            ),
+            on=["dst_layer", "dst_id"],
+        ).select(
+            F.col("src_layer").alias("layer"),
+            F.col("src_id").alias("node_id"),
+            *rcols,
+        )
+        s = (
+            s.unionByName(prop)
+            .groupBy("layer", "node_id")
+            .agg(*[F.max(c).alias(c) for c in rcols])
+            .localCheckpoint()
+        )
+    inv_sum = None  # exact BIGINT: sum over j of 2^(53 - M_j)
+    zeros = None
+    for j, c in enumerate(rcols):
+        term = F.expr(f"shiftleft(CAST(1 AS BIGINT), 53 - {c})")
+        z = F.when(F.col(c) == 0, 1).otherwise(0)
+        inv_sum = term if inv_sum is None else inv_sum + term
+        zeros = z if zeros is None else zeros + z
+    raw = F.lit(alpha * m * m * float(2**53)) / inv_sum.cast("double")
+    est = F.when(
+        (raw < 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return s.select("layer", "node_id", F.round(est, 6).alias("est_ball"))
+
+
+def clique4_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Global 4-clique (K4) census by degree-ordered DAG extension —
+    the next rung above triangle_count on the clique ladder (graph
+    density / community-cohesion profiling).
+
+    Same hub-taming trick as the triangle path: orient every
+    undirected edge from the (degree, key)-smaller endpoint to the
+    larger, making a DAG in which each K4 appears exactly once as
+    its sorted 4-tuple. Triangles (x<y<z) come from the standard
+    wedge+closure joins; the 4th vertex extends the triangle's TOP
+    vertex z (z->w) and must close back to x and y — two semi-joins
+    on oriented edges. Every join is an equi-join on node keys; the
+    candidate volume is sum over triangles of outdeg(z), with
+    outdegree bounded by the orientation (a celebrity never fans
+    out). Returns one row (n_triangles, n_4cliques), BIGINT-exact.
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    canon = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    with_deg = canon.join(
+        deg.select(F.col("u").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("u").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("sd"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).localCheckpoint()
+    o = oriented.select("src", "dst", "sd", "dd")
+    wedges = (
+        o.select(F.col("src").alias("x"), F.col("dst").alias("y"),
+                 F.col("dd").alias("dy"))
+        .join(
+            o.select(F.col("src").alias("x"), F.col("dst").alias("z"),
+                     F.col("dd").alias("dz")),
+            on="x",
+        )
+        .filter(
+            (F.col("dy") < F.col("dz"))
+            | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+        )
+    )
+    tri = wedges.join(
+        o.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        on=["y", "z"],
+        how="left_semi",
+    ).select("x", "y", "z").localCheckpoint()
+    n_tri = tri.count()
+    # extend the triangle's TOP vertex: z->w, then close x->w and y->w
+    cand = tri.join(
+        o.select(F.col("src").alias("z"), F.col("dst").alias("w")), on="z"
+    )
+    closed_x = cand.join(
+        o.select(F.col("src").alias("x"), F.col("dst").alias("w")),
+        on=["x", "w"],
+        how="left_semi",
+    )
+    k4 = closed_x.join(
+        o.select(F.col("src").alias("y"), F.col("dst").alias("w")),
+        on=["y", "w"],
+        how="left_semi",
+    )
+    return k4.agg(
+        F.lit(n_tri).cast("bigint").alias("n_triangles"),
+        F.count("*").cast("bigint").alias("n_4cliques"),
+    )

@@ -264,6 +264,8 @@ _R6_BACKLOG: list[str] = [
     "events_attribution",
     "lineitem_monthly_trend",
     "multimodal_mdct_decode",
+    "graph_hyperanf",
+    "graph_clique4",
 ]
 
 

@@ -3367,3 +3367,105 @@ def graph_square_count_q(spark, sf_dir):
     from onionnet_spark.operators.analytics import square_count
 
     return square_count(_cosupply_top_pairs(spark, sf_dir, 60))
+
+
+# --------------------------------------------------------------------------
+# Round 5: HyperANF (HLL-register neighborhood function), fully deterministic
+# --------------------------------------------------------------------------
+
+
+@register("graph_hyperanf", None)  # oracle generated below (unrolled rounds)
+def graph_hyperanf_q(spark, sf_dir):
+    """HLL-register ANF (HyperANF proper) on the 4-layer supply
+    view — the register-based scale path next to graph_anf's k-mins
+    sketch. Deterministic md5 hashing + an integer-exact register
+    sum make the approximation itself hash-oracle-able."""
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return analytics.hyperanf(g, radius=3, m=64)
+
+
+def _hyperanf_oracle(radius: int = 3, m: int = 64) -> str:
+    """Unrolls the HLL register propagation: identical md5-derived
+    (index, rho) draws, per-round elementwise MAX, the exact-BIGINT
+    2^(53-M) register sum and the published small-range correction —
+    a full hash-match oracle for HyperANF (only the estimate's
+    relation to the true ball is statistical)."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    rcols = [f"r{j}" for j in range(m)]
+    key = "layer || ':' || node_id"
+    init = ",\n             ".join(
+        f"CASE WHEN ('0x' || substr(md5({key}), 1, 2))::BIGINT % {m} = {j} "
+        f"THEN (CASE WHEN ('0x' || substr(md5({key}), 3, 13))::BIGINT = 0 "
+        f"THEN 53 ELSE 53 - length(bin(('0x' || substr(md5({key}), 3, 13))::BIGINT)) END) "
+        f"ELSE 0 END AS r{j}"
+        for j in range(m)
+    )
+    stages = []
+    for r in range(1, radius + 1):
+        maxs = ", ".join(f"MAX({c}) AS {c}" for c in rcols)
+        props = ", ".join(f"s.{c}" for c in rcols)
+        stages.append(
+            f"""h{r} AS MATERIALIZED (
+      SELECT layer, node_id, {maxs} FROM (
+        SELECT * FROM h{r - 1}
+        UNION ALL
+        SELECT e.src_layer AS layer, e.src_id AS node_id, {props}
+        FROM es e JOIN h{r - 1} s
+          ON s.layer = e.dst_layer AND s.node_id = e.dst_id
+      ) GROUP BY layer, node_id)"""
+        )
+    stage_sql = ",\n    ".join(stages)
+    inv = " + ".join(f"(1::BIGINT << (53 - {c}))" for c in rcols)
+    zeros = " + ".join(f"(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)" for c in rcols)
+    num = repr(alpha * m * m * float(2**53))
+    return f"""WITH {{ctes}},
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
+    es AS MATERIALIZED (
+      SELECT src_layer, src_id, dst_layer, dst_id FROM edges_g
+      WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    h0 AS MATERIALIZED (
+      SELECT layer, node_id,
+             {init}
+      FROM ns),
+    {stage_sql},
+    fin AS (SELECT layer, node_id, {inv} AS inv_sum, {zeros} AS zeros
+            FROM h{radius}),
+    est AS (SELECT layer, node_id, zeros,
+                   {num} / CAST(inv_sum AS DOUBLE) AS raw
+            FROM fin)
+    SELECT layer, node_id,
+           ROUND(CASE WHEN raw < {2.5 * m!r} AND zeros > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                      ELSE raw END, 6) AS est_ball
+    FROM est""".format(ctes=CTES)
+
+
+_REG["graph_hyperanf"] = (graph_hyperanf_q, _hyperanf_oracle())
+
+
+@register(
+    "graph_clique4",
+    # oracle = the definition: all a<b<c<d with all six edges present
+    f"""WITH {_COSUPPLY_SQL.format(topn=60)},
+    adj AS (SELECT a, b FROM e0),
+    tri AS (SELECT t1.a AS x, t1.b AS y, t2.b AS z
+            FROM adj t1 JOIN adj t2 ON t2.a = t1.b
+            JOIN adj t3 ON t3.a = t1.a AND t3.b = t2.b),
+    k4 AS (SELECT t.x, t.y, t.z, e.b AS w
+           FROM tri t JOIN adj e ON e.a = t.z
+           WHERE EXISTS (SELECT 1 FROM adj p WHERE p.a = t.x AND p.b = e.b)
+             AND EXISTS (SELECT 1 FROM adj q WHERE q.a = t.y AND q.b = e.b))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k4) AS n_4cliques""",
+)
+def graph_clique4_q(spark, sf_dir):
+    """K4 census on the top-60 co-supply graph via degree-ordered DAG
+    extension — the clique-ladder rung above triangle_count. The
+    oracle counts sorted 4-tuples straight from the definition, so
+    the hash match proves the oriented enumeration exact."""
+    from onionnet_spark.operators.analytics import clique4_count
+
+    return clique4_count(_cosupply_top_pairs(spark, sf_dir, 60))

@@ -294,3 +294,133 @@ def test_mdct_spark_dispatch(spark):
     # unified dispatch: decode_audio_stats handles OMA1 too
     stats = {r["doc_id"]: r for r in multimodal.decode_audio_stats(payload).collect()}
     assert stats[0]["n_samples"] == 2000 and stats[0]["n_channels"] == 1
+
+
+# --------------------------------------------------- streaming dup spans
+
+
+def test_streaming_dup_span_replay_equals_batch(spark):
+    from onionnet_spark.streaming.span_stream import StreamingDupSpanMaintainer
+
+    rows = [
+        # batch 1: doc 1 and 2 share a 5-run; doc 3 clean (for now)
+        (1, "a b c d e f x1 y1 z1"),
+        (2, "q2 a b c d e f y2"),
+        (3, "k l m n o p q r"),
+        # batch 2: doc 4 collides with doc 3's window -> RETROACTIVE
+        # upgrade of a doc from an earlier batch; doc 5 repeats itself
+        (4, "zz k l m n o yy"),
+        (5, "p q r s t mid p q r s t"),
+        # batch 3: doc 6 re-hits an already-dup window (no new upgrade)
+        (6, "k l m n o tail6"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from onionnet_spark.functions.dedup import dup_span_stats
+
+    expected = {
+        r["doc_id"]: r for r in dup_span_stats(docs, w=5).collect()
+    }
+    m = StreamingDupSpanMaintainer(spark, w=5)
+    for lo, hi in [(1, 3), (4, 5), (6, 6)]:
+        m.process_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        )
+    got = {r["doc_id"]: r for r in m.snapshot().collect()}
+    assert set(got) == set(expected)
+    for d in expected:
+        for c in ["n_tokens", "n_dup_windows", "n_spans", "dup_tokens",
+                  "dup_fraction"]:
+            assert got[d][c] == expected[d][c], (d, c, got[d][c], expected[d][c])
+    # the retroactive case really happened: doc 3 (batch 1) is dup
+    assert got[3]["n_dup_windows"] > 0
+
+
+def test_streaming_dup_span_single_batch_equals_batch(spark, sf_dir):
+    from onionnet_spark.functions.dedup import dup_span_stats
+    from onionnet_spark.streaming.span_stream import StreamingDupSpanMaintainer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    m = StreamingDupSpanMaintainer(spark, w=5)
+    m.process_batch(docs)
+    got = {r["doc_id"]: r for r in m.snapshot().collect()}
+    expected = {r["doc_id"]: r for r in dup_span_stats(docs, w=5).collect()}
+    assert got == expected
+
+
+# ------------------------------------------------------------ HyperANF
+
+
+def test_hyperanf_accuracy_against_exact_balls(spark):
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.analytics import hyperanf
+
+    # directed path 0->1->...->9 plus a hub h -> 0..4: downstream
+    # balls at radius 3 are exactly known
+    edges = [("L", str(i), "L", str(i + 1)) for i in range(9)]
+    edges += [("L", "h", "L", str(i)) for i in range(5)]
+    nodes = [("L", str(i)) for i in range(10)] + [("L", "h")]
+    g = OnionGraph(
+        spark.createDataFrame(nodes, ["layer", "node_id"]),
+        spark.createDataFrame(
+            edges, ["src_layer", "src_id", "dst_layer", "dst_id"]
+        ),
+    )
+    est = {
+        r["node_id"]: r["est_ball"]
+        for r in hyperanf(g, radius=3, m=64).collect()
+    }
+    true_ball = {str(i): min(4, 10 - i) for i in range(10)}
+    # hub reaches {h, 0..4} at r=1, plus 5,6,7 via the path by r=3
+    true_ball["h"] = 9
+    assert set(est) == set(true_ball)
+    for n, t in true_ball.items():
+        assert abs(est[n] - t) / t < 0.35, (n, est[n], t)
+    # mean relative error much tighter than the per-node bound
+    mre = sum(abs(est[n] - t) / t for n, t in true_ball.items()) / len(true_ball)
+    assert mre < 0.15, mre
+
+
+def test_hyperanf_rejects_bad_args(spark):
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.analytics import hyperanf
+
+    g = OnionGraph(
+        spark.createDataFrame([("L", "a")], ["layer", "node_id"]),
+        spark.createDataFrame(
+            [], "src_layer string, src_id string, dst_layer string, dst_id string"
+        ),
+    )
+    with pytest.raises(ValueError):
+        hyperanf(g, direction="sideways")
+    with pytest.raises(ValueError):
+        hyperanf(g, m=48)
+
+
+# ------------------------------------------------------------ 4-cliques
+
+
+def test_clique4_closed_forms(spark):
+    from onionnet_spark.operators.analytics import clique4_count
+
+    # K4: 4 triangles, 1 four-clique
+    k4 = spark.createDataFrame(
+        [("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"), ("3", "4")],
+        ["a", "b"],
+    )
+    row = clique4_count(k4).collect()[0]
+    assert row["n_triangles"] == 4 and row["n_4cliques"] == 1
+    # K5: C(5,3)=10 triangles, C(5,4)=5 four-cliques
+    import itertools
+
+    k5 = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in itertools.combinations(range(5), 2)],
+        ["a", "b"],
+    )
+    row = clique4_count(k5).collect()[0]
+    assert row["n_triangles"] == 10 and row["n_4cliques"] == 5
+    # C4 (square): no triangles, no 4-cliques
+    c4 = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1")], ["a", "b"]
+    )
+    row = clique4_count(c4).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_4cliques"] == 0
