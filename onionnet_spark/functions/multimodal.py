@@ -1655,3 +1655,117 @@ def mdct_quality_stats(df: DataFrame, min_snr_db: float = 25.0) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         stats_batches, MDCT_STATS_SCHEMA
     )
+
+
+MC_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_skip_blocks", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pos_checksum", LongType()),
+    ]
+)
+
+_MC_H, _MC_W = 24, 32
+
+
+def _mc_synth_frames(d: int) -> "np.ndarray":
+    """Torus-shifted linear pattern per id: frame f shifts the base
+    (31y + 17x + 7d) % 251 by (f*sx, f*sy) with wraparound. Every
+    field is SQL-closed-form: dims, per-pixel values, AND the
+    skip-block count (interior blocks have an exact in-bounds match
+    for the true motion vector; seam blocks provably never match a
+    pure translation because 31*sy + 17*sx and the wrap offsets are
+    nonzero mod 251 for |s| <= 4)."""
+    import numpy as np
+
+    h, w = _MC_H, _MC_W
+    n = 4 + d % 3
+    sx, sy = 1 + d % 3, d % 3
+    base = (
+        31 * np.arange(h)[:, None] + 17 * np.arange(w)[None, :] + 7 * d
+    ) % 251
+    return np.stack(
+        [
+            base[
+                (np.arange(h)[:, None] - f * sy) % h,
+                (np.arange(w)[None, :] - f * sx) % w,
+            ]
+            for f in range(n)
+        ]
+    ).astype(np.uint8)
+
+
+def synth_mc_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic OMV1 (motion-compensated video, mcvideo.py)
+    payload per id, encoded at qstep=1 (lossless-residual mode) so
+    reconstruction is bit-exact. Encoding runs distributed in
+    mapInPandas."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import mcvideo as _mc
+
+        for pdf in batches:
+            payloads = [
+                _mc.encode_mc_video(_mc_synth_frames(int(d)), qstep=1)
+                for d in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def mc_video_stats(df: DataFrame) -> DataFrame:
+    """Decode OMV1 payloads and emit integer-exact per-video facts:
+    dims, the decoder's skip-block count (proves the motion SEARCH
+    found the true vector wherever an in-bounds exact match exists),
+    total pixel sum and a (frame, position)-weighted checksum of
+    every decoded pixel — all closed-form for the torus synth, so a
+    LOSSY-family codec gets a full hash gate in its lossless-residual
+    mode. A decoder that mis-applies a motion vector, flips residual
+    signs or desyncs the Rice stream breaks pos_checksum."""
+
+    def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import mcvideo as _mc
+
+        for pdf in batches:
+            ns, ws, hs, skips, sums, chks = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                frames, n_skip = _mc.decode_mc_video(bytes(payload))
+                n, h, w = frames.shape
+                pix = frames.astype(np.int64)
+                fw = (np.arange(n, dtype=np.int64) + 1)[:, None, None]
+                pw = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )[None, :, :]
+                ns.append(n)
+                ws.append(w)
+                hs.append(h)
+                skips.append(int(n_skip))
+                sums.append(int(pix.sum()))
+                chks.append(int((pix * fw * pw).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pd.Series(ns, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_skip_blocks": pd.Series(skips, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "pos_checksum": pd.Series(chks, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        stats_batches, MC_STATS_SCHEMA
+    )

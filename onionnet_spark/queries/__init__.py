@@ -266,6 +266,7 @@ _R6_BACKLOG: list[str] = [
     "multimodal_mdct_decode",
     "graph_hyperanf",
     "graph_clique4",
+    "multimodal_mc_video_decode",
 ]
 
 

@@ -4463,3 +4463,57 @@ def multimodal_mdct_decode_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_mdct_payload(ids)
     return multimodal.mdct_quality_stats(payload)
+
+
+@register(
+    "multimodal_mc_video_decode",
+    # MOTION-COMPENSATED video with a full integer hash gate: the
+    # payload is a real MC codec (functions/mcvideo.py — exhaustive
+    # SAD search, per-block motion vectors, Rice-coded residuals,
+    # skip blocks) in its lossless-residual mode (qstep=1), so every
+    # decoded pixel is closed-form for the torus-shifted pattern.
+    # The skip-block count is ALSO closed-form: the true vector has
+    # an in-bounds exact match everywhere except the wrap seam
+    # (top block-row when sy>0, left block-column when sx>0), and
+    # seam blocks provably never match a pure translation of the
+    # linear pattern (offsets nonzero mod 251). h=24, w=32, block=8
+    # -> 4 block cols affected per seam row, 3 per seam column.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 3 AS n,
+                    1 + doc_id % 3 AS sx, doc_id % 3 AS sy
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.n, f.f, y.y, x.x,
+             (31 * ((((y.y - f.f * d.sy) % 24) + 24) % 24)
+              + 17 * ((((x.x - f.f * d.sx) % 32) + 32) % 32)
+              + 7 * d.doc_id) % 251 AS v
+      FROM dims d
+      JOIN range(0, 6) f(f) ON f.f < d.n
+      JOIN range(0, 24) y(y) ON TRUE
+      JOIN range(0, 32) x(x) ON TRUE
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(v) AS BIGINT) AS pixel_sum,
+             CAST(SUM(v * (f + 1) * (y * 32 + x + 1)) AS BIGINT)
+               AS pos_checksum
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.n AS INT) AS n_frames,
+           CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+           CAST((d.n - 1) * (12
+             - (CASE WHEN d.sy > 0 THEN 4 ELSE 0 END)
+             - (CASE WHEN d.sx > 0 THEN 3 ELSE 0 END)
+             + (CASE WHEN d.sx > 0 AND d.sy > 0 THEN 1 ELSE 0 END))
+             AS BIGINT) AS n_skip_blocks,
+           a.pixel_sum, a.pos_checksum
+    FROM dims d JOIN agg a ON a.doc_id = d.doc_id""",
+)
+def multimodal_mc_video_decode_q(spark, sf_dir):
+    """REAL motion-compensated video: torus-shifted pattern -> OMV1
+    encode (mapInPandas, qstep=1) -> full decode -> integer-exact
+    pixel/position checksums + the skip-block census that proves the
+    motion search found the true vectors."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_mc_video_payload(ids)
+    return multimodal.mc_video_stats(payload)

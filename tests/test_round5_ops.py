@@ -424,3 +424,88 @@ def test_clique4_closed_forms(spark):
     )
     row = clique4_count(c4).collect()[0]
     assert row["n_triangles"] == 0 and row["n_4cliques"] == 0
+
+
+# ------------------------------------------------ motion-compensated video
+
+
+def _shifted_video(h=24, w=32, n=5, sx=3, sy=2, d=11):
+    import numpy as np
+
+    base = (31 * np.arange(h)[:, None] + 17 * np.arange(w)[None, :] + 7 * d) % 251
+    return np.stack(
+        [
+            base[
+                (np.arange(h)[:, None] - f * sy) % h,
+                (np.arange(w)[None, :] - f * sx) % w,
+            ]
+            for f in range(n)
+        ]
+    ).astype(np.uint8)
+
+
+def test_mc_video_lossless_and_skip_census():
+    import numpy as np
+
+    from onionnet_spark.functions.mcvideo import decode_mc_video, encode_mc_video
+
+    frames = _shifted_video()
+    b = encode_mc_video(frames, qstep=1)
+    dec, n_skip = decode_mc_video(b)
+    assert np.array_equal(dec, frames)  # qstep=1 reconstructs exactly
+    # seam analysis: sy>0 -> top block-row (4 blocks), sx>0 -> left
+    # block-col (3 blocks), corner counted once; 12 blocks/frame
+    assert n_skip == 4 * (12 - 4 - 3 + 1)
+    assert len(b) < frames.size  # beats raw even with a raw I-frame
+    assert b == encode_mc_video(frames, qstep=1)  # bit-deterministic
+
+
+def test_mc_video_static_scene_all_skip():
+    import numpy as np
+
+    from onionnet_spark.functions.mcvideo import decode_mc_video, encode_mc_video
+
+    frames = np.repeat(_shifted_video(n=1), 4, axis=0)
+    b = encode_mc_video(frames, qstep=1)
+    dec, n_skip = decode_mc_video(b)
+    assert np.array_equal(dec, frames)
+    assert n_skip == 3 * 12  # every predicted block skips
+
+
+def test_mc_video_lossy_psnr_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from onionnet_spark.functions.mcvideo import (
+        decode_mc_video,
+        encode_mc_video,
+        mc_roundtrip_psnr,
+    )
+
+    rng = np.random.RandomState(3)
+    noisy = np.clip(
+        _shifted_video().astype(int) + rng.randint(-6, 7, (5, 24, 32)), 0, 255
+    ).astype(np.uint8)
+    assert mc_roundtrip_psnr(noisy, qstep=4) > 40
+    assert mc_roundtrip_psnr(noisy, qstep=1) == float("inf")  # lossless mode
+    with _pytest.raises(ValueError):
+        decode_mc_video(b"AVI nope")
+    with _pytest.raises(ValueError):
+        encode_mc_video(noisy[:, :20, :], qstep=1)  # 20 not multiple of 8
+    with _pytest.raises(ValueError):
+        encode_mc_video(noisy, rng=9)
+
+
+def test_mc_video_spark_stats(spark):
+    from onionnet_spark.functions import multimodal
+
+    ids = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    payload = multimodal.synth_mc_video_payload(ids)
+    out = {r["doc_id"]: r for r in multimodal.mc_video_stats(payload).collect()}
+    assert len(out) == 5
+    for d, r in out.items():
+        assert r["n_frames"] == 4 + d % 3
+        assert (r["width"], r["height"]) == (32, 24)
+        sx, sy = 1 + d % 3, d % 3
+        seam = 4 * (sy > 0) + 3 * (sx > 0) - (sx > 0 and sy > 0)
+        assert r["n_skip_blocks"] == (r["n_frames"] - 1) * (12 - seam)
