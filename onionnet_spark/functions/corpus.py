@@ -978,3 +978,165 @@ def histogram_split_finding(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _poisson1_cdf(kmax: int = 8) -> list[float]:
+    """Poisson(1) CDF thresholds, computed ONCE in Python and shared
+    verbatim with the SQL oracle — both engines compare the same
+    md5-derived uniform against the same double literals, so the
+    resample counts are engine-identical."""
+    import math
+
+    cdf, acc, term = [], 0.0, math.exp(-1.0)
+    for k in range(kmax):
+        acc += term
+        cdf.append(acc)
+        term /= k + 1
+    return cdf
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_resamples: int = 16,
+) -> DataFrame:
+    """Distributed bootstrap via Poisson(1) resampling (the classic
+    big-data bootstrap: per (row, resample) an independent
+    Poisson(1) multiplicity approximates multinomial resampling
+    without any global coordination — each row decides its own
+    counts from a hash, so the pass is embarrassingly parallel and
+     100-TB-shaped: one explode to B light rows per input row, one
+    aggregation keyed by resample id).
+
+    Counts come from md5-derived uniforms inverted through Python-
+    computed Poisson(1) CDF literals — fully deterministic and
+    engine-portable. Returns one row per resample:
+    (resample, n_eff, sum_value, mean_value) with sums exact
+    BIGINTs and the mean one IEEE division — the spread across
+    resamples IS the bootstrap CI of the mean.
+    """
+    cdf = _poisson1_cdf()
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit("|"),
+                        F.col("resample").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(2**60))
+    )
+    k = F.lit(len(cdf))
+    for i in range(len(cdf) - 1, -1, -1):
+        k = F.when(u < F.lit(cdf[i]), F.lit(i)).otherwise(k)
+    exploded = df.select(
+        F.col(id_col),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias(
+            "resample"
+        ),
+    ).select("resample", "v", k.cast("bigint").alias("k"))
+    return (
+        exploded.groupBy("resample")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_eff"),
+            F.sum(F.col("k") * F.col("v")).cast("bigint").alias("sum_value"),
+        )
+        .select(
+            F.col("resample").cast("int").alias("resample"),
+            "n_eff",
+            "sum_value",
+            F.round(F.col("sum_value") / F.col("n_eff"), 6).alias("mean_value"),
+        )
+    )
+
+
+def psi_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group vs the whole corpus —
+    the standard drift monitor for feature distributions (here: is
+    any source's length distribution drifting away from the corpus
+    mix?). PSI = sum over bins of (p_g - p_all) * ln(p_g / p_all),
+    shares clamped at 1e-4 (the industry convention for empty bins).
+
+    Engine-exact path: equi-width bins from the global min/max
+    (integer arithmetic), integer bin counts, per-bin terms
+    quantized to nano-units BEFORE the per-group sum (floor *1e9 as
+    BIGINT), so the only float ops are the two share divisions and
+    one ln per bin — identical inputs both engines. Shape: two
+    aggregations (bin counts, group sums) + one broadcast of the
+    n_bins x groups cell table; the corpus shuffles once on
+    (group, bin). Returns (group, n_docs, psi_nano, psi).
+    """
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("bigint").alias("v")
+    )
+    bounds = vals.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    binned = vals.crossJoin(F.broadcast(bounds)).select(
+        "g",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    * n_bins
+                    / (F.col("mx") - F.col("mn") + 1)
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("g", "bin").agg(F.count("*").alias("c"))
+    g_tot = cells.groupBy("g").agg(F.sum("c").alias("gt"))
+    all_cells = cells.groupBy("bin").agg(F.sum("c").alias("ac"))
+    all_tot = all_cells.agg(F.sum("ac").alias("at"))
+    # dense (group x bin) grid so empty bins hit the 1e-4 clamp
+    grid = (
+        g_tot.crossJoin(
+            F.broadcast(
+                all_cells.crossJoin(F.broadcast(all_tot))
+            )
+        )
+        .join(cells, on=["g", "bin"], how="left")
+        .select(
+            "g",
+            "gt",
+            F.greatest(
+                F.coalesce(F.col("c"), F.lit(0)) / F.col("gt"), F.lit(1e-4)
+            ).alias("pg"),
+            F.greatest(F.col("ac") / F.col("at"), F.lit(1e-4)).alias("pa"),
+        )
+    )
+    terms = grid.select(
+        "g",
+        "gt",
+        F.floor(
+            (F.col("pg") - F.col("pa"))
+            * F.log(F.col("pg") / F.col("pa"))
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    return terms.groupBy(F.col("g").alias(group_col)).agg(
+        F.first("gt").cast("bigint").alias("n_docs"),
+        F.sum("t").cast("bigint").alias("psi_nano"),
+        F.round(F.sum("t") / F.lit(1e9), 6).alias("psi"),
+    )

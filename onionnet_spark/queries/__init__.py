@@ -267,6 +267,8 @@ _R6_BACKLOG: list[str] = [
     "graph_hyperanf",
     "graph_clique4",
     "multimodal_mc_video_decode",
+    "bootstrap_doc_length",
+    "length_psi_by_source",
 ]
 
 

@@ -4517,3 +4517,74 @@ def multimodal_mc_video_decode_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_mc_video_payload(ids)
     return multimodal.mc_video_stats(payload)
+
+
+def _bootstrap_oracle(n_resamples: int = 16) -> str:
+    from onionnet_spark.functions.corpus import _poisson1_cdf
+
+    cdf = _poisson1_cdf()
+    u = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || "
+         "CAST(b AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)")
+    k = f"{len(cdf)}"
+    for i in range(len(cdf) - 1, -1, -1):
+        k = f"CASE WHEN {u} < {cdf[i]!r} THEN {i} ELSE {k} END"
+    return f"""WITH e AS (
+      SELECT doc_id, n_chars AS v, b
+      FROM documents CROSS JOIN range(0, {n_resamples}) r(b)),
+    kk AS (SELECT b, v, CAST({k} AS BIGINT) AS k FROM e)
+    SELECT CAST(b AS INT) AS resample,
+           CAST(SUM(k) AS BIGINT) AS n_eff,
+           CAST(SUM(k * v) AS BIGINT) AS sum_value,
+           ROUND(SUM(k * v) * 1.0 / SUM(k), 6) AS mean_value
+    FROM kk GROUP BY b"""
+
+
+@register("bootstrap_doc_length", _bootstrap_oracle())
+def bootstrap_doc_length_q(spark, sf_dir):
+    """Poisson(1) bootstrap of mean document length, 16 resamples —
+    the coordination-free big-data bootstrap (per-row hash-derived
+    multiplicities); resample spread = the CI of the mean. Counts
+    invert Python-computed CDF literals shared with the oracle."""
+    from onionnet_spark.functions.corpus import poisson_bootstrap
+
+    return poisson_bootstrap(
+        _docs(spark, sf_dir), value_col="n_chars", n_resamples=16
+    )
+
+
+@register(
+    "length_psi_by_source",
+    """WITH v AS (SELECT source AS g, n_chars AS v FROM documents),
+    b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM v),
+    binned AS (
+      SELECT g, CASE WHEN b.mx = b.mn THEN 0
+               ELSE LEAST(CAST(floor((v - b.mn) * 10.0 / (b.mx - b.mn + 1))
+                          AS INT), 9) END AS bin
+      FROM v CROSS JOIN b),
+    cells AS (SELECT g, bin, COUNT(*) AS c FROM binned GROUP BY g, bin),
+    gt AS (SELECT g, SUM(c) AS gt FROM cells GROUP BY g),
+    ac AS (SELECT bin, SUM(c) AS ac FROM cells GROUP BY bin),
+    att AS (SELECT SUM(ac) AS at FROM ac),
+    grid AS (
+      SELECT gt.g, gt.gt,
+             GREATEST(COALESCE(cells.c, 0) * 1.0 / gt.gt, 0.0001) AS pg,
+             GREATEST(ac.ac * 1.0 / att.at, 0.0001) AS pa
+      FROM gt CROSS JOIN ac CROSS JOIN att
+      LEFT JOIN cells ON cells.g = gt.g AND cells.bin = ac.bin),
+    terms AS (
+      SELECT g, gt,
+             CAST(floor((pg - pa) * ln(pg / pa) * 1000000000) AS BIGINT) AS t
+      FROM grid)
+    SELECT g AS source, CAST(MIN(gt) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS psi_nano,
+           ROUND(SUM(t) / 1000000000.0, 6) AS psi
+    FROM terms GROUP BY g""",
+)
+def length_psi_by_source_q(spark, sf_dir):
+    """Population Stability Index of the doc-length distribution per
+    source vs the corpus mix — the drift monitor run before blending
+    a new crawl in. Per-bin terms are nano-quantized BEFORE the sum
+    so PSI is engine-exact up to one ln per bin."""
+    from onionnet_spark.functions.corpus import psi_by_group
+
+    return psi_by_group(_docs(spark, sf_dir), value_col="n_chars")

@@ -509,3 +509,52 @@ def test_mc_video_spark_stats(spark):
         sx, sy = 1 + d % 3, d % 3
         seam = 4 * (sy > 0) + 3 * (sx > 0) - (sx > 0 and sy > 0)
         assert r["n_skip_blocks"] == (r["n_frames"] - 1) * (12 - seam)
+
+
+# ---------------------------------------------------- bootstrap / PSI
+
+
+def test_poisson_bootstrap_statistics(spark):
+    from onionnet_spark.functions.corpus import poisson_bootstrap
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100 + 50).alias("n_chars")
+    )
+    out = poisson_bootstrap(docs, "n_chars", n_resamples=16).collect()
+    assert len(out) == 16
+    true_mean = sum(i % 100 + 50 for i in range(400)) / 400
+    means = [r["mean_value"] for r in out]
+    # Poisson(1) resamples: n_eff ~ 400 +- ~60 (3 sigma), means near truth
+    for r in out:
+        assert 300 < r["n_eff"] < 500
+        assert r["sum_value"] > 0
+    avg = sum(means) / len(means)
+    assert abs(avg - true_mean) < 10
+    # resamples genuinely differ (nonzero bootstrap spread)
+    assert len(set(means)) > 1
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from onionnet_spark.functions.corpus import psi_by_group
+
+    # two groups with IDENTICAL value multisets -> psi ~ 0 for both
+    rows = [(g, v) for g in ("a", "b") for v in range(100)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r["source"]: r for r in psi_by_group(df, "n_chars").collect()}
+    assert set(out) == {"a", "b"}
+    for r in out.values():
+        assert abs(r["psi"]) < 1e-6
+        assert r["n_docs"] == 100
+
+
+def test_psi_detects_shift(spark):
+    from onionnet_spark.functions.corpus import psi_by_group
+
+    rows = [("ref", v) for v in range(100)] * 4 + [
+        ("drift", v) for v in range(80, 180)
+    ]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r["source"]: r for r in psi_by_group(df, "n_chars").collect()}
+    # the shifted group shows large PSI; the dominant group small
+    assert out["drift"]["psi"] > 0.25  # industry 'significant drift' line
+    assert out["drift"]["psi"] > out["ref"]["psi"]
