@@ -99,6 +99,13 @@ HEADLINE = [
     "multimodal_gif_frames",
     "bpe_encode_ids",
     "graph_msf",
+    # round-5 additions (also excluded from the comparable subtotal)
+    "dup_span_stats",
+    "nb_lang_confusion",
+    "ann_recall_report",
+    "graph_hyperanf",
+    "multimodal_mdct_decode",
+    "multimodal_mc_video_decode",
 ]
 
 

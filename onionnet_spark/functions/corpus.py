@@ -1065,6 +1065,7 @@ def psi_by_group(
     value_col: str,
     group_col: str = "source",
     n_bins: int = 10,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Population Stability Index per group vs the whole corpus —
     the standard drift monitor for feature distributions (here: is
@@ -1084,20 +1085,28 @@ def psi_by_group(
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("bigint").alias("v")
     )
-    bounds = vals.agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
-    )
-    binned = vals.crossJoin(F.broadcast(bounds)).select(
+    if bounds is not None:
+        # explicit frozen bounds (the streaming monitor's contract:
+        # bins must not move as data arrives)
+        lo, hi = bounds
+        spark = df.sparkSession
+        bframe = spark.createDataFrame([(int(lo), int(hi))], "mn bigint, mx bigint")
+    else:
+        bframe = vals.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = vals.crossJoin(F.broadcast(bframe)).select(
         "g",
         F.when(F.col("mx") == F.col("mn"), F.lit(0))
         .otherwise(
-            F.least(
-                F.floor(
-                    (F.col("v") - F.col("mn"))
-                    * n_bins
-                    / (F.col("mx") - F.col("mn") + 1)
+            F.greatest(
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("mn"))
+                        * n_bins
+                        / (F.col("mx") - F.col("mn") + 1)
+                    ),
+                    F.lit(n_bins - 1),
                 ),
-                F.lit(n_bins - 1),
+                F.lit(0),
             )
         )
         .cast("int")

@@ -2735,3 +2735,85 @@ def clique4_count(
         F.lit(n_tri).cast("bigint").alias("n_triangles"),
         F.count("*").cast("bigint").alias("n_4cliques"),
     )
+
+
+def onion_decomposition(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016):
+    the layer-by-layer refinement of k-core peeling — and this
+    repo's namesake structure. Each round simultaneously removes
+    every node whose remaining degree is <= the current core value
+    k (k itself ratchets up to the minimum remaining degree), and
+    all nodes removed in the same round share an onion LAYER; the
+    layer index localizes a node WITHIN its core shell (center vs
+    periphery of the core), which plain coreness cannot express.
+
+    Per round: one degree aggregation (left join so fully-stripped
+    degree-0 nodes are still seen), one bounded scalar min, two
+    anti/semi joins — the coreness peel loop with an explicit node
+    universe. Round count is data-dependent (a path graph peels one
+    end-pair per round), so the guard derives from |V| instead of a
+    constant; deep peels rebase through IterCheckpointer like every
+    other long iteration in this repo.
+
+    Returns (node, layer, coreness); layers are 1-based in removal
+    order, coreness is the k at which the node fell (its core
+    number).
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    nodes = adj.select(F.col("u").alias("n")).distinct().localCheckpoint()
+    n_remaining = nodes.count()
+    if max_rounds is None:
+        max_rounds = n_remaining + 1
+    from onionnet_spark.operators.ckpt import IterCheckpointer
+
+    ck = IterCheckpointer(prefix="onionnet_onion_")
+    out = None
+    k_cur = 0
+    layer = 0
+    while n_remaining:
+        layer += 1
+        if layer > max_rounds:
+            raise RuntimeError(
+                "onion_decomposition exceeded its data-derived round "
+                "bound — implementation bug, not an input property"
+            )
+        deg = (
+            nodes.join(
+                adj.groupBy("u").agg(F.count("*").alias("d")),
+                on=nodes["n"] == F.col("u"),
+                how="left",
+            )
+            .select("n", F.coalesce("d", F.lit(0)).alias("d"))
+        )
+        kmin = deg.agg(F.min("d").alias("m")).collect()[0]["m"]
+        k_cur = max(k_cur, int(kmin))
+        drop = deg.filter(F.col("d") <= k_cur).select(
+            "n",
+            F.lit(layer).cast("int").alias("layer"),
+            F.lit(k_cur).cast("int").alias("coreness"),
+        )
+        out = drop if out is None else out.unionByName(drop)
+        out = ck.cut(out)
+        nodes = ck.cut(nodes.join(drop.select("n"), on="n", how="left_anti"))
+        adj = ck.cut(
+            adj.join(
+                nodes.select(F.col("n").alias("u")), on="u", how="leftsemi"
+            ).join(nodes.select(F.col("n").alias("v")), on="v", how="leftsemi")
+        )
+        n_remaining = nodes.count()
+    return out.select(F.col("n").alias("node"), "layer", "coreness")

@@ -269,6 +269,7 @@ _R6_BACKLOG: list[str] = [
     "multimodal_mc_video_decode",
     "bootstrap_doc_length",
     "length_psi_by_source",
+    "graph_onion_layers",
 ]
 
 

@@ -3469,3 +3469,82 @@ def graph_clique4_q(spark, sf_dir):
     from onionnet_spark.operators.analytics import clique4_count
 
     return clique4_count(_cosupply_top_pairs(spark, sf_dir, 60))
+
+
+# --------------------------------------------------------------------------
+# Round 5: onion decomposition (the namesake structure)
+# --------------------------------------------------------------------------
+
+
+def _onion_oracle(rounds: int = 8, topn: int = 60) -> str:
+    """Unrolls the simultaneous-peel rounds: per round a degree
+    table over the remaining universe (LEFT JOIN so stripped
+    degree-0 nodes count), the ratcheting core value
+    k_t = GREATEST(k_{t-1}, MIN(deg)), removal of deg <= k_t with
+    (layer, coreness) labels. Empty rounds no-op (MIN coalesces to
+    the previous k); a NOT-CONVERGED sentinel row appears if nodes
+    survive the whole unroll, so an undersized schedule fails the
+    hash LOUDLY instead of truncating silently (fixture peels in 4
+    rounds; 8 is double that)."""
+    ctes = [
+        _COSUPPLY_SQL.format(topn=topn),
+        """adj0 AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0)""",
+        "n0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM adj0)",
+        "k0 AS (SELECT 0 AS k)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+      SELECT n0.n, COALESCE(dd.d, 0) AS d
+      FROM n{p} n0 LEFT JOIN (
+        SELECT u, COUNT(*) AS d FROM adj{p} GROUP BY u) dd ON dd.u = n0.n)"""
+        )
+        ctes.append(
+            f"""k{t} AS MATERIALIZED (
+      SELECT GREATEST((SELECT k FROM k{p}),
+                      COALESCE((SELECT MIN(d) FROM d{t}),
+                               (SELECT k FROM k{p}))) AS k)"""
+        )
+        ctes.append(
+            f"""o{t} AS MATERIALIZED (
+      SELECT n, {t} AS layer, (SELECT k FROM k{t}) AS coreness
+      FROM d{t} WHERE d <= (SELECT k FROM k{t}))"""
+        )
+        ctes.append(
+            f"""n{t} AS MATERIALIZED (
+      SELECT n FROM d{t} WHERE d > (SELECT k FROM k{t}))"""
+        )
+        ctes.append(
+            f"""adj{t} AS MATERIALIZED (
+      SELECT adj.u, adj.v FROM adj{p} adj
+      JOIN n{t} x ON x.n = adj.u JOIN n{t} y ON y.n = adj.v)"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT n AS node, CAST(layer AS INT) AS layer, "
+        f"CAST(coreness AS INT) AS coreness FROM o{t}"
+        for t in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    {unions}
+    UNION ALL
+    SELECT 'NOT-CONVERGED', -1, -1 WHERE EXISTS (SELECT 1 FROM n{rounds})"""
+    )
+
+
+@register("graph_onion_layers", None)  # oracle attached below (generated)
+def graph_onion_layers_q(spark, sf_dir):
+    """Onion decomposition of the top-60 co-supply graph — the
+    namesake structure: (layer, coreness) per node, locating each
+    node WITHIN its k-core shell (center vs periphery). Peels in
+    simultaneous rounds; the oracle unrolls the identical ratchet."""
+    from onionnet_spark.operators.analytics import onion_decomposition
+
+    return onion_decomposition(_cosupply_top_pairs(spark, sf_dir, 60))
+
+
+_REG["graph_onion_layers"] = (graph_onion_layers_q, _onion_oracle())

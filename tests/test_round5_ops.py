@@ -558,3 +558,73 @@ def test_psi_detects_shift(spark):
     # the shifted group shows large PSI; the dominant group small
     assert out["drift"]["psi"] > 0.25  # industry 'significant drift' line
     assert out["drift"]["psi"] > out["ref"]["psi"]
+
+
+# ------------------------------------------------------- onion layers
+
+
+def test_onion_decomposition_path_and_clique(spark):
+    from onionnet_spark.operators.analytics import onion_decomposition
+
+    # path 1-2-3-4-5-6: k stays 1; rounds peel ends inward ->
+    # layers (1,6)=1, (2,5)=2, (3,4)=3, all coreness 1
+    path = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(1, 6)], ["a", "b"]
+    )
+    out = {r["node"]: r for r in onion_decomposition(path).collect()}
+    assert {n: r["layer"] for n, r in out.items()} == {
+        "1": 1, "6": 1, "2": 2, "5": 2, "3": 3, "4": 3
+    }
+    assert all(r["coreness"] == 1 for r in out.values())
+
+    # K4 with a pendant: pendant falls first (layer 1, coreness 1),
+    # the clique falls together next (layer 2, coreness 3)
+    import itertools
+
+    k4p = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in itertools.combinations(range(4), 2)]
+        + [("0", "p")],
+        ["a", "b"],
+    )
+    out = {r["node"]: r for r in onion_decomposition(k4p).collect()}
+    assert out["p"]["layer"] == 1 and out["p"]["coreness"] == 1
+    for n in "0123":
+        assert out[n]["layer"] == 2 and out[n]["coreness"] == 3
+
+
+def test_onion_layers_refine_coreness(spark):
+    from onionnet_spark.operators.analytics import coreness, onion_decomposition
+    from onionnet_spark.queries.graph_queries import _cosupply_top_pairs
+
+    pairs = _cosupply_top_pairs(spark, "/root/testdata/sf0.001", 60)
+    onion = {r["node"]: r for r in onion_decomposition(pairs).collect()}
+    core = {r["node"]: r["coreness"] for r in coreness(pairs, k_max=12).collect()}
+    assert set(onion) == set(core)
+    for n in onion:
+        assert onion[n]["coreness"] == core[n]  # onion refines, never disagrees
+
+
+def test_streaming_psi_replay_equals_batch(spark, sf_dir):
+    from onionnet_spark.functions.corpus import psi_by_group
+    from onionnet_spark.streaming.psi_stream import StreamingPsiMonitor
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo, hi = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    m = StreamingPsiMonitor(spark, lo, hi)
+    third = docs.count() // 3
+    m.process_batch(docs.filter(F.col("doc_id") < third))
+    m.process_batch(
+        docs.filter((F.col("doc_id") >= third) & (F.col("doc_id") < 2 * third))
+    )
+    m.process_batch(docs.filter(F.col("doc_id") >= 2 * third))
+    got = {r["source"]: r for r in m.snapshot().collect()}
+    expected = {
+        r["source"]: r
+        for r in psi_by_group(
+            docs, "n_chars", bounds=(int(lo), int(hi))
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for s in expected:
+        assert got[s]["psi_nano"] == expected[s]["psi_nano"]
+        assert got[s]["n_docs"] == expected[s]["n_docs"]
