@@ -270,6 +270,9 @@ _R6_BACKLOG: list[str] = [
     "bootstrap_doc_length",
     "length_psi_by_source",
     "graph_onion_layers",
+    "dedup_keep_policy",
+    "bpe_fertility_by_source",
+    "orders_status_year_pivot",
 ]
 
 

@@ -4588,3 +4588,97 @@ def length_psi_by_source_q(spark, sf_dir):
     from onionnet_spark.functions.corpus import psi_by_group
 
     return psi_by_group(_docs(spark, sf_dir), value_col="n_chars")
+
+
+@register(
+    "dedup_keep_policy",
+    # source-aware keeper selection: within each exact-dup group keep
+    # the doc from the GLOBALLY RAREST source (ties -> min doc_id) —
+    # the curation policy that preserves underrepresented sources
+    # when deduping a blended corpus (plain min-id keeps whichever
+    # source happens to crawl first).
+    f"""WITH h AS (SELECT doc_id, source, md5({_NORM}) AS ch FROM documents),
+    sc AS (SELECT source, COUNT(*) AS src_n FROM documents GROUP BY source),
+    ranked AS (
+      SELECT h.doc_id, h.ch,
+             ROW_NUMBER() OVER (PARTITION BY h.ch
+               ORDER BY sc.src_n, h.doc_id) AS rk
+      FROM h JOIN sc ON sc.source = h.source),
+    keepers AS (SELECT ch, doc_id AS keeper_id FROM ranked WHERE rk = 1)
+    SELECT h.doc_id, k.keeper_id,
+           h.doc_id = k.keeper_id AS kept
+    FROM h JOIN keepers k ON k.ch = h.ch""",
+)
+def dedup_keep_policy_q(spark, sf_dir):
+    """Source-aware dedup keeper selection: exact-dup groups keep the
+    doc from the globally rarest source (tie: min id) — the blending
+    policy that protects underrepresented sources. One window over
+    the content hash with a broadcast source-frequency join."""
+    from pyspark.sql import Window
+
+    from onionnet_spark.functions.dedup import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", "source", F.md5(normalize_text(F.col("text"))).alias("ch")
+    )
+    src_n = docs.groupBy("source").agg(F.count("*").alias("src_n"))
+    w = Window.partitionBy("ch").orderBy("src_n", "doc_id")
+    ranked = hashed.join(F.broadcast(src_n), on="source").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    keepers = ranked.filter(F.col("rk") == 1).select(
+        "ch", F.col("doc_id").alias("keeper_id")
+    )
+    return (
+        hashed.join(keepers, on="ch")
+        .select(
+            "doc_id",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+        )
+    )
+
+
+@register(
+    "bpe_fertility_by_source",
+    f"""SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len({_TOKS})) AS BIGINT) AS n_words,
+      CAST(SUM(len(regexp_extract_all(lower(text),
+        '{_BPE_SQL_PATTERN.replace("'", "''")}'))) AS BIGINT) AS n_bpe_tokens,
+      CAST(SUM(length(text)) AS BIGINT) AS n_bytes,
+      ROUND(SUM(len(regexp_extract_all(lower(text),
+        '{_BPE_SQL_PATTERN.replace("'", "''")}')))
+        * 1.0 / SUM(len({_TOKS})), 6) AS fertility,
+      ROUND(SUM(length(text)) * 1.0
+        / SUM(len(regexp_extract_all(lower(text),
+          '{_BPE_SQL_PATTERN.replace("'", "''")}'))), 6) AS bytes_per_token
+    FROM documents GROUP BY source""",
+)
+def bpe_fertility_by_source_q(spark, sf_dir):
+    """Tokenizer fertility scoreboard per source: BPE tokens per
+    word and bytes per token — the cost model for mixing sources
+    under a token budget (high-fertility sources burn budget
+    faster). Integer sums, two final divisions."""
+    from onionnet_spark.functions.text import bpe_ish_tokens, tokens_col
+
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).cast("bigint").alias("n_words"),
+        F.sum(F.size(bpe_ish_tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_bytes"),
+        F.round(
+            F.sum(F.size(bpe_ish_tokens(F.col("text"))))
+            / F.sum(F.size(tokens_col(F.col("text")))),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.length("text"))
+            / F.sum(F.size(bpe_ish_tokens(F.col("text")))),
+            6,
+        ).alias("bytes_per_token"),
+    )

@@ -2335,3 +2335,41 @@ def monthly_revenue_trend(li):
             6,
         ).alias("intercept_cents"),
     )
+
+
+_PIVOT_YEARS = list(range(1995, 2002))
+
+
+@register(
+    "orders_status_year_pivot",
+    # the DataFrame pivot() surface: order-status x order-year
+    # revenue matrix with a FIXED year list (explicit values make
+    # the pivot a single pass and keep the column set deterministic)
+    """SELECT o_orderstatus AS status, """
+    + ", ".join(
+        f"ROUND(SUM(CASE WHEN year(o_orderdate) = {y} "
+        f"THEN o_totalprice ELSE 0 END), 2) AS y{y}"
+        for y in _PIVOT_YEARS
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+)
+def orders_status_year_pivot(spark, sf_dir):
+    """Revenue matrix status x year via the DataFrame pivot()
+    operator with an EXPLICIT value list — the single-pass form (a
+    values-less pivot needs a distinct scan first and produces a
+    data-dependent schema, which a 100 TB job should never do)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    out = (
+        o.select(
+            F.col("o_orderstatus").alias("status"),
+            F.year("o_orderdate").alias("yr"),
+            "o_totalprice",
+        )
+        .groupBy("status")
+        .pivot("yr", _PIVOT_YEARS)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    cols = [F.col("status")] + [
+        F.coalesce(F.col(str(y)), F.lit(0.0)).alias(f"y{y}") for y in _PIVOT_YEARS
+    ]
+    return out.select(*cols)

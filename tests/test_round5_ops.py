@@ -628,3 +628,55 @@ def test_streaming_psi_replay_equals_batch(spark, sf_dir):
     for s in expected:
         assert got[s]["psi_nano"] == expected[s]["psi_nano"]
         assert got[s]["n_docs"] == expected[s]["n_docs"]
+
+
+# ----------------------------------------------- keep policy / fertility
+
+
+def test_keep_policy_prefers_rare_source(spark):
+    from onionnet_spark.queries import load_all
+
+    docs = spark.createDataFrame(
+        [
+            # same content, three sources; 'rare' has 1 doc globally,
+            # 'big' has 3 -> keeper must be the rare-source doc (id 5)
+            (1, "same text here", "big"),
+            (5, "same text here", "rare"),
+            (7, "same text here", "big"),
+            (9, "other text", "big"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    docs.createOrReplaceTempView("ignore_me")  # not used; direct call below
+    from pyspark.sql import Window
+    from onionnet_spark.functions.dedup import normalize_text
+
+    hashed = docs.select(
+        "doc_id", "source", F.md5(normalize_text(F.col("text"))).alias("ch")
+    )
+    src_n = docs.groupBy("source").agg(F.count("*").alias("src_n"))
+    w = Window.partitionBy("ch").orderBy("src_n", "doc_id")
+    ranked = hashed.join(F.broadcast(src_n), on="source").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    keepers = {
+        r["ch"]: r["doc_id"] for r in ranked.filter("rk = 1").collect()
+    }
+    got = {r["doc_id"]: r for r in hashed.collect()}
+    assert keepers[got[1]["ch"]] == 5  # rare-source doc wins the group
+    assert keepers[got[9]["ch"]] == 9
+
+
+def test_pivot_row_sums_match_total(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+
+    fn, _ = load_all()["orders_status_year_pivot"]
+    rows = fn(spark, sf_dir).collect()
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    o = load_tables(spark, sf_dir)["orders"]
+    total = o.agg(F.round(F.sum("o_totalprice"), 0)).collect()[0][0]
+    grid_total = sum(
+        v for r in rows for c, v in r.asDict().items() if c != "status"
+    )
+    assert abs(grid_total - total) < 1.0  # cell rounding only
