@@ -273,6 +273,7 @@ _R6_BACKLOG: list[str] = [
     "dedup_keep_policy",
     "bpe_fertility_by_source",
     "orders_status_year_pivot",
+    "entity_clusters",
 ]
 
 

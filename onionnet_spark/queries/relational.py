@@ -2373,3 +2373,76 @@ def orders_status_year_pivot(spark, sf_dir):
         F.coalesce(F.col(str(y)), F.lit(0.0)).alias(f"y{y}") for y in _PIVOT_YEARS
     ]
     return out.select(*cols)
+
+
+@register(
+    "entity_clusters",
+    # end-to-end entity resolution: the SN candidate pairs (identical
+    # derivation to sorted_neighborhood_pairs) close transitively via
+    # a recursive min-label closure; every customer appears (singletons
+    # are their own entity) with the canonical record's name attached
+    """WITH RECURSIVE c AS (
+      SELECT c_custkey AS id, c_name AS val,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+      FROM customer),
+    p AS (
+      SELECT a.id AS u, b.id AS v
+      FROM c a JOIN c b
+        ON b.rnk BETWEEN a.rnk - 5 AND a.rnk + 5 AND a.id < b.id
+      WHERE levenshtein(a.val, b.val) <= 2),
+    e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+    reach(id, lbl) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT e.u, r.lbl FROM e JOIN reach r ON r.id = e.v),
+    lab AS (SELECT id AS c_custkey, MIN(lbl) AS entity_id
+            FROM reach GROUP BY id),
+    sz AS (SELECT entity_id, COUNT(*) AS cluster_size FROM lab
+           GROUP BY entity_id)
+    SELECT l.c_custkey, l.entity_id,
+           CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+           cn.c_name AS canonical_name
+    FROM lab l
+    JOIN sz ON sz.entity_id = l.entity_id
+    JOIN customer cn ON cn.c_custkey = l.entity_id""",
+)
+def entity_clusters_q(spark, sf_dir):
+    """End-to-end entity resolution: sorted-neighborhood blocking +
+    Levenshtein verify -> large/small-star connected components over
+    the match graph -> one canonical record per entity (min id, its
+    name attached). The compose a real MDM/record-linkage pipeline
+    runs; transitive chains (A~B~C without A~C) merge correctly."""
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.components import connected_components_star
+    from onionnet_spark.operators.joins import sorted_neighborhood_pairs
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    pairs = sorted_neighborhood_pairs(
+        cust, col="c_name", id_col="c_custkey", window=5, max_dist=2
+    )
+    all_ids = cust.select(
+        F.col("c_custkey").cast("string").alias("node_id")
+    ).withColumn("layer", F.lit("cust"))
+    pair_edges = pairs.select(
+        F.lit("cust").alias("src_layer"),
+        F.col("id_a").cast("string").alias("src_id"),
+        F.lit("cust").alias("dst_layer"),
+        F.col("id_b").cast("string").alias("dst_id"),
+    )
+    labels = connected_components_star(OnionGraph(all_ids, pair_edges))
+    lab = labels.select(
+        F.col("node_id").cast("long").alias("c_custkey"),
+        F.split_part(F.col("component"), F.lit(":"), F.lit(2))
+        .cast("long")
+        .alias("entity_id"),
+    )
+    sz = lab.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    canon = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    return lab.join(sz, on="entity_id").join(canon, on="entity_id").select(
+        "c_custkey", "entity_id", "cluster_size", "canonical_name"
+    )

@@ -680,3 +680,24 @@ def test_pivot_row_sums_match_total(spark, sf_dir):
         v for r in rows for c, v in r.asDict().items() if c != "status"
     )
     assert abs(grid_total - total) < 1.0  # cell rounding only
+
+
+def test_entity_clusters_merge_transitive_chain(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+
+    fn, oracle = load_all()["entity_clusters"]
+    out = fn(spark, sf_dir)
+    rows = out.collect()
+    by_id = {r["c_custkey"]: r for r in rows}
+    # every customer appears exactly once and belongs to its entity
+    assert len(by_id) == len(rows)
+    # entity ids are cluster minima
+    import collections
+
+    members = collections.defaultdict(list)
+    for r in rows:
+        members[r["entity_id"]].append(r["c_custkey"])
+    for eid, ms in members.items():
+        assert eid == min(ms)
+        assert all(by_id[m]["cluster_size"] == len(ms) for m in ms)
+    assert oracle is not None
