@@ -1769,3 +1769,78 @@ def mc_video_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         stats_batches, MC_STATS_SCHEMA
     )
+
+
+AUGMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pos_checksum", LongType()),
+        StructField("reencode_ok", BooleanType()),
+    ]
+)
+
+
+def augment_images(df: DataFrame) -> DataFrame:
+    """Training-data image augmentation through the REAL codecs:
+    decode (signature dispatch) -> horizontal flip -> center-ish
+    crop (drop a 1px border: rows 1..h-2, cols 1..w-2) -> PNG
+    re-encode -> decode again. Emits integer facts of the AUGMENTED
+    image — dims, pixel sum, a position-weighted checksum (flip and
+    crop are pure index permutations, so both are SQL-closed-form
+    for a synthetic pattern) — plus `reencode_ok`, which pins the
+    encode half of the round trip inside the same plan. The whole
+    augmentation is one Arrow-batched mapInPandas stage: payloads
+    never leave the executor, metadata rows are all that shuffles.
+    Requires inputs of at least 3x3."""
+
+    def aug_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import png as _png
+
+        for pdf in batches:
+            ws, hs, chs, sums, chks, oks = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                img = _decode_any_image(bytes(payload))
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                flipped = img[:, ::-1, :]
+                aug = flipped[1:-1, 1:-1, :]
+                h, w, ch = aug.shape
+                pix = aug.astype(np.int64)
+                pw = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )[:, :, None]
+                cw = np.arange(ch, dtype=np.int64)[None, None, :] + 1
+                enc = _png.encode_png(
+                    np.ascontiguousarray(aug[:, :, 0] if ch == 1 else aug)
+                )
+                dec = _png.decode_png(enc)
+                if dec.ndim == 2:
+                    dec = dec[:, :, None]
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                sums.append(int(pix.sum()))
+                chks.append(int((pix * pw * cw).sum()))
+                oks.append(bool(np.array_equal(dec, aug)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "pos_checksum": pd.Series(chks, dtype="int64"),
+                    "reencode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(aug_batches, AUGMENT_SCHEMA)

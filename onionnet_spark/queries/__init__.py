@@ -274,6 +274,7 @@ _R6_BACKLOG: list[str] = [
     "bpe_fertility_by_source",
     "orders_status_year_pivot",
     "entity_clusters",
+    "multimodal_augment",
 ]
 
 

@@ -4682,3 +4682,42 @@ def bpe_fertility_by_source_q(spark, sf_dir):
             6,
         ).alias("bytes_per_token"),
     )
+
+
+@register(
+    "multimodal_augment",
+    # augmentation = pure index permutation: augmented pixel (y,x,c)
+    # is original (y+1, w-2-x, c), so the oracle recomputes the
+    # flipped+cropped facts straight from the synth formula; the
+    # reencode_ok boolean pins the PNG ENCODE half inside the same
+    # plan (decode(encode(aug)) == aug).
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.w - 2 AS w_out, d.h - 2 AS h_out, d.ch,
+             y.y, x.x, c.c,
+             (d.doc_id * 7 + (y.y + 1) * 13
+              + (d.w - 2 - x.x) * 31 + c.c * 17) % 256 AS p
+      FROM dims d
+      JOIN range(0, 6) y(y) ON y.y < d.h - 2
+      JOIN range(0, 7) x(x) ON x.x < d.w - 2
+      JOIN range(0, 3) c(c) ON c.c < d.ch
+    )
+    SELECT doc_id, CAST(w_out AS INT) AS width, CAST(h_out AS INT) AS height,
+           CAST(ch AS INT) AS n_channels,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM(p * (y * w_out + x + 1) * (c + 1)) AS BIGINT)
+             AS pos_checksum,
+           TRUE AS reencode_ok
+    FROM px GROUP BY doc_id, w_out, h_out, ch""",
+)
+def multimodal_augment_q(spark, sf_dir):
+    """Image augmentation for training data — flip + border crop +
+    PNG re-encode, all inside one Arrow mapInPandas stage over the
+    real codecs; outputs integer-exact facts of the augmented
+    images."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_png_payload(ids)
+    return multimodal.augment_images(payload)

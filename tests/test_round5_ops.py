@@ -701,3 +701,24 @@ def test_entity_clusters_merge_transitive_chain(spark, sf_dir):
         assert eid == min(ms)
         assert all(by_id[m]["cluster_size"] == len(ms) for m in ms)
     assert oracle is not None
+
+
+def test_augment_images_known_values(spark):
+    import numpy as np
+
+    from onionnet_spark.functions import multimodal
+
+    ids = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+    payload = multimodal.synth_png_payload(ids)
+    out = {r["doc_id"]: r for r in multimodal.augment_images(payload).collect()}
+    for d, r in out.items():
+        w, h = 4 + d % 5, 3 + d % 4
+        ch = 1 if d % 2 == 0 else 3
+        assert (r["width"], r["height"], r["n_channels"]) == (w - 2, h - 2, ch)
+        assert r["reencode_ok"]
+        # recompute the augmented sum in numpy from the synth formula
+        y = np.arange(h - 2)[:, None, None]
+        x = np.arange(w - 2)[None, :, None]
+        c = np.arange(ch)[None, None, :]
+        pix = (d * 7 + (y + 1) * 13 + (w - 2 - x) * 31 + c * 17) % 256
+        assert r["pixel_sum"] == int(pix.sum())
