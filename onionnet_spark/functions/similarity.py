@@ -1780,3 +1780,50 @@ def matryoshka_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 3,
+    candidates_k: int = 25,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    vector, the `k` most-similar vectors with a DIFFERENT label —
+    the negatives that actually move a metric-learning loss (random
+    negatives are mostly too easy to matter).
+
+    Built on the exact block matrix-multiply search: take the
+    `candidates_k` nearest neighbors, join labels, keep cross-label
+    rows, re-rank to k. `candidates_k` bounds how deep the mining
+    looks (at corpus scale swap the exact arm for ann_ivf_topk with
+    the same post-filter — same downstream contract). A query whose
+    whole candidate list shares its label yields fewer than k rows
+    (visible, not padded). Returns (query_id, negative_id, cosine,
+    rank) with the deterministic (cosine desc, id) order.
+    """
+    from pyspark.sql import Window
+
+    labels = df.select(F.col(id_col).alias("nid"), F.col(label_col).alias("nl"))
+    qlabels = df.select(F.col(id_col).alias("query_id"), F.col(label_col).alias("ql"))
+    cands = brute_force_topk(df, vec_col, id_col, k=candidates_k)
+    crossed = (
+        cands.join(labels, on=cands["neighbor_id"] == labels["nid"])
+        .join(qlabels, on="query_id")
+        .filter(F.col("nl") != F.col("ql"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        crossed.withColumn("nrank", F.row_number().over(w))
+        .filter(F.col("nrank") <= k)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("negative_id"),
+            "cosine",
+            F.col("nrank").cast("int").alias("rank"),
+        )
+    )

@@ -275,6 +275,8 @@ _R6_BACKLOG: list[str] = [
     "orders_status_year_pivot",
     "entity_clusters",
     "multimodal_augment",
+    "graph_link_training_set",
+    "embedding_hard_negatives",
 ]
 
 

@@ -3548,3 +3548,53 @@ def graph_onion_layers_q(spark, sf_dir):
 
 
 _REG["graph_onion_layers"] = (graph_onion_layers_q, _onion_oracle())
+
+
+@register(
+    "graph_link_training_set",
+    # positives = the co-supply edges; negatives = md5-selected node
+    # pairs with the true edge set ANTI-JOINED away — the standard
+    # link-prediction training-table construction (deterministic
+    # negative sampling, no RNG): candidate pair (a,b), a<b, enters
+    # when md5(a||'~'||b) starts below the rate threshold.
+    f"""WITH {_COSUPPLY_SQL.format(topn=60)},
+    nodes AS (SELECT DISTINCT n FROM (
+        SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)),
+    cand AS (
+      SELECT x.n AS a, y.n AS b FROM nodes x JOIN nodes y ON x.n < y.n),
+    neg AS (
+      SELECT a, b FROM cand
+      WHERE ('0x' || substr(md5(a || '~' || b), 1, 4))::BIGINT < 19661
+        AND NOT EXISTS (SELECT 1 FROM e0 e WHERE e.a = cand.a AND e.b = cand.b))
+    SELECT a, b, CAST(1 AS INT) AS label FROM e0
+    UNION ALL
+    SELECT a, b, CAST(0 AS INT) AS label FROM neg""",
+)
+def graph_link_training_set_q(spark, sf_dir):
+    """Link-prediction training table: true co-supply edges as
+    positives plus deterministically hash-sampled NON-edges (~30% of
+    candidate pairs, true edges anti-joined away) as negatives — the
+    supervised dataset a GNN/logistic link model trains on. At scale
+    the candidate space is sampled BEFORE materialization (the hash
+    filter pushes into the pair join), never enumerated."""
+    pairs = _cosupply_top_pairs(spark, sf_dir, 60).localCheckpoint()
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    cand = (
+        nodes.select(F.col("n").alias("a"))
+        .crossJoin(nodes.select(F.col("n").alias("b")))
+        .filter(F.col("a") < F.col("b"))
+    )
+    sel = F.conv(
+        F.substring(F.md5(F.concat_ws("~", "a", "b")), 1, 4), 16, 10
+    ).cast("bigint") < 19661
+    neg = (
+        cand.filter(sel)
+        .join(pairs, on=["a", "b"], how="left_anti")
+        .select("a", "b", F.lit(0).cast("int").alias("label"))
+    )
+    pos = pairs.select("a", "b", F.lit(1).cast("int").alias("label"))
+    return pos.unionByName(neg)

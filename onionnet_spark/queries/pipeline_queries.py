@@ -4721,3 +4721,38 @@ def multimodal_augment_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_png_payload(ids)
     return multimodal.augment_images(payload)
+
+
+@register(
+    "embedding_hard_negatives",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+    r AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM p),
+    cand AS (SELECT * FROM r WHERE rn <= 25),
+    crossed AS (
+      SELECT c.query_id, c.neighbor_id, c.cosine
+      FROM cand c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id
+      WHERE q.label <> n.label),
+    rr AS (SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT)
+            AS rank
+           FROM crossed)
+    SELECT query_id, neighbor_id AS negative_id, cosine, rank
+    FROM rr WHERE rank <= 3""",
+)
+def embedding_hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining: each vector's 3 most-similar
+    OTHER-label vectors from a 25-deep exact candidate list — the
+    contrastive-training negatives that actually carry gradient."""
+    return similarity.hard_negatives(
+        _embs(spark, sf_dir), k=3, candidates_k=25
+    )

@@ -722,3 +722,43 @@ def test_augment_images_known_values(spark):
         c = np.arange(ch)[None, None, :]
         pix = (d * 7 + (y + 1) * 13 + (w - 2 - x) * 31 + c * 17) % 256
         assert r["pixel_sum"] == int(pix.sum())
+
+
+# ---------------------------------------------- training-set constructions
+
+
+def test_hard_negatives_cross_label_only(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)], int(i % 2))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.hard_negatives(df, k=2, candidates_k=29).collect()
+    labels = {r[0]: r[2] for r in rows}
+    for r in out:
+        assert labels[r["query_id"]] != labels[r["negative_id"]]
+        assert 1 <= r["rank"] <= 2
+    # with a full-depth candidate list every query finds 2 negatives
+    import collections
+
+    per_q = collections.Counter(r["query_id"] for r in out)
+    assert all(v == 2 for v in per_q.values()) and len(per_q) == 30
+
+
+def test_link_training_set_is_sound(spark):
+    from onionnet_spark.queries import load_all
+    from tests.conftest import SF_DIR_MED
+
+    fn, oracle = load_all()["graph_link_training_set"]
+    # sf0.01: the top-60 co-supply graph has genuine non-edges
+    # (sf0.001's 10-nation graph is complete -> no negatives exist)
+    rows = fn(spark, SF_DIR_MED).collect()
+    pos = {(r["a"], r["b"]) for r in rows if r["label"] == 1}
+    neg = {(r["a"], r["b"]) for r in rows if r["label"] == 0}
+    assert len(pos) == 60 and len(neg) > 0
+    assert not pos & neg  # negatives never collide with true edges
+    assert all(a < b for a, b in pos | neg)
+    assert oracle is not None
