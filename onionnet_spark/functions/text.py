@@ -1313,3 +1313,53 @@ def nb_lang_confusion(
     return pred.groupBy(
         F.col("lang").alias("actual_lang"), F.col("pred_lang")
     ).agg(F.count("*").cast("bigint").alias("n_docs"))
+
+
+def rag_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking for RAG/retrieval export:
+    chunks of `window` tokens every `stride` tokens (stride < window
+    => overlap carries context across boundaries — the standard
+    retrieval layout, unlike the disjoint chunks chunk_dedup uses).
+    The final chunk is the remainder (>= 1 token); a doc shorter
+    than one window is a single chunk.
+
+    Emits (doc_id, chunk_idx, start_token, n_chunk_tokens,
+    chunk_hash) with the md5 of the space-joined token slice instead
+    of the text itself — the identity a downstream store/decontam
+    join needs, without shuffling payload. One explode keyed by doc;
+    no windows, no joins.
+    """
+    from onionnet_spark.functions.dedup import normalize_text
+
+    toks = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t")).select(
+        "id", "t", F.size("t").alias("n")
+    )
+    # chunk starts: 1, 1+stride, ... while start <= n (always >= one
+    # chunk); the sequence is guarded non-empty by construction
+    n_starts = F.greatest(
+        F.ceil((F.col("n") - F.lit(window)) / F.lit(stride)) + 1, F.lit(1)
+    ).cast("int")
+    starts = F.sequence(
+        F.lit(1), F.lit(1) + (n_starts - 1) * F.lit(stride), F.lit(stride)
+    )
+    return (
+        base.select("id", "t", "n", F.posexplode(starts).alias("ci", "s"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("ci").cast("int").alias("chunk_idx"),
+            F.col("s").cast("int").alias("start_token"),
+            F.least(F.lit(window), F.col("n") - F.col("s") + 1)
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), F.lit(window)))
+            ).alias("chunk_hash"),
+        )
+    )

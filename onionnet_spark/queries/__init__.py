@@ -277,6 +277,8 @@ _R6_BACKLOG: list[str] = [
     "multimodal_augment",
     "graph_link_training_set",
     "embedding_hard_negatives",
+    "docs_rag_chunks",
+    "events_user_features",
 ]
 
 

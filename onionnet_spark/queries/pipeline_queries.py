@@ -4756,3 +4756,30 @@ def embedding_hard_negatives_q(spark, sf_dir):
     return similarity.hard_negatives(
         _embs(spark, sf_dir), k=3, candidates_k=25
     )
+
+
+@register(
+    "docs_rag_chunks",
+    f"""WITH d0 AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS a
+         FROM documents),
+    dd AS (SELECT doc_id, a, len(a) AS n FROM d0),
+    ns AS (SELECT doc_id, a, n,
+             GREATEST(CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1, 1) AS n_starts
+           FROM dd),
+    nums AS (SELECT UNNEST(range(0, GREATEST(
+        (SELECT COALESCE(MAX(n_starts), 1) FROM ns), 1))) AS k),
+    ch AS (
+      SELECT doc_id, a, n, nums.k AS chunk_idx, 1 + nums.k * 24 AS s
+      FROM ns JOIN nums ON nums.k < ns.n_starts)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(s AS INT) AS start_token,
+           CAST(LEAST(32, n - s + 1) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(a[s:s+31], ' ')) AS chunk_hash
+    FROM ch""",
+)
+def docs_rag_chunks_q(spark, sf_dir):
+    """Overlapping 32-token / stride-24 RAG chunking: per-chunk token
+    offsets and content hashes (the retrieval-store identity) without
+    shuffling text payload — one explode keyed by doc."""
+    return text.rag_chunks(_docs(spark, sf_dir), window=32, stride=24)

@@ -699,3 +699,72 @@ def events_attribution(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_purchases"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "events_user_features",
+    """WITH g AS (SELECT CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS gmax
+                  FROM events)
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_purchases,
+      CAST(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+        AS revenue_cents,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_errors,
+      CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days,
+      CAST(MIN(ts) AS TIMESTAMP) AS first_seen,
+      CAST(MAX(ts) AS TIMESTAMP) AS last_seen,
+      CAST(date_diff('day', date_trunc('day', MAX(ts)),
+                     (SELECT gmax FROM g)) AS INT) AS recency_days
+    FROM events GROUP BY user_id""",
+)
+def events_user_features(spark, sf_dir):
+    """Per-user feature table for churn/LTV modeling — frequency,
+    monetary (cent-exact), error rate inputs, activity span and
+    recency vs the corpus horizon, in ONE aggregation pass plus a
+    broadcast scalar horizon. The feature-engineering step before
+    any user-level model."""
+    from pyspark.sql import functions as F
+
+    ev_df = _events(spark, sf_dir)
+    gmax = ev_df.agg(
+        F.date_trunc("day", F.max("ts")).alias("gmax")
+    )
+    feats = ev_df.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.countDistinct(F.date_trunc("day", F.col("ts")))
+        .cast("bigint")
+        .alias("active_days"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    return feats.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "revenue_cents",
+        "n_errors",
+        "active_days",
+        "first_seen",
+        "last_seen",
+        F.datediff(F.col("gmax"), F.date_trunc("day", F.col("last_seen")))
+        .cast("int")
+        .alias("recency_days"),
+    )

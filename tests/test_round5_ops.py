@@ -762,3 +762,43 @@ def test_link_training_set_is_sound(spark):
     assert not pos & neg  # negatives never collide with true edges
     assert all(a < b for a, b in pos | neg)
     assert oracle is not None
+
+
+def test_streaming_bootstrap_replay_equals_batch(spark, sf_dir):
+    from onionnet_spark.functions.corpus import poisson_bootstrap
+    from onionnet_spark.streaming.bootstrap_stream import (
+        StreamingBootstrapMonitor,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = StreamingBootstrapMonitor(spark, n_resamples=8)
+    half = docs.count() // 2
+    m.process_batch(docs.filter(F.col("doc_id") < half))
+    m.process_batch(docs.filter(F.col("doc_id") >= half))
+    got = {r["resample"]: r for r in m.snapshot().collect()}
+    expected = {
+        r["resample"]: r
+        for r in poisson_bootstrap(docs, "n_chars", n_resamples=8).collect()
+    }
+    assert set(got) == set(expected)
+    for b in expected:
+        assert got[b]["n_eff"] == expected[b]["n_eff"]
+        assert got[b]["sum_value"] == expected[b]["sum_value"]
+        assert got[b]["mean_value"] == expected[b]["mean_value"]
+
+
+def test_rag_chunks_overlap_and_remainder(spark):
+    from onionnet_spark.functions.text import rag_chunks
+
+    # 40 tokens, window 32, stride 24 -> starts 1 and 25;
+    # chunk 0 has 32 tokens, chunk 1 the 16-token remainder
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40))), (2, "tiny doc")],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["chunk_idx"]): r for r in rag_chunks(docs).collect()}
+    assert out[(1, 0)]["start_token"] == 1 and out[(1, 0)]["n_chunk_tokens"] == 32
+    assert out[(1, 1)]["start_token"] == 25 and out[(1, 1)]["n_chunk_tokens"] == 16
+    assert (1, 2) not in out
+    # short doc: exactly one chunk covering everything
+    assert out[(2, 0)]["n_chunk_tokens"] == 2 and (2, 1) not in out
