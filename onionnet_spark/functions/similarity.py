@@ -1827,3 +1827,73 @@ def hard_negatives(
             F.col("nrank").cast("int").alias("rank"),
         )
     )
+
+
+def triplet_training_set(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    candidates_k: int = 25,
+) -> DataFrame:
+    """Contrastive triplet construction: for every anchor, its
+    nearest SAME-label neighbor (positive) and nearest OTHER-label
+    neighbor (hard negative) from one shared candidates_k-deep exact
+    top-k pass — the (a, p, n) table a triplet/InfoNCE loss trains
+    on, with the margin visible per row.
+
+    One search pass feeds both sides (the candidate list is joined
+    to labels once), so the cost is exactly one brute-force/ANN run
+    plus two windowed re-ranks. Anchors whose candidate list lacks a
+    same-label (or other-label) row drop out — visible, not padded.
+    Returns (anchor_id, positive_id, negative_id, pos_cosine,
+    neg_cosine, margin).
+    """
+    from pyspark.sql import Window
+
+    labels = df.select(F.col(id_col).alias("nid"), F.col(label_col).alias("nl"))
+    qlabels = df.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("ql")
+    )
+    cands = (
+        brute_force_topk(df, vec_col, id_col, k=candidates_k)
+        .join(labels, on=F.col("neighbor_id") == F.col("nid"))
+        .join(qlabels, on="query_id")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    pos = (
+        cands.filter(F.col("nl") == F.col("ql"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("positive_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    neg = (
+        cands.filter(F.col("nl") != F.col("ql"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("cosine").alias("neg_cosine"),
+        )
+    )
+    return (
+        pos.join(neg, on="query_id")
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            "positive_id",
+            "negative_id",
+            "pos_cosine",
+            "neg_cosine",
+            F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6).alias(
+                "margin"
+            ),
+        )
+    )

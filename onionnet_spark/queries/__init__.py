@@ -279,6 +279,7 @@ _R6_BACKLOG: list[str] = [
     "embedding_hard_negatives",
     "docs_rag_chunks",
     "events_user_features",
+    "embedding_triplet_set",
 ]
 
 

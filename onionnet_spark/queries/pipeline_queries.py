@@ -4783,3 +4783,38 @@ def docs_rag_chunks_q(spark, sf_dir):
     offsets and content hashes (the retrieval-store identity) without
     shuffling text payload — one explode keyed by doc."""
     return text.rag_chunks(_docs(spark, sf_dir), window=32, stride=24)
+
+
+@register(
+    "embedding_triplet_set",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS query_id, a.label AS ql, b.vec_id AS neighbor_id,
+             b.label AS nl,
+             ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM p),
+    cand AS (SELECT * FROM r WHERE rn <= 25),
+    pos AS (SELECT query_id, neighbor_id AS positive_id, cosine AS pos_cosine
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS k
+                  FROM cand WHERE nl = ql) WHERE k = 1),
+    neg AS (SELECT query_id, neighbor_id AS negative_id, cosine AS neg_cosine
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS k
+                  FROM cand WHERE nl <> ql) WHERE k = 1)
+    SELECT p.query_id AS anchor_id, p.positive_id, n.negative_id,
+           p.pos_cosine, n.neg_cosine,
+           ROUND(p.pos_cosine - n.neg_cosine, 6) AS margin
+    FROM pos p JOIN neg n ON n.query_id = p.query_id""",
+)
+def embedding_triplet_set_q(spark, sf_dir):
+    """Contrastive triplet table: per anchor the nearest same-label
+    positive and nearest other-label hard negative from ONE shared
+    25-deep exact candidate pass, margin attached — the (a,p,n)
+    dataset a triplet loss trains on."""
+    return similarity.triplet_training_set(_embs(spark, sf_dir), candidates_k=25)

@@ -69,10 +69,11 @@ def test_r4_window_covers_never_checked_keys():
     # round's rotation (the _R4_BACKLOG pattern) — nothing falls
     # through silently
     overflow = [k for k in never if k not in set(first)]
-    unqueued = [k for k in overflow if k not in set(q._R5_BACKLOG)]
+    queued = set(q._R5_BACKLOG) | set(q._R6_BACKLOG)
+    unqueued = [k for k in overflow if k not in queued]
     assert not unqueued, (
         f"never-checked keys neither in the window nor queued in "
-        f"_R5_BACKLOG: {unqueued}"
+        f"_R5_BACKLOG/_R6_BACKLOG: {unqueued}"
     )
 
 

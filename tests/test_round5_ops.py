@@ -802,3 +802,21 @@ def test_rag_chunks_overlap_and_remainder(spark):
     assert (1, 2) not in out
     # short doc: exactly one chunk covering everything
     assert out[(2, 0)]["n_chunk_tokens"] == 2 and (2, 1) not in out
+
+
+def test_triplet_set_labels_and_margin(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)], int(i % 3))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.triplet_training_set(df, candidates_k=23).collect()
+    labels = {r[0]: r[2] for r in rows}
+    assert len(out) == 24  # full-depth candidates -> every anchor pairs
+    for r in out:
+        assert labels[r["anchor_id"]] == labels[r["positive_id"]]
+        assert labels[r["anchor_id"]] != labels[r["negative_id"]]
+        assert abs(r["margin"] - round(r["pos_cosine"] - r["neg_cosine"], 6)) < 1e-9
