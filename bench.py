@@ -125,11 +125,20 @@ def main() -> None:
     # Best-of-N per query: steady-state timing (caches warm, JIT
     # settled), robust to ambient machine noise. N kept small so the
     # whole bench stays a few minutes.
+    # Iterations run BACK-TO-BACK per query (not as full passes over
+    # the whole head list): with 70+ heads, a full pass between a
+    # query's two runs evicts every session-shared cache it warmed,
+    # so pass-ordered best-of-2 silently degrades to cold-vs-cold as
+    # the head list grows (measured: khop_upstream 1.9s steady in
+    # the 41-head rounds, 4.2s in the first 73-head run, 1.5s again
+    # when its runs are adjacent). Adjacent runs measure the same
+    # steady state at ANY head count, which keeps round-over-round
+    # subtotals comparable.
     iters = int(os.environ.get("ONIONNET_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
-    for it in range(iters):
-        for name in HEADLINE:
-            fn = qs[name]
+    for name in HEADLINE:
+        fn = qs[name]
+        for it in range(iters):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()  # force full execution

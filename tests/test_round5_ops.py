@@ -820,3 +820,24 @@ def test_triplet_set_labels_and_margin(spark):
         assert labels[r["anchor_id"]] == labels[r["positive_id"]]
         assert labels[r["anchor_id"]] != labels[r["negative_id"]]
         assert abs(r["margin"] - round(r["pos_cosine"] - r["neg_cosine"], 6)) < 1e-9
+
+
+def test_streaming_user_features_replay_equals_batch(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+    from onionnet_spark.sources.tpch_graph import load_tables
+    from onionnet_spark.streaming.features_stream import StreamingUserFeatures
+
+    ev = load_tables(spark, sf_dir)["events"]
+    fn, _ = load_all()["events_user_features"]
+    expected = {r["user_id"]: r for r in fn(spark, sf_dir).collect()}
+    m = StreamingUserFeatures(spark)
+    third = ev.count() // 3
+    m.process_batch(ev.filter(F.col("event_id") < third))
+    m.process_batch(
+        ev.filter((F.col("event_id") >= third) & (F.col("event_id") < 2 * third))
+    )
+    m.process_batch(ev.filter(F.col("event_id") >= 2 * third))
+    got = {r["user_id"]: r for r in m.snapshot().collect()}
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u].asDict() == expected[u].asDict(), u
