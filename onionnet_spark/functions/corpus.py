@@ -1149,3 +1149,77 @@ def psi_by_group(
         F.sum("t").cast("bigint").alias("psi_nano"),
         F.round(F.sum("t") / F.lit(1e9), 6).alias("psi"),
     )
+
+
+def tree_depth2(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Depth-2 histogram decision tree: the GBDT split search
+    applied RECURSIVELY — best (feature, bin) split at the root,
+    then the best split INSIDE each child partition. This is the
+    composition every tree trainer runs; the point here is that each
+    level is still nothing but bounded-series aggregations (child
+    membership is a bin predicate over the ROOT feature's global
+    grid, so partitioning the data is a map-side filter, never a
+    shuffle).
+
+    Node choice is deterministic: per node, max integer gap_score,
+    ties to (feature name asc, lower bin). Only the per-node BEST
+    row travels to the driver (two bounded collects — the same
+    scalar-decision pattern as k_core's ledger); children without a
+    valid split (single occupied bin) emit nothing, visibly.
+
+    Returns (node in root/left/right, feature, split_bin, n_left,
+    pos_left, n_right, pos_right, gap_score).
+    """
+    spark = df.sparkSession
+
+    def best(frame: DataFrame):
+        rows = histogram_split_finding(
+            frame, feature_cols, label_col, n_bins
+        ).collect()
+        rows.sort(key=lambda r: (-r["gap_score"], r["feature"], r["split_bin"]))
+        return rows[0] if rows else None
+
+    root = best(df)
+    schema = (
+        "node string, feature string, split_bin int, n_left bigint, "
+        "pos_left bigint, n_right bigint, pos_right bigint, gap_score bigint"
+    )
+    if root is None:
+        return spark.createDataFrame([], schema)
+
+    def row_of(node, r):
+        return (
+            node,
+            r["feature"],
+            int(r["split_bin"]),
+            int(r["n_left"]),
+            int(r["pos_left"]),
+            int(r["n_right"]),
+            int(r["pos_right"]),
+            int(r["gap_score"]),
+        )
+
+    out = [row_of("root", root)]
+    x = F.col(root["feature"]).cast("double")
+    mm = df.agg(F.min(x).alias("mn"), F.max(x).alias("mx")).collect()[0]
+    mn, mx = mm["mn"], mm["mx"]
+    if mx > mn:
+        bin_col = F.least(
+            F.lit(n_bins - 1),
+            F.floor((x - F.lit(mn)) * n_bins / F.lit(mx - mn)),
+        ).cast("int")
+    else:
+        bin_col = F.lit(0)
+    for node, child in (
+        ("left", df.filter(bin_col <= root["split_bin"])),
+        ("right", df.filter(bin_col > root["split_bin"])),
+    ):
+        r = best(child)
+        if r is not None:
+            out.append(row_of(node, r))
+    return spark.createDataFrame(out, schema)

@@ -280,6 +280,7 @@ _R6_BACKLOG: list[str] = [
     "docs_rag_chunks",
     "events_user_features",
     "embedding_triplet_set",
+    "docs_tree_depth2",
 ]
 
 

@@ -4818,3 +4818,122 @@ def embedding_triplet_set_q(spark, sf_dir):
     25-deep exact candidate pass, margin attached — the (a,p,n)
     dataset a triplet loss trains on."""
     return similarity.triplet_training_set(_embs(spark, sf_dir), candidates_k=25)
+
+
+def _tree_block(prefix: str, name: str, rel: str, n_bins: int = 16) -> str:
+    """Best-split block for feature `name` over relation `rel`
+    (columns f_<feature>, y) — the _split_finding_oracle machinery
+    parameterized by input relation so the depth-2 tree can rerun it
+    inside each child partition."""
+    return f"""{prefix}_{name} AS MATERIALIZED (
+      SELECT '{name}' AS feature, CAST(b AS INT) AS split_bin,
+             CAST(cn AS BIGINT) AS n_left, CAST(cp AS BIGINT) AS pos_left,
+             CAST(tn - cn AS BIGINT) AS n_right,
+             CAST(tp - cp AS BIGINT) AS pos_right,
+             CAST(ABS(cp * (tn - cn) - (tp - cp) * cn) AS BIGINT) AS gap_score,
+             ROW_NUMBER() OVER (
+               ORDER BY ABS(cp * (tn - cn) - (tp - cp) * cn) DESC, b) AS rn
+      FROM (
+        SELECT b, SUM(n) OVER (ORDER BY b) AS cn,
+               SUM(pos) OVER (ORDER BY b) AS cp,
+               SUM(n) OVER () AS tn, SUM(pos) OVER () AS tp
+        FROM (
+          SELECT CASE WHEN mx > mn
+                      THEN LEAST({n_bins - 1},
+                                 CAST(FLOOR((x - mn) * {n_bins} / (mx - mn))
+                                      AS INT))
+                      ELSE 0 END AS b,
+                 COUNT(*) AS n, SUM(y) AS pos
+          FROM (SELECT f_{name} AS x, y FROM {rel}),
+               (SELECT MIN(f_{name}) AS mn, MAX(f_{name}) AS mx FROM {rel})
+          GROUP BY 1))
+      WHERE cn < tn)"""
+
+
+def _tree_choice(prefix: str, feats: list[str]) -> str:
+    union = "\n        UNION ALL ".join(
+        f"SELECT feature, split_bin, n_left, pos_left, n_right, pos_right, "
+        f"gap_score FROM {prefix}_{f} WHERE rn = 1"
+        for f in feats
+    )
+    return f"""{prefix}best AS MATERIALIZED (
+      SELECT feature, split_bin, n_left, pos_left, n_right, pos_right,
+             gap_score
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY gap_score DESC, feature, split_bin) AS rn2
+            FROM ({union}))
+      WHERE rn2 = 1)"""
+
+
+def _tree_depth2_oracle(n_bins: int = 16) -> str:
+    feats = ["n_chars", "n_tokens"]
+    ctes = [
+        f"""docs0 AS MATERIALIZED (
+      SELECT n_chars * 1.0 AS f_n_chars, len({_TOKS}) * 1.0 AS f_n_tokens,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents)"""
+    ]
+    for f in feats:
+        ctes.append(_tree_block("r", f, "docs0", n_bins))
+    ctes.append(_tree_choice("r", feats))
+    ctes.append(
+        """rootf AS (SELECT feature FROM rbest)"""
+    )
+    ctes.append(
+        f"""rmm AS (SELECT
+      CASE WHEN (SELECT feature FROM rootf) = 'n_chars'
+           THEN (SELECT MIN(f_n_chars) FROM docs0)
+           ELSE (SELECT MIN(f_n_tokens) FROM docs0) END AS mn,
+      CASE WHEN (SELECT feature FROM rootf) = 'n_chars'
+           THEN (SELECT MAX(f_n_chars) FROM docs0)
+           ELSE (SELECT MAX(f_n_tokens) FROM docs0) END AS mx)"""
+    )
+    ctes.append(
+        f"""mem AS MATERIALIZED (
+      SELECT d.f_n_chars, d.f_n_tokens, d.y,
+             CASE WHEN r.mx > r.mn
+                  THEN LEAST({n_bins - 1}, CAST(FLOOR(
+                    ((CASE WHEN (SELECT feature FROM rootf) = 'n_chars'
+                           THEN d.f_n_chars ELSE d.f_n_tokens END) - r.mn)
+                    * {n_bins} / (r.mx - r.mn)) AS INT))
+                  ELSE 0 END AS rb
+      FROM docs0 d, rmm r)"""
+    )
+    ctes.append(
+        "ld AS MATERIALIZED (SELECT f_n_chars, f_n_tokens, y FROM mem "
+        "WHERE rb <= (SELECT split_bin FROM rbest))"
+    )
+    ctes.append(
+        "rd AS MATERIALIZED (SELECT f_n_chars, f_n_tokens, y FROM mem "
+        "WHERE rb > (SELECT split_bin FROM rbest))"
+    )
+    for f in feats:
+        ctes.append(_tree_block("l", f, "ld", n_bins))
+        ctes.append(_tree_block("q", f, "rd", n_bins))
+    ctes.append(_tree_choice("l", feats))
+    ctes.append(_tree_choice("q", feats))
+    cols = "feature, split_bin, n_left, pos_left, n_right, pos_right, gap_score"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT 'root' AS node, {cols} FROM rbest
+    UNION ALL SELECT 'left', {cols} FROM lbest
+    UNION ALL SELECT 'right', {cols} FROM qbest"""
+    )
+
+
+@register("docs_tree_depth2", _tree_depth2_oracle())
+def docs_tree_depth2_q(spark, sf_dir):
+    """Depth-2 histogram decision tree on (n_chars, token count) vs
+    the is-English label — the GBDT split search composed
+    recursively; child partitioning is a map-side bin predicate,
+    never a shuffle."""
+    from onionnet_spark.functions.corpus import tree_depth2
+
+    d = _docs(spark, sf_dir).select(
+        "n_chars",
+        F.size(text.tokens_col(F.col("text"))).alias("n_tokens"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return tree_depth2(d, ["n_chars", "n_tokens"], "is_en", n_bins=16)

@@ -72,9 +72,15 @@ def get_spark(
         # periodic-GC interval is 30min, so a long session (the bench
         # runs ~40 queries, many with per-level checkpoint blocks)
         # accumulates dead blocks that crowd the block manager and
-        # slow later iterative queries. 2min keeps the ledger short;
-        # the stop-the-world cost is trivial next to any query here.
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        # slow later iterative queries. The interval is a tradeoff
+        # measured both ways: 30min lets dead blocks crowd live
+        # caches in long sessions (the r3 triangle_count eviction),
+        # while 2min lands a JVM-wide System.gc() INSIDE iterative
+        # queries often enough to double their in-bench latency
+        # (r5: graph_kcore 9.5-16.5s erratic at 2min vs 4.8s steady
+        # at 30min, same plan). 10min fires between query groups,
+        # not inside them, and still bounds the ledger.
+        .config("spark.cleaner.periodicGC.interval", "10min")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -841,3 +841,28 @@ def test_streaming_user_features_replay_equals_batch(spark, sf_dir):
     assert set(got) == set(expected)
     for u in expected:
         assert got[u].asDict() == expected[u].asDict(), u
+
+
+def test_tree_depth2_perfect_split_toy(spark):
+    from onionnet_spark.functions.corpus import tree_depth2
+
+    # feature a separates labels perfectly at the root; inside each
+    # child, feature b then separates the remaining variation
+    rows = []
+    for i in range(32):
+        a = float(i)  # root split: a <= 15 vs > 15
+        b = float(i % 2)  # child-level signal
+        y = (i <= 15 and i % 2 == 0) or (i > 15)
+        rows.append((a, b, bool(y)))
+    df = spark.createDataFrame(rows, ["fa", "fb", "y"])
+    out = {r["node"]: r for r in tree_depth2(df, ["fa", "fb"], "y").collect()}
+    assert set(out) == {"root", "left", "right"}
+    root = out["root"]
+    # the perfect root split on fa: 16 left (8 pos), 16 right (16 pos)
+    assert root["feature"] == "fa"
+    assert (root["n_left"], root["n_right"]) == (16, 16)
+    assert (root["pos_left"], root["pos_right"]) == (8, 16)
+    # left child: fb perfectly separates its 8 positives
+    left = out["left"]
+    assert left["feature"] == "fb"
+    assert left["gap_score"] == 8 * 8  # |pos_L*n_R - pos_R*n_L| = 0*8 vs 8*8
