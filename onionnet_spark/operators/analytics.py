@@ -2817,3 +2817,93 @@ def onion_decomposition(
         )
         n_remaining = nodes.count()
     return out.select(F.col("n").alias("node"), "layer", "coreness")
+
+
+def simrank(
+    edges: DataFrame,
+    rounds: int = 3,
+    c_num: int = 8,
+    c_den: int = 10,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """SimRank (Jeh & Widom 2002) on an undirected graph: two nodes
+    are similar if their NEIGHBORS are similar —
+    s(a,b) = C/(|N(a)||N(b)|) * sum over neighbor pairs of s(u,v),
+    s(a,a) = 1. The structural-similarity complement of the local
+    overlap scores (Jaccard/Adamic-Adar see only direct co-neighbors;
+    SimRank propagates through the graph).
+
+    Integer-exact iterates: scores live on a 1e-6 grid and each
+    round applies s' = (c_num * S) div (c_den * da * db) — pure
+    BIGINT arithmetic, so every iterate is engine-identical and the
+    unrolled SQL oracle hash-matches (same discipline as
+    eigenvector/Katz/spectral). The pair table stays SPARSE: only
+    pairs with nonzero score exist, and each round derives new pairs
+    by joining the score table through adjacency on BOTH sides (two
+    node-keyed shuffles + one pair aggregation per round).
+
+    100 TB contract: all-pairs SimRank is inherently quadratic in
+    the worst case; at scale you run it on a landmark subset or cap
+    per-node pair lists (the published scalable variants) — the
+    per-round dataflow here is already that shape, the cap is a
+    caller-side filter on the score frame between rounds.
+
+    Returns (node_a, node_b, simrank_micro) for a < b with nonzero
+    score (diagonal omitted: it is 1.0 by definition).
+    """
+    a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+    canon = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    deg = adj.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
+    nodes = deg.select(F.col("u").alias("n"))
+    # scores: SPARSE symmetric table incl. the diagonal (needed by
+    # the recurrence); micro-unit integers
+    s = nodes.select(
+        F.col("n").alias("x"), F.col("n").alias("y"), F.lit(1_000_000).alias("s")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        # sum s(u,v) over u in N(a), v in N(b): route the score table
+        # through adjacency on both endpoints
+        contrib = (
+            s.join(adj.select(F.col("v").alias("x"), F.col("u").alias("na")), on="x")
+            .join(adj.select(F.col("v").alias("y"), F.col("u").alias("nb")), on="y")
+            .filter(F.col("na") != F.col("nb"))
+            .groupBy(F.col("na").alias("x"), F.col("nb").alias("y"))
+            .agg(F.sum("s").alias("S"))
+        )
+        off = (
+            contrib.join(deg.select(F.col("u").alias("x"), F.col("d").alias("da")), on="x")
+            .join(deg.select(F.col("u").alias("y"), F.col("d").alias("db")), on="y")
+            .select(
+                "x",
+                "y",
+                F.expr(f"CAST(({c_num} * S) div ({c_den} * da * db) AS BIGINT)").alias(
+                    "s"
+                ),
+            )
+            .filter(F.col("s") > 0)
+        )
+        s = (
+            nodes.select(
+                F.col("n").alias("x"),
+                F.col("n").alias("y"),
+                F.lit(1_000_000).alias("s"),
+            )
+            .unionByName(off)
+            .localCheckpoint()
+        )
+    return (
+        s.filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.col("s").cast("bigint").alias("simrank_micro"),
+        )
+    )

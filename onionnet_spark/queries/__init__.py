@@ -281,6 +281,7 @@ _R6_BACKLOG: list[str] = [
     "events_user_features",
     "embedding_triplet_set",
     "docs_tree_depth2",
+    "graph_simrank",
 ]
 
 

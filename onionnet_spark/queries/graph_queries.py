@@ -3598,3 +3598,60 @@ def graph_link_training_set_q(spark, sf_dir):
     )
     pos = pairs.select("a", "b", F.lit(1).cast("int").alias("label"))
     return pos.unionByName(neg)
+
+
+def _simrank_oracle(rounds: int = 3, c_num: int = 8, c_den: int = 10,
+                    topn: int = 60) -> str:
+    """Unrolls the integer SimRank recurrence: sparse symmetric score
+    table seeded at the diagonal, per round routed through adjacency
+    on both endpoints, s' = (c*S) // (den*da*db) in pure BIGINTs —
+    the same engine-exact iterate discipline as eigenvector/Katz."""
+    ctes = [
+        _COSUPPLY_SQL.format(topn=topn),
+        """adj AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0)""",
+        "dg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM adj GROUP BY u)",
+        """s0 AS MATERIALIZED (
+      SELECT u AS x, u AS y, CAST(1000000 AS BIGINT) AS s FROM dg)""",
+    ]
+    prev = "s0"
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+      SELECT a1.u AS x, a2.u AS y, SUM(s.s) AS S
+      FROM {prev} s
+      JOIN adj a1 ON a1.v = s.x
+      JOIN adj a2 ON a2.v = s.y
+      WHERE a1.u <> a2.u
+      GROUP BY a1.u, a2.u)"""
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT u AS x, u AS y, CAST(1000000 AS BIGINT) AS s FROM dg
+      UNION ALL
+      SELECT c.x, c.y,
+             CAST(({c_num} * c.S) // ({c_den} * d1.d * d2.d) AS BIGINT) AS s
+      FROM c{t} c JOIN dg d1 ON d1.u = c.x JOIN dg d2 ON d2.u = c.y
+      WHERE ({c_num} * c.S) // ({c_den} * d1.d * d2.d) > 0)"""
+        )
+        prev = f"s{t}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT x AS node_a, y AS node_b, CAST(s AS BIGINT) AS simrank_micro
+    FROM {prev} WHERE x < y"""
+    )
+
+
+@register("graph_simrank", None)  # oracle generated above (unrolled rounds)
+def graph_simrank_q(spark, sf_dir):
+    """SimRank structural similarity (3 integer-exact rounds) on the
+    top-60 co-supply graph — neighbors-of-similar-nodes similarity,
+    the propagating complement of Jaccard/Adamic-Adar."""
+    from onionnet_spark.operators.analytics import simrank
+
+    return simrank(_cosupply_top_pairs(spark, sf_dir, 60), rounds=3)
+
+
+_REG["graph_simrank"] = (graph_simrank_q, _simrank_oracle())

@@ -866,3 +866,32 @@ def test_tree_depth2_perfect_split_toy(spark):
     left = out["left"]
     assert left["feature"] == "fb"
     assert left["gap_score"] == 8 * 8  # |pos_L*n_R - pos_R*n_L| = 0*8 vs 8*8
+
+
+# ------------------------------------------------------------ SimRank
+
+
+def test_simrank_closed_form_path(spark):
+    from onionnet_spark.operators.analytics import simrank
+
+    # path a-c-b: a and b share the single neighbor c, so
+    # s(a,b) = C * s(c,c) / (1*1) = 0.8 from round 1 on; a-c stays 0
+    # (odd-parity paths never connect in vanilla SimRank)
+    edges = spark.createDataFrame([("a", "c"), ("c", "b")], ["a", "b"])
+    out = {(r["node_a"], r["node_b"]): r["simrank_micro"]
+           for r in simrank(edges, rounds=3).collect()}
+    assert out[("a", "b")] == 800_000
+    assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_simrank_bounds_and_symmetry(spark):
+    from onionnet_spark.operators.analytics import simrank
+    from onionnet_spark.queries.graph_queries import _cosupply_top_pairs
+
+    out = simrank(
+        _cosupply_top_pairs(spark, "/root/testdata/sf0.001", 60), rounds=3
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 < r["simrank_micro"] <= 1_000_000
+        assert r["node_a"] < r["node_b"]
