@@ -282,6 +282,8 @@ _R6_BACKLOG: list[str] = [
     "embedding_triplet_set",
     "docs_tree_depth2",
     "graph_simrank",
+    "events_markov_stationary",
+    "lineitem_wilson_returns",
 ]
 
 

@@ -2446,3 +2446,56 @@ def entity_clusters_q(spark, sf_dir):
     return lab.join(sz, on="entity_id").join(canon, on="entity_id").select(
         "c_custkey", "entity_id", "cluster_size", "canonical_name"
     )
+
+
+@register(
+    "lineitem_wilson_returns",
+    # Wilson 95% CI from integer counts: p-hat and the interval are
+    # single closed-form double expressions written IDENTICALLY in
+    # both engines (z^2 = 3.8416 as a shared literal), so the only
+    # float ops are the same sqrt/divisions on the same inputs
+    """WITH c AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY 1)
+    SELECT ship_year, n, r,
+           ROUND(r * 1.0 / n, 6) AS p_hat,
+           ROUND(((r * 1.0 / n) + 3.8416 / (2 * n)
+                  - 1.96 * sqrt((r * 1.0 / n) * (1 - r * 1.0 / n) / n
+                                + 3.8416 / (4.0 * n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           ROUND(((r * 1.0 / n) + 3.8416 / (2 * n)
+                  + 1.96 * sqrt((r * 1.0 / n) * (1 - r * 1.0 / n) / n
+                                + 3.8416 / (4.0 * n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM c""",
+)
+def lineitem_wilson_returns(spark, sf_dir):
+    """Returns-rate per ship year with Wilson 95% confidence bounds
+    — the proportion CI that stays sane at small n (unlike the
+    normal approximation). Integer counts in, one closed-form float
+    expression out."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    c = li.groupBy(F.year("l_shipdate").cast("int").alias("ship_year")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    p = F.col("r") / F.col("n")
+    z2 = F.lit(3.8416)
+    half = z2 / (2 * F.col("n"))
+    rad = F.lit(1.96) * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return c.select(
+        "ship_year",
+        "n",
+        "r",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + half - rad) / denom, 6).alias("wilson_lo"),
+        F.round((p + half + rad) / denom, 6).alias("wilson_hi"),
+    )

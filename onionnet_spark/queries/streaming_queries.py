@@ -768,3 +768,88 @@ def events_user_features(spark, sf_dir):
         .cast("int")
         .alias("recency_days"),
     )
+
+
+def _stationary_oracle(rounds: int = 6) -> str:
+    """Unrolls the integer power iteration over the empirical
+    transition matrix: mass in micro-units, per-(i,j) term
+    (pi_i * n_ij) // n_i summed exactly — engine-identical
+    iterates, one final share division."""
+    ctes = [
+        """seq AS (
+      SELECT user_id, event_type AS f,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t
+      FROM events)""",
+        """tm AS MATERIALIZED (
+      SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+      WHERE t IS NOT NULL GROUP BY f, t)""",
+        "fo AS MATERIALIZED (SELECT f, SUM(n) AS nf FROM tm GROUP BY f)",
+        "st AS MATERIALIZED (SELECT DISTINCT event_type AS s FROM events)",
+        """p0 AS MATERIALIZED (
+      SELECT s, CAST(1000000 // (SELECT COUNT(*) FROM st) AS BIGINT) AS m
+      FROM st)""",
+    ]
+    prev = "p0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT st.s, CAST(COALESCE(x.m, 0) AS BIGINT) AS m
+      FROM st LEFT JOIN (
+        SELECT tm.t AS s, SUM((p.m * tm.n) // fo.nf) AS m
+        FROM {prev} p JOIN tm ON tm.f = p.s JOIN fo ON fo.f = p.s
+        GROUP BY tm.t) x ON x.s = st.s)"""
+        )
+        prev = f"p{r}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT s AS state, CAST(m AS BIGINT) AS pi_micro,
+           ROUND(m * 1.0 / (SELECT SUM(m) FROM {prev}), 6) AS pi
+    FROM {prev}"""
+    )
+
+
+@register("events_markov_stationary", _stationary_oracle())
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the per-user event Markov chain:
+    integer power iteration (6 rounds, micro-unit mass, per-term
+    floor division) over the empirical transition matrix — where the
+    user journey settles. States with no outbound transitions shed
+    mass (documented; the fixture chain is fully connected)."""
+    from pyspark.sql import Window, functions as F
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    tm = seq.groupBy("f", "t").agg(F.count("*").alias("n")).localCheckpoint()
+    fo = tm.groupBy("f").agg(F.sum("n").alias("nf"))
+    states = e.select(F.col("event_type").alias("s")).distinct().localCheckpoint()
+    n_states = states.count()
+    pi = states.select(
+        "s", F.lit(1_000_000 // n_states).cast("bigint").alias("m")
+    )
+    for _ in range(6):
+        inbound = (
+            pi.join(tm, on=pi["s"] == tm["f"])
+            .join(fo, on="f")
+            .select(
+                F.col("t").alias("s2"),
+                F.expr("CAST((m * n) div nf AS BIGINT)").alias("term"),
+            )
+            .groupBy("s2")
+            .agg(F.sum("term").alias("m"))
+        )
+        pi = states.join(
+            inbound, on=states["s"] == inbound["s2"], how="left"
+        ).select("s", F.coalesce("m", F.lit(0)).cast("bigint").alias("m"))
+    total = pi.agg(F.sum("m").alias("tot"))
+    return pi.crossJoin(F.broadcast(total)).select(
+        F.col("s").alias("state"),
+        F.col("m").cast("bigint").alias("pi_micro"),
+        F.round(F.col("m") / F.col("tot"), 6).alias("pi"),
+    )

@@ -895,3 +895,29 @@ def test_simrank_bounds_and_symmetry(spark):
     for r in out:
         assert 0 < r["simrank_micro"] <= 1_000_000
         assert r["node_a"] < r["node_b"]
+
+
+# ----------------------------------------------- stationary / Wilson CI
+
+
+def test_markov_stationary_sums_to_one(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+
+    fn, oracle = load_all()["events_markov_stationary"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    total = sum(r["pi_micro"] for r in rows)
+    # floor-division mass loss is bounded by states per round
+    assert 1_000_000 - 6 * 5 * 5 <= total <= 1_000_000
+    assert abs(sum(r["pi"] for r in rows) - 1.0) < 1e-4
+    assert oracle is not None
+
+
+def test_wilson_interval_properties(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+
+    fn, _ = load_all()["lineitem_wilson_returns"]
+    for r in fn(spark, sf_dir).collect():
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+        # interval shrinks with n: rough sanity via width < 1
+        assert r["wilson_hi"] - r["wilson_lo"] < 0.5
