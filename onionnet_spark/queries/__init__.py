@@ -284,6 +284,7 @@ _R6_BACKLOG: list[str] = [
     "graph_simrank",
     "events_markov_stationary",
     "lineitem_wilson_returns",
+    "vocab_kl_by_source",
 ]
 
 

@@ -4937,3 +4937,80 @@ def docs_tree_depth2_q(spark, sf_dir):
         (F.col("lang") == "en").alias("is_en"),
     )
     return tree_depth2(d, ["n_chars", "n_tokens"], "is_en", n_bins=16)
+
+
+@register(
+    "vocab_kl_by_source",
+    # KL(source || corpus) over the unigram distribution, Laplace-
+    # smoothed on the CORPUS vocabulary grid; per-token terms are
+    # nano-quantized BEFORE the per-source sum (engine-exact up to
+    # one ln per (source, token) cell) — the token-space drift
+    # monitor next to the length-space PSI.
+    f"""WITH t AS (SELECT source, UNNEST({_TOKS}) AS tok FROM documents),
+    vc AS (SELECT COUNT(DISTINCT tok) AS v FROM t),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY source, tok),
+    st AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+    ac AS (SELECT tok, SUM(c) AS c FROM sc GROUP BY tok),
+    at AS (SELECT SUM(c) AS n FROM ac),
+    grid AS (
+      SELECT s.source, a.tok,
+             CAST(COALESCE(x.c, 0) + 1 AS DOUBLE)
+               / CAST(s2.n + vc.v AS DOUBLE) AS ps,
+             CAST(a.c + 1 AS DOUBLE) / CAST(att.n + vc.v AS DOUBLE) AS pa
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN ac a
+      JOIN st s2 ON s2.source = s.source
+      CROSS JOIN at att CROSS JOIN vc
+      LEFT JOIN sc x ON x.source = s.source AND x.tok = a.tok),
+    terms AS (
+      SELECT source,
+             CAST(floor(ps * ln(ps / pa) * 1000000000) AS BIGINT) AS t
+      FROM grid)
+    SELECT source, CAST(SUM(t) AS BIGINT) AS kl_nano,
+           ROUND(SUM(t) / 1000000000.0, 6) AS kl_nats
+    FROM terms GROUP BY source""",
+)
+def vocab_kl_by_source_q(spark, sf_dir):
+    """KL(source || corpus) over Laplace-smoothed unigram
+    distributions on the shared corpus vocabulary — which sources
+    speak a different language than the blend (token-space drift,
+    complementing length-space PSI). Zipf-bounded grid, nano-
+    quantized terms, BIGINT-exact sums."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(text.tokens_col(F.col("text"))).alias("tok")
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    ac = sc.groupBy("tok").agg(F.sum("c").alias("c"))
+    at = ac.agg(F.sum("c").alias("tn"))
+    vc = ac.agg(F.count("*").alias("v"))
+    sources = docs.select("source").distinct()
+    grid = (
+        sources.crossJoin(ac.withColumnRenamed("c", "ca"))
+        .join(st, on="source")
+        .crossJoin(F.broadcast(at))
+        .crossJoin(F.broadcast(vc))
+        .join(sc, on=["source", "tok"], how="left")
+        .select(
+            "source",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("n") + F.col("v")).cast("double")
+            ).alias("ps"),
+            (
+                (F.col("ca") + 1).cast("double")
+                / (F.col("tn") + F.col("v")).cast("double")
+            ).alias("pa"),
+        )
+    )
+    terms = grid.select(
+        "source",
+        F.floor(F.col("ps") * F.log(F.col("ps") / F.col("pa")) * 1e9)
+        .cast("bigint")
+        .alias("t"),
+    )
+    return terms.groupBy("source").agg(
+        F.sum("t").cast("bigint").alias("kl_nano"),
+        F.round(F.sum("t") / F.lit(1e9), 6).alias("kl_nats"),
+    )

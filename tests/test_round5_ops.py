@@ -921,3 +921,36 @@ def test_wilson_interval_properties(spark, sf_dir):
         assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
         # interval shrinks with n: rough sanity via width < 1
         assert r["wilson_hi"] - r["wilson_lo"] < 0.5
+
+
+def test_vocab_kl_zero_for_identical_sources(spark):
+    from onionnet_spark.queries import load_all
+    import pyspark.sql.functions as _F
+
+    # two sources with identical token multisets -> KL ~ 0 for both;
+    # a third source with disjoint vocabulary -> clearly positive
+    import os
+    import tempfile
+
+    fn, _ = load_all()["vocab_kl_by_source"]
+
+    def run(rows):
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        d = tempfile.mkdtemp(prefix="vocab_kl_")
+        docs.write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        return {r["source"]: r["kl_nats"] for r in fn(spark, d).collect()}
+
+    # identical sources == the corpus blend -> KL ~ 0 for both
+    same = [(i, "alpha beta gamma delta", "a") for i in range(10)] + [
+        (100 + i, "alpha beta gamma delta", "b") for i in range(10)
+    ]
+    out = run(same)
+    assert abs(out["a"]) < 0.02 and abs(out["b"]) < 0.02
+    # a disjoint-vocabulary source diverges from the blend far more
+    # than the majority sources do
+    mixed = same + [(200 + i, "omega psi chi phi", "weird") for i in range(10)]
+    out = run(mixed)
+    assert out["weird"] > 0.5
+    assert out["weird"] > 3 * out["a"]
