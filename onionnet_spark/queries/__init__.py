@@ -285,6 +285,7 @@ _R6_BACKLOG: list[str] = [
     "events_markov_stationary",
     "lineitem_wilson_returns",
     "vocab_kl_by_source",
+    "dedup_recall_report",
 ]
 
 

@@ -5014,3 +5014,68 @@ def vocab_kl_by_source_q(spark, sf_dir):
         F.sum("t").cast("bigint").alias("kl_nano"),
         F.round(F.sum("t") / F.lit(1e9), 6).alias("kl_nats"),
     )
+
+
+@register(
+    "dedup_recall_report",
+    # recall of the MinHash-LSH candidate pipeline against the EXACT
+    # Jaccard >= 0.5 pair set (the PPJoin oracle's uncapped
+    # definition): LSH verify keeps precision at 1.0 by
+    # construction, so the number that matters is how many true
+    # pairs the band lottery surfaced. Same eval shape as
+    # ann_recall_report, for the dedup family.
+    f"""WITH {_SHINGLES_SQL},
+    szs AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    exact AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id),
+    exact_t AS (
+      SELECT id_a, id_b FROM exact
+      JOIN szs sa ON sa.id = id_a JOIN szs sb ON sb.id = id_b
+      WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5),
+    perms AS (SELECT UNNEST(range(0, 16)) AS perm),
+    sigs AS (
+      SELECT id, perm,
+             MIN((104729 * (perm + 1)
+                  * ((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647)
+                  + 7919 * perm) % 2147483647) AS sig
+      FROM sh CROSS JOIN perms GROUP BY id, perm),
+    bands AS (
+      SELECT id, perm // 4 AS band,
+             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS band_key
+      FROM sigs GROUP BY id, perm // 4),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.id < b.id),
+    hit AS (SELECT e.id_a, e.id_b FROM exact_t e
+            JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_t) AS n_exact_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_found,
+           ROUND((SELECT COUNT(*) FROM hit) * 1.0
+                 / GREATEST((SELECT COUNT(*) FROM exact_t), 1), 6) AS recall""",
+)
+def dedup_recall_report_q(spark, sf_dir):
+    """Recall of the MinHash-LSH band lottery against the exact
+    Jaccard >= 0.5 pair set (PPJoin's uncapped ground truth) — the
+    dedup-family twin of ann_recall_report. Verify keeps precision
+    at 1.0 by construction; this measures what banding misses."""
+    from onionnet_spark.functions.dedup import minhash_lsh_pairs, ppjoin_pairs
+
+    docs = _docs(spark, sf_dir)
+    exact = ppjoin_pairs(docs, threshold_num=1, threshold_den=2).select(
+        "id_a", "id_b"
+    ).localCheckpoint()
+    found = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    hits = exact.join(found, on=["id_a", "id_b"]).agg(
+        F.count("*").alias("n_found")
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
+    return n_exact.crossJoin(hits).select(
+        F.col("n_exact_pairs").cast("bigint"),
+        F.col("n_found").cast("bigint"),
+        F.round(
+            F.col("n_found") / F.greatest(F.col("n_exact_pairs"), F.lit(1)), 6
+        ).alias("recall"),
+    )
