@@ -1844,3 +1844,70 @@ def augment_images(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(aug_batches, AUGMENT_SCHEMA)
+
+
+def augment_audio_gain(
+    df: DataFrame, gain_num: int = 3, gain_den: int = 2
+) -> DataFrame:
+    """Training-data audio augmentation through the real codecs:
+    decode (signature dispatch) -> integer-exact gain
+    (sample * gain_num) div gain_den, saturating at int16 — the
+    volume-perturbation augment, kept on integers so every output
+    sample is SQL-closed-form — -> WAV re-encode -> decode again.
+    One Arrow mapInPandas stage; payloads never leave the executor.
+    Emits (doc_id, sample_rate, n_samples, n_channels, sample_sum,
+    n_clipped, reencode_ok)."""
+
+    def aug_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        from onionnet_spark.functions import wav as _wav
+
+        for pdf in batches:
+            srs, ns, chs, sums, clips, oks = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                samples, sr = _decode_any_audio(bytes(payload))
+                s = samples.astype(np.int64)
+                # floor-div like SQL's integral div (C-style trunc
+                # differs on negatives; use Python floor semantics on
+                # the SCALED value both sides via // on positives and
+                # explicit handling: Spark/DuckDB `div` TRUNCATES, so
+                # mirror trunc here: sign * (|x|*num // den)
+                mag = (np.abs(s) * gain_num) // gain_den
+                boosted = np.sign(s) * mag
+                clipped = np.clip(boosted, -32768, 32767)
+                n_clip = int((boosted != clipped).sum())
+                aug = clipped.astype(np.int16)
+                enc = _wav.encode_wav(aug, sr)
+                dec, _sr2 = _wav.decode_wav(enc)
+                srs.append(sr)
+                ns.append(aug.shape[0])
+                chs.append(aug.shape[1])
+                sums.append(int(aug.astype(np.int64).sum()))
+                clips.append(n_clip)
+                oks.append(bool(np.array_equal(dec, aug)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "n_clipped": pd.Series(clips, dtype="int64"),
+                    "reencode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("sample_sum", LongType()),
+            StructField("n_clipped", LongType()),
+            StructField("reencode_ok", BooleanType()),
+        ]
+    )
+    return df.select("doc_id", "payload").mapInPandas(aug_batches, schema)

@@ -286,6 +286,7 @@ _R6_BACKLOG: list[str] = [
     "lineitem_wilson_returns",
     "vocab_kl_by_source",
     "dedup_recall_report",
+    "multimodal_audio_augment",
 ]
 
 

@@ -5079,3 +5079,42 @@ def dedup_recall_report_q(spark, sf_dir):
             F.col("n_found") / F.greatest(F.col("n_exact_pairs"), F.lit(1)), 6
         ).alias("recall"),
     )
+
+
+@register(
+    "multimodal_audio_augment",
+    # gain x40 with int16 saturation over the closed-form WAV synth:
+    # every augmented sample is LEAST(GREATEST(40*v, -32768), 32767)
+    # with v = ((id*31 + t*7 + c*11) % 2003) - 1001, so sums and the
+    # clip census are integer-exact; reencode_ok pins the WAV encode
+    # half in-plan (decode(encode(aug)) == aug).
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 40 + doc_id % 13 AS n, 1 + doc_id % 2 AS ch,
+                    8000 + 1000 * (doc_id % 3) AS sr
+             FROM ids),
+    sv AS (
+      SELECT d.doc_id, d.n, d.ch, d.sr,
+             ((d.doc_id * 31 + t.t * 7 + c.c * 11) % 2003) - 1001 AS v
+      FROM dims d
+      JOIN range(0, 53) t(t) ON t.t < d.n
+      JOIN range(0, 2) c(c) ON c.c < d.ch),
+    aug AS (
+      SELECT doc_id, n, ch, sr, v,
+             LEAST(GREATEST(v * 40, -32768), 32767) AS av
+      FROM sv)
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples, CAST(ch AS INT) AS n_channels,
+           CAST(SUM(av) AS BIGINT) AS sample_sum,
+           CAST(SUM(CASE WHEN av <> v * 40 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           TRUE AS reencode_ok
+    FROM aug GROUP BY doc_id, sr, n, ch""",
+)
+def multimodal_audio_augment_q(spark, sf_dir):
+    """Audio gain augmentation (x40 with int16 saturation) through
+    the real WAV codec — decode, integer-exact boost+clip, re-encode,
+    decode — in one Arrow stage; sums and the clip census are
+    closed-form."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_wav_payload(ids)
+    return multimodal.augment_audio_gain(payload, gain_num=40, gain_den=1)

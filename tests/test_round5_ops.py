@@ -954,3 +954,24 @@ def test_vocab_kl_zero_for_identical_sources(spark):
     out = run(mixed)
     assert out["weird"] > 0.5
     assert out["weird"] > 3 * out["a"]
+
+
+def test_audio_augment_clips_and_roundtrips(spark):
+    from onionnet_spark.functions import multimodal
+
+    ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    payload = multimodal.synth_wav_payload(ids)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.augment_audio_gain(
+            payload, gain_num=40, gain_den=1
+        ).collect()
+    }
+    assert len(out) == 6
+    for d, r in out.items():
+        assert r["n_samples"] == 40 + d % 13
+        assert r["n_channels"] == 1 + d % 2
+        assert r["reencode_ok"]
+        # synth values reach |1001|, so x40 must clip something
+        assert r["n_clipped"] > 0
+        assert -32768 * r["n_samples"] * r["n_channels"] <= r["sample_sum"]
