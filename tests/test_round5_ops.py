@@ -975,3 +975,46 @@ def test_audio_augment_clips_and_roundtrips(spark):
         # synth values reach |1001|, so x40 must clip something
         assert r["n_clipped"] > 0
         assert -32768 * r["n_samples"] * r["n_channels"] <= r["sample_sum"]
+
+
+# ------------------------------------------------------ plan-shape guards
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dup_span_plan_shape(spark, sf_dir):
+    from onionnet_spark.functions.dedup import dup_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dup_span_stats(docs, w=5))
+    # dup marking is a SEMI join on the window hash, never an inner
+    # join carrying payload, and never a cartesian product
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan
+    # the per-doc island window is PARTITIONED (no global sort)
+    assert "No Partition Defined" not in plan
+    # the scan is column-pruned to the two key columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_psi_and_bootstrap_plan_shape(spark, sf_dir):
+    from onionnet_spark.functions.corpus import poisson_bootstrap, psi_by_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(psi_by_group(docs, "n_chars"))
+    # the bounds and the bin-cell table travel by BROADCAST; the
+    # corpus itself shuffles only for the (group, bin) aggregation
+    assert "BroadcastExchange" in plan and "Cartesian" not in plan
+    plan = _plan(poisson_bootstrap(docs, "n_chars", n_resamples=8))
+    # one aggregation keyed by resample, no windows, no joins
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_hard_negative_windows_are_partitioned(spark, sf_dir):
+    from onionnet_spark.functions.similarity import hard_negatives
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(hard_negatives(embs, k=2, candidates_k=5))
+    assert "No Partition Defined" not in plan
