@@ -2739,14 +2739,22 @@ def graph_walk_skipgrams_q(spark, sf_dir):
     e AS (SELECT src_layer || ':' || src_id AS u,
                  dst_layer || ':' || dst_id AS v
           FROM edges_g)
-    SELECT u AS node_key, list(v ORDER BY v) AS neighbors,
+    SELECT u AS node_key, string_agg(v, ' ' ORDER BY v) AS neighbors,
            CAST(COUNT(*) AS BIGINT) AS degree
     FROM e GROUP BY u""",
 )
 def graph_adjacency_export_q(spark, sf_dir):
     """CSR-shaped adjacency export (sorted neighbor arrays + degree)
-    — the GNN-loader layout."""
-    return properties.export_adjacency(get_graph(spark, sf_dir), "downstream")
+    — the GNN-loader layout. The library API (export_adjacency)
+    returns the real array column; the gate surface flattens it to a
+    space-joined string because the driver canonicalizer hashes
+    scalars only."""
+    adj = properties.export_adjacency(get_graph(spark, sf_dir), "downstream")
+    return adj.select(
+        "node_key",
+        F.array_join("neighbors", " ").alias("neighbors"),
+        "degree",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1952,9 +1952,10 @@ def _bpe_encode_oracle(n_merges: int = 6) -> str:
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(COUNT(wids) AS BIGINT) AS n_encoded_words,
            CAST(COALESCE(SUM(len(wids)), 0) AS BIGINT) AS n_subword_tokens,
-           COALESCE(flatten(list(wids ORDER BY wp)
-                            FILTER (WHERE wids IS NOT NULL)),
-                    CAST([] AS INT[])) AS ids
+           array_to_string(
+             COALESCE(flatten(list(wids ORDER BY wp)
+                              FILTER (WHERE wids IS NOT NULL)),
+                      CAST([] AS INT[])), ' ') AS ids
     FROM enc GROUP BY doc_id"""
 
 
@@ -1962,8 +1963,15 @@ def _bpe_encode_oracle(n_merges: int = 6) -> str:
 def bpe_encode_ids_q(spark, sf_dir):
     """BPE tokenizer application: documents encoded into subword-id
     sequences with the merge table learned by the same 6 training
-    rounds — the tensorization endpoint of the tokenizer pipeline."""
-    return text.bpe_encode(_docs(spark, sf_dir), n_merges=6)
+    rounds — the tensorization endpoint of the tokenizer pipeline.
+    The library API (text.bpe_encode) keeps the int-array column;
+    the gate surface flattens it to a space-joined string so the
+    driver canonicalizer can hash it."""
+    out = text.bpe_encode(_docs(spark, sf_dir), n_merges=6)
+    return out.withColumn(
+        "ids",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), " "),
+    )
 
 
 @register(
@@ -2509,14 +2517,23 @@ def embedding_quantize_int8_q(spark, sf_dir):
                        AS tid
               FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok))
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           list(tid ORDER BY pos) AS ids
+           string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
     FROM toks JOIN vocab USING (tok) GROUP BY doc_id""",
 )
 def tokenize_to_ids_q(spark, sf_dir):
     """Tensorization: docs as arrays of frequency-ranked vocab ids —
     the layout a pretraining loader consumes (compose with
-    sequence_packing)."""
-    return text.tokenize_to_ids(_docs(spark, sf_dir))
+    sequence_packing). The library API (text.tokenize_to_ids) keeps
+    the int-array column; the gate surface flattens it to a
+    space-joined string so the driver canonicalizer can hash it."""
+    out = text.tokenize_to_ids(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("ids", lambda x: x.cast("string")), " "
+        ).alias("ids"),
+    )
 
 
 @register(

@@ -1961,7 +1961,8 @@ def lineitem_zorder_key_q(spark, sf_dir):
     # false NEGATIVE (a dropped matching row) hash-mismatches.
     """SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2)
                 AS DECIMAL(18,2)) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -1994,8 +1995,15 @@ def bloom_pruned_revenue_q(spark, sf_dir):
     joined = bloom_pruned_join(fact, dim, on="l_orderkey")
     return joined.groupBy("month").agg(
         F.count("*").cast("bigint").alias("n_items"),
+        # DECIMAL(18,4) accumulation before ROUND: double summation is
+        # order-dependent across engines (the tpch_q7/q9 lesson).
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
         ).cast("decimal(18,2)").alias("revenue"),
     )
 
