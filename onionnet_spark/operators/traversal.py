@@ -59,6 +59,8 @@ def bfs_distances(
     stop_nodes: list[tuple[str, str]] | None = None,
     dynamic_cap=None,
     found_depths: list[int] | None = None,
+    pace=None,
+    level_hook=None,
 ) -> DataFrame:
     """Min hop distance from the source set to every reachable node.
 
@@ -79,7 +81,20 @@ def bfs_distances(
     returning None (no cap yet) or an int depth cap — it lets a
     concurrently-running sibling BFS publish its max-target depth
     mid-flight, capping this run without serializing the two.
+
+    ``pace`` is a zero-arg callable polled before each expansion
+    returning None (unthrottled) or the deepest level this run may
+    currently build. on_shortest_path uses it to keep the reverse
+    arm from RACING past the forward arm: no target distance can
+    exceed the forward fixpoint depth, so reverse levels beyond the
+    forward arm's current depth can never contribute — without
+    pacing, the reverse fixpoint (often the whole-graph direction)
+    burns large frontier levels that the cap then discards, and
+    wall time becomes a thread-scheduling lottery. ``level_hook``
+    (called with the new depth after each level materializes) is the
+    publishing side of that handshake.
     """
+    import time as _time
     spark = graph.nodes.sparkSession
     edges = _directed_endpoints(graph, direction)
     # Each level's frontier is eagerly localCheckpoint-ed: ONE job
@@ -96,21 +111,28 @@ def bfs_distances(
     frontier = _sources_df(spark, sources).localCheckpoint()
     frontiers = [frontier]
     n_frontier = frontier.count()
+    n_visited = n_frontier
     depth = 0
 
     remaining: set[tuple[str, str]] | None = None
+    stop_df = None
     if stop_nodes is not None:
         remaining = {(l, str(i)) for (l, i) in stop_nodes}
+        # built ONCE: levels are disjoint (anti-join vs visited), so
+        # a stop node can hit at most one level — no need to rebuild
+        # the probe frame as targets get discovered
+        stop_df = F.broadcast(
+            spark.createDataFrame(
+                sorted(remaining), "layer string, node_id string"
+            )
+        )
 
     def _mark_found(level_df: DataFrame, d: int) -> None:
-        # tiny job: broadcast the (small) remaining-target list
-        # against the already-checkpointed level frontier
+        # tiny job: broadcast the (small) target list against the
+        # already-checkpointed level frontier
         if not remaining:
             return
-        rem_df = F.broadcast(
-            spark.createDataFrame(list(remaining), "layer string, node_id string")
-        )
-        hits = level_df.join(rem_df, on=NODE_KEY, how="left_semi").select(*NODE_KEY)
+        hits = level_df.join(stop_df, on=NODE_KEY, how="left_semi").select(*NODE_KEY)
         for r in hits.collect():
             remaining.discard((r["layer"], r["node_id"]))
             if found_depths is not None:
@@ -131,6 +153,18 @@ def bfs_distances(
         return False
 
     while n_frontier > 0 and not _capped(depth):
+        if pace is not None:
+            # hold until the pacing peer has itself reached the level
+            # we want to build (or stopped publishing = unthrottled);
+            # re-check the cap while waiting so a cap landing during
+            # the hold ends the run without one more expansion
+            while True:
+                allowed = pace()
+                if allowed is None or allowed > depth or _capped(depth):
+                    break
+                _time.sleep(0.02)
+            if _capped(depth):
+                break
         f = frontier.select(
             F.col("layer").alias("src_layer"), F.col("node_id").alias("src_id")
         )
@@ -139,6 +173,12 @@ def bfs_distances(
         visited_keys = frontiers[0].select(*NODE_KEY)
         for prev in frontiers[1:]:
             visited_keys = visited_keys.unionByName(prev.select(*NODE_KEY))
+        if n_visited <= BROADCAST_FRONTIER_MAX:
+            # the visited side is exactly the frontier levels we
+            # already counted: while it fits the broadcast budget the
+            # anti-join is shuffle-free (and at toy scale the level
+            # loop drops from 2 exchanges to 1)
+            visited_keys = F.broadcast(visited_keys)
         nxt = (
             edges.join(f, on=["src_layer", "src_id"])
             .select(
@@ -156,6 +196,9 @@ def bfs_distances(
         nxt = ck.cut(nxt)
         depth += 1
         n_frontier = nxt.count()
+        n_visited += n_frontier
+        if level_hook is not None:
+            level_hook(depth)
         if n_frontier:
             frontiers.append(nxt)
             if remaining:
@@ -412,20 +455,32 @@ def on_shortest_path(
     from concurrent.futures import ThreadPoolExecutor
 
     cap_state: dict[str, int | None] = {"cap": None}
+    # forward publishes its per-level progress; the reverse arm is
+    # PACED to it (never builds level d before forward has) — no
+    # target distance can exceed the forward fixpoint depth, so a
+    # reverse level deeper than forward's current depth can never
+    # contribute and racing ahead only burns the big-direction
+    # frontiers the cap then discards (the r05 on_shortest_path
+    # regression was exactly this thread-scheduling lottery)
+    progress: dict[str, int | bool] = {"depth": 0, "done": False}
     found_depths: list[int] = []
 
     def _run_forward() -> DataFrame:
-        out = bfs_distances(
-            graph,
-            [source],
-            "downstream",
-            stop_nodes=targets,
-            found_depths=found_depths,
-        )
-        # max depth among FOUND targets; unreachable targets never
-        # contribute to td so they don't raise the cap
-        cap_state["cap"] = max(found_depths) if found_depths else 0
-        return out
+        try:
+            out = bfs_distances(
+                graph,
+                [source],
+                "downstream",
+                stop_nodes=targets,
+                found_depths=found_depths,
+                level_hook=lambda d: progress.__setitem__("depth", d),
+            )
+            # max depth among FOUND targets; unreachable targets
+            # never contribute to td so they don't raise the cap
+            cap_state["cap"] = max(found_depths) if found_depths else 0
+            return out
+        finally:
+            progress["done"] = True
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_fwd = pool.submit(_run_forward)
@@ -435,6 +490,7 @@ def on_shortest_path(
             targets,
             "upstream",
             dynamic_cap=lambda: cap_state["cap"],
+            pace=lambda: None if progress["done"] else progress["depth"],
         )
         fwd = f_fwd.result().withColumnRenamed("dist", "d_f")
         rev = f_rev.result().withColumnRenamed("dist", "d_r")
