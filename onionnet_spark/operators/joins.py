@@ -431,3 +431,60 @@ def sorted_neighborhood_pairs(
         .distinct()
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    window: int = 5,
+    max_dist: int = 2,
+) -> DataFrame:
+    """End-to-end entity resolution: sorted-neighborhood blocking +
+    Levenshtein verify -> star connected components over the match
+    graph -> one canonical entity per cluster. Returns one row per
+    input record: (<id_col>, entity_id, cluster_size,
+    canonical_<col>) where entity_id is the NUMERIC min id of the
+    cluster (NOT the lexicographic min of the stringified node keys
+    — a cluster spanning a digit-length boundary like {9, 10}
+    differs; the id is re-derived as min(<id_col>) per component
+    after labeling, one agg + one join on the component label).
+
+    Distributed shape: blocking is the range-partitioned rank +
+    bucket join of sorted_neighborhood_pairs (no all-pairs scan);
+    the closure is connected_components_star (the large/small-star
+    O(log n) fixpoint); canonical attachment is a join on entity_id.
+    """
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.components import connected_components_star
+
+    pairs = sorted_neighborhood_pairs(
+        df, col=col, id_col=id_col, window=window, max_dist=max_dist
+    )
+    all_ids = df.select(
+        F.col(id_col).cast("string").alias("node_id")
+    ).withColumn("layer", F.lit("ent"))
+    pair_edges = pairs.select(
+        F.lit("ent").alias("src_layer"),
+        F.col("id_a").cast("string").alias("src_id"),
+        F.lit("ent").alias("dst_layer"),
+        F.col("id_b").cast("string").alias("dst_id"),
+    )
+    labels = connected_components_star(OnionGraph(all_ids, pair_edges))
+    members = labels.select(
+        F.col("node_id").cast("long").alias(id_col), "component"
+    )
+    entity = members.groupBy("component").agg(
+        F.min(id_col).alias("entity_id")
+    )
+    lab = members.join(entity, on="component").select(id_col, "entity_id")
+    sz = lab.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    canon = df.select(
+        F.col(id_col).alias("entity_id"),
+        F.col(col).alias(f"canonical_{col}"),
+    )
+    return lab.join(sz, on="entity_id").join(canon, on="entity_id").select(
+        id_col, "entity_id", "cluster_size", f"canonical_{col}"
+    )

@@ -2417,43 +2417,17 @@ def orders_status_year_pivot(spark, sf_dir):
 def entity_clusters_q(spark, sf_dir):
     """End-to-end entity resolution: sorted-neighborhood blocking +
     Levenshtein verify -> large/small-star connected components over
-    the match graph -> one canonical record per entity (min id, its
-    name attached). The compose a real MDM/record-linkage pipeline
-    runs; transitive chains (A~B~C without A~C) merge correctly."""
-    from onionnet_spark.core import OnionGraph
-    from onionnet_spark.operators.components import connected_components_star
-    from onionnet_spark.operators.joins import sorted_neighborhood_pairs
+    the match graph -> one canonical record per entity (NUMERIC min
+    id — re-derived per component, since the star-CC label is the
+    lexicographic min of stringified keys — with its name attached).
+    The compose a real MDM/record-linkage pipeline runs; transitive
+    chains (A~B~C without A~C) merge correctly."""
+    from onionnet_spark.operators.joins import resolve_entities
 
     cust = load_tables(spark, sf_dir)["customer"]
-    pairs = sorted_neighborhood_pairs(
+    return resolve_entities(
         cust, col="c_name", id_col="c_custkey", window=5, max_dist=2
-    )
-    all_ids = cust.select(
-        F.col("c_custkey").cast("string").alias("node_id")
-    ).withColumn("layer", F.lit("cust"))
-    pair_edges = pairs.select(
-        F.lit("cust").alias("src_layer"),
-        F.col("id_a").cast("string").alias("src_id"),
-        F.lit("cust").alias("dst_layer"),
-        F.col("id_b").cast("string").alias("dst_id"),
-    )
-    labels = connected_components_star(OnionGraph(all_ids, pair_edges))
-    lab = labels.select(
-        F.col("node_id").cast("long").alias("c_custkey"),
-        F.split_part(F.col("component"), F.lit(":"), F.lit(2))
-        .cast("long")
-        .alias("entity_id"),
-    )
-    sz = lab.groupBy("entity_id").agg(
-        F.count("*").cast("bigint").alias("cluster_size")
-    )
-    canon = cust.select(
-        F.col("c_custkey").alias("entity_id"),
-        F.col("c_name").alias("canonical_name"),
-    )
-    return lab.join(sz, on="entity_id").join(canon, on="entity_id").select(
-        "c_custkey", "entity_id", "cluster_size", "canonical_name"
-    )
+    ).withColumnRenamed("canonical_c_name", "canonical_name")
 
 
 @register(

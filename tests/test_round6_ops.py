@@ -1,0 +1,94 @@
+"""Round-6 regression tests: gate-surface hashability, entity-id
+numeric-min canonicalization, BFS pacing semantics."""
+
+import pyspark.sql.functions as F
+
+
+def test_resolve_entities_numeric_min_across_digit_boundary(spark):
+    """A cluster spanning a digit-length boundary ({9, 10}) must get
+    entity_id 9 (numeric min), not 10 (the lexicographic min of
+    'ent:10' < 'ent:9' would pick 10's component label)."""
+    from onionnet_spark.operators.joins import resolve_entities
+
+    rows = [
+        (9, "Customer#000000009x"),
+        (10, "Customer#000000009y"),  # edit_dist 1 from key 9's name
+        (3, "zzz totally unlike anything"),
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    out = {
+        r["c_custkey"]: r
+        for r in resolve_entities(
+            df, col="c_name", id_col="c_custkey", window=5, max_dist=2
+        ).collect()
+    }
+    assert out[9]["entity_id"] == 9
+    assert out[10]["entity_id"] == 9
+    assert out[9]["cluster_size"] == 2
+    assert out[10]["canonical_c_name"] == "Customer#000000009x"
+    assert out[3]["entity_id"] == 3 and out[3]["cluster_size"] == 1
+
+
+def test_gate_outputs_are_scalar_typed(spark, sf_dir):
+    """The driver canonicalizer hashes scalars only: no queries()
+    entry may expose an array/map/struct/binary top-level column.
+    (r05 lost two window slots to exactly this.)"""
+    from onionnet_spark.queries import load_all
+
+    offenders = []
+    for key, (fn, _oracle) in sorted(load_all().items()):
+        df = fn(spark, sf_dir)
+        for name, dt in df.dtypes:
+            if dt.startswith(("array", "map", "struct", "binary")):
+                offenders.append((key, name, dt))
+    assert offenders == []
+
+
+def test_bfs_pace_waits_for_publisher(spark, sf_dir):
+    """A paced BFS must not build level d+1 before the pacer allows
+    it, and must still reach the identical fixpoint."""
+    from onionnet_spark.operators import traversal as T
+    from onionnet_spark.queries.graph_queries import get_graph
+
+    g = get_graph(spark, sf_dir)
+    src = [("region", "0")]
+    plain = {
+        (r["layer"], r["node_id"]): r["dist"]
+        for r in T.bfs_distances(g, src, "upstream", max_dist=3).collect()
+    }
+    seen_levels = []
+
+    # pacer releases one level per poll; records the release sequence
+    state = {"allowed": 0}
+
+    def pace():
+        state["allowed"] += 1
+        seen_levels.append(state["allowed"])
+        return state["allowed"]
+
+    paced = {
+        (r["layer"], r["node_id"]): r["dist"]
+        for r in T.bfs_distances(
+            g, src, "upstream", max_dist=3, pace=pace
+        ).collect()
+    }
+    assert paced == plain
+    assert seen_levels  # the pacer was actually consulted
+
+
+def test_on_shortest_path_matches_unpaced_semantics(spark, sf_dir):
+    """Pacing is a scheduling change only — on-shortest membership is
+    byte-identical to the r03 semantics (source customer:1, all
+    region targets; 4 of 5 unreachable exercises the degraded
+    forward fixpoint)."""
+    from onionnet_spark.operators import traversal as T
+    from onionnet_spark.queries.graph_queries import get_graph
+
+    g = get_graph(spark, sf_dir)
+    targets = [("region", str(i)) for i in range(5)]
+    rows = T.on_shortest_path(g, ("customer", "1"), targets).collect()
+    got = {(r["layer"], r["node_id"]): (r["d_f"], r["d_r"]) for r in rows}
+    # the path customer:1 -> nation -> region plus the source itself
+    assert ("customer", "1") in got
+    assert got[("customer", "1")] == (0, 2)
+    assert all(df_ + dr == 2 for (df_, dr) in got.values())
