@@ -152,6 +152,15 @@ def decode_mc_video(data: bytes) -> tuple[np.ndarray, int]:
             for x0 in range(0, w, block):
                 dx = br.read(4) - rng
                 dy = br.read(4) - rng
+                # corrupt/truncated streams can carry vectors pointing
+                # outside the frame; numpy would silently wrap negative
+                # offsets into garbage prediction blocks — fail loudly
+                # instead (the decode_mdct clamp convention)
+                if not (0 <= y0 + dy <= h - block and 0 <= x0 + dx <= w - block):
+                    raise ValueError(
+                        f"OMV1 motion vector out of bounds: block ({y0},{x0}) "
+                        f"dv=({dy},{dx}) frame {h}x{w}"
+                    )
                 pred = recon[y0 + dy : y0 + dy + block, x0 + dx : x0 + dx + block]
                 if br.read(1) == 0:
                     n_skip += 1
@@ -160,6 +169,8 @@ def decode_mc_video(data: bytes) -> tuple[np.ndarray, int]:
                     )
                     continue
                 k = br.read(5)
+                if k > 30:  # encoder caps k at 30; 31 means corruption
+                    raise ValueError(f"OMV1 invalid Rice parameter k={k}")
                 u = np.empty(block * block, dtype=np.int64)
                 for i in range(block * block):
                     hi = br.read_unary()

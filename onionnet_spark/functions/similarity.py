@@ -1705,8 +1705,14 @@ def ann_recall_report(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
             F.col("n_exact").cast("int").alias("n_exact"),
+            # greatest(.,1) is belt-and-braces: n_exact comes from a
+            # groupBy over existing rows so it is >= 1 whenever the
+            # query appears at all (a 1-row corpus yields an empty
+            # report, not a zero denominator)
             F.round(
-                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
+                F.coalesce("n_hits", F.lit(0))
+                / F.greatest(F.col("n_exact"), F.lit(1)),
+                6,
             ).alias("recall"),
         )
     )
@@ -1773,8 +1779,13 @@ def matryoshka_recall(
                 F.lit(k).cast("int").alias("k"),
                 F.col("n_queries").cast("bigint").alias("n_queries"),
                 F.col("total_hits").cast("bigint").alias("total_hits"),
+                # greatest(n,1): an empty md5 sample on a tiny corpus
+                # must yield a defined 0.0, not an engine-divergent
+                # null/NaN (the dedup_recall_report convention)
                 F.round(
-                    F.col("total_hits") / (F.col("n_queries") * F.lit(k)), 6
+                    F.col("total_hits")
+                    / (F.greatest(F.col("n_queries"), F.lit(1)) * F.lit(k)),
+                    6,
                 ).alias("mean_recall"),
             )
         )

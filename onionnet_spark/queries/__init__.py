@@ -40,6 +40,8 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# HISTORICAL window lists (rounds 3-5), kept as the rotation record;
+# load_all() now orders by _R6_WINDOW/_R7_QUEUE below.
 # Driver-window rotation (round 3). The driver's CORRECTNESS_r{N}.json
 # records only the FIRST 50 registered queries per round. r01 recorded
 # graph/dedup/text heads; r02 recorded relational/streaming. These 41
@@ -290,6 +292,136 @@ _R6_BACKLOG: list[str] = [
 ]
 
 
+# Round-6 driver window (the driver records the FIRST 50 keys): the
+# three r05 gate reds go first so their fixes get re-recorded green
+# (bloom_pruned_revenue DECIMAL accumulation; adjacency/tokenize gate
+# surfaces now emit hashable strings), then 47 keys that have never
+# held a driver window slot (r05 cumulative: 199 recorded of 305).
+# _R7_QUEUE holds the remaining 59 never-recorded keys, queued for
+# the round-7 window; keys NEW in round 6 append behind them.
+_R6_WINDOW: list[str] = [
+    "bloom_pruned_revenue",
+    "graph_adjacency_export",
+    "tokenize_to_ids",
+    "c4_line_filter",
+    "pii_by_source",
+    "minhash_signatures",
+    "graph_conductance",
+    "orders_revenue_mom",
+    "simhash_near_pairs",
+    "embedding_pca_top",
+    "tfidf_doc_topk",
+    "embedding_project_out",
+    "events_session_paths",
+    "containment_pairs",
+    "vocab_growth",
+    "graph_node2vec_walks",
+    "multimodal_dhash_near_pairs",
+    "events_active_users",
+    "parts_abc_classes",
+    "embedding_norm_outliers",
+    "dedup_method_report",
+    "orders_open_per_day",
+    "text_readability",
+    "minhash_est_accuracy",
+    "simhash_bit_balance",
+    "graph_centralization",
+    "graph_layer_matrix",
+    "boilerplate_lines_topk",
+    "embedding_exact_dup",
+    "docs_ngram_novelty",
+    "multimodal_ulaw_decode",
+    "multimodal_alaw_decode",
+    "multimodal_adpcm_decode",
+    "multimodal_video_frames",
+    "multimodal_mjpeg_frames",
+    "multimodal_jpeg420_decode",
+    "multimodal_jpeg_progressive_decode",
+    "semantic_dedup",
+    "gopher_rules",
+    "graph_salsa",
+    "audio_window_rms",
+    "video_scene_cuts",
+    "graph_edge_embeddedness",
+    "multimodal_flac_decode",
+    "multimodal_msvc_frames",
+    "graph_scc_condensation",
+    "embedding_kmeans_report",
+    "bpe_train_merges",
+    "bpe_encode_ids",
+    "warc_ingest",
+]
+
+
+_R7_QUEUE: list[str] = [
+    "multimodal_gif_frames",
+    "graph_mis",
+    "orders_custkey_cms",
+    "parts_skyline",
+    "graph_coloring",
+    "dedup_ppjoin",
+    "graph_msf",
+    "orders_fd_profile",
+    "fk_inclusion_profile",
+    "graph_label_spread",
+    "lineitem_benford",
+    "orders_price_mad",
+    "graph_spectral_bisection",
+    "compressed_text_ingest",
+    "multimodal_tiff_decode",
+    "orders_cdc_apply",
+    "docs_lang_auc",
+    "docs_split_finding",
+    "sorted_neighborhood_pairs",
+    "basket_triples",
+    "graph_percolation",
+    "ann_lsh_multiprobe",
+    "multimodal_bmp_decode",
+    "graph_trussness",
+    "docs_lang_confusion",
+    "events_cohort_ltv",
+    "graph_attr_assortativity",
+    "ann_recall_report",
+    "embedding_matryoshka_eval",
+    "dup_span_stats",
+    "nb_lang_confusion",
+    "graph_wl_colors",
+    "graph_square_count",
+    "events_attribution",
+    "lineitem_monthly_trend",
+    "multimodal_mdct_decode",
+    "graph_hyperanf",
+    "graph_clique4",
+    "multimodal_mc_video_decode",
+    "bootstrap_doc_length",
+    "length_psi_by_source",
+    "graph_onion_layers",
+    "dedup_keep_policy",
+    "bpe_fertility_by_source",
+    "orders_status_year_pivot",
+    "entity_clusters",
+    "multimodal_augment",
+    "graph_link_training_set",
+    "embedding_hard_negatives",
+    "docs_rag_chunks",
+    "events_user_features",
+    "embedding_triplet_set",
+    "docs_tree_depth2",
+    "graph_simrank",
+    "events_markov_stationary",
+    "lineitem_wilson_returns",
+    "vocab_kl_by_source",
+    "dedup_recall_report",
+    "multimodal_audio_augment",
+]
+
+
+# Queries new in round 6: behind the never-recorded backlog (they
+# pass tools/check_correctness.py locally; driver slots go to the
+# evidence debt first).
+_R6_NEW: list[str] = []
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
         relational,
@@ -299,13 +431,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     ordered: dict[str, tuple[QueryFn, str | None]] = {}
-    # Round 4: the 19 backlog keys (born after r3's window filled) go
-    # first so the driver finally records them, then queries new in
-    # round 4, then everything already on record in r01-r03.
-    for name in _R4_BACKLOG + _R4_NEW + _R5_BACKLOG + _R6_BACKLOG:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    for name in _R3_WINDOW:
+    for name in _R6_WINDOW + _R7_QUEUE + _R6_NEW:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name, entry in REGISTRY.items():

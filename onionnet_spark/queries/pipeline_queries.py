@@ -4346,7 +4346,8 @@ def _matryoshka_oracle(dims=(8, 16, 32), topk: int = 5, frac_cut: int = 13107) -
            (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_queries,
            CAST(total_hits AS BIGINT) AS total_hits,
            ROUND(total_hits * 1.0
-                 / ((SELECT COUNT(*) FROM s) * {topk}), 6) AS mean_recall
+                 / (GREATEST((SELECT COUNT(*) FROM s), 1) * {topk}), 6)
+             AS mean_recall
     FROM hd{d}"""
         )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)

@@ -34,46 +34,61 @@ def test_oracle_attachment_to_same_fn_allowed():
 def test_load_all_is_registry_superset_and_ordered():
     reg = q.load_all()
     assert set(reg) == set(q.REGISTRY)
-    # round-4 priority: backlog keys (born after r3's window filled)
-    # and round-4 additions register first, so the driver finally
-    # records them; everything already green in r01-r03 rotates behind
+    # round-6 priority: the three r05 gate reds lead (their fixes
+    # must be re-recorded green), then the never-recorded backlog
     present_priority = [
-        k for k in q._R4_BACKLOG + q._R4_NEW if k in reg
+        k for k in q._R6_WINDOW + q._R7_QUEUE + q._R6_NEW if k in reg
     ]
     assert list(reg)[: len(present_priority)] == present_priority
 
 
-def test_r4_window_covers_never_checked_keys():
-    """Evidence-plan invariants (VERDICT r3 next-round item 1): every
-    driver-window slot is spent on a key with NO recorded CORRECTNESS
-    row in r01-r03 (none wasted on re-checking), until the
-    never-checked pool is exhausted — nothing falls through
-    silently."""
+def test_r6_window_covers_unrecorded_or_red_keys():
+    """Evidence-plan invariants (VERDICT r5 next-round item 3): every
+    round-6 driver-window slot is spent either on one of the three
+    r05 gate reds (fixed this round, needs a green re-record) or on
+    a key with NO recorded CORRECTNESS row in r01-r05; overflow
+    never-recorded keys are explicitly queued for round 7 — nothing
+    falls through silently."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked = set()
+    green = set()
+    red = set()
     for fname in (
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r05.json",
     ):
         path = os.path.join(root, fname)
-        if os.path.exists(path):
-            checked |= set(json.load(open(path)))
+        if not os.path.exists(path):
+            continue
+        for k, v in json.load(open(path)).items():
+            if not isinstance(v, dict):
+                continue
+            hashed = v.get("hash_match") and not v.get("err")
+            # rows-only sketches record err='no_oracle' with a row
+            # count — that IS their green (weaker by design)
+            rows_only = (
+                v.get("err") == "no_oracle"
+                and v.get("spark_rows") is not None
+            )
+            (green if hashed or rows_only else red).add(k)
+    red -= green
+    red &= set(q.REGISTRY)  # drop keys retired from the registry
     reg = q.load_all()
-    never = {k for k in reg if k not in checked}
-    first = list(reg)[: min(50, len(never))]
-    wasted = [k for k in first if k not in never]
-    assert not wasted, f"window slots spent on already-checked keys: {wasted}"
-    # keys past the 50-slot window are structural once the round's
-    # window fills; each one must be EXPLICITLY queued for the next
-    # round's rotation (the _R4_BACKLOG pattern) — nothing falls
-    # through silently
-    overflow = [k for k in never if k not in set(first)]
-    queued = set(q._R5_BACKLOG) | set(q._R6_BACKLOG)
+    eligible = {k for k in reg if k not in green}
+    first = list(reg)[: min(50, len(eligible))]
+    wasted = [k for k in first if k in green]
+    assert not wasted, f"window slots spent on already-green keys: {wasted}"
+    # the fixed reds lead the window so their repairs get recorded
+    assert set(first[:3]) == red == {
+        "bloom_pruned_revenue", "graph_adjacency_export", "tokenize_to_ids",
+    }
+    overflow = [k for k in eligible if k not in set(first)]
+    queued = set(q._R7_QUEUE) | set(q._R6_NEW)
     unqueued = [k for k in overflow if k not in queued]
     assert not unqueued, (
-        f"never-checked keys neither in the window nor queued in "
-        f"_R5_BACKLOG/_R6_BACKLOG: {unqueued}"
+        f"never-recorded keys neither in the window nor queued in "
+        f"_R7_QUEUE/_R6_NEW: {unqueued}"
     )
 
 

@@ -92,3 +92,25 @@ def test_on_shortest_path_matches_unpaced_semantics(spark, sf_dir):
     assert ("customer", "1") in got
     assert got[("customer", "1")] == (0, 2)
     assert all(df_ + dr == 2 for (df_, dr) in got.values())
+
+
+def test_mc_video_rejects_out_of_bounds_motion_vector():
+    """A corrupt OMV1 stream whose motion vector points outside the
+    frame must raise ValueError, not silently wrap through numpy
+    negative indexing into a garbage prediction block."""
+    import numpy as np
+    import pytest
+
+    from onionnet_spark.functions import mcvideo
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(3, 16, 16), dtype=np.uint8)
+    blob = bytearray(mcvideo.encode_mc_video(frames, qstep=4))
+    # header: magic(4) wh n block rng qstep, then 8*h*w bits of frame
+    # 0, then per-block [dx:4][dy:4]... — force dx=15 (-> +rng beyond
+    # the frame for block x0=8) on the FIRST predicted block
+    first_mv_bit = 13 * 8 + 16 * 16 * 8
+    byte_i, bit_off = divmod(first_mv_bit, 8)
+    blob[byte_i] |= 0xF0 >> bit_off  # set the 4 dx bits to 1111
+    with pytest.raises(ValueError, match="out of bounds|Rice"):
+        mcvideo.decode_mc_video(bytes(blob))
