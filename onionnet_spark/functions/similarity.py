@@ -1793,6 +1793,39 @@ def matryoshka_recall(
     return out
 
 
+def _mining_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    candidates_k: int,
+    search: str,
+    n_centroids: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared candidate arm for the contrastive miners: the exact
+    block matrix-multiply search ('brute', the correctness baseline)
+    or the IVF inverted-file search ('ivf', the 100-TB path — cost
+    nprobe*sum(cell*|cell|) instead of n²; size n_centroids ~sqrt(N)
+    per the ann_ivf_topk scale contract). Both return
+    (query_id, neighbor_id, cosine) with identical 6dp rounding, so
+    every downstream mining step is arm-agnostic."""
+    if search == "brute":
+        return brute_force_topk(df, vec_col, id_col, k=candidates_k).select(
+            "query_id", "neighbor_id", "cosine"
+        )
+    if search == "ivf":
+        return ann_ivf_topk(
+            df,
+            vec_col,
+            id_col,
+            k=candidates_k,
+            n_centroids=n_centroids,
+            nprobe=nprobe,
+            codebook="kmeans",
+        ).select("query_id", "neighbor_id", "cosine")
+    raise ValueError("search must be 'brute' or 'ivf'")
+
+
 def hard_negatives(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1800,26 +1833,30 @@ def hard_negatives(
     label_col: str = "label",
     k: int = 3,
     candidates_k: int = 25,
+    search: str = "brute",
+    n_centroids: int = 8,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every
     vector, the `k` most-similar vectors with a DIFFERENT label —
     the negatives that actually move a metric-learning loss (random
     negatives are mostly too easy to matter).
 
-    Built on the exact block matrix-multiply search: take the
-    `candidates_k` nearest neighbors, join labels, keep cross-label
-    rows, re-rank to k. `candidates_k` bounds how deep the mining
-    looks (at corpus scale swap the exact arm for ann_ivf_topk with
-    the same post-filter — same downstream contract). A query whose
-    whole candidate list shares its label yields fewer than k rows
-    (visible, not padded). Returns (query_id, negative_id, cosine,
-    rank) with the deterministic (cosine desc, id) order.
+    Take the `candidates_k` nearest neighbors (search='brute' exact
+    baseline, or search='ivf' for the corpus-scale inverted-file arm
+    — identical downstream contract), join labels, keep cross-label
+    rows, re-rank to k. A query whose whole candidate list shares
+    its label yields fewer than k rows (visible, not padded).
+    Returns (query_id, negative_id, cosine, rank) with the
+    deterministic (cosine desc, id) order.
     """
     from pyspark.sql import Window
 
     labels = df.select(F.col(id_col).alias("nid"), F.col(label_col).alias("nl"))
     qlabels = df.select(F.col(id_col).alias("query_id"), F.col(label_col).alias("ql"))
-    cands = brute_force_topk(df, vec_col, id_col, k=candidates_k)
+    cands = _mining_candidates(
+        df, vec_col, id_col, candidates_k, search, n_centroids, nprobe
+    )
     crossed = (
         cands.join(labels, on=cands["neighbor_id"] == labels["nid"])
         .join(qlabels, on="query_id")
@@ -1846,19 +1883,23 @@ def triplet_training_set(
     id_col: str = "vec_id",
     label_col: str = "label",
     candidates_k: int = 25,
+    search: str = "brute",
+    n_centroids: int = 8,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Contrastive triplet construction: for every anchor, its
     nearest SAME-label neighbor (positive) and nearest OTHER-label
-    neighbor (hard negative) from one shared candidates_k-deep exact
+    neighbor (hard negative) from one shared candidates_k-deep
     top-k pass — the (a, p, n) table a triplet/InfoNCE loss trains
     on, with the margin visible per row.
 
-    One search pass feeds both sides (the candidate list is joined
-    to labels once), so the cost is exactly one brute-force/ANN run
-    plus two windowed re-ranks. Anchors whose candidate list lacks a
-    same-label (or other-label) row drop out — visible, not padded.
-    Returns (anchor_id, positive_id, negative_id, pos_cosine,
-    neg_cosine, margin).
+    One search pass (search='brute' exact baseline or search='ivf'
+    inverted-file scale arm — same downstream contract) feeds both
+    sides (the candidate list is joined to labels once), so the cost
+    is exactly one search run plus two windowed re-ranks. Anchors
+    whose candidate list lacks a same-label (or other-label) row
+    drop out — visible, not padded. Returns (anchor_id, positive_id,
+    negative_id, pos_cosine, neg_cosine, margin).
     """
     from pyspark.sql import Window
 
@@ -1867,7 +1908,9 @@ def triplet_training_set(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("ql")
     )
     cands = (
-        brute_force_topk(df, vec_col, id_col, k=candidates_k)
+        _mining_candidates(
+            df, vec_col, id_col, candidates_k, search, n_centroids, nprobe
+        )
         .join(labels, on=F.col("neighbor_id") == F.col("nid"))
         .join(qlabels, on="query_id")
         .localCheckpoint()

@@ -419,7 +419,10 @@ _R7_QUEUE: list[str] = [
 # Queries new in round 6: behind the never-recorded backlog (they
 # pass tools/check_correctness.py locally; driver slots go to the
 # evidence debt first).
-_R6_NEW: list[str] = []
+_R6_NEW: list[str] = [
+    "embedding_hard_negatives_ivf",
+    "embedding_triplet_set_ivf",
+]
 
 
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:

@@ -4838,6 +4838,101 @@ def embedding_triplet_set_q(spark, sf_dir):
     return similarity.triplet_training_set(_embs(spark, sf_dir), candidates_k=25)
 
 
+def _ivf_candidate_ctes(
+    k_cent: int = 8, iterations: int = 2, nprobe: int = 2, cand_k: int = 25
+) -> list[str]:
+    """Shared oracle prefix for the IVF-backed miners: the unrolled
+    Lloyd codebook (rk), cell-local candidate pairs, rank-capped to
+    cand_k — ends at `cand`(query_id, neighbor_id, cosine) plus
+    `lab`(vec_id, label)."""
+    ctes = _kmeans_assign_ctes(k_cent, iterations)
+    ctes.append("idx AS (SELECT id, e, cid FROM rk WHERE rn = 1)")
+    ctes.append(f"probe AS (SELECT id, e, cid FROM rk WHERE rn <= {nprobe})")
+    ctes.append(
+        f"""ivfp AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+             {_cos('a.e', 'b.e')} AS cosine
+       FROM probe a JOIN idx b ON a.cid = b.cid AND a.id <> b.id)"""
+    )
+    ctes.append(
+        f"""cand AS (SELECT query_id, neighbor_id, cosine FROM (
+         SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS crn
+         FROM ivfp) WHERE crn <= {cand_k})"""
+    )
+    ctes.append("lab AS (SELECT vec_id, label FROM embeddings)")
+    return ctes
+
+
+def _hard_negatives_ivf_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_ivf_candidate_ctes())
+        + """,
+    crossed AS (
+      SELECT c.query_id, c.neighbor_id, c.cosine
+      FROM cand c
+      JOIN lab q ON q.vec_id = c.query_id
+      JOIN lab n ON n.vec_id = c.neighbor_id
+      WHERE q.label <> n.label),
+    rr AS (SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT)
+            AS rank
+           FROM crossed)
+    SELECT query_id, neighbor_id AS negative_id, cosine, rank
+    FROM rr WHERE rank <= 3"""
+    )
+
+
+@register("embedding_hard_negatives_ivf", _hard_negatives_ivf_oracle())
+def embedding_hard_negatives_ivf_q(spark, sf_dir):
+    """Hard-negative mining on the IVF candidate arm (the 100-TB
+    path: cell-local pairs, nprobe*sum(cell*|cell|) not n²) — same
+    downstream contract as embedding_hard_negatives; the oracle
+    composes the unrolled Lloyd codebook with the identical
+    cross-label re-rank, so the swap-in is gate-proven rather than
+    documented."""
+    return similarity.hard_negatives(
+        _embs(spark, sf_dir), k=3, candidates_k=25, search="ivf",
+        n_centroids=8, nprobe=2,
+    )
+
+
+def _triplet_ivf_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_ivf_candidate_ctes())
+        + """,
+    cl AS (SELECT c.query_id, c.neighbor_id, c.cosine,
+                  q.label AS ql, n.label AS nl
+           FROM cand c
+           JOIN lab q ON q.vec_id = c.query_id
+           JOIN lab n ON n.vec_id = c.neighbor_id),
+    pos AS (SELECT query_id, neighbor_id AS positive_id, cosine AS pos_cosine
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS k
+                  FROM cl WHERE nl = ql) WHERE k = 1),
+    neg AS (SELECT query_id, neighbor_id AS negative_id, cosine AS neg_cosine
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS k
+                  FROM cl WHERE nl <> ql) WHERE k = 1)
+    SELECT p.query_id AS anchor_id, p.positive_id, n.negative_id,
+           p.pos_cosine, n.neg_cosine,
+           ROUND(p.pos_cosine - n.neg_cosine, 6) AS margin
+    FROM pos p JOIN neg n ON n.query_id = p.query_id"""
+    )
+
+
+@register("embedding_triplet_set_ivf", _triplet_ivf_oracle())
+def embedding_triplet_set_ivf_q(spark, sf_dir):
+    """Contrastive triplets on the IVF candidate arm — the scale
+    variant of embedding_triplet_set, oracle-composed from the
+    unrolled IVF search plus the identical pos/neg re-ranks."""
+    return similarity.triplet_training_set(
+        _embs(spark, sf_dir), candidates_k=25, search="ivf",
+        n_centroids=8, nprobe=2,
+    )
+
+
 def _tree_block(prefix: str, name: str, rel: str, n_bins: int = 16) -> str:
     """Best-split block for feature `name` over relation `rel`
     (columns f_<feature>, y) — the _split_finding_oracle machinery

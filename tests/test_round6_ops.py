@@ -114,3 +114,29 @@ def test_mc_video_rejects_out_of_bounds_motion_vector():
     blob[byte_i] |= 0xF0 >> bit_off  # set the 4 dx bits to 1111
     with pytest.raises(ValueError, match="out of bounds|Rice"):
         mcvideo.decode_mc_video(bytes(blob))
+
+
+def test_ivf_mining_arm_has_no_brute_force_block_join(spark, sf_dir):
+    """The IVF-backed miners must plan WITHOUT the brute-force block
+    matrix-multiply (no cogroup/applyInPandas stage): candidates come
+    from the cell-local equi-join on the coarse bucket — this is what
+    makes the 100-TB swap-in gate-proven rather than documented."""
+    from onionnet_spark.functions.similarity import (
+        hard_negatives,
+        triplet_training_set,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for fn in (hard_negatives, triplet_training_set):
+        df = fn(embs, candidates_k=5, search="ivf", n_centroids=4, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapCoGroupsInPandas" not in plan
+        assert "Cartesian" not in plan
+        # windows are partitioned by query (no global single-partition sort)
+        assert "No Partition Defined" not in plan
+        assert df.count() > 0
+
+    # and the brute arm (control) DOES carry the block join
+    brute = hard_negatives(embs, candidates_k=5, search="brute")
+    plan = brute._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
