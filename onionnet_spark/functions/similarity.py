@@ -1793,6 +1793,74 @@ def matryoshka_recall(
     return out
 
 
+def quantization_recall(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    sample_frac: float = 0.2,
+) -> DataFrame:
+    """Int8-quantization retrieval eval: neighbor recall@k when the
+    index stores the int8 codes instead of float vectors — the
+    companion eval to matryoshka_recall (that one truncates
+    dimensions, this one truncates precision). Decides whether the
+    4x-smaller quantize_embeddings_int8 layout is retrieval-safe.
+
+    Ground truth is full-precision brute-force top-k over the same
+    deterministic md5 query sample; the approximate arm reruns the
+    identical exact search on the DEQUANTIZED vectors
+    x' = code * scale / 127 (scale is the 6dp-rounded per-dimension
+    max-abs, so reconstruction is the same single IEEE ops in every
+    engine). Returns one row: (k, n_queries, total_hits,
+    mean_recall) — integer hits divided once.
+
+    Scale: two brute-force passes over sample_frac*N queries x N
+    candidates — an offline eval on a sample by construction, each
+    pass the audited block matrix-multiply.
+    """
+    frac_cut = int(sample_frac * 65536)
+    sampled = df.filter(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        < frac_cut
+    ).localCheckpoint()
+
+    deq = (
+        quantize_embeddings_int8(df, vec_col, id_col)
+        .withColumn("xq", F.col("code") * F.col("scale") / 127.0)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "xq"))),
+                lambda s: s["xq"],
+            ).alias(vec_col)
+        )
+    )
+    sample_keys = sampled.select(id_col)
+    deq_queries = deq.join(F.broadcast(sample_keys), on=id_col)
+    truth = brute_force_topk(df, vec_col, id_col, k=k, queries=sampled).select(
+        "query_id", "neighbor_id"
+    )
+    approx = brute_force_topk(
+        deq, vec_col, id_col, k=k, queries=deq_queries
+    ).select("query_id", "neighbor_id")
+    hits = truth.join(approx, on=["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("total_hits")
+    )
+    nq = sample_keys.agg(F.count("*").alias("n_queries"))
+    return hits.crossJoin(nq).select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.col("total_hits").cast("bigint").alias("total_hits"),
+        F.round(
+            F.col("total_hits")
+            / (F.greatest(F.col("n_queries"), F.lit(1)) * F.lit(k)),
+            6,
+        ).alias("mean_recall"),
+    )
+
+
 def _mining_candidates(
     df: DataFrame,
     vec_col: str,

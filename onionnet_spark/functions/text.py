@@ -325,6 +325,88 @@ def bigram_logprob(
     )
 
 
+def trigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean per-trigram conditional log-probability
+    ln P(w_i | w_{i-2}, w_{i-1}) under the corpus's own empirical
+    trigram model — the third-order member of the n-gram LM family
+    (uni/bi above); the in-engine stand-in for the KenLM-style
+    perplexity scorers CCNet-class pipelines filter with.
+
+    P(w3|w1,w2) = c(w1,w2,w3) / c(w1,w2 as trigram prefix), both
+    counted over the corpus, so every observed trigram has nonzero
+    probability (self-scoring needs no smoothing). Docs with < 3
+    tokens produce no trigrams and drop out, matching the oracle.
+    Shuffles: one on (w1,w2,w3) for the model, one on (w1,w2) for
+    prefixes, one join back — all Zipf-bounded n-gram keys.
+    """
+    positions = F.when(
+        F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    trigrams = (
+        df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("t"))
+        .select(id_col, "t", F.explode(positions).alias("i"))
+        .select(
+            id_col,
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+            F.element_at("t", F.col("i") + 2).alias("w3"),
+        )
+    )
+    model = trigrams.groupBy("w1", "w2", "w3").agg(F.count("*").alias("cb"))
+    prefix = model.groupBy("w1", "w2").agg(F.sum("cb").alias("cp"))
+    scored = (
+        trigrams.join(model, on=["w1", "w2", "w3"])
+        .join(prefix, on=["w1", "w2"])
+        .select(id_col, F.log(F.col("cb") / F.col("cp")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_trigram_logprob"),
+    )
+
+
+def perplexity_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity banding (Wenzek et al. 2020): split
+    each language's documents into head / middle / tail terciles by
+    LM score — the standard pre-training triage (head trains as-is,
+    middle gets reviewed, tail is dropped). The LM is the corpus's
+    own bigram model (bigram_logprob); perplexity exp(-mean_lp) is
+    monotone in -mean_lp, so banding on the logprob is banding on
+    perplexity without the cross-engine exp() hazard.
+
+    Terciles come from ntile(3) over a window PARTITIONED by
+    language (per-language data, never a global sort) ordered by the
+    6dp-rounded score with doc_id tie-break — deterministic and
+    engine-replayable. Docs with < 2 tokens have no bigram score and
+    drop out, matching bigram_logprob. Returns
+    (doc_id, lang, n_bigrams, mean_bigram_logprob, band).
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(df, text_col=text_col, id_col=id_col).join(
+        df.select(F.col(id_col), F.col(lang_col).alias("lang")), on=id_col
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_bigram_logprob"), F.col(id_col)
+    )
+    tile = F.ntile(3).over(w)
+    band = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        id_col, "lang", "n_bigrams", "mean_bigram_logprob", band.alias("band")
+    )
+
+
 # PII patterns kept to the Java-regex ∩ RE2 common dialect (char
 # classes, bounded quantifiers, \b, non-capturing groups — no
 # backrefs/lookaround) so the DuckDB oracle replays them verbatim.
@@ -496,6 +578,47 @@ def dsir_logratio(
             F.count("*").cast("bigint").alias("n_tokens"),
             F.round(F.sum("w_q") / 1e6 / F.count("*"), 6).alias("logratio"),
         )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    frac: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance SELECTION: keep the top `frac` of scored
+    documents by target log-ratio — the deterministic counterpart of
+    Xie et al. 2023's Gumbel-noise resampling (same tilt toward the
+    target domain, exactly replayable, no seed channel). The paper's
+    stochastic draw is one extra md5-derived noise column away if a
+    soft sample is wanted; the hard top-fraction is what a
+    reproducible curation pipeline ships.
+
+    The global order-statistic comes from corpus.global_rank (the
+    two-phase bucketed rank, window partitioned per bucket) — never
+    a single-partition ROW_NUMBER; ties break by doc id. Documents
+    with no tokens have no score and are never selected. Returns the
+    selected rows as (doc_id, n_tokens, logratio, sel_rank).
+    """
+    from onionnet_spark.functions.corpus import global_rank
+
+    scores = dsir_logratio(df, target, text_col=text_col, id_col=id_col)
+    # rank ascending on the NEGATED 6dp score == logratio descending
+    ranked = global_rank(
+        scores.withColumn("_neg", -F.col("logratio")),
+        "_neg",
+        id_col,
+        rank_col="sel_rank",
+    )
+    n_sel = scores.agg(
+        F.ceil(F.count("*") * F.lit(frac)).cast("bigint").alias("_n_sel")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_sel))
+        .filter(F.col("sel_rank") <= F.col("_n_sel"))
+        .select(id_col, "n_tokens", "logratio", "sel_rank")
     )
 
 

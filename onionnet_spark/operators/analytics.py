@@ -1945,6 +1945,85 @@ def modularity(graph: OnionGraph, assignment: DataFrame) -> DataFrame:
     )
 
 
+def louvain_move_round(graph: OnionGraph) -> DataFrame:
+    """One synchronous Louvain sweep from singleton communities —
+    the distributed first phase of Louvain community detection
+    (Blondel et al. 2008; synchronized-move variant per the
+    distributed adaptations, e.g. Sotera DGA): every node evaluates
+    the modularity gain of joining each neighbor's community and
+    moves to the best strictly-positive one.
+
+    From singletons the gain of i joining {j} reduces (up to the
+    community-independent removal term and the global 1/(2m)^2
+    scale) to the INTEGER modularity-matrix entry
+        gain_num = 2m - k_i * k_j          (w_ij = 1, simple graph)
+    so the move rule is exact integer arithmetic: argmax over
+    neighbors = min k_j, tie-break min neighbor key. Synchronous
+    sweeps can oscillate on symmetric pairs (i<->j swap forever), so
+    moves are restricted to neighbors with a SMALLER node key — the
+    standard distributed symmetry break; one sweep strictly
+    increases modularity whenever any gain is positive.
+
+    Shuffles: one symmetrize+distinct, one degree aggregation, one
+    join + per-node window partitioned by node. Returns
+    (layer, node_id, community, moved, gain_num); community is the
+    chosen neighbor's 'layer:id' key (own key when no positive-gain
+    smaller-key neighbor exists). Compose with `modularity` to
+    measure the sweep.
+    """
+    from pyspark.sql import Window
+
+    e = graph.edge_endpoints()
+    fwd = e.select("src_layer", "src_id", "dst_layer", "dst_id")
+    sym = (
+        fwd.union(
+            e.select(
+                F.col("dst_layer").alias("src_layer"),
+                F.col("dst_id").alias("src_id"),
+                F.col("src_layer").alias("dst_layer"),
+                F.col("src_id").alias("dst_id"),
+            )
+        )
+        .filter(
+            (F.col("src_layer") != F.col("dst_layer"))
+            | (F.col("src_id") != F.col("dst_id"))
+        )
+        .distinct()
+    )
+    ukey = F.concat_ws(":", "src_layer", "src_id")
+    vkey = F.concat_ws(":", "dst_layer", "dst_id")
+    pairs = sym.select(ukey.alias("u"), vkey.alias("v"))
+    deg = pairs.groupBy("u").agg(F.count("*").alias("k"))
+    m2 = pairs.agg(F.count("*").alias("m2"))
+    cand = (
+        pairs.filter(F.col("v") < F.col("u"))
+        .join(deg.withColumnRenamed("k", "ki"), on="u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("k").alias("kj")),
+            on="v",
+        )
+        .crossJoin(F.broadcast(m2))
+        .withColumn("gain_num", F.col("m2") - F.col("ki") * F.col("kj"))
+        .filter(F.col("gain_num") > 0)
+    )
+    w = Window.partitionBy("u").orderBy("kj", "v")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("u", F.col("v").alias("bc"), "gain_num")
+    )
+    nodes = graph.nodes.select(
+        "layer", "node_id", F.concat_ws(":", "layer", "node_id").alias("u")
+    )
+    return nodes.join(best, on="u", how="left").select(
+        "layer",
+        "node_id",
+        F.coalesce(F.col("bc"), F.col("u")).alias("community"),
+        F.col("bc").isNotNull().alias("moved"),
+        F.coalesce(F.col("gain_num"), F.lit(0)).cast("bigint").alias("gain_num"),
+    )
+
+
 def ego_stats(graph: OnionGraph) -> DataFrame:
     """Per-node 1-hop ego-network summary over the symmetrized
     graph: neighbor count, distinct neighbor layers, and mean

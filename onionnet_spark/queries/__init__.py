@@ -422,6 +422,11 @@ _R7_QUEUE: list[str] = [
 _R6_NEW: list[str] = [
     "embedding_hard_negatives_ivf",
     "embedding_triplet_set_ivf",
+    "trigram_logprob",
+    "ccnet_perplexity_bands",
+    "dsir_select",
+    "embedding_int8_recall",
+    "graph_louvain_move",
 ]
 
 

@@ -2399,6 +2399,45 @@ def graph_modularity_q(spark, sf_dir):
 
 
 @register(
+    "graph_louvain_move",
+    f"""WITH {CTES},
+    sym AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT src_layer || ':' || src_id AS u,
+               dst_layer || ':' || dst_id AS v FROM edges_g
+        UNION ALL
+        SELECT dst_layer || ':' || dst_id, src_layer || ':' || src_id
+        FROM edges_g)
+      WHERE u <> v),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY u),
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS a FROM sym),
+    cand AS (
+      SELECT s.u, s.v, du.k AS ki, dv.k AS kj,
+             (SELECT a FROM m2) - du.k * dv.k AS gain_num
+      FROM sym s
+      JOIN deg du ON du.u = s.u
+      JOIN deg dv ON dv.u = s.v
+      WHERE s.v < s.u),
+    best AS (
+      SELECT u, v, gain_num,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY kj, v) AS rn
+      FROM cand WHERE gain_num > 0)
+    SELECT n.layer, n.node_id,
+           COALESCE(b.v, n.layer || ':' || n.node_id) AS community,
+           b.v IS NOT NULL AS moved,
+           CAST(COALESCE(b.gain_num, 0) AS BIGINT) AS gain_num
+    FROM nodes_g n
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.u = n.layer || ':' || n.node_id""",
+)
+def graph_louvain_move_q(spark, sf_dir):
+    """One synchronous Louvain sweep from singletons (distributed
+    first phase, smaller-key symmetry break) — integer modularity
+    gains, so the move table is engine-exact."""
+    return analytics.louvain_move_round(get_graph(spark, sf_dir))
+
+
+@register(
     "graph_ego_stats",
     f"""WITH {CTES},
     sym AS MATERIALIZED (

@@ -1526,6 +1526,62 @@ def bigram_logprob_q(spark, sf_dir):
     return text.bigram_logprob(_docs(spark, sf_dir))
 
 
+@register(
+    "trigram_logprob",
+    f"""WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tg AS MATERIALIZED (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM d)
+    ),
+    model AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cb
+              FROM tg GROUP BY 1, 2, 3),
+    pref AS (SELECT w1, w2, CAST(SUM(cb) AS BIGINT) AS cp
+             FROM model GROUP BY 1, 2)
+    SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(ln(CAST(model.cb AS DOUBLE) / pref.cp)), 6)
+             AS mean_trigram_logprob
+    FROM tg JOIN model USING (w1, w2, w3) JOIN pref USING (w1, w2)
+    GROUP BY tg.doc_id""",
+)
+def trigram_logprob_q(spark, sf_dir):
+    """Third-order n-gram LM self-scoring — the in-engine stand-in
+    for KenLM-style perplexity scorers (CCNet-class filtering)."""
+    return text.trigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "ccnet_perplexity_bands",
+    f"""WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS MATERIALIZED (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)
+    ),
+    model AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+              FROM bg GROUP BY 1, 2),
+    pref AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp
+             FROM model GROUP BY 1),
+    sc AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(AVG(ln(CAST(model.cb AS DOUBLE) / pref.cp)), 6) AS mlp
+      FROM bg JOIN model USING (w1, w2) JOIN pref USING (w1)
+      GROUP BY bg.doc_id),
+    tiled AS (
+      SELECT sc.doc_id, docs.lang, sc.n_bigrams, sc.mlp,
+             NTILE(3) OVER (PARTITION BY docs.lang
+                            ORDER BY sc.mlp DESC, sc.doc_id) AS t3
+      FROM sc JOIN documents docs USING (doc_id))
+    SELECT doc_id, lang, n_bigrams, mlp AS mean_bigram_logprob,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS band
+    FROM tiled""",
+)
+def ccnet_perplexity_bands_q(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity terciles per language
+    (Wenzek et al. 2020) — banding on the 6dp bigram logprob, which
+    is monotone in perplexity without the cross-engine exp()."""
+    return text.perplexity_bands(_docs(spark, sf_dir))
+
+
 def _ann_ivf_pq_oracle(
     k_cent: int = 8, nprobe: int = 2, m: int = 4, dim: int = 64,
     pq_cent: int = 8, iterations: int = 2, topk: int = 5,
@@ -2363,6 +2419,42 @@ def dsir_logratio_q(spark, sf_dir):
     per-token log-ratio of the add-1 unigram LM of lang='en' docs vs
     the whole corpus."""
     return text.dsir_logratio(_docs(spark, sf_dir), target=F.col("lang") == "en")
+
+
+@register(
+    "dsir_select",
+    f"""WITH toks AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             UNNEST({_TOKS}) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cc, SUM(is_t) AS ct FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cc) AS nc, SUM(ct) AS nt, COUNT(*) AS v FROM vocab),
+    wtab AS (
+      SELECT tok,
+             CAST(floor((ln((ct + 1) / (nt + v)) - ln((cc + 1) / (nc + v)))
+                        * 1000000) AS BIGINT) AS w_q
+      FROM vocab CROSS JOIN tot),
+    sc AS (
+      SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(SUM(w_q) / 1000000.0 / COUNT(*), 6) AS logratio
+      FROM toks JOIN wtab ON wtab.tok = toks.tok
+      GROUP BY toks.doc_id),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY logratio DESC, doc_id)
+                AS sel_rank
+           FROM sc)
+    SELECT doc_id, n_tokens, logratio, CAST(sel_rank AS BIGINT) AS sel_rank
+    FROM rk
+    WHERE sel_rank <= (SELECT CAST(ceil(COUNT(*) * 0.25) AS BIGINT) FROM sc)""",
+)
+def dsir_select_q(spark, sf_dir):
+    """DSIR importance SELECTION (the resampling endpoint of Xie et
+    al. 2023): the top 25% of documents by English-target log-ratio
+    — deterministic top-fraction rather than Gumbel draws, so the
+    selection is exactly replayable; the rank is the two-phase
+    bucketed global_rank, never a single-partition window."""
+    return text.dsir_select(
+        _docs(spark, sf_dir), target=F.col("lang") == "en", frac=0.25
+    )
 
 
 @register(
@@ -4351,6 +4443,72 @@ def _matryoshka_oracle(dims=(8, 16, 32), topk: int = 5, frac_cut: int = 13107) -
     FROM hd{d}"""
         )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+def _int8_recall_oracle(topk: int = 5, frac_cut: int = 13107) -> str:
+    """Int8-quantization recall eval: the quantize_embeddings_int8
+    codec unrolled, vectors rebuilt as code * scale6 / 127 (same
+    single IEEE ops as the Spark arm), then the same two exact
+    top-k comparisons as the matryoshka oracle."""
+    ctes = [
+        _ENUM,
+        """ex AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                  CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings JOIN enums ON i <= len(embedding))""",
+        "sc AS (SELECT pos, MAX(ABS(x)) AS scale FROM ex GROUP BY pos)",
+        """q8 AS (SELECT vec_id, pos,
+              CASE WHEN scale > 0
+                   THEN CAST(floor(x / scale * 127 + 0.5) AS INT)
+                   ELSE 0 END AS code,
+              ROUND(scale, 6) AS s6
+       FROM ex JOIN sc USING (pos))""",
+        """vq AS (SELECT vec_id, list(code * s6 / 127 ORDER BY pos) AS e
+       FROM q8 GROUP BY vec_id)""",
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""s AS (SELECT vec_id, e FROM v
+       WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT < {frac_cut})""",
+    ]
+    ctes.extend(_bf_topk_ctes(topk, query_cte="s", name="tru"))
+    ctes.append(
+        f"""qp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_cos('a.e', 'b.e')} AS cosine
+       FROM vq a JOIN vq b ON a.vec_id <> b.vec_id
+       WHERE a.vec_id IN (SELECT vec_id FROM s))"""
+    )
+    ctes.append(
+        """qr AS (SELECT *, ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       FROM qp)"""
+    )
+    ctes.append(
+        f"""hits AS (SELECT COUNT(*) AS total_hits
+       FROM tru JOIN qr a ON a.query_id = tru.query_id
+                         AND a.neighbor_id = tru.neighbor_id
+       WHERE a.rn <= {topk})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST({topk} AS INT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_queries,
+           CAST(total_hits AS BIGINT) AS total_hits,
+           ROUND(total_hits * 1.0
+                 / (GREATEST((SELECT COUNT(*) FROM s), 1) * {topk}), 6)
+             AS mean_recall
+    FROM hits"""
+    )
+
+
+@register("embedding_int8_recall", _int8_recall_oracle())
+def embedding_int8_recall_q(spark, sf_dir):
+    """Retrieval recall@5 when the index holds int8 codes instead of
+    float vectors — the storage-codec twin of the matryoshka
+    (dimension-truncation) eval; decides whether the 4x-smaller
+    quantized layout is retrieval-safe."""
+    from onionnet_spark.functions.similarity import quantization_recall
+
+    return quantization_recall(_embs(spark, sf_dir), k=5, sample_frac=0.2)
 
 
 @register("embedding_matryoshka_eval", _matryoshka_oracle())

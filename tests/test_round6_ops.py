@@ -140,3 +140,133 @@ def test_ivf_mining_arm_has_no_brute_force_block_join(spark, sf_dir):
     brute = hard_negatives(embs, candidates_k=5, search="brute")
     plan = brute._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+# ------------------------------------------------ round-6 new operators
+
+
+def _toy_graph(spark, edges):
+    from onionnet_spark.core import OnionGraph
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = spark.createDataFrame(
+        [("g", x) for x in nodes], "layer string, node_id string"
+    )
+    e = spark.createDataFrame(
+        [("g", a, "g", b) for a, b in edges],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    return OnionGraph(n, e)
+
+
+def test_louvain_move_round_toy_gains(spark):
+    """Barbell of two triangles {a,b,c}-{d,e,f} joined by c-d: every
+    node's best smaller-key neighbor is exact integer arithmetic
+    (2m=14; all degrees 2 except c,d=3), and the sweep's assignment
+    must raise modularity over singletons."""
+    from onionnet_spark.operators.analytics import louvain_move_round, modularity
+
+    g = _toy_graph(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")],
+    )
+    out = {r["node_id"]: r for r in louvain_move_round(g).collect()}
+    # a has no smaller-key neighbor -> stays
+    assert not out["a"]["moved"] and out["a"]["community"] == "g:a"
+    # b -> a (gain 14 - 2*2 = 10)
+    assert out["b"]["community"] == "g:a" and out["b"]["gain_num"] == 10
+    # c: neighbors a(2), b(2) tie on degree -> min key a; gain 14-3*2=8
+    assert out["c"]["community"] == "g:a" and out["c"]["gain_num"] == 8
+    # e: neighbors d(3), f(2) -> only smaller keys are d; kj=3 ->
+    # gain 14 - 2*3 = 8
+    assert out["e"]["community"] == "g:d" and out["e"]["gain_num"] == 8
+    # f: smaller-key nbrs d(3), e(2) -> min kj is e
+    assert out["f"]["community"] == "g:e" and out["f"]["gain_num"] == 10
+    # the sweep beats the singleton assignment on modularity
+    assign = spark.createDataFrame(
+        [("g", k, v["community"]) for k, v in out.items()],
+        "layer string, node_id string, community string",
+    )
+    single = spark.createDataFrame(
+        [("g", k, k) for k in out], "layer string, node_id string, community string"
+    )
+    q_move = modularity(g, assign).collect()[0]["modularity"]
+    q_single = modularity(g, single).collect()[0]["modularity"]
+    assert q_move > q_single
+
+
+def test_perplexity_bands_terciles_per_lang(spark, sf_dir):
+    from onionnet_spark.functions.text import bigram_logprob, perplexity_bands
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = perplexity_bands(docs).collect()
+    scored = bigram_logprob(docs).count()
+    assert len(out) == scored  # every scored doc lands in a band
+    import collections
+
+    per = collections.defaultdict(collections.Counter)
+    for r in out:
+        per[r["lang"]][r["band"]] += 1
+    for lang, c in per.items():
+        sizes = [c["head"], c["middle"], c["tail"]]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        # head must not score worse than tail within the language
+        heads = [r["mean_bigram_logprob"] for r in out
+                 if r["lang"] == lang and r["band"] == "head"]
+        tails = [r["mean_bigram_logprob"] for r in out
+                 if r["lang"] == lang and r["band"] == "tail"]
+        if heads and tails:
+            assert min(heads) >= max(tails)
+
+
+def test_trigram_logprob_short_docs_drop(spark):
+    from onionnet_spark.functions.text import trigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "alpha beta gamma alpha beta gamma"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in trigram_logprob(docs).collect()}
+    assert set(out) == {2}
+    assert out[2]["n_trigrams"] == 4
+
+
+def test_dsir_select_top_fraction(spark, sf_dir):
+    import math
+
+    from onionnet_spark.functions.text import dsir_logratio, dsir_select
+    from onionnet_spark.sources.tpch_graph import load_tables
+    import pyspark.sql.functions as SF
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    target = SF.col("lang") == "en"
+    scores = dsir_logratio(docs, target).collect()
+    sel = dsir_select(docs, target, frac=0.25).collect()
+    n_sel = math.ceil(len(scores) * 0.25)
+    assert len(sel) == n_sel
+    assert sorted(r["sel_rank"] for r in sel) == list(range(1, n_sel + 1))
+    # selection is exactly the top-n by (logratio desc, doc_id asc)
+    want = {
+        r["doc_id"]
+        for r in sorted(scores, key=lambda r: (-r["logratio"], r["doc_id"]))[:n_sel]
+    }
+    assert {r["doc_id"] for r in sel} == want
+
+
+def test_quantization_recall_is_perfect_on_separable_vectors(spark):
+    """Orthogonal one-hot vectors survive int8 quantization exactly
+    (codes ±127 on one dim), so recall@k must be 1.0."""
+    from onionnet_spark.functions.similarity import quantization_recall
+
+    rows = []
+    dim = 8
+    for i in range(40):
+        v = [0.0] * dim
+        v[i % dim] = 1.0 if (i // dim) % 2 == 0 else 0.5
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantization_recall(df, k=3, sample_frac=0.5).collect()[0]
+    assert out["n_queries"] > 0
+    assert out["mean_recall"] == 1.0
