@@ -106,6 +106,16 @@ HEADLINE = [
     "graph_hyperanf",
     "multimodal_mdct_decode",
     "multimodal_mc_video_decode",
+    # round-6 additions (also excluded from the comparable subtotal)
+    "embedding_hard_negatives_ivf",
+    "embedding_triplet_set_ivf",
+    "trigram_logprob",
+    "ccnet_perplexity_bands",
+    "dsir_select",
+    "embedding_int8_recall",
+    "graph_louvain_move",
+    "entity_clusters",
+    "lineitem_hilbert_key",
 ]
 
 

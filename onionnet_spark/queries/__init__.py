@@ -427,6 +427,7 @@ _R6_NEW: list[str] = [
     "dsir_select",
     "embedding_int8_recall",
     "graph_louvain_move",
+    "lineitem_hilbert_key",
 ]
 
 

@@ -2401,13 +2401,16 @@ def graph_modularity_q(spark, sf_dir):
 @register(
     "graph_louvain_move",
     f"""WITH {CTES},
+    es2 AS (SELECT * FROM edges_g
+            WHERE src_layer IN ('region', 'nation', 'customer', 'supplier')
+              AND dst_layer IN ('region', 'nation', 'customer', 'supplier')),
     sym AS MATERIALIZED (
       SELECT DISTINCT u, v FROM (
         SELECT src_layer || ':' || src_id AS u,
-               dst_layer || ':' || dst_id AS v FROM edges_g
+               dst_layer || ':' || dst_id AS v FROM es2
         UNION ALL
         SELECT dst_layer || ':' || dst_id, src_layer || ':' || src_id
-        FROM edges_g)
+        FROM es2)
       WHERE u <> v),
     deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY u),
     m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS a FROM sym),
@@ -2428,13 +2431,19 @@ def graph_modularity_q(spark, sf_dir):
            CAST(COALESCE(b.gain_num, 0) AS BIGINT) AS gain_num
     FROM nodes_g n
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
-      ON b.u = n.layer || ':' || n.node_id""",
+      ON b.u = n.layer || ':' || n.node_id
+    WHERE n.layer IN ('region', 'nation', 'customer', 'supplier')""",
 )
 def graph_louvain_move_q(spark, sf_dir):
     """One synchronous Louvain sweep from singletons (distributed
     first phase, smaller-key symmetry break) — integer modularity
-    gains, so the move table is engine-exact."""
-    return analytics.louvain_move_round(get_graph(spark, sf_dir))
+    gains, so the move table is engine-exact. Runs on the same
+    entity-layer view the LPA/modularity queries use (communities on
+    the bipartite order/lineitem tree are not meaningful)."""
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return analytics.louvain_move_round(g)
 
 
 @register(

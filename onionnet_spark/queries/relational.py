@@ -1939,6 +1939,67 @@ def _zorder_oracle(bits: int = 8) -> str:
     FROM q"""
 
 
+def _hilbert_oracle(bits: int = 8) -> str:
+    """Unrolls the identical rotate/flip rounds as layout.hilbert_key:
+    per level, rx/ry are quotient-parity bit tests, the quadrant index
+    is the branch-free 3*rx + ry - 2*rx*ry, and the x/y update is the
+    arithmetic flip-then-swap — integer-exact in both engines."""
+    n = 1 << bits
+    month = "l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'"
+
+    def quant(col: str, lo: str, hi: str) -> str:
+        return f"""CASE WHEN (b.{hi} - b.{lo}) > 0 THEN
+        LEAST({n - 1}, GREATEST(0, CAST(FLOOR(
+          (CAST({col} AS DOUBLE) - b.{lo}) / ((b.{hi} - b.{lo}) / {n})
+        ) AS INT))) ELSE 0 END"""
+
+    ctes = [
+        f"li AS (SELECT * FROM lineitem WHERE {month})",
+        """b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lox,
+                 MAX(CAST(l_extendedprice AS DOUBLE)) AS hix,
+                 MIN(CAST(l_quantity AS DOUBLE)) AS loy,
+                 MAX(CAST(l_quantity AS DOUBLE)) AS hiy
+          FROM li)""",
+        f"""h{bits} AS (SELECT l_orderkey, l_linenumber,
+                 CAST({quant("l_extendedprice", "lox", "hix")} AS BIGINT) AS x,
+                 CAST({quant("l_quantity", "loy", "hiy")} AS BIGINT) AS y,
+                 CAST(0 AS BIGINT) AS d
+          FROM li, b)""",
+    ]
+    n_1 = n - 1  # grid-wide flip (Wikipedia rot) keeps x/y >= 0
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        ctes.append(
+            f"""h{k} AS (SELECT l_orderkey, l_linenumber,
+             ry * x + (1 - ry) * (rx * ({n_1} - y) + (1 - rx) * y) AS x,
+             ry * y + (1 - ry) * (rx * ({n_1} - x) + (1 - rx) * x) AS y,
+             d + {s * s} * (3 * rx + ry - 2 * rx * ry) AS d
+       FROM (SELECT *, (x // {s}) % 2 AS rx, (y // {s}) % 2 AS ry
+             FROM h{k + 1}))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS hval"
+        "\n    FROM h0"
+    )
+
+
+@register("lineitem_hilbert_key", _hilbert_oracle())
+def lineitem_hilbert_key_q(spark, sf_dir):
+    """Hilbert-curve clustering key of (l_extendedprice, l_quantity)
+    over the 1996-01 ship month — the jump-free alternative to the
+    Morton z-key for 2-D data skipping (sources/layout.py)."""
+    from onionnet_spark.sources.layout import hilbert_key
+
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    return hilbert_key(li, "l_extendedprice", "l_quantity", bits=8).select(
+        "l_orderkey", "l_linenumber", "hval"
+    )
+
+
 @register("lineitem_zorder_key", _zorder_oracle())
 def lineitem_zorder_key_q(spark, sf_dir):
     """Morton z-key of (l_extendedprice, l_quantity) over the 1996-01 ship

@@ -80,6 +80,76 @@ def zorder_key(
     )
 
 
+def hilbert_key(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 8,
+    key_col: str = "hval",
+) -> DataFrame:
+    """Append the HILBERT-curve key of (col_x, col_y), quantized to
+    2^bits equi-width buckets per column — the stronger sibling of
+    `zorder_key`: the Hilbert curve has no long diagonal jumps, so
+    file bounding boxes are tighter than Morton's for the same sort
+    (this is why Iceberg/DataFusion expose both orders).
+
+    The classic xy2d transform (rotate/flip per bit level) is
+    unrolled here into `bits` rounds of pure integer column
+    arithmetic — quotient/remainder bit tests and the branch-free
+    quadrant form q = 3*rx + ry - 2*rx*ry — so the whole key stays
+    inside whole-stage codegen and replays exactly in any engine
+    (the oracle unrolls the identical rounds).
+    """
+    if not 1 <= bits <= 15:
+        raise ValueError(f"bits must be in [1, 15], got {bits}")
+    bounds = df.agg(
+        F.min(col_x).cast("double").alias("_lox"),
+        F.max(col_x).cast("double").alias("_hix"),
+        F.min(col_y).cast("double").alias("_loy"),
+        F.max(col_y).cast("double").alias("_hiy"),
+    )
+    keep = df.columns
+    cur = df.crossJoin(F.broadcast(bounds)).select(
+        *keep,
+        _quantize(F.col(col_x).cast("double"), F.col("_lox"), F.col("_hix"), bits)
+        .cast("bigint")
+        .alias("_hx"),
+        _quantize(F.col(col_y).cast("double"), F.col("_loy"), F.col("_hiy"), bits)
+        .cast("bigint")
+        .alias("_hy"),
+        F.lit(0).cast("bigint").alias("_hd"),
+    )
+    n_1 = F.lit((1 << bits) - 1).cast("bigint")
+    for k in range(bits - 1, -1, -1):
+        s = F.lit(1 << k).cast("bigint")
+        x, y = F.col("_hx"), F.col("_hy")
+        # s is a power of two, so the double division is exact and
+        # floor gives the true quotient (values stay < 2^15); each
+        # round is its OWN projection with rx/ry materialized first —
+        # inlining x/y recursively would grow the expression tree
+        # exponentially in `bits` (the first cut of this operator
+        # OOM'd the analyzer exactly that way). The flip uses the
+        # GRID-wide n-1 (the Wikipedia rot), keeping every
+        # intermediate non-negative — an s-1 flip goes negative and
+        # trips the floored-vs-truncated `%` divergence between
+        # engines.
+        cur = cur.select(
+            "*",
+            (F.floor(x / s).cast("bigint") % 2).alias("_rx"),
+            (F.floor(y / s).cast("bigint") % 2).alias("_ry"),
+        )
+        rx, ry = F.col("_rx"), F.col("_ry")
+        fx = rx * (n_1 - y) + (1 - rx) * y
+        fy = rx * (n_1 - x) + (1 - rx) * x
+        cur = cur.select(
+            *keep,
+            (ry * x + (1 - ry) * fx).alias("_hx"),
+            (ry * y + (1 - ry) * fy).alias("_hy"),
+            (F.col("_hd") + s * s * (3 * rx + ry - 2 * rx * ry)).alias("_hd"),
+        )
+    return cur.select(*keep, F.col("_hd").alias(key_col))
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -117,10 +117,12 @@ def test_mc_video_rejects_out_of_bounds_motion_vector():
 
 
 def test_ivf_mining_arm_has_no_brute_force_block_join(spark, sf_dir):
-    """The IVF-backed miners must plan WITHOUT the brute-force block
-    matrix-multiply (no cogroup/applyInPandas stage): candidates come
-    from the cell-local equi-join on the coarse bucket — this is what
-    makes the 100-TB swap-in gate-proven rather than documented."""
+    """The IVF-backed miners must plan WITHOUT the brute-force
+    all-pairs tiling: brute replicates every row across the other
+    side's tiles via explode(sequence(...)); the IVF arm cogroups on
+    the coarse CELL key only (cell-local work, nprobe*sum(cell²) not
+    n²) — this is what makes the 100-TB swap-in gate-proven rather
+    than documented."""
     from onionnet_spark.functions.similarity import (
         hard_negatives,
         triplet_training_set,
@@ -130,16 +132,23 @@ def test_ivf_mining_arm_has_no_brute_force_block_join(spark, sf_dir):
     for fn in (hard_negatives, triplet_training_set):
         df = fn(embs, candidates_k=5, search="ivf", n_centroids=4, nprobe=2)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "FlatMapCoGroupsInPandas" not in plan
+        # no Generate-explode tile replication, no cartesian (the
+        # triplet variant checkpoints its candidate arm, so only the
+        # negative assertions apply to its visible plan)
+        assert "Generate explode" not in plan
         assert "Cartesian" not in plan
         # windows are partitioned by query (no global single-partition sort)
         assert "No Partition Defined" not in plan
+        if fn is hard_negatives:
+            # the cell kernel cogroups on the coarse cell key ALONE
+            assert "FlatMapCoGroupsInPandas [bucket" in plan
         assert df.count() > 0
 
-    # and the brute arm (control) DOES carry the block join
+    # and the brute arm (control) DOES carry the tile replication
+    # (the sequence literal constant-folds, so match the Generate)
     brute = hard_negatives(embs, candidates_k=5, search="brute")
     plan = brute._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Generate explode" in plan and "FlatMapCoGroupsInPandas" in plan
 
 
 # ------------------------------------------------ round-6 new operators
@@ -270,3 +279,104 @@ def test_quantization_recall_is_perfect_on_separable_vectors(spark):
     out = quantization_recall(df, k=3, sample_frac=0.5).collect()[0]
     assert out["n_queries"] > 0
     assert out["mean_recall"] == 1.0
+
+
+# ------------------------------------- optional-lib plug-in gates (r6)
+
+
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_resize_images_real_arm_with_pil(spark):
+    """Exercises the PIL plug-in wherever the lib exists; in this
+    container it asserts the documented NotImplementedError gate."""
+    import pytest
+
+    from onionnet_spark.functions import multimodal
+    import pyspark.sql.functions as SF
+
+    ids = spark.range(0, 4).select(SF.col("id").alias("doc_id"))
+    payload = multimodal.synth_png_payload(ids)
+    real = multimodal.resize_images(payload, 5, 4, fake=False)
+    if _has_pil():
+        rows = {r["doc_id"]: r for r in real.collect()}
+        assert len(rows) == 4
+        for r in rows.values():
+            assert (r["width"], r["height"]) == (5, 4)
+            assert r["payload_out_bytes"] > 0
+    else:
+        with pytest.raises(Exception, match="NotImplementedError"):
+            real.collect()
+    # the fake arm keeps working regardless
+    fake = multimodal.resize_images(payload, 5, 4, fake=True).collect()
+    assert all(r["payload_out_bytes"] == 5 * 4 * 3 for r in fake)
+
+
+def test_sample_frames_real_arm_with_ffmpeg(spark):
+    import shutil
+
+    import pytest
+
+    from onionnet_spark.functions import multimodal
+    import pyspark.sql.functions as SF
+
+    ids = spark.range(0, 2).select(SF.col("id").alias("doc_id"))
+    payload = multimodal.synth_avi_payload(ids)
+    real = multimodal.sample_frames(payload, every_n=2, fake=False)
+    if shutil.which("ffmpeg"):
+        rows = real.collect()
+        assert rows and all(r["frame_idx"] % 2 == 0 for r in rows)
+    else:
+        with pytest.raises(Exception, match="NotImplementedError"):
+            real.collect()
+
+
+def test_hilbert_key_matches_reference_xy2d(spark):
+    """The unrolled column arithmetic must equal the classic
+    rotate/flip xy2d on every quantized cell."""
+    from onionnet_spark.sources.layout import hilbert_key
+
+    def xy2d(bits, x, y):
+        m = 1 << bits
+        d = 0
+        s = m // 2
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = m - 1 - x, m - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits = 4
+    n = 1 << bits
+    # values 0..n-1 quantize to the identity grid (lo=0, hi=n-1
+    # makes bucket width (n-1)/n < 1, so floor(v/width) needs care —
+    # use v spread so each value lands in its own bucket)
+    rows = [(i * n + j, float(i), float(j)) for i in range(n) for j in range(n)]
+    df = spark.createDataFrame(rows, "rid long, x double, y double")
+    out = {r["rid"]: r["hval"] for r in hilbert_key(df, "x", "y", bits=bits).collect()}
+    # recompute the quantized cell exactly as _quantize does
+    width = (n - 1) / n
+    for i in range(n):
+        for j in range(n):
+            qx = min(n - 1, max(0, int(i / width))) if width > 0 else 0
+            qy = min(n - 1, max(0, int(j / width))) if width > 0 else 0
+            assert out[i * n + j] == xy2d(bits, qx, qy), (i, j)
+    # Hilbert adjacency: consecutive d values are grid neighbors
+    d2cell = {}
+    for i in range(n):
+        for j in range(n):
+            d2cell[xy2d(bits, i, j)] = (i, j)
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = d2cell[d], d2cell[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
