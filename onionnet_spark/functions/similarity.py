@@ -2066,3 +2066,53 @@ def triplet_training_set(
             ),
         )
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    is_reference: Column,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension embedding drift between a reference slice and
+    the rest of the corpus — the monitor an embedding-backed system
+    runs when the upstream encoder (or the data mix) changes: a
+    per-dimension mean shift localizes WHICH directions moved, where
+    a scalar centroid-cosine only says "something did".
+
+    Per-dimension sums run on 1e-6-quantized BIGINTs (double
+    summation order is engine-dependent; integer sums are not), so
+    means and shifts are engine-exact at 6 dp. One posexplode + one
+    (pos)-keyed aggregation — dim rows out, however large the
+    corpus. Returns (pos, n_ref, n_cur, mean_ref, mean_cur, shift).
+    """
+    ex = df.select(
+        is_reference.cast("int").alias("is_ref"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x0"),
+    ).select(
+        "is_ref",
+        "pos",
+        F.floor(F.col("x0").cast("double") * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("xq"),
+    )
+    agg = ex.groupBy("pos").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+        F.sum(F.col("xq") * F.col("is_ref")).alias("s_ref"),
+        F.sum(F.col("xq") * (1 - F.col("is_ref"))).alias("s_cur"),
+    )
+    mean_ref = F.round(F.col("s_ref") / 1e6 / F.greatest("n_ref", F.lit(1)), 6)
+    mean_cur = F.round(F.col("s_cur") / 1e6 / F.greatest("n_cur", F.lit(1)), 6)
+    return agg.select(
+        "pos",
+        "n_ref",
+        "n_cur",
+        mean_ref.alias("mean_ref"),
+        mean_cur.alias("mean_cur"),
+        F.round(
+            F.col("s_cur") / 1e6 / F.greatest("n_cur", F.lit(1))
+            - F.col("s_ref") / 1e6 / F.greatest("n_ref", F.lit(1)),
+            6,
+        ).alias("shift"),
+    )

@@ -1486,3 +1486,83 @@ def rag_chunks(
             ).alias("chunk_hash"),
         )
     )
+
+
+RAKE_STOPWORDS = (
+    "the a an and or of to in is are was were be been on for with as at by "
+    "it this that these those from not no but if then than so we you they he "
+    "she i am do does did have has had will would can could should its"
+).split()
+
+
+def rake_keywords(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    deg(w)/freq(w) over the whole corpus (deg = summed length of the
+    phrases it appears in), and a phrase scores the sum of its word
+    scores — the classic unsupervised keyphrase extractor, here as
+    one corpus-level job instead of per-document loops.
+
+    Determinism: word scores floor-quantize to 1e-6 BIGINT micro
+    units BEFORE the per-phrase sum (integer sums are engine-exact;
+    double sums are not); ties break on the phrase string. Phrase
+    assembly is gaps-and-islands (island id = pos minus the
+    non-stop rank), with all windows PARTITIONED by document.
+    Returns (doc_id, phrase, n_words, score_micro, rank), the top_n
+    phrases per document.
+    """
+    from pyspark.sql import Window
+
+    stops = stopwords if stopwords is not None else RAKE_STOPWORDS
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok")
+    ).withColumn("is_stop", F.col("tok").isin(stops))
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    nonstop = (
+        toks.filter(~F.col("is_stop"))
+        .withColumn("rnk", F.row_number().over(w_doc))
+        .withColumn("island", F.col("pos") - F.col("rnk"))
+    )
+    phrases = (
+        nonstop.groupBy(id_col, "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+    )
+    occ = nonstop.join(
+        phrases.select(id_col, "island", "n_words"), on=[id_col, "island"]
+    )
+    wstats = occ.groupBy("tok").agg(
+        F.count("*").alias("freq"), F.sum("n_words").alias("deg")
+    )
+    wq = wstats.select(
+        "tok",
+        F.floor(F.col("deg") * 1e6 / F.col("freq")).cast("bigint").alias("wq"),
+    )
+    scored = (
+        occ.join(wq, on="tok")
+        .groupBy(id_col, "island")
+        .agg(F.sum("wq").cast("bigint").alias("score_micro"))
+        .join(phrases, on=[id_col, "island"])
+    )
+    w_top = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.col("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "phrase", "n_words", "score_micro", "rank")
+    )

@@ -428,6 +428,11 @@ _R6_NEW: list[str] = [
     "embedding_int8_recall",
     "graph_louvain_move",
     "lineitem_hilbert_key",
+    "customers_all_quarters",
+    "events_funnel_windowed",
+    "graph_knn_profile",
+    "embedding_drift_report",
+    "docs_rake_keywords",
 ]
 
 

@@ -3711,3 +3711,59 @@ def graph_simrank_q(spark, sf_dir):
 
 
 _REG["graph_simrank"] = (graph_simrank_q, _simrank_oracle())
+
+
+@register(
+    "graph_knn_profile",
+    f"""WITH {CTES},
+    sym AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT src_layer || ':' || src_id AS u,
+               dst_layer || ':' || dst_id AS v FROM edges_g
+        UNION ALL
+        SELECT dst_layer || ':' || dst_id, src_layer || ':' || src_id
+        FROM edges_g)
+      WHERE u <> v),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY u)
+    SELECT du.k AS degree,
+           CAST(COUNT(DISTINCT s.u) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_edge_ends,
+           CAST(SUM(dv.k) AS BIGINT) AS sum_nbr_degree,
+           ROUND(SUM(dv.k) * 1.0 / COUNT(*), 6) AS knn
+    FROM sym s
+    JOIN deg du ON du.u = s.u
+    JOIN deg dv ON dv.u = s.v
+    GROUP BY du.k""",
+)
+def graph_knn_profile_q(spark, sf_dir):
+    """Degree-correlation curve knn(k): mean neighbor degree over
+    all edge-ends leaving degree-k nodes — the FULL correlation
+    profile behind the scalar assortativity r (rising = assortative
+    hubs-with-hubs, falling = disassortative). Exact integer sums,
+    one division per degree bucket; two joins against the degree
+    table keyed on the node key."""
+    g = get_graph(spark, sf_dir)
+    e = g.edge_endpoints()
+    fwd = e.select(
+        F.concat_ws(":", "src_layer", "src_id").alias("u"),
+        F.concat_ws(":", "dst_layer", "dst_id").alias("v"),
+    )
+    sym = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("k"))
+    du = deg.withColumnRenamed("k", "ku")
+    dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
+    return (
+        sym.join(du, on="u")
+        .join(dv, on="v")
+        .groupBy(F.col("ku").alias("degree"))
+        .agg(
+            F.countDistinct("u").cast("bigint").alias("n_nodes"),
+            F.count("*").cast("bigint").alias("n_edge_ends"),
+            F.sum("kv").cast("bigint").alias("sum_nbr_degree"),
+            F.round(F.sum("kv") / F.count("*"), 6).alias("knn"),
+        )
+    )

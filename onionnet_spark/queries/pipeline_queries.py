@@ -5389,3 +5389,78 @@ def multimodal_audio_augment_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_wav_payload(ids)
     return multimodal.augment_audio_gain(payload, gain_num=40, gain_den=1)
+
+
+@register(
+    "embedding_drift_report",
+    f"""WITH {_ENUM},
+    ex AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref,
+                  CAST(i - 1 AS INT) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                       AS BIGINT) AS xq
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    agg AS (
+      SELECT pos,
+             CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur,
+             SUM(xq * is_ref) AS s_ref,
+             SUM(xq * (1 - is_ref)) AS s_cur
+      FROM ex GROUP BY pos)
+    SELECT pos, n_ref, n_cur,
+           ROUND(s_ref / 1000000.0 / GREATEST(n_ref, 1), 6) AS mean_ref,
+           ROUND(s_cur / 1000000.0 / GREATEST(n_cur, 1), 6) AS mean_cur,
+           ROUND(s_cur / 1000000.0 / GREATEST(n_cur, 1)
+                 - s_ref / 1000000.0 / GREATEST(n_ref, 1), 6) AS shift
+    FROM agg""",
+)
+def embedding_drift_report_q(spark, sf_dir):
+    """Per-dimension drift between the even-id reference slice and
+    the odd-id remainder (the parity split stands in for a
+    before/after encoder change) — localizes WHICH dimensions
+    moved; integer-quantized sums, dim rows out."""
+    from onionnet_spark.functions.similarity import embedding_drift
+
+    return embedding_drift(_embs(spark, sf_dir), F.col("vec_id") % 2 == 0)
+
+
+def _rake_oracle(top_n: int = 3) -> str:
+    from onionnet_spark.functions.text import RAKE_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM d)),
+    ns AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM toks WHERE tok NOT IN ({stoplist})),
+    phr AS (
+      SELECT doc_id, island,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM ns GROUP BY 1, 2),
+    occ AS (SELECT ns.*, phr.n_words
+            FROM ns JOIN phr USING (doc_id, island)),
+    ws AS (SELECT tok, COUNT(*) AS freq, SUM(n_words) AS deg
+           FROM occ GROUP BY tok),
+    wq AS (SELECT tok, CAST(floor(deg * 1000000.0 / freq) AS BIGINT) AS wq
+           FROM ws),
+    sc AS (SELECT doc_id, island, CAST(SUM(wq) AS BIGINT) AS score_micro
+           FROM occ JOIN wq USING (tok) GROUP BY 1, 2),
+    fin AS (
+      SELECT p.doc_id, p.phrase, p.n_words, s.score_micro,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                    ORDER BY s.score_micro DESC, p.phrase) AS INT) AS rank
+      FROM sc s JOIN phr p USING (doc_id, island))
+    SELECT doc_id, phrase, n_words, score_micro, rank
+    FROM fin WHERE rank <= {top_n}"""
+
+
+@register("docs_rake_keywords", _rake_oracle())
+def docs_rake_keywords_q(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010): top-3 phrases
+    per document by summed deg/freq word scores over stopword-free
+    token runs — corpus-level keyword mining as one job."""
+    return text.rake_keywords(_docs(spark, sf_dir), top_n=3)

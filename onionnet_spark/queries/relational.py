@@ -2542,3 +2542,51 @@ def lineitem_wilson_returns(spark, sf_dir):
         F.round((p + half - rad) / denom, 6).alias("wilson_lo"),
         F.round((p + half + rad) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "customers_all_quarters",
+    # relational DIVISION (the "FOR ALL" shape SQL lacks natively):
+    # customers with at least one order in EVERY quarter of 1995 —
+    # count-distinct equality against the divisor's cardinality
+    """WITH o95 AS (
+      SELECT o_custkey, CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1996-01-01'),
+    agg AS (
+      SELECT o_custkey AS c_custkey,
+             COUNT(DISTINCT q) AS n_quarters,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DECIMAL(18,2)) AS total_spend
+      FROM o95 GROUP BY 1)
+    SELECT a.c_custkey, c.c_name, a.n_orders, a.total_spend
+    FROM agg a JOIN customer c ON c.c_custkey = a.c_custkey
+    WHERE a.n_quarters = 4""",
+)
+def customers_all_quarters_q(spark, sf_dir):
+    """Relational division: customers active in EVERY quarter of
+    1995 (distinct-quarter count == divisor cardinality) — the
+    classic FOR-ALL operator shape, one aggregation + one broadcast
+    dim join; spend accumulates in DECIMAL(18,4) per the q7/q9
+    convention."""
+    t = load_tables(spark, sf_dir)
+    o95 = t["orders"].filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    agg = o95.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.countDistinct(F.quarter("o_orderdate")).alias("n_quarters"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("decimal(18,2)")
+        .alias("total_spend"),
+    )
+    cust = t["customer"].select("c_custkey", "c_name")
+    return (
+        agg.filter(F.col("n_quarters") == 4)
+        .join(F.broadcast(cust), on="c_custkey")
+        .select("c_custkey", "c_name", "n_orders", "total_spend")
+    )

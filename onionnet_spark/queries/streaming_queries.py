@@ -853,3 +853,82 @@ def events_markov_stationary(spark, sf_dir):
         F.col("m").cast("bigint").alias("pi_micro"),
         F.round(F.col("m") / F.col("tot"), 6).alias("pi"),
     )
+
+
+@register(
+    "events_funnel_windowed",
+    # TIME-BOUNDED funnel: a view converts iff a purchase by the same
+    # user lands within 24h AFTER it (events_funnel's staged MINs
+    # ignore the bound). Deltas sum as exact whole seconds.
+    """WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    conv AS (
+      SELECT v.event_id, v.user_id, v.ts,
+             MIN(p.ts) AS first_purchase_ts
+      FROM v JOIN p ON p.user_id = v.user_id
+        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+      GROUP BY 1, 2, 3)
+    SELECT CAST(v.ts AS DATE) AS view_date,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(COUNT(c.first_purchase_ts) AS BIGINT) AS n_converted,
+           ROUND(COUNT(c.first_purchase_ts) * 1.0 / COUNT(*), 6)
+             AS conversion_rate,
+           CAST(COALESCE(SUM(CAST(date_diff('second', c.ts,
+                     c.first_purchase_ts) AS BIGINT)), 0) AS BIGINT)
+             AS total_latency_sec
+    FROM v LEFT JOIN conv c ON c.event_id = v.event_id
+    GROUP BY 1""",
+)
+def events_funnel_windowed_q(spark, sf_dir):
+    """Time-bounded conversion funnel: per view day, how many views
+    led to a purchase by the same user within 24 HOURS (the staged-
+    MIN funnel has no deadline). One equi-join on user_id with the
+    time band as a join-side filter — per-user event counts are
+    bounded, so the join never fans out beyond a user's own
+    purchases; latency sums as exact whole seconds (BIGINT)."""
+    from pyspark.sql import functions as F
+
+    ev_df = _events(spark, sf_dir)
+    v = ev_df.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    # explicit rename on the purchase side: a v["user_id"] ==
+    # p["user_id"] condition on two frames derived from the SAME
+    # source resolves to a trivially-true self-equality (Spark warns
+    # and the join degenerates) — never join a self-derived frame on
+    # same-named raw columns
+    p = ev_df.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+    )
+    conv = (
+        v.join(
+            p,
+            on=(
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("pts") > F.col("ts"))
+                & (F.col("pts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+            ),
+        )
+        .groupBy("event_id")
+        .agg(F.min("pts").alias("first_purchase_ts"))
+    )
+    joined = v.join(conv, on="event_id", how="left")
+    return joined.groupBy(F.to_date("ts").alias("view_date")).agg(
+        F.count("*").cast("bigint").alias("n_views"),
+        F.count("first_purchase_ts").cast("bigint").alias("n_converted"),
+        F.round(
+            F.count("first_purchase_ts") / F.count("*"), 6
+        ).alias("conversion_rate"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.unix_timestamp("first_purchase_ts")
+                    - F.unix_timestamp("ts")
+                ).cast("bigint")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("total_latency_sec"),
+    )

@@ -380,3 +380,57 @@ def test_hilbert_key_matches_reference_xy2d(spark):
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = d2cell[d], d2cell[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_rake_keywords_toy_scoring(spark):
+    """Two-word phrase outscores the single word it shares (deg/freq
+    arithmetic), stopwords split phrases, ranks are per-doc."""
+    from onionnet_spark.functions.text import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning is the deep future"),
+            (2, "deep learning and shallow parsing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(docs, top_n=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1 phrases: "deep learning" (island), "deep future";
+    # stopwords 'is the' split them; 'and' splits doc2's
+    p1 = {r["phrase"]: r for r in by_doc[1]}
+    assert set(p1) == {"deep learning", "deep future"}
+    # word stats over the corpus: deep: freq 3, deg = 2+2+2+... let's
+    # recompute: phrases: d1:[deep learning][deep future],
+    # d2:[deep learning][shallow parsing]
+    # deep freq=3 deg=2+2+2=6 -> 2.0; learning freq=2 deg=4 -> 2.0;
+    # future freq=1 deg=2 -> 2.0; shallow/parsing freq=1 deg=2 -> 2.0
+    assert p1["deep learning"]["score_micro"] == 4_000_000
+    assert p1["deep future"]["score_micro"] == 4_000_000
+    # tie broken by phrase string: 'deep future' < 'deep learning'
+    assert p1["deep future"]["rank"] == 1
+    assert p1["deep learning"]["rank"] == 2
+
+
+def test_embedding_drift_localizes_shift(spark):
+    """A constant +0.5 shift injected into dimension 1 of the 'cur'
+    slice must appear in exactly that dimension's shift."""
+    from onionnet_spark.functions.similarity import embedding_drift
+    import pyspark.sql.functions as SF
+
+    rows = []
+    for i in range(40):
+        base = [0.25, -0.5, 1.0]
+        if i % 2 == 1:  # current slice
+            base = [base[0], base[1] + 0.5, base[2]]
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["pos"]: r
+        for r in embedding_drift(df, SF.col("vec_id") % 2 == 0).collect()
+    }
+    assert out[0]["shift"] == 0.0 and out[2]["shift"] == 0.0
+    assert abs(out[1]["shift"] - 0.5) < 1e-6
+    assert out[1]["n_ref"] == 20 and out[1]["n_cur"] == 20
