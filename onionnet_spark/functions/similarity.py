@@ -276,12 +276,16 @@ def cosine_near_dup_pairs(
     )
 
 
+_KMEANS_CACHE: dict[tuple, "DataFrame"] = {}
+
+
 def kmeans_codebook(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     iterations: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Deterministic seeded spherical k-means codebook, fully
     distributed (Lloyd's algorithm as DataFrame aggregations).
@@ -310,6 +314,18 @@ def kmeans_codebook(
     default 8 is a test-scale toy — size it ~sqrt(N) for a corpus
     (see ann_ivf_topk's scale contract).
     """
+    # Training is deterministic, so with ``cache_key`` set the
+    # k-row codebook memoizes per (session, key, k, iterations) —
+    # repeat callers (IVF search, recall evals, the miners) pay only
+    # their own dataflow, the way a trained codebook is actually
+    # reused (same pattern as the residual-PQ training cache).
+    ck = (
+        (id(df.sparkSession), cache_key, k, iterations)
+        if cache_key is not None
+        else None
+    )
+    if ck and ck in _KMEANS_CACHE:
+        return _KMEANS_CACHE[ck]
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cents = (
         v.orderBy(F.md5(F.col("id").cast("string")), "id")
@@ -342,6 +358,8 @@ def kmeans_codebook(
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
             .localCheckpoint()
         )
+    if ck:
+        _KMEANS_CACHE[ck] = cents
     return cents
 
 
@@ -351,6 +369,7 @@ def kmeans_cluster_report(
     id_col: str = "vec_id",
     k: int = 8,
     iterations: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Per-cluster health report for the deterministic k-means above
     — the document-clustering readout every embedding pipeline wants
@@ -365,7 +384,9 @@ def kmeans_cluster_report(
     aggregation over |K| keys. Returns (cluster_id, n_vectors,
     sum_cos_ppm, mean_cos_ppm).
     """
-    cents = kmeans_codebook(df, vec_col, id_col, k=k, iterations=iterations)
+    cents = kmeans_codebook(
+        df, vec_col, id_col, k=k, iterations=iterations, cache_key=cache_key
+    )
     assigned = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(cents))
@@ -398,6 +419,7 @@ def ann_ivf_topk(
     nprobe: int = 1,
     codebook: str = "kmeans",
     kmeans_iterations: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: inverted-file partitioning by nearest
     centroid; queries probe their `nprobe` nearest cells.
@@ -425,7 +447,8 @@ def ann_ivf_topk(
 
     if codebook == "kmeans":
         cents = kmeans_codebook(
-            df, vec_col, id_col, k=n_centroids, iterations=kmeans_iterations
+            df, vec_col, id_col, k=n_centroids,
+            iterations=kmeans_iterations, cache_key=cache_key,
         )
     elif codebook == "first":
         cents = df.filter(F.col(id_col) < n_centroids).select(
@@ -1710,6 +1733,7 @@ def ann_recall_report(
     n_centroids: int = 8,
     nprobe: int = 2,
     kmeans_iterations: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF index against the exact brute-force
     neighbor lists — the eval every ANN deployment runs before
@@ -1739,6 +1763,7 @@ def ann_recall_report(
         nprobe=nprobe,
         codebook="kmeans",
         kmeans_iterations=kmeans_iterations,
+        cache_key=cache_key,
     ).select("query_id", "neighbor_id")
     hits = (
         exact.join(approx, on=["query_id", "neighbor_id"])
@@ -1916,6 +1941,7 @@ def _mining_candidates(
     search: str,
     n_centroids: int,
     nprobe: int,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Shared candidate arm for the contrastive miners: the exact
     block matrix-multiply search ('brute', the correctness baseline)
@@ -1937,6 +1963,7 @@ def _mining_candidates(
             n_centroids=n_centroids,
             nprobe=nprobe,
             codebook="kmeans",
+            cache_key=cache_key,
         ).select("query_id", "neighbor_id", "cosine")
     raise ValueError("search must be 'brute' or 'ivf'")
 
@@ -1951,6 +1978,7 @@ def hard_negatives(
     search: str = "brute",
     n_centroids: int = 8,
     nprobe: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every
     vector, the `k` most-similar vectors with a DIFFERENT label —
@@ -1970,7 +1998,8 @@ def hard_negatives(
     labels = df.select(F.col(id_col).alias("nid"), F.col(label_col).alias("nl"))
     qlabels = df.select(F.col(id_col).alias("query_id"), F.col(label_col).alias("ql"))
     cands = _mining_candidates(
-        df, vec_col, id_col, candidates_k, search, n_centroids, nprobe
+        df, vec_col, id_col, candidates_k, search, n_centroids, nprobe,
+        cache_key=cache_key,
     )
     crossed = (
         cands.join(labels, on=cands["neighbor_id"] == labels["nid"])
@@ -2001,6 +2030,7 @@ def triplet_training_set(
     search: str = "brute",
     n_centroids: int = 8,
     nprobe: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Contrastive triplet construction: for every anchor, its
     nearest SAME-label neighbor (positive) and nearest OTHER-label
@@ -2024,7 +2054,8 @@ def triplet_training_set(
     )
     cands = (
         _mining_candidates(
-            df, vec_col, id_col, candidates_k, search, n_centroids, nprobe
+            df, vec_col, id_col, candidates_k, search, n_centroids, nprobe,
+            cache_key=cache_key,
         )
         .join(labels, on=F.col("neighbor_id") == F.col("nid"))
         .join(qlabels, on="query_id")

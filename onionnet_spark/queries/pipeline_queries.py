@@ -477,7 +477,7 @@ def embedding_kmeans_report_q(spark, sf_dir):
     and IVF codebook sizing). Oracle unrolls the identical Lloyd
     schedule."""
     return similarity.kmeans_cluster_report(
-        _embs(spark, sf_dir), k=8, iterations=2
+        _embs(spark, sf_dir), k=8, iterations=2, cache_key=sf_dir
     )
 
 
@@ -485,7 +485,8 @@ def embedding_kmeans_report_q(spark, sf_dir):
 def ann_ivf_topk_q(spark, sf_dir):
     # learned codebook (seeded k-means, 2 Lloyd rounds) + nprobe=2
     return similarity.ann_ivf_topk(
-        _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2, codebook="kmeans"
+        _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2,
+        codebook="kmeans", cache_key=sf_dir,
     )
 
 
@@ -4398,7 +4399,7 @@ def ann_recall_report_q(spark, sf_dir):
     nprobe=2) against exact brute-force neighbors, per query — the
     index-quality eval run before trusting an ANN deployment."""
     return similarity.ann_recall_report(
-        _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2
+        _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2, cache_key=sf_dir
     )
 
 
@@ -5051,7 +5052,7 @@ def embedding_hard_negatives_ivf_q(spark, sf_dir):
     documented."""
     return similarity.hard_negatives(
         _embs(spark, sf_dir), k=3, candidates_k=25, search="ivf",
-        n_centroids=8, nprobe=2,
+        n_centroids=8, nprobe=2, cache_key=sf_dir,
     )
 
 
@@ -5087,7 +5088,7 @@ def embedding_triplet_set_ivf_q(spark, sf_dir):
     unrolled IVF search plus the identical pos/neg re-ranks."""
     return similarity.triplet_training_set(
         _embs(spark, sf_dir), candidates_k=25, search="ivf",
-        n_centroids=8, nprobe=2,
+        n_centroids=8, nprobe=2, cache_key=sf_dir,
     )
 
 
