@@ -747,3 +747,55 @@ def test_streaming_cdc_maintainer_matches_batch(spark, tmp_path):
     assert got == want
     # the zombie update (seq 15 < delete seq 30) must NOT resurrect k=2
     assert not any(k == 2 for k, _ in got)
+
+
+def test_streaming_windowed_funnel_outer_join_matches_batch(spark, events_df):
+    """Stream-stream LEFT OUTER interval join (the funnel 'did this
+    view convert?' shape): completed output must equal the batch
+    left join — including null-extended unconverted views, which the
+    engine may emit only after the watermark passes."""
+    from onionnet_spark.streaming.funnel_stream import windowed_funnel_pairs
+
+    views_b = events_df.filter(F.col("event_type") == "view")
+    purch_b = events_df.filter(F.col("event_type") == "purchase")
+    want = {
+        (r["view_id"], r["purchase_ts"])
+        for r in windowed_funnel_pairs(views_b, purch_b).collect()
+    }
+
+    views_s = (
+        ev.stream_from_batch(spark, events_df, partitions=2)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+    )
+    purch_s = (
+        ev.stream_from_batch(spark, events_df, partitions=2)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        windowed_funnel_pairs(views_s, purch_s)
+        .writeStream.format("memory")
+        .queryName("t_funnel_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["view_id"], r["purchase_ts"])
+        for r in spark.sql(
+            "SELECT view_id, purchase_ts FROM t_funnel_outer"
+        ).collect()
+    }
+    # bounded replay: the final watermark can leave the LAST views'
+    # null-extension unemitted (no later event advances the clock);
+    # every emitted row must be correct and the matched subset total
+    matched_want = {t for t in want if t[1] is not None}
+    matched_got = {t for t in got if t[1] is not None}
+    assert matched_got == matched_want and len(matched_want) > 0
+    # null-extended rows: everything emitted is a true non-converter
+    null_got = {t[0] for t in got if t[1] is None}
+    null_want = {t[0] for t in want if t[1] is None}
+    assert null_got <= null_want
+    assert got <= want
