@@ -116,6 +116,15 @@ HEADLINE = [
     "graph_louvain_move",
     "entity_clusters",
     "lineitem_hilbert_key",
+    "customers_all_quarters",
+    "events_funnel_windowed",
+    "graph_knn_profile",
+    "embedding_drift_report",
+    "docs_rake_keywords",
+    "events_stl_decompose",
+    "events_debounce",
+    "customer_spend_percentile",
+    "embedding_cluster_sample",
 ]
 
 

@@ -2147,3 +2147,58 @@ def embedding_drift(
             6,
         ).alias("shift"),
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    frac: float = 0.25,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Cluster-balanced deterministic subsample: assign every vector
+    to its k-means cluster, then keep the top ceil(frac * |cluster|)
+    per cluster by md5(id) rank — a diversity-preserving draw (a
+    uniform sample over-represents dense regions and can empty small
+    clusters; per-cluster quotas keep every mode of the data alive).
+
+    Determinism end to end: the codebook is the seeded Lloyd
+    learner (memoized via cache_key), assignment ties break on cid,
+    the sample order is the same seed-free md5 device every sampler
+    in this repo uses. The rank window partitions BY CLUSTER.
+    Returns (vec_id, cluster_id, sample_rank, cluster_size).
+    """
+    from pyspark.sql import Window
+
+    cents = kmeans_codebook(
+        df, vec_col, id_col, k=k, iterations=iterations, cache_key=cache_key
+    )
+    assigned = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.col("cid"),
+                F.struct((-F.col("cc")).alias("nc"), F.col("cid").alias("tb")),
+            ).alias("cid")
+        )
+    )
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("id").cast("string")), "id"
+    )
+    return (
+        assigned.withColumn("sr", F.row_number().over(w))
+        .join(F.broadcast(sizes), on="cid")
+        .filter(F.col("sr") <= F.ceil(F.col("n") * F.lit(frac)))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cid").alias("cluster_id"),
+            F.col("sr").cast("bigint").alias("sample_rank"),
+            F.col("n").cast("bigint").alias("cluster_size"),
+        )
+    )

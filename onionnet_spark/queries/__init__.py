@@ -433,6 +433,10 @@ _R6_NEW: list[str] = [
     "graph_knn_profile",
     "embedding_drift_report",
     "docs_rake_keywords",
+    "events_stl_decompose",
+    "events_debounce",
+    "customer_spend_percentile",
+    "embedding_cluster_sample",
 ]
 
 

@@ -5465,3 +5465,44 @@ def docs_rake_keywords_q(spark, sf_dir):
     per document by summed deg/freq word scores over stopword-free
     token runs — corpus-level keyword mining as one job."""
     return text.rake_keywords(_docs(spark, sf_dir), top_n=3)
+
+
+def _cluster_sample_oracle(k_cent: int = 8, iterations: int = 2) -> str:
+    """Cluster-balanced sampling: the unrolled Lloyd assignment, then
+    a deterministic md5 top-25% within each cluster (ceil per
+    cluster, so every cluster contributes)."""
+    ctes = _kmeans_assign_ctes(k_cent, iterations)
+    ctes.append("asg AS (SELECT id, cid FROM rk WHERE rn = 1)")
+    ctes.append(
+        """csz AS (SELECT cid, COUNT(*) AS n FROM asg GROUP BY cid)"""
+    )
+    ctes.append(
+        """srk AS (SELECT id, cid, ROW_NUMBER() OVER (
+         PARTITION BY cid
+         ORDER BY md5(CAST(id AS VARCHAR)), id) AS sr
+       FROM asg)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT srk.id AS vec_id, srk.cid AS cluster_id,
+           CAST(srk.sr AS BIGINT) AS sample_rank,
+           CAST(csz.n AS BIGINT) AS cluster_size
+    FROM srk JOIN csz USING (cid)
+    WHERE srk.sr <= CAST(ceil(csz.n * 0.25) AS BIGINT)"""
+    )
+
+
+@register("embedding_cluster_sample", _cluster_sample_oracle())
+def embedding_cluster_sample_q(spark, sf_dir):
+    """Cluster-balanced deterministic sampling: 25% per k-means
+    cluster by md5 rank — the diversity-preserving subsample (a
+    uniform draw over-represents dense regions; per-cluster quotas
+    keep small clusters alive), the SemDeDup-style alternative to
+    corpus_sample for embeddings."""
+    from onionnet_spark.functions.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _embs(spark, sf_dir), frac=0.25, k=8, iterations=2, cache_key=sf_dir
+    )

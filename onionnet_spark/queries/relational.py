@@ -2590,3 +2590,50 @@ def customers_all_quarters_q(spark, sf_dir):
         .join(F.broadcast(cust), on="c_custkey")
         .select("c_custkey", "c_name", "n_orders", "total_spend")
     )
+
+
+@register(
+    "customer_spend_percentile",
+    # window-rank coverage: cume_dist within nation over exact
+    # DECIMAL spend; ties share a value in both engines by definition
+    """WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DECIMAL(18,2)) AS total_spend
+      FROM orders GROUP BY 1)
+    SELECT s.c_custkey, n.n_name AS nation, s.total_spend,
+           ROUND(CUME_DIST() OVER (PARTITION BY n.n_name
+                                   ORDER BY s.total_spend), 6)
+             AS spend_pctile
+    FROM spend s
+    JOIN customer c ON c.c_custkey = s.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey""",
+)
+def customer_spend_percentile_q(spark, sf_dir):
+    """Per-nation customer spend percentile (cume_dist) — the
+    window-rank surface over exact DECIMAL totals; the window
+    partitions by nation (per-group data, never a global sort) and
+    the nation lookup broadcasts."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    spend = t["orders"].groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("decimal(18,2)")
+        .alias("total_spend")
+    )
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    nat = t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    w = Window.partitionBy("nation").orderBy("total_spend")
+    return (
+        spend.join(cust, on="c_custkey")
+        .join(F.broadcast(nat), on="c_nationkey")
+        .select(
+            "c_custkey",
+            "nation",
+            "total_spend",
+            F.round(F.cume_dist().over(w), 6).alias("spend_pctile"),
+        )
+    )

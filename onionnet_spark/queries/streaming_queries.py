@@ -932,3 +932,118 @@ def events_funnel_windowed_q(spark, sf_dir):
         .cast("bigint")
         .alias("total_latency_sec"),
     )
+
+
+@register(
+    "events_stl_decompose",
+    # STL-lite: trend = centered 7-day MA over the dense daily count
+    # series (integer sums / 7.0); seasonal = per-weekday mean of the
+    # 1e-6-quantized detrended values (integer sums again); residual
+    # = detrended - seasonal. Edge days (incomplete MA window) carry
+    # NULL trend and drop from the seasonal fit, like statsmodels'
+    # two-sided default.
+    """WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT d, n,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN SUM(n) OVER w / 7.0 END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT d, n, trend,
+             CAST(floor((n - trend) * 1000000 + 0.5) AS BIGINT) AS detq,
+             CAST(EXTRACT(isodow FROM d) AS INT) AS dow
+      FROM tr),
+    seas AS (
+      SELECT dow, SUM(detq) / COUNT(*) / 1000000.0 AS s
+      FROM det WHERE detq IS NOT NULL GROUP BY dow)
+    SELECT det.d AS day, det.n AS n_events,
+           ROUND(det.trend, 6) AS trend,
+           ROUND(seas.s, 6) AS seasonal,
+           ROUND(det.detq / 1000000.0 - seas.s, 6) AS residual
+    FROM det JOIN seas USING (dow)
+    WHERE det.detq IS NOT NULL""",
+)
+def events_stl_decompose_q(spark, sf_dir):
+    """STL-lite seasonal decomposition of the daily event-count
+    series: centered 7-day moving-average trend, per-weekday
+    seasonal means over the detrended series, residual — the
+    decomposition behind seasality-aware anomaly alerts. Counts are
+    exact integers; detrended values quantize to 1e-6 BIGINTs before
+    the seasonal mean so every component is engine-exact. The daily
+    series is one groupBy; the MA window is 7 rows per partition-free
+    series of ~365 rows/year — a BOUNDED frame, not corpus-sized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.withColumn(
+        "trend",
+        F.when(F.count("*").over(w) == 7, F.sum("n_events").over(w) / 7.0),
+    )
+    det = tr.select(
+        "day",
+        "n_events",
+        "trend",
+        F.floor((F.col("n_events") - F.col("trend")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("detq"),
+        F.dayofweek(F.date_sub("day", 1)).cast("int").alias("dow"),
+    ).filter(F.col("detq").isNotNull())
+    seas = det.groupBy("dow").agg(
+        (F.sum("detq") / F.count("*") / 1e6).alias("s")
+    )
+    return det.join(F.broadcast(seas), on="dow").select(
+        "day",
+        "n_events",
+        F.round("trend", 6).alias("trend"),
+        F.round("s", 6).alias("seasonal"),
+        F.round(F.col("detq") / 1e6 - F.col("s"), 6).alias("residual"),
+    )
+
+
+@register(
+    "events_debounce",
+    # debounce/throttle: an event is SUPPRESSED when the same
+    # (user, type) fired within the preceding 5 minutes — the
+    # client-retry / double-click cleaner every event pipeline runs
+    """WITH lagged AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                      OR date_diff('second', prev_ts, ts) > 300
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN prev_ts IS NOT NULL
+                       AND date_diff('second', prev_ts, ts) <= 300
+                     THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS suppressed_rate
+    FROM lagged GROUP BY event_type""",
+)
+def events_debounce_q(spark, sf_dir):
+    """Debounce audit: per event type, how many events survive a
+    5-minute same-(user,type) throttle — one lag window PARTITIONED
+    by (user, type) (per-user data, never a global sort), exact
+    whole-second deltas."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = _events(spark, sf_dir).withColumn("prev_ts", F.lag("ts").over(w))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    kept = F.when(F.col("prev_ts").isNull() | (gap > 300), 1).otherwise(0)
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.round(F.sum(1 - kept) / F.count("*"), 6).alias("suppressed_rate"),
+    )

@@ -434,3 +434,76 @@ def test_embedding_drift_localizes_shift(spark):
     assert out[0]["shift"] == 0.0 and out[2]["shift"] == 0.0
     assert abs(out[1]["shift"] - 0.5) < 1e-6
     assert out[1]["n_ref"] == 20 and out[1]["n_cur"] == 20
+
+
+def test_debounce_suppression_logic(spark):
+    """Same (user,type) within 300s suppresses; a different user or a
+    gap > 300s does not."""
+    from onionnet_spark.queries import load_all
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 10, "click", 0.0, "{}"),
+        (2, base + dt.timedelta(seconds=100), 10, "click", 0.0, "{}"),  # dup
+        (3, base + dt.timedelta(seconds=500), 10, "click", 0.0, "{}"),  # gap ok
+        (4, base + dt.timedelta(seconds=120), 11, "click", 0.0, "{}"),  # other user
+        (5, base, 10, "view", 0.0, "{}"),  # other type
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import Window
+    import pyspark.sql.functions as SF
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = df.withColumn("prev_ts", SF.lag("ts").over(w))
+    gap = SF.unix_timestamp("ts") - SF.unix_timestamp("prev_ts")
+    kept = SF.when(SF.col("prev_ts").isNull() | (gap > 300), 1).otherwise(0)
+    out = {
+        r["event_type"]: r
+        for r in lagged.groupBy("event_type")
+        .agg(
+            SF.count("*").alias("n_total"),
+            SF.sum(kept).alias("n_kept"),
+        )
+        .collect()
+    }
+    assert out["click"]["n_total"] == 4 and out["click"]["n_kept"] == 3
+    assert out["view"]["n_kept"] == 1
+
+
+def test_stl_components_reconstruct(spark, sf_dir):
+    """trend + seasonal + residual must reconstruct the daily count
+    (up to the 6dp rounding of each component)."""
+    from onionnet_spark.queries import load_all
+
+    fn, oracle = load_all()["events_stl_decompose"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        recon = r["trend"] + r["seasonal"] + r["residual"]
+        assert abs(recon - r["n_events"]) < 1e-4, r
+    assert oracle is not None
+
+
+def test_cluster_balanced_sample_quotas(spark, sf_dir):
+    """Every cluster contributes exactly ceil(0.25 * size) rows."""
+    import math
+
+    from onionnet_spark.functions.similarity import cluster_balanced_sample
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cluster_balanced_sample(embs, frac=0.25).collect()
+    import collections
+
+    per = collections.defaultdict(int)
+    size = {}
+    for r in out:
+        per[r["cluster_id"]] += 1
+        size[r["cluster_id"]] = r["cluster_size"]
+    assert per and all(
+        per[c] == math.ceil(size[c] * 0.25) for c in per
+    ), (dict(per), size)
