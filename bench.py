@@ -125,6 +125,8 @@ HEADLINE = [
     "events_debounce",
     "customer_spend_percentile",
     "embedding_cluster_sample",
+    "lineitem_layout_skipping",
+    "events_attribution_ushape",
 ]
 
 

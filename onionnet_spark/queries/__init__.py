@@ -437,6 +437,8 @@ _R6_NEW: list[str] = [
     "events_debounce",
     "customer_spend_percentile",
     "embedding_cluster_sample",
+    "lineitem_layout_skipping",
+    "events_attribution_ushape",
 ]
 
 

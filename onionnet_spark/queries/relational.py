@@ -2637,3 +2637,182 @@ def customer_spend_percentile_q(spark, sf_dir):
             F.round(F.cume_dist().over(w), 6).alias("spend_pctile"),
         )
     )
+
+
+def _layout_skip_oracle(n_files: int = 16, bits: int = 8) -> str:
+    """File-skipping audit: replay the three clustering strategies
+    (single-column sort, Morton, Hilbert), deal rows into n_files
+    rank ranges per strategy, and count how many files a mid-range
+    2-D box predicate has to touch given footer min/max stats."""
+    month = "l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'"
+    n = 1 << bits
+
+    def quant(col: str, lo: str, hi: str) -> str:
+        return f"""CASE WHEN (b.{hi} - b.{lo}) > 0 THEN
+        LEAST({n - 1}, GREATEST(0, CAST(FLOOR(
+          (CAST({col} AS DOUBLE) - b.{lo}) / ((b.{hi} - b.{lo}) / {n})
+        ) AS INT))) ELSE 0 END"""
+
+    zterms = []
+    for j in range(bits):
+        zterms.append(f"((qx // {1 << j}) % 2) * {1 << (2 * j + 1)}")
+        zterms.append(f"((qy // {1 << j}) % 2) * {1 << (2 * j)}")
+    zval = " + ".join(zterms)
+
+    hctes = []
+    n_1 = n - 1
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        prev = f"hh{k + 1}" if k + 1 < bits else f"hh{bits}"
+        hctes.append(
+            f"""hh{k} AS (SELECT rid, px, qty,
+             ry * x + (1 - ry) * (rx * ({n_1} - y) + (1 - rx) * y) AS x,
+             ry * y + (1 - ry) * (rx * ({n_1} - x) + (1 - rx) * x) AS y,
+             d + {s * s} * (3 * rx + ry - 2 * rx * ry) AS d
+       FROM (SELECT *, (x // {s}) % 2 AS rx, (y // {s}) % 2 AS ry
+             FROM {prev}))"""
+        )
+    hchain = ",\n    ".join(hctes)
+
+    def audit(src: str, key: str, name: str) -> str:
+        return f"""f_{name} AS (
+      SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY {key}, rid) - 1)
+                           * {n_files} / (SELECT COUNT(*) FROM {src}))
+                 AS INT) AS fid
+      FROM {src}),
+    s_{name} AS (
+      SELECT fid, MIN(px) AS lo_x, MAX(px) AS hi_x,
+             MIN(qty) AS lo_y, MAX(qty) AS hi_y,
+             COUNT(*) AS n_rows
+      FROM f_{name} GROUP BY fid),
+    r_{name} AS (
+      SELECT '{name}' AS layout,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN lo_x <= bx.p_hi AND hi_x >= bx.p_lo
+                            AND lo_y <= bx.q_hi AND hi_y >= bx.q_lo
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+             CAST(SUM(CASE WHEN lo_x <= bx.p_hi AND hi_x >= bx.p_lo
+                            AND lo_y <= bx.q_hi AND hi_y >= bx.q_lo
+                           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+      FROM s_{name}, bx)"""
+
+    return f"""WITH li AS (
+      SELECT l_orderkey * 10 + l_linenumber AS rid,
+             CAST(l_extendedprice AS DOUBLE) AS px,
+             CAST(l_quantity AS DOUBLE) AS qty
+      FROM lineitem WHERE {month}),
+    b AS (SELECT MIN(px) AS lox, MAX(px) AS hix,
+                 MIN(qty) AS loy, MAX(qty) AS hiy FROM li),
+    bx AS (SELECT lox + (hix - lox) * 0.40 AS p_lo,
+                  lox + (hix - lox) * 0.60 AS p_hi,
+                  loy + (hiy - loy) * 0.40 AS q_lo,
+                  loy + (hiy - loy) * 0.60 AS q_hi
+           FROM b),
+    q AS (SELECT rid, px, qty,
+                 {quant("px", "lox", "hix")} AS qx,
+                 {quant("qty", "loy", "hiy")} AS qy
+          FROM li, b),
+    zk AS (SELECT rid, px, qty, CAST({zval} AS BIGINT) AS key FROM q),
+    hh{bits} AS (SELECT rid, px, qty,
+                 CAST(qx AS BIGINT) AS x, CAST(qy AS BIGINT) AS y,
+                 CAST(0 AS BIGINT) AS d FROM q),
+    {hchain},
+    hk AS (SELECT rid, px, qty, d AS key FROM hh0),
+    pk AS (SELECT rid, px, qty, px AS key FROM li),
+    {audit("pk", "key", "price_sort")},
+    {audit("zk", "key", "zorder")},
+    {audit("hk", "key", "hilbert")},
+    matching AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_match FROM li, bx
+      WHERE px >= bx.p_lo AND px <= bx.p_hi
+        AND qty >= bx.q_lo AND qty <= bx.q_hi)
+    SELECT layout, n_files, files_hit, rows_scanned,
+           (SELECT n_match FROM matching) AS rows_matching
+    FROM (SELECT * FROM r_price_sort
+          UNION ALL SELECT * FROM r_zorder
+          UNION ALL SELECT * FROM r_hilbert)"""
+
+
+@register("lineitem_layout_skipping", _layout_skip_oracle())
+def lineitem_layout_skipping_q(spark, sf_dir):
+    """File-skipping effectiveness audit: deal the 1996-01 ship month
+    into 16 rank-range 'files' under three clustering strategies
+    (price sort, Morton z-order, Hilbert) and count the files a
+    mid-range 2-D box predicate must touch given footer min/max
+    stats — the measurement that justifies the multi-dimensional
+    layouts (1-D sort prunes one dimension only; the curves prune
+    both). Rank ranges mirror write_zordered's repartitionByRange;
+    at 100 TB this audit runs per partition directory as a layout
+    health check."""
+    from pyspark.sql import Window
+
+    from onionnet_spark.sources.layout import hilbert_key, zorder_key
+
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-02-01")
+        )
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+            F.col("l_extendedprice").cast("double").alias("px"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+        .localCheckpoint()
+    )
+    bounds = li.agg(
+        F.min("px").alias("lox"), F.max("px").alias("hix"),
+        F.min("qty").alias("loy"), F.max("qty").alias("hiy"),
+    )
+    box = bounds.select(
+        (F.col("lox") + (F.col("hix") - F.col("lox")) * 0.40).alias("p_lo"),
+        (F.col("lox") + (F.col("hix") - F.col("lox")) * 0.60).alias("p_hi"),
+        (F.col("loy") + (F.col("hiy") - F.col("loy")) * 0.40).alias("q_lo"),
+        (F.col("loy") + (F.col("hiy") - F.col("loy")) * 0.60).alias("q_hi"),
+    )
+    n_files = 16
+    n_rows = li.count()
+
+    keyed = {
+        "price_sort": li.withColumn("key", F.col("px")),
+        "zorder": zorder_key(li, "px", "qty", bits=8, key_col="key"),
+        "hilbert": hilbert_key(li, "px", "qty", bits=8, key_col="key"),
+    }
+    out = None
+    for name, kdf in keyed.items():
+        w = Window.orderBy("key", "rid")
+        files = kdf.withColumn(
+            "fid",
+            F.floor((F.row_number().over(w) - 1) * n_files / n_rows).cast(
+                "int"
+            ),
+        )
+        stats = files.groupBy("fid").agg(
+            F.min("px").alias("lo_x"), F.max("px").alias("hi_x"),
+            F.min("qty").alias("lo_y"), F.max("qty").alias("hi_y"),
+            F.count("*").alias("nr"),
+        )
+        hit = (
+            (F.col("lo_x") <= F.col("p_hi"))
+            & (F.col("hi_x") >= F.col("p_lo"))
+            & (F.col("lo_y") <= F.col("q_hi"))
+            & (F.col("hi_y") >= F.col("q_lo"))
+        )
+        row = stats.crossJoin(F.broadcast(box)).agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(hit.cast("int")).cast("bigint").alias("files_hit"),
+            F.sum(F.when(hit, F.col("nr")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        ).select(F.lit(name).alias("layout"), "*")
+        out = row if out is None else out.unionByName(row)
+    n_match = (
+        li.crossJoin(F.broadcast(box))
+        .filter(
+            (F.col("px") >= F.col("p_lo")) & (F.col("px") <= F.col("p_hi"))
+            & (F.col("qty") >= F.col("q_lo")) & (F.col("qty") <= F.col("q_hi"))
+        )
+        .agg(F.count("*").cast("bigint").alias("rows_matching"))
+    )
+    return out.crossJoin(F.broadcast(n_match))

@@ -1047,3 +1047,106 @@ def events_debounce_q(spark, sf_dir):
         F.sum(kept).cast("bigint").alias("n_kept"),
         F.round(F.sum(1 - kept) / F.count("*"), 6).alias("suppressed_rate"),
     )
+
+
+@register(
+    "events_attribution_ushape",
+    # position-based (U-shaped / 40-20-40) attribution with an exact
+    # integer split in micro-cents: n=1 -> all; n=2 -> floor-half /
+    # remainder; n>=3 -> floor(2/5) ends, middles share the rest
+    # equally, division remainder goes to the FIRST touch. Totals are
+    # conserved by construction.
+    """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts,
+           CAST(ROUND(value * 100, 0) AS BIGINT) * 10000 AS base
+           FROM events WHERE event_type = 'purchase'),
+    pre AS (SELECT p.pid, p.base, e.event_type AS ch, e.ts, e.event_id
+            FROM p JOIN events e ON e.user_id = p.user_id
+             AND (e.ts < p.pts OR (e.ts = p.pts AND e.event_id < p.pid))
+             AND e.event_type <> 'purchase'),
+    pos AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+              ORDER BY ts, event_id) AS rn,
+              COUNT(*) OVER (PARTITION BY pid) AS n
+            FROM pre),
+    credit AS (
+      SELECT ch,
+        CASE
+          WHEN n = 1 THEN base
+          WHEN n = 2 AND rn = 1 THEN base // 2
+          WHEN n = 2 AND rn = 2 THEN base - base // 2
+          WHEN rn = 1 THEN (base * 2) // 5
+            + (base - 2 * ((base * 2) // 5))
+            - ((base - 2 * ((base * 2) // 5)) // (n - 2)) * (n - 2)
+          WHEN rn = n THEN (base * 2) // 5
+          ELSE (base - 2 * ((base * 2) // 5)) // (n - 2)
+        END AS mc
+      FROM pos),
+    direct AS (
+      SELECT 'direct' AS ch, base AS mc FROM p
+      WHERE pid NOT IN (SELECT DISTINCT pid FROM pre)),
+    allc AS (SELECT * FROM credit UNION ALL SELECT * FROM direct)
+    SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(mc) AS BIGINT) AS credit_microcents
+    FROM allc GROUP BY ch""",
+)
+def events_attribution_ushape_q(spark, sf_dir):
+    """Position-based (U-shaped) attribution: 40% of a purchase's
+    revenue to the user's first preceding touch, 40% to the last,
+    20% shared by the middles — the martech model between the
+    first/last-touch extremes. The split is EXACT integer
+    arithmetic in micro-cents (floor shares, remainder to the first
+    touch), so channel totals conserve revenue to the unit. Join on
+    user_id (per-user fanout bounded), windows partitioned by
+    purchase."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev_df = _events(spark, sf_dir)
+    p = ev_df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pts"),
+        (F.round(F.col("value") * 100, 0).cast("bigint") * 10000).alias(
+            "base"
+        ),
+    )
+    pre = p.join(
+        ev_df.filter(F.col("event_type") != "purchase").select(
+            "user_id", F.col("event_type").alias("ch"), "ts", "event_id"
+        ),
+        on=(
+            (F.col("user_id") == F.col("p_user_id"))
+            & (
+                (F.col("ts") < F.col("pts"))
+                | ((F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("pid")))
+            )
+        ),
+    ).select("pid", "base", "ch", "ts", "event_id")
+    w = Window.partitionBy("pid").orderBy("ts", "event_id")
+    wn = Window.partitionBy("pid")
+    pos = pre.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    base, n, rn = F.col("base"), F.col("n"), F.col("rn")
+    end40 = F.floor(base * 2 / 5).cast("bigint")
+    midpot = base - 2 * end40
+    mid_each = F.floor(midpot / (n - 2)).cast("bigint")
+    credit = (
+        F.when(n == 1, base)
+        .when((n == 2) & (rn == 1), F.floor(base / 2).cast("bigint"))
+        .when((n == 2) & (rn == 2), base - F.floor(base / 2).cast("bigint"))
+        .when(rn == 1, end40 + midpot - mid_each * (n - 2))
+        .when(rn == n, end40)
+        .otherwise(mid_each)
+    )
+    credited = pos.select("ch", credit.alias("mc"))
+    direct = p.join(
+        pre.select("pid").distinct(), on="pid", how="left_anti"
+    ).select(F.lit("direct").alias("ch"), F.col("base").alias("mc"))
+    return (
+        credited.unionByName(direct)
+        .groupBy(F.col("ch").alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.sum("mc").cast("bigint").alias("credit_microcents"),
+        )
+    )
