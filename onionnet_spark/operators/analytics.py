@@ -2024,6 +2024,53 @@ def louvain_move_round(graph: OnionGraph) -> DataFrame:
     )
 
 
+def bowtie_structure(graph: OnionGraph) -> DataFrame:
+    """Broder bow-tie decomposition (the web-graph structure map):
+    CORE = the largest SCC (ties: min component label), IN = nodes
+    that reach the core without belonging to it, OUT = nodes the
+    core reaches, OTHER = tendrils/disconnected. The canonical
+    answer to "what does this directed graph look like at 10,000
+    feet" — crawl frontiers, citation graphs, money flows.
+
+    Composition of audited pieces: FW-BW-Trim SCC labeling, then TWO
+    multi-source BFS runs seeded from the core AS A DATAFRAME (never
+    a driver-side list — a web-scale core is millions of nodes);
+    classification is two left-semi membership joins. A node both
+    reaching and reached by the core would share its SCC, so the
+    classes are disjoint by construction. Returns
+    (layer, node_id, bowtie_class).
+    """
+    from onionnet_spark.operators.components import (
+        strongly_connected_components,
+    )
+    from onionnet_spark.operators.traversal import bfs_distances
+
+    scc = strongly_connected_components(graph).localCheckpoint()
+    sizes = scc.groupBy("component").agg(F.count("*").alias("n"))
+    top = sizes.orderBy(F.desc("n"), "component").limit(1)
+    core = scc.join(
+        F.broadcast(top.select("component")), on="component"
+    ).select("layer", "node_id")
+    down = bfs_distances(graph, core, "downstream").select("layer", "node_id")
+    up = bfs_distances(graph, core, "upstream").select("layer", "node_id")
+    nodes = graph.nodes.select("layer", "node_id")
+    in_core = core.withColumn("_c", F.lit(1))
+    in_down = down.withColumn("_d", F.lit(1))
+    in_up = up.withColumn("_u", F.lit(1))
+    lab = (
+        nodes.join(in_core, on=["layer", "node_id"], how="left")
+        .join(in_down, on=["layer", "node_id"], how="left")
+        .join(in_up, on=["layer", "node_id"], how="left")
+    )
+    cls = (
+        F.when(F.col("_c") == 1, F.lit("core"))
+        .when(F.col("_u") == 1, F.lit("in"))
+        .when(F.col("_d") == 1, F.lit("out"))
+        .otherwise(F.lit("other"))
+    )
+    return lab.select("layer", "node_id", cls.alias("bowtie_class"))
+
+
 def ego_stats(graph: OnionGraph) -> DataFrame:
     """Per-node 1-hop ego-network summary over the symmetrized
     graph: neighbor count, distinct neighbor layers, and mean

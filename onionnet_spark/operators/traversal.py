@@ -45,7 +45,16 @@ def _directed_endpoints(graph: OnionGraph, direction: str) -> DataFrame:
     return graph.cached_endpoints(direction)
 
 
-def _sources_df(spark: SparkSession, sources: list[tuple[str, str]]) -> DataFrame:
+def _sources_df(spark: SparkSession, sources) -> DataFrame:
+    """Seed frame for BFS: either a driver-side list of (layer, id)
+    tuples (the ego-search shape) or a DataFrame with (layer,
+    node_id) columns — the multi-source-from-a-computed-set shape
+    (e.g. 'everything reachable from the giant SCC'), which must
+    never round-trip through the driver at scale."""
+    if isinstance(sources, DataFrame):
+        return sources.select(
+            "layer", "node_id", F.lit(0).alias("dist")
+        ).localCheckpoint()
     return spark.createDataFrame(
         [(l, str(i), 0) for (l, i) in sources], "layer string, node_id string, dist int"
     )

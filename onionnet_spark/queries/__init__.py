@@ -439,6 +439,10 @@ _R6_NEW: list[str] = [
     "embedding_cluster_sample",
     "lineitem_layout_skipping",
     "events_attribution_ushape",
+    "brand_supplier_hhi",
+    "orders_integrity_audit",
+    "ann_nprobe_curve",
+    "graph_bowtie",
 ]
 
 

@@ -3767,3 +3767,83 @@ def graph_knn_profile_q(spark, sf_dir):
             F.round(F.sum("kv") / F.count("*"), 6).alias("knn"),
         )
     )
+
+
+@register(
+    "graph_bowtie",
+    # bow-tie over the entity view augmented with reverse
+    # nation:0 -> supplier edges (the components_strong_cyclic
+    # construction), so the largest SCC is {nation:0} ∪ its
+    # suppliers; reach sets computed by honest recursion over the
+    # augmented edge list
+    f"""WITH RECURSIVE {CTES},
+    lyr AS (SELECT * FROM edges_g
+            WHERE src_layer IN ('region','nation','customer','supplier')
+              AND dst_layer IN ('region','nation','customer','supplier')),
+    tgt AS (SELECT CAST(MIN(CAST(dst_id AS INT)) AS VARCHAR) AS nid
+            FROM lyr WHERE src_layer = 'supplier' AND dst_layer = 'nation'),
+    aug AS (
+      SELECT src_layer, src_id, dst_layer, dst_id FROM lyr
+      UNION ALL
+      SELECT dst_layer, dst_id, src_layer, src_id FROM lyr
+      WHERE src_layer = 'supplier' AND dst_layer = 'nation'
+        AND dst_id = (SELECT nid FROM tgt)),
+    core AS (
+      SELECT 'nation' AS layer, (SELECT nid FROM tgt) AS node_id
+      UNION ALL
+      SELECT DISTINCT 'supplier', src_id FROM lyr
+      WHERE src_layer = 'supplier' AND dst_layer = 'nation'
+        AND dst_id = (SELECT nid FROM tgt)),
+    down(layer, node_id) AS (
+      SELECT layer, node_id FROM core
+      UNION
+      SELECT e.dst_layer, e.dst_id FROM down d
+      JOIN aug e ON e.src_layer = d.layer AND e.src_id = d.node_id),
+    up(layer, node_id) AS (
+      SELECT layer, node_id FROM core
+      UNION
+      SELECT e.src_layer, e.src_id FROM up u
+      JOIN aug e ON e.dst_layer = u.layer AND e.dst_id = u.node_id)
+    SELECT n.layer, n.node_id,
+           CASE WHEN c.node_id IS NOT NULL THEN 'core'
+                WHEN u.node_id IS NOT NULL THEN 'in'
+                WHEN d.node_id IS NOT NULL THEN 'out'
+                ELSE 'other' END AS bowtie_class
+    FROM nodes_g n
+    LEFT JOIN core c ON c.layer = n.layer AND c.node_id = n.node_id
+    LEFT JOIN up u ON u.layer = n.layer AND u.node_id = n.node_id
+    LEFT JOIN down d ON d.layer = n.layer AND d.node_id = n.node_id
+    WHERE n.layer IN ('region','nation','customer','supplier')""",
+)
+def graph_bowtie_q(spark, sf_dir):
+    """Broder bow-tie decomposition over the entity view augmented
+    with reverse nation -> supplier edges (a real multi-node SCC,
+    the components_strong_cyclic construction, anchored on the
+    MIN-id nation that actually HAS suppliers — at sf0.001 nation 0
+    has none and the cycle would collapse to a tie over singletons):
+    core / in / out / other per node, from the honest SCC labeling
+    plus two DataFrame-seeded multi-source BFS runs."""
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    e = g.edge_endpoints()
+    sup_nat = e.filter(
+        (F.col("src_layer") == "supplier") & (F.col("dst_layer") == "nation")
+    )
+    target = str(
+        sup_nat.agg(
+            F.min(F.col("dst_id").cast("int")).alias("m")
+        ).collect()[0]["m"]
+    )
+    rev = e.filter(
+        (F.col("src_layer") == "supplier")
+        & (F.col("dst_layer") == "nation")
+        & (F.col("dst_id") == target)
+    ).select(
+        F.col("dst_layer").alias("src_layer"),
+        F.col("dst_id").alias("src_id"),
+        F.col("src_layer").alias("dst_layer"),
+        F.col("src_id").alias("dst_id"),
+    )
+    cyc = OnionGraph(g.nodes, e.unionByName(rev))
+    return analytics.bowtie_structure(cyc)

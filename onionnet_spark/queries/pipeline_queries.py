@@ -5506,3 +5506,82 @@ def embedding_cluster_sample_q(spark, sf_dir):
     return cluster_balanced_sample(
         _embs(spark, sf_dir), frac=0.25, k=8, iterations=2, cache_key=sf_dir
     )
+
+
+def _nprobe_curve_oracle(
+    k_cent: int = 8, iterations: int = 2, probes=(1, 2, 4), topk: int = 5
+) -> str:
+    """Recall-vs-nprobe tuning curve: one unrolled codebook, the
+    exact top-k once, then per-nprobe cell-restricted candidates."""
+    ctes = _kmeans_assign_ctes(k_cent, iterations)
+    ctes.append("idx AS (SELECT id, e, cid FROM rk WHERE rn = 1)")
+    ctes.extend(_bf_topk_ctes(topk, query_cte="v", name="tru"))
+    selects = []
+    for np_ in probes:
+        ctes.append(
+            f"pr{np_} AS (SELECT id, e, cid FROM rk WHERE rn <= {np_})"
+        )
+        ctes.append(
+            f"""pp{np_} AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+         {_cos('a.e', 'b.e')} AS cosine
+       FROM pr{np_} a JOIN idx b ON a.cid = b.cid AND a.id <> b.id)"""
+        )
+        ctes.append(
+            f"""pr{np_}r AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn2
+         FROM pp{np_}) WHERE rn2 <= {topk})"""
+        )
+        ctes.append(
+            f"""h{np_} AS (SELECT COUNT(*) AS hits
+       FROM tru JOIN pr{np_}r USING (query_id, neighbor_id))"""
+        )
+        selects.append(
+            f"""SELECT CAST({np_} AS INT) AS nprobe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_queries,
+           CAST(hits AS BIGINT) AS total_hits,
+           ROUND(hits * 1.0
+                 / (GREATEST((SELECT COUNT(*) FROM v), 1) * {topk}), 6)
+             AS mean_recall
+    FROM h{np_}"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("ann_nprobe_curve", _nprobe_curve_oracle())
+def ann_nprobe_curve_q(spark, sf_dir):
+    """Recall@5 as a function of nprobe (1, 2, 4) against exact
+    brute-force truth — the tuning curve every IVF deployment draws
+    before fixing its latency/recall trade-off; the codebook trains
+    once (memoized) and each arm reuses the audited cell-local
+    search."""
+    from onionnet_spark.functions.similarity import (
+        ann_ivf_topk,
+        brute_force_topk,
+    )
+
+    embs = _embs(spark, sf_dir)
+    truth = brute_force_topk(embs, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint()
+    nq = embs.count()
+    out = None
+    for np_ in (1, 2, 4):
+        approx = ann_ivf_topk(
+            embs, k=5, n_centroids=8, nprobe=np_, codebook="kmeans",
+            cache_key=sf_dir,
+        ).select("query_id", "neighbor_id")
+        row = (
+            truth.join(approx, on=["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.lit(nq).cast("bigint").alias("n_queries"),
+                F.col("hits").cast("bigint").alias("total_hits"),
+                F.round(
+                    F.col("hits") / (F.greatest(F.lit(nq), F.lit(1)) * 5), 6
+                ).alias("mean_recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2816,3 +2816,101 @@ def lineitem_layout_skipping_q(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("rows_matching"))
     )
     return out.crossJoin(F.broadcast(n_match))
+
+
+@register(
+    "brand_supplier_hhi",
+    # Herfindahl-Hirschman concentration of supplier share per part
+    # brand, EXACT: HHI = sum(cnt^2) / total^2 — two integer
+    # aggregates and ONE final division (shares never materialize
+    # as intermediate doubles)
+    """WITH s AS (
+      SELECT p.p_brand, l.l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(cnt) AS BIGINT) AS total_items,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+      FROM s GROUP BY 1)
+    SELECT p_brand, n_suppliers, total_items,
+           ROUND(sum_sq * 1.0 / (total_items * total_items), 6) AS hhi
+    FROM agg""",
+)
+def brand_supplier_hhi_q(spark, sf_dir):
+    """Supplier-concentration HHI per part brand (the antitrust /
+    supply-chain-risk metric): sum of squared supplier shares,
+    computed as integer sum(cnt²)/total² with one final division —
+    exact at any scale. Two aggregations; the part dim join
+    broadcasts."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return s.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("cnt").cast("bigint").alias("total_items"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("cnt"))
+            / (F.sum("cnt") * F.sum("cnt")),
+            6,
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "orders_integrity_audit",
+    # referential-integrity intake audit: orphaned orders (no
+    # lineitems), dangling lineitems (no order), and coverage rates
+    """WITH o AS (SELECT COUNT(*) AS n_orders FROM orders),
+    l AS (SELECT COUNT(*) AS n_lineitems FROM lineitem),
+    orphans AS (
+      SELECT COUNT(*) AS n FROM orders
+      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)),
+    dangling AS (
+      SELECT COUNT(*) AS n FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    SELECT CAST(o.n_orders AS BIGINT) AS n_orders,
+           CAST(l.n_lineitems AS BIGINT) AS n_lineitems,
+           CAST(orphans.n AS BIGINT) AS n_orphan_orders,
+           CAST(dangling.n AS BIGINT) AS n_dangling_lineitems,
+           ROUND(orphans.n * 1.0 / o.n_orders, 6) AS orphan_rate
+    FROM o, l, orphans, dangling""",
+)
+def orders_integrity_audit_q(spark, sf_dir):
+    """Referential-integrity audit: orders with no lineitems and
+    lineitems with no parent order — the intake check every
+    warehouse load runs. Both directions are LEFT ANTI joins (the
+    NOT-IN shape without the null trap); one row out."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_orderkey")
+    li = t["lineitem"].select("l_orderkey")
+    orphans = o.join(
+        li, on=F.col("o_orderkey") == F.col("l_orderkey"), how="left_anti"
+    ).agg(F.count("*").alias("n_orphans"))
+    dangling = li.join(
+        o, on=F.col("l_orderkey") == F.col("o_orderkey"), how="left_anti"
+    ).agg(F.count("*").alias("n_dangling"))
+    totals = o.agg(F.count("*").alias("n_orders")).crossJoin(
+        li.agg(F.count("*").alias("n_lineitems"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("n_lineitems").cast("bigint").alias("n_lineitems"),
+            F.col("n_orphans").cast("bigint").alias("n_orphan_orders"),
+            F.col("n_dangling").cast("bigint").alias("n_dangling_lineitems"),
+            F.round(F.col("n_orphans") / F.col("n_orders"), 6).alias(
+                "orphan_rate"
+            ),
+        )
+    )
