@@ -507,3 +507,59 @@ def test_cluster_balanced_sample_quotas(spark, sf_dir):
     assert per and all(
         per[c] == math.ceil(size[c] * 0.25) for c in per
     ), (dict(per), size)
+
+
+# ------------------------------------------------ plan-shape guards (r6)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hilbert_key_plan_is_narrow(spark, sf_dir):
+    """The Hilbert key is pure per-row arithmetic after the 1-row
+    bounds broadcast: NO shuffle exchange anywhere in the plan."""
+    from onionnet_spark.sources.layout import hilbert_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    plan = _plan(hilbert_key(li, "l_extendedprice", "l_quantity", bits=8))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan  # the bounds row
+    assert "Cartesian" not in plan
+
+
+def test_dsir_select_uses_bucketed_rank(spark, sf_dir):
+    """The selection rank must be the two-phase bucketed global_rank:
+    the row_number window partitions by the range bucket, never by
+    nothing over the whole corpus."""
+    from onionnet_spark.queries import load_all
+
+    fn, _ = load_all()["dsir_select"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "windowspecdefinition(_bkt" in plan
+
+
+def test_ccnet_bands_window_partitioned_by_lang(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+
+    fn, _ = load_all()["ccnet_perplexity_bands"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "windowspecdefinition(lang" in plan
+
+
+def test_funnel_windowed_no_cartesian(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+
+    fn, _ = load_all()["events_funnel_windowed"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Cartesian" not in plan
+
+
+def test_all_quarters_broadcasts_customer_dim(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+
+    fn, _ = load_all()["customers_all_quarters"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "Cartesian" not in plan
