@@ -443,6 +443,7 @@ _R6_NEW: list[str] = [
     "orders_integrity_audit",
     "ann_nprobe_curve",
     "graph_bowtie",
+    "events_user_lorenz",
 ]
 
 

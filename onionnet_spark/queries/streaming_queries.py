@@ -1150,3 +1150,64 @@ def events_attribution_ushape_q(spark, sf_dir):
             F.sum("mc").cast("bigint").alias("credit_microcents"),
         )
     )
+
+
+@register(
+    "events_user_lorenz",
+    # user-concentration Lorenz deciles over event counts (the "top
+    # 20% of users generate X%" curve); integer counts throughout
+    """WITH ue AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    rk AS (SELECT user_id, x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS rn,
+                  COUNT(*) OVER () AS n FROM ue),
+    dec AS (
+      SELECT CAST(ceil(rn * 10.0 / n) AS INT) AS decile,
+             CAST(SUM(x) AS BIGINT) AS dx,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM rk GROUP BY 1)
+    SELECT decile, n_users, dx AS n_events,
+           ROUND(CAST(SUM(dx) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST((SELECT SUM(x) FROM ue) AS DOUBLE), 6)
+             AS cum_share
+    FROM dec""",
+)
+def events_user_lorenz_q(spark, sf_dir):
+    """User-activity Lorenz deciles: users ranked by event count via
+    the distributed global_rank, cumulative share per decile from
+    exact integer sums — the engagement-concentration curve growth
+    teams track. The cumulative window runs over the 10-row decile
+    table, never the data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from onionnet_spark.functions.corpus import global_rank
+
+    ue = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    n = ue.count()
+    ranked = global_rank(ue, "x", "user_id", rank_col="rn")
+    dec = ranked.groupBy(
+        F.ceil(F.col("rn") * 10.0 / n).cast("int").alias("decile")
+    ).agg(
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+    total = ue.agg(F.sum("x").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.round(
+                F.sum("n_events").over(w).cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
