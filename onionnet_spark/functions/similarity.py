@@ -2175,6 +2175,8 @@ def cluster_balanced_sample(
     cents = kmeans_codebook(
         df, vec_col, id_col, k=k, iterations=iterations, cache_key=cache_key
     )
+    # assigned feeds both the size aggregation and the rank window —
+    # checkpoint so the broadcast-crossJoin assignment runs once
     assigned = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(cents))
@@ -2186,6 +2188,7 @@ def cluster_balanced_sample(
                 F.struct((-F.col("cc")).alias("nc"), F.col("cid").alias("tb")),
             ).alias("cid")
         )
+        .localCheckpoint()
     )
     sizes = assigned.groupBy("cid").agg(F.count("*").alias("n"))
     w = Window.partitionBy("cid").orderBy(

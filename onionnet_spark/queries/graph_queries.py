@@ -3748,12 +3748,23 @@ def graph_knn_profile_q(spark, sf_dir):
         F.concat_ws(":", "src_layer", "src_id").alias("u"),
         F.concat_ws(":", "dst_layer", "dst_id").alias("v"),
     )
+    # both frames feed the plan MORE THAN ONCE (deg twice as du/dv,
+    # sym as the probe side): checkpoint each so the symmetrize +
+    # distinct and the degree aggregation run exactly once instead of
+    # three times / twice (the un-checkpointed plan recomputed the
+    # 4.8M-row distinct three times and degraded further under
+    # late-session cache pressure)
     sym = (
         fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
-    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("k"))
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .localCheckpoint()
+    )
     du = deg.withColumnRenamed("k", "ku")
     dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
     return (
