@@ -2024,6 +2024,63 @@ def louvain_move_round(graph: OnionGraph) -> DataFrame:
     )
 
 
+def count_paths_to(
+    graph: OnionGraph, target: tuple[str, str], max_len: int = 5
+) -> DataFrame:
+    """Distinct directed paths from every node to `target`, counted
+    exactly by path length — the DAG dynamic program behind lineage
+    multiplicity ("how many derivation chains hit this entity"),
+    provenance fan-in, and BOM explosion counts.
+
+    paths(v) = Σ_k (#length-k paths v -> target), built as k rounds
+    of one edge join + one integer-sum aggregation each (the k-th
+    frame holds length-k path counts; BIGINT sums are engine-exact).
+    `max_len` must be >= the DAG depth for exact totals (raise it
+    for deeper graphs; each round is the same join+agg plan). On a
+    cyclic graph counts of length <= max_len are still exact — the
+    bounded-length semantics every provenance system uses. Returns
+    (layer, node_id, n_paths) for nodes with >= 1 path, target
+    excluded (no zero-length path).
+    """
+    e = graph.edge_endpoints().select(
+        "src_layer", "src_id", "dst_layer", "dst_id"
+    )
+    tl, ti = target[0], str(target[1])
+    cur = (
+        e.filter((F.col("dst_layer") == tl) & (F.col("dst_id") == ti))
+        .groupBy(
+            F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    total = cur
+    for _ in range(max_len - 1):
+        nxt = (
+            e.join(
+                cur.select(
+                    F.col("layer").alias("dst_layer"),
+                    F.col("node_id").alias("dst_id"),
+                    "c",
+                ),
+                on=["dst_layer", "dst_id"],
+            )
+            .groupBy(
+                F.col("src_layer").alias("layer"),
+                F.col("src_id").alias("node_id"),
+            )
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        total = total.unionByName(nxt)
+        cur = nxt
+    return total.groupBy("layer", "node_id").agg(
+        F.sum("c").cast("bigint").alias("n_paths")
+    )
+
+
 def bowtie_structure(graph: OnionGraph) -> DataFrame:
     """Broder bow-tie decomposition (the web-graph structure map):
     CORE = the largest SCC (ties: min component label), IN = nodes

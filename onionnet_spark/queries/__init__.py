@@ -444,6 +444,7 @@ _R6_NEW: list[str] = [
     "ann_nprobe_curve",
     "graph_bowtie",
     "events_user_lorenz",
+    "graph_path_counts",
 ]
 
 

@@ -3858,3 +3858,45 @@ def graph_bowtie_q(spark, sf_dir):
     )
     cyc = OnionGraph(g.nodes, e.unionByName(rev))
     return analytics.bowtie_structure(cyc)
+
+
+@register(
+    "graph_path_counts",
+    # unrolled length-k path DP to region:0 (the DAG depth here is
+    # <= 4): pk(v) = sum over edges v->w of p(k-1)(w), integer-exact
+    f"""WITH {CTES},
+    e AS (SELECT src_layer, src_id, dst_layer, dst_id FROM edges_g),
+    p1 AS (SELECT src_layer AS layer, src_id AS node_id,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM e WHERE dst_layer = 'region' AND dst_id = '0'
+           GROUP BY 1, 2),
+    p2 AS (SELECT e.src_layer AS layer, e.src_id AS node_id,
+                  CAST(SUM(p.c) AS BIGINT) AS c
+           FROM e JOIN p1 p ON p.layer = e.dst_layer AND p.node_id = e.dst_id
+           GROUP BY 1, 2),
+    p3 AS (SELECT e.src_layer AS layer, e.src_id AS node_id,
+                  CAST(SUM(p.c) AS BIGINT) AS c
+           FROM e JOIN p2 p ON p.layer = e.dst_layer AND p.node_id = e.dst_id
+           GROUP BY 1, 2),
+    p4 AS (SELECT e.src_layer AS layer, e.src_id AS node_id,
+                  CAST(SUM(p.c) AS BIGINT) AS c
+           FROM e JOIN p3 p ON p.layer = e.dst_layer AND p.node_id = e.dst_id
+           GROUP BY 1, 2),
+    p5 AS (SELECT e.src_layer AS layer, e.src_id AS node_id,
+                  CAST(SUM(p.c) AS BIGINT) AS c
+           FROM e JOIN p4 p ON p.layer = e.dst_layer AND p.node_id = e.dst_id
+           GROUP BY 1, 2)
+    SELECT layer, node_id, CAST(SUM(c) AS BIGINT) AS n_paths
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+          UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+          UNION ALL SELECT * FROM p5)
+    GROUP BY layer, node_id""",
+)
+def graph_path_counts_q(spark, sf_dir):
+    """Distinct-path counts to region:0 (lineage multiplicity): a
+    lineitem whose order-customer AND supplier both sit in region 0
+    counts 2 derivation chains — the DAG dynamic program behind
+    provenance fan-in and BOM explosion."""
+    return analytics.count_paths_to(
+        get_graph(spark, sf_dir), ("region", "0"), max_len=5
+    )
