@@ -445,6 +445,8 @@ _R6_NEW: list[str] = [
     "graph_bowtie",
     "events_user_lorenz",
     "graph_path_counts",
+    "brand_dual_sourcing",
+    "embedding_knn_outliers",
 ]
 
 

@@ -5585,3 +5585,46 @@ def ann_nprobe_curve_q(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _knn_outlier_oracle(kth: int = 5, topn: int = 20) -> str:
+    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+    ctes.extend(_bf_topk_ctes(kth, query_cte="v", name="kn"))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id AS vec_id,
+           ROUND(1 - cosine, 6) AS knn_distance,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY cosine ASC, query_id) AS INT) AS outlier_rank
+    FROM kn_r WHERE rn = {kth}
+    QUALIFY outlier_rank <= {topn}"""
+    )
+
+
+@register("embedding_knn_outliers", _knn_outlier_oracle())
+def embedding_knn_outliers_q(spark, sf_dir):
+    """kNN-distance outlier detection (Ramaswamy et al. 2000): score
+    every vector by its distance to its 5th nearest neighbor and
+    surface the global top-20 — the density-based anomaly gate an
+    embedding intake runs (isolated vectors have FAR kth neighbors;
+    cluster members have near ones). One exact top-k pass + a
+    TakeOrdered global top-n."""
+    from onionnet_spark.functions.similarity import brute_force_topk
+
+    kth, topn = 5, 20
+    knn = brute_force_topk(_embs(spark, sf_dir), k=kth).filter(
+        F.col("rank") == kth
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cosine").asc(), F.col("query_id"))
+    return (
+        knn.select(
+            F.col("query_id").alias("vec_id"),
+            F.round(1 - F.col("cosine"), 6).alias("knn_distance"),
+            F.row_number().over(w).cast("int").alias("outlier_rank"),
+        )
+        .filter(F.col("outlier_rank") <= topn)
+    )

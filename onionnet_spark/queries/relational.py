@@ -2914,3 +2914,68 @@ def orders_integrity_audit_q(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "brand_dual_sourcing",
+    # supply-chain resilience: per brand, how many parts have >= 2
+    # suppliers / >= 2 supplier NATIONS (single-sourced parts are the
+    # risk register); supply relation observed from lineitem
+    """WITH sp AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+    sn AS (
+      SELECT sp.pk, sp.sk, s.s_nationkey AS nk
+      FROM sp JOIN supplier s ON s.s_suppkey = sp.sk),
+    per_part AS (
+      SELECT p.p_brand, sn.pk,
+             COUNT(DISTINCT sn.sk) AS n_supp,
+             COUNT(DISTINCT sn.nk) AS n_nations
+      FROM sn JOIN part p ON p.p_partkey = sn.pk
+      GROUP BY 1, 2)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN n_supp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dual_sourced,
+           CAST(SUM(CASE WHEN n_nations >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_nation,
+           ROUND(SUM(CASE WHEN n_supp >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dual_rate
+    FROM per_part GROUP BY p_brand""",
+)
+def brand_dual_sourcing_q(spark, sf_dir):
+    """Supply-chain resilience audit: per brand, the fraction of
+    parts with at least two suppliers (and two supplier NATIONS) —
+    single-sourced parts are the procurement risk register. The
+    supplier and part dims broadcast; the distinct and the two
+    count-distincts key on the part."""
+    t = load_tables(spark, sf_dir)
+    sp = t["lineitem"].select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    sn = sp.join(
+        F.broadcast(t["supplier"].select(
+            F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
+        )),
+        on="sk",
+    )
+    per_part = sn.join(
+        F.broadcast(t["part"].select(
+            F.col("p_partkey").alias("pk"), "p_brand"
+        )),
+        on="pk",
+    ).groupBy("p_brand", "pk").agg(
+        F.countDistinct("sk").alias("n_supp"),
+        F.countDistinct("nk").alias("n_nations"),
+    )
+    return per_part.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum((F.col("n_supp") >= 2).cast("int")).cast("bigint").alias(
+            "n_dual_sourced"
+        ),
+        F.sum((F.col("n_nations") >= 2).cast("int")).cast("bigint").alias(
+            "n_multi_nation"
+        ),
+        F.round(
+            F.sum((F.col("n_supp") >= 2).cast("int")) / F.count("*"), 6
+        ).alias("dual_rate"),
+    )
