@@ -127,6 +127,10 @@ HEADLINE = [
     "embedding_cluster_sample",
     "lineitem_layout_skipping",
     "events_attribution_ushape",
+    "events_user_lorenz",
+    "graph_path_counts",
+    "brand_dual_sourcing",
+    "embedding_knn_outliers",
 ]
 
 
