@@ -131,6 +131,12 @@ HEADLINE = [
     "graph_path_counts",
     "brand_dual_sourcing",
     "embedding_knn_outliers",
+    # round-7 additions (also excluded from the comparable subtotal)
+    "embedding_sign_hash_recall",
+    "docs_quality_calibration",
+    "corpus_selection_curve",
+    "cluster_topic_terms",
+    "events_ab_test",
 ]
 
 
@@ -191,21 +197,28 @@ def main() -> None:
     # stdout, so diagnostics (iter0: first-of-two timings — ambient
     # inflation shows as iter0 >> best) go first and the headline
     # values/queries go LAST to survive truncation.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "timing": f"best of {iters} adjacent runs per query",
-                "iter0": iter0,
-                "queries": timings,
-                "sf": sf,
-                "unit": "sec",
-                "value_r2_subset": round(r2_subset, 3),
-                "value_r3_subset": round(r3_subset, 3),
-                "value": round(total, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "timing": f"best of {iters} adjacent runs per query",
+        "iter0": iter0,
+        "queries": timings,
+        "sf": sf,
+        "unit": "sec",
+        "value_r2_subset": round(r2_subset, 3),
+        "value_r3_subset": round(r3_subset, 3),
+        "value": round(total, 3),
+    }
+    # The driver artifact keeps only the last ~2000 chars of stdout,
+    # which truncated 31 of 97 per-query figures in BENCH_r06 — so
+    # ALSO write the full JSON to a file that gets committed with
+    # the round (BENCH_FULL_latest.json, overwritten per run).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL_latest.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries totals
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

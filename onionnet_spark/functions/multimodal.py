@@ -294,13 +294,131 @@ def synth_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
 
 
+def _optional_av():
+    """Feature-detect PyAV (ffmpeg bindings): the documented plug-in
+    for exact MP3/AAC/Vorbis audio and H.264/VP9-class video
+    bitstreams. The pure-Python codecs in this package stay the
+    default and the oracle-gated ground truth; this arm only handles
+    formats they raise on."""
+    try:
+        import av  # noqa: F401
+
+        return av
+    except ImportError:
+        return None
+
+
+def _optional_ffmpeg_bin():
+    """Feature-detect an ffmpeg binary on PATH (the subprocess
+    fallback when PyAV isn't importable)."""
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def _decode_audio_external(payload) -> "tuple[np.ndarray, int]":
+    """Decode an MP3/AAC/OGG-class audio bitstream through the
+    feature-detected external arms: PyAV in-process first, then an
+    ffmpeg subprocess (s16le PCM over a pipe). Raises
+    NotImplementedError when neither is present — the same contract
+    as every other plug-in gate in this module."""
+    import numpy as np
+
+    av = _optional_av()
+    if av is not None:
+        import io
+
+        frames = []
+        sr, ch = 0, 1
+        with av.open(io.BytesIO(bytes(payload))) as container:
+            stream = container.streams.audio[0]
+            resampler = av.AudioResampler(format="s16", layout=None, rate=None)
+            for frame in container.decode(stream):
+                sr = frame.sample_rate or sr
+                for rf in resampler.resample(frame):
+                    arr = rf.to_ndarray()  # (channels, samples) s16
+                    frames.append(arr)
+        if frames:
+            ch = frames[0].shape[0]
+            pcm = np.concatenate(frames, axis=1).T.astype(np.int16)
+            return pcm.reshape(-1, ch), int(sr)
+        return np.zeros((0, 1), dtype=np.int16), int(sr)
+    ffmpeg = _optional_ffmpeg_bin()
+    if ffmpeg is not None:
+        import subprocess
+
+        sr = 44100
+        proc = subprocess.run(
+            [ffmpeg, "-v", "error", "-i", "pipe:0",
+             "-f", "s16le", "-acodec", "pcm_s16le",
+             "-ar", str(sr), "-ac", "1", "pipe:1"],
+            input=bytes(payload), capture_output=True, check=True,
+        )
+        pcm = np.frombuffer(proc.stdout, dtype="<i2").reshape(-1, 1)
+        return pcm.astype(np.int16), sr
+    raise NotImplementedError(
+        "exact MP3/AAC-class bitstream decode needs PyAV or an ffmpeg "
+        "binary (neither in this container); WAV/G.711/ADPCM/FLAC/OMA1 "
+        "decode natively via the pure-Python codecs"
+    )
+
+
+def _decode_video_external(payload) -> "tuple[list, int]":
+    """Decode an MP4/H.264/WebM-class video bitstream through the
+    feature-detected external arms: PyAV in-process first, then an
+    ffmpeg subprocess. The subprocess arm emits image2pipe PNG
+    (rawvideo would need the frame dims up front) and decodes each
+    frame with the in-repo PNG codec, chunk-walking the stream for
+    frame boundaries. Returns (frames: list[np.ndarray HxWx3
+    uint8], fps). Raises NotImplementedError when neither decoder
+    is present."""
+    import numpy as np
+
+    av = _optional_av()
+    if av is not None:
+        import io
+
+        frames = []
+        fps = 0
+        with av.open(io.BytesIO(bytes(payload))) as container:
+            stream = container.streams.video[0]
+            if stream.average_rate:
+                fps = int(round(float(stream.average_rate)))
+            for frame in container.decode(stream):
+                frames.append(
+                    frame.to_ndarray(format="rgb24").astype(np.uint8)
+                )
+        return frames, fps
+    ffmpeg = _optional_ffmpeg_bin()
+    if ffmpeg is not None:
+        import subprocess
+
+        from onionnet_spark.functions import png as _png
+
+        proc = subprocess.run(
+            [ffmpeg, "-v", "error", "-i", "pipe:0",
+             "-f", "image2pipe", "-vcodec", "png", "pipe:1"],
+            input=bytes(payload), capture_output=True, check=True,
+        )
+        frames = [
+            _png.decode_png(f) for f in _split_png_stream(proc.stdout)
+        ]
+        return frames, 0  # fps unknown on the subprocess arm
+    raise NotImplementedError(
+        "exact MP4/H.264-class bitstream decode needs PyAV or an "
+        "ffmpeg binary (neither in this container); RIFF/AVI with "
+        "BI_RGB/MJPG/MSV1 decodes natively via the pure-Python codecs"
+    )
+
+
 def _decode_any_audio(payload) -> "tuple[np.ndarray, int]":
     """Signature-dispatched real audio decode: RIFF/WAVE containers
     (PCM, G.711, IMA ADPCM — functions/wav.py), FLAC streams
     (functions/flac.py) and OMA1 lossy MDCT streams
-    (functions/mdct.py — the transform-codec family). Only the exact
-    MP3/AAC bitstream formats still raise — the external-decoder
-    plug-in point."""
+    (functions/mdct.py — the transform-codec family). Anything else
+    (MP3/AAC/OGG bitstreams) routes to the feature-detected
+    PyAV/ffmpeg arm, which raises NotImplementedError only when
+    neither external decoder exists."""
     from onionnet_spark.functions import flac as _flac
     from onionnet_spark.functions import mdct as _mdct
     from onionnet_spark.functions import wav as _wav
@@ -310,7 +428,9 @@ def _decode_any_audio(payload) -> "tuple[np.ndarray, int]":
     if _mdct.is_oma(payload):
         pcm, sr = _mdct.decode_mdct(payload)
         return pcm.reshape(-1, 1), sr
-    return _wav.decode_wav(payload)
+    if _wav.is_wav(payload):
+        return _wav.decode_wav(payload)
+    return _decode_audio_external(payload)
 
 
 def decode_audio_stats(df: DataFrame) -> DataFrame:
@@ -435,6 +555,34 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _split_png_stream(data: bytes) -> list[bytes]:
+    """Split a concatenated image2pipe PNG stream into whole PNGs by
+    honest chunk-structure parsing (len[4] type[4] data crc[4] per
+    chunk, signature to IEND per image) — never by searching for the
+    8-byte signature, which legitimately occurs inside compressed
+    IDAT payloads. A malformed tail (truncated pipe) is dropped
+    rather than mis-attributed to the previous frame."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    frames: list[bytes] = []
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n and data[pos : pos + 8] == sig:
+        cur = pos + 8
+        while True:
+            if cur + 8 > n:
+                return frames  # truncated chunk header: drop tail
+            clen = int.from_bytes(data[cur : cur + 4], "big")
+            ctype = data[cur + 4 : cur + 8]
+            cur += 8 + clen + 4  # header + data + crc
+            if cur > n:
+                return frames  # truncated chunk body: drop tail
+            if ctype == b"IEND":
+                break
+        frames.append(data[pos:cur])
+        pos = cur
+    return frames
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """Sample every `every_n`-th 'frame' from video-shaped payloads,
     one output row per sampled frame (row-fanout decode: the batch
@@ -480,11 +628,15 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
                         capture_output=True,
                         check=True,
                     )
-                    # split the PNG stream on signatures; fingerprint each
-                    sig = b"\x89PNG\r\n\x1a\n"
-                    parts = proc.stdout.split(sig)[1:]
-                    for i, part in enumerate(parts):
-                        h = hashlib.sha256(sig + part).digest()
+                    # walk the PNG chunk structure to find frame
+                    # boundaries — the 8-byte signature can occur
+                    # inside compressed IDAT payloads, so splitting
+                    # on it would miscount frames. Each PNG is
+                    # signature + chunks of (len[4] type[4] data
+                    # crc[4]) through IEND; chunk lengths give the
+                    # exact end offset of every frame.
+                    for i, frame in enumerate(_split_png_stream(proc.stdout)):
+                        h = hashlib.sha256(frame).digest()
                         ids.append(doc_id)
                         idxs.append(i * every_n)
                         fps.append(int.from_bytes(h[:4], "big") // 2)
@@ -1428,7 +1580,9 @@ def decode_video_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
 
     pos_checksum = sum(p * (1 + r*3 + c*5 + k*7)) detects row/
     column/channel permutation bugs that a plain pixel_sum is blind
-    to. Unknown biCompression raises (the ffmpeg plug-in point)."""
+    to. Non-AVI containers (MP4/H.264, WebM/VP9) route to the
+    feature-detected PyAV/ffmpeg arm; it raises NotImplementedError
+    only when neither external decoder exists."""
 
     def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -1442,7 +1596,10 @@ def decode_video_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
                 "n_channels", "pixel_sum", "pos_checksum",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames, fps = _avi.decode_avi(payload)
+                if _avi.is_avi(bytes(payload)):
+                    frames, fps = _avi.decode_avi(payload)
+                else:
+                    frames, fps = _decode_video_external(payload)
                 for f_idx in range(0, len(frames), every_n):
                     arr = frames[f_idx].astype(np.int64)
                     if arr.ndim == 2:

@@ -15,6 +15,8 @@ engine-order float differences cannot flip the comparison hash.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +41,19 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _np_round_half_away(a, decimals: int = 6):
+    """Round half AWAY from zero, elementwise — the convention both
+    Spark's F.round (HALF_UP) and DuckDB's ROUND use on doubles.
+    np.round is banker's rounding (half to even), so a cosine
+    landing exactly on a .5e-6 boundary would diverge between the
+    numpy kernels and the SQL oracles and flip top-k tie-breaks
+    across engines; this keeps the three arms bit-identical."""
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(a) * scale + 0.5), a) / scale
 
 
 def brute_force_topk(
@@ -116,7 +131,7 @@ def brute_force_topk(
         qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         c = np.array(list(right["v"]), dtype=np.float64)
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
-        cos = np.round(qn @ cn.T, 6)  # (queries, block candidates)
+        cos = _np_round_half_away(qn @ cn.T, 6)  # (queries, block candidates)
         qids = left["id"].values
         cand_ids = right["id"].values
         out_q, out_n, out_c = [], [], []
@@ -276,7 +291,54 @@ def cosine_near_dup_pairs(
     )
 
 
-_KMEANS_CACHE: dict[tuple, "DataFrame"] = {}
+def sign_hash_bands(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Pack each vector's per-dimension sign bits (x > 0) into
+    ``n_bands`` integers of ``band_bits`` bits each, MSB-first — a
+    64-bit SimHash-style binary code stored as band columns so the
+    Hamming-pigeonhole band join needs no bit-slicing at probe time.
+    Returns DataFrame(id, b0..b{n-1}: long). Pure column arithmetic
+    (F.aggregate over the dimension range) — JVM-side, no UDF."""
+    e = F.col(vec_col)
+    cols = [F.col(id_col).alias("id")]
+    for j in range(n_bands):
+        start = j * band_bits + 1
+        band = F.aggregate(
+            F.sequence(F.lit(start), F.lit(start + band_bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(e, i.cast("int")) > 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        cols.append(band.alias(f"b{j}"))
+    return df.select(*cols)
+
+
+# Trained-codebook memo: a per-session dict inside a
+# WeakKeyDictionary keyed on the SparkSession itself — when the
+# session is garbage-collected its entry (and the checkpointed
+# codebook DataFrames it pins) drop with it, and two sessions can
+# never alias the way raw id() keys could. The inner key carries the
+# full training signature (cache_key, vec_col, id_col, k,
+# iterations); ``cache_key`` must still uniquely identify the
+# CORPUS — the DataFrame's data is not hashed.
+_KMEANS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def clear_kmeans_cache(spark=None) -> None:
+    """Eviction hook: drop memoized codebooks for one session (or
+    all sessions) — e.g. after replacing a corpus under the same
+    cache_key."""
+    if spark is None:
+        _KMEANS_CACHE.clear()
+    else:
+        _KMEANS_CACHE.pop(spark, None)
 
 
 def kmeans_codebook(
@@ -315,17 +377,20 @@ def kmeans_codebook(
     (see ann_ivf_topk's scale contract).
     """
     # Training is deterministic, so with ``cache_key`` set the
-    # k-row codebook memoizes per (session, key, k, iterations) —
-    # repeat callers (IVF search, recall evals, the miners) pay only
-    # their own dataflow, the way a trained codebook is actually
-    # reused (same pattern as the residual-PQ training cache).
+    # k-row codebook memoizes per (session, full training signature)
+    # — repeat callers (IVF search, recall evals, the miners) pay
+    # only their own dataflow, the way a trained codebook is
+    # actually reused (same pattern as the residual-PQ cache).
+    session = df.sparkSession
     ck = (
-        (id(df.sparkSession), cache_key, k, iterations)
+        (cache_key, vec_col, id_col, k, iterations)
         if cache_key is not None
         else None
     )
-    if ck and ck in _KMEANS_CACHE:
-        return _KMEANS_CACHE[ck]
+    if ck is not None:
+        per_session = _KMEANS_CACHE.setdefault(session, {})
+        if ck in per_session:
+            return per_session[ck]
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cents = (
         v.orderBy(F.md5(F.col("id").cast("string")), "id")
@@ -358,8 +423,8 @@ def kmeans_codebook(
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
             .localCheckpoint()
         )
-    if ck:
-        _KMEANS_CACHE[ck] = cents
+    if ck is not None:
+        _KMEANS_CACHE.setdefault(session, {})[ck] = cents
     return cents
 
 
@@ -515,7 +580,7 @@ def ann_ivf_topk(
         qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         c = np.array(list(right["v"]), dtype=np.float64)
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
-        cos = np.round(qn @ cn.T, 6)
+        cos = _np_round_half_away(qn @ cn.T, 6)
         qids = left["id"].values
         cand_ids = right["id"].values
         out_q, out_n, out_c = [], [], []

@@ -477,8 +477,12 @@ def resolve_entities(
         F.col("id_b").cast("string").alias("dst_id"),
     )
     labels = connected_components_star(OnionGraph(all_ids, pair_edges))
+    # cast the stringified node key back to the CALLER's id dtype —
+    # a hard cast("long") would NULL every non-numeric id and
+    # collapse the whole table into one entity_id=NULL cluster
+    id_type = df.schema[id_col].dataType
     members = labels.select(
-        F.col("node_id").cast("long").alias(id_col), "component"
+        F.col("node_id").cast(id_type).alias(id_col), "component"
     )
     entity = members.groupBy("component").agg(
         F.min(id_col).alias("entity_id")

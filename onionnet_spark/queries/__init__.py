@@ -353,6 +353,19 @@ _R6_WINDOW: list[str] = [
 ]
 
 
+# Round-7 driver window (the driver records the FIRST 50 keys):
+# the r06 red leads (bloom_pruned_revenue — DOUBLE gate surface fix
+# needs a green re-record), then multimodal_decode (rows-only ERR
+# no_oracle in r01; it has a real oracle now, so the slot upgrades
+# it to hash-gated evidence), then the never-recorded backlog in
+# _R7_QUEUE order. The 11-key _R7_QUEUE tail plus all of _R6_NEW
+# (38 keys) queue for round 8 in _R8_QUEUE below.
+_R7_WINDOW_HEAD: list[str] = [
+    "bloom_pruned_revenue",
+    "multimodal_decode",
+]
+
+
 _R7_QUEUE: list[str] = [
     "multimodal_gif_frames",
     "graph_mis",
@@ -450,6 +463,21 @@ _R6_NEW: list[str] = [
 ]
 
 
+# Round-7 window: 2-key head + the first 48 never-recorded backlog
+# keys. Round-8 queue: the _R7_QUEUE tail + every _R6_NEW key (still
+# never recorded). _R7_NEW collects keys added in round 7, behind
+# the evidence debt as always.
+_R7_WINDOW: list[str] = _R7_WINDOW_HEAD + _R7_QUEUE[:48]
+_R8_QUEUE: list[str] = _R7_QUEUE[48:] + _R6_NEW
+_R7_NEW: list[str] = [
+    "embedding_sign_hash_recall",
+    "docs_quality_calibration",
+    "corpus_selection_curve",
+    "cluster_topic_terms",
+    "events_ab_test",
+]
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
         relational,
@@ -459,7 +487,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     ordered: dict[str, tuple[QueryFn, str | None]] = {}
-    for name in _R6_WINDOW + _R7_QUEUE + _R6_NEW:
+    for name in _R7_WINDOW + _R8_QUEUE + _R7_NEW + _R6_WINDOW:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name, entry in REGISTRY.items():

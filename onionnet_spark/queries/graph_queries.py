@@ -3741,32 +3741,23 @@ def graph_knn_profile_q(spark, sf_dir):
     profile behind the scalar assortativity r (rising = assortative
     hubs-with-hubs, falling = disassortative). Exact integer sums,
     one division per degree bucket; two joins against the degree
-    table keyed on the node key."""
+    table keyed on the node key.
+
+    Both inputs come from the session-shared persisted graph views
+    (canonical_edges / canonical_degrees) that every other
+    undirected analytic starts from: the distinct (u,v) pair set is
+    the canonical a<b edge list emitted in both directions, and the
+    distinct-neighbor degree IS the canonical degree — so the 4.8M
+    row symmetrize+distinct is computed once per session, not
+    re-derived (and double-checkpointed) per call."""
     g = get_graph(spark, sf_dir)
-    e = g.edge_endpoints()
-    fwd = e.select(
-        F.concat_ws(":", "src_layer", "src_id").alias("u"),
-        F.concat_ws(":", "dst_layer", "dst_id").alias("v"),
-    )
-    # both frames feed the plan MORE THAN ONCE (deg twice as du/dv,
-    # sym as the probe side): checkpoint each so the symmetrize +
-    # distinct and the degree aggregation run exactly once instead of
-    # three times / twice (the un-checkpointed plan recomputed the
-    # 4.8M-row distinct three times and degraded further under
-    # late-session cache pressure)
-    sym = (
-        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        sym.groupBy("u")
-        .agg(F.count("*").cast("bigint").alias("k"))
-        .localCheckpoint()
-    )
-    du = deg.withColumnRenamed("k", "ku")
-    dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
+    canon = g.canonical_edges()  # (a, b), a < b, self-loops dropped
+    sym = canon.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = g.canonical_degrees()  # (n, d) — distinct-neighbor degree
+    du = deg.select(F.col("n").alias("u"), F.col("d").cast("bigint").alias("ku"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").cast("bigint").alias("kv"))
     return (
         sym.join(du, on="u")
         .join(dv, on="v")

@@ -5610,7 +5610,10 @@ def embedding_knn_outliers_q(spark, sf_dir):
     surface the global top-20 — the density-based anomaly gate an
     embedding intake runs (isolated vectors have FAR kth neighbors;
     cluster members have near ones). One exact top-k pass + a
-    TakeOrdered global top-n."""
+    TakeOrdered global top-n: orderBy().limit(n) compiles to
+    TakeOrderedAndProject (per-partition heaps, n rows to the
+    driver-side merge — never a one-partition sort of the corpus);
+    the rank window then runs over only the n survivors."""
     from onionnet_spark.functions.similarity import brute_force_topk
 
     kth, topn = 5, 20
@@ -5619,12 +5622,364 @@ def embedding_knn_outliers_q(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    top = (
+        knn.select("query_id", "cosine")
+        .orderBy(F.col("cosine").asc(), F.col("query_id"))
+        .limit(topn)
+    )
+    # bounded window: topn rows by construction
     w = Window.orderBy(F.col("cosine").asc(), F.col("query_id"))
+    return top.select(
+        F.col("query_id").alias("vec_id"),
+        F.round(1 - F.col("cosine"), 6).alias("knn_distance"),
+        F.row_number().over(w).cast("int").alias("outlier_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-7 additions: binary-hash retrieval eval, classifier
+# calibration, quality-threshold selection curve, cluster topic terms
+# --------------------------------------------------------------------------
+
+
+def _sign_hash_recall_oracle(
+    k: int = 5, n_bands: int = 4, band_bits: int = 16
+) -> str:
+    hi = band_bits - 1
+    xor_sum = " + ".join(
+        f"bit_count(xor(sa.bs[{j + 1}], sb.bs[{j + 1}]))" for j in range(n_bands)
+    )
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        """bits AS (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+         CASE WHEN unnest(e) > 0 THEN 1 ELSE 0 END AS bit FROM v)""",
+        f"""bands AS MATERIALIZED (SELECT vec_id,
+         CAST((pos - 1) // {band_bits} AS INT) AS band_id,
+         CAST(SUM(bit * (1::BIGINT << CAST({hi} - ((pos - 1) % {band_bits})
+                                           AS INT))) AS BIGINT) AS bval
+       FROM bits GROUP BY 1, 2)""",
+        "sig AS (SELECT vec_id, list(bval ORDER BY band_id) AS bs FROM bands GROUP BY 1)",
+        """cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+       FROM bands a JOIN bands b
+         ON a.band_id = b.band_id AND a.bval = b.bval AND a.vec_id <> b.vec_id)""",
+        f"""ham AS (SELECT c.qid, c.nid, {xor_sum} AS hd
+       FROM cand c JOIN sig sa ON sa.vec_id = c.qid
+                   JOIN sig sb ON sb.vec_id = c.nid)""",
+        f"""hk AS (SELECT qid, nid FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hd, nid) AS rn
+         FROM ham) WHERE rn <= {k})""",
+    ]
+    ctes.extend(_bf_topk_ctes(k, query_cte="v", name="ex"))
     return (
-        knn.select(
-            F.col("query_id").alias("vec_id"),
-            F.round(1 - F.col("cosine"), 6).alias("knn_distance"),
-            F.row_number().over(w).cast("int").alias("outlier_rank"),
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_queries,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+           CAST((SELECT COUNT(*) FROM hk t JOIN ex
+                 ON ex.query_id = t.qid AND ex.neighbor_id = t.nid)
+                AS BIGINT) AS hits_at_k,
+           ROUND((SELECT COUNT(*) FROM hk t JOIN ex
+                  ON ex.query_id = t.qid AND ex.neighbor_id = t.nid) * 1.0
+                 / ((SELECT COUNT(*) FROM v) * {k}), 6) AS recall_at_k"""
+    )
+
+
+@register("embedding_sign_hash_recall", _sign_hash_recall_oracle())
+def embedding_sign_hash_recall_q(spark, sf_dir):
+    """Binary sign-hash retrieval eval: pack each embedding's
+    per-dimension signs into 4x16-bit band integers (one 64-bit
+    SimHash-style code), generate candidates by exact band collision
+    (the Hamming-pigeonhole banding the simhash dedup path uses),
+    rank candidates by exact Hamming distance, and score recall@5
+    against the exact-cosine ground truth — the storage-codec eval
+    that says whether 1-bit-per-dim indexes are usable on this
+    corpus (complements the int8 eval in embedding_int8_recall).
+
+    Scale shape: the signature table is 5 longs/row; candidates come
+    from an equi-join on (band_id, band_value) — sum(bucket^2) pairs,
+    never corpus^2; the ground-truth arm is the eval-only brute-force
+    pass every recall report pays (run it on a sample at 100 TB)."""
+    from onionnet_spark.functions.similarity import (
+        brute_force_topk,
+        sign_hash_bands,
+    )
+
+    k, n_bands = 5, 4
+    embs = _embs(spark, sf_dir)
+    sig = sign_hash_bands(embs, n_bands=n_bands, band_bits=16).localCheckpoint()
+    bands = None
+    for j in range(n_bands):
+        part = sig.select(
+            "id", F.lit(j).alias("band_id"), F.col(f"b{j}").alias("bval")
         )
-        .filter(F.col("outlier_rank") <= topn)
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band_id", "bval"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("qid"), F.col("b.id").alias("nid"))
+        .distinct()
+        .localCheckpoint()
+    )
+    qa = sig.select(
+        F.col("id").alias("qid"), *[F.col(f"b{j}").alias(f"qa{j}") for j in range(n_bands)]
+    )
+    qb = sig.select(
+        F.col("id").alias("nid"), *[F.col(f"b{j}").alias(f"qb{j}") for j in range(n_bands)]
+    )
+    hd = None
+    for j in range(n_bands):
+        t = F.bit_count(F.col(f"qa{j}").bitwiseXOR(F.col(f"qb{j}")))
+        hd = t if hd is None else hd + t
+    ham = cand.join(qa, on="qid").join(qb, on="nid").select(
+        "qid", "nid", hd.alias("hd")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy("hd", "nid")
+    hk = ham.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    truth = brute_force_topk(embs, k=k).select("query_id", "neighbor_id")
+    hits = hk.join(
+        truth,
+        (truth["query_id"] == hk["qid"]) & (truth["neighbor_id"] == hk["nid"]),
+    )
+    n_q = embs.agg(F.count("*").alias("nq"))
+    n_c = cand.agg(F.count("*").alias("nc"))
+    return (
+        hits.agg(F.count("*").alias("h"))
+        .crossJoin(F.broadcast(n_q))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            F.col("nq").cast("bigint").alias("n_queries"),
+            F.col("nc").cast("bigint").alias("n_candidate_pairs"),
+            F.col("h").cast("bigint").alias("hits_at_k"),
+            F.round(F.col("h") * 1.0 / (F.col("nq") * k), 6).alias("recall_at_k"),
+        )
+    )
+
+
+@register(
+    "docs_quality_calibration",
+    # reliability diagram of the English stopword-hit score against
+    # the lang == 'en' truth: per capped score bin, predicted prob
+    # (least(1, bin/10)) vs the empirical English rate
+    f"""WITH sc AS (
+      SELECT LEAST(CAST(len(list_filter({_TOKS},
+               x -> x IN ({_sw_list('en')}))) AS INT), 15) AS score_bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents)
+    SELECT score_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_en,
+           ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS en_rate,
+           ROUND(LEAST(1.0, score_bin / 10.0), 6) AS pred_prob,
+           ROUND(ROUND(LEAST(1.0, score_bin / 10.0), 6)
+                 - ROUND(SUM(y) * 1.0 / COUNT(*), 6), 6) AS calibration_gap
+    FROM sc GROUP BY 1""",
+)
+def docs_quality_calibration_q(spark, sf_dir):
+    """Classifier calibration table (reliability diagram): bucket
+    the English stopword-hit score, compare its implied probability
+    against the empirical language truth per bucket — the companion
+    readout to docs_lang_auc (AUC says the score RANKS well;
+    calibration says whether its VALUES are trustable as selection
+    thresholds). One exploded-token aggregation + one |bins|-row
+    aggregation; the bin table is bounded (<= 16 rows) by the cap."""
+    from onionnet_spark.functions import text as _text
+
+    d = _docs(spark, sf_dir)
+    scored = _text.lang_id(d).join(d.select("doc_id", "lang"), on="doc_id")
+    sb = F.least(F.col("hits_en").cast("int"), F.lit(15))
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    pred = F.round(F.least(F.lit(1.0), F.col("score_bin") / 10.0), 6)
+    return (
+        scored.select(sb.alias("score_bin"), y.alias("y"))
+        .groupBy("score_bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_en"),
+            F.round(F.sum("y") * 1.0 / F.count("*"), 6).alias("en_rate"),
+        )
+        .select(
+            "score_bin",
+            "n_docs",
+            "n_en",
+            "en_rate",
+            pred.alias("pred_prob"),
+            F.round(pred - F.col("en_rate"), 6).alias("calibration_gap"),
+        )
+    )
+
+
+@register(
+    "corpus_selection_curve",
+    # token budget vs quality threshold: rank docs by quality asc,
+    # cut into 20 ventiles, cumulate token counts FROM THE TOP — the
+    # "if we keep the best X%, how many training tokens do we get"
+    # planning curve behind every quality-filtered data mix
+    f"""WITH base AS (
+      SELECT doc_id, {_TOKS} AS a,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               * 1.0 / length(text) AS punct_ratio
+      FROM documents),
+    scored AS (
+      SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens,
+             ROUND(0.5 * least(1.0, len(a) / 100.0)
+                   + 0.3 * (1.0 - punct_ratio)
+                   + 0.2 * least(1.0, 5.0 * len(list_filter(a,
+                       x -> x IN ({_sw_list('en')}))) * 1.0 / len(a)),
+                   6) AS quality
+      FROM base),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM scored WHERE quality IS NOT NULL),
+    g AS (SELECT CAST((rn - 1) * 20 // n AS INT) + 1 AS ventile,
+                 COUNT(*) AS n_docs,
+                 ROUND(MIN(quality), 6) AS min_quality,
+                 ROUND(MAX(quality), 6) AS max_quality,
+                 SUM(n_tokens) AS sum_tokens
+          FROM r GROUP BY 1)
+    SELECT ventile, CAST(n_docs AS BIGINT) AS n_docs,
+           min_quality, max_quality,
+           CAST(sum_tokens AS BIGINT) AS sum_tokens,
+           CAST(SUM(sum_tokens) OVER (ORDER BY ventile DESC) AS BIGINT)
+             AS cum_tokens_from_top
+    FROM g""",
+)
+def corpus_selection_curve_q(spark, sf_dir):
+    """Quality-threshold selection curve: exact global quality rank
+    (two-phase bucketed global_rank — never a single-partition
+    window over the corpus), 20 ventiles, cumulative token budget
+    from the top ventile down. The only unpartitioned window runs
+    over the 20-row ventile table (bounded by construction)."""
+    from onionnet_spark.functions import text as _text
+    from onionnet_spark.functions.corpus import global_rank
+    from pyspark.sql import Window
+
+    scored = (
+        _text.quality_score(_docs(spark, sf_dir))
+        .filter(F.col("quality").isNotNull())
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                "quality")
+    )
+    tot = scored.agg(F.count("*").alias("_n"))
+    ranked = global_rank(scored, "quality", "doc_id", rank_col="rn")
+    g = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "ventile",
+            (F.expr("(rn - 1) * 20 DIV _n") + 1).cast("int"),
+        )
+        .groupBy("ventile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    w = Window.orderBy(F.col("ventile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # bounded: 20 ventile rows
+    return g.select(
+        "ventile", "n_docs", "min_quality", "max_quality", "sum_tokens",
+        F.sum("sum_tokens").over(w).cast("bigint").alias("cum_tokens_from_top"),
+    )
+
+
+def _cluster_topic_oracle(
+    k_cent: int = 8, iterations: int = 2, topk: int = 5
+) -> str:
+    ctes = _kmeans_assign_ctes(k_cent, iterations)
+    ctes.append("asg AS (SELECT id, cid FROM rk WHERE rn = 1)")
+    ctes.append(
+        f"""tok AS MATERIALIZED (SELECT a.cid, d.doc_id, unnest({_TOKS}) AS term
+       FROM documents d JOIN asg a ON a.id = d.doc_id)"""
+    )
+    ctes.append(
+        "cnt AS (SELECT cid, term, COUNT(*) AS n_occ FROM tok GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfx FROM tok GROUP BY 1)"
+    )
+    ctes.append("nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok)")
+    ctes.append(
+        """sc AS (SELECT c.cid, c.term, c.n_occ, dfx,
+         c.n_occ * (nn.n - dfx) AS score
+       FROM cnt c JOIN dfq USING (term) CROSS JOIN nn)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cid AS cluster_id, term,
+           CAST(n_occ AS BIGINT) AS n_occurrences,
+           CAST(dfx AS BIGINT) AS doc_freq,
+           CAST(score AS BIGINT) AS score,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cid ORDER BY score DESC, term) AS rn
+          FROM sc)
+    WHERE rn <= {topk}"""
+    )
+
+
+@register("cluster_topic_terms", _cluster_topic_oracle())
+def cluster_topic_terms_q(spark, sf_dir):
+    """Topic labeling for the k-means document clusters: top-5 terms
+    per cluster by the integer df-discounted score
+    n_occ_in_cluster * (N_docs - doc_freq) — a tf-idf-shaped ranking
+    kept in exact integers so both engines agree bit-for-bit (a
+    float ln(idf) could differ by 1 ulp across libm builds). The
+    cluster assignment reuses the memoized seeded-kmeans codebook;
+    term stats are two hash aggregations over the exploded tokens;
+    the ranking window partitions by cluster (K partitions)."""
+    from onionnet_spark.functions import similarity as _sim
+    from onionnet_spark.functions.text import tokens_col
+    from pyspark.sql import Window
+
+    embs = _embs(spark, sf_dir)
+    cents = _sim.kmeans_codebook(embs, k=8, iterations=2, cache_key=sf_dir)
+    assigned = (
+        embs.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cc", F.round(_sim.cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.col("cid"),
+                F.struct((-F.col("cc")).alias("nc"), F.col("cid").alias("tb")),
+            ).alias("cid")
+        )
+    )
+    d = _docs(spark, sf_dir)
+    tok = (
+        d.join(assigned, d["doc_id"] == assigned["id"])
+        .select("cid", "doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .localCheckpoint()  # feeds cnt, dfq and nn below
+    )
+    cnt = tok.groupBy("cid", "term").agg(F.count("*").alias("n_occ"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("dfx"))
+    nn = tok.agg(F.countDistinct("doc_id").alias("n"))
+    sc = (
+        cnt.join(dfq, on="term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "cid", "term", "n_occ", "dfx",
+            (F.col("n_occ") * (F.col("n") - F.col("dfx"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "term",
+            F.col("n_occ").cast("bigint").alias("n_occurrences"),
+            F.col("dfx").cast("bigint").alias("doc_freq"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
     )

@@ -2024,7 +2024,7 @@ def lineitem_zorder_key_q(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
                                AS DECIMAL(18,4))), 2)
-                AS DECIMAL(18,2)) AS revenue
+                AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT'
@@ -2065,7 +2065,10 @@ def bloom_pruned_revenue_q(spark, sf_dir):
                 )
             ),
             2,
-        ).cast("decimal(18,2)").alias("revenue"),
+        # final surface is DOUBLE (the q7/q9 convention): the driver
+        # canonicalizer hashes decimal.Decimal differently across
+        # engines, so the gate output must never be decimal-typed.
+        ).cast("double").alias("revenue"),
     )
 
 
@@ -2560,7 +2563,7 @@ def lineitem_wilson_returns(spark, sf_dir):
              COUNT(DISTINCT q) AS n_quarters,
              CAST(COUNT(*) AS BIGINT) AS n_orders,
              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                  AS DECIMAL(18,2)) AS total_spend
+                  AS DOUBLE) AS total_spend
       FROM o95 GROUP BY 1)
     SELECT a.c_custkey, c.c_name, a.n_orders, a.total_spend
     FROM agg a JOIN customer c ON c.c_custkey = a.c_custkey
@@ -2580,8 +2583,9 @@ def customers_all_quarters_q(spark, sf_dir):
     agg = o95.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.countDistinct(F.quarter("o_orderdate")).alias("n_quarters"),
         F.count("*").cast("bigint").alias("n_orders"),
+        # DECIMAL accumulation, DOUBLE gate surface (q7/q9 convention)
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_spend"),
     )
     cust = t["customer"].select("c_custkey", "c_name")
@@ -2599,7 +2603,7 @@ def customers_all_quarters_q(spark, sf_dir):
     """WITH spend AS (
       SELECT o_custkey AS c_custkey,
              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                  AS DECIMAL(18,2)) AS total_spend
+                  AS DOUBLE) AS total_spend
       FROM orders GROUP BY 1)
     SELECT s.c_custkey, n.n_name AS nation, s.total_spend,
            ROUND(CUME_DIST() OVER (PARTITION BY n.n_name
@@ -2618,8 +2622,11 @@ def customer_spend_percentile_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     spend = t["orders"].groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        # DECIMAL accumulation, DOUBLE gate surface (q7/q9 convention);
+        # both engines order the window by the identical double, so
+        # cume_dist ties agree by construction.
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_spend")
     )
     cust = t["customer"].select("c_custkey", "c_nationkey")

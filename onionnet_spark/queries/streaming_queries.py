@@ -1211,3 +1211,87 @@ def events_user_lorenz_q(spark, sf_dir):
             ).alias("cum_share"),
         )
     )
+
+
+@register(
+    "events_ab_test",
+    # two-proportion A/B readout: deterministic variant assignment
+    # (user_id parity — the hash-bucket assignment every experiment
+    # platform uses, reduced to its SQL-replayable core), conversion
+    # = user ever purchased, pooled z-score on the rate gap
+    """WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1),
+    s AS (SELECT
+      SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+      SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c_a,
+      SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+      SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c_b
+    FROM u)
+    SELECT CAST(n_a AS BIGINT) AS n_users_a,
+           CAST(c_a AS BIGINT) AS n_conv_a,
+           ROUND(c_a * 1.0 / n_a, 6) AS rate_a,
+           CAST(n_b AS BIGINT) AS n_users_b,
+           CAST(c_b AS BIGINT) AS n_conv_b,
+           ROUND(c_b * 1.0 / n_b, 6) AS rate_b,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+                ELSE ROUND((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                     / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                            * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+    FROM s""",
+)
+def events_ab_test(spark, sf_dir):
+    """A/B experiment readout: deterministic variant split (user_id
+    parity), per-user conversion flag (ever purchased), and the
+    pooled two-proportion z-score — the growth-analytics primitive
+    behind every experimentation dashboard. One per-user aggregation
+    (shuffle keyed on user_id) folding into a single conditional-sum
+    row; the z arithmetic runs on that 1-row frame. IEEE-exact
+    across engines: every input to the float math is an integer and
+    the expression tree is written identically on both sides."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150.0),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    p_pool = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (
+        (F.col("c_a") * 1.0 / F.col("n_a") - F.col("c_b") * 1.0 / F.col("n_b"))
+        / F.sqrt(
+            p_pool * (F.lit(1.0) - p_pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        )
+    )
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_users_a"),
+        F.col("c_a").cast("bigint").alias("n_conv_a"),
+        F.round(F.col("c_a") * 1.0 / F.col("n_a"), 6).alias("rate_a"),
+        F.col("n_b").cast("bigint").alias("n_users_b"),
+        F.col("c_b").cast("bigint").alias("n_conv_b"),
+        F.round(F.col("c_b") * 1.0 / F.col("n_b"), 6).alias("rate_b"),
+        # degenerate experiments (0% or 100% pooled conversion) have
+        # zero pooled variance: z is NULL, never a divide-by-zero
+        F.when(
+            (F.col("c_a") + F.col("c_b") == 0)
+            | (F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(z, 6))
+        .alias("z_score"),
+    )

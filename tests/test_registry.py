@@ -34,21 +34,24 @@ def test_oracle_attachment_to_same_fn_allowed():
 def test_load_all_is_registry_superset_and_ordered():
     reg = q.load_all()
     assert set(reg) == set(q.REGISTRY)
-    # round-6 priority: the three r05 gate reds lead (their fixes
-    # must be re-recorded green), then the never-recorded backlog
-    present_priority = [
-        k for k in q._R6_WINDOW + q._R7_QUEUE + q._R6_NEW if k in reg
-    ]
+    # round-7 priority: the r06 red + the oracle-upgraded
+    # multimodal_decode lead, then the never-recorded backlog
+    present_priority = []
+    for k in q._R7_WINDOW + q._R8_QUEUE + q._R7_NEW + q._R6_WINDOW:
+        if k in reg and k not in present_priority:
+            present_priority.append(k)
     assert list(reg)[: len(present_priority)] == present_priority
 
 
-def test_r6_window_covers_unrecorded_or_red_keys():
-    """Evidence-plan invariants (VERDICT r5 next-round item 3): every
-    round-6 driver-window slot is spent either on one of the three
-    r05 gate reds (fixed this round, needs a green re-record) or on
-    a key with NO recorded CORRECTNESS row in r01-r05; overflow
-    never-recorded keys are explicitly queued for round 7 — nothing
-    falls through silently."""
+def test_r7_window_covers_unrecorded_or_red_keys():
+    """Evidence-plan invariants (VERDICT r6 next-round item 2): every
+    round-7 driver-window slot is spent on (a) the r06 gate red
+    (bloom_pruned_revenue, fixed this round, needs a green
+    re-record), (b) multimodal_decode (rows-only ERR no_oracle in
+    r01, real oracle registered since — the slot upgrades it to
+    hash-gated), or (c) a key with NO recorded CORRECTNESS row in
+    r01-r06; overflow never-recorded keys are explicitly queued for
+    round 8 — nothing falls through silently."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green = set()
     red = set()
@@ -57,6 +60,7 @@ def test_r6_window_covers_unrecorded_or_red_keys():
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     ):
         path = os.path.join(root, fname)
         if not os.path.exists(path):
@@ -66,10 +70,16 @@ def test_r6_window_covers_unrecorded_or_red_keys():
                 continue
             hashed = v.get("hash_match") and not v.get("err")
             # rows-only sketches record err='no_oracle' with a row
-            # count — that IS their green (weaker by design)
+            # count — that IS their green (weaker by design), UNLESS
+            # the key has since gained a real oracle: then the
+            # record is stale and the key is window-eligible again
+            has_oracle = (
+                k in q.REGISTRY and q.REGISTRY[k][1] is not None
+            )
             rows_only = (
                 v.get("err") == "no_oracle"
                 and v.get("spark_rows") is not None
+                and not has_oracle
             )
             (green if hashed or rows_only else red).add(k)
     red -= green
@@ -79,16 +89,16 @@ def test_r6_window_covers_unrecorded_or_red_keys():
     first = list(reg)[: min(50, len(eligible))]
     wasted = [k for k in first if k in green]
     assert not wasted, f"window slots spent on already-green keys: {wasted}"
-    # the fixed reds lead the window so their repairs get recorded
-    assert set(first[:3]) == red == {
-        "bloom_pruned_revenue", "graph_adjacency_export", "tokenize_to_ids",
-    }
+    # the fixed red + the oracle upgrade lead the window
+    assert first[0] == "bloom_pruned_revenue"
+    assert red == {"bloom_pruned_revenue", "multimodal_decode"}
+    assert first[1] == "multimodal_decode"
     overflow = [k for k in eligible if k not in set(first)]
-    queued = set(q._R7_QUEUE) | set(q._R6_NEW)
+    queued = set(q._R8_QUEUE) | set(q._R7_NEW)
     unqueued = [k for k in overflow if k not in queued]
     assert not unqueued, (
         f"never-recorded keys neither in the window nor queued in "
-        f"_R7_QUEUE/_R6_NEW: {unqueued}"
+        f"_R8_QUEUE/_R7_NEW: {unqueued}"
     )
 
 

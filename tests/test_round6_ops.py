@@ -31,15 +31,19 @@ def test_resolve_entities_numeric_min_across_digit_boundary(spark):
 
 def test_gate_outputs_are_scalar_typed(spark, sf_dir):
     """The driver canonicalizer hashes scalars only: no queries()
-    entry may expose an array/map/struct/binary top-level column.
-    (r05 lost two window slots to exactly this.)"""
+    entry may expose an array/map/struct/binary top-level column
+    (r05 lost two window slots to exactly this) — and no decimal
+    either: Spark's decimal.Decimal and DuckDB's decimal→pandas
+    conversion hash differently even when values match exactly
+    (bloom_pruned_revenue red r05+r06). Money columns accumulate in
+    DECIMAL but surface as DOUBLE (the tpch_q7/q9 convention)."""
     from onionnet_spark.queries import load_all
 
     offenders = []
     for key, (fn, _oracle) in sorted(load_all().items()):
         df = fn(spark, sf_dir)
         for name, dt in df.dtypes:
-            if dt.startswith(("array", "map", "struct", "binary")):
+            if dt.startswith(("array", "map", "struct", "binary", "decimal")):
                 offenders.append((key, name, dt))
     assert offenders == []
 
