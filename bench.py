@@ -137,6 +137,10 @@ HEADLINE = [
     "corpus_selection_curve",
     "cluster_topic_terms",
     "events_ab_test",
+    "embedding_pq_distortion",
+    "dedup_threshold_sweep",
+    "audio_speech_segments",
+    "returnflag_year_chi2",
 ]
 
 

@@ -475,6 +475,10 @@ _R7_NEW: list[str] = [
     "corpus_selection_curve",
     "cluster_topic_terms",
     "events_ab_test",
+    "embedding_pq_distortion",
+    "dedup_threshold_sweep",
+    "audio_speech_segments",
+    "returnflag_year_chi2",
 ]
 
 

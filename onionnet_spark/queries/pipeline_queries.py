@@ -1350,14 +1350,15 @@ def docs_bm25(spark, sf_dir):
     return ranking.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
 
 
-def _ann_pq_oracle(
-    m: int = 4, dim: int = 64, k_cent: int = 8, iterations: int = 2,
-    topk: int = 5,
-) -> str:
-    """Unrolls similarity.pq_codebooks + ann_pq_topk: per-subspace
-    seeded L2 Lloyd rounds with 6dp-rounded intermediates, then ADC
-    scoring. Squared L2 uses the dot-product expansion
-    (a.a - 2a.b + b.b) on both engines so rounded values align."""
+def _pq_assign_ctes(
+    m: int = 4, dim: int = 64, k_cent: int = 8, iterations: int = 2
+) -> list[str]:
+    """Shared CTE prefix unrolling similarity.pq_codebooks: per-
+    subspace seeded L2 Lloyd rounds with 6dp-rounded intermediates.
+    Squared L2 uses the dot-product expansion (a.a - 2a.b + b.b) on
+    both engines so rounded values align. Ends at `sf` (every
+    subvector scored against the final codebook) and `codes` (the
+    rn=1 assignment)."""
     sub = dim // m
     j_vals = ", ".join(f"({j})" for j in range(m))
 
@@ -1404,10 +1405,18 @@ def _ann_pq_oracle(
        FROM sv JOIN {prev} c ON c.j = sv.j)"""
     )
     ctes.append(
-        """codes AS MATERIALIZED (SELECT id, j, cid FROM (
-         SELECT id, j, cid, ROW_NUMBER() OVER (PARTITION BY j, id ORDER BY d2, cid) AS rn
+        """codes AS MATERIALIZED (SELECT id, j, cid, d2 FROM (
+         SELECT id, j, cid, d2, ROW_NUMBER() OVER (PARTITION BY j, id ORDER BY d2, cid) AS rn
          FROM sf) WHERE rn = 1)"""
     )
+    return ctes
+
+
+def _ann_pq_oracle(
+    m: int = 4, dim: int = 64, k_cent: int = 8, iterations: int = 2,
+    topk: int = 5,
+) -> str:
+    ctes = _pq_assign_ctes(m, dim, k_cent, iterations)
     ctes.append(
         """pairs AS (SELECT q.id AS query_id, codes.id AS neighbor_id,
            ROUND(SUM(CAST(ROUND(q.d2 * 1000000) AS BIGINT)) / 1000000.0, 6)
@@ -5982,4 +5991,259 @@ def cluster_topic_terms_q(spark, sf_dir):
             F.col("score").cast("bigint").alias("score"),
             F.col("rn").cast("int").alias("rank"),
         )
+    )
+
+
+def _pq_distortion_oracle(
+    m: int = 4, dim: int = 64, k_cent: int = 8, iterations: int = 2
+) -> str:
+    ctes = _pq_assign_ctes(m, dim, k_cent, iterations)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT CAST(j AS INT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT cid) AS BIGINT) AS codes_used,
+           CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_d2_ppm,
+           ROUND(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) * 1.0
+                 / COUNT(*) / 1000000.0, 6) AS mean_d2,
+           ROUND(MAX(d2), 6) AS max_d2
+    FROM codes GROUP BY j"""
+    )
+
+
+@register("embedding_pq_distortion", _pq_distortion_oracle())
+def embedding_pq_distortion_q(spark, sf_dir):
+    """Product-quantization reconstruction-error audit: per subspace,
+    the assigned-centroid squared-L2 distortion (mean/max, exact ppm
+    integer sums) and how many of the k codes the corpus actually
+    uses — the codec QA every PQ index deployment checks before
+    trusting ADC distances (dead codes or one fat subspace mean the
+    split or k is wrong). One broadcast m*k codebook join + a
+    map-side min_by argmin + ONE m-row aggregation — the encode pass
+    PQ indexing already pays, terminated at stats instead of codes."""
+    from onionnet_spark.functions import similarity as _sim
+
+    m = 4
+    embs = _embs(spark, sf_dir)
+    sub = 64 // m
+    svs = embs.select(
+        F.col("vec_id").alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.transform(
+                            F.slice(F.col("embedding"), j * sub + 1, sub),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    cents = _sim.pq_codebooks(embs, m=m, k=8, iterations=2)
+    asg = (
+        svs.join(F.broadcast(cents), on="j")
+        .withColumn("d2", F.round(_sim._l2sq(F.col("sv"), F.col("cv")), 6))
+        .groupBy("j", "id")
+        .agg(
+            F.min_by(
+                F.struct("cid", "d2"), F.struct("d2", "cid")
+            ).alias("a")
+        )
+        .select("j", F.col("a.cid").alias("cid"), F.col("a.d2").alias("d2"))
+    )
+    return asg.groupBy(F.col("j").cast("int").alias("subspace")).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.countDistinct("cid").cast("bigint").alias("codes_used"),
+        F.sum(F.round(F.col("d2") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_d2_ppm"),
+        F.round(
+            F.sum(F.round(F.col("d2") * 1000000).cast("bigint")) * 1.0
+            / F.count("*") / 1000000.0,
+            6,
+        ).alias("mean_d2"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+    )
+
+
+def _lsh_bucket_cte(n_planes: int = 4, dim: int = 64) -> str:
+    """CTE chain text (no leading WITH) ending at `buck(vec_id, e,
+    bucket)` — the DuckDB replay of similarity.lsh_bucket_col, same
+    md5-derived hyperplane construction as _ann_lsh_oracle."""
+    import hashlib
+
+    rows = []
+    for p in range(n_planes):
+        for i in range(dim):
+            h6 = hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:6]
+            c = int(h6, 16) / float(16**6 / 2) - 1.0
+            rows.append(f"({p}, {i}, {c!r})")
+    coef_values = ",\n      ".join(rows)
+    bucket_sum = " + ".join(
+        f"CAST(CASE WHEN p{p} > 0 THEN {2 ** p} ELSE 0 END AS BIGINT)"
+        for p in range(n_planes)
+    )
+    proj_cols = ", ".join(
+        f"SUM(CASE WHEN c.plane = {p} THEN v.e[c.dim + 1] * c.c ELSE 0 END) AS p{p}"
+        for p in range(n_planes)
+    )
+    return f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    coef(plane, dim, c) AS (VALUES
+      {coef_values}),
+    projs AS (
+      SELECT v.vec_id, {proj_cols}
+      FROM v CROSS JOIN coef c GROUP BY v.vec_id
+    ),
+    buck AS (
+      SELECT v.vec_id, v.e, {bucket_sum} AS bucket
+      FROM v JOIN projs USING (vec_id)
+    )"""
+
+
+def _dedup_threshold_sweep_oracle(n_planes: int = 4) -> str:
+    # reuse the hyperplane-LSH candidate construction of
+    # dedup_embedding_cosine, then count surviving pairs per
+    # candidate threshold — the tuning curve, one row per threshold
+    return f"""WITH {_lsh_bucket_cte(n_planes)},
+    pairs AS (SELECT ROUND(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+       FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    th AS (SELECT CAST(x AS DOUBLE) AS threshold
+           FROM (VALUES (0.30), (0.35), (0.40), (0.45), (0.50)) t(x))
+    SELECT threshold,
+           CAST(COUNT(CASE WHEN cosine >= threshold THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           ROUND(COALESCE(AVG(CASE WHEN cosine >= threshold
+                                   THEN cosine END), 0.0), 6) AS mean_cosine
+    FROM th CROSS JOIN pairs
+    GROUP BY threshold"""
+
+
+@register("dedup_threshold_sweep", None)  # oracle attached below
+def dedup_threshold_sweep_q(spark, sf_dir):
+    """Near-dup threshold tuning curve: one LSH candidate pass, then
+    surviving-pair counts and mean cosine at five thresholds — the
+    "where do we set the dedup knife" readout, priced at ONE
+    candidate generation instead of five (the threshold filter is
+    the cheap part; candidate generation is the expensive one). The
+    threshold table is 5 literal rows broadcast against the
+    candidate aggregate."""
+    from onionnet_spark.functions.similarity import cosine, lsh_bucket_col
+
+    embs = _embs(spark, sf_dir)
+    with_bucket = embs.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    ).withColumn("bucket", lsh_bucket_col(F.col("v"), 4))
+    pairs = (
+        with_bucket.alias("a")
+        .join(with_bucket.alias("b"), on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"))
+    )
+    th = spark.createDataFrame(
+        [(0.30,), (0.35,), (0.40,), (0.45,), (0.50,)], "threshold double"
+    )
+    return (
+        F.broadcast(th)
+        .crossJoin(pairs)
+        .groupBy("threshold")
+        .agg(
+            F.count(
+                F.when(F.col("cosine") >= F.col("threshold"), 1)
+            ).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.coalesce(
+                    F.avg(
+                        F.when(
+                            F.col("cosine") >= F.col("threshold"),
+                            F.col("cosine"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mean_cosine"),
+        )
+    )
+
+
+_REG["dedup_threshold_sweep"] = (
+    dedup_threshold_sweep_q,
+    _dedup_threshold_sweep_oracle(),
+)
+
+
+@register(
+    "audio_speech_segments",
+    # islands-and-gaps over the windowed-RMS silence flags: maximal
+    # runs of non-silent windows become speech segments (the VAD
+    # segmentation every ASR-data pipeline runs after the silence
+    # gate); grp = win_idx - per-doc row_number is the classic
+    # gaps-and-islands key
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 40 + doc_id % 13 AS n, 1 + doc_id % 2 AS ch
+             FROM ids),
+    mono AS (
+      SELECT d.doc_id, t.t // 16 AS win_idx, t.t,
+             SUM(((d.doc_id * 31 + t.t * 7 + c.c * 11) % 2003) - 1001) AS m
+      FROM dims d
+      JOIN range(0, 53) t(t) ON t.t < d.n
+      JOIN range(0, 2) c(c) ON c.c < d.ch
+      GROUP BY 1, 2, 3),
+    win AS (SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+                   SUM(m * m) AS sum_sq, COUNT(*) AS n_samples
+            FROM mono GROUP BY 1, 2),
+    loud AS (SELECT doc_id, win_idx, sum_sq,
+                    win_idx - ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY win_idx) AS grp
+             FROM win WHERE sum_sq > 360000 * n_samples),
+    seg AS (SELECT doc_id, MIN(win_idx) AS start_win,
+                   MAX(win_idx) AS end_win,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(sum_sq) AS BIGINT) AS sum_sq
+            FROM loud GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY start_win) AS INT) AS seg_idx,
+           start_win, end_win, n_windows, sum_sq
+    FROM seg""",
+)
+def audio_speech_segments_q(spark, sf_dir):
+    """VAD-style speech segmentation: maximal runs of non-silent
+    RMS windows (gaps-and-islands over audio_window_rms's integer
+    silence flags). All windows partition by clip — per-clip data,
+    never a global sort; segment counting is one aggregation on the
+    (doc, run) key."""
+    from pyspark.sql import Window
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_wav_payload(ids)
+    win = multimodal.audio_window_rms(payload, window=16, silence_rms=600)
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    loud = (
+        win.filter(F.col("is_silence") == 0)
+        .withColumn("grp", F.col("win_idx") - F.row_number().over(w))
+    )
+    seg = loud.groupBy("doc_id", "grp").agg(
+        F.min("win_idx").alias("start_win"),
+        F.max("win_idx").alias("end_win"),
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum("sum_sq").cast("bigint").alias("sum_sq"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_win")
+    return seg.select(
+        "doc_id",
+        F.row_number().over(ws).cast("int").alias("seg_idx"),
+        "start_win",
+        "end_win",
+        "n_windows",
+        "sum_sq",
     )

@@ -2986,3 +2986,74 @@ def brand_dual_sourcing_q(spark, sf_dir):
             F.sum((F.col("n_supp") >= 2).cast("int")) / F.count("*"), 6
         ).alias("dual_rate"),
     )
+
+
+@register(
+    "returnflag_year_chi2",
+    # categorical mix-shift test: chi-square contingency of
+    # l_returnflag x ship year (1995 vs 1996). Expected counts and
+    # contributions are computed from integer marginals with the
+    # identical expression tree on both engines, so the float chi2
+    # agrees bit-for-bit; the PSI monitor's categorical sibling
+    """WITH c AS (
+      SELECT l_returnflag AS returnflag,
+             SUM(CASE WHEN l_shipdate >= DATE '1995-01-01'
+                       AND l_shipdate < DATE '1996-01-01'
+                      THEN 1 ELSE 0 END) AS n_1995,
+             SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                       AND l_shipdate < DATE '1997-01-01'
+                      THEN 1 ELSE 0 END) AS n_1996
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01'
+        AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1),
+    t AS (SELECT SUM(n_1995) AS t95, SUM(n_1996) AS t96 FROM c)
+    SELECT c.returnflag,
+           CAST(c.n_1995 AS BIGINT) AS n_1995,
+           CAST(c.n_1996 AS BIGINT) AS n_1996,
+           ROUND((c.n_1995 + c.n_1996) * 1.0 * t.t95 / (t.t95 + t.t96), 6)
+             AS exp_1995,
+           ROUND(
+             (c.n_1995 - (c.n_1995 + c.n_1996) * 1.0 * t.t95 / (t.t95 + t.t96))
+             * (c.n_1995 - (c.n_1995 + c.n_1996) * 1.0 * t.t95 / (t.t95 + t.t96))
+             / ((c.n_1995 + c.n_1996) * 1.0 * t.t95 / (t.t95 + t.t96))
+             + (c.n_1996 - (c.n_1995 + c.n_1996) * 1.0 * t.t96 / (t.t95 + t.t96))
+             * (c.n_1996 - (c.n_1995 + c.n_1996) * 1.0 * t.t96 / (t.t95 + t.t96))
+             / ((c.n_1995 + c.n_1996) * 1.0 * t.t96 / (t.t95 + t.t96)),
+             6) AS chi2_contrib
+    FROM c CROSS JOIN t""",
+)
+def returnflag_year_chi2_q(spark, sf_dir):
+    """Categorical drift test: chi-square contingency of return flag
+    x ship year, per-flag contributions against the pooled-marginal
+    expectation — the categorical sibling of the PSI monitor
+    (length_psi_by_source). One conditional aggregation over the
+    filtered fact scan + a broadcast 1-row marginal; all float math
+    derives from integer marginals with an identical expression
+    tree on both engines."""
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    in95 = (F.col("l_shipdate") >= "1995-01-01") & (
+        F.col("l_shipdate") < "1996-01-01"
+    )
+    c = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.sum(F.when(in95, 1).otherwise(0)).alias("n_1995"),
+        F.sum(F.when(~in95, 1).otherwise(0)).alias("n_1996"),
+    )
+    t = c.agg(F.sum("n_1995").alias("t95"), F.sum("n_1996").alias("t96"))
+    row = F.col("n_1995") + F.col("n_1996")
+    e95 = row * 1.0 * F.col("t95") / (F.col("t95") + F.col("t96"))
+    e96 = row * 1.0 * F.col("t96") / (F.col("t95") + F.col("t96"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "returnflag",
+        F.col("n_1995").cast("bigint").alias("n_1995"),
+        F.col("n_1996").cast("bigint").alias("n_1996"),
+        F.round(e95, 6).alias("exp_1995"),
+        F.round(
+            (F.col("n_1995") - e95) * (F.col("n_1995") - e95) / e95
+            + (F.col("n_1996") - e96) * (F.col("n_1996") - e96) / e96,
+            6,
+        ).alias("chi2_contrib"),
+    )
