@@ -799,3 +799,24 @@ def test_streaming_windowed_funnel_outer_join_matches_batch(spark, events_df):
     null_want = {t[0] for t in want if t[1] is None}
     assert null_got <= null_want
     assert got <= want
+
+
+def test_streaming_ab_monitor_matches_batch(spark, events_df, sf_dir, tmp_path):
+    # continuously maintained per-user conversion state -> the
+    # snapshot readout must equal the one-shot batch events_ab_test
+    # exactly (MAX merge is idempotent, so replay order and duplicate
+    # deliveries cannot change the counts or the z-score)
+    from onionnet_spark.queries.streaming_queries import events_ab_test
+    from onionnet_spark.streaming.ab_stream import StreamingABMonitor
+
+    m = StreamingABMonitor(spark)
+    stream = ev.stream_from_batch(spark, events_df, partitions=5)
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert m.n_batches >= 2  # genuinely incremental
+    got = [tuple(r) for r in m.snapshot_readout().collect()]
+    want = [
+        tuple(r)
+        for r in events_ab_test(spark, sf_dir).collect()
+    ]
+    assert got == want
