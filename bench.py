@@ -141,6 +141,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "audio_speech_segments",
     "returnflag_year_chi2",
+    "multimodal_patch_stats",
+    "orders_ship_latency",
 ]
 
 

@@ -2143,3 +2143,75 @@ def augment_audio_gain(
         ]
     )
     return df.select("doc_id", "payload").mapInPandas(aug_batches, schema)
+
+
+PATCH_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("patch_row", IntegerType()),
+        StructField("patch_col", IntegerType()),
+        StructField("n_values", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def image_patch_stats(df: DataFrame, patch: int = 2) -> DataFrame:
+    """ViT-style patch extraction over REAL image decode: tile each
+    decoded image into `patch` x `patch` pixel patches (edge patches
+    keep their true, smaller size — nothing is padded or dropped) and
+    emit one row per patch with integer sum/min/max over all its
+    values (pixels x channels). This is the patchify step every
+    vision-transformer data pipeline runs before embedding; the
+    integer stats make a closed-form SQL oracle possible and catch
+    row/column tiling bugs a whole-image pixel_sum is blind to.
+
+    Row fanout happens inside mapInPandas — one row per (image,
+    patch), never a whole corpus of pixels on one executor."""
+
+    def patch_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "patch_row", "patch_col", "n_values",
+                "px_sum", "px_min", "px_max",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = _decode_any_image(bytes(payload))
+                arr = np.asarray(img, dtype=np.int64)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w, _ch = arr.shape
+                for pr in range((h + patch - 1) // patch):
+                    for pc in range((w + patch - 1) // patch):
+                        tile = arr[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                            :,
+                        ]
+                        rows["doc_id"].append(doc_id)
+                        rows["patch_row"].append(pr)
+                        rows["patch_col"].append(pc)
+                        rows["n_values"].append(int(tile.size))
+                        rows["px_sum"].append(int(tile.sum()))
+                        rows["px_min"].append(int(tile.min()))
+                        rows["px_max"].append(int(tile.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "patch_row": pd.Series(rows["patch_row"], dtype="int32"),
+                    "patch_col": pd.Series(rows["patch_col"], dtype="int32"),
+                    "n_values": pd.Series(rows["n_values"], dtype="int64"),
+                    "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+                    "px_min": pd.Series(rows["px_min"], dtype="int32"),
+                    "px_max": pd.Series(rows["px_max"], dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        patch_batches, PATCH_STATS_SCHEMA
+    )

@@ -479,6 +479,8 @@ _R7_NEW: list[str] = [
     "dedup_threshold_sweep",
     "audio_speech_segments",
     "returnflag_year_chi2",
+    "multimodal_patch_stats",
+    "orders_ship_latency",
 ]
 
 

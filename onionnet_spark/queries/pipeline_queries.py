@@ -6247,3 +6247,39 @@ def audio_speech_segments_q(spark, sf_dir):
         "n_windows",
         "sum_sq",
     )
+
+
+@register(
+    "multimodal_patch_stats",
+    # ViT patchify over REAL PNG decode: the oracle recomputes every
+    # patch's integer stats from the synthesis closed form with
+    # patch_row = i // 2, patch_col = j // 2 — a tiling bug (row/col
+    # swap, off-by-one at edges) mismatches even when whole-image
+    # sums agree
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, i.i // 2 AS patch_row, j.j // 2 AS patch_col,
+             (d.doc_id * 7 + i.i * 13 + j.j * 31 + c.c * 17) % 256 AS p
+      FROM dims d
+      JOIN range(0, 8) i(i) ON i.i < d.h
+      JOIN range(0, 9) j(j) ON j.j < d.w
+      JOIN range(0, 3) c(c) ON c.c < d.ch
+    )
+    SELECT doc_id, CAST(patch_row AS INT) AS patch_row,
+           CAST(patch_col AS INT) AS patch_col,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(p) AS BIGINT) AS px_sum,
+           CAST(MIN(p) AS INT) AS px_min,
+           CAST(MAX(p) AS INT) AS px_max
+    FROM px GROUP BY doc_id, patch_row, patch_col""",
+)
+def multimodal_patch_stats_q(spark, sf_dir):
+    """ViT-style 2x2 patch extraction over real PNG decode
+    (multimodal.image_patch_stats) — the patchify step of a vision
+    training pipeline, edge patches kept at true size."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_png_payload(ids)
+    return multimodal.image_patch_stats(payload, patch=2)

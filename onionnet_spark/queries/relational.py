@@ -3057,3 +3057,66 @@ def returnflag_year_chi2_q(spark, sf_dir):
             6,
         ).alias("chi2_contrib"),
     )
+
+
+@register(
+    "orders_ship_latency",
+    # fulfillment SLA readout: per order the FIRST ship date of any
+    # of its line items, latency in whole days from order date;
+    # per-priority exact integer-day percentiles (the discrete
+    # lower-interpolation quantile both engines compute identically
+    # on integers) plus the >30d SLA-breach rate
+    """WITH fs AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY 1),
+    lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, fs.first_ship) AS BIGINT)
+               AS days
+      FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(quantile_cont(days, 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(days, 0.9), 6) AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days,
+           CAST(SUM(CASE WHEN days > 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_breach_30d,
+           ROUND(SUM(CASE WHEN days > 30 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS breach_rate
+    FROM lat GROUP BY 1""",
+)
+def orders_ship_latency_q(spark, sf_dir):
+    """Order-to-first-ship latency SLA: one fact aggregation for the
+    first ship date per order (map-side combinable MIN), a key join
+    back to orders, then per-priority exact interpolated percentiles
+    (Spark percentile == DuckDB quantile_cont on integers — the
+    grouped_percentiles convention) and the 30-day breach rate. Both the MIN and the final GROUP BY shuffle on
+    their natural keys; nothing global."""
+    t = load_tables(spark, sf_dir)
+    fs = t["lineitem"].groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lat = (
+        t["orders"]
+        .join(fs, t["orders"]["o_orderkey"] == fs["l_orderkey"])
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("days"),
+        )
+    )
+    return lat.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.9)"), 6).alias("p90_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        F.sum(F.when(F.col("days") > 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_breach_30d"),
+        F.round(
+            F.sum(F.when(F.col("days") > 30, 1).otherwise(0)) * 1.0
+            / F.count("*"),
+            6,
+        ).alias("breach_rate"),
+    )
