@@ -143,6 +143,8 @@ HEADLINE = [
     "returnflag_year_chi2",
     "multimodal_patch_stats",
     "orders_ship_latency",
+    "docs_textrank_keywords",
+    "nation_trade_balance",
 ]
 
 

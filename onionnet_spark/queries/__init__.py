@@ -481,6 +481,8 @@ _R7_NEW: list[str] = [
     "returnflag_year_chi2",
     "multimodal_patch_stats",
     "orders_ship_latency",
+    "docs_textrank_keywords",
+    "nation_trade_balance",
 ]
 
 

@@ -6283,3 +6283,109 @@ def multimodal_patch_stats_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_png_payload(ids)
     return multimodal.image_patch_stats(payload, patch=2)
+
+
+def _textrank_oracle(
+    n_iter: int = 3, damping: float = 0.85, topk: int = 20
+) -> str:
+    d = damping
+    ctes = [
+        f"tok AS (SELECT doc_id, generate_subscripts({_TOKS}, 1) AS pos, "
+        f"unnest({_TOKS}) AS term FROM documents)",
+        """pr AS (SELECT a.term AS u, b.term AS v, COUNT(*) AS w
+       FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term <> b.term GROUP BY 1, 2)""",
+        # symmetrize: adjacency weight in BOTH directions, merged
+        """ed AS MATERIALIZED (SELECT u, v, SUM(w) AS w FROM (
+         SELECT u, v, w FROM pr UNION ALL SELECT v, u, w FROM pr)
+       GROUP BY 1, 2)""",
+        "wdeg AS (SELECT u, SUM(w) AS wd FROM ed GROUP BY 1)",
+        "s0 AS (SELECT u AS term, 1.0 AS score FROM wdeg)",
+    ]
+    prev = "s0"
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+       SELECT e.v AS term,
+              ROUND({1 - d} + {d} * SUM(CAST(ROUND(
+                e.w / wd.wd * s.score * 1000000) AS BIGINT)) / 1000000.0,
+                6) AS score
+       FROM ed e JOIN wdeg wd ON wd.u = e.u
+                 JOIN {prev} s ON s.term = e.u
+       GROUP BY 1)"""
+        )
+        prev = f"s{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT term, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, term) AS rn
+      FROM {prev}) WHERE rn <= {topk}"""
+    )
+
+
+@register("docs_textrank_keywords", _textrank_oracle())
+def docs_textrank_keywords_q(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the adjacent-token co-occurrence graph, the graph-based
+    complement to RAKE (docs_rake_keywords). Contributions are
+    ppm-quantized BEFORE the per-node sum so both engines accumulate
+    exact integers (summation order cannot drift the iterate), and
+    every iterate rounds to 6dp. The co-occurrence graph is
+    vocabulary-sized (tiny relative to the corpus — the one
+    aggregation over corpus data is the pair count); the global
+    top-k is a TakeOrdered, not a full sort."""
+    from pyspark.sql import Window
+    from onionnet_spark.functions.text import tokens_col
+
+    n_iter, d, topk = 3, 0.85, 20
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "term")
+    )
+    a = tok.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("u"))
+    b = tok.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("v"))
+    pr = (
+        a.join(b, on="doc_id")
+        .filter((F.col("pb") == F.col("pa") + 1) & (F.col("u") != F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    ed = (
+        pr.unionByName(
+            pr.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()  # feeds every iteration
+    )
+    wdeg = ed.groupBy("u").agg(F.sum("w").alias("wd"))
+    edn = ed.join(wdeg, on="u").select(
+        "u", "v", (F.col("w") / F.col("wd")).alias("share")
+    ).localCheckpoint()
+    score = wdeg.select(F.col("u").alias("term"), F.lit(1.0).alias("score"))
+    for _ in range(n_iter):
+        score = (
+            edn.join(score, edn["u"] == score["term"])
+            .groupBy(F.col("v").alias("t2"))
+            .agg(
+                F.round(
+                    (1 - d)
+                    + d
+                    * F.sum(
+                        F.round(F.col("share") * F.col("score") * 1000000)
+                        .cast("bigint")
+                    )
+                    / 1000000.0,
+                    6,
+                ).alias("score")
+            )
+            .select(F.col("t2").alias("term"), "score")
+            .localCheckpoint()
+        )
+    top = score.orderBy(F.col("score").desc(), "term").limit(topk)
+    w = Window.orderBy(F.col("score").desc(), "term")  # bounded: topk rows
+    return top.select(
+        "term", "score", F.row_number().over(w).cast("int").alias("rank")
+    )

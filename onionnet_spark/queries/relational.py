@@ -3120,3 +3120,96 @@ def orders_ship_latency_q(spark, sf_dir):
             6,
         ).alias("breach_rate"),
     )
+
+
+@register(
+    "nation_trade_balance",
+    # cross-nation trade balance: exports(n) = revenue on lineitems
+    # whose SUPPLIER is in n and customer elsewhere; imports(n) =
+    # the reverse; balance = exports - imports. DECIMAL(18,4)
+    # accumulation, DOUBLE gate surface (q7/q9 convention)
+    """WITH flows AS (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation nc ON nc.n_nationkey = c_nationkey
+      JOIN nation ns ON ns.n_nationkey = s_nationkey
+      WHERE ns.n_name <> nc.n_name),
+    ex AS (SELECT supp_nation AS nation, SUM(rev) AS exports
+           FROM flows GROUP BY 1),
+    im AS (SELECT cust_nation AS nation, SUM(rev) AS imports
+           FROM flows GROUP BY 1)
+    SELECT COALESCE(ex.nation, im.nation) AS nation,
+           CAST(ROUND(COALESCE(ex.exports, 0), 2) AS DOUBLE) AS exports,
+           CAST(ROUND(COALESCE(im.imports, 0), 2) AS DOUBLE) AS imports,
+           CAST(ROUND(COALESCE(ex.exports, 0)
+                      - COALESCE(im.imports, 0), 2) AS DOUBLE) AS balance
+    FROM ex FULL OUTER JOIN im ON ex.nation = im.nation""",
+)
+def nation_trade_balance_q(spark, sf_dir):
+    """Cross-nation trade balance: the q7 star-join shape folded to a
+    per-nation export/import ledger. One pass over the fact builds
+    the cross-nation flow table (both nation dims broadcast); exports
+    and imports are two aggregations of it; balance joins the two
+    25-row aggregates. DECIMAL accumulation throughout, DOUBLE out."""
+    t = load_tables(spark, sf_dir)
+    nc = t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    ns = t["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    flows = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(F.broadcast(nc), on="c_nationkey")
+        .join(F.broadcast(ns), on="s_nationkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("rev"),
+        )
+    )
+    # one pass: each flow row contributes an export leg to its
+    # supplier nation and an import leg to its customer nation, so a
+    # single conditional aggregation replaces two fact scans + a
+    # full-outer join of the aggregates
+    legs = flows.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("export").alias("role"),
+                    F.col("supp_nation").alias("nation"),
+                ),
+                F.struct(
+                    F.lit("import").alias("role"),
+                    F.col("cust_nation").alias("nation"),
+                ),
+            )
+        ).alias("leg"),
+        "rev",
+    ).select(F.col("leg.role").alias("role"), F.col("leg.nation").alias("nation"), "rev")
+    ex_sum = F.sum(F.when(F.col("role") == "export", F.col("rev")))
+    im_sum = F.sum(F.when(F.col("role") == "import", F.col("rev")))
+    return legs.groupBy("nation").agg(
+        F.round(F.coalesce(ex_sum, F.lit(0)), 2).cast("double").alias("exports"),
+        F.round(F.coalesce(im_sum, F.lit(0)), 2).cast("double").alias("imports"),
+        F.round(
+            F.coalesce(ex_sum, F.lit(0)) - F.coalesce(im_sum, F.lit(0)), 2
+        )
+        .cast("double")
+        .alias("balance"),
+    )
