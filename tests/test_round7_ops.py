@@ -276,3 +276,80 @@ def test_decode_video_external_arm(spark):
                                    "doc_id long, payload binary")
         with pytest.raises(Exception, match="NotImplementedError"):
             multimodal.decode_video_stats(df, every_n=1).collect()
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_trade_balance_plan_single_pass(spark, sf_dir):
+    """The role-exploded ledger must scan the lineitem fact ONCE and
+    never materialize a full-outer join of two aggregates."""
+    from onionnet_spark.queries.relational import nation_trade_balance_q
+
+    plan = _plan(nation_trade_balance_q(spark, sf_dir))
+    assert "FullOuter" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_textrank_plan_no_cartesian(spark, sf_dir):
+    """The co-occurrence pair join is keyed on doc_id — a cartesian
+    here would be corpus^2."""
+    from onionnet_spark.queries.pipeline_queries import (
+        docs_textrank_keywords_q,
+    )
+
+    plan = _plan(docs_textrank_keywords_q(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_ship_latency_plan_no_window(spark, sf_dir):
+    """Percentiles come from the percentile AGGREGATE, never a
+    global rank window."""
+    from onionnet_spark.queries.relational import orders_ship_latency_q
+
+    plan = _plan(orders_ship_latency_q(spark, sf_dir))
+    assert "WindowExec" not in plan and "Window" not in plan
+
+
+def test_sign_hash_bands_matches_python_packing(spark):
+    """MSB-first band packing must equal an independent bit-level
+    recomputation (guards the F.aggregate fold and the element_at
+    1-based indexing)."""
+    from onionnet_spark.functions.similarity import sign_hash_bands
+
+    vecs = [
+        (1, [1.0 if (i % 3 == 0) else -1.0 for i in range(64)]),
+        (2, [-1.0] * 63 + [5.0]),
+        (3, [0.5] * 64),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r["id"]: [r["b0"], r["b1"], r["b2"], r["b3"]]
+           for r in sign_hash_bands(df).collect()}
+    for vid, v in vecs:
+        want = []
+        for j in range(4):
+            acc = 0
+            for i in range(j * 16, (j + 1) * 16):
+                acc = acc * 2 + (1 if v[i] > 0 else 0)
+            want.append(acc)
+        assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_image_patch_stats_edge_patches_true_size(spark):
+    """A 5x4 RGB image tiled 2x2 must produce 3x2 patches whose
+    n_values sum to the full pixel count, with the edge column at
+    half width."""
+    import pyspark.sql.functions as SF
+
+    from onionnet_spark.functions import multimodal
+
+    # doc_id=1: w = 4+1%5 = 5, h = 3+1%4 = 4, RGB (odd id)
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    payload = multimodal.synth_png_payload(ids)
+    rows = multimodal.image_patch_stats(payload, patch=2).collect()
+    assert len(rows) == 2 * 3  # ceil(4/2) x ceil(5/2)
+    total = sum(r["n_values"] for r in rows)
+    assert total == 5 * 4 * 3
+    edge = [r for r in rows if r["patch_col"] == 2]
+    assert all(r["n_values"] == 2 * 1 * 3 for r in edge)
