@@ -145,6 +145,9 @@ HEADLINE = [
     "orders_ship_latency",
     "docs_textrank_keywords",
     "nation_trade_balance",
+    "interpolated_logprob",
+    "embedding_centroid_separation",
+    "orders_reorder_interval",
 ]
 
 

@@ -483,6 +483,9 @@ _R7_NEW: list[str] = [
     "orders_ship_latency",
     "docs_textrank_keywords",
     "nation_trade_balance",
+    "interpolated_logprob",
+    "embedding_centroid_separation",
+    "orders_reorder_interval",
 ]
 
 

@@ -6389,3 +6389,116 @@ def docs_textrank_keywords_q(spark, sf_dir):
     return top.select(
         "term", "score", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+@register(
+    "interpolated_logprob",
+    # Jelinek-Mercer interpolated bigram LM: p = 0.7 * c12/c1 +
+    # 0.3 * c2/N, per-token ln() quantized to ppm BEFORE the per-doc
+    # sum so accumulation order cannot drift the mean across engines
+    f"""WITH toks AS (
+      SELECT doc_id, generate_subscripts({_TOKS}, 1) AS pos,
+             UNNEST({_TOKS}) AS tok FROM documents),
+    uni AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT SUM(c) AS n FROM uni),
+    bi AS MATERIALIZED (
+      SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c12
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT a.doc_id,
+             CAST(ROUND(ln(0.7 * bi.c12 * 1.0 / u1.c
+                           + 0.3 * u2.c * 1.0 / n.n) * 1000000)
+                  AS BIGINT) AS lp_ppm
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN bi ON bi.w1 = a.tok AND bi.w2 = b.tok
+      JOIN uni u1 ON u1.tok = a.tok
+      JOIN uni u2 ON u2.tok = b.tok
+      CROSS JOIN n)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp_ppm) AS BIGINT) AS sum_logprob_ppm,
+           ROUND(SUM(lp_ppm) * 1.0 / COUNT(*) / 1000000.0, 6)
+             AS mean_logprob
+    FROM scored GROUP BY doc_id""",
+)
+def interpolated_logprob_q(spark, sf_dir):
+    """Jelinek-Mercer interpolated bigram LM score (0.7 bigram +
+    0.3 unigram) — the smoothing step between the plain bigram and
+    trigram logprob heads; unseen-context backoff is what a real
+    quality-LM uses. Per-token ln() is ppm-quantized before the
+    per-doc sum (engine-exact accumulation); the model tables are
+    vocabulary-sized aggregates joined back to the token stream."""
+    from onionnet_spark.functions.text import tokens_col
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    ).localCheckpoint()  # feeds uni, bi and the scoring pass
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    n = uni.agg(F.sum("c").alias("n"))
+    a = tok.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("w1"))
+    b = tok.select("doc_id", F.col("pos").alias("pb"), F.col("tok").alias("w2"))
+    pairs = a.join(b, on="doc_id").filter(F.col("pb") == F.col("pa") + 1)
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    scored = (
+        pairs.join(bi, on=["w1", "w2"])
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), on="w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), on="w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    0.7 * F.col("c12") * 1.0 / F.col("c1")
+                    + 0.3 * F.col("c2") * 1.0 / F.col("n")
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lp_ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("lp_ppm").cast("bigint").alias("sum_logprob_ppm"),
+        F.round(
+            F.sum("lp_ppm") * 1.0 / F.count("*") / 1000000.0, 6
+        ).alias("mean_logprob"),
+    )
+
+
+def _centroid_separation_oracle(k_cent: int = 8, iterations: int = 2) -> str:
+    ctes = _kmeans_assign_ctes(k_cent, iterations)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.cid AS cid_a, b.cid AS cid_b, {_cos('a.cv', 'b.cv')} AS cosine
+    FROM c{iterations} a JOIN c{iterations} b ON a.cid < b.cid"""
+    )
+
+
+@register("embedding_centroid_separation", _centroid_separation_oracle())
+def embedding_centroid_separation_q(spark, sf_dir):
+    """Inter-cluster separation matrix: pairwise cosine between the
+    trained k-means centroids — the K*(K-1)/2-row QA readout that
+    says whether two clusters have collapsed (high centroid cosine
+    means SemDeDup/IVF cell boundaries there are unreliable). Runs
+    entirely on the memoized K-row codebook; the corpus is never
+    touched."""
+    from onionnet_spark.functions import similarity as _sim
+
+    cents = _sim.kmeans_codebook(
+        _embs(spark, sf_dir), k=8, iterations=2, cache_key=sf_dir
+    )
+    a = cents.select(F.col("cid").alias("cid_a"), F.col("cv").alias("va"))
+    b = cents.select(F.col("cid").alias("cid_b"), F.col("cv").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("cid_a") < F.col("cid_b"))
+        .select(
+            "cid_a",
+            "cid_b",
+            F.round(_sim.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )

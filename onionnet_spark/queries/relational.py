@@ -3213,3 +3213,49 @@ def nation_trade_balance_q(spark, sf_dir):
         .cast("double")
         .alias("balance"),
     )
+
+
+@register(
+    "orders_reorder_interval",
+    # per-customer reorder cadence: consecutive-order gaps in whole
+    # days (lag window PARTITIONED BY customer — per-group data,
+    # never a global sort); single-order customers have no gap and
+    # are excluded on both sides
+    """WITH g AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+               LAG(o_orderdate) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS gap
+      FROM orders)
+    SELECT o_custkey AS c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+           ROUND(SUM(gap) * 1.0 / COUNT(*), 6) AS mean_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY 1""",
+)
+def orders_reorder_interval_q(spark, sf_dir):
+    """Customer reorder cadence: whole-day gaps between consecutive
+    orders via a customer-partitioned lag window, folded to per-
+    customer count/sum/mean/max — the behavioral recency feature
+    behind churn/LTV models (complements events_interarrival on the
+    orders fact). Integer-day sums; one shuffle on the customer key."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("sum_gap_days"),
+        F.round(F.sum("gap") * 1.0 / F.count("*"), 6).alias("mean_gap_days"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+    )
