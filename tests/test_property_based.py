@@ -343,3 +343,77 @@ def test_c4_line_filter_matches_python(spark, texts):
         assert r["n_dropped"] == len(lines) - len(keep)
         assert r["clean_len"] == len(clean)
         assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=1, max_value=4),
+            st.binary(max_size=24),
+        ),
+        max_size=5,
+    ),
+    st.binary(max_size=16),
+)
+def test_split_png_stream_roundtrip(pngs, trailing):
+    """Any concatenation of valid PNGs — each with arbitrary bytes
+    (including the 8-byte signature) planted inside its IDAT — must
+    split back into exactly the original frames; arbitrary trailing
+    garbage is dropped, never misattributed."""
+    import struct
+    import zlib
+
+    from onionnet_spark.functions.multimodal import _split_png_stream
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def mk(w, h, extra):
+        def chunk(ctype, data):
+            c = struct.pack(">I", len(data)) + ctype + data
+            return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+        return (
+            sig
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw) + extra)
+            + chunk(b"IEND", b"")
+        )
+
+    frames = [mk(w, h, sig + extra) for w, h, extra in pngs]
+    stream = b"".join(frames)
+    if not trailing.startswith(sig):
+        stream += trailing  # garbage tail: must be dropped
+    assert _split_png_stream(stream) == frames
+
+
+@SET
+@given(
+    st.lists(
+        st.floats(
+            min_value=-2.0, max_value=2.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_np_round_half_away_matches_decimal(xs):
+    """The numpy kernel rounding must equal decimal ROUND_HALF_UP at
+    6 places for every representable input (the SQL ROUND contract)."""
+    import decimal
+
+    import numpy as np
+
+    from onionnet_spark.functions.similarity import _np_round_half_away
+
+    got = _np_round_half_away(np.array(xs, dtype=np.float64), 6)
+    for x, g in zip(xs, got.tolist()):
+        want = float(
+            decimal.Decimal(repr(x * 1e6))
+            .to_integral_value(rounding=decimal.ROUND_HALF_UP)
+        ) / 1e6
+        assert g == want, (x, g, want)
