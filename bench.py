@@ -148,6 +148,8 @@ HEADLINE = [
     "interpolated_logprob",
     "embedding_centroid_separation",
     "orders_reorder_interval",
+    "graph_degree_gini",
+    "embedding_ivf_cell_balance",
 ]
 
 

@@ -486,6 +486,8 @@ _R7_NEW: list[str] = [
     "interpolated_logprob",
     "embedding_centroid_separation",
     "orders_reorder_interval",
+    "graph_degree_gini",
+    "embedding_ivf_cell_balance",
 ]
 
 

@@ -3891,3 +3891,62 @@ def graph_path_counts_q(spark, sf_dir):
     return analytics.count_paths_to(
         get_graph(spark, sf_dir), ("region", "0"), max_len=5
     )
+
+
+@register(
+    "graph_degree_gini",
+    # degree-concentration Gini over the undirected canonical degree
+    # table — the inequality scalar behind the powerlaw/rich-club
+    # readouts; rank * value sums are exact integers
+    f"""WITH {CTES},
+    sym AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT CASE WHEN src_layer || ':' || src_id < dst_layer || ':' || dst_id
+                    THEN src_layer || ':' || src_id
+                    ELSE dst_layer || ':' || dst_id END AS u,
+               CASE WHEN src_layer || ':' || src_id < dst_layer || ':' || dst_id
+                    THEN dst_layer || ':' || dst_id
+                    ELSE src_layer || ':' || src_id END AS v
+        FROM edges_g)
+      WHERE u <> v),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM sym UNION ALL SELECT v FROM sym) GROUP BY 1),
+    rk AS (SELECT n, d, ROW_NUMBER() OVER (ORDER BY d, n) AS rn FROM deg),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+                 CAST(SUM(d) AS DOUBLE) AS sd,
+                 CAST(SUM(rn * d) AS DOUBLE) AS srd,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM rk)
+    SELECT n_nodes,
+           ROUND(2 * srd / (cnt * sd) - (cnt + 1) / cnt, 6) AS gini
+    FROM s""",
+)
+def graph_degree_gini_q(spark, sf_dir):
+    """Degree-concentration Gini: how unequally edges are spread
+    over nodes — the single-scalar inequality companion to the
+    degree-distribution / powerlaw / rich-club heads. Degrees come
+    from the session-shared canonical_degrees view; the exact global
+    rank is the bucketed two-phase global_rank (no global window);
+    rank*degree sums are exact integers folded once into a double."""
+    from onionnet_spark.functions.corpus import global_rank
+
+    g = get_graph(spark, sf_dir)
+    deg = g.canonical_degrees().select(
+        "n", F.col("d").cast("bigint").alias("d")
+    )
+    ranked = global_rank(deg, "d", "n", n_buckets=16, rank_col="rn")
+    s = ranked.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("rn") * F.col("d")).alias("srd"),
+    )
+    cnt = F.col("n_nodes").cast("double")
+    return s.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.round(
+            2.0 * F.col("srd").cast("double")
+            / (cnt * F.col("sd").cast("double"))
+            - (cnt + 1.0) / cnt,
+            6,
+        ).alias("gini"),
+    )

@@ -6502,3 +6502,73 @@ def embedding_centroid_separation_q(spark, sf_dir):
             F.round(_sim.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
     )
+
+
+def _ivf_cell_balance_oracle(k_cent: int = 8, iterations: int = 2) -> str:
+    ctes = _kmeans_assign_ctes(k_cent, iterations)
+    ctes.append("asg AS (SELECT id, cid FROM rk WHERE rn = 1)")
+    ctes.append(
+        "cells AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors "
+        "FROM asg GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT cid AS cell_id, n_vectors,
+           ROUND(n_vectors * 1.0
+                 / ((SELECT SUM(n_vectors) FROM cells) * 1.0
+                    / (SELECT COUNT(*) FROM cells)), 6) AS balance_factor,
+           CAST((SELECT MAX(n_vectors) FROM cells) AS BIGINT)
+             AS max_cell,
+           ROUND((SELECT MAX(n_vectors) FROM cells) * 1.0
+                 / ((SELECT SUM(n_vectors) FROM cells) * 1.0
+                    / (SELECT COUNT(*) FROM cells)), 6)
+             AS imbalance_factor
+    FROM cells"""
+    )
+
+
+@register("embedding_ivf_cell_balance", _ivf_cell_balance_oracle())
+def embedding_ivf_cell_balance_q(spark, sf_dir):
+    """IVF index cell-balance audit: per-cell vector counts against
+    the uniform expectation, plus the global imbalance factor
+    (max cell / mean cell — the number that says how much worse a
+    hot-cell probe is than the average; FAISS calls this the
+    imbalance factor). Hot cells are the IVF failure mode at scale:
+    probes hit them disproportionately and their cell-local scans
+    dominate latency. Reuses the memoized codebook; the corpus pass
+    is the same broadcast-argmin encode every IVF build pays, folded
+    to a K-row table."""
+    from onionnet_spark.functions import similarity as _sim
+
+    embs = _embs(spark, sf_dir)
+    cents = _sim.kmeans_codebook(embs, k=8, iterations=2, cache_key=sf_dir)
+    assigned = (
+        embs.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cc", F.round(_sim.cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.col("cid"),
+                F.struct((-F.col("cc")).alias("nc"), F.col("cid").alias("tb")),
+            ).alias("cid")
+        )
+    )
+    cells = assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    tot = cells.agg(
+        F.sum("n_vectors").alias("tv"),
+        F.count("*").alias("nc"),
+        F.max("n_vectors").alias("mx"),
+    )
+    mean = F.col("tv") * 1.0 / F.col("nc")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").alias("cell_id"),
+        "n_vectors",
+        F.round(F.col("n_vectors") * 1.0 / mean, 6).alias("balance_factor"),
+        F.col("mx").cast("bigint").alias("max_cell"),
+        F.round(F.col("mx") * 1.0 / mean, 6).alias("imbalance_factor"),
+    )
