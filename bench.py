@@ -150,6 +150,7 @@ HEADLINE = [
     "orders_reorder_interval",
     "graph_degree_gini",
     "embedding_ivf_cell_balance",
+    "multimodal_intensity_histogram",
 ]
 
 

@@ -488,6 +488,7 @@ _R7_NEW: list[str] = [
     "orders_reorder_interval",
     "graph_degree_gini",
     "embedding_ivf_cell_balance",
+    "multimodal_intensity_histogram",
 ]
 
 

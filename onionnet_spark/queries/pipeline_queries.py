@@ -6572,3 +6572,35 @@ def embedding_ivf_cell_balance_q(spark, sf_dir):
         F.col("mx").cast("bigint").alias("max_cell"),
         F.round(F.col("mx") * 1.0 / mean, 6).alias("imbalance_factor"),
     )
+
+
+@register(
+    "multimodal_intensity_histogram",
+    # per-image 16-bin intensity histogram over REAL PNG decode: the
+    # oracle recomputes every pixel from the synthesis closed form
+    # and bins with the identical integer arithmetic (p * 16 // 256);
+    # empty bins are not emitted on either side
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+             FROM ids),
+    px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7 + i.i * 13 + j.j * 31 + c.c * 17) % 256)
+               * 16 // 256 AS bin
+      FROM dims d
+      JOIN range(0, 8) i(i) ON i.i < d.h
+      JOIN range(0, 9) j(j) ON j.j < d.w
+      JOIN range(0, 3) c(c) ON c.c < d.ch
+    )
+    SELECT doc_id, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id, bin""",
+)
+def multimodal_intensity_histogram_q(spark, sf_dir):
+    """Per-image intensity histogram from real PNG decode
+    (multimodal.image_intensity_histogram) — the exposure/contrast
+    QA before choosing normalization constants."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_png_payload(ids)
+    return multimodal.image_intensity_histogram(payload, n_bins=16)
