@@ -151,6 +151,8 @@ HEADLINE = [
     "graph_degree_gini",
     "embedding_ivf_cell_balance",
     "multimodal_intensity_histogram",
+    "docs_hapax_ratio",
+    "corpus_growth_dedup_curve",
 ]
 
 

@@ -489,6 +489,8 @@ _R7_NEW: list[str] = [
     "graph_degree_gini",
     "embedding_ivf_cell_balance",
     "multimodal_intensity_histogram",
+    "docs_hapax_ratio",
+    "corpus_growth_dedup_curve",
 ]
 
 

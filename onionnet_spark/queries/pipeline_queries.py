@@ -6604,3 +6604,104 @@ def multimodal_intensity_histogram_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     payload = multimodal.synth_png_payload(ids)
     return multimodal.image_intensity_histogram(payload, n_bins=16)
+
+
+@register(
+    "docs_hapax_ratio",
+    # corpus-linguistics QA per source: vocabulary size, hapax
+    # legomena share (terms seen once), and type-token ratio — the
+    # lexical-diversity signals that flag template/boilerplate
+    # sources (low TTR) and OCR-noise sources (high hapax share)
+    f"""WITH toks AS (
+      SELECT source, UNNEST({_TOKS}) AS tok FROM documents),
+    tc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS hapax_share,
+           ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS type_token_ratio
+    FROM tc GROUP BY 1""",
+)
+def docs_hapax_ratio_q(spark, sf_dir):
+    """Lexical-diversity QA per source: vocabulary size, hapax share
+    and type-token ratio — low TTR flags template/boilerplate
+    sources, high hapax share flags OCR/mojibake noise. Two hash
+    aggregations over the exploded token stream (per-source-term,
+    then per-source); everything integer until two final divisions."""
+    from onionnet_spark.functions.text import tokens_col
+
+    tc = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) * 1.0 / F.count("*"),
+            6,
+        ).alias("hapax_share"),
+        F.round(F.count("*") * 1.0 / F.sum("c"), 6).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "corpus_growth_dedup_curve",
+    # intake-planning curve: replay the corpus in doc_id order in 10
+    # tranches and measure how much of each tranche is NEW text
+    # (first occurrence of its exact hash) — the marginal-novelty
+    # readout that says when additional crawls stop adding data.
+    # Tranche = (rank-1)*10 // n over the doc_id total order; first
+    # occurrence = min doc_id per md5(text)
+    """WITH h AS (
+      SELECT doc_id, md5(text) AS th,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents),
+    f AS (SELECT th, MIN(doc_id) AS first_doc FROM h GROUP BY 1),
+    m AS (SELECT h.doc_id, CAST((h.rn - 1) * 10 // h.n AS INT) + 1 AS tranche,
+                 CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END AS is_new
+          FROM h JOIN f ON f.th = h.th)
+    SELECT tranche,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           ROUND(SUM(is_new) * 1.0 / COUNT(*), 6) AS novelty_rate
+    FROM m GROUP BY 1""",
+)
+def corpus_growth_dedup_curve_q(spark, sf_dir):
+    """Marginal-novelty curve: the corpus replayed in ingest
+    (doc_id) order in 10 tranches, each scored by how many of its
+    documents are the FIRST occurrence of their exact text hash —
+    the 'is another crawl still worth it' intake readout. The global
+    order rank comes from the bucketed two-phase global_rank (never
+    a single-partition window); first-occurrence is one MIN per hash
+    joined back on the hash key."""
+    from onionnet_spark.functions.corpus import global_rank
+
+    d = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("th"))
+    n = d.agg(F.count("*").alias("_n"))
+    ranked = global_rank(d, "doc_id", "doc_id", rank_col="rn")
+    f = d.groupBy("th").agg(F.min("doc_id").alias("first_doc"))
+    m = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("tranche", (F.expr("(rn - 1) * 10 DIV _n") + 1).cast("int"))
+        .join(f, on="th")
+        .select(
+            "tranche",
+            F.when(F.col("doc_id") == F.col("first_doc"), 1)
+            .otherwise(0)
+            .alias("is_new"),
+        )
+    )
+    return m.groupBy("tranche").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        F.round(F.sum("is_new") * 1.0 / F.count("*"), 6).alias("novelty_rate"),
+    )
