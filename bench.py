@@ -153,6 +153,7 @@ HEADLINE = [
     "multimodal_intensity_histogram",
     "docs_hapax_ratio",
     "corpus_growth_dedup_curve",
+    "events_weekly_growth",
 ]
 
 

@@ -491,6 +491,7 @@ _R7_NEW: list[str] = [
     "multimodal_intensity_histogram",
     "docs_hapax_ratio",
     "corpus_growth_dedup_curve",
+    "events_weekly_growth",
 ]
 
 

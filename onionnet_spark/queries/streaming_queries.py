@@ -1295,3 +1295,49 @@ def events_ab_test(spark, sf_dir):
         .otherwise(F.round(z, 6))
         .alias("z_score"),
     )
+
+
+@register(
+    "events_weekly_growth",
+    # growth dashboard: week-over-week event-count growth per event
+    # type — lag window PARTITIONED BY type over the tiny weekly
+    # aggregate (never over raw events); first week per type has no
+    # prior and is excluded on both sides
+    """WITH w AS (
+      SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, week, n_events,
+             LAG(n_events) OVER (
+               PARTITION BY event_type ORDER BY week) AS prev
+      FROM w)
+    SELECT event_type, week, n_events,
+           CAST(prev AS BIGINT) AS prev_events,
+           ROUND((n_events - prev) * 1.0 / prev, 6) AS wow_growth
+    FROM g WHERE prev IS NOT NULL""",
+)
+def events_weekly_growth(spark, sf_dir):
+    """Week-over-week growth per event type: one aggregation of the
+    event stream to (type, week) counts, then a lag window over that
+    TINY table partitioned by type — the growth-dashboard companion
+    to orders_revenue_mom on the events side. The window never sees
+    raw events; integer counts, one final division."""
+    from pyspark.sql import Window, functions as F
+
+    e = _events(spark, sf_dir)
+    w = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    win = Window.partitionBy("event_type").orderBy("week")
+    g = w.withColumn("prev", F.lag("n_events").over(win)).filter(
+        F.col("prev").isNotNull()
+    )
+    return g.select(
+        "event_type",
+        "week",
+        "n_events",
+        F.col("prev").cast("bigint").alias("prev_events"),
+        F.round((F.col("n_events") - F.col("prev")) * 1.0 / F.col("prev"), 6)
+        .alias("wow_growth"),
+    )
