@@ -495,6 +495,17 @@ _R7_NEW: list[str] = [
 ]
 
 
+# Round-8 window (VERDICT r7 next-round item 1): all 60 never-
+# driver-recorded keys lead — _R8_QUEUE (the 38-key r7 overflow) then
+# _R7_NEW (22 round-7 additions). The driver records the first 50, so
+# the window burns the evidence debt to a 10-key tail (_R9_QUEUE =
+# _R7_NEW[12:]), which leads round 9. _R8_NEW collects keys added in
+# round 8, behind the debt as always.
+_R8_WINDOW: list[str] = (_R8_QUEUE + _R7_NEW)[:50]
+_R9_QUEUE: list[str] = (_R8_QUEUE + _R7_NEW)[50:]
+_R8_NEW: list[str] = []
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
         relational,
@@ -504,7 +515,9 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     ordered: dict[str, tuple[QueryFn, str | None]] = {}
-    for name in _R7_WINDOW + _R8_QUEUE + _R7_NEW + _R6_WINDOW:
+    for name in (
+        _R8_WINDOW + _R9_QUEUE + _R8_NEW + _R7_WINDOW + _R6_WINDOW
+    ):
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name, entry in REGISTRY.items():

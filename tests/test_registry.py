@@ -34,24 +34,25 @@ def test_oracle_attachment_to_same_fn_allowed():
 def test_load_all_is_registry_superset_and_ordered():
     reg = q.load_all()
     assert set(reg) == set(q.REGISTRY)
-    # round-7 priority: the r06 red + the oracle-upgraded
-    # multimodal_decode lead, then the never-recorded backlog
+    # round-8 priority: the 60 never-driver-recorded keys lead
+    # (window + tail), then round-8 additions, then the recorded
+    # rotation record
     present_priority = []
-    for k in q._R7_WINDOW + q._R8_QUEUE + q._R7_NEW + q._R6_WINDOW:
+    for k in (
+        q._R8_WINDOW + q._R9_QUEUE + q._R8_NEW + q._R7_WINDOW
+        + q._R6_WINDOW
+    ):
         if k in reg and k not in present_priority:
             present_priority.append(k)
     assert list(reg)[: len(present_priority)] == present_priority
 
 
-def test_r7_window_covers_unrecorded_or_red_keys():
-    """Evidence-plan invariants (VERDICT r6 next-round item 2): every
-    round-7 driver-window slot is spent on (a) the r06 gate red
-    (bloom_pruned_revenue, fixed this round, needs a green
-    re-record), (b) multimodal_decode (rows-only ERR no_oracle in
-    r01, real oracle registered since — the slot upgrades it to
-    hash-gated), or (c) a key with NO recorded CORRECTNESS row in
-    r01-r06; overflow never-recorded keys are explicitly queued for
-    round 8 — nothing falls through silently."""
+def test_r8_window_covers_only_unrecorded_keys():
+    """Evidence-plan invariants (VERDICT r7 next-round item 1): every
+    round-8 driver-window slot is spent on a key with NO recorded
+    CORRECTNESS row in r01-r07 (the 60-key judge-verified backlog);
+    overflow never-recorded keys are explicitly queued for round 9 —
+    nothing falls through silently."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green = set()
     red = set()
@@ -61,6 +62,7 @@ def test_r7_window_covers_unrecorded_or_red_keys():
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
+        "CORRECTNESS_r07.json",
     ):
         path = os.path.join(root, fname)
         if not os.path.exists(path):
@@ -84,21 +86,18 @@ def test_r7_window_covers_unrecorded_or_red_keys():
             (green if hashed or rows_only else red).add(k)
     red -= green
     red &= set(q.REGISTRY)  # drop keys retired from the registry
+    assert not red, f"keys with a red driver record left unfixed: {red}"
     reg = q.load_all()
     eligible = {k for k in reg if k not in green}
     first = list(reg)[: min(50, len(eligible))]
     wasted = [k for k in first if k in green]
     assert not wasted, f"window slots spent on already-green keys: {wasted}"
-    # the fixed red + the oracle upgrade lead the window
-    assert first[0] == "bloom_pruned_revenue"
-    assert red == {"bloom_pruned_revenue", "multimodal_decode"}
-    assert first[1] == "multimodal_decode"
     overflow = [k for k in eligible if k not in set(first)]
-    queued = set(q._R8_QUEUE) | set(q._R7_NEW)
+    queued = set(q._R9_QUEUE) | set(q._R8_NEW)
     unqueued = [k for k in overflow if k not in queued]
     assert not unqueued, (
         f"never-recorded keys neither in the window nor queued in "
-        f"_R8_QUEUE/_R7_NEW: {unqueued}"
+        f"_R9_QUEUE/_R8_NEW: {unqueued}"
     )
 
 
