@@ -107,6 +107,13 @@ class OnionNet:
     def get_vertex_by_name_tuple(self, layer: str, node_id: str) -> dict[str, Any]:
         return _props.get_node_properties(self._g(), layer, node_id)
 
+    def get_vertex_by_encoding_tuple(
+        self, layer_code: int, node_id_code: int
+    ) -> dict[str, Any]:
+        return _props.get_node_properties_by_code(
+            self._g(), layer_code, node_id_code
+        )
+
     def get_vertex_property(self, layer: str, node_id: str, prop_name: str) -> Any:
         return _props.get_node_properties(self._g(), layer, node_id).get(prop_name)
 

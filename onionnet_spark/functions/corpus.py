@@ -431,6 +431,66 @@ def column_correlations(
     return row.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
 
 
+def global_rank_range(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rank_col: str = "rank",
+    zero_based: bool = False,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over an arbitrary (possibly desc,
+    possibly multi-column) total order WITHOUT a global window — the
+    range-partitioned two-phase scan (same shape as `pack_sequences`
+    and encoding.build_dictionary):
+
+      1. `repartitionByRange` on the order expressions — partition i
+         holds rows strictly before partition i+1 in the total order
+         (composite keys split ties, so a heavy tie group — e.g. the
+         Zipf c=1 token mass — still spreads across partitions);
+      2. `row_number` within each partition (every window is ~1/P of
+         the data);
+      3. per-partition counts collect to the driver (P rows —
+         trivial), prefix-sum into exclusive offsets, broadcast
+         back; global rank = offset + local rank.
+
+    The partition assignment is pinned with `localCheckpoint` so the
+    offsets and the ranked rows see the same boundaries; the offset
+    scan is driver-side (the pack_sequences pattern), so the plan
+    contains NO unpartitioned window at all. Output is identical to
+    ROW_NUMBER() OVER (ORDER BY ...) at any partition count; the
+    order must be total (include a tiebreaker column) for the result
+    to be deterministic.
+    """
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(nparts, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_exprs)
+    ranked = part.withColumn("_r_in", F.row_number().over(w_in))
+    sizes = {
+        r["_pid"]: r["_n"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }
+    rows, running = [], 0
+    for pid in sorted(sizes):
+        rows.append((pid, running))
+        running += sizes[pid]
+    offsets = spark.createDataFrame(
+        rows or [(0, 0)], "_pid int, _off bigint"
+    )
+    base = -1 if zero_based else 0
+    return (
+        ranked.join(F.broadcast(offsets), on="_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_off") + F.col("_r_in") + F.lit(base)).cast("bigint"),
+        )
+        .drop("_pid", "_r_in", "_off")
+    )
+
+
 def global_rank(
     df: DataFrame,
     value_col: str,
@@ -474,7 +534,7 @@ def global_rank(
     sizes = ranked.groupBy("_bkt").agg(F.count("*").alias("_n"))
     w_off = Window.orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
-    )
+    )  # bounded: n_buckets rows (the per-bucket size table)
     offsets = sizes.withColumn(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
     ).select("_bkt", "_off")

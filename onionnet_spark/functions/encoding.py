@@ -51,6 +51,7 @@ def build_dictionary(df: DataFrame, col: str) -> DataFrame:
             "_pid",
             (
                 F.sum("_n").over(
+                    # bounded: P partition-count rows, see docstring
                     Window.orderBy("_pid").rowsBetween(
                         Window.unboundedPreceding, -1
                     )

@@ -316,12 +316,43 @@ def _optional_ffmpeg_bin():
     return shutil.which("ffmpeg")
 
 
+def _ffprobe_fps(payload) -> int:
+    """Probe a video bitstream's average frame rate with ffprobe
+    (ships alongside ffmpeg), so the subprocess decode arm reports
+    the same fps the PyAV arm does (ADVICE r7: the arms disagreed —
+    PyAV real fps, ffmpeg 0). Returns 0 when ffprobe is absent or
+    the stream carries no rate."""
+    import shutil
+    import subprocess
+
+    ffprobe = shutil.which("ffprobe")
+    if ffprobe is None:
+        return 0
+    try:
+        out = subprocess.run(
+            [ffprobe, "-v", "error", "-select_streams", "v:0",
+             "-show_entries", "stream=avg_frame_rate",
+             "-of", "default=nw=1:nk=1", "pipe:0"],
+            input=bytes(payload), capture_output=True, check=True,
+        ).stdout.decode("ascii", "ignore").strip()
+        num, _, den = out.partition("/")
+        n, d = int(num), int(den or "1")
+        return int(round(n / d)) if d and n else 0
+    except (subprocess.SubprocessError, ValueError, OSError):
+        return 0
+
+
 def _decode_audio_external(payload) -> "tuple[np.ndarray, int]":
     """Decode an MP3/AAC/OGG-class audio bitstream through the
     feature-detected external arms: PyAV in-process first, then an
-    ffmpeg subprocess (s16le PCM over a pipe). Raises
-    NotImplementedError when neither is present — the same contract
-    as every other plug-in gate in this module."""
+    ffmpeg subprocess (s16le PCM over a pipe). BOTH arms share one
+    output contract — mono @ 44100 Hz s16 — so decode_audio_stats
+    emits the same columns whichever optional decoder is installed
+    (ADVICE r7: the old PyAV arm kept native layout via a packed
+    's16' resample, whose to_ndarray() is interleaved (1, n*ch) and
+    mis-reported n_channels). Raises NotImplementedError when
+    neither is present — the same contract as every other plug-in
+    gate in this module."""
     import numpy as np
 
     av = _optional_av()
@@ -329,20 +360,21 @@ def _decode_audio_external(payload) -> "tuple[np.ndarray, int]":
         import io
 
         frames = []
-        sr, ch = 0, 1
+        sr = 44100
         with av.open(io.BytesIO(bytes(payload))) as container:
             stream = container.streams.audio[0]
-            resampler = av.AudioResampler(format="s16", layout=None, rate=None)
+            # planar mono at a pinned rate: to_ndarray() is
+            # (channels=1, samples), matching the ffmpeg arm exactly
+            resampler = av.AudioResampler(
+                format="s16p", layout="mono", rate=sr
+            )
             for frame in container.decode(stream):
-                sr = frame.sample_rate or sr
                 for rf in resampler.resample(frame):
-                    arr = rf.to_ndarray()  # (channels, samples) s16
-                    frames.append(arr)
+                    frames.append(rf.to_ndarray())  # (1, samples) s16
         if frames:
-            ch = frames[0].shape[0]
             pcm = np.concatenate(frames, axis=1).T.astype(np.int16)
-            return pcm.reshape(-1, ch), int(sr)
-        return np.zeros((0, 1), dtype=np.int16), int(sr)
+            return pcm.reshape(-1, 1), sr
+        return np.zeros((0, 1), dtype=np.int16), sr
     ffmpeg = _optional_ffmpeg_bin()
     if ffmpeg is not None:
         import subprocess
@@ -403,7 +435,7 @@ def _decode_video_external(payload) -> "tuple[list, int]":
         frames = [
             _png.decode_png(f) for f in _split_png_stream(proc.stdout)
         ]
-        return frames, 0  # fps unknown on the subprocess arm
+        return frames, _ffprobe_fps(payload)
     raise NotImplementedError(
         "exact MP4/H.264-class bitstream decode needs PyAV or an "
         "ffmpeg binary (neither in this container); RIFF/AVI with "

@@ -773,31 +773,29 @@ def tokenize_to_ids(
     corpus (ids arrays concat into token streams; compose with
     `pack_sequences` for fixed-length rows).
 
-    The vocab rank is an unpartitioned window, BOUNDED by the
-    Zipf-capped distinct-token count (vocab tables are millions of
-    rows when corpora are petabytes); the ids array is rebuilt in
-    position order via array_sort(collect_list(struct)) — no
-    assumption that collect_list preserves order. Returns
+    The vocab rank is the range-partitioned two-phase
+    `global_rank_range` (VERDICT r7 item 2) — at 100 TB of web text
+    the raw distinct-token table (typos, URLs, code) is hundreds of
+    millions of rows, so neither a single-partition ROW_NUMBER nor a
+    vocab broadcast survives; ids attach via a plain shuffle join on
+    tok instead. The ids array is rebuilt in position order via
+    array_sort(collect_list(struct)) — no assumption that
+    collect_list preserves order. Returns
     (doc_id, n_tokens, ids: array<int>).
     """
-    from pyspark.sql import Window
+    from onionnet_spark.functions.corpus import global_rank_range
 
     toks = df.select(
         F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok")
     )
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("c"))
-        .withColumn(
-            "tid",
-            (F.row_number().over(Window.orderBy(F.desc("c"), "tok")) - 1).cast(
-                "int"
-            ),
-        )
-        .select("tok", "tid")
-    )
+    vocab = global_rank_range(
+        toks.groupBy("tok").agg(F.count("*").alias("c")),
+        [F.desc("c"), F.asc("tok")],
+        rank_col="tid",
+        zero_based=True,
+    ).select("tok", F.col("tid").cast("int").alias("tid"))
     return (
-        toks.join(F.broadcast(vocab), on="tok")
+        toks.join(vocab, on="tok")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),

@@ -49,6 +49,40 @@ def get_node_properties(graph: OnionGraph, layer: str, node_id: str) -> dict[str
     return rows[0].asDict() if rows else {}
 
 
+def get_node_properties_by_code(
+    graph: OnionGraph, layer_code: int, node_id_code: int
+) -> dict[str, Any]:
+    """All properties of one node addressed by its ENCODED
+    (layer_code, node_id_code) tuple — reference
+    get_vertex_by_encoding_tuple (onionnet.py:125,
+    property_manager.py:23-45), which indexes
+    custom_id_to_vertex_index by the integer code pair.
+
+    Codes here are the deterministic sorted-order dictionary codes
+    of encoding.build_dictionary (the Spark replacement for the
+    reference's first-seen driver dicts), so the lookup is two
+    broadcast-sized dictionary point reads followed by the same
+    keyed filter get_node_properties runs. Returns {} when either
+    code is unmapped (the reference returns None)."""
+    from onionnet_spark.functions.encoding import build_dictionary
+
+    lrow = (
+        build_dictionary(graph.nodes, "layer")
+        .filter(F.col("code") == int(layer_code))
+        .limit(1)
+        .collect()
+    )
+    nrow = (
+        build_dictionary(graph.nodes, "node_id")
+        .filter(F.col("code") == int(node_id_code))
+        .limit(1)
+        .collect()
+    )
+    if not lrow or not nrow:
+        return {}
+    return get_node_properties(graph, lrow[0]["value"], nrow[0]["value"])
+
+
 def set_node_property(
     graph: OnionGraph, layer: str, node_id: str, prop_name: str, value: Any
 ) -> OnionGraph:

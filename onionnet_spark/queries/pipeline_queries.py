@@ -6121,8 +6121,12 @@ def _dedup_threshold_sweep_oracle(n_planes: int = 4) -> str:
     SELECT threshold,
            CAST(COUNT(CASE WHEN cosine >= threshold THEN 1 END) AS BIGINT)
              AS n_pairs,
-           ROUND(COALESCE(AVG(CASE WHEN cosine >= threshold
-                                   THEN cosine END), 0.0), 6) AS mean_cosine
+           ROUND(COALESCE(
+             (SUM(CASE WHEN cosine >= threshold
+                       THEN CAST(ROUND(cosine * 1000000) AS BIGINT) END)
+              / 1000000.0)
+             / COUNT(CASE WHEN cosine >= threshold THEN 1 END),
+             0.0), 6) AS mean_cosine
     FROM th CROSS JOIN pairs
     GROUP BY threshold"""
 
@@ -6135,7 +6139,9 @@ def dedup_threshold_sweep_q(spark, sf_dir):
     candidate generation instead of five (the threshold filter is
     the cheap part; candidate generation is the expensive one). The
     threshold table is 5 literal rows broadcast against the
-    candidate aggregate."""
+    candidate aggregate. mean_cosine sums exact ppm BIGINTs and
+    divides once (ADVICE r7: a plain float AVG can flip the 6dp
+    ROUND at a .5e-6 boundary under partition-order ulp drift)."""
     from onionnet_spark.functions.similarity import cosine, lsh_bucket_col
 
     embs = _embs(spark, sf_dir)
@@ -6161,11 +6167,19 @@ def dedup_threshold_sweep_q(spark, sf_dir):
             ).cast("bigint").alias("n_pairs"),
             F.round(
                 F.coalesce(
-                    F.avg(
-                        F.when(
-                            F.col("cosine") >= F.col("threshold"),
-                            F.col("cosine"),
+                    (
+                        F.sum(
+                            F.when(
+                                F.col("cosine") >= F.col("threshold"),
+                                F.round(F.col("cosine") * 1e6).cast(
+                                    "bigint"
+                                ),
+                            )
                         )
+                        / 1e6
+                    )
+                    / F.count(
+                        F.when(F.col("cosine") >= F.col("threshold"), 1)
                     ),
                     F.lit(0.0),
                 ),

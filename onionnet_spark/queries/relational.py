@@ -2750,9 +2750,12 @@ def lineitem_layout_skipping_q(spark, sf_dir):
     layouts (1-D sort prunes one dimension only; the curves prune
     both). Rank ranges mirror write_zordered's repartitionByRange;
     at 100 TB this audit runs per partition directory as a layout
-    health check."""
-    from pyspark.sql import Window
-
+    health check. The per-layout rank is the range-partitioned
+    two-phase `global_rank_range` (VERDICT r7 item 3) — no
+    single-partition window even when the audited slice is 100× —
+    and n_rows rides the bounds aggregate (one scalar fetch, not a
+    second count job)."""
+    from onionnet_spark.functions.corpus import global_rank_range
     from onionnet_spark.sources.layout import hilbert_key, zorder_key
 
     li = (
@@ -2771,6 +2774,7 @@ def lineitem_layout_skipping_q(spark, sf_dir):
     bounds = li.agg(
         F.min("px").alias("lox"), F.max("px").alias("hix"),
         F.min("qty").alias("loy"), F.max("qty").alias("hiy"),
+        F.count("*").alias("nr_all"),
     )
     box = bounds.select(
         (F.col("lox") + (F.col("hix") - F.col("lox")) * 0.40).alias("p_lo"),
@@ -2779,7 +2783,7 @@ def lineitem_layout_skipping_q(spark, sf_dir):
         (F.col("loy") + (F.col("hiy") - F.col("loy")) * 0.60).alias("q_hi"),
     )
     n_files = 16
-    n_rows = li.count()
+    n_rows = bounds.first()["nr_all"]
 
     keyed = {
         "price_sort": li.withColumn("key", F.col("px")),
@@ -2788,12 +2792,11 @@ def lineitem_layout_skipping_q(spark, sf_dir):
     }
     out = None
     for name, kdf in keyed.items():
-        w = Window.orderBy("key", "rid")
-        files = kdf.withColumn(
+        files = global_rank_range(
+            kdf, [F.asc("key"), F.asc("rid")], rank_col="_grk"
+        ).withColumn(
             "fid",
-            F.floor((F.row_number().over(w) - 1) * n_files / n_rows).cast(
-                "int"
-            ),
+            F.floor((F.col("_grk") - 1) * n_files / n_rows).cast("int"),
         )
         stats = files.groupBy("fid").agg(
             F.min("px").alias("lo_x"), F.max("px").alias("hi_x"),

@@ -46,6 +46,17 @@ def test_facade_lifecycle(net, spark):
     assert net.get_vertex_property("A", "a", "score") == 7.5
     assert net.view_node_properties_by_names("Z", "404") == {}
 
+    # encoding-tuple lookup (reference onionnet.py:125): codes are
+    # the deterministic sorted-order dictionary codes, so layer
+    # codes are A=0, B=1, C=2 and node codes a=0, b=1, c=2, z=3
+    v = net.get_vertex_by_encoding_tuple(0, 0)
+    assert (v["layer"], v["node_id"], v["score"]) == ("A", "a", 7.5)
+    v = net.get_vertex_by_encoding_tuple(2, 3)
+    assert (v["layer"], v["node_id"]) == ("C", "z")
+    assert net.get_vertex_by_encoding_tuple(9, 0) == {}
+    # a valid code pair naming a node that doesn't exist (B, z)
+    assert net.get_vertex_by_encoding_tuple(1, 3) == {}
+
     net.create_node_label_property()
     assert "node_label" in net.graph.nodes.columns
 
