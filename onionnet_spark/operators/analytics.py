@@ -408,21 +408,23 @@ def k_core(
             if n_low:
                 low = deg0.filter(F.col("d") < k).select("n").localCheckpoint()
                 n_low = low.count()
-    # final single pass: core edges + member degrees
-    core = canon
-    if n_removed:
-        core = canon.join(
-            F.broadcast(removed.select(F.col("n").alias("a"))),
-            on="a", how="left_anti",
-        ).join(
-            F.broadcast(removed.select(F.col("n").alias("b"))),
-            on="b", how="left_anti",
-        )
+    # Final pass WITHOUT touching the edge list again: the delta
+    # ledger already knows every survivor's core degree. For a
+    # surviving node u, each edge (u, v) with v peeled decremented
+    # u's ledger exactly once (at the round v entered `low`, u not
+    # yet removed), so core_degree = deg0 - cum_dec — an O(|V|)
+    # join with broadcast ledgers instead of the old 2|E|-row
+    # re-aggregation (r8: the final union+groupBy was the largest
+    # shuffle left in the common shallow-peel case).
     deg = (
-        core.select(F.col("a").alias("key"))
-        .unionByName(core.select(F.col("b").alias("key")))
-        .groupBy("key")
-        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        deg0.join(F.broadcast(removed), on="n", how="left_anti")
+        .join(F.broadcast(cum_dec), on="n", how="left")
+        .select(
+            F.col("n").alias("key"),
+            (F.col("d") - F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("core_degree"),
+        )
     )
     return deg.select(
         F.split_part(F.col("key"), F.lit(":"), F.lit(1)).alias("layer"),

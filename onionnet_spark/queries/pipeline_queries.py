@@ -26,6 +26,20 @@ def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _embs_sig(sf_dir):
+    """Corpus signature for persisted-index keys: sf_dir plus the
+    embeddings parquet's (mtime, size), so a regenerated corpus under
+    the same path invalidates any on-disk trained codebook instead of
+    silently serving stale centroids."""
+    import os
+
+    try:
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
+        return f"{sf_dir}|{int(st.st_mtime)}|{st.st_size}"
+    except OSError:
+        return sf_dir
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------
@@ -2252,7 +2266,7 @@ def _ann_ivf_pq_residual_oracle(
 def ann_ivf_pq_residual_topk_q(spark, sf_dir):
     return similarity.ann_ivf_pq_residual_topk(
         _embs(spark, sf_dir), k=5, n_centroids=8, nprobe=2, m=4,
-        pq_centroids=8, iterations=2, cache_key=sf_dir,
+        pq_centroids=8, iterations=2, cache_key=_embs_sig(sf_dir),
     )
 
 
