@@ -503,7 +503,16 @@ _R7_NEW: list[str] = [
 # round 8, behind the debt as always.
 _R8_WINDOW: list[str] = (_R8_QUEUE + _R7_NEW)[:50]
 _R9_QUEUE: list[str] = (_R8_QUEUE + _R7_NEW)[50:]
-_R8_NEW: list[str] = []
+_R8_NEW: list[str] = [
+    "lineitem_ks_test",
+    "orders_priority_drift",
+    "brand_type_lift",
+    "discount_qty_elasticity",
+    "events_autocorr",
+    "events_cusum_drift",
+    "events_user_type_entropy",
+    "events_seasonal_naive_eval",
+]
 
 
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:

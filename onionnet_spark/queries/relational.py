@@ -3262,3 +3262,267 @@ def orders_reorder_interval_q(spark, sf_dir):
         F.round(F.sum("gap") * 1.0 / F.count("*"), 6).alias("mean_gap_days"),
         F.max("gap").cast("bigint").alias("max_gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8 statistical monitors
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_ks_test",
+    # two-sample Kolmogorov-Smirnov readout: ECDF of l_quantity for
+    # returned ('R') vs delivered-ok ('N') line items over the
+    # bounded integer support (50 distinct quantities -> the
+    # cumulative window is a <=50-row single partition, bounded by
+    # the value grid, never by |lineitem|). CDFs are integer
+    # cumulative counts over integer totals -> one division each.
+    """WITH c AS (
+      SELECT CAST(l_quantity AS BIGINT) AS quantity,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r,
+             SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      GROUP BY 1),
+    cum AS (
+      SELECT quantity,
+             SUM(n_r) OVER (ORDER BY quantity) AS cum_r,
+             SUM(n_n) OVER (ORDER BY quantity) AS cum_n,
+             SUM(n_r) OVER () AS tot_r,
+             SUM(n_n) OVER () AS tot_n
+      FROM c)
+    SELECT quantity,
+           CAST(cum_r AS BIGINT) AS cum_r,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           ROUND(cum_r * 1.0 / tot_r, 6) AS cdf_r,
+           ROUND(cum_n * 1.0 / tot_n, 6) AS cdf_n,
+           ROUND(ABS(cum_r * 1.0 / tot_r - cum_n * 1.0 / tot_n), 6)
+             AS ks_diff
+    FROM cum""",
+)
+def lineitem_ks_test_q(spark, sf_dir):
+    """Two-sample KS distribution drift: per-quantity ECDF gap
+    between returned and delivered line items; MAX(ks_diff) is the
+    KS D statistic. One conditional aggregation over the fact scan
+    collapses to <=50 rows (the integer quantity grid), then a
+    cumulative window over that bounded series — the window input
+    is value-grid-bounded, independent of |lineitem| (plan-guard
+    whitelisted). Continuous twin of returnflag_year_chi2."""
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    c = li.groupBy(F.col("l_quantity").cast("bigint").alias("quantity")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_r"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("n_n"),
+    )
+    # bounded: <=50 rows (distinct integer quantities), see docstring
+    wcum = Window.orderBy("quantity").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.select(
+        "quantity",
+        F.sum("n_r").over(wcum).alias("cum_r"),
+        F.sum("n_n").over(wcum).alias("cum_n"),
+        F.sum("n_r").over(wall).alias("tot_r"),
+        F.sum("n_n").over(wall).alias("tot_n"),
+    )
+    cdf_r = F.col("cum_r") * 1.0 / F.col("tot_r")
+    cdf_n = F.col("cum_n") * 1.0 / F.col("tot_n")
+    return cum.select(
+        "quantity",
+        F.col("cum_r").cast("bigint").alias("cum_r"),
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.round(cdf_r, 6).alias("cdf_r"),
+        F.round(cdf_n, 6).alias("cdf_n"),
+        F.round(F.abs(cdf_r - cdf_n), 6).alias("ks_diff"),
+    )
+
+
+@register(
+    "orders_priority_drift",
+    # categorical drift monitor: Jensen-Shannon divergence of the
+    # order-priority mix between consecutive order years. Term
+    # p*ln(2p/(p+q)) is zero-guarded; probabilities are integer
+    # count / integer total with the identical expression tree on
+    # both engines, ROUND 6dp at the end (ln precedent:
+    # unigram_logprob). Grid is |years| x |priorities| = tiny.
+    """WITH c AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             o_orderpriority AS priority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    t AS (SELECT yr, SUM(n) AS tot FROM c GROUP BY 1),
+    p AS (SELECT c.yr, c.priority, c.n * 1.0 / t.tot AS p
+          FROM c JOIN t ON t.yr = c.yr),
+    j AS (
+      SELECT a.yr AS year_a, b.yr AS year_b,
+             SUM(CASE WHEN a.p > 0
+                 THEN 0.5 * a.p * ln(2 * a.p / (a.p + b.p)) ELSE 0 END
+               + CASE WHEN b.p > 0
+                 THEN 0.5 * b.p * ln(2 * b.p / (a.p + b.p)) ELSE 0 END)
+               AS jsd
+      FROM p a JOIN p b ON b.yr = a.yr + 1 AND b.priority = a.priority
+      GROUP BY 1, 2)
+    SELECT year_a, year_b, ROUND(jsd, 6) AS jsd FROM j""",
+)
+def orders_priority_drift_q(spark, sf_dir):
+    """Year-over-year Jensen-Shannon divergence of the order-priority
+    mix — the distribution-shift alarm a training-data pipeline runs
+    on every categorical feature. One aggregation of the fact scan
+    to the |years| x |priorities| grid, a broadcast self-join on
+    consecutive years, zero-guarded p*ln terms summed per year pair.
+    All 5 priorities appear every year in this corpus; absent cells
+    would drop out of the inner join identically on both engines."""
+    o = load_tables(spark, sf_dir)["orders"]
+    c = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"))
+    t = c.groupBy("yr").agg(F.sum("n").alias("tot"))
+    p = c.join(t, "yr").select(
+        "yr", "priority", (F.col("n") * 1.0 / F.col("tot")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    term = F.when(
+        pa > 0, 0.5 * pa * F.log(2 * pa / (pa + pb))
+    ).otherwise(F.lit(0.0)) + F.when(
+        pb > 0, 0.5 * pb * F.log(2 * pb / (pa + pb))
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.yr") == F.col("a.yr") + 1)
+            & (F.col("b.priority") == F.col("a.priority")),
+        )
+        .groupBy(
+            F.col("a.yr").alias("year_a"), F.col("b.yr").alias("year_b")
+        )
+        .agg(F.round(F.sum(term), 6).alias("jsd"))
+    )
+
+
+@register(
+    "brand_type_lift",
+    # association-rule mining on the part dimension: lift of
+    # (brand, type) co-occurrence vs independence, support-filtered
+    # and top-20 by lift. Lift is a pure integer ratio
+    # (c_bt * N) / (c_b * c_t) -> identical IEEE division on both
+    # engines, so ORDER BY the unrounded value is deterministic
+    # with the (brand, type) tie-break.
+    """WITH bt AS (
+      SELECT p_brand AS brand, p_type AS ptype, COUNT(*) AS c_bt
+      FROM part GROUP BY 1, 2),
+    b AS (SELECT p_brand AS brand, COUNT(*) AS c_b FROM part GROUP BY 1),
+    t AS (SELECT p_type AS ptype, COUNT(*) AS c_t FROM part GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM part)
+    SELECT bt.brand, bt.ptype,
+           CAST(bt.c_bt AS BIGINT) AS support,
+           ROUND(bt.c_bt * 1.0 * n.n_total / (b.c_b * t.c_t), 6) AS lift
+    FROM bt JOIN b ON b.brand = bt.brand
+            JOIN t ON t.ptype = bt.ptype
+            CROSS JOIN n
+    WHERE bt.c_bt >= 5
+    ORDER BY bt.c_bt * 1.0 * n.n_total / (b.c_b * t.c_t) DESC,
+             bt.brand, bt.ptype
+    LIMIT 20""",
+)
+def brand_type_lift_q(spark, sf_dir):
+    """Market-basket lift over the part dimension: observed
+    (brand, type) frequency vs the independence expectation,
+    support >= 5, top-20. Three aggregations of one dimension scan;
+    the marginals and the 1-row total are broadcast back — no
+    shuffle exceeds |brands| x |types|. The dimensional sibling of
+    basket_pairs (which mines the order fact)."""
+    part = load_tables(spark, sf_dir)["part"]
+    bt = part.groupBy(
+        F.col("p_brand").alias("brand"), F.col("p_type").alias("ptype")
+    ).agg(F.count("*").alias("c_bt"))
+    b = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("c_b")
+    )
+    t = part.groupBy(F.col("p_type").alias("ptype")).agg(
+        F.count("*").alias("c_t")
+    )
+    n = part.agg(F.count("*").alias("n_total"))
+    lift = F.col("c_bt") * 1.0 * F.col("n_total") / (F.col("c_b") * F.col("c_t"))
+    return (
+        bt.filter(F.col("c_bt") >= 5)
+        .join(F.broadcast(b), "brand")
+        .join(F.broadcast(t), "ptype")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand",
+            "ptype",
+            F.col("c_bt").cast("bigint").alias("support"),
+            F.round(lift, 6).alias("lift"),
+            lift.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "brand", "ptype")
+        .limit(20)
+        .drop("_ord")
+    )
+
+
+@register(
+    "discount_qty_elasticity",
+    # per-brand OLS of quantity on discount: both regressors live on
+    # exact integer grids (qty 1..50, discount percent 0..10), so
+    # Sx/Sy/Sxx/Syy/Sxy accumulate as BIGINTs — bit-stable under any
+    # partition order — and the slope/correlation floats are single
+    # divisions of integer expressions at the end. Slope is per unit
+    # discount (the /100 percent unscale).
+    """WITH d AS (
+      SELECT p.p_brand AS brand,
+             CAST(ROUND(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(l.l_quantity AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    s AS (
+      SELECT brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM d GROUP BY 1)
+    SELECT brand, CAST(n AS BIGINT) AS n_items,
+           ROUND((n * sxy - sx * sy) * 100.0 / (n * sxx - sx * sx), 6)
+             AS slope_per_discount,
+           ROUND((n * sxy - sx * sy) /
+                 SQRT((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+             AS pearson_r
+    FROM s""",
+)
+def discount_qty_elasticity_q(spark, sf_dir):
+    """Per-brand discount elasticity: OLS slope (and Pearson r) of
+    order quantity against discount across the lineitem-part join —
+    the does-discounting-move-volume readout. The part dim
+    broadcasts into the fact scan; per-brand integer moment sums
+    (exact on the qty/discount-percent grids) make one shuffle of
+    |brands| rows; floats appear only in the final divisions."""
+    t = load_tables(spark, sf_dir)
+    d = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    s = d.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    return s.select(
+        "brand",
+        n.cast("bigint").alias("n_items"),
+        F.round(cov_n * 100.0 / (n * sxx - sx * sx), 6).alias(
+            "slope_per_discount"
+        ),
+        F.round(
+            cov_n / F.sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6
+        ).alias("pearson_r"),
+    )

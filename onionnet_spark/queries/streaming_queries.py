@@ -1341,3 +1341,273 @@ def events_weekly_growth(spark, sf_dir):
         F.round((F.col("n_events") - F.col("prev")) * 1.0 / F.col("prev"), 6)
         .alias("wow_growth"),
     )
+
+
+@register(
+    "events_autocorr",
+    # lag-1..7 autocorrelation of the daily event-count series.
+    # Exact-integer algebra: with S=sum(x), SS=sum(x^2), T=n_days,
+    # P_k=sum(x_t*x_{t-k}), Q_k=sum over pairs of (x_t+x_{t-k}),
+    # acf_k = (P_k*T^2 - S*Q_k*T + (T-k)*S^2) / (SS*T^2 - S^2*T)
+    # — every term is a BIGINT, so the sum order can't drift; ONE
+    # float division at the end. Pairs come from a date-offset
+    # self-join of the tiny daily aggregate (never raw events).
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT COUNT(*) AS t, SUM(x) AS s, SUM(x * x) AS ss FROM daily),
+    lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) l(k)),
+    pairs AS (
+      SELECT l.k,
+             COUNT(*) AS n_pairs,
+             SUM(a.x * b.x) AS p,
+             SUM(a.x + b.x) AS q
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day - l.k * INTERVAL 1 DAY
+      GROUP BY 1)
+    SELECT p.k AS lag, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           ROUND((p.p * t.t * t.t - t.s * p.q * t.t + p.n_pairs * t.s * t.s)
+                 * 1.0 / (t.ss * t.t * t.t - t.s * t.s * t.t), 6) AS acf
+    FROM pairs p CROSS JOIN tot t""",
+)
+def events_autocorr(spark, sf_dir):
+    """Autocorrelation function of daily event volume at lags 1-7 —
+    the seasonality detector behind forecast-model selection. Raw
+    events collapse once to the bounded (day, count) series; lagged
+    pairs are a broadcast date-offset self-join of that series, and
+    all moments accumulate as exact BIGINTs (see oracle comment), so
+    the only float is the final ratio. Nothing here scales with raw
+    event count except the first aggregation."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count("*").alias("t"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("b.day") == F.expr("date_add(a.day, -k)"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("p"),
+            F.sum(F.col("a.x") + F.col("b.x")).alias("q"),
+        )
+    )
+    t, s, ss = F.col("t"), F.col("s"), F.col("ss")
+    p, q, np_ = F.col("p"), F.col("q"), F.col("n_pairs")
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias("lag"),
+        np_.cast("bigint").alias("n_pairs"),
+        F.round(
+            (p * t * t - s * q * t + np_ * s * s)
+            * 1.0
+            / (ss * t * t - s * s * t),
+            6,
+        ).alias("acf"),
+    )
+
+
+@register(
+    "events_cusum_drift",
+    # CUSUM drift scan per event type: cumulative deviation of the
+    # daily count from the type's own mean, kept exact by scaling
+    # through T (D_t*T = T*cum_t - t*S, all BIGINT); the peak day is
+    # the earliest day attaining the scaled max (integer equality,
+    # no float argmax). Windows run over the bounded per-type daily
+    # series, never over raw events.
+    """WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, day, x,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             SUM(x) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS t
+      FROM daily),
+    d AS (
+      SELECT event_type, day, t, s,
+             t * cum - i * s AS dev_scaled
+      FROM c),
+    m AS (
+      SELECT event_type, t, s,
+             MAX(dev_scaled) AS max_dev, MIN(dev_scaled) AS min_dev
+      FROM d GROUP BY 1, 2, 3)
+    SELECT m.event_type, CAST(m.t AS BIGINT) AS n_days,
+           ROUND(m.max_dev * 1.0 / m.t, 6) AS max_cusum,
+           ROUND(m.min_dev * 1.0 / m.t, 6) AS min_cusum,
+           MIN(d.day) AS peak_day
+    FROM m JOIN d ON d.event_type = m.event_type
+                 AND d.dev_scaled = m.max_dev
+    GROUP BY 1, 2, 3, 4""",
+)
+def events_cusum_drift(spark, sf_dir):
+    """CUSUM change surface per event type: the running sum of
+    (daily count - type mean) peaks where the rate regime shifts —
+    max/min excursion plus the earliest peak day. Raw events fold
+    once to (type, day); every window is partitioned by type over
+    that bounded series; the deviation is integer-scaled by T so
+    the extremes and the argmax-day equality are exact, with one
+    unscaling division per output row."""
+    from pyspark.sql import Window, functions as F
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    wt = Window.partitionBy("event_type")
+    wcum = wt.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(wcum).alias("cum"),
+        F.row_number().over(wt.orderBy("day")).alias("i"),
+        F.sum("x").over(wt).alias("s"),
+        F.count("*").over(wt).alias("t"),
+    )
+    d = c.select(
+        "event_type",
+        "day",
+        "t",
+        (F.col("t") * F.col("cum") - F.col("i") * F.col("s")).alias(
+            "dev_scaled"
+        ),
+    )
+    m = d.groupBy("event_type").agg(
+        F.max("dev_scaled").alias("max_dev"),
+        F.min("dev_scaled").alias("min_dev"),
+    )
+    return (
+        d.join(F.broadcast(m), "event_type")
+        .filter(F.col("dev_scaled") == F.col("max_dev"))
+        .groupBy(
+            "event_type",
+            F.col("t").cast("bigint").alias("n_days"),
+            F.round(F.col("max_dev") * 1.0 / F.col("t"), 6).alias("max_cusum"),
+            F.round(F.col("min_dev") * 1.0 / F.col("t"), 6).alias("min_cusum"),
+        )
+        .agg(F.min("day").alias("peak_day"))
+    )
+
+
+@register(
+    "events_user_type_entropy",
+    # behavioral diversity feature: per-user Shannon entropy of the
+    # event-type mix, H = ln(n) - sum(c*ln(c))/n from integer counts
+    # only — the same H = -sum(p ln p) rewritten so every input to
+    # the float expression is a BIGINT aggregate (identical tree on
+    # both engines). One shuffle keyed by user.
+    """WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types,
+             SUM(c * ln(c)) AS clnc
+      FROM c GROUP BY 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           ROUND(ln(n) - clnc / n, 6) AS type_entropy
+    FROM u""",
+)
+def events_user_type_entropy(spark, sf_dir):
+    """Per-user event-type entropy — the engagement-diversity
+    feature (0 = single-type bot-like, ln(K) = uniform across K
+    types) used for user segmentation and bot filtering. Two
+    aggregations keyed by user; entropy is computed from integer
+    counts via H = ln(n) - sum(c ln c)/n so both engines evaluate
+    the identical float tree."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    u = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clnc"),
+    )
+    return u.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(F.log(F.col("n")) - F.col("clnc") / F.col("n"), 6).alias(
+            "type_entropy"
+        ),
+    )
+
+
+@register(
+    "events_seasonal_naive_eval",
+    # forecast-baseline scorecard: seasonal-naive (x_hat_t = x_{t-7})
+    # on daily per-type counts. MAE is an integer |diff| sum over an
+    # integer count; sMAPE quantizes each bounded per-day term to
+    # integer ppm BEFORE summing (the sum_d2_ppm pattern) so the
+    # aggregate is partition-order-proof on both engines.
+    """WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.x AS actual, b.x AS fc
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day - 7 * INTERVAL 1 DAY)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(SUM(ABS(actual - fc)) * 1.0 / COUNT(*), 6) AS mae,
+           ROUND(SUM(CAST(ROUND(2000000.0 * ABS(actual - fc)
+                                / (actual + fc)) AS BIGINT))
+                 / 1000000.0 / COUNT(*), 6) AS smape
+    FROM j GROUP BY 1""",
+)
+def events_seasonal_naive_eval(spark, sf_dir):
+    """Seasonal-naive forecast baseline (last week's same weekday)
+    scored per event type with MAE and sMAPE — the sanity floor any
+    real traffic forecaster must beat. One fold of raw events to
+    (type, day), a self-join at -7 days on that bounded series, and
+    exact-integer error sums (ppm-quantized sMAPE terms), so the
+    scorecard hashes identically on both engines."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") == F.expr("date_add(a.day, -7)")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.x").alias("actual"),
+        F.col("b.x").alias("fc"),
+    )
+    err = F.abs(F.col("actual") - F.col("fc"))
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.sum(err) * 1.0 / F.count("*"), 6).alias("mae"),
+        F.round(
+            F.sum(
+                F.round(2000000.0 * err / (F.col("actual") + F.col("fc")))
+                .cast("bigint")
+            )
+            / 1000000.0
+            / F.count("*"),
+            6,
+        ).alias("smape"),
+    )

