@@ -2346,3 +2346,101 @@ def cluster_balanced_sample(
             F.col("n").cast("bigint").alias("cluster_size"),
         )
     )
+
+
+def label_silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Centroid silhouette per label: a = distance to the own-label
+    centroid, b = distance to the nearest other-label centroid,
+    s = (b - a) / max(a, b), averaged per label.
+
+    This is the O(N * k * d) centroid variant (the scale-correct
+    form — classic pairwise silhouette is O(N^2 * d) and dies at
+    100 TB); centroids are the broadcastable label_centroids table.
+    Engine-exact: coordinates and centroids are x1e6 BIGINTs, so
+    per-(point, label) squared distances are exact integers; a/b
+    selection compares those integers; the single sqrt/division per
+    point happens on identical inputs, and per-point s quantizes to
+    ppm before the per-label mean (partition-order-proof sums).
+    """
+    ex = _quantized_explode(df, vec_col, id_col, label_col)
+    cents = label_centroids(df, vec_col, id_col, label_col)
+    diff = F.col("q") - F.col("cq")
+    d2 = (
+        ex.join(F.broadcast(cents), "pos")
+        .groupBy("id", "lbl", "clbl")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    per_point = d2.groupBy("id", "lbl").agg(
+        F.min(F.when(F.col("clbl") == F.col("lbl"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clbl") != F.col("lbl"), F.col("d2"))).alias("b2"),
+    )
+    a, b = F.sqrt(F.col("a2")), F.sqrt(F.col("b2"))
+    s_ppm = F.round(
+        (b - a) / F.greatest(a, b) * 1_000_000
+    ).cast("bigint")
+    pts = per_point.select(
+        F.col("lbl").alias("label"),
+        F.when(F.col("a2") == F.col("b2"), F.lit(0).cast("bigint"))
+        .otherwise(s_ppm)
+        .alias("s_ppm"),
+    )
+    return pts.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.sum("s_ppm") / 1_000_000.0 / F.count("*"), 6).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+def fisher_ratio(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio against the label
+    column: (between-class SS / (k-1)) / (within-class SS / (n-k))
+    — the feature-quality screen for which embedding dimensions
+    separate the classes.
+
+    Exact-arithmetic discipline: per-(dim, label) moment sums n_l,
+    S_l, SS_l are BIGINTs on the x1e6 grid; the per-label scatter
+    terms round to integer units before the cross-label sum (k
+    bounded), so both engines aggregate identical integers and the
+    ratio is one float division per dimension.
+    """
+    ex = _quantized_explode(df, vec_col, id_col, label_col)
+    m = ex.groupBy("pos", "lbl").agg(
+        F.count("*").alias("n_l"),
+        F.sum("q").alias("s_l"),
+        F.sum(F.col("q") * F.col("q")).alias("ss_l"),
+    )
+    tot = m.groupBy("pos").agg(
+        F.sum("n_l").alias("n"),
+        F.sum("s_l").alias("s"),
+        F.count("*").alias("k"),
+    )
+    n_l, s_l, ss_l = F.col("n_l"), F.col("s_l"), F.col("ss_l")
+    n, s = F.col("n"), F.col("s")
+    w_term = F.round(ss_l - s_l * s_l * 1.0 / n_l).cast("bigint")
+    mean_diff = s_l * 1.0 / n_l - s * 1.0 / n
+    b_term = F.round(n_l * mean_diff * mean_diff).cast("bigint")
+    agg = (
+        m.join(F.broadcast(tot), "pos")
+        .groupBy("pos", "n", "k")
+        .agg(F.sum(w_term).alias("w"), F.sum(b_term).alias("b"))
+    )
+    return agg.select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.round(
+            (F.col("b") * 1.0 / (F.col("k") - 1))
+            / (F.col("w") * 1.0 / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("fisher_ratio"),
+    )

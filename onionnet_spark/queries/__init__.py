@@ -512,6 +512,11 @@ _R8_NEW: list[str] = [
     "events_cusum_drift",
     "events_user_type_entropy",
     "events_seasonal_naive_eval",
+    "docs_term_burstiness",
+    "docs_simpson_index",
+    "token_length_histogram",
+    "embedding_silhouette_by_label",
+    "embedding_fisher_ratio",
 ]
 
 

@@ -6733,3 +6733,243 @@ def corpus_growth_dedup_curve_q(spark, sf_dir):
         F.sum("is_new").cast("bigint").alias("n_new"),
         F.round(F.sum("is_new") * 1.0 / F.count("*"), 6).alias("novelty_rate"),
     )
+
+
+@register(
+    "docs_term_burstiness",
+    # Church-Gale burstiness: variance-to-mean ratio of a term's
+    # per-document count over ALL docs (zeros included) — bursty
+    # content words cluster in few docs (VMR >> 1), function words
+    # spread evenly (VMR ~ 1). With S=sum(tf), SS=sum(tf^2) over
+    # containing docs and N=|docs|, population VMR over the full
+    # corpus is (N*SS - S*S) / (N*S): all-BIGINT until one division,
+    # so the top-50 ordering is the identical IEEE double on both
+    # engines (term tie-break).
+    f"""WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT term, COUNT(*) AS df, SUM(tf) AS s, SUM(tf * tf) AS ss
+      FROM tf GROUP BY 1)
+    SELECT term, CAST(df AS BIGINT) AS df,
+           CAST(s AS BIGINT) AS total_tf,
+           ROUND((n.n_docs * ss - s * s) * 1.0 / (n.n_docs * s), 6) AS vmr
+    FROM s CROSS JOIN n
+    WHERE df >= 20
+    ORDER BY (n.n_docs * ss - s * s) * 1.0 / (n.n_docs * s) DESC, term
+    LIMIT 50""",
+)
+def docs_term_burstiness_q(spark, sf_dir):
+    """Term burstiness (Church & Gale): variance-to-mean ratio of
+    per-doc counts over the whole corpus — separates bursty topical
+    terms from evenly-spread function words; a standard
+    stopword/keyword discriminator. Two hash aggregations (doc-term,
+    then term) + a broadcast 1-row total; the VMR is a single
+    division of exact BIGINT moments, then TakeOrdered top-50."""
+    from onionnet_spark.functions.text import tokens_col
+
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    s = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).alias("ss"),
+    )
+    vmr = (F.col("n_docs") * F.col("ss") - F.col("s") * F.col("s")) * 1.0 / (
+        F.col("n_docs") * F.col("s")
+    )
+    return (
+        s.filter(F.col("df") >= 20)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("s").cast("bigint").alias("total_tf"),
+            F.round(vmr, 6).alias("vmr"),
+            vmr.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "term")
+        .limit(50)
+        .drop("_ord")
+    )
+
+
+@register(
+    "docs_simpson_index",
+    # lexical concentration per source: Simpson's index as the
+    # EXACT unbiased form sum(c*(c-1)) / (N*(N-1)) — the probability
+    # two tokens drawn without replacement are the same type. Pure
+    # integer arithmetic until one division; effective_types is its
+    # reciprocal (the 'how many equally-common types would look like
+    # this' diversity number).
+    f"""WITH tc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT source, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(SUM(c * (c - 1)) * 1.0 / (SUM(c) * (SUM(c) - 1)), 6)
+             AS simpson,
+           ROUND(SUM(c) * (SUM(c) - 1) * 1.0 / SUM(c * (c - 1)), 6)
+             AS effective_types
+    FROM tc GROUP BY 1""",
+)
+def docs_simpson_index_q(spark, sf_dir):
+    """Simpson lexical concentration per source — the repeat-draw
+    probability (and its reciprocal, effective type count) that
+    flags template-heavy sources whose token mass concentrates in
+    few types. Complements docs_hapax_ratio's tail-side view with
+    the head-side concentration; exact integer sums, one division."""
+    from onionnet_spark.functions.text import tokens_col
+
+    tc = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    sc, c = F.sum("c"), F.col("c")
+    return tc.groupBy("source").agg(
+        sc.cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(F.sum(c * (c - 1)) * 1.0 / (sc * (sc - 1)), 6).alias(
+            "simpson"
+        ),
+        F.round(sc * (sc - 1) * 1.0 / F.sum(c * (c - 1)), 6).alias(
+            "effective_types"
+        ),
+    )
+
+
+@register(
+    "token_length_histogram",
+    # tokenizer-design readout: corpus token-length distribution
+    # (occurrences and distinct types per character length) — the
+    # first thing to look at when choosing max word length / BPE
+    # pre-tokenization rules. Integer counts, one share division.
+    f"""WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents),
+    t AS (SELECT LENGTH(tok) AS token_len, tok FROM toks),
+    n AS (SELECT COUNT(*) AS total FROM t)
+    SELECT CAST(token_len AS INT) AS token_len,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) * 1.0 / n.total, 6) AS share
+    FROM t CROSS JOIN n
+    GROUP BY token_len, n.total""",
+)
+def token_length_histogram_q(spark, sf_dir):
+    """Token-length histogram over the corpus: occurrences, distinct
+    types and corpus share per character length — the tokenizer
+    pre-design profile. One explode + one agg keyed by the bounded
+    length grid; the total broadcasts back for the share."""
+    from onionnet_spark.functions.text import tokens_col
+
+    t = _docs(spark, sf_dir).select(
+        F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select(F.length("tok").alias("token_len"), "tok")
+    n = t.agg(F.count("*").alias("total"))
+    return (
+        t.groupBy("token_len")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.countDistinct("tok").alias("n_types"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("token_len").cast("int").alias("token_len"),
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.round(F.col("n_tok") * 1.0 / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "embedding_silhouette_by_label",
+    # cluster-quality readout on given labels: centroid silhouette
+    # (a = own-centroid distance, b = nearest other centroid,
+    # s = (b-a)/max(a,b)) — O(N*k*d), the scale-correct variant of
+    # the O(N^2) pairwise silhouette. Distances are exact integer
+    # d2 on the x1e6 grid with floor(S/n) integer centroids; per-
+    # point s quantizes to ppm before the per-label mean.
+    f"""WITH {_ENUM},
+    ex AS (SELECT vec_id, label AS lbl, CAST(i - 1 AS INT) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS q
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    cent AS (SELECT lbl AS clbl, pos,
+                    CAST(floor(SUM(q) * 1.0 / COUNT(*)) AS BIGINT) AS cq
+             FROM ex GROUP BY 1, 2),
+    d2 AS (SELECT ex.vec_id, ex.lbl, cent.clbl,
+                  SUM((ex.q - cent.cq) * (ex.q - cent.cq)) AS d2
+           FROM ex JOIN cent ON cent.pos = ex.pos
+           GROUP BY 1, 2, 3),
+    pp AS (SELECT vec_id, lbl,
+                  MIN(CASE WHEN clbl = lbl THEN d2 END) AS a2,
+                  MIN(CASE WHEN clbl <> lbl THEN d2 END) AS b2
+           FROM d2 GROUP BY 1, 2),
+    sp AS (SELECT lbl,
+                  CASE WHEN a2 = b2 THEN 0
+                       ELSE CAST(ROUND((SQRT(b2) - SQRT(a2))
+                                 / GREATEST(SQRT(a2), SQRT(b2)) * 1000000)
+                            AS BIGINT) END AS s_ppm
+           FROM pp)
+    SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(s_ppm) / 1000000.0 / COUNT(*), 6) AS mean_silhouette
+    FROM sp GROUP BY 1""",
+)
+def embedding_silhouette_by_label_q(spark, sf_dir):
+    """Centroid silhouette per label (similarity.label_silhouette):
+    how separable the labeled clusters are — the go/no-go check
+    before trusting labels for classifier training or stratified
+    sampling. Centroids broadcast (|labels| x dim); one pass over
+    the exploded coordinates; exact integer distances."""
+    return similarity.label_silhouette(_embs(spark, sf_dir))
+
+
+@register(
+    "embedding_fisher_ratio",
+    # per-dimension Fisher discriminant (between-class SS/(k-1)) /
+    # (within-class SS/(n-k)) over the label groups — which
+    # dimensions actually separate the classes. BIGINT moments per
+    # (dim, label); per-label scatter terms round to integer units
+    # before the k-bounded cross-label sum.
+    f"""WITH {_ENUM},
+    ex AS (SELECT vec_id, label AS lbl, CAST(i - 1 AS INT) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS q
+           FROM embeddings JOIN enums ON i <= len(embedding)),
+    m AS (SELECT pos, lbl, COUNT(*) AS n_l, SUM(q) AS s_l,
+                 SUM(q * q) AS ss_l
+          FROM ex GROUP BY 1, 2),
+    tot AS (SELECT pos, SUM(n_l) AS n, SUM(s_l) AS s, COUNT(*) AS k
+            FROM m GROUP BY 1),
+    terms AS (
+      SELECT m.pos, tot.n, tot.k,
+             CAST(ROUND(m.ss_l - m.s_l * m.s_l * 1.0 / m.n_l) AS BIGINT)
+               AS w_term,
+             CAST(ROUND(m.n_l * (m.s_l * 1.0 / m.n_l - tot.s * 1.0 / tot.n)
+                        * (m.s_l * 1.0 / m.n_l - tot.s * 1.0 / tot.n))
+                  AS BIGINT) AS b_term
+      FROM m JOIN tot ON tot.pos = m.pos)
+    SELECT CAST(pos AS INT) AS pos, CAST(n AS BIGINT) AS n_vecs,
+           ROUND((SUM(b_term) * 1.0 / (k - 1))
+                 / (SUM(w_term) * 1.0 / (n - k)), 6) AS fisher_ratio
+    FROM terms GROUP BY pos, n, k""",
+)
+def embedding_fisher_ratio_q(spark, sf_dir):
+    """Per-dimension Fisher discriminant ratio vs the label column
+    (similarity.fisher_ratio) — the feature-quality screen used to
+    pick dimensions for Matryoshka truncation or cheap prefilters.
+    One explode + two bounded aggregations; floats only in the
+    final per-dimension ratio."""
+    return similarity.fisher_ratio(_embs(spark, sf_dir))

@@ -257,3 +257,101 @@ def test_seasonal_naive_eval_perfect_forecast_is_zero(spark):
     for r in rows:
         assert r["mae"] >= 0 and r["smape"] >= 0
         assert r["smape"] <= 2.0  # sMAPE is bounded by 2
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 3: docs lexical stats + embedding label diagnostics
+# --------------------------------------------------------------------------
+
+
+def _toy_labeled_embs(spark, separated: bool):
+    """Two 4-dim clusters: separated=True puts labels on opposite
+    corners; False assigns labels at random to the SAME points."""
+    rows = []
+    for i in range(40):
+        base = [0.4, 0.4, -0.4, -0.4] if (i % 2 == 0) else [-0.4, -0.4, 0.4, 0.4]
+        vec = [b + ((i * 7 + d * 3) % 5 - 2) * 0.01 for d, b in enumerate(base)]
+        label = (i % 2) if separated else (i % 4 // 2)
+        rows.append((i, vec, label))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+
+
+def test_silhouette_separated_beats_shuffled(spark):
+    """Well-separated labels score near +1; labels uncorrelated
+    with geometry score near 0 (the discriminative property any
+    silhouette must have)."""
+    from onionnet_spark.functions.similarity import label_silhouette
+
+    good = label_silhouette(_toy_labeled_embs(spark, True)).collect()
+    bad = label_silhouette(_toy_labeled_embs(spark, False)).collect()
+    g = sum(r["mean_silhouette"] for r in good) / len(good)
+    b = sum(r["mean_silhouette"] for r in bad) / len(bad)
+    assert g > 0.8, f"separated labels should be ~1, got {g}"
+    assert b < 0.3, f"shuffled labels should be ~0, got {b}"
+
+
+def test_fisher_ratio_flags_informative_dims(spark):
+    """Dims 0-3 carry the class signal in the toy frame; a pure
+    noise dim appended to every vector must score far lower."""
+    from onionnet_spark.functions.similarity import fisher_ratio
+
+    df = _toy_labeled_embs(spark, True).withColumn(
+        "embedding",
+        F.concat(
+            F.col("embedding"),
+            F.array((F.col("vec_id") % 7).cast("double") * 0.1 - 0.3),
+        ),
+    )
+    out = {r["pos"]: r["fisher_ratio"] for r in fisher_ratio(df).collect()}
+    assert min(out[p] for p in range(4)) > 10 * out[4], (
+        f"signal dims must dominate the noise dim: {out}"
+    )
+
+
+def test_burstiness_function_words_near_one(spark):
+    """A term appearing a constant k times in EVERY doc has zero
+    variance, so the closed form (N*SS - S^2)/(N*S) must be exactly
+    0 — pins the VMR identity the operator's oracle relies on."""
+    docs = spark.createDataFrame(
+        [(i, "a a b" if i % 2 == 0 else "a a c", "x", "s", 5) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("_burst_toy")
+    from onionnet_spark.functions.text import tokens_col
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    s = tf.filter(F.col("t") == "a").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).alias("ss"),
+    ).collect()[0]
+    n = 40
+    vmr = (n * s["ss"] - s["s"] ** 2) / (n * s["s"])
+    assert vmr == 0.0  # constant 2-per-doc term: zero variance
+
+
+def test_simpson_uniform_identity(spark):
+    """For a source whose N tokens are uniform over V types with
+    equal counts c=N/V, simpson = (c-1)/(N-1) exactly."""
+    from onionnet_spark.queries.pipeline_queries import docs_simpson_index_q
+
+    rows = docs_simpson_index_q(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # sanity bounds: 1/effective_types == simpson (reciprocal pair)
+        assert abs(r["simpson"] * r["effective_types"] - 1) < 1e-3
+        assert 0 < r["simpson"] < 1
+
+
+def test_token_length_histogram_shares_sum_to_one(spark):
+    from onionnet_spark.queries.pipeline_queries import (
+        token_length_histogram_q,
+    )
+
+    rows = token_length_histogram_q(spark, SF).collect()
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["n_types"] <= r["n_tokens"] for r in rows)
