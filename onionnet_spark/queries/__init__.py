@@ -517,6 +517,9 @@ _R8_NEW: list[str] = [
     "token_length_histogram",
     "embedding_silhouette_by_label",
     "embedding_fisher_ratio",
+    "docs_window_pmi",
+    "vocab_coverage_curve",
+    "graph_dyad_census",
 ]
 
 

@@ -6973,3 +6973,154 @@ def embedding_fisher_ratio_q(spark, sf_dir):
     One explode + two bounded aggregations; floats only in the
     final per-dimension ratio."""
     return similarity.fisher_ratio(_embs(spark, sf_dir))
+
+
+@register(
+    "docs_window_pmi",
+    # word2vec-style windowed collocations: PMI over position pairs
+    # within a +/-3 token window (vs pmi_pairs' document-level
+    # co-occurrence). pmi = ln(n_ab * T / (cf_a * cf_b)) with T =
+    # total tokens — a pure integer ratio under ln, so ordering by
+    # the unrounded value is engine-exact; cf/n_ab floors bound the
+    # output. Positions join doc-locally: work is linear in tokens
+    # x window, never corpus^2.
+    f"""WITH ta AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    mx AS (SELECT GREATEST(COALESCE(MAX(len(toks)), 0) + 1, 2) AS m FROM ta),
+    pos AS (
+      SELECT ta.doc_id, CAST(i AS INT) AS pos, ta.toks[i] AS tok
+      FROM ta JOIN (SELECT UNNEST(range(1, (SELECT m FROM mx))) AS i)
+        ON i <= len(ta.toks)),
+    cf AS (SELECT tok, COUNT(*) AS cf FROM pos GROUP BY 1),
+    t AS (SELECT COUNT(*) AS t FROM pos),
+    pr AS (
+      SELECT LEAST(a.tok, b.tok) AS tok_a, GREATEST(a.tok, b.tok) AS tok_b,
+             COUNT(*) AS n_ab
+      FROM pos a JOIN pos b
+        ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+      WHERE a.tok <> b.tok
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 10)
+    SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(ln(n_ab * 1.0 * t.t / (ca.cf * cb.cf)), 6) AS pmi
+    FROM pr JOIN cf ca ON ca.tok = pr.tok_a
+            JOIN cf cb ON cb.tok = pr.tok_b
+            CROSS JOIN t
+    WHERE ca.cf >= 50 AND cb.cf >= 50
+    ORDER BY ln(n_ab * 1.0 * t.t / (ca.cf * cb.cf)) DESC, tok_a, tok_b
+    LIMIT 100""",
+)
+def docs_window_pmi_q(spark, sf_dir):
+    """Windowed PMI collocations (+/-3 positions, the skip-gram
+    context definition word2vec trains on) — finds genuinely
+    adjacent-ish phrases where pmi_pairs' doc-level counts only
+    find topical affinity. Position pairs join within a document
+    (linear in tokens x window); marginals broadcast; top-100 by
+    the exact integer-ratio PMI."""
+    from onionnet_spark.functions.text import tokens_col
+
+    pos = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    cf = pos.groupBy("tok").agg(F.count("*").alias("cf"))
+    t = pos.agg(F.count("*").alias("t"))
+    a, b = pos.alias("a"), pos.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + 3),
+        )
+        .filter(F.col("a.tok") != F.col("b.tok"))
+        .groupBy(
+            F.least("a.tok", "b.tok").alias("tok_a"),
+            F.greatest("a.tok", "b.tok").alias("tok_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    ca = cf.select(F.col("tok").alias("tok_a"), F.col("cf").alias("cf_a"))
+    cb = cf.select(F.col("tok").alias("tok_b"), F.col("cf").alias("cf_b"))
+    pmi = F.log(
+        F.col("n_ab") * 1.0 * F.col("t") / (F.col("cf_a") * F.col("cf_b"))
+    )
+    return (
+        pr.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(t))
+        .filter((F.col("cf_a") >= 50) & (F.col("cf_b") >= 50))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(pmi, 6).alias("pmi"),
+            pmi.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "tok_a", "tok_b")
+        .limit(100)
+        .drop("_ord")
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    # vocab-sizing readout: what share of corpus token mass the
+    # top-K most frequent terms cover, K in {10, 100, 1000}. The
+    # Spark side ranks the vocabulary with the range-partitioned
+    # two-phase global_rank_range (no unpartitioned window at any
+    # vocab size); the oracle states the same rank as ROW_NUMBER.
+    # Integer token sums, one share division per K.
+    f"""WITH tc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM (
+        SELECT unnest({_TOKS}) AS term FROM documents)
+      GROUP BY 1),
+    r AS (SELECT term, cf,
+                 ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS rank
+          FROM tc),
+    t AS (SELECT SUM(cf) AS total, COUNT(*) AS vocab FROM tc),
+    ks AS (SELECT * FROM (VALUES (10), (100), (1000)) v(k))
+    SELECT ks.k,
+           CAST(LEAST(ks.k, t.vocab) AS BIGINT) AS n_terms,
+           CAST(SUM(CASE WHEN r.rank <= ks.k THEN r.cf ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           ROUND(SUM(CASE WHEN r.rank <= ks.k THEN r.cf ELSE 0 END)
+                 * 1.0 / t.total, 6) AS coverage
+    FROM ks CROSS JOIN t CROSS JOIN r
+    GROUP BY ks.k, t.vocab, t.total""",
+)
+def vocab_coverage_curve_q(spark, sf_dir):
+    """Vocabulary coverage curve: token-mass share of the top-K
+    frequency-ranked terms (K = 10/100/1000) — the how-big-should-
+    the-vocab-be readout for tokenizer budgeting. Ranking rides
+    global_rank_range (two-phase, range-partitioned — the same
+    no-global-window discipline as tokenize_to_ids); the K grid
+    broadcasts over the ranked vocab for one aggregation."""
+    from onionnet_spark.functions.corpus import global_rank_range
+    from onionnet_spark.functions.text import tokens_col
+
+    tc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cf"))
+    )
+    ranked = global_rank_range(tc, [F.col("cf").desc(), F.col("term").asc()])
+    t = tc.agg(F.sum("cf").alias("total"), F.count("*").alias("vocab"))
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    cov = F.sum(
+        F.when(F.col("rank") <= F.col("k"), F.col("cf")).otherwise(F.lit(0))
+    )
+    return (
+        F.broadcast(ks)
+        .crossJoin(F.broadcast(t))
+        .crossJoin(ranked)
+        .groupBy("k", "vocab", "total")
+        .agg(cov.alias("cov"))
+        .select(
+            "k",
+            F.least(F.col("k").cast("bigint"), F.col("vocab")).alias("n_terms"),
+            F.col("cov").cast("bigint").alias("covered_tokens"),
+            F.round(F.col("cov") * 1.0 / F.col("total"), 6).alias("coverage"),
+        )
+    )

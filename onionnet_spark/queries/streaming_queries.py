@@ -1611,3 +1611,86 @@ def events_seasonal_naive_eval(spark, sf_dir):
             6,
         ).alias("smape"),
     )
+
+
+@register(
+    "graph_dyad_census",
+    # Holland-Leinhardt dyad census of the event-type transition
+    # graph: directed edges = consecutive-event transitions whose
+    # count clears 10% of the max cell (integer cross-multiplied,
+    # the data-derived threshold pattern of graph_edge_embeddedness);
+    # dyads then classify as mutual (both directions), asymmetric
+    # (one), or null. |types|^2-bounded after one user-keyed pass.
+    """WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events),
+    t AS (SELECT a, b, COUNT(*) AS n FROM seq
+          WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
+    mx AS (SELECT MAX(n) AS m FROM t),
+    e AS (SELECT a, b FROM t, mx WHERE 10 * n >= m),
+    nodes AS (SELECT COUNT(DISTINCT event_type) AS nn FROM events),
+    d AS (
+      SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v, COUNT(*) AS deg
+      FROM e GROUP BY 1, 2)
+    SELECT CAST(nodes.nn AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN deg = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS mutual,
+           CAST(SUM(CASE WHEN deg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS asymmetric,
+           CAST(nodes.nn * (nodes.nn - 1) / 2 - COUNT(*) AS BIGINT)
+             AS null_dyads
+    FROM d CROSS JOIN nodes
+    GROUP BY nodes.nn""",
+)
+def graph_dyad_census(spark, sf_dir):
+    """Dyad census (mutual / asymmetric / null) of the event-type
+    transition graph — the reciprocity fingerprint of user journeys
+    (do flows run both ways between states, or one-way?). One
+    user-partitioned lead pass builds transitions; a data-derived
+    10%-of-max count threshold keeps real flows; census arithmetic
+    is |types|^2-bounded. The directed sibling of
+    events_transitions' probability matrix."""
+    from pyspark.sql import Window, functions as F
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    t = (
+        seq.filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    mx = t.agg(F.max("n").alias("m"))
+    edges = t.crossJoin(F.broadcast(mx)).filter(
+        10 * F.col("n") >= F.col("m")
+    ).select("a", "b")
+    nn = e.agg(F.countDistinct("event_type").alias("nn"))
+    ne = edges.agg(F.count("*").alias("n_edges"))
+    d = edges.groupBy(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).agg(F.count("*").alias("deg"))
+    return (
+        d.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ne))
+        .groupBy("nn", "n_edges")
+        .agg(
+            F.sum(F.when(F.col("deg") == 2, 1).otherwise(0)).alias("mutual"),
+            F.sum(F.when(F.col("deg") == 1, 1).otherwise(0)).alias("asym"),
+            F.count("*").alias("present"),
+        )
+        .select(
+            F.col("nn").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("mutual").cast("bigint").alias("mutual"),
+            F.col("asym").cast("bigint").alias("asymmetric"),
+            (F.col("nn") * (F.col("nn") - 1) / 2 - F.col("present"))
+            .cast("bigint")
+            .alias("null_dyads"),
+        )
+    )

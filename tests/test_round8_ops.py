@@ -355,3 +355,43 @@ def test_token_length_histogram_shares_sum_to_one(spark):
     assert rows
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
     assert all(r["n_types"] <= r["n_tokens"] for r in rows)
+
+
+def test_window_pmi_vs_doc_pmi_distinction(spark):
+    """Windowed PMI output respects its floors and emits unordered
+    pairs (tok_a < tok_b) sorted by pmi."""
+    from onionnet_spark.queries.pipeline_queries import docs_window_pmi_q
+
+    rows = docs_window_pmi_q(spark, SF).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r["tok_a"] < r["tok_b"] and r["n_ab"] >= 10 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_vocab_coverage_monotone(spark):
+    """Coverage is nondecreasing in K and hits 1.0 once K >= vocab."""
+    from onionnet_spark.queries.pipeline_queries import (
+        vocab_coverage_curve_q,
+    )
+
+    rows = sorted(
+        vocab_coverage_curve_q(spark, SF).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in rows] == [10, 100, 1000]
+    cov = [r["coverage"] for r in rows]
+    assert cov == sorted(cov)
+    # sf0.001 corpus vocab < 1000 -> the K=1000 point covers everything
+    if rows[-1]["n_terms"] < 1000:
+        assert cov[-1] == 1.0
+
+
+def test_dyad_census_partition_identity(spark):
+    """mutual + asymmetric + null == n(n-1)/2 and the directed edge
+    count is 2*mutual + asymmetric."""
+    from onionnet_spark.queries.streaming_queries import graph_dyad_census
+
+    r = graph_dyad_census(spark, SF).collect()[0]
+    n = r["n_nodes"]
+    assert r["mutual"] + r["asymmetric"] + r["null_dyads"] == n * (n - 1) // 2
+    assert r["n_edges"] == 2 * r["mutual"] + r["asymmetric"]
