@@ -157,6 +157,212 @@ HEADLINE = [
 ]
 
 
+# Round-8 sweep promotions (VERDICT r7 item 6): every registry key
+# the r8 full sweep timed at >= 0.5s (one-shot, sf0.1) that was not
+# already a HEADLINE entry, plus the round-8 additions. TAIL keys
+# run ONCE per bench (not best-of-2) and report under "tail"/
+# "tail_total" so a regression in a formerly-unbenched operator is
+# visible round-over-round without disturbing the comparable
+# HEADLINE subtotals. Sub-0.5s keys stay unbenched by the documented
+# cutoff; the full sweep lives in tools/bench_sweep.py.
+TAIL = [
+    "graph_salsa",
+    "graph_mis",
+    "lineitem_correlations",
+    "graph_topo_levels",
+    "ann_pq_topk",
+    "graph_simrank",
+    "ann_lsh_multiprobe",
+    "graph_pseudo_diameter",
+    "graph_bowtie",
+    "dedup_method_report",
+    "on_shortest_weighted",
+    "vocab_coverage_curve",
+    "dedup_cluster_sizes",
+    "graph_katz",
+    "graph_spectral_bisection",
+    "graph_edge_embeddedness",
+    "graph_pagerank_weighted",
+    "graph_anf_growth",
+    "column_correlations_nulls",
+    "graph_dyad_census",
+    "graph_bipartite_projection",
+    "audio_window_rms",
+    "graph_random_walks",
+    "graph_node2vec_walks",
+    "graph_walk_skipgrams",
+    "graph_trussness",
+    "dedup_recall_report",
+    "docs_tf_cosine_topk",
+    "source_overlap_matrix",
+    "graph_percolation",
+    "ann_nprobe_curve",
+    "docs_tree_depth2",
+    "sssp_weighted",
+    "graph_coreness",
+    "minhash_est_accuracy",
+    "graph_degree_distribution",
+    "graph_closeness",
+    "sorted_neighborhood_pairs",
+    "khop_downstream",
+    "embedding_random_projection",
+    "bigram_logprob",
+    "export_edges",
+    "ngram_topk",
+    "embedding_hard_negatives",
+    "dedup_embedding_cosine",
+    "khop_bi",
+    "graph_label_spread",
+    "fuzzy_name_pairs",
+    "graph_onion_layers",
+    "graph_reciprocity",
+    "khop_bi_children",
+    "pmi_pairs",
+    "split_leakage_audit",
+    "graph_ego_stats",
+    "layout_by_layer",
+    "orders_custkey_cms",
+    "graph_conductance",
+    "basket_triples",
+    "graph_adjacency_export",
+    "dedup_clusters",
+    "graph_assortativity",
+    "simhash_bit_balance",
+    "graph_modularity",
+    "graph_ppr",
+    "components_weak_star",
+    "parts_abc_classes",
+    "ann_lsh_bucketed",
+    "components_strong_cyclic",
+    "graph_incremental",
+    "embedding_knn_accuracy",
+    "graph_maximal_matching",
+    "multimodal_image_dhash",
+    "graph_communities_lpa",
+    "orders_open_per_day",
+    "sssp_hops",
+    "lsh_bucket_stats",
+    "graph_betweenness",
+    "sequence_packing",
+    "containment_pairs",
+    "graph_clustering_coeff",
+    "graph_ktruss",
+    "graph_clique4",
+    "embedding_project_out",
+    "multimodal_dhash_near_pairs",
+    "graph_wl_colors",
+    "ann_ivf_topk",
+    "graph_motif_open_triads",
+    "graph_attr_assortativity",
+    "embedding_matryoshka_eval",
+    "style_columns_power",
+    "graph_square_count",
+    "style_columns",
+    "fk_inclusion_profile",
+    "events_markov_stationary",
+    "docs_ngram_novelty",
+    "docs_rag_chunks",
+    "minhash_signatures",
+    "basket_pairs",
+    "graph_anf",
+    "graph_link_training_set",
+    "orders_integrity_audit",
+    "graph_annotate",
+    "encode_decode_roundtrip",
+    "embedding_cosine_histogram",
+    "embedding_triplet_set",
+    "components_strong",
+    "graph_rich_club",
+    "multimodal_decode",
+    "tokenize_to_ids",
+    "docs_lang_confusion",
+    "oov_rate",
+    "docs_window_pmi",
+    "source_length_percentiles",
+    "docs_profile",
+    "embedding_dim_stats",
+    "revenue_lorenz",
+    "graph_node_jaccard",
+    "docs_split_finding",
+    "zipf_slope",
+    "multimodal_png_decode",
+    "video_scene_cuts",
+    "multimodal_mjpeg_frames",
+    "filter_edges_prune",
+    "bpe_merge_candidates",
+    "orders_cdc_apply",
+    "events_user_features",
+    "tpch_q21",
+    "docs_term_stats",
+    "stratified_sample",
+    "parts_skyline",
+    "multimodal_audio_fingerprint",
+    "bipartite_layout",
+    "embedding_norm_outliers",
+    "embedding_nearest_centroid",
+    "tpch_q16",
+    "compressed_text_ingest",
+    "tpch_q2",
+    "multimodal_bmp_decode",
+    "vocab_kl_by_source",
+    "docs_lang_auc",
+    "lineitem_benford",
+    "corpus_report",
+    "revenue_gini",
+    "encode_layer_dict",
+    "multimodal_alaw_decode",
+    "events_attribution",
+    "multimodal_adpcm_decode",
+    "orders_price_mad",
+    "events_cusum_drift",
+    "events_active_users",
+    "multimodal_jpeg420_decode",
+    "docs_term_burstiness",
+    "graph_layer_matrix",
+    "embedding_fisher_ratio",
+    "tpch_q18",
+    "sql_surface",
+    "multimodal_channel_stats",
+    "orders_fd_profile",
+    "events_autocorr",
+    "text_readability",
+    "embedding_silhouette_by_label",
+    "tpch_q7",
+    "merge_props",
+    "events_cohort_ltv",
+    "dedup_keep_policy",
+    "multimodal_audio_augment",
+    "embedding_exact_dup",
+    "length_psi_by_source",
+    "unigram_logprob",
+    "tpch_q17",
+    "events_seasonal_naive_eval",
+    "vocab_growth",
+    "multimodal_tiff_decode",
+    "view_layers",
+    "tpch_q10",
+    "orders_priority_drift",
+    "boilerplate_lines_topk",
+    "graph_build_nodes",
+    "char_entropy",
+    "discount_qty_elasticity",
+    "tpch_q9",
+    "embedding_mmr_topk",
+    "source_jsd_matrix",
+    "events_stage_latency",
+    "events_poisson_dispersion",
+    "customer_reorder_survival",
+    "events_dow_anova",
+    "multimodal_image_entropy",
+    "lineitem_ks_test",
+    "brand_type_lift",
+    "token_length_histogram",
+    "events_user_type_entropy",
+    "docs_simpson_index",
+    "graph_temporal_reach",
+]
+
+
 def main() -> None:
     sf_m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_m.group(1).rstrip(".")) if sf_m else -1.0
@@ -214,10 +420,27 @@ def main() -> None:
     # stdout, so diagnostics (iter0: first-of-two timings — ambient
     # inflation shows as iter0 >> best) go first and the headline
     # values/queries go LAST to survive truncation.
+    # TAIL: one run per key (regression tripwire, not a steady-state
+    # figure — see the TAIL comment above). Skippable for quick
+    # headline-only iterations via ONIONNET_BENCH_TAIL=0.
+    tail_timings: dict[str, float] = {}
+    if os.environ.get("ONIONNET_BENCH_TAIL", "1") != "0":
+        for name in TAIL:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            dt = time.time() - t0
+            tail_timings[name] = round(dt, 3)
+            print(f"# tail {name}: {dt:.2f}s rows={n}", file=sys.stderr)
     payload = {
         "metric": "headline_queries_total_runtime",
         "timing": f"best of {iters} adjacent runs per query",
         "iter0": iter0,
+        "tail_timing": "single run per query, >=0.5s sweep cutoff",
+        "tail": tail_timings,
+        "tail_total": round(sum(tail_timings.values()), 3),
         "queries": timings,
         "sf": sf,
         "unit": "sec",

@@ -1382,6 +1382,12 @@ def maximal_independent_set(
             .distinct()
         )
         active = active.join(dead, on="node", how="left_anti").localCheckpoint()
+        # early exit: Luby typically clears a star/shallow graph in
+        # 2-3 rounds — without this the loop always pays the full
+        # round budget in per-round job overhead (58s -> ~rounds-used
+        # at sf0.1, r8 sweep)
+        if active.count() == 0:
+            break
         e = (
             e.join(active.select(F.col("node").alias("a")), on="a", how="left_semi")
             .join(active.select(F.col("node").alias("b")), on="b", how="left_semi")
@@ -2537,40 +2543,48 @@ def salsa_scores(
     extends SURVEY §2's centrality family (HITS row) with the
     iteration-free member.
     """
-    from onionnet_spark.operators.components import connected_components
+    from onionnet_spark.operators.components import connected_components_star
 
     e = graph.edge_endpoints()
     if hub_layers is not None:
         e = e.filter(F.col("src_layer").isin(list(hub_layers)))
     if authority_layers is not None:
         e = e.filter(F.col("dst_layer").isin(list(authority_layers)))
-    split_edges = e.select(
-        F.concat(F.lit("h:"), F.col("src_layer")).alias("src_layer"),
-        F.col("src_id"),
-        F.concat(F.lit("a:"), F.col("dst_layer")).alias("dst_layer"),
-        F.col("dst_id"),
+    # Hub copies are never emitted (only authorities are scored) and
+    # never win the component min-label ('a:' sorts before 'h:'), so
+    # instead of CC over the full split graph we CONTRACT every hub
+    # away: a hub connects exactly its own authorities, which a
+    # CHAIN of |authorities(h)| - 1 edges connects identically.
+    # This removes |hubs| nodes and turns hub fan-out into linear
+    # chain edges (233s -> the authority-graph CC at sf0.1 in the r8
+    # sweep), with labels provably unchanged. Star contraction (not
+    # min-label BFS) because chains through shared parts/suppliers
+    # give the co-occurrence graph a large label eccentricity.
+    from pyspark.sql import Window
+
+    ha = e.select(
+        F.concat_ws(":", F.col("src_layer"), F.col("src_id")).alias("h"),
+        F.concat(F.lit("a:"), F.col("dst_layer")).alias("a_layer"),
+        F.col("dst_id").alias("a_id"),
+    ).distinct()
+    w_hub = Window.partitionBy("h").orderBy("a_layer", "a_id")
+    chain = ha.select(
+        "a_layer",
+        "a_id",
+        F.lag("a_layer").over(w_hub).alias("p_layer"),
+        F.lag("a_id").over(w_hub).alias("p_id"),
+    ).filter(F.col("p_layer").isNotNull())
+    auth_nodes = ha.select(
+        F.col("a_layer").alias("layer"), F.col("a_id").alias("node_id")
+    ).distinct()
+    auth_edges = chain.select(
+        F.col("p_layer").alias("src_layer"),
+        F.col("p_id").alias("src_id"),
+        F.col("a_layer").alias("dst_layer"),
+        F.col("a_id").alias("dst_id"),
     )
-    split_nodes = (
-        split_edges.select(
-            F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
-        )
-        .union(
-            split_edges.select(
-                F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
-            )
-        )
-        .distinct()
-    )
-    # The split of a graph whose undirected node pairs are unique is
-    # itself pair-unique (copies only ever meet through one original
-    # edge), so the invariant carries over and CC skips its dedup.
-    split = OnionGraph(
-        split_nodes,
-        split_edges,
-        edges_unique_undirected=graph.edges_unique_undirected,
-    )
-    cc = connected_components(split)
-    auth_cc = cc.filter(F.col("layer").startswith("a:")).select(
+    cc = connected_components_star(OnionGraph(auth_nodes, auth_edges))
+    auth_cc = cc.select(
         F.expr("substring(layer, 3)").alias("layer"),
         "node_id",
         F.expr("substring(component, 3)").alias("component"),

@@ -719,43 +719,45 @@ def topological_levels(
     cap with changes still flowing raises (like weighted_sssp's
     convergence guard).
 
-    Iterative max-relaxation — level'(d) = max(level(d),
-    max over in-edges of level(s)+1) — converging in longest-path-
-    depth rounds; each round is one join + one groupBy on the edge
-    key, with the per-round change count the only driver scalar.
-    Returns (layer, node_id, level).
+    Frontier-sparse max-relaxation (delta scheduling, the
+    weighted_sssp shape): only nodes whose level CHANGED last round
+    join the edge list in the next, so each round touches a
+    shrinking frontier instead of the whole graph (the dense
+    variant re-joined all |E| x |V| every round — 47s -> frontier
+    cost at sf0.1, r8 sweep). Monotone relaxation reaches the same
+    fixpoint under any schedule. Converges in longest-path-depth
+    rounds. Returns (layer, node_id, level).
     """
     e = graph.edge_endpoints().select(
         F.concat_ws(":", "src_layer", "src_id").alias("s"),
         F.concat_ws(":", "dst_layer", "dst_id").alias("d"),
-    )
+    ).localCheckpoint()
     lv = graph.nodes.select(
         F.concat_ws(":", "layer", "node_id").alias("n"), F.lit(0).alias("level")
     ).localCheckpoint()
+    changed = lv  # round 0: every node is newly levelled
     converged = False
     for _ in range(max_iterations):
         upd = (
-            e.join(lv.withColumnRenamed("n", "s"), on="s")
+            e.join(changed.withColumnRenamed("n", "s"), on="s")
             .groupBy(F.col("d").alias("n"))
             .agg((F.max("level") + 1).alias("cand"))
         )
-        nxt = (
-            lv.join(upd, on="n", how="left")
-            .select(
-                "n",
-                F.greatest("level", F.coalesce("cand", F.lit(0))).alias("level"),
-            )
+        imp = (
+            upd.join(lv, on="n")
+            .filter(F.col("cand") > F.col("level"))
+            .select("n", F.col("cand").alias("level"))
             .localCheckpoint()
         )
-        n_changed = (
-            nxt.join(lv.withColumnRenamed("level", "old"), on="n")
-            .filter(F.col("level") != F.col("old"))
-            .count()
-        )
-        lv = nxt
-        if n_changed == 0:
+        if imp.count() == 0:
             converged = True
             break
+        lv = (
+            lv.join(imp.withColumnRenamed("level", "new"), on="n", how="left")
+            .select("n", F.coalesce("new", "level").alias("level"))
+            .localCheckpoint()
+        )
+        changed = imp
     if guard and not converged:
         raise RuntimeError(
             f"topological_levels: still relaxing after {max_iterations} "

@@ -520,6 +520,13 @@ _R8_NEW: list[str] = [
     "docs_window_pmi",
     "vocab_coverage_curve",
     "graph_dyad_census",
+    "embedding_mmr_topk",
+    "source_jsd_matrix",
+    "events_stage_latency",
+    "events_poisson_dispersion",
+    "customer_reorder_survival",
+    "events_dow_anova",
+    "multimodal_image_entropy",
 ]
 
 

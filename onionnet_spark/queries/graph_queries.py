@@ -1821,7 +1821,11 @@ def graph_temporal_reach(spark, sf_dir):
     )
     edges = fwd.unionByName(bwd)
     seed = ol.sparkSession.createDataFrame([("customer:1",)], "node string")
-    return temporal_earliest_arrival(edges, seed, max_rounds=8)
+    # 16 rounds: sf0.1's longer ship-date chains exceed the 8-round
+    # budget that sufficed at sf0.01 (caught by the r8 bench sweep);
+    # the loop still exits early on an empty frontier, so small SFs
+    # run exactly as before.
+    return temporal_earliest_arrival(edges, seed, max_rounds=16)
 
 
 def _matching_oracle(topn: int = 60, rounds: int = 5) -> str:

@@ -1454,7 +1454,8 @@ def _ann_pq_oracle(
 @register("ann_pq_topk", _ann_pq_oracle())
 def ann_pq_topk_q(spark, sf_dir):
     return similarity.ann_pq_topk(
-        _embs(spark, sf_dir), k=5, m=4, n_centroids=8, iterations=2
+        _embs(spark, sf_dir), k=5, m=4, n_centroids=8, iterations=2,
+        cache_key=_embs_sig(sf_dir),
     )
 
 
@@ -7099,11 +7100,14 @@ def vocab_coverage_curve_q(spark, sf_dir):
     from onionnet_spark.functions.corpus import global_rank_range
     from onionnet_spark.functions.text import tokens_col
 
+    # pin the vocab table: both the total and the rank pass consume
+    # it, and each would otherwise replay the corpus explode
     tc = (
         _docs(spark, sf_dir)
         .select(F.explode(tokens_col(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("cf"))
+        .localCheckpoint()
     )
     ranked = global_rank_range(tc, [F.col("cf").desc(), F.col("term").asc()])
     t = tc.agg(F.sum("cf").alias("total"), F.count("*").alias("vocab"))
@@ -7111,10 +7115,12 @@ def vocab_coverage_curve_q(spark, sf_dir):
     cov = F.sum(
         F.when(F.col("rank") <= F.col("k"), F.col("cf")).otherwise(F.lit(0))
     )
+    # ranked is the STREAM side; putting the broadcast grids first
+    # made Spark broadcast the checkpointed ranked frame instead
+    # (9.3s -> 2.7s at sf0.1)
     return (
-        F.broadcast(ks)
+        ranked.crossJoin(F.broadcast(ks))
         .crossJoin(F.broadcast(t))
-        .crossJoin(ranked)
         .groupBy("k", "vocab", "total")
         .agg(cov.alias("cov"))
         .select(
@@ -7123,4 +7129,198 @@ def vocab_coverage_curve_q(spark, sf_dir):
             F.col("cov").cast("bigint").alias("covered_tokens"),
             F.round(F.col("cov") * 1.0 / F.col("total"), 6).alias("coverage"),
         )
+    )
+
+
+def _mmr_oracle(n_candidates: int = 12, k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR as MATERIALIZED CTEs (the unrolled-
+    iterative-oracle convention): step i picks the argmax of
+    lam*simq - (1-lam)*max_sim_to_selected over the remaining
+    candidates, ties to the smaller id — exactly the driver-side
+    greedy in similarity.mmr_topk on the same 6dp-rounded sims."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "q AS (SELECT e AS qe FROM v WHERE vec_id = 0)",
+        f"""cs AS MATERIALIZED (
+      SELECT v.vec_id AS id, {cos.format(a="v.e", b="q.qe")} AS simq, v.e
+      FROM v CROSS JOIN q WHERE v.vec_id <> 0
+      ORDER BY simq DESC, id LIMIT {n_candidates})""",
+        f"""ss AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib, {cos.format(a="a.e", b="b.e")} AS s
+      FROM cs a JOIN cs b ON a.id <> b.id)""",
+        f"""p1 AS MATERIALIZED (
+      SELECT 1 AS rank, id, simq, 0.0 AS ms
+      FROM cs ORDER BY {lam} * simq DESC, id LIMIT 1)""",
+    ]
+    prev_union = "SELECT id FROM p1"
+    for i in range(2, k + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT {i} AS rank, c.id, c.simq, MAX(ss.s) AS ms
+      FROM cs c JOIN ss ON ss.ia = c.id AND ss.ib IN ({prev_union})
+      WHERE c.id NOT IN ({prev_union})
+      GROUP BY c.id, c.simq
+      ORDER BY {lam} * c.simq - {1 - lam} * MAX(ss.s) DESC, c.id LIMIT 1)""")
+        prev_union += f" UNION ALL SELECT id FROM p{i}"
+    union = " UNION ALL ".join(
+        f"SELECT rank, id, simq, ms FROM p{i}" for i in range(1, k + 1)
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(rank AS INT) AS rank, CAST(id AS BIGINT) AS vec_id,
+           simq AS relevance, ms AS max_sim_selected,
+           ROUND({lam} * simq - {1 - lam} * ms, 6) AS mmr_score
+    FROM ({union})"""
+    )
+
+
+@register("embedding_mmr_topk", _mmr_oracle())
+def embedding_mmr_topk_q(spark, sf_dir):
+    """MMR diversity re-ranking (similarity.mmr_topk): top-5 of the
+    12 nearest neighbors of vec 0, relevance traded against
+    redundancy at lambda=0.7 — the RAG post-retrieval re-ranker.
+    Candidate scan and the 12x12 sim matrix are Spark dataflow; the
+    greedy walk runs on the k^2-bounded collected table."""
+    return similarity.mmr_topk(_embs(spark, sf_dir))
+
+
+@register(
+    "source_jsd_matrix",
+    # pairwise source-distribution distances for mixture design:
+    # JSD between the unigram term mixes of every source pair. Only
+    # SHARED terms join (one term-keyed self-join, linear in vocab x
+    # co-occurring pairs); the disjoint-support mass enters in
+    # closed form as 0.5*ln2*(1 - shared_mass) per side. Per-term
+    # contributions and shared masses quantize to 1e-12 units before
+    # summation (the ppm pattern, finer grid) so the pair sums are
+    # partition-order-proof.
+    f"""WITH tc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT source, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY 1, 2),
+    n AS (SELECT source, SUM(c) AS n FROM tc GROUP BY 1),
+    p AS (SELECT tc.source, tc.term, tc.c * 1.0 / n.n AS p
+          FROM tc JOIN n ON n.source = tc.source),
+    j AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared_terms,
+             SUM(CAST(ROUND((0.5 * a.p * ln(2 * a.p / (a.p + b.p))
+                  + 0.5 * b.p * ln(2 * b.p / (a.p + b.p))) * 1e12)
+                 AS BIGINT)) AS inter_q,
+             SUM(CAST(ROUND(a.p * 1e12) AS BIGINT)) AS mass_a_q,
+             SUM(CAST(ROUND(b.p * 1e12) AS BIGINT)) AS mass_b_q
+      FROM p a JOIN p b ON b.term = a.term AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+           ROUND(inter_q / 1e12
+                 + 0.5 * ln(2) * (1 - mass_a_q / 1e12)
+                 + 0.5 * ln(2) * (1 - mass_b_q / 1e12), 6) AS jsd
+    FROM j""",
+)
+def source_jsd_matrix_q(spark, sf_dir):
+    """Pairwise Jensen-Shannon distance matrix between source term
+    distributions — the which-sources-are-interchangeable input to
+    mixture design and dedup budgeting (vocab_kl_by_source's
+    symmetric, pairwise sibling). Shared terms carry the integral;
+    disjoint mass folds in closed form; everything quantizes to
+    1e-12 units before the |sources|^2-bounded pair sums."""
+    from onionnet_spark.functions.text import tokens_col
+
+    tc = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    n = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = tc.join(n, "source").select(
+        "source", "term", (F.col("c") * 1.0 / F.col("n")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    contrib = 0.5 * pa * F.log(2 * pa / (pa + pb)) + 0.5 * pb * F.log(
+        2 * pb / (pa + pb)
+    )
+    j = (
+        a.join(
+            b,
+            (F.col("b.term") == F.col("a.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(F.round(contrib * 1e12).cast("bigint")).alias("inter_q"),
+            F.sum(F.round(pa * 1e12).cast("bigint")).alias("mass_a_q"),
+            F.sum(F.round(pb * 1e12).cast("bigint")).alias("mass_b_q"),
+        )
+    )
+    ln2 = float(__import__("math").log(2))
+    return j.select(
+        "source_a",
+        "source_b",
+        F.col("n_shared_terms").cast("bigint").alias("n_shared_terms"),
+        F.round(
+            F.col("inter_q") / 1e12
+            + 0.5 * ln2 * (1 - F.col("mass_a_q") / 1e12)
+            + 0.5 * ln2 * (1 - F.col("mass_b_q") / 1e12),
+            6,
+        ).alias("jsd"),
+    )
+
+
+@register(
+    "multimodal_image_entropy",
+    # exposure/contrast scalar per image over REAL PNG decode:
+    # Shannon entropy of the 16-bin intensity histogram, computed
+    # from integer bin counts as H = ln(n) - sum(c*ln c)/n (the
+    # events_user_type_entropy identity) — flat images score ~0,
+    # noisy ones approach ln(16). The oracle recomputes the pixels
+    # from the synth closed form; the Spark side decodes actual PNG
+    # bytes, so the hash match proves the codec.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+             FROM ids),
+    px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7 + i.i * 13 + j.j * 31 + c.c * 17) % 256)
+               * 16 // 256 AS bin
+      FROM dims d
+      JOIN range(0, 8) i(i) ON i.i < d.h
+      JOIN range(0, 9) j(j) ON j.j < d.w
+      JOIN range(0, 3) c(c) ON c.c < d.ch
+    ),
+    hist AS (SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS c
+             FROM px GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_px,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS bin_entropy
+    FROM hist GROUP BY 1""",
+)
+def multimodal_image_entropy_q(spark, sf_dir):
+    """Per-image intensity entropy over real PNG decode — the
+    one-number exposure/contrast QA (histogram spread) computed from
+    multimodal.image_intensity_histogram's integer bin counts with
+    the exact ln(n) - sum(c ln c)/n tree. Decode fans out in Arrow
+    mapInPandas; the entropy is one keyed aggregation."""
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    payload = multimodal.synth_png_payload(ids)
+    hist = multimodal.image_intensity_histogram(payload, n_bins=16)
+    c = F.col("n_px")
+    return hist.groupBy("doc_id").agg(
+        F.sum(c).cast("bigint").alias("n_px"),
+        F.count("*").cast("bigint").alias("n_bins_used"),
+        F.round(
+            F.log(F.sum(c)) - F.sum(c * F.log(c)) / F.sum(c), 6
+        ).alias("bin_entropy"),
     )

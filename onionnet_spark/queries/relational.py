@@ -3526,3 +3526,136 @@ def discount_qty_elasticity_q(spark, sf_dir):
             cov_n / F.sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6
         ).alias("pearson_r"),
     )
+
+
+@register(
+    "customer_reorder_survival",
+    # Kaplan-Meier estimator of time-to-second-order: event = the
+    # reorder (gap days from first to second order), customers with
+    # one order are right-censored at the corpus horizon. S(d) =
+    # prod_{t<=d}(1 - d_t/n_t) evaluated as exp of the running sum
+    # of ln((n_t-d_t)/n_t): every ln argument is an exact integer
+    # ratio, and the cumulative sum runs in day order over the
+    # BOUNDED distinct-gap-day series (<= horizon days), so both
+    # engines accumulate identical doubles in identical order.
+    """WITH o2 AS (
+      SELECT o_custkey, MIN(o_orderdate) AS d1,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1),
+    snd AS (
+      SELECT o.o_custkey, MIN(o.o_orderdate) AS d2
+      FROM orders o JOIN o2 ON o2.o_custkey = o.o_custkey
+      WHERE o.o_orderdate > o2.d1
+      GROUP BY 1),
+    hz AS (SELECT MAX(o_orderdate) AS horizon FROM orders),
+    dur AS (
+      SELECT o2.o_custkey,
+             CASE WHEN snd.d2 IS NOT NULL
+                  THEN CAST(date_diff('day', o2.d1, snd.d2) AS BIGINT)
+                  ELSE CAST(date_diff('day', o2.d1, hz.horizon) AS BIGINT)
+             END AS dur,
+             CASE WHEN snd.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM o2 LEFT JOIN snd ON snd.o_custkey = o2.o_custkey
+              CROSS JOIN hz),
+    byday AS (
+      SELECT dur AS day, SUM(ev) AS d_t, COUNT(*) AS leave_t
+      FROM dur GROUP BY 1),
+    km1 AS (
+      SELECT day, d_t,
+             (SELECT COUNT(*) FROM dur)
+               - COALESCE(SUM(leave_t) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_t
+      FROM byday),
+    km AS (
+      SELECT day, d_t, n_t,
+             SUM(CASE WHEN d_t > 0 AND n_t > d_t
+                 THEN ln((n_t - d_t) * 1.0 / n_t) ELSE 0 END)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS lns,
+             MAX(CASE WHEN d_t > 0 AND n_t = d_t THEN 1 ELSE 0 END)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS hit_zero
+      FROM km1)
+    SELECT CAST(day AS BIGINT) AS gap_days,
+           CAST(n_t AS BIGINT) AS n_at_risk,
+           CAST(d_t AS BIGINT) AS n_reorders,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(exp(lns), 6) END AS survival
+    FROM km WHERE d_t > 0""",
+)
+def customer_reorder_survival_q(spark, sf_dir):
+    """Kaplan-Meier survival curve of time-to-reorder: at each gap
+    day, the share of customers still without a second order,
+    correctly handling one-order customers as right-censored at the
+    corpus horizon — the churn-timing readout behind win-back
+    campaign scheduling. Two customer-keyed MIN aggregations fold
+    the fact table to one (duration, event) row per customer, then
+    to the bounded distinct-day series; the KM product runs as a
+    cumulative ln-sum window over that bounded series only."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d1"))
+    snd = (
+        o.join(first, "o_custkey")
+        .filter(F.col("o_orderdate") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("d2"))
+    )
+    hz = o.agg(F.max("o_orderdate").alias("horizon"))
+    dur = (
+        first.join(snd, "o_custkey", "left")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("horizon", "d1"))
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    byday = dur.groupBy(F.col("dur").alias("day")).agg(
+        F.sum("ev").alias("d_t"), F.count("*").alias("leave_t")
+    )
+    total = dur.agg(F.count("*").alias("n_total"))
+    # bounded: the distinct gap-day series (<= horizon days), never
+    # the customer table — see oracle comment
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    km = byday.crossJoin(F.broadcast(total)).withColumn(
+        "n_t",
+        F.col("n_total") - F.coalesce(F.sum("leave_t").over(w_prev), F.lit(0)),
+    )
+    km = km.withColumn(
+        "lns",
+        F.sum(
+            F.when(
+                (F.col("d_t") > 0) & (F.col("n_t") > F.col("d_t")),
+                F.log(
+                    (F.col("n_t") - F.col("d_t")) * 1.0 / F.col("n_t")
+                ),
+            ).otherwise(F.lit(0.0))
+        ).over(w_cum),
+    ).withColumn(
+        # the day everyone still at risk reorders drives S to an
+        # absorbing 0 (ln would blow up — flag it instead)
+        "hit_zero",
+        F.max(
+            F.when(
+                (F.col("d_t") > 0) & (F.col("n_t") == F.col("d_t")), 1
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    return km.filter(F.col("d_t") > 0).select(
+        F.col("day").cast("bigint").alias("gap_days"),
+        F.col("n_t").cast("bigint").alias("n_at_risk"),
+        F.col("d_t").cast("bigint").alias("n_reorders"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lns"), 6))
+        .alias("survival"),
+    )

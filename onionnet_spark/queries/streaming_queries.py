@@ -1661,10 +1661,14 @@ def graph_dyad_census(spark, sf_dir):
         F.col("event_type").alias("a"),
         F.lead("event_type").over(w).alias("b"),
     )
+    # pin the |types|^2 transition table: four downstream consumers
+    # (mx, edges, ne, d) would otherwise each replay the event-level
+    # lead window (10.7s -> 2.5s at sf0.1, r8 sweep)
     t = (
         seq.filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     mx = t.agg(F.max("n").alias("m"))
     edges = t.crossJoin(F.broadcast(mx)).filter(
@@ -1693,4 +1697,215 @@ def graph_dyad_census(spark, sf_dir):
             .cast("bigint")
             .alias("null_dyads"),
         )
+    )
+
+
+@register(
+    "events_stage_latency",
+    # funnel TIMING: seconds between a user's first view -> first
+    # subsequent click -> first subsequent purchase (exactly
+    # events_funnel's stage definition), per stage-pair exact
+    # integer-second percentiles (quantile_cont == Spark percentile
+    # on integers, the grouped_percentiles convention) and an
+    # integer-sum mean.
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view
+                 FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY 1, 2),
+    p AS (SELECT e.user_id, c.t_click, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY 1, 2),
+    lat AS (
+      SELECT 'view_to_click' AS stage,
+             CAST(date_diff('second', t_view, t_click) AS BIGINT) AS s
+      FROM c
+      UNION ALL
+      SELECT 'click_to_purchase' AS stage,
+             CAST(date_diff('second', t_click, t_purchase) AS BIGINT) AS s
+      FROM p)
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(s, 0.5), 6) AS p50_sec,
+           ROUND(quantile_cont(s, 0.9), 6) AS p90_sec,
+           ROUND(SUM(s) * 1.0 / COUNT(*), 6) AS mean_sec,
+           CAST(MAX(s) AS BIGINT) AS max_sec
+    FROM lat GROUP BY 1""",
+)
+def events_stage_latency(spark, sf_dir):
+    """How long conversion takes, not just whether it happens:
+    whole-second latency from first view to first subsequent click
+    and on to first purchase (events_funnel's stage semantics),
+    with exact integer-second p50/p90/mean/max per stage. Three
+    user-keyed MIN aggregations chained on the prior stage, a tiny
+    2-group rollup at the end — the timing companion the SLA page
+    needs next to the conversion counts."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    sec = lambda a, b: (  # noqa: E731
+        F.col(b).cast("long") - F.col(a).cast("long")
+    ).cast("bigint")
+    lat = c.select(
+        F.lit("view_to_click").alias("stage"), sec("t_view", "t_click").alias("s")
+    ).unionByName(
+        p.select(
+            F.lit("click_to_purchase").alias("stage"),
+            sec("t_click", "t_purchase").alias("s"),
+        )
+    )
+    return lat.groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(s, 0.9)"), 6).alias("p90_sec"),
+        F.round(F.sum("s") * 1.0 / F.count("*"), 6).alias("mean_sec"),
+        F.max("s").cast("bigint").alias("max_sec"),
+    )
+
+
+@register(
+    "events_poisson_dispersion",
+    # is daily traffic Poisson? dispersion (variance-to-mean) index
+    # of per-type daily counts: population VMR = (T*SS - S*S)/(T*S)
+    # on exact BIGINT moments over the observed-day series, with the
+    # overdispersion verdict decided by the INTEGER inequality
+    # T*SS - S*S > T*S (no float compare anywhere in the flag).
+    """WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, COUNT(*) AS t, SUM(x) AS s, SUM(x * x) AS ss
+      FROM daily GROUP BY 1)
+    SELECT event_type, CAST(t AS BIGINT) AS n_days,
+           ROUND(s * 1.0 / t, 6) AS mean_daily,
+           ROUND((t * ss - s * s) * 1.0 / (t * s), 6) AS dispersion,
+           t * ss - s * s > t * s AS overdispersed
+    FROM m""",
+)
+def events_poisson_dispersion(spark, sf_dir):
+    """Poisson sanity check per event type: the dispersion index
+    (daily-count variance over mean) — ~1 under a Poisson arrival
+    model, >1 signals bursty/correlated traffic that invalidates
+    naive rate alarms (the modeling assumption behind events_anomaly
+    thresholds). One fold to the daily series, BIGINT moments, one
+    division; the boolean verdict is a pure integer inequality."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("t"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    t, s, ss = F.col("t"), F.col("s"), F.col("ss")
+    return m.select(
+        "event_type",
+        t.cast("bigint").alias("n_days"),
+        F.round(s * 1.0 / t, 6).alias("mean_daily"),
+        F.round((t * ss - s * s) * 1.0 / (t * s), 6).alias("dispersion"),
+        (t * ss - s * s > t * s).alias("overdispersed"),
+    )
+
+
+@register(
+    "events_dow_anova",
+    # does day-of-week explain daily volume? one-way ANOVA of per-
+    # type daily counts across the 7 weekday groups: F = (SSB/(k-1))
+    # / (SSW/(n-k)) and eta² = SSB/SST, built like fisher_ratio —
+    # BIGINT moments per (type, dow), per-group scatter terms
+    # rounded to integer units before the 7-bounded cross-group sum.
+    """WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, dayofweek(day) AS dow, COUNT(*) AS n_g,
+             SUM(x) AS s_g, SUM(x * x) AS ss_g
+      FROM daily GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(n_g) AS n, SUM(s_g) AS s,
+                 SUM(ss_g) AS ss, COUNT(*) AS k
+          FROM g GROUP BY 1),
+    terms AS (
+      SELECT g.event_type, t.n, t.k, t.s, t.ss,
+             CAST(ROUND(g.ss_g - g.s_g * g.s_g * 1.0 / g.n_g) AS BIGINT)
+               AS w_term,
+             CAST(ROUND(g.n_g * (g.s_g * 1.0 / g.n_g - t.s * 1.0 / t.n)
+                        * (g.s_g * 1.0 / g.n_g - t.s * 1.0 / t.n))
+                  AS BIGINT) AS b_term
+      FROM g JOIN t ON t.event_type = g.event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND((SUM(b_term) * 1.0 / (k - 1))
+                 / (SUM(w_term) * 1.0 / (n - k)), 6) AS f_ratio,
+           ROUND(SUM(b_term) * 1.0 / (SUM(b_term) + SUM(w_term)), 6)
+             AS eta_sq
+    FROM terms GROUP BY event_type, n, k""",
+)
+def events_dow_anova(spark, sf_dir):
+    """One-way ANOVA of daily event volume across weekdays, per
+    type: the F ratio and eta² say whether weekly seasonality is
+    real before anyone trusts events_dow_profile's means — the
+    time-series sibling of embedding_fisher_ratio, built on the same
+    integer-moment scatter decomposition. Two bounded aggregations
+    after the one fold of raw events to (type, day)."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    g = daily.groupBy(
+        "event_type", F.dayofweek("day").alias("dow")
+    ).agg(
+        F.count("*").alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).alias("ss_g"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.count("*").alias("k"),
+    )
+    n_g, s_g, ss_g = F.col("n_g"), F.col("s_g"), F.col("ss_g")
+    n, s, k = F.col("n"), F.col("s"), F.col("k")
+    w_term = F.round(ss_g - s_g * s_g * 1.0 / n_g).cast("bigint")
+    md = s_g * 1.0 / n_g - s * 1.0 / n
+    b_term = F.round(n_g * md * md).cast("bigint")
+    terms = g.join(F.broadcast(t), "event_type").select(
+        "event_type", "n", "k", w_term.alias("w_term"), b_term.alias("b_term")
+    )
+    return terms.groupBy("event_type", "n", "k").agg(
+        F.sum("w_term").alias("w"), F.sum("b_term").alias("b")
+    ).select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        F.round(
+            (F.col("b") * 1.0 / (k - 1)) / (F.col("w") * 1.0 / (n - k)), 6
+        ).alias("f_ratio"),
+        F.round(F.col("b") * 1.0 / (F.col("b") + F.col("w")), 6).alias(
+            "eta_sq"
+        ),
     )

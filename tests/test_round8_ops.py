@@ -395,3 +395,161 @@ def test_dyad_census_partition_identity(spark):
     n = r["n_nodes"]
     assert r["mutual"] + r["asymmetric"] + r["null_dyads"] == n * (n - 1) // 2
     assert r["n_edges"] == 2 * r["mutual"] + r["asymmetric"]
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 5: MMR, source JSD, funnel latency, dispersion
+# --------------------------------------------------------------------------
+
+
+def test_mmr_prefers_diversity_over_greedy_topk(spark):
+    """Construct a corpus where the 2 nearest neighbors of the query
+    are near-duplicates of each other: plain top-2 picks both, MMR
+    at lambda=0.7 must pick the duplicate once and then the farther
+    but diverse candidate."""
+    from onionnet_spark.functions.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0, 0.0]),      # near query
+        (2, [0.99, 0.141, 0.001, 0.0]),   # near-duplicate of 1
+        (3, [0.7, 0.0, 0.71, 0.0]),       # diverse, still relevant
+        (4, [0.0, 0.0, 0.0, 1.0]),        # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # lambda=0.5: the near-dup's ~1.0 redundancy penalty overrides
+    # its relevance edge (0.99 vs 0.70); at the default 0.7 the
+    # relevance gap would legitimately win — the test pins the
+    # diversity TRADE, not a specific lambda
+    out = mmr_topk(df, n_candidates=4, k=2, lam=0.5)
+    picked = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert picked[0] in (1, 2)
+    assert picked[1] == 3, f"MMR must skip the near-dup, got {picked}"
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    """lambda=1 disables the diversity term: MMR == cosine top-k."""
+    from onionnet_spark.functions.similarity import brute_force_topk, mmr_topk
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mmr = mmr_topk(embs, n_candidates=12, k=5, lam=1.0)
+    picked = [r["vec_id"] for r in mmr.orderBy("rank").collect()]
+    top = (
+        brute_force_topk(embs, k=5)
+        .filter(F.col("query_id") == 0)
+        .orderBy("rank")
+        .collect()
+    )
+    assert picked == [r["neighbor_id"] for r in top]
+
+
+def test_source_jsd_symmetric_bounds(spark):
+    """JSD in [0, ln2]; every unordered source pair appears once."""
+    import math
+
+    from onionnet_spark.queries.pipeline_queries import source_jsd_matrix_q
+
+    rows = source_jsd_matrix_q(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert -1e-9 <= r["jsd"] <= math.log(2) + 1e-6
+        seen.add((r["source_a"], r["source_b"]))
+    assert len(seen) == len(rows)
+
+
+def test_stage_latency_positive_and_ordered(spark):
+    from onionnet_spark.queries.streaming_queries import events_stage_latency
+
+    rows = {r["stage"]: r for r in events_stage_latency(spark, SF).collect()}
+    assert set(rows) == {"view_to_click", "click_to_purchase"}
+    for r in rows.values():
+        assert r["p50_sec"] > 0 and r["p50_sec"] <= r["p90_sec"] <= r["max_sec"]
+
+
+def test_poisson_dispersion_flag_matches_value(spark):
+    from onionnet_spark.queries.streaming_queries import (
+        events_poisson_dispersion,
+    )
+
+    rows = events_poisson_dispersion(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (r["dispersion"] > 1.0) == bool(r["overdispersed"]) or (
+            abs(r["dispersion"] - 1.0) < 1e-6
+        )
+        assert r["mean_daily"] > 0
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 6: survival curve, DOW ANOVA, image entropy
+# --------------------------------------------------------------------------
+
+
+def test_reorder_survival_monotone_from_one(spark):
+    """KM survival starts below/at 1, decreases monotonically, and
+    n_at_risk strictly decreases along the curve."""
+    from onionnet_spark.queries.relational import customer_reorder_survival_q
+
+    rows = sorted(
+        customer_reorder_survival_q(spark, SF).collect(),
+        key=lambda r: r["gap_days"],
+    )
+    assert rows
+    s_prev, n_prev = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0 <= r["survival"] <= s_prev
+        s_prev = r["survival"]
+        if n_prev is not None:
+            assert r["n_at_risk"] < n_prev
+        n_prev = r["n_at_risk"]
+        assert r["n_reorders"] >= 1
+
+
+def test_reorder_survival_km_identity(spark):
+    """Without censoring before the last event, S at the first event
+    day equals 1 - d_1/n_1 with n_1 = all customers at risk."""
+    from onionnet_spark.queries.relational import customer_reorder_survival_q
+
+    rows = sorted(
+        customer_reorder_survival_q(spark, SF).collect(),
+        key=lambda r: r["gap_days"],
+    )
+    r0 = rows[0]
+    expect = (r0["n_at_risk"] - r0["n_reorders"]) / r0["n_at_risk"]
+    assert abs(r0["survival"] - expect) < 1e-6
+
+
+def test_dow_anova_identities(spark):
+    """eta² in [0,1); F >= 0; eta² and F agree in direction:
+    F = (eta²/(k-1)) / ((1-eta²)/(n-k))."""
+    from onionnet_spark.queries.streaming_queries import events_dow_anova
+
+    rows = events_dow_anova(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["eta_sq"] < 1
+        assert r["f_ratio"] >= 0
+        k = 7
+        n = r["n_days"]
+        recon = (r["eta_sq"] / (k - 1)) / ((1 - r["eta_sq"]) / (n - k))
+        assert abs(recon - r["f_ratio"]) < max(0.02 * r["f_ratio"], 0.02)
+
+
+def test_image_entropy_bounds_and_flat_image(spark):
+    """Entropy of any 16-bin histogram is in [0, ln 16]; the synth
+    images' modular pixel pattern spreads bins, so entropy is
+    well above zero."""
+    import math
+
+    from onionnet_spark.queries.pipeline_queries import (
+        multimodal_image_entropy_q,
+    )
+
+    rows = multimodal_image_entropy_q(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["bin_entropy"] <= math.log(16) + 1e-9
+        assert r["n_bins_used"] <= 16
+    assert sum(r["bin_entropy"] for r in rows) / len(rows) > 1.0
