@@ -527,6 +527,8 @@ _R8_NEW: list[str] = [
     "customer_reorder_survival",
     "events_dow_anova",
     "multimodal_image_entropy",
+    "rfm_segment_migration",
+    "docs_span_corruption_plan",
 ]
 
 

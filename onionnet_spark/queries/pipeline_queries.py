@@ -7324,3 +7324,66 @@ def multimodal_image_entropy_q(spark, sf_dir):
             F.log(F.sum(c)) - F.sum(c * F.log(c)) / F.sum(c), 6
         ).alias("bin_entropy"),
     )
+
+
+@register(
+    "docs_span_corruption_plan",
+    # T5-style span-corruption schedule per document: with noise
+    # density 0.15 and mean span length 3, the number of corrupted
+    # tokens is floor(n*0.15 + 0.5) (>=1), spans floor(corrupt/3 +
+    # 0.5) (>=1), and encoder/decoder sequence lengths follow in
+    # closed form (each span collapses to one sentinel on the input
+    # and expands to span+sentinel on the target, +1 final EOS
+    # sentinel). Pure integer arithmetic from the token count —
+    # identical floor(x+0.5) trees on both engines.
+    f"""WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    p AS (
+      SELECT doc_id, n_tokens,
+             GREATEST(CAST(floor(n_tokens * 0.15 + 0.5) AS BIGINT), 1)
+               AS n_corrupt
+      FROM t),
+    s AS (
+      SELECT doc_id, n_tokens, n_corrupt,
+             GREATEST(CAST(floor(n_corrupt / 3.0 + 0.5) AS BIGINT), 1)
+               AS n_spans
+      FROM p)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_corrupt AS BIGINT) AS n_corrupt,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_tokens - n_corrupt + n_spans AS BIGINT) AS input_len,
+           CAST(n_corrupt + n_spans + 1 AS BIGINT) AS target_len
+    FROM s""",
+)
+def docs_span_corruption_plan_q(spark, sf_dir):
+    """Span-corruption budgeting (T5 denoising objective): per doc
+    the corrupted-token count, span count, and resulting encoder/
+    decoder sequence lengths at noise density 0.15, mean span 3 —
+    the closed-form planner a seq2seq pretraining pipeline uses to
+    size batches before materializing any example. One projection
+    over the corpus scan; all integer arithmetic."""
+    from onionnet_spark.functions.text import tokens_col
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    n_corrupt = F.greatest(
+        F.floor(F.col("n_tokens") * 0.15 + 0.5).cast("bigint"), F.lit(1)
+    )
+    p = t.select("doc_id", "n_tokens", n_corrupt.alias("n_corrupt"))
+    n_spans = F.greatest(
+        F.floor(F.col("n_corrupt") / 3.0 + 0.5).cast("bigint"), F.lit(1)
+    )
+    s = p.select("doc_id", "n_tokens", "n_corrupt", n_spans.alias("n_spans"))
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "n_corrupt",
+        "n_spans",
+        (F.col("n_tokens") - F.col("n_corrupt") + F.col("n_spans"))
+        .cast("bigint")
+        .alias("input_len"),
+        (F.col("n_corrupt") + F.col("n_spans") + 1)
+        .cast("bigint")
+        .alias("target_len"),
+    )

@@ -3659,3 +3659,84 @@ def customer_reorder_survival_q(spark, sf_dir):
         .otherwise(F.round(F.exp("lns"), 6))
         .alias("survival"),
     )
+
+
+@register(
+    "rfm_segment_migration",
+    # customer-lifecycle flow: frequency-quintile segment in the
+    # early half (1995-1997) vs the late half (1998+) of the order
+    # history, as a segment x segment migration matrix over
+    # customers active in BOTH periods. Cut points are exact
+    # interpolated quintiles per period (the rfm_segments
+    # convention: quantile_cont == Spark percentile on integers,
+    # ties fall to the lower bucket); counts are integers and the
+    # row share is one division.
+    """WITH f AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderdate < DATE '1998-01-01'
+                      THEN 1 ELSE 0 END) AS f_early,
+             SUM(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                      THEN 1 ELSE 0 END) AS f_late
+      FROM orders GROUP BY 1),
+    b AS (SELECT * FROM f WHERE f_early > 0 AND f_late > 0),
+    cuts AS (
+      SELECT quantile_cont(f_early, [0.2, 0.4, 0.6, 0.8]) AS ec,
+             quantile_cont(f_late, [0.2, 0.4, 0.6, 0.8]) AS lc
+      FROM b),
+    seg AS (
+      SELECT o_custkey,
+             CAST(1 + (f_early > ec[1])::INT + (f_early > ec[2])::INT
+                    + (f_early > ec[3])::INT + (f_early > ec[4])::INT
+                  AS INT) AS seg_early,
+             CAST(1 + (f_late > lc[1])::INT + (f_late > lc[2])::INT
+                    + (f_late > lc[3])::INT + (f_late > lc[4])::INT
+                  AS INT) AS seg_late
+      FROM b CROSS JOIN cuts),
+    m AS (SELECT seg_early, seg_late, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seg GROUP BY 1, 2),
+    r AS (SELECT seg_early, SUM(n) AS row_n FROM m GROUP BY 1)
+    SELECT m.seg_early, m.seg_late, m.n AS n_customers,
+           ROUND(m.n * 1.0 / r.row_n, 6) AS share
+    FROM m JOIN r ON r.seg_early = m.seg_early""",
+)
+def rfm_segment_migration_q(spark, sf_dir):
+    """Segment migration matrix: which frequency quintile a customer
+    lands in early (1995-97) vs late (1998+) — the upgrade/churn
+    flow picture behind lifecycle marketing, built on rfm_segments'
+    distributed cut-point bucketing (percentile aggregate broadcast
+    back; no NTILE global window). One fact aggregation, a 1-row
+    cuts broadcast, and a |5x5|-bounded matrix fold."""
+    o = load_tables(spark, sf_dir)["orders"]
+    f = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < "1998-01-01", 1).otherwise(0)
+        ).alias("f_early"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= "1998-01-01", 1).otherwise(0)
+        ).alias("f_late"),
+    ).filter((F.col("f_early") > 0) & (F.col("f_late") > 0))
+    cuts = f.agg(
+        F.expr("percentile(f_early, array(0.2, 0.4, 0.6, 0.8))").alias("ec"),
+        F.expr("percentile(f_late, array(0.2, 0.4, 0.6, 0.8))").alias("lc"),
+    )
+
+    def seg(col, cut):
+        s = F.lit(1)
+        for i in range(4):
+            s = s + F.when(F.col(col) > F.col(cut)[i], 1).otherwise(0)
+        return s.cast("int")
+
+    segd = f.crossJoin(F.broadcast(cuts)).select(
+        seg("f_early", "ec").alias("seg_early"),
+        seg("f_late", "lc").alias("seg_late"),
+    )
+    m = segd.groupBy("seg_early", "seg_late").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    r = m.groupBy("seg_early").agg(F.sum("n_customers").alias("row_n"))
+    return m.join(F.broadcast(r), "seg_early").select(
+        "seg_early",
+        "seg_late",
+        "n_customers",
+        F.round(F.col("n_customers") * 1.0 / F.col("row_n"), 6).alias("share"),
+    )

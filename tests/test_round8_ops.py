@@ -553,3 +553,44 @@ def test_image_entropy_bounds_and_flat_image(spark):
         assert -1e-9 <= r["bin_entropy"] <= math.log(16) + 1e-9
         assert r["n_bins_used"] <= 16
     assert sum(r["bin_entropy"] for r in rows) / len(rows) > 1.0
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 7: segment migration, span-corruption planner
+# --------------------------------------------------------------------------
+
+
+def test_rfm_migration_shares_and_bounds(spark):
+    """Rows per early-segment share sum to 1; segments are 1..5."""
+    from collections import defaultdict
+
+    from onionnet_spark.queries.relational import rfm_segment_migration_q
+
+    rows = rfm_segment_migration_q(spark, SF).collect()
+    assert rows
+    by_early = defaultdict(float)
+    for r in rows:
+        assert 1 <= r["seg_early"] <= 5 and 1 <= r["seg_late"] <= 5
+        by_early[r["seg_early"]] += r["share"]
+    for seg, tot in by_early.items():
+        assert abs(tot - 1.0) < 1e-4, f"segment {seg} shares sum {tot}"
+
+
+def test_span_corruption_identities(spark):
+    """input_len + target_len == n_tokens + 2*n_spans + 1 exactly
+    (each span appears as one sentinel on each side, +1 EOS); the
+    corruption rate tracks 15% on long docs."""
+    from onionnet_spark.queries.pipeline_queries import (
+        docs_span_corruption_plan_q,
+    )
+
+    rows = docs_span_corruption_plan_q(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["input_len"] + r["target_len"]
+            == r["n_tokens"] + 2 * r["n_spans"] + 1
+        )
+        assert r["n_corrupt"] >= r["n_spans"] >= 1
+        if r["n_tokens"] >= 40:
+            assert abs(r["n_corrupt"] / r["n_tokens"] - 0.15) < 0.03

@@ -820,3 +820,33 @@ def test_streaming_ab_monitor_matches_batch(spark, events_df, sf_dir, tmp_path):
         for r in events_ab_test(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_streaming_daily_stats_matches_batch_monitors(
+    spark, events_df, sf_dir, tmp_path
+):
+    """Round-8 twins: the maintained day-count state, replayed as a
+    multi-batch file stream, must serve dispersion and CUSUM
+    snapshots identical to the batch operators (count state is a
+    commutative monoid; snapshots share the exact expression
+    trees)."""
+    from onionnet_spark.queries.streaming_queries import (
+        events_cusum_drift,
+        events_poisson_dispersion,
+    )
+    from onionnet_spark.streaming.dispersion_stream import (
+        StreamingDailyStatsMaintainer,
+    )
+
+    m = StreamingDailyStatsMaintainer(spark)
+    stream = ev.stream_from_batch(spark, events_df, partitions=4)
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert m.n_batches >= 2  # genuinely incremental
+    sf = sf_dir
+    got_d = sorted(map(tuple, m.dispersion_snapshot().collect()))
+    want_d = sorted(map(tuple, events_poisson_dispersion(spark, sf).collect()))
+    assert got_d == want_d
+    got_c = sorted(map(tuple, m.cusum_snapshot().collect()))
+    want_c = sorted(map(tuple, events_cusum_drift(spark, sf).collect()))
+    assert got_c == want_c
