@@ -360,6 +360,13 @@ TAIL = [
     "events_user_type_entropy",
     "docs_simpson_index",
     "graph_temporal_reach",
+    # round-8 batch 7/8 additions (post-sweep; timed by the driver)
+    "rfm_segment_migration",
+    "docs_span_corruption_plan",
+    "orders_gap_burstiness",
+    "lineitem_qty_price_mi",
+    "events_transition_entropy",
+    "embedding_knn_margin",
 ]
 
 

@@ -529,6 +529,10 @@ _R8_NEW: list[str] = [
     "multimodal_image_entropy",
     "rfm_segment_migration",
     "docs_span_corruption_plan",
+    "orders_gap_burstiness",
+    "lineitem_qty_price_mi",
+    "events_transition_entropy",
+    "embedding_knn_margin",
 ]
 
 

@@ -7387,3 +7387,56 @@ def docs_span_corruption_plan_q(spark, sf_dir):
         .cast("bigint")
         .alias("target_len"),
     )
+
+
+@register(
+    "embedding_knn_margin",
+    # neighbor-confidence QA: the cosine gap between each vector's
+    # best and second-best neighbor. A tiny margin means the top-1
+    # assignment is unstable under quantization/index approximation
+    # — exactly the vectors int8/PQ recall loses first. Rides the
+    # exact top-k (6dp-rounded cosines, id tie-breaks), so the
+    # margin subtraction sees identical doubles on both engines.
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM p)
+    SELECT a.query_id,
+           a.neighbor_id AS top1_id, b.neighbor_id AS top2_id,
+           a.cosine AS top1_cosine,
+           ROUND(a.cosine - b.cosine, 6) AS margin
+    FROM r a JOIN r b ON b.query_id = a.query_id AND b.rk = 2
+    WHERE a.rk = 1""",
+)
+def embedding_knn_margin_q(spark, sf_dir):
+    """Top-1 vs top-2 neighbor margin per vector — the stability
+    score that predicts which assignments survive int8/PQ
+    approximation (low-margin vectors are the recall casualties in
+    embedding_int8_recall). One brute-force top-2 pass (the ANN
+    ladder's exact baseline; IVF swaps in at scale), then a
+    per-query pivot of ranks 1 and 2."""
+    top = similarity.brute_force_topk(_embs(spark, sf_dir), k=2)
+    a = top.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_id"),
+        F.col("cosine").alias("top1_cosine"),
+    )
+    b = top.filter(F.col("rank") == 2).select(
+        "query_id",
+        F.col("neighbor_id").alias("top2_id"),
+        F.col("cosine").alias("c2"),
+    )
+    return a.join(b, "query_id").select(
+        "query_id",
+        "top1_id",
+        "top2_id",
+        "top1_cosine",
+        F.round(F.col("top1_cosine") - F.col("c2"), 6).alias("margin"),
+    )

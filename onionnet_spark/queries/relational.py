@@ -3740,3 +3740,136 @@ def rfm_segment_migration_q(spark, sf_dir):
         "n_customers",
         F.round(F.col("n_customers") * 1.0 / F.col("row_n"), 6).alias("share"),
     )
+
+
+@register(
+    "orders_gap_burstiness",
+    # Goh-Barabasi burstiness of each customer's inter-order gaps:
+    # B = (sigma - mu) / (sigma + mu) in [-1, 1) — -1 is a perfect
+    # metronome, 0 is Poisson, ->1 is bursty. Gap moments are exact
+    # BIGINT day sums per customer (population sigma via
+    # sqrt((n*ss - s*s)) / n); the single sqrt/division runs on
+    # identical integers. Customers need >= 3 orders (>= 2 gaps) or
+    # sigma is degenerate.
+    """WITH g AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+                  lag(o_orderdate) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS BIGINT) AS gap
+      FROM orders),
+    m AS (
+      SELECT o_custkey AS c_custkey, COUNT(*) AS n,
+             SUM(gap) AS s, SUM(gap * gap) AS ss
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY 1 HAVING COUNT(*) >= 2)
+    SELECT c_custkey, CAST(n AS BIGINT) AS n_gaps,
+           ROUND(s * 1.0 / n, 6) AS mean_gap_days,
+           ROUND((SQRT(n * ss - s * s) - s) /
+                 (SQRT(n * ss - s * s) + s), 6) AS burstiness
+    FROM m WHERE s > 0""",
+)
+def orders_gap_burstiness_q(spark, sf_dir):
+    """Burstiness coefficient (Goh & Barabasi 2008) of each
+    customer's order cadence: separates metronome-regular buyers
+    (B near -1) from bursty binge buyers (B > 0) where the plain
+    mean gap (orders_reorder_interval) can't tell them apart. One
+    customer-partitioned lag window over orders, BIGINT gap moments,
+    one sqrt per customer. Note (sigma-mu)/(sigma+mu) =
+    (sqrt(n*ss-s*s) - s)/(sqrt(n*ss-s*s) + s) after multiplying
+    through by n — all-integer under the sqrt."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    m = (
+        g.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap").alias("s"),
+            F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("s") > 0))
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    sig = F.sqrt(n * ss - s * s)
+    return m.select(
+        "c_custkey",
+        n.cast("bigint").alias("n_gaps"),
+        F.round(s * 1.0 / n, 6).alias("mean_gap_days"),
+        F.round((sig - s) / (sig + s), 6).alias("burstiness"),
+    )
+
+
+@register(
+    "lineitem_qty_price_mi",
+    # mutual information between quantity band and price band on a
+    # FIXED grid (qty deciles of the 1..50 grid; price in 20k-wide
+    # bands) — how much knowing the order size tells you about the
+    # price. I = sum p(x,y) ln(p(x,y) N / (c_x c_y)) from integer
+    # cell counts; every log argument is an exact integer ratio.
+    # floor() before the BIGINT cast: DuckDB's double->BIGINT cast
+    # rounds-to-nearest while Spark's truncates — on boundary prices
+    # the bands would shift and the marginals drift
+    """WITH b AS (
+      SELECT CAST(floor(l_quantity - 1) AS BIGINT) // 5 AS qb,
+             CAST(floor(l_extendedprice) AS BIGINT) // 20000 AS pb
+      FROM lineitem),
+    c AS (SELECT qb, pb, COUNT(*) AS n_xy FROM b GROUP BY 1, 2),
+    mx AS (SELECT qb, SUM(n_xy) AS n_x FROM c GROUP BY 1),
+    my AS (SELECT pb, SUM(n_xy) AS n_y FROM c GROUP BY 1),
+    t AS (SELECT SUM(n_xy) AS n FROM c)
+    SELECT c.qb AS qty_band, c.pb AS price_band,
+           CAST(c.n_xy AS BIGINT) AS n_items,
+           ROUND(c.n_xy * 1.0 / t.n
+                 * ln(c.n_xy * 1.0 * t.n / (mx.n_x * my.n_y)), 6)
+             AS mi_contrib
+    FROM c JOIN mx USING (qb) JOIN my USING (pb) CROSS JOIN t""",
+)
+def lineitem_qty_price_mi_q(spark, sf_dir):
+    """Per-cell mutual-information contributions between quantity
+    and price bands on a fixed grid — the dependence screen run
+    before trusting a univariate histogram to model a 2-D
+    distribution (complements lineitem_correlations' linear-only
+    Pearson). One fact aggregation to the bounded band grid; the
+    marginals broadcast back; all logs see exact integer ratios."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    b = li.select(
+        ((F.col("l_quantity") - 1).cast("bigint") / 5)
+        .cast("bigint")
+        .alias("qb"),
+        (F.col("l_extendedprice").cast("bigint") / 20000)
+        .cast("bigint")
+        .alias("pb"),
+    )
+    c = b.groupBy("qb", "pb").agg(F.count("*").alias("n_xy"))
+    mx = c.groupBy("qb").agg(F.sum("n_xy").alias("n_x"))
+    my = c.groupBy("pb").agg(F.sum("n_xy").alias("n_y"))
+    t = c.agg(F.sum("n_xy").alias("n"))
+    return (
+        c.join(F.broadcast(mx), "qb")
+        .join(F.broadcast(my), "pb")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("qb").alias("qty_band"),
+            F.col("pb").alias("price_band"),
+            F.col("n_xy").cast("bigint").alias("n_items"),
+            F.round(
+                F.col("n_xy")
+                * 1.0
+                / F.col("n")
+                * F.log(
+                    F.col("n_xy") * 1.0 * F.col("n")
+                    / (F.col("n_x") * F.col("n_y"))
+                ),
+                6,
+            ).alias("mi_contrib"),
+        )
+    )

@@ -1909,3 +1909,66 @@ def events_dow_anova(spark, sf_dir):
             "eta_sq"
         ),
     )
+
+
+@register(
+    "events_transition_entropy",
+    # predictability of user journeys: per from-state the Shannon
+    # entropy of the next-state distribution, H(next|from) = ln(c_a)
+    # - sum(c_ab ln c_ab)/c_a from integer transition counts (the
+    # events_user_type_entropy identity applied to the Markov rows),
+    # plus each state's share of all transitions — the weighted sum
+    # is the chain's conditional entropy rate.
+    """WITH seq AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events),
+    t AS (SELECT a, b, COUNT(*) AS c FROM seq
+          WHERE b IS NOT NULL GROUP BY 1, 2),
+    m AS (SELECT a, SUM(c) AS ca, SUM(c * ln(c)) AS clnc,
+                 COUNT(*) AS n_next
+          FROM t GROUP BY 1),
+    n AS (SELECT SUM(ca) AS total FROM m)
+    SELECT a AS from_state, CAST(ca AS BIGINT) AS n_transitions,
+           CAST(n_next AS BIGINT) AS n_next_states,
+           ROUND(ln(ca) - clnc / ca, 6) AS next_state_entropy,
+           ROUND(ca * 1.0 / n.total, 6) AS weight
+    FROM m CROSS JOIN n""",
+)
+def events_transition_entropy(spark, sf_dir):
+    """Journey predictability: entropy of the next-event distribution
+    per from-state (0 = deterministic flow, ln(K) = anything goes),
+    with the state's transition share as the weight — the
+    information-theoretic readout on top of events_transitions'
+    probability matrix, and the input to an entropy-rate dashboard.
+    One user-keyed lead pass, then |states|^2-bounded integer
+    aggregation; ln sees only integer counts."""
+    from pyspark.sql import Window, functions as F
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    t = (
+        seq.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    m = t.groupBy("a").agg(
+        F.sum("c").alias("ca"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"),
+        F.count("*").alias("n_next"),
+    )
+    n = m.agg(F.sum("ca").alias("total"))
+    return m.crossJoin(F.broadcast(n)).select(
+        F.col("a").alias("from_state"),
+        F.col("ca").cast("bigint").alias("n_transitions"),
+        F.col("n_next").cast("bigint").alias("n_next_states"),
+        F.round(F.log("ca") - F.col("clnc") / F.col("ca"), 6).alias(
+            "next_state_entropy"
+        ),
+        F.round(F.col("ca") * 1.0 / F.col("total"), 6).alias("weight"),
+    )

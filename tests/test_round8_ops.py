@@ -594,3 +594,83 @@ def test_span_corruption_identities(spark):
         assert r["n_corrupt"] >= r["n_spans"] >= 1
         if r["n_tokens"] >= 40:
             assert abs(r["n_corrupt"] / r["n_tokens"] - 0.15) < 0.03
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 8: burstiness, MI, transition entropy, kNN margin
+# --------------------------------------------------------------------------
+
+
+def test_burstiness_bounds_and_metronome(spark):
+    """B in [-1, 1); a perfectly regular (constant-gap) series has
+    sigma=0 -> B = -1 exactly; bounds hold on the real corpus."""
+    from onionnet_spark.queries.relational import orders_gap_burstiness_q
+
+    rows = orders_gap_burstiness_q(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["burstiness"] < 1.0
+        assert r["mean_gap_days"] > 0
+    # constant-gap synthetic: sigma = 0 -> (0 - s)/(0 + s) = -1
+    df = spark.createDataFrame(
+        [(1, f"2024-01-{d:02d}", d) for d in (1, 8, 15, 22)],
+        "o_custkey long, o_orderdate string, o_orderkey long",
+    ).selectExpr("o_custkey", "CAST(o_orderdate AS DATE) o_orderdate",
+                 "o_orderkey")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = df.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    m = g.agg(F.count("*").alias("n"), F.sum("gap").alias("s"),
+              F.sum(F.col("gap") * F.col("gap")).alias("ss")).collect()[0]
+    sig2 = m["n"] * m["ss"] - m["s"] * m["s"]
+    assert sig2 == 0  # constant weekly cadence
+
+
+def test_qty_price_mi_sums_nonnegative(spark):
+    """Total MI (sum of contributions) is >= 0 by Gibbs' inequality;
+    cell contributions for independent-looking cells are ~0."""
+    from onionnet_spark.queries.relational import lineitem_qty_price_mi_q
+
+    rows = lineitem_qty_price_mi_q(spark, SF).collect()
+    assert rows
+    total = sum(r["mi_contrib"] for r in rows)
+    assert total >= -1e-6
+    assert all(0 <= r["qty_band"] <= 9 for r in rows)
+
+
+def test_transition_entropy_bounds(spark):
+    """0 <= H(next|from) <= ln(n_next_states); weights sum to 1."""
+    import math
+
+    from onionnet_spark.queries.streaming_queries import (
+        events_transition_entropy,
+    )
+
+    rows = events_transition_entropy(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["next_state_entropy"] <= math.log(
+            r["n_next_states"]
+        ) + 1e-6
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+
+
+def test_knn_margin_consistency(spark):
+    """margin >= 0 and top1/top2 agree with brute_force_topk."""
+    from onionnet_spark.functions.similarity import brute_force_topk
+    from onionnet_spark.queries.pipeline_queries import (
+        embedding_knn_margin_q,
+    )
+
+    rows = {r["query_id"]: r for r in embedding_knn_margin_q(spark, SF).collect()}
+    assert rows
+    assert all(r["margin"] >= 0 for r in rows.values())
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    top = brute_force_topk(embs, k=2).filter(F.col("query_id") == 0).collect()
+    by_rank = {r["rank"]: r for r in top}
+    assert rows[0]["top1_id"] == by_rank[1]["neighbor_id"]
+    assert rows[0]["top2_id"] == by_rank[2]["neighbor_id"]
