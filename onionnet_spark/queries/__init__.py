@@ -536,6 +536,17 @@ _R8_NEW: list[str] = [
 ]
 
 
+# Round-9 window (VERDICT r8 next-round item 1): the 39 never-
+# driver-recorded keys lead — the 10-key _R9_QUEUE tail of round 8's
+# overflow, then the 29 _R8_NEW round-8 additions (all judge-verified
+# green in r8 on the identical harness; driver evidence still owed).
+# That leaves 11 of the driver's 50 slots for _R9_NEW, keys added in
+# round 9 — so this round can record EVERY key that has never held a
+# slot, closing the evidence debt to zero.
+_R9_WINDOW: list[str] = _R9_QUEUE + _R8_NEW
+_R9_NEW: list[str] = []
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
         relational,
@@ -546,7 +557,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
 
     ordered: dict[str, tuple[QueryFn, str | None]] = {}
     for name in (
-        _R8_WINDOW + _R9_QUEUE + _R8_NEW + _R7_WINDOW + _R6_WINDOW
+        _R9_WINDOW + _R9_NEW + _R8_WINDOW + _R7_WINDOW + _R6_WINDOW
     ):
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]

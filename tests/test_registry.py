@@ -34,12 +34,11 @@ def test_oracle_attachment_to_same_fn_allowed():
 def test_load_all_is_registry_superset_and_ordered():
     reg = q.load_all()
     assert set(reg) == set(q.REGISTRY)
-    # round-8 priority: the 60 never-driver-recorded keys lead
-    # (window + tail), then round-8 additions, then the recorded
-    # rotation record
+    # round-9 priority: the 39 never-driver-recorded keys lead,
+    # then round-9 additions, then the recorded rotation record
     present_priority = []
     for k in (
-        q._R8_WINDOW + q._R9_QUEUE + q._R8_NEW + q._R7_WINDOW
+        q._R9_WINDOW + q._R9_NEW + q._R8_WINDOW + q._R7_WINDOW
         + q._R6_WINDOW
     ):
         if k in reg and k not in present_priority:
@@ -47,11 +46,11 @@ def test_load_all_is_registry_superset_and_ordered():
     assert list(reg)[: len(present_priority)] == present_priority
 
 
-def test_r8_window_covers_only_unrecorded_keys():
-    """Evidence-plan invariants (VERDICT r7 next-round item 1): every
-    round-8 driver-window slot is spent on a key with NO recorded
-    CORRECTNESS row in r01-r07 (the 60-key judge-verified backlog);
-    overflow never-recorded keys are explicitly queued for round 9 —
+def test_r9_window_covers_only_unrecorded_keys():
+    """Evidence-plan invariants (VERDICT r8 next-round item 1): every
+    round-9 driver-window slot is spent on a key with NO recorded
+    CORRECTNESS row in r01-r08 (the 39-key judge-verified backlog
+    plus round-9 additions); any overflow is explicitly queued —
     nothing falls through silently."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green = set()
@@ -63,6 +62,7 @@ def test_r8_window_covers_only_unrecorded_keys():
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
+        "CORRECTNESS_r08.json",
     ):
         path = os.path.join(root, fname)
         if not os.path.exists(path):
@@ -93,11 +93,11 @@ def test_r8_window_covers_only_unrecorded_keys():
     wasted = [k for k in first if k in green]
     assert not wasted, f"window slots spent on already-green keys: {wasted}"
     overflow = [k for k in eligible if k not in set(first)]
-    queued = set(q._R9_QUEUE) | set(q._R8_NEW)
+    queued = set(q._R9_WINDOW) | set(q._R9_NEW)
     unqueued = [k for k in overflow if k not in queued]
     assert not unqueued, (
         f"never-recorded keys neither in the window nor queued in "
-        f"_R9_QUEUE/_R8_NEW: {unqueued}"
+        f"_R9_WINDOW/_R9_NEW: {unqueued}"
     )
 
 
