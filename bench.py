@@ -373,6 +373,16 @@ TAIL = [
 def main() -> None:
     sf_m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_m.group(1).rstrip(".")) if sf_m else -1.0
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
+    if load1 > 0.5:
+        print(
+            f"# WARNING: 1-min load {load1} > 0.5 at start — timings "
+            "will be ambient-polluted; artifact stamped ambient=true",
+            file=sys.stderr,
+        )
     spark = get_spark("onionnet-bench")
 
     import __spark_entry__ as entrymod
@@ -397,7 +407,8 @@ def main() -> None:
     # subtotals comparable.
     iters = int(os.environ.get("ONIONNET_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
-    iter0: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         for it in range(iters):
@@ -406,11 +417,21 @@ def main() -> None:
             n = df.count()  # force full execution
             dt = time.time() - t0
             if it == 0:
-                iter0[name] = round(dt, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+                # First adjacent run = the COLD path (plan compile,
+                # codebook/broadcast build, checkpoint materialize).
+                # VERDICT r8 item 4: best-of-2 hid a 6x cold/warm
+                # spread (dedup_ngram_jaccard 14.7s cold vs 2.46s
+                # reported), so cold is now a first-class figure.
+                cold[name] = round(dt, 3)
+            else:
+                # Warm = best of the non-first adjacent runs: the
+                # steady state the old best-of-2 min effectively
+                # measured, kept as the comparable subtotal basis.
+                if name not in warm or dt < warm[name]:
+                    warm[name] = round(dt, 3)
             print(f"# iter{it} {name}: {dt:.2f}s rows={n}", file=sys.stderr)
-    timings = {k: round(v, 3) for k, v in timings.items()}
+        # single-iteration runs: the one figure is both cold and warm
+        timings[name] = warm.get(name, cold[name])
     total = sum(timings.values())
     # Comparable subsets are EXPLICIT prefixes of the headline list
     # (it only ever grows by appending), so a new round's additions
@@ -424,8 +445,8 @@ def main() -> None:
     r2_subset = sum(timings[k] for k in HEADLINE[:n_r2])
     r3_subset = sum(timings[k] for k in HEADLINE[:n_r3])
     # Field order matters: the driver retains a bounded TAIL of
-    # stdout, so diagnostics (iter0: first-of-two timings — ambient
-    # inflation shows as iter0 >> best) go first and the headline
+    # stdout, so diagnostics (cold/warm per head — a cold-path
+    # regression shows as cold >> warm) go first and the headline
     # values/queries go LAST to survive truncation.
     # TAIL: one run per key (regression tripwire, not a steady-state
     # figure — see the TAIL comment above). Skippable for quick
@@ -443,8 +464,18 @@ def main() -> None:
             print(f"# tail {name}: {dt:.2f}s rows={n}", file=sys.stderr)
     payload = {
         "metric": "headline_queries_total_runtime",
-        "timing": f"best of {iters} adjacent runs per query",
-        "iter0": iter0,
+        "timing": (
+            f"cold = first of {iters} adjacent runs, warm = best of "
+            "the rest; 'queries' carries warm (comparable subtotals)"
+        ),
+        "cold": cold,
+        "warm": warm,
+        # Ambient-load gate (VERDICT r8 item 5): all four r8 runs were
+        # hand-flagged as load-polluted in prose only. Stamp the 1-min
+        # load into the artifact so tools/bench_compare.py (and the
+        # judge) can refuse to ratio-compare a polluted run.
+        "load_1min_start": load1,
+        "ambient": load1 > 0.5,
         "tail_timing": "single run per query, >=0.5s sweep cutoff",
         "tail": tail_timings,
         "tail_total": round(sum(tail_timings.values()), 3),

@@ -30,9 +30,21 @@ def load(path: str) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) != 3:
+    argv = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv
+    if len(argv) != 2:
         raise SystemExit(__doc__)
-    a, b = load(sys.argv[1]), load(sys.argv[2])
+    a, b = load(argv[0]), load(argv[1])
+    # Ambient-load gate (VERDICT r8 item 5): a ratio against a
+    # load-polluted artifact is noise, not a regression signal.
+    for path, d in ((argv[0], a), (argv[1], b)):
+        if d.get("ambient") and not force:
+            raise SystemExit(
+                f"{path}: stamped ambient=true (1-min load "
+                f"{d.get('load_1min_start')} at start) — refusing to "
+                "ratio-compare a load-polluted run; pass --force to "
+                "override"
+            )
     qa, qb = a["queries"], b["queries"]
     rows = []
     for k in sorted(set(qa) | set(qb)):

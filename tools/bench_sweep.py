@@ -27,10 +27,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    cutoff = 0.5
-    if "--cutoff" in sys.argv:
-        cutoff = float(sys.argv[sys.argv.index("--cutoff") + 1])
-    only = [a for a in sys.argv[1:] if not a.startswith("--") and a != str(cutoff)]
+    # argparse, not positional string-matching: '--cutoff 1' used to
+    # compare tokens against str(1.0)=='1.0', leaking '1' into `only`
+    # (ADVICE r8 item 3).
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cutoff", type=float, default=0.5)
+    ap.add_argument("only", nargs="*", help="specific keys to sweep")
+    ns = ap.parse_args()
+    cutoff = ns.cutoff
+    only = ns.only
 
     spark = get_spark("onionnet-bench-sweep")
     qs = entrymod.queries()
