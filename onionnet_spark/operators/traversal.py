@@ -120,6 +120,7 @@ def bfs_distances(
     frontier = _sources_df(spark, sources).localCheckpoint()
     frontiers = [frontier]
     n_frontier = frontier.count()
+    level_counts = [n_frontier]  # parallel to `frontiers`
     n_visited = n_frontier
     depth = 0
 
@@ -179,15 +180,33 @@ def bfs_distances(
         )
         if n_frontier <= BROADCAST_FRONTIER_MAX:
             f = F.broadcast(f)
-        visited_keys = frontiers[0].select(*NODE_KEY)
-        for prev in frontiers[1:]:
-            visited_keys = visited_keys.unionByName(prev.select(*NODE_KEY))
-        if n_visited <= BROADCAST_FRONTIER_MAX:
-            # the visited side is exactly the frontier levels we
-            # already counted: while it fits the broadcast budget the
-            # anti-join is shuffle-free (and at toy scale the level
-            # loop drops from 2 exchanges to 1)
-            visited_keys = F.broadcast(visited_keys)
+        if direction == "sym":
+            # Undirected BFS invariant: an edge spans at most one
+            # level, so an expansion from level d can only re-touch
+            # levels d and d-1 — the anti-join needs just the LAST TWO
+            # frontiers, not the whole visited set. This keeps the
+            # dedup side (and its broadcast) bounded by two level
+            # sizes at every depth, where the full-union form paid a
+            # growing O(visited) rebuild + driver broadcast per level
+            # (the graph_pseudo_diameter constant, VERDICT r8 item 3).
+            # Directed BFS keeps the full union: a directed edge can
+            # reach arbitrarily earlier levels.
+            recent = frontiers[-2:]
+            visited_keys = recent[0].select(*NODE_KEY)
+            for prev in recent[1:]:
+                visited_keys = visited_keys.unionByName(prev.select(*NODE_KEY))
+            if sum(level_counts[-2:]) <= BROADCAST_FRONTIER_MAX:
+                visited_keys = F.broadcast(visited_keys)
+        else:
+            visited_keys = frontiers[0].select(*NODE_KEY)
+            for prev in frontiers[1:]:
+                visited_keys = visited_keys.unionByName(prev.select(*NODE_KEY))
+            if n_visited <= BROADCAST_FRONTIER_MAX:
+                # the visited side is exactly the frontier levels we
+                # already counted: while it fits the broadcast budget
+                # the anti-join is shuffle-free (and at toy scale the
+                # level loop drops from 2 exchanges to 1)
+                visited_keys = F.broadcast(visited_keys)
         nxt = (
             edges.join(f, on=["src_layer", "src_id"])
             .select(
@@ -210,6 +229,7 @@ def bfs_distances(
             level_hook(depth)
         if n_frontier:
             frontiers.append(nxt)
+            level_counts.append(n_frontier)
             if remaining:
                 _mark_found(nxt, depth)
         frontier = nxt
