@@ -105,10 +105,8 @@ def ngram_jaccard_pairs(
     # first: the self-join/groupBy shuffles carry fixed-width longs.
     # Collision risk at n shingle instances is ~n^2/2^65 (4e-7 at 4M
     # rows) — far below any practical dedup tolerance.
-    sh = (
-        word_shingles(df, text_col, id_col, n)
-        .select("id", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint()
+    sh = word_shingles(df, text_col, id_col, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
     )
     if max_shingle_df is not None:
         # Stop-shingle filter INVERTED: materialize the (tiny) HOT
@@ -117,6 +115,12 @@ def ngram_jaccard_pairs(
         # The anti side is a map-side bloom-like filter: no shuffle
         # of the 4M-row shingle table, and the self-join below gets
         # two identical, reusable inputs.
+        # ONE materialization barrier, not two (VERDICT r8 item 8):
+        # persist (lazy, block-cache-probed) lets the hot groupBy and
+        # the anti-join's left side share a single shingle-build scan
+        # inside the sh_j checkpoint job; the old eager checkpoint
+        # here added a full extra barrier to the cold path.
+        sh = sh.persist()
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -124,8 +128,9 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh_j = sh.join(F.broadcast(hot), on="shingle", how="left_anti").localCheckpoint()
+        sh.unpersist()  # sh_j is materialized; lineage already cut
     else:
-        sh_j = sh
+        sh_j = sh.localCheckpoint()
     # Jaccard is defined over the CAPPED shingle space (sizes AND
     # intersections both exclude stop-shingles) — self-consistent at
     # any scale, mirroring stopword removal in classic dedup. Using

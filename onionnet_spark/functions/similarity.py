@@ -797,10 +797,14 @@ def ann_pq_topk(
         cents = pq_codebooks(df, vec_col, id_col, m=m, k=n_centroids,
                              iterations=iterations)
         if ck is not None and root is not None:
+            # After a successful write, serve the SAME frame a cold
+            # process would load — the parquet scan re-read — so the
+            # fresh-train and reload paths are one code path and the
+            # memo never pins the training lineage (ADVICE r8 item 1).
             try:
-                cents.write.mode("overwrite").parquet(
-                    os.path.join(root, f"{fp}_pqonly")
-                )
+                p = os.path.join(root, f"{fp}_pqonly")
+                cents.write.mode("overwrite").parquet(p)
+                cents = df.sparkSession.read.parquet(p).localCheckpoint()
             except Exception:  # noqa: BLE001 — persistence is optional
                 pass
             _PQ_TRAIN_CACHE[ck] = cents

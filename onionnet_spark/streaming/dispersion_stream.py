@@ -31,9 +31,22 @@ class StreamingDailyStatsMaintainer:
             [], "event_type string, day date, x bigint"
         ).localCheckpoint()
         self.n_batches = 0
+        self._last_batch_id: int | None = None
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        # foreachBatch is at-least-once: a failed epoch is redelivered
+        # with the SAME (monotonic) batch_id, and a count-sum merge is
+        # not idempotent — replaying would double-count (ADVICE r8
+        # item 4). Skip any batch_id at or below the last applied one.
+        if (
+            batch_id is not None
+            and self._last_batch_id is not None
+            and batch_id <= self._last_batch_id
+        ):
+            return
         if not batch_df.take(1):
+            if batch_id is not None:
+                self._last_batch_id = batch_id
             return
         partial = batch_df.groupBy(
             "event_type",
@@ -46,6 +59,10 @@ class StreamingDailyStatsMaintainer:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager checkpoint: a merge that died
+        # mid-batch must accept the stream's retry, not skip it
+        if batch_id is not None:
+            self._last_batch_id = batch_id
 
     def dispersion_snapshot(self) -> DataFrame:
         """events_poisson_dispersion recomputed from the maintained

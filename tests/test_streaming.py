@@ -850,3 +850,26 @@ def test_streaming_daily_stats_matches_batch_monitors(
     got_c = sorted(map(tuple, m.cusum_snapshot().collect()))
     want_c = sorted(map(tuple, events_cusum_drift(spark, sf).collect()))
     assert got_c == want_c
+
+
+def test_streaming_daily_stats_skips_replayed_batch(spark):
+    """foreachBatch is at-least-once: redelivering a batch_id must be
+    a no-op (ADVICE r8 item 4 — the count merge alone would
+    double-count), while the next NEW batch_id still applies."""
+    from onionnet_spark.streaming.dispersion_stream import (
+        StreamingDailyStatsMaintainer,
+    )
+
+    m = StreamingDailyStatsMaintainer(spark)
+    b0 = spark.createDataFrame(
+        [("click", "2024-01-01 10:00:00"), ("click", "2024-01-01 11:00:00")],
+        "event_type string, ts string",
+    ).select("event_type", F.col("ts").cast("timestamp"))
+    m.merge_batch(b0, batch_id=0)
+    m.merge_batch(b0, batch_id=0)  # replayed epoch: must be skipped
+    assert [tuple(r) for r in m.daily.collect()][0][2] == 2
+    b1 = spark.createDataFrame(
+        [("click", "2024-01-02 09:00:00")], "event_type string, ts string"
+    ).select("event_type", F.col("ts").cast("timestamp"))
+    m.merge_batch(b1, batch_id=1)
+    assert m.daily.count() == 2 and m.n_batches == 2
