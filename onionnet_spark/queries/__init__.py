@@ -544,7 +544,10 @@ _R8_NEW: list[str] = [
 # round 9 — so this round can record EVERY key that has never held a
 # slot, closing the evidence debt to zero.
 _R9_WINDOW: list[str] = _R9_QUEUE + _R8_NEW
-_R9_NEW: list[str] = []
+_R9_NEW: list[str] = [
+    "multimodal_gif_interlaced",
+    "multimodal_tiff_bigendian",
+]
 
 
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:

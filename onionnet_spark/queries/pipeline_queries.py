@@ -7440,3 +7440,135 @@ def embedding_knn_margin_q(spark, sf_dir):
         "top1_cosine",
         F.round(F.col("top1_cosine") - F.col("c2"), 6).alias("margin"),
     )
+
+
+@register(
+    "multimodal_gif_interlaced",
+    # INTERLACED GIF gate (VERDICT r8 item 6 / SURVEY row 33a18): the
+    # payload stores rows in the spec's 4-pass order (heights 8..12
+    # exercise all four passes) and the decoder must undo it — a
+    # deinterlace permutation bug scrambles pos_checksum while leaving
+    # pixel_sum intact, which is exactly why both figures gate.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 2 + doc_id % 2 AS nf, 8 + doc_id % 5 AS h,
+                    4 + doc_id % 3 AS w, 3 + doc_id % 9 AS delay
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.delay, d.w, d.h, f.f, r.r, c.c, k.k,
+             (d.doc_id * (2 * k.k + 1)
+              + ((d.doc_id + f.f * 5 + r.r * 7 + c.c * 3) % 6)
+                * (13 + 16 * k.k)) % 256 AS v
+      FROM dims d
+      JOIN range(0, 4) f(f) ON f.f < d.nf
+      JOIN range(0, 13) r(r) ON r.r < d.h
+      JOIN range(0, 7) c(c) ON c.c < d.w
+      JOIN range(0, 3) k(k) ON true
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(delay AS INT) AS delay_cs,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (1 + r * 3 + c * 5 + k * 7)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id, f, delay, w, h""",
+)
+def multimodal_gif_interlaced_q(spark, sf_dir):
+    """REAL interlaced GIF: closed-form paletted frames -> GIF89a
+    encode with the 4-pass interlace row order (functions/gif.py,
+    image-descriptor flag 0x40) -> full decode (which must invert
+    the row permutation) -> per-frame statistics."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from onionnet_spark.functions import gif as _gif
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf, h, w = 2 + d % 2, 8 + d % 5, 4 + d % 3
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(3)[None, None, :]
+                frames = []
+                for f in range(nf):
+                    idx = (d + f * 5 + r * 7 + c * 3) % 6
+                    frames.append(
+                        ((d * (2 * k + 1) + idx * (13 + 16 * k)) % 256)
+                        .astype(np.uint8)
+                    )
+                payloads.append(
+                    _gif.encode_gif(frames, delay_cs=3 + d % 9, interlace=True)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id")
+    payload = ids.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_gif_stats(payload)
+
+
+@register(
+    "multimodal_tiff_bigendian",
+    # big-endian ('MM\\x00*') TIFF gate (VERDICT r8 item 6 / SURVEY
+    # row 33a19): same chained-IFD walk with every container integer
+    # byte-swapped — the inline-SHORT value placement (first two
+    # bytes of the value field in EITHER order) is the classic
+    # endianness bug this hash pins; compression cycled none /
+    # PackBits / LZW+predictor as in the little-endian key.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 2 + doc_id % 3 AS np, 4 + doc_id % 5 AS h,
+                    5 + doc_id % 3 AS w
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, p.p, r.r, c.c,
+             (d.doc_id * 5 + p.p * 11 + r.r * 7 + c.c * 3) % 256 AS v
+      FROM dims d
+      JOIN range(0, 5) p(p) ON p.p < d.np
+      JOIN range(0, 9) r(r) ON r.r < d.h
+      JOIN range(0, 8) c(c) ON c.c < d.w
+    )
+    SELECT doc_id, CAST(p AS INT) AS page_idx, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (1 + r * 3 + c * 5 + 0 * 7)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id, p, w, h""",
+)
+def multimodal_tiff_bigendian_q(spark, sf_dir):
+    """REAL big-endian multi-page TIFF: closed-form grayscale pages
+    -> 'MM\\x00*' container (functions/tiff.py encode_tiff
+    byteorder='>') -> byte-order-parametrized IFD-walk decode ->
+    per-page statistics."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from onionnet_spark.functions import tiff as _tiff
+
+        comps = [_tiff.COMP_NONE, _tiff.COMP_PACKBITS, _tiff.COMP_LZW]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                npg, h, w = 2 + d % 3, 4 + d % 5, 5 + d % 3
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                pages = [
+                    ((d * 5 + p * 11 + r * 7 + c * 3) % 256).astype(np.uint8)
+                    for p in range(npg)
+                ]
+                payloads.append(
+                    _tiff.encode_tiff(
+                        pages,
+                        compression=comps[d % 3],
+                        predictor=(d % 3 == 2),
+                        byteorder=">",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id")
+    payload = ids.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_tiff_stats(payload)

@@ -872,3 +872,44 @@ def test_tiff_guards():
     enc[i + 8] = 7
     with pytest.raises(ValueError, match="compression 7"):
         tiff.decode_tiff(bytes(enc))
+
+
+def test_tiff_bigendian_roundtrip_and_cross_endian_equality():
+    """'MM\\x00*' files must decode bit-identically to their 'II*\\x00'
+    twins across all three compressions, gray and RGB; the containers
+    themselves must genuinely differ (r9, SURVEY row 33a19)."""
+    from onionnet_spark.functions import tiff
+
+    rng = np.random.RandomState(9)
+    for comp in (tiff.COMP_NONE, tiff.COMP_PACKBITS, tiff.COMP_LZW):
+        for shape in [(5, 7), (4, 6, 3)]:
+            pages = [
+                rng.randint(0, 256, shape).astype(np.uint8) for _ in range(3)
+            ]
+            le = tiff.encode_tiff(pages, compression=comp, byteorder="<")
+            be = tiff.encode_tiff(pages, compression=comp, byteorder=">")
+            assert le[:4] == b"II*\x00" and be[:4] == b"MM\x00*"
+            assert le != be
+            for a, b, want in zip(tiff.decode_tiff(le), tiff.decode_tiff(be), pages):
+                got_a = a if a.ndim == len(shape) else a
+                assert (got_a == b).all() and (b.reshape(shape) == want).all()
+
+
+def test_tiff_bigendian_inline_short_placement():
+    """The classic endianness bug: an inline SHORT lives in the FIRST
+    two bytes of the value field in EITHER byte order (spec 4.6.2).
+    Decode a big-endian file whose width/height only parse correctly
+    under that rule (a full big-endian 'I' read would yield w<<16)."""
+    from onionnet_spark.functions import tiff
+
+    page = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    be = tiff.encode_tiff([page], compression=tiff.COMP_NONE, byteorder=">")
+    (dec,) = tiff.decode_tiff(be)
+    assert dec.shape == (4, 5) and (dec == page).all()
+
+
+def test_tiff_bad_byteorder_param_raises():
+    from onionnet_spark.functions import tiff
+
+    with pytest.raises(ValueError, match="byteorder"):
+        tiff.encode_tiff([np.zeros((2, 2), np.uint8)], byteorder="x")
