@@ -547,6 +547,11 @@ _R9_WINDOW: list[str] = _R9_QUEUE + _R8_NEW
 _R9_NEW: list[str] = [
     "multimodal_gif_interlaced",
     "multimodal_tiff_bigendian",
+    "lineitem_theil_index",
+    "orders_fulfillment_curve",
+    "events_burst_periods",
+    "source_burrows_delta",
+    "dedup_bbit_minhash",
 ]
 
 

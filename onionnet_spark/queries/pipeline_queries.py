@@ -7572,3 +7572,175 @@ def multimodal_tiff_bigendian_q(spark, sf_dir):
     ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id")
     payload = ids.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.decode_tiff_stats(payload)
+
+
+@register(
+    "source_burrows_delta",
+    # Burrows' Delta stylometry between sources: relative frequencies
+    # of the corpus top-50 words are nano-quantized by EXACT integer
+    # division (c * 1e9 div n_s), z-scores use the algebraic form
+    # (S*f - sumf) / sqrt(S*sumf2 - sumf^2) so both numerator and the
+    # sqrt argument are exact integers — one sqrt + one division per
+    # (source, word) cell, engine-deterministic; per-pair |z| gaps
+    # are micro-quantized before the <=50-term integer sum.
+    f"""WITH t AS (SELECT source, UNNEST({_TOKS}) AS tok FROM documents),
+    top AS (SELECT tok FROM (
+              SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+              ORDER BY c DESC, tok LIMIT 50)),
+    ns AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM t
+           JOIN top USING (tok) GROUP BY source, tok),
+    grid AS (
+      SELECT ns.source, top.tok,
+             COALESCE(sc.c, 0) * 1000000000 // ns.n AS f
+      FROM ns CROSS JOIN top
+      LEFT JOIN sc ON sc.source = ns.source AND sc.tok = top.tok),
+    ws AS (SELECT tok, COUNT(*) AS s, SUM(f) AS sumf,
+                  SUM(f * f) AS sumf2
+           FROM grid GROUP BY tok),
+    z AS (
+      SELECT g.source, g.tok,
+             CAST(ws.s * g.f - ws.sumf AS DOUBLE)
+               / sqrt(CAST(ws.s * ws.sumf2 - ws.sumf * ws.sumf AS DOUBLE))
+               AS z
+      FROM grid g JOIN ws ON ws.tok = g.tok
+      WHERE ws.s * ws.sumf2 - ws.sumf * ws.sumf > 0),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(floor(abs(a.z - b.z) * 1000000) AS BIGINT) AS term
+      FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source)
+    SELECT src_a, src_b, CAST(COUNT(*) AS INT) AS n_words,
+           ROUND(SUM(term) / 1000000.0 / COUNT(*), 6) AS delta
+    FROM pairs GROUP BY src_a, src_b""",
+)
+def source_burrows_delta_q(spark, sf_dir):
+    """Burrows' Delta between corpus sources — the stylometric
+    distance authorship attribution runs on (z-scored top-word
+    frequency profiles, mean |z| gap per pair): the "did these two
+    crawls draw from the same register?" monitor next to
+    source_jsd_matrix's topic-level view. One token scan, a top-50
+    TakeOrdered, then everything is |sources| x 50 cells — the pair
+    join is sources^2 x 50 rows, trivially broadcastable at any
+    corpus size."""
+    from onionnet_spark.functions.dedup import normalize_text
+
+    t = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+                "tok"
+            ),
+        )
+    )
+    top = (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(50)
+        .select("tok")
+    )
+    ns = t.groupBy("source").agg(F.count("*").alias("n"))
+    sc = (
+        t.join(F.broadcast(top), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(top))
+        .join(sc, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr(
+                "div(coalesce(c, 0) * 1000000000, n)"
+            ).alias("f"),
+        )
+    )
+    ws = grid.groupBy("tok").agg(
+        F.count("*").alias("s"),
+        F.sum("f").alias("sumf"),
+        F.sum(F.col("f") * F.col("f")).alias("sumf2"),
+    )
+    var_num = F.col("s") * F.col("sumf2") - F.col("sumf") * F.col("sumf")
+    z = (
+        grid.join(F.broadcast(ws), "tok")
+        .filter(var_num > 0)
+        .select(
+            "source",
+            "tok",
+            (
+                (F.col("s") * F.col("f") - F.col("sumf")).cast("double")
+                / F.sqrt(var_num.cast("double"))
+            ).alias("z"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "tok", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "tok", F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.floor(F.abs(F.col("za") - F.col("zb")) * 1e6)
+            .cast("bigint")
+            .alias("term"),
+        )
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("int").alias("n_words"),
+        F.round(F.sum("term") / 1e6 / F.count("*"), 6).alias("delta"),
+    )
+
+
+@register(
+    "dedup_bbit_minhash",
+    # 1-bit MinHash estimate over the SAME banded candidates as
+    # dedup_minhash_lsh: bit p = sig_p mod 2, estimate = 2A - 1
+    # clamped at 0 (Li & Koenig) — integer bit matching, exact both
+    # engines; side by side with the exact-verify key it quantifies
+    # the 32x-smaller sketch's accuracy trade.
+    f"""WITH {_SHINGLES_SQL},
+    perms AS (SELECT UNNEST(range(0, 16)) AS perm),
+    sigs AS (
+      SELECT id, perm,
+             MIN((104729 * (perm + 1)
+                  * ((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647)
+                  + 7919 * perm) % 2147483647) AS sig
+      FROM sh CROSS JOIN perms GROUP BY id, perm
+    ),
+    bands AS (
+      SELECT id, perm // 4 AS band,
+             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS band_key
+      FROM sigs GROUP BY id, perm // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.id < b.id
+    ),
+    bits AS (SELECT id, perm, sig % 2 AS bit FROM sigs),
+    m AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN x.bit = y.bit THEN 1 ELSE 0 END) AS n_match
+      FROM cand c
+      JOIN bits x ON x.id = c.id_a
+      JOIN bits y ON y.id = c.id_b AND y.perm = x.perm
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, CAST(n_match AS INT) AS n_match_bits,
+           ROUND(GREATEST(0.0, 2.0 * n_match / 16 - 1.0), 6) AS est_jaccard
+    FROM m""",
+)
+def dedup_bbit_minhash_q(spark, sf_dir):
+    """b-bit minwise hashing (b=1): the 32x-smaller similarity
+    sketch — one bit per permutation instead of a 4-byte signature
+    word — with Jaccard recovered from the matching-bit fraction.
+    Candidates reuse the banded LSH bucket join (never all-pairs);
+    the per-pair comparison is one XOR + popcount on a packed
+    BIGINT."""
+    return dedup.bbit_minhash_pairs(_docs(spark, sf_dir))

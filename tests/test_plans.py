@@ -39,7 +39,7 @@ EXPECTED = {
     "functions/text.py": 5,
     "queries/graph_queries.py": 3,
     "queries/pipeline_queries.py": 4,
-    "queries/relational.py": 9,
+    "queries/relational.py": 10,
     "queries/streaming_queries.py": 2,
     "streaming/events.py": 1,
 }
