@@ -367,6 +367,14 @@ TAIL = [
     "lineitem_qty_price_mi",
     "events_transition_entropy",
     "embedding_knn_margin",
+    # round-9 additions (sweep-timed 0.9-7s at sf0.1; all >= cutoff)
+    "multimodal_gif_interlaced",
+    "multimodal_tiff_bigendian",
+    "lineitem_theil_index",
+    "orders_fulfillment_curve",
+    "events_burst_periods",
+    "source_burrows_delta",
+    "dedup_bbit_minhash",
 ]
 
 
