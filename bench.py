@@ -375,6 +375,7 @@ TAIL = [
     "events_burst_periods",
     "source_burrows_delta",
     "dedup_bbit_minhash",
+    "multimodal_png_interlaced",
 ]
 
 

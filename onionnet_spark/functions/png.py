@@ -7,7 +7,8 @@ can have a REAL path for one format. This module implements exactly
 the subset the pipeline needs:
 
 - 8-bit greyscale (color type 0) and 8-bit RGB (color type 2)
-- no interlacing, no palette, no ancillary-chunk interpretation
+- Adam7 interlacing BOTH directions (seven independently-filtered
+  reduced images, r9); no palette, no ancillary-chunk interpretation
 - all five scanline filter types (None/Sub/Up/Average/Paeth) on
   decode; encode cycles filters per row so round-trip tests exercise
   every reconstruction branch
@@ -41,26 +42,29 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Encode a (h, w) greyscale or (h, w, 3) RGB uint8 array.
+# Adam7 pass grid (PNG spec 8.2): (x0, y0, dx, dy) per pass. Each
+# pass is filtered as its own reduced image (fresh prior scanline,
+# its own filter byte per reduced row); empty passes contribute NO
+# bytes at all, not even filter bytes.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Scanline filter types cycle 0..4 by row index so a decoder
-    round-trip covers every reconstruction branch.
-    """
-    arr = np.asarray(img, dtype=np.uint8)
-    if arr.ndim == 2:
-        color_type, n_ch = 0, 1
-        arr = arr[:, :, None]
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        color_type, n_ch = 2, 3
-    else:
-        raise ValueError(f"unsupported image shape {arr.shape}")
-    h, w = arr.shape[:2]
-    bpp = n_ch  # bytes per pixel at bit depth 8
+
+def _filter_rows(rows: np.ndarray, bpp: int) -> bytes:
+    """Filter a (n_rows, stride) uint8 block: one filter byte + the
+    filtered scanline per row, filter types cycling 0..4 by row so a
+    round-trip covers every reconstruction branch."""
     raw = bytearray()
-    prior = np.zeros(w * n_ch, dtype=np.uint8)
-    for y in range(h):
-        line = arr[y].reshape(-1)
+    prior = np.zeros(rows.shape[1], dtype=np.uint8)
+    for y in range(rows.shape[0]):
+        line = rows[y]
         ftype = y % 5
         if ftype == 0:
             filt = line
@@ -82,7 +86,38 @@ def encode_png(img: np.ndarray) -> bytes:
         raw.append(ftype)
         raw.extend(filt.tobytes())
         prior = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return bytes(raw)
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode a (h, w) greyscale or (h, w, 3) RGB uint8 array.
+
+    Scanline filter types cycle 0..4 by row index so a decoder
+    round-trip covers every reconstruction branch. interlace=True
+    writes the Adam7 layout (IHDR interlace 1): seven reduced
+    images, each filtered independently (r9, SURVEY row 33a2)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, n_ch = 0, 1
+        arr = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, n_ch = 2, 3
+    else:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    h, w = arr.shape[:2]
+    bpp = n_ch  # bytes per pixel at bit depth 8
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw.extend(_filter_rows(sub.reshape(sub.shape[0], -1), bpp))
+    else:
+        raw.extend(_filter_rows(arr.reshape(h, -1), bpp))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -134,24 +169,59 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth != 8 or color_type not in (0, 2) or comp or filt_method or interlace:
+    if (
+        depth != 8
+        or color_type not in (0, 2)
+        or comp
+        or filt_method
+        or interlace not in (0, 1)
+    ):
         raise ValueError(
             f"unsupported PNG: depth={depth} color_type={color_type} "
-            f"interlace={interlace} (only 8-bit grey/RGB non-interlaced)"
+            f"interlace={interlace} (only 8-bit grey/RGB, interlace 0/1)"
         )
     n_ch = 1 if color_type == 0 else 3
     bpp = n_ch
-    stride = w * n_ch
     raw = zlib.decompress(bytes(idat))
+    if interlace:
+        # Adam7: seven independently-filtered reduced images scattered
+        # back onto the pixel grid (r9 — SURVEY row 33a2)
+        out = np.zeros((h, w, n_ch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            block, offset = _defilter_rows(raw, offset, ph, pw * n_ch, bpp)
+            out[y0::dy, x0::dx] = block.reshape(ph, pw, n_ch)
+        if offset != len(raw):
+            raise ValueError("IDAT size mismatch")
+        return out.reshape(h, w) if n_ch == 1 else out
+    stride = w * n_ch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out2, _ = _defilter_rows(raw, 0, h, stride, bpp)
+    return out2.reshape(h, w) if n_ch == 1 else out2.reshape(h, w, 3)
+
+
+def _defilter_rows(
+    raw: bytes, offset: int, n_rows: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Reconstruct a filtered (n_rows, stride) block starting at
+    `offset` in the decompressed stream; returns (block, new_offset).
+    The prior scanline starts at zero — each Adam7 pass (and the
+    whole non-interlaced image) filters independently."""
+    if len(raw) - offset < n_rows * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int16)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
+    for y in range(n_rows):
+        ftype = raw[offset]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=offset + 1
         ).astype(np.int16)
+        offset += stride + 1
         if ftype == 0:
             recon = line
         elif ftype == 2:  # Up — vectorizable
@@ -178,4 +248,4 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
             raise ValueError(f"bad filter type {ftype}")
         out[y] = recon.astype(np.uint8)
         prior = recon
-    return out.reshape(h, w) if n_ch == 1 else out.reshape(h, w, 3)
+    return out, offset

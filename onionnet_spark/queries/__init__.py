@@ -552,6 +552,7 @@ _R9_NEW: list[str] = [
     "events_burst_periods",
     "source_burrows_delta",
     "dedup_bbit_minhash",
+    "multimodal_png_interlaced",
 ]
 
 

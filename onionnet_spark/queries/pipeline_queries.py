@@ -7744,3 +7744,111 @@ def dedup_bbit_minhash_q(spark, sf_dir):
     the per-pair comparison is one XOR + popcount on a packed
     BIGINT."""
     return dedup.bbit_minhash_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_png_interlaced",
+    # Adam7 PNG gate (r9, SURVEY row 33a2): pixels are stored as seven
+    # independently-filtered reduced images and the decoder must
+    # scatter them back — dims 9..13 exercise all seven passes, and
+    # pos_checksum pins the scatter permutation (an interlace bug
+    # that shuffles rows/columns preserves pixel_sum exactly).
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 9 + doc_id % 5 AS w, 9 + doc_id % 4 AS h,
+                    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, d.ch, i.i, j.j, c.c,
+             (d.doc_id * 11 + i.i * 17 + j.j * 7 + c.c * 29) % 256 AS p
+      FROM dims d
+      JOIN range(0, 13) i(i) ON i.i < d.h
+      JOIN range(0, 14) j(j) ON j.j < d.w
+      JOIN range(0, 3) c(c) ON c.c < d.ch
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS n_channels,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM(p * (1 + i * 3 + j * 5 + c * 7)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id, w, h, ch""",
+)
+def multimodal_png_interlaced_q(spark, sf_dir):
+    """REAL Adam7-interlaced PNG: closed-form grey/RGB images ->
+    encode_png(interlace=True) (functions/png.py: seven reduced
+    images, each with its own cycling scanline filters) -> full
+    decode (which must de-filter each pass and invert the Adam7
+    scatter) -> per-image statistics."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from onionnet_spark.functions import png as _png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 9 + d % 5, 9 + d % 4
+                ch = 1 if d % 2 == 0 else 3
+                i = np.arange(h)[:, None, None]
+                j = np.arange(w)[None, :, None]
+                c = np.arange(ch)[None, None, :]
+                img = ((d * 11 + i * 17 + j * 7 + c * 29) % 256).astype(
+                    np.uint8
+                )
+                if ch == 1:
+                    img = img[:, :, 0]
+                payloads.append(_png.encode_png(img, interlace=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id")
+    payload = ids.mapInPandas(gen, "doc_id long, payload binary")
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        from onionnet_spark.functions.multimodal import _decode_any_image
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_channels", "pixel_sum",
+                "pos_checksum",
+            )}
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _decode_any_image(bytes(pl)).astype(np.int64)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w, ch = arr.shape
+                i = np.arange(h)[:, None, None]
+                j = np.arange(w)[None, :, None]
+                c = np.arange(ch)[None, None, :]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_channels"].append(ch)
+                rows["pixel_sum"].append(int(arr.sum()))
+                rows["pos_checksum"].append(
+                    int((arr * (1 + i * 3 + j * 5 + c * 7)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_channels": pd.Series(
+                        rows["n_channels"], dtype="int32"
+                    ),
+                    "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                    "pos_checksum": pd.Series(
+                        rows["pos_checksum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return payload.mapInPandas(
+        stats,
+        "doc_id long, width int, height int, n_channels int, "
+        "pixel_sum long, pos_checksum long",
+    )

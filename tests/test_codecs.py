@@ -862,7 +862,10 @@ def test_tiff_predictor_improves_smooth_content():
 
 def test_tiff_guards():
     tiff = _tiff()
-    with pytest.raises(ValueError, match="big-endian"):
+    # big-endian is SUPPORTED as of r9 (byte-order-parametrized IFD
+    # walker); a bare MM header with a null IFD pointer now parses to
+    # "no pages" instead of the old unsupported-byte-order raise
+    with pytest.raises(ValueError, match="no pages"):
         tiff.decode_tiff(b"MM\x00*" + b"\x00" * 8)
     with pytest.raises(ValueError, match="not a TIFF"):
         tiff.decode_tiff(b"PNG....")
@@ -913,3 +916,23 @@ def test_tiff_bad_byteorder_param_raises():
 
     with pytest.raises(ValueError, match="byteorder"):
         tiff.encode_tiff([np.zeros((2, 2), np.uint8)], byteorder="x")
+
+
+def test_png_adam7_interlace_roundtrip_and_stream_difference():
+    """Adam7 files must decode bit-identically to their sequential
+    twins on every shape class (sub-8x8 images skip passes; the 9x13
+    class exercises all seven), and the containers must genuinely
+    differ (r9, SURVEY row 33a2)."""
+    from onionnet_spark.functions import png
+
+    rng = np.random.RandomState(11)
+    for shape in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 13), (13, 11, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        plain = png.encode_png(img, interlace=False)
+        inter = png.encode_png(img, interlace=True)
+        assert plain != inter
+        assert (png.decode_png(plain) == img).all()
+        assert (png.decode_png(inter) == img).all()
+    # IHDR interlace flag is genuinely set (sig 8 + len 4 + tag 4 +
+    # 12 body bytes before the interlace byte)
+    assert inter[28] == 1 and plain[28] == 0
