@@ -3001,13 +3001,18 @@ def onion_decomposition(
         )
         kmin = deg.agg(F.min("d").alias("m")).collect()[0]["m"]
         k_cur = max(k_cur, int(kmin))
-        drop = deg.filter(F.col("d") <= k_cur).select(
-            "n",
-            F.lit(layer).cast("int").alias("layer"),
-            F.lit(k_cur).cast("int").alias("coreness"),
+        # checkpoint the per-round DROP (new rows only), not the
+        # accumulated ledger: the old out-cut re-materialized a frame
+        # that grows with |V| every round AND re-evaluated the degree
+        # aggregation a second time per round (r9)
+        drop = ck.cut(
+            deg.filter(F.col("d") <= k_cur).select(
+                "n",
+                F.lit(layer).cast("int").alias("layer"),
+                F.lit(k_cur).cast("int").alias("coreness"),
+            )
         )
         out = drop if out is None else out.unionByName(drop)
-        out = ck.cut(out)
         nodes = ck.cut(nodes.join(drop.select("n"), on="n", how="left_anti"))
         adj = ck.cut(
             adj.join(
