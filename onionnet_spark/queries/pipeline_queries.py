@@ -7633,19 +7633,25 @@ def source_burrows_delta_q(spark, sf_dir):
             ),
         )
     )
-    top = (
-        t.groupBy("tok")
+    # ONE corpus scan: fold the token stream to (source, tok) counts
+    # first and checkpoint that (|sources| x |vocab| rows); the top-50
+    # rank, the per-source totals, and the top-word counts are all
+    # folds of it — the lazy form re-exploded the full text three
+    # times (r9 plan audit)
+    tc = (
+        t.groupBy("source", "tok")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    top = (
+        tc.groupBy("tok")
+        .agg(F.sum("c").alias("c"))
         .orderBy(F.desc("c"), F.asc("tok"))
         .limit(50)
         .select("tok")
     )
-    ns = t.groupBy("source").agg(F.count("*").alias("n"))
-    sc = (
-        t.join(F.broadcast(top), "tok")
-        .groupBy("source", "tok")
-        .agg(F.count("*").alias("c"))
-    )
+    ns = tc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    sc = tc.join(F.broadcast(top), "tok").select("source", "tok", "c")
     grid = (
         ns.crossJoin(F.broadcast(top))
         .join(sc, ["source", "tok"], "left")

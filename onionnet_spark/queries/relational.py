@@ -3921,6 +3921,9 @@ def lineitem_theil_index_q(spark, sf_dir):
     ln terms nano-quantized before the integer sum — scan-bound, no
     windows, scales."""
     t = load_tables(spark, sf_dir)
+    # checkpointed: three consumers (per-nation rollup, grand total,
+    # per-customer terms) would otherwise each re-scan the orders
+    # fact; the materialized frame is customer-dimension-sized
     cust = (
         t["orders"]
         .join(
@@ -3931,6 +3934,7 @@ def lineitem_theil_index_q(spark, sf_dir):
         )
         .groupBy("o_custkey", "c_nationkey")
         .agg(F.sum("o_totalprice").cast("double").alias("x"))
+        .localCheckpoint()
     )
     g = cust.groupBy("c_nationkey").agg(
         F.count("*").alias("ng"), F.sum("x").cast("double").alias("tg")
