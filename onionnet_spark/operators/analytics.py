@@ -1055,6 +1055,11 @@ def katz_centrality(
     z = graph.nodes.select("layer", "node_id", F.lit(0.0).alias("z"))
     for k in range(1, n_iterations + 1):
         seed = float(inv_alpha ** (k - 1))
+        # LEFT join + coalesce(z, 0): a source absent from z (no
+        # in-edges last round) contributes exactly the seed term —
+        # identical arithmetic to the old per-round re-anchor join
+        # over the full node set, minus one 786k-row shuffle join per
+        # round (r9); the full-node anchor happens ONCE at the end.
         z = (
             e_by_src.join(
                 z.select(
@@ -1063,26 +1068,27 @@ def katz_centrality(
                     "z",
                 ),
                 on=["src_layer", "src_id"],
-                how="inner",
+                how="left",
             )
             .groupBy(
                 F.col("dst_layer").alias("layer"),
                 F.col("dst_id").alias("node_id"),
             )
-            .agg(F.sum(F.col("z") + F.lit(seed)).alias("z"))
+            .agg(
+                F.sum(F.coalesce("z", F.lit(0.0)) + F.lit(seed)).alias("z")
+            )
             .localCheckpoint(eager=False)
         )
-        # nodes with no in-edges fall out of the aggregate; they
-        # re-enter the NEXT round's gather via their out-edges, so
-        # re-anchor z on the full node set with 0 fill.
-        z = (
-            graph.nodes.select("layer", "node_id")
-            .join(z, on=["layer", "node_id"], how="left")
-            .select("layer", "node_id", F.coalesce("z", F.lit(0.0)).alias("z"))
-        )
     scale = float(inv_alpha**n_iterations)
-    return z.select(
-        "layer", "node_id", F.round(F.col("z") / scale, 6).alias("katz")
+    # nodes with no in-edges never enter the aggregate: katz = 0
+    return (
+        graph.nodes.select("layer", "node_id")
+        .join(z, on=["layer", "node_id"], how="left")
+        .select(
+            "layer",
+            "node_id",
+            F.round(F.coalesce("z", F.lit(0.0)) / scale, 6).alias("katz"),
+        )
     )
 
 

@@ -700,20 +700,35 @@ def temporal_earliest_arrival(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("t").alias("cand"))
         )
-        marked = reached.join(
+        # ONE full-outer merge carries the new arrival AND the
+        # improved flag (the weighted_sssp pattern) — the old
+        # reached->left-join->anti-join->union shape paid two joins
+        # and two checkpoints per round for the same fixpoint (r9).
+        # `seen` distinguishes "row absent from best" from a source's
+        # NULL arrival (NULL reads as -infinity, never improvable).
+        cur, cand = F.col("cur"), F.col("cand")
+        seen = F.col("seen")
+        new_best = (
             best.select(
+                "node", F.col("arrival").alias("cur"), F.lit(1).alias("seen")
+            )
+            .join(reached, on="node", how="full_outer")
+            .select(
                 "node",
-                F.col("arrival").alias("cur"),
-                F.lit(1).alias("seen"),
-            ),
-            on="node",
-            how="left",
+                F.when(seen.isNull(), cand)
+                .when(cur.isNull(), F.lit(None).cast(e.schema["t"].dataType))
+                .when(cand.isNotNull() & (cand < cur), cand)
+                .otherwise(cur)
+                .alias("arrival"),
+                (
+                    seen.isNull()
+                    | (cur.isNotNull() & cand.isNotNull() & (cand < cur))
+                ).alias("improved"),
+            )
+            .localCheckpoint()
         )
-        improved = marked.filter(
-            F.col("seen").isNull()
-            | (F.col("cur").isNotNull() & (F.col("cand") < F.col("cur")))
-        ).select("node", F.col("cand").alias("arrival"))
-        improved = improved.localCheckpoint()
+        improved = new_best.filter("improved").drop("improved")
+        best = new_best.drop("improved")
         if improved.isEmpty():
             return best
         if round_no == max_rounds:
@@ -721,11 +736,6 @@ def temporal_earliest_arrival(
                 f"temporal_earliest_arrival did not converge in "
                 f"{max_rounds} rounds; raise `max_rounds`"
             )
-        best = (
-            best.join(improved, on="node", how="left_anti")
-            .unionByName(improved)
-            .localCheckpoint()
-        )
         frontier = improved
     return best
 
