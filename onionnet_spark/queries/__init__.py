@@ -556,6 +556,70 @@ _R9_NEW: list[str] = [
 ]
 
 
+# Round-10 window (VERDICT r9 next-round item 1): the evidence debt is
+# zero — every key has a green driver row — so the second sweep cycle
+# starts: bit-rot re-verification of the keys whose ONLY green record is
+# r01 (8 rounds of refactors ago). All 48 r01-only keys lead, then the 2
+# oldest r02-only keys (asof_join, basket_pairs), filling the driver's
+# 50 slots exactly. Computed from the union of CORRECTNESS_r01-r09.
+# _R10_NEW collects keys added in round 10, behind the sweep as always.
+_R10_WINDOW: list[str] = [
+    # 48 keys whose only driver-green row is CORRECTNESS_r01
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_topk_cosine",
+    "binary_meta",
+    "bipartite_view",
+    "components_strong",
+    "components_weak",
+    "components_weak_star",
+    "compose_filters",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "degrees",
+    "doc_fingerprint",
+    "doc_length_quantiles",
+    "encode_decode_roundtrip",
+    "encode_layer_dict",
+    "export_edges",
+    "filter_by_property",
+    "filter_edges_prune",
+    "graph_build_edges",
+    "graph_build_nodes",
+    "graph_incremental",
+    "khop_bi",
+    "khop_downstream",
+    "khop_upstream",
+    "lang_id",
+    "layout_by_layer",
+    "merge_props",
+    "node_labels",
+    "node_properties_lookup",
+    "on_shortest_path",
+    "on_shortest_weighted",
+    "pagerank",
+    "quality_filter",
+    "quality_score",
+    "reachability",
+    "sql_surface",
+    "sssp_hops",
+    "sssp_weighted",
+    "style_columns",
+    "text_stats",
+    "token_count_bpe",
+    "triangle_count",
+    "view_layers",
+    # 2 oldest r02-only keys start the r02 re-sweep
+    "asof_join",
+    "basket_pairs",
+]
+_R10_NEW: list[str] = []
+
+
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
         relational,
@@ -566,7 +630,13 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
 
     ordered: dict[str, tuple[QueryFn, str | None]] = {}
     for name in (
-        _R9_WINDOW + _R9_NEW + _R8_WINDOW + _R7_WINDOW + _R6_WINDOW
+        _R10_WINDOW
+        + _R10_NEW
+        + _R9_WINDOW
+        + _R9_NEW
+        + _R8_WINDOW
+        + _R7_WINDOW
+        + _R6_WINDOW
     ):
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
