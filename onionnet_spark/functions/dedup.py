@@ -1337,6 +1337,16 @@ def bbit_minhash_pairs(
     is what dedup_minhash_lsh measures, so the two keys side by side
     quantify the b-bit accuracy trade.
     """
+    if num_perm > 63:
+        # bit p is packed as the BIGINT literal 1 << p below; p >= 63
+        # overflows LongType (and >64 bits cannot pack into one word
+        # at all), silently corrupting the estimate for a tunable
+        # parameter (r9 ADVICE). Multi-word packing is the upgrade
+        # path if a caller ever needs more permutations.
+        raise ValueError(
+            f"bbit_minhash_pairs packs the 1-bit sketch into a single "
+            f"64-bit word; num_perm={num_perm} > 63 is not supported"
+        )
     sh = word_shingles(df, text_col, id_col, n).localCheckpoint()
     sigs = minhash_signatures(sh, num_perm).localCheckpoint()
     band_keys = minhash_band_keys(sigs, num_perm, bands)

@@ -7577,8 +7577,11 @@ def multimodal_tiff_bigendian_q(spark, sf_dir):
 @register(
     "source_burrows_delta",
     # Burrows' Delta stylometry between sources: relative frequencies
-    # of the corpus top-50 words are nano-quantized by EXACT integer
-    # division (c * 1e9 div n_s), z-scores use the algebraic form
+    # of the corpus top-50 words are quantized by EXACT integer
+    # division (c * 1e6 div n_s, then x1000 to keep the nano scale —
+    # the direct c * 1e9 product overflowed BIGINT once a source held
+    # >9.2e9 occurrences of one word, r9 ADVICE; the two-step form has
+    # 1000x the corpus headroom), z-scores use the algebraic form
     # (S*f - sumf) / sqrt(S*sumf2 - sumf^2) so both numerator and the
     # sqrt argument are exact integers — one sqrt + one division per
     # (source, word) cell, engine-deterministic; per-pair |z| gaps
@@ -7592,7 +7595,7 @@ def multimodal_tiff_bigendian_q(spark, sf_dir):
            JOIN top USING (tok) GROUP BY source, tok),
     grid AS (
       SELECT ns.source, top.tok,
-             COALESCE(sc.c, 0) * 1000000000 // ns.n AS f
+             (COALESCE(sc.c, 0) * 1000000 // ns.n) * 1000 AS f
       FROM ns CROSS JOIN top
       LEFT JOIN sc ON sc.source = ns.source AND sc.tok = top.tok),
     ws AS (SELECT tok, COUNT(*) AS s, SUM(f) AS sumf,
@@ -7658,8 +7661,11 @@ def source_burrows_delta_q(spark, sf_dir):
         .select(
             "source",
             "tok",
+            # two-step quantization (x1e6 div n, then x1000): same
+            # nano scale as the old c*1e9 div n with 1000x the BIGINT
+            # headroom (r9 ADVICE — overflow at c > 9.2e12, not 9.2e9)
             F.expr(
-                "div(coalesce(c, 0) * 1000000000, n)"
+                "div(coalesce(c, 0) * 1000000, n) * 1000"
             ).alias("f"),
         )
     )

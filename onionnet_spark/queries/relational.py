@@ -3980,8 +3980,8 @@ def lineitem_theil_index_q(spark, sf_dir):
 
 @register(
     "orders_fulfillment_curve",
-    # order-to-receipt fulfillment distribution: latency days are a
-    # bounded integer value grid (TPC-H receipt <= order + ~4 months),
+    # order-to-ship fulfillment distribution: latency days are a
+    # bounded integer value grid (TPC-H ship <= order + ~4 months),
     # so the cumulative window input is grid-bounded, never
     # |lineitem|-bounded. Counts exact BIGINT; one division per row.
     """WITH d AS (
@@ -4000,9 +4000,10 @@ def lineitem_theil_index_q(spark, sf_dir):
     FROM c""",
 )
 def orders_fulfillment_curve_q(spark, sf_dir):
-    """Supply-chain fill-rate curve: share of line items shipped
-    within k days of the order date, for every observed k — the
-    SLA readout next to orders_ship_latency's percentile view. One
+    """Supply-chain fill-rate curve: share of line items SHIPPED
+    (order-to-ship, l_shipdate — not receipt) within k days of the
+    order date, for every observed k — the SLA readout next to
+    orders_ship_latency's percentile view. One
     fact-scan aggregation collapses to the bounded integer latency
     grid (~130 distinct day values), then a cumulative window over
     that tiny series (plan-guard whitelisted like lineitem_ks_test)."""

@@ -24,8 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingABMonitor:
+
+class StreamingABMonitor(ReplayGuardMixin):
     """Maintains per-user (variant, conversion) state and serves the
     pooled two-proportion experiment readout."""
 
@@ -39,7 +41,13 @@ class StreamingABMonitor:
         self.n_batches = 0
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         partial = batch_df.groupBy("user_id").agg(
             F.max(
@@ -57,6 +65,9 @@ class StreamingABMonitor:
         )
         self.users = merged.localCheckpoint()
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def snapshot_readout(self) -> DataFrame:
         """The experiment readout over the maintained user state —

@@ -21,14 +21,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingActiveUsers:
+
+class StreamingActiveUsers(ReplayGuardMixin):
     def __init__(self, spark: SparkSession):
         self.state = spark.createDataFrame([], "u bigint, d timestamp")
         self.n_batches = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         ud = batch_df.select(
             F.col("user_id").alias("u"),
@@ -44,6 +52,9 @@ class StreamingActiveUsers:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def report(self) -> DataFrame:
         """DAU/WAU/MAU per day from the maintained state — identical

@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.functions.similarity import cosine, lsh_bucket_col
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingAnnIndex:
+
+class StreamingAnnIndex(ReplayGuardMixin):
     """Maintains the bucketed vector index and emits verified
     embedding near-dup pairs (id_a, id_b, cosine), id_a < id_b,
     cosine >= threshold, rounded to 6 dp like the batch op.
@@ -58,7 +60,13 @@ class StreamingAnnIndex:
         self.n_batches = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         new = (
             batch_df.select(
@@ -95,6 +103,9 @@ class StreamingAnnIndex:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def attach(self, vec_stream: DataFrame, checkpoint_dir: str):
         """Start the stream: every micro-batch is matched against the

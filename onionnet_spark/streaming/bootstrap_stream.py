@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.functions.corpus import poisson_bootstrap
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingBootstrapMonitor:
+
+class StreamingBootstrapMonitor(ReplayGuardMixin):
     def __init__(
         self,
         spark: SparkSession,
@@ -33,7 +35,13 @@ class StreamingBootstrapMonitor:
         self.n_batches = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         partial = poisson_bootstrap(
             batch_df, self.value_col, self.id_col, self.n_resamples
@@ -48,6 +56,9 @@ class StreamingBootstrapMonitor:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def snapshot(self) -> DataFrame:
         """Per-resample means over everything ingested — identical

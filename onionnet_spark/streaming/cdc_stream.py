@@ -20,8 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingCdcMaintainer:
+
+class StreamingCdcMaintainer(ReplayGuardMixin):
     """Maintains the post-CDC snapshot of a keyed table across
     micro-batches of change rows (full records + seq + op)."""
 
@@ -39,7 +41,13 @@ class StreamingCdcMaintainer:
         self.n_batches = 0
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         delta = batch_df.select(
             *self.cols,
@@ -63,6 +71,9 @@ class StreamingCdcMaintainer:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def snapshot(self) -> DataFrame:
         """The current table state (tombstones filtered)."""

@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.functions.dedup import doc_chunks
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingChunkDedupMaintainer:
+
+class StreamingChunkDedupMaintainer(ReplayGuardMixin):
     def __init__(self, spark: SparkSession, chunk_words: int = 10):
         self.chunk_words = chunk_words
         self.seen = spark.createDataFrame([], "ch string")
@@ -44,7 +46,13 @@ class StreamingChunkDedupMaintainer:
         self.n_batches = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         chunked = doc_chunks(batch_df, self.chunk_words).localCheckpoint()
         # within-batch first occurrence, then the index probe: a
@@ -84,6 +92,9 @@ class StreamingChunkDedupMaintainer:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def attach(self, doc_stream: DataFrame, checkpoint_dir: str):
         """Start the stream: every micro-batch is accounted against

@@ -25,8 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingCountMin:
+
+class StreamingCountMin(ReplayGuardMixin):
     """Maintains a Count-Min sketch plus the candidate key table
     across micro-batches; `topk(k)` reproduces batch count_min_topk
     over everything ingested so far."""
@@ -65,7 +67,13 @@ class StreamingCountMin:
         ).alias("ib")
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         rows = batch_df.select(F.col(self.key_col).cast("string").alias("k"))
         partial = (
@@ -87,6 +95,9 @@ class StreamingCountMin:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def topk(self, k: int = 20) -> DataFrame:
         est = (

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.functions.dedup import word_shingles
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingDecontamination:
+
+class StreamingDecontamination(ReplayGuardMixin):
     """Maintains per-test-shingle hit flags against a growing
     training stream; ``snapshot()`` returns the same
     (doc_id, n_shingles, n_hit, overlap) frame as the batch op over
@@ -56,7 +58,13 @@ class StreamingDecontamination:
         self.n_batches = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         tr = (
             word_shingles(batch_df, self.text_col, self.id_col, self.n)
@@ -75,6 +83,9 @@ class StreamingDecontamination:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def snapshot(self) -> DataFrame:
         """(doc_id, n_shingles, n_hit, overlap) over the stream so far

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
+
 from onionnet_spark.functions.dedup import (
     minhash_band_keys,
     minhash_signatures,
@@ -30,7 +32,7 @@ from onionnet_spark.functions.dedup import (
 )
 
 
-class StreamingDedupMaintainer:
+class StreamingDedupMaintainer(ReplayGuardMixin):
     """Maintains the LSH index and emits verified near-dup pairs.
 
     Documents carry (doc_id, text); `pairs` accumulates
@@ -62,7 +64,13 @@ class StreamingDedupMaintainer:
         self.n_batches = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         sh_new = word_shingles(
             batch_df, "text", "doc_id", self.n
@@ -131,6 +139,9 @@ class StreamingDedupMaintainer:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def attach(self, doc_stream: DataFrame, checkpoint_dir: str):
         """Start the stream: every micro-batch is deduped against the

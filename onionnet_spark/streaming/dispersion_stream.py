@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingDailyStatsMaintainer:
+
+class StreamingDailyStatsMaintainer(ReplayGuardMixin):
     """Maintains per-(event_type, day) counts across micro-batches
     and serves dispersion / CUSUM snapshots from that state."""
 
@@ -31,22 +33,16 @@ class StreamingDailyStatsMaintainer:
             [], "event_type string, day date, x bigint"
         ).localCheckpoint()
         self.n_batches = 0
-        self._last_batch_id: int | None = None
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         # foreachBatch is at-least-once: a failed epoch is redelivered
         # with the SAME (monotonic) batch_id, and a count-sum merge is
         # not idempotent — replaying would double-count (ADVICE r8
-        # item 4). Skip any batch_id at or below the last applied one.
-        if (
-            batch_id is not None
-            and self._last_batch_id is not None
-            and batch_id <= self._last_batch_id
-        ):
+        # item 4; guard shared via ReplayGuardMixin since r10).
+        if self._is_replay(batch_id):
             return
         if not batch_df.take(1):
-            if batch_id is not None:
-                self._last_batch_id = batch_id
+            self._mark_applied(batch_id)
             return
         partial = batch_df.groupBy(
             "event_type",
@@ -61,8 +57,7 @@ class StreamingDailyStatsMaintainer:
         self.n_batches += 1
         # recorded only AFTER the eager checkpoint: a merge that died
         # mid-batch must accept the stream's retry, not skip it
-        if batch_id is not None:
-            self._last_batch_id = batch_id
+        self._mark_applied(batch_id)
 
     def dispersion_snapshot(self) -> DataFrame:
         """events_poisson_dispersion recomputed from the maintained

@@ -18,8 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingUserFeatures:
+
+class StreamingUserFeatures(ReplayGuardMixin):
     def __init__(self, spark: SparkSession):
         self.agg = spark.createDataFrame(
             [],
@@ -31,7 +33,13 @@ class StreamingUserFeatures:
         self.n_batches = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         partial = batch_df.groupBy("user_id").agg(
             F.count("*").cast("bigint").alias("n_events"),
@@ -75,6 +83,9 @@ class StreamingUserFeatures:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def snapshot(self) -> DataFrame:
         """Feature table over everything ingested — identical

@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame
 from onionnet_spark.builder import grow_onion, merge_onion
 from onionnet_spark.core import OnionGraph
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingGraphMaintainer:
+
+class StreamingGraphMaintainer(ReplayGuardMixin):
     """Holds the maintained graph and merges micro-batches into it.
 
     Edge events carry endpoint node attributes inline (the common
@@ -38,7 +40,13 @@ class StreamingGraphMaintainer:
     def merge_edge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         import pyspark.sql.functions as F
 
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         src_nodes = batch_df.select(
             F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
@@ -67,6 +75,9 @@ class StreamingGraphMaintainer:
         )
         old.unpersist()
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def attach(self, edge_stream: DataFrame, checkpoint_dir: str):
         """Start the stream: every micro-batch merges into the graph."""

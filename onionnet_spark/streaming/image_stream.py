@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.functions.multimodal import image_dhash
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingImageDedupMaintainer:
+
+class StreamingImageDedupMaintainer(ReplayGuardMixin):
     def __init__(self, spark: SparkSession):
         self.index = spark.createDataFrame([], "dhash string, first_id bigint")
         self.results = spark.createDataFrame(
@@ -34,7 +36,13 @@ class StreamingImageDedupMaintainer:
         self.n_batches = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         hashed = image_dhash(batch_df).localCheckpoint()
         w = Window.partitionBy("dhash").orderBy("doc_id")
@@ -72,6 +80,9 @@ class StreamingImageDedupMaintainer:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def attach(self, image_stream: DataFrame, checkpoint_dir: str):
         """Start the stream: every micro-batch is dHashed, deduped

@@ -34,10 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
+
 _KINDS = ("view", "click", "purchase")
 
 
-class StreamingStageLatencyMaintainer:
+class StreamingStageLatencyMaintainer(ReplayGuardMixin):
     """Maintains the pruned per-(user, kind) timestamp state across
     micro-batches and serves events_stage_latency snapshots."""
 
@@ -46,20 +48,14 @@ class StreamingStageLatencyMaintainer:
             [], "user_id long, kind string, ts timestamp"
         ).localCheckpoint()
         self.n_batches = 0
-        self._last_batch_id: int | None = None
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
-        # at-least-once replay guard — same contract as the other
-        # maintainers: the union-merge below is not idempotent
-        if (
-            batch_id is not None
-            and self._last_batch_id is not None
-            and batch_id <= self._last_batch_id
-        ):
+        # at-least-once replay guard — shared contract, see
+        # ReplayGuardMixin: the union-merge below is not idempotent
+        if self._is_replay(batch_id):
             return
         if not batch_df.take(1):
-            if batch_id is not None:
-                self._last_batch_id = batch_id
+            self._mark_applied(batch_id)
             return
         partial = (
             batch_df.filter(F.col("event_type").isin(*_KINDS))
@@ -122,8 +118,9 @@ class StreamingStageLatencyMaintainer:
             .localCheckpoint()
         )
         self.n_batches += 1
-        if batch_id is not None:
-            self._last_batch_id = batch_id
+        # recorded only AFTER the eager checkpoint: a merge that died
+        # mid-batch must accept the stream's retry, not skip it
+        self._mark_applied(batch_id)
 
     def latency_snapshot(self) -> DataFrame:
         """events_stage_latency recomputed from the maintained state

@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.functions.dedup import doc_lines
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingLineDedupMaintainer:
+
+class StreamingLineDedupMaintainer(ReplayGuardMixin):
     def __init__(self, spark: SparkSession):
         self.seen = spark.createDataFrame([], "lh string")
         self.stats = spark.createDataFrame(
@@ -37,7 +39,13 @@ class StreamingLineDedupMaintainer:
         self.n_batches = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         lines = doc_lines(batch_df).localCheckpoint()
         w = Window.partitionBy("lh").orderBy("id", "li")
@@ -68,6 +76,9 @@ class StreamingLineDedupMaintainer:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def attach(self, doc_stream: DataFrame, checkpoint_dir: str):
         """Start the stream: every micro-batch is accounted against

@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingPsiMonitor:
+
+class StreamingPsiMonitor(ReplayGuardMixin):
     def __init__(
         self,
         spark: SparkSession,
@@ -53,7 +55,13 @@ class StreamingPsiMonitor:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         partial = self._binned(batch_df).groupBy("g", "bin").agg(
             F.count("*").cast("bigint").alias("c")
@@ -65,6 +73,9 @@ class StreamingPsiMonitor:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def snapshot(self) -> DataFrame:
         """PSI per group over everything ingested — same math as

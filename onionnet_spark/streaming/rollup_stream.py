@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingRollupMaintainer:
+
+class StreamingRollupMaintainer(ReplayGuardMixin):
     """Maintains per-(hour-bucket, event_type) count/sum aggregates
     across micro-batches."""
 
@@ -36,7 +38,13 @@ class StreamingRollupMaintainer:
         self.n_batches = 0
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         partial = (
             batch_df.groupBy(
@@ -64,6 +72,9 @@ class StreamingRollupMaintainer:
         )
         self.rollup = merged.localCheckpoint()
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def snapshot(self) -> DataFrame:
         """The maintained rollup, rounded for comparison."""

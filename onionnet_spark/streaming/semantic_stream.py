@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.functions.similarity import assign_to_centroids
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingSemanticDedupMaintainer:
+
+class StreamingSemanticDedupMaintainer(ReplayGuardMixin):
     """Maintains the per-cluster quantized-vector index and emits one
     row per arriving vector: (vec_id, cluster, dup_of, is_kept)."""
 
@@ -88,7 +90,13 @@ class StreamingSemanticDedupMaintainer:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         scale = self.scale
         assign = assign_to_centroids(
@@ -128,6 +136,9 @@ class StreamingSemanticDedupMaintainer:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def attach(self, vec_stream: DataFrame, checkpoint_dir: str):
         return (

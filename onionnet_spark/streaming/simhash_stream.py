@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.functions.dedup import simhash
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingSimhashDedup:
+
+class StreamingSimhashDedup(ReplayGuardMixin):
     def __init__(
         self,
         spark: SparkSession,
@@ -65,7 +67,13 @@ class StreamingSimhashDedup:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         sh_new = (
             simhash(batch_df, "text", "doc_id", self.bits)
@@ -125,6 +133,9 @@ class StreamingSimhashDedup:
             .localCheckpoint()
         )
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def attach(self, doc_stream: DataFrame, checkpoint_dir: str):
         return (

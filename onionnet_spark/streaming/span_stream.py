@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.functions.dedup import normalize_text
 
+from onionnet_spark.streaming.replay import ReplayGuardMixin
 
-class StreamingDupSpanMaintainer:
+
+class StreamingDupSpanMaintainer(ReplayGuardMixin):
     def __init__(self, spark: SparkSession, w: int = 5):
         self.w = w
         self.spark = spark
@@ -70,7 +72,13 @@ class StreamingDupSpanMaintainer:
         return base.select("doc_id", "n"), wins
 
     def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if self._is_replay(batch_id):
+            # foreachBatch at-least-once redelivery of an already-
+            # applied epoch: the merge below is not (or need not be)
+            # idempotent — skip it (ReplayGuardMixin contract)
+            return
         if not batch_df.take(1):
+            self._mark_applied(batch_id)
             return
         tokens, wins = self._windows(batch_df)
         wins = wins.localCheckpoint()
@@ -136,6 +144,9 @@ class StreamingDupSpanMaintainer:
         )
         self.doc_tokens = self.doc_tokens.unionByName(tokens).localCheckpoint()
         self.n_batches += 1
+        # recorded only AFTER the eager state checkpoint: a merge
+        # that died mid-batch must accept the stream's retry
+        self._mark_applied(batch_id)
 
     def snapshot(self) -> DataFrame:
         """Current per-doc span stats over everything ingested —
