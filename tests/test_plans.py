@@ -108,3 +108,28 @@ def test_weak_plan_operators_use_two_phase_rank():
     fn = fn[: fn.index("\ndef ")]
     assert "global_rank_range" in fn
     assert ".count()" not in fn  # n_rows rides the bounds aggregate
+
+
+def test_star_round_fuses_min_into_window_exchange(spark):
+    """VERDICT r9 item 7: the large-star/small-star round computes
+    min-over-neighborhood INSIDE the same hash exchange that groups
+    the edges (one Window per star). A refactor back to the
+    groupBy(min)+rejoin shape would reintroduce two extra shuffles
+    per star — this pins the per-round physical plan: exactly 2
+    Window operators, exactly 2 single-key window exchanges, and 1
+    more for the final distinct (3 exchanges total). The skew trade
+    (a hub's whole neighborhood in one task, AQE cannot split window
+    partitions) is documented at the connected_components_star
+    docstring."""
+    from onionnet_spark.operators.components import _star_round
+
+    e = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c")], "a string, b string"
+    )
+    plan = _star_round(e)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    windows = [ln for ln in lines if ln.lstrip("+-: ").startswith("Window")]
+    exchanges = [ln for ln in lines if "Exchange hashpartitioning" in ln]
+    single_key = [ln for ln in exchanges if ", b#" not in ln]
+    assert len(windows) == 2, plan
+    assert len(single_key) == 2 and len(exchanges) == 3, plan

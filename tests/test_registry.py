@@ -34,47 +34,37 @@ def test_oracle_attachment_to_same_fn_allowed():
 def test_load_all_is_registry_superset_and_ordered():
     reg = q.load_all()
     assert set(reg) == set(q.REGISTRY)
-    # round-9 priority: the 39 never-driver-recorded keys lead,
-    # then round-9 additions, then the recorded rotation record
+    # round-10 priority: the bit-rot re-sweep window leads (the 48
+    # keys whose only green row is r01, plus the 2 oldest r02 keys),
+    # then round-10 additions, then the recorded rotation record
     present_priority = []
     for k in (
-        q._R9_WINDOW + q._R9_NEW + q._R8_WINDOW + q._R7_WINDOW
-        + q._R6_WINDOW
+        q._R10_WINDOW + q._R10_NEW + q._R9_WINDOW + q._R9_NEW
+        + q._R8_WINDOW + q._R7_WINDOW + q._R6_WINDOW
     ):
         if k in reg and k not in present_priority:
             present_priority.append(k)
     assert list(reg)[: len(present_priority)] == present_priority
 
 
-def test_r9_window_covers_only_unrecorded_keys():
-    """Evidence-plan invariants (VERDICT r8 next-round item 1): every
-    round-9 driver-window slot is spent on a key with NO recorded
-    CORRECTNESS row in r01-r08 (the 39-key judge-verified backlog
-    plus round-9 additions); any overflow is explicitly queued —
-    nothing falls through silently."""
+def test_r10_window_resweeps_stalest_evidence():
+    """Evidence-plan invariants (VERDICT r9 next-round item 1): the
+    first sweep cycle is complete — the union of driver records
+    r01-r09 must cover the WHOLE registry green — so the round-10
+    window starts the bit-rot re-sweep: its 50 slots are exactly the
+    keys whose only green row is r01 (8 rounds of refactors old),
+    plus the 2 oldest r02-only keys, in registration order first."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green = set()
+    green_rounds: dict[str, set[int]] = {}
     red = set()
-    for fname in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-        "CORRECTNESS_r07.json",
-        "CORRECTNESS_r08.json",
-    ):
-        path = os.path.join(root, fname)
+    for rnd in (1, 2, 3, 5, 6, 7, 8, 9):
+        path = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
         if not os.path.exists(path):
             continue
         for k, v in json.load(open(path)).items():
             if not isinstance(v, dict):
                 continue
             hashed = v.get("hash_match") and not v.get("err")
-            # rows-only sketches record err='no_oracle' with a row
-            # count — that IS their green (weaker by design), UNLESS
-            # the key has since gained a real oracle: then the
-            # record is stale and the key is window-eligible again
             has_oracle = (
                 k in q.REGISTRY and q.REGISTRY[k][1] is not None
             )
@@ -83,22 +73,28 @@ def test_r9_window_covers_only_unrecorded_keys():
                 and v.get("spark_rows") is not None
                 and not has_oracle
             )
-            (green if hashed or rows_only else red).add(k)
-    red -= green
+            if hashed or rows_only:
+                green_rounds.setdefault(k, set()).add(rnd)
+            else:
+                red.add(k)
+    red -= set(green_rounds)
     red &= set(q.REGISTRY)  # drop keys retired from the registry
     assert not red, f"keys with a red driver record left unfixed: {red}"
     reg = q.load_all()
-    eligible = {k for k in reg if k not in green}
-    first = list(reg)[: min(50, len(eligible))]
-    wasted = [k for k in first if k in green]
-    assert not wasted, f"window slots spent on already-green keys: {wasted}"
-    overflow = [k for k in eligible if k not in set(first)]
-    queued = set(q._R9_WINDOW) | set(q._R9_NEW)
-    unqueued = [k for k in overflow if k not in queued]
-    assert not unqueued, (
-        f"never-recorded keys neither in the window nor queued in "
-        f"_R9_WINDOW/_R9_NEW: {unqueued}"
-    )
+    # zero evidence debt: every key ever registered has a green row
+    # (keys added THIS round are allowed to be pending, queued in
+    # _R10_NEW behind the sweep)
+    unrecorded = [
+        k for k in reg if k not in green_rounds and k not in q._R10_NEW
+    ]
+    assert not unrecorded, f"keys with no driver record: {unrecorded}"
+    # the window re-records the stalest evidence first
+    r01_only = {k for k, rs in green_rounds.items() if rs == {1}}
+    r02_only = {k for k, rs in green_rounds.items() if rs == {2}}
+    window = q._R10_WINDOW
+    assert list(reg)[: len(window)] == window
+    assert set(window[:48]) == r01_only & set(q.REGISTRY)
+    assert set(window[48:]) <= r02_only and len(window) == 50
 
 
 def test_survey_inventory_matches_registry():
