@@ -662,6 +662,7 @@ def temporal_earliest_arrival(
     dst_col: str = "dst",
     ts_col: str = "ts",
     max_rounds: int = 4,
+    hops_per_round: int = 1,
 ) -> DataFrame:
     """Time-respecting reachability: earliest arrival time at every
     node over paths whose edge timestamps never decrease — an edge
@@ -689,6 +690,22 @@ def temporal_earliest_arrival(
     broadcast anti-join + union, checkpointed every few rounds to
     bound lineage. The old full-outer merge re-exchanged (and
     re-materialized) the WHOLE best table every round.
+
+    `hops_per_round` > 1 expands the frontier that many hops INSIDE
+    one round (lazy join chain, no barrier between hops) before the
+    single delta merge — so an improvement propagates k hops per
+    materialization and the round count (the per-round scheduling
+    constant dominates at small data; at 100 TB it is the number of
+    cluster-wide barriers) drops by ~k. Sound because relaxation is
+    monotone label-correcting: an intra-round hop relaxes from a
+    CANDIDATE arrival that may be worse than (or tie) the node's
+    final best, which can only under-qualify edges — never admit an
+    invalid path — and any node whose best actually improves lands
+    in the round's delta, so its out-edges are re-relaxed with the
+    improved value next round. The fixpoint (empty delta) is
+    therefore the same under any hops_per_round; the convergence
+    guard caps OUTER rounds, i.e. total depth <= max_rounds *
+    hops_per_round.
     """
     e = edges.select(
         F.col(src_col).alias("u"),
@@ -702,12 +719,22 @@ def temporal_earliest_arrival(
     ).localCheckpoint()
     frontier = best
     for round_no in range(max_rounds + 1):
-        reached = (
-            frontier.join(e, on=frontier["node"] == e["u"])
-            .filter(F.col("arrival").isNull() | (F.col("t") >= F.col("arrival")))
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.min("t").alias("cand"))
-        )
+        hop, per_hop = frontier, []
+        for _ in range(max(1, hops_per_round)):
+            reached = (
+                hop.join(e, on=hop["node"] == e["u"])
+                .filter(
+                    F.col("arrival").isNull() | (F.col("t") >= F.col("arrival"))
+                )
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("t").alias("arrival"))
+            )
+            per_hop.append(reached)
+            hop = reached
+        cands = per_hop[0]
+        for nxt in per_hop[1:]:
+            cands = cands.unionByName(nxt)
+        reached = cands.groupBy("node").agg(F.min("arrival").alias("cand"))
         # improvements only: a candidate survives if its node is new
         # to best (`seen` NULL) or strictly earlier than the current
         # non-NULL arrival (a source's NULL arrival reads as

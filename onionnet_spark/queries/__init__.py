@@ -617,7 +617,10 @@ _R10_WINDOW: list[str] = [
     "asof_join",
     "basket_pairs",
 ]
-_R10_NEW: list[str] = []
+_R10_NEW: list[str] = [
+    "lineitem_trimmed_mean",
+    "events_runs_test",
+]
 
 
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:

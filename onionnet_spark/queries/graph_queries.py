@@ -1821,11 +1821,15 @@ def graph_temporal_reach(spark, sf_dir):
     )
     edges = fwd.unionByName(bwd)
     seed = ol.sparkSession.createDataFrame([("customer:1",)], "node string")
-    # 16 rounds: sf0.1's longer ship-date chains exceed the 8-round
-    # budget that sufficed at sf0.01 (caught by the r8 bench sweep);
-    # the loop still exits early on an empty frontier, so small SFs
-    # run exactly as before.
-    return temporal_earliest_arrival(edges, seed, max_rounds=16)
+    # depth budget 24 (6 outer rounds x 4 intra-round hops): sf0.1's
+    # longer ship-date chains exceeded the 8-round budget that
+    # sufficed at sf0.01 (r8 bench sweep), and the r10 multi-hop
+    # rounds cut the materialization barriers ~4x on top — the loop
+    # still exits early on an empty delta, so small SFs converge in
+    # 1-2 outer rounds.
+    return temporal_earliest_arrival(
+        edges, seed, max_rounds=6, hops_per_round=4
+    )
 
 
 def _matching_oracle(topn: int = 60, rounds: int = 5) -> str:

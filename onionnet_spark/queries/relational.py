@@ -4037,3 +4037,77 @@ def orders_fulfillment_curve_q(spark, sf_dir):
             F.sum("n").over(wcum) * 1.0 / F.sum("n").over(wall), 6
         ).alias("cum_share"),
     )
+
+
+@register(
+    "lineitem_trimmed_mean",
+    # 5%-trimmed mean: robust location estimate per (returnflag,
+    # linestatus) — drops the k = n*5//100 smallest and largest
+    # cent values by EXACT rank under a total order (cents,
+    # orderkey, linenumber), so the kept multiset is identical on
+    # both engines; sums are exact BIGINT cents, one division per
+    # group at the end. The robust companion to orders_price_mad's
+    # spread view (r10).
+    """WITH v AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, l_linestatus, cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag, l_linestatus
+               ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY l_returnflag, l_linestatus) AS n
+      FROM v),
+    k AS (SELECT *, n * 5 // 100 AS cut FROM r)
+    SELECT l_returnflag, l_linestatus,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(SUM(cents) / 100.0 / COUNT(*), 6) AS trimmed_mean
+    FROM k WHERE rn > cut AND rn <= n - cut
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def lineitem_trimmed_mean_q(spark, sf_dir):
+    """5%-trimmed mean of extended price per (returnflag,
+    linestatus): rank-based trimming under a TOTAL order (cents,
+    orderkey, linenumber breaks ties deterministically), so both
+    engines keep the identical row multiset — no percentile
+    interpolation to disagree on. Group-partitioned windows; exact
+    BIGINT cent sums; the robust-location companion to
+    orders_price_mad (r10)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    # floor-quantize the IEEE product (NOT a bare cast: Spark's
+    # double->bigint cast truncates while DuckDB's rounds — the
+    # repo's documented floor-quantize learning)
+    v = t["lineitem"].select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    grp = Window.partitionBy("l_returnflag", "l_linestatus")
+    r = v.select(
+        "l_returnflag",
+        "l_linestatus",
+        "cents",
+        F.row_number()
+        .over(grp.orderBy("cents", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count("*").over(grp).alias("n"),
+    ).withColumn("cut", F.expr("div(n * 5, 100)"))
+    return (
+        r.filter((F.col("rn") > F.col("cut")) & (F.col("rn") <= F.col("n") - F.col("cut")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.round(F.sum("cents") / 100.0 / F.count("*"), 6).alias(
+                "trimmed_mean"
+            ),
+        )
+    )

@@ -2046,3 +2046,98 @@ def events_burst_periods(spark, sf_dir):
         F.max("cnt").cast("bigint").alias("peak_daily"),
         F.sum("cnt").cast("bigint").alias("total_events"),
     ).drop("anchor")
+
+
+@register(
+    "events_runs_test",
+    # Wald-Wolfowitz runs test (above/below the mean) on the daily
+    # event-count series: randomness QA between the point scans
+    # (events_anomaly) and the dependence scans (events_autocorr) —
+    # too FEW runs = clustering/trend, too MANY = oscillation. The
+    # above-mean sign is an exact integer cross-multiply (x*T > S,
+    # ties count below by definition here), the run count is a lag
+    # fold of the bounded daily grid, and z is assembled from exact
+    # BIGINT counts with the identical float expression both engines
+    # (NULL when a side is empty or the variance degenerates).
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t, SUM(x) AS s FROM daily),
+    sgn AS (
+      SELECT day, CASE WHEN x * tot.t > tot.s THEN 1 ELSE 0 END AS sg
+      FROM daily, tot),
+    ord AS (SELECT sg, LAG(sg) OVER (ORDER BY day) AS pg FROM sgn),
+    agg AS (
+      SELECT COUNT(*) AS t, SUM(sg) AS n1, COUNT(*) - SUM(sg) AS n2,
+             1 + SUM(CASE WHEN pg IS NOT NULL AND pg <> sg
+                          THEN 1 ELSE 0 END) AS r
+      FROM ord)
+    SELECT CAST(t AS BIGINT) AS n_days,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND t > 1
+                     AND 2 * n1 * n2 > t
+           THEN ROUND((r - (2.0 * n1 * n2 / t + 1))
+                      / sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - t)
+                             / (t * t * (t - 1.0))), 6)
+           END AS z
+    FROM agg""",
+)
+def events_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on daily event volume: counts
+    maximal runs of above/below-mean days and the normal-approx z
+    statistic — the is-this-series-random gate a forecasting
+    pipeline runs before trusting residuals. Raw events collapse
+    once to the bounded daily grid; the sign fold, run count, and z
+    are all exact-integer until one final float expression shared
+    verbatim with the oracle (r10)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    tot = daily.agg(
+        F.count("*").alias("t"), F.sum("x").alias("s")
+    )
+    sgn = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.when(F.col("x") * F.col("t") > F.col("s"), 1).otherwise(0).alias("sg"),
+    )
+    # bounded: the daily value grid (|days| rows, calendar-bounded),
+    # never |events| — same class as lineitem_ks_test's whitelisted
+    # cumulative window
+    w = Window.orderBy("day")
+    ordd = sgn.select("sg", F.lag("sg").over(w).alias("pg"))
+    agg = ordd.agg(
+        F.count("*").alias("t"),
+        F.sum("sg").alias("n1"),
+        (F.count("*") - F.sum("sg")).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("pg").isNotNull() & (F.col("pg") != F.col("sg")), 1
+                ).otherwise(0)
+            )
+        ).alias("r"),
+    )
+    t, n1, n2, r = F.col("t"), F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / t + 1
+    varg = (
+        2.0 * n1 * n2 * (2 * n1 * n2 - t) / (t * t * (t - 1.0))
+    )
+    return agg.select(
+        t.cast("bigint").alias("n_days"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        r.cast("bigint").alias("n_runs"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (t > 1) & (2 * n1 * n2 > t),
+            F.round((r - mu) / F.sqrt(varg), 6),
+        ).alias("z"),
+    )

@@ -40,7 +40,7 @@ EXPECTED = {
     "queries/graph_queries.py": 3,
     "queries/pipeline_queries.py": 4,
     "queries/relational.py": 10,
-    "queries/streaming_queries.py": 2,
+    "queries/streaming_queries.py": 3,
     "streaming/events.py": 1,
 }
 
