@@ -2583,11 +2583,15 @@ def salsa_scores(
     # parts/suppliers keep the label eccentricity non-trivial.
     from pyspark.sql import Window
 
+    # no distinct here (r10): min-over-hub is duplicate-insensitive
+    # and the star edges hit connected_components_star's initial
+    # distinct anyway — deduping ha first paid a FULL extra exchange
+    # of the |edges|-sized table before the window.
     ha = e.select(
         F.concat_ws(":", F.col("src_layer"), F.col("src_id")).alias("h"),
         F.concat(F.lit("a:"), F.col("dst_layer")).alias("a_layer"),
         F.col("dst_id").alias("a_id"),
-    ).distinct()
+    )
     # min-over-window on the same hash exchange that groups the hub's
     # rows (the fused-exchange shape from components.py): one shuffle,
     # no groupBy+rejoin.
