@@ -2569,47 +2569,40 @@ def salsa_scores(
     # never win the component min-label ('a:' sorts before 'h:'), so
     # instead of CC over the full split graph we CONTRACT every hub
     # away: a hub connects exactly its own authorities, which a
-    # STAR of |authorities(h)| - 1 edges from the hub's minimum
-    # authority connects identically. This removes |hubs| nodes
-    # (233s -> the authority-graph CC at sf0.1 in the r8 sweep) with
-    # labels provably unchanged, and — unlike the r8/r9 per-hub
-    # CHAIN, which strung the authorities into |authorities(h)|-long
-    # paths — keeps every authority within distance 1 of a hub
-    # representative, so the star-contraction fixpoint converges in
-    # a handful of rounds instead of O(log^2 chain-length) (r9
-    # VERDICT item 2: the residual salsa constant WAS the CC round
-    # count on the chain graph). Star contraction (not min-label
-    # BFS) still, because overlapping stars through shared
-    # parts/suppliers keep the label eccentricity non-trivial.
+    # CHAIN of |authorities(h)| - 1 edges connects identically.
+    # This removes |hubs| nodes and turns hub fan-out into linear
+    # chain edges (233s -> the authority-graph CC at sf0.1 in the r8
+    # sweep), with labels provably unchanged. Chain — NOT a per-hub
+    # star from the min authority — was re-validated in r10 by an
+    # interleaved A/B (chain median 13.1s vs star 23.2s at sf0.1):
+    # overlapping stars route thousands of hubs to the SAME few min
+    # authorities, so the very first large-star window lands one
+    # giant neighborhood in one task (the window-skew trap documented
+    # on connected_components_star), while chain keeps every
+    # contracted degree <= 2 and the extra O(log chain) rounds are
+    # cheaper than the skewed task. Star contraction (not min-label
+    # BFS) because chains through shared parts/suppliers give the
+    # co-occurrence graph a large label eccentricity.
     from pyspark.sql import Window
 
-    # no distinct here (r10): min-over-hub is duplicate-insensitive
-    # and the star edges hit connected_components_star's initial
-    # distinct anyway — deduping ha first paid a FULL extra exchange
-    # of the |edges|-sized table before the window.
     ha = e.select(
         F.concat_ws(":", F.col("src_layer"), F.col("src_id")).alias("h"),
         F.concat(F.lit("a:"), F.col("dst_layer")).alias("a_layer"),
         F.col("dst_id").alias("a_id"),
-    )
-    # min-over-window on the same hash exchange that groups the hub's
-    # rows (the fused-exchange shape from components.py): one shuffle,
-    # no groupBy+rejoin.
-    w_hub = Window.partitionBy("h")
-    star = ha.select(
+    ).distinct()
+    w_hub = Window.partitionBy("h").orderBy("a_layer", "a_id")
+    chain = ha.select(
         "a_layer",
         "a_id",
-        F.min(F.struct("a_layer", "a_id")).over(w_hub).alias("m"),
-    ).filter(
-        (F.col("a_layer") != F.col("m.a_layer"))
-        | (F.col("a_id") != F.col("m.a_id"))
-    )
+        F.lag("a_layer").over(w_hub).alias("p_layer"),
+        F.lag("a_id").over(w_hub).alias("p_id"),
+    ).filter(F.col("p_layer").isNotNull())
     auth_nodes = ha.select(
         F.col("a_layer").alias("layer"), F.col("a_id").alias("node_id")
     ).distinct()
-    auth_edges = star.select(
-        F.col("m.a_layer").alias("src_layer"),
-        F.col("m.a_id").alias("src_id"),
+    auth_edges = chain.select(
+        F.col("p_layer").alias("src_layer"),
+        F.col("p_id").alias("src_id"),
         F.col("a_layer").alias("dst_layer"),
         F.col("a_id").alias("dst_id"),
     )
