@@ -239,3 +239,40 @@ def test_temporal_earliest_arrival_cap_raises(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         temporal_earliest_arrival(edges, seed, max_rounds=1)
+
+
+def test_temporal_earliest_arrival_multihop_rounds_same_fixpoint(spark):
+    """hops_per_round expands the frontier inside a round (r10): the
+    fixpoint must be identical to 1-hop rounds — intra-round hops
+    relax from candidate arrivals that may still improve, which can
+    only under-qualify edges, never admit an invalid path; and a
+    depth-3 chain must converge within ONE outer round at
+    hops_per_round=3 where the 1-hop cap of 1 raises."""
+    import datetime
+
+    from onionnet_spark.operators.traversal import temporal_earliest_arrival
+
+    d = lambda n: datetime.datetime(2024, 1, n)  # noqa: E731
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", d(5)),
+            ("a", "b", d(3)),
+            ("a", "b", d(9)),
+            ("s", "c", d(1)),
+            ("c", "b", d(2)),
+            ("b", "e", d(4)),   # reachable via b@2 only (4 >= 2)
+            ("s", "x1", d(1)),
+            ("x1", "x2", d(2)),
+            ("x2", "x3", d(3)),
+        ],
+        "src string, dst string, ts timestamp",
+    )
+    seed = spark.createDataFrame([("s",)], "node string")
+    want = {r["node"]: r["arrival"] for r in
+            temporal_earliest_arrival(edges, seed, max_rounds=6).collect()}
+    got = {r["node"]: r["arrival"] for r in
+           temporal_earliest_arrival(
+               edges, seed, max_rounds=2, hops_per_round=3
+           ).collect()}
+    assert got == want
+    assert got["x3"] == d(3) and got["e"] == d(4) and got["b"] == d(2)
