@@ -376,6 +376,9 @@ TAIL = [
     "source_burrows_delta",
     "dedup_bbit_minhash",
     "multimodal_png_interlaced",
+    # round-10 additions
+    "lineitem_trimmed_mean",
+    "events_runs_test",
 ]
 
 

@@ -1821,14 +1821,17 @@ def graph_temporal_reach(spark, sf_dir):
     )
     edges = fwd.unionByName(bwd)
     seed = ol.sparkSession.createDataFrame([("customer:1",)], "node string")
-    # depth budget 24 (6 outer rounds x 4 intra-round hops): sf0.1's
+    # depth budget 18 (9 outer rounds x 2 intra-round hops): sf0.1's
     # longer ship-date chains exceeded the 8-round budget that
-    # sufficed at sf0.01 (r8 bench sweep), and the r10 multi-hop
-    # rounds cut the materialization barriers ~4x on top — the loop
-    # still exits early on an empty delta, so small SFs converge in
-    # 1-2 outer rounds.
+    # sufficed at sf0.01 (r8 bench sweep). hops_per_round=2 halves
+    # the materialization barriers and matches the graph's bipartite
+    # alternation (customer->supplier->customer per outer round);
+    # the r10 interleaved A/B put it ahead of both 1 hop (more
+    # barriers) and 4 hops (deeper intra-round plans): medians
+    # 14.7 / 16.3 / 15.2s at sf0.1. The loop still exits early on an
+    # empty delta, so small SFs converge in a couple of outer rounds.
     return temporal_earliest_arrival(
-        edges, seed, max_rounds=6, hops_per_round=4
+        edges, seed, max_rounds=9, hops_per_round=2
     )
 
 
