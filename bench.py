@@ -379,6 +379,13 @@ TAIL = [
     # round-10 additions
     "lineitem_trimmed_mean",
     "events_runs_test",
+    "events_mann_kendall",
+    "events_ljung_box",
+    "docs_yules_k",
+    "embedding_lid",
+    "graph_centrality_spearman",
+    "lineitem_grubbs",
+    "multimodal_qoi_roundtrip",
 ]
 
 

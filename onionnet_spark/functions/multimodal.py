@@ -71,6 +71,7 @@ def _decode_any_image(payload) -> "np.ndarray":
     from onionnet_spark.functions import gif as _gif
     from onionnet_spark.functions import jpeg as _jpeg
     from onionnet_spark.functions import png as _png
+    from onionnet_spark.functions import qoi as _qoi
     from onionnet_spark.functions import tiff as _tiff
 
     if _png.is_png(payload):
@@ -83,9 +84,11 @@ def _decode_any_image(payload) -> "np.ndarray":
         return _gif.decode_gif(payload)[0][0]  # first frame
     if _tiff.is_tiff(payload):
         return _tiff.decode_tiff(payload)[0]  # first page
+    if _qoi.is_qoi(payload):
+        return _qoi.decode_qoi(payload)
     raise NotImplementedError(
         "real decode implemented for PNG, JPEG (baseline/progressive/"
-        "4:2:0), BMP, GIF and TIFF; WebP/HEIC-class formats need "
+        "4:2:0), BMP, GIF, TIFF and QOI; WebP/HEIC-class formats need "
         "PIL/ffmpeg — not in this container. Use fake=True for those."
     )
 

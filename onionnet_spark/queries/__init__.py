@@ -620,6 +620,13 @@ _R10_WINDOW: list[str] = [
 _R10_NEW: list[str] = [
     "lineitem_trimmed_mean",
     "events_runs_test",
+    "events_mann_kendall",
+    "events_ljung_box",
+    "docs_yules_k",
+    "embedding_lid",
+    "graph_centrality_spearman",
+    "lineitem_grubbs",
+    "multimodal_qoi_roundtrip",
 ]
 
 

@@ -3961,3 +3961,111 @@ def graph_degree_gini_q(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register("graph_centrality_spearman", None)  # oracle generated below
+def graph_centrality_spearman_q(spark, sf_dir):
+    """Spearman rank correlation between degree and PageRank(5)
+    over the 4-layer slice — the do-my-centralities-agree QA that
+    decides whether the cheap measure (degree) can stand in for the
+    expensive one at serving time. Average ranks (standard tie
+    handling) are DOUBLED so every cumulant stays an exact BIGINT:
+    the doubled average rank of a tie group is 2*cum_count - c + 1,
+    computed by one cumulative window over the VALUE grid (pr is
+    6dp-rounded -> at most 1e6+1 distinct values; degrees collapse
+    to the distinct-degree table, power-law-few in practice), never
+    over rows. Pearson on the doubled ranks is one aggregate with a
+    single float expression shared with the oracle (r10)."""
+    from pyspark.sql import Window
+
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    from onionnet_spark.core import NODE_KEY
+
+    deg = analytics.degrees(g).select(
+        *NODE_KEY, F.col("degree").cast("bigint").alias("deg")
+    )
+    pr = analytics.pagerank(g, 5).select(
+        *NODE_KEY, F.round("pagerank", 6).alias("pr6")
+    )
+    m = pr.join(deg, on=list(NODE_KEY)).select("deg", "pr6")
+
+    def doubled_ranks(col: str):
+        # bounded: windows run over the per-VALUE aggregate (6dp
+        # pagerank grid <= 1e6+1 rows; distinct degrees), the same
+        # value-grid class as price_histogram's whitelisted window.
+        vals = m.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return vals.select(
+            col,
+            (2 * F.sum("c").over(w) - F.col("c") + 1).alias("r2"),
+        )
+
+    rx = doubled_ranks("deg").withColumnRenamed("r2", "rx")
+    ry = doubled_ranks("pr6").withColumnRenamed("r2", "ry")
+    rk = (
+        m.join(F.broadcast(rx), "deg")
+        .join(F.broadcast(ry), "pr6")
+        .select("rx", "ry")
+    )
+    a = rk.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n")
+    return a.select(
+        n.cast("bigint").alias("n_nodes"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.lit(1.0)
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+_REG["graph_centrality_spearman"] = (
+    graph_centrality_spearman_q,
+    _pagerank_oracle(
+        final_select="""
+    , od AS (SELECT src_layer AS layer, src_id AS node_id, COUNT(*) AS c
+             FROM es GROUP BY 1, 2)
+    , idg AS (SELECT dst_layer AS layer, dst_id AS node_id, COUNT(*) AS c
+              FROM es GROUP BY 1, 2)
+    , m AS (
+      SELECT CAST(COALESCE(od.c, 0) + COALESCE(idg.c, 0) AS BIGINT) AS deg,
+             ROUND(p.pr, 6) AS pr6
+      FROM ns
+      LEFT JOIN od ON od.layer = ns.layer AND od.node_id = ns.node_id
+      LEFT JOIN idg ON idg.layer = ns.layer AND idg.node_id = ns.node_id
+      JOIN pr5 p ON p.layer = ns.layer AND p.node_id = ns.node_id)
+    , vx AS (SELECT deg, COUNT(*) AS c FROM m GROUP BY 1)
+    , vx2 AS (SELECT deg,
+                     2 * SUM(c) OVER (ORDER BY deg
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - c + 1 AS rx
+              FROM vx)
+    , vy AS (SELECT pr6, COUNT(*) AS c FROM m GROUP BY 1)
+    , vy2 AS (SELECT pr6,
+                     2 * SUM(c) OVER (ORDER BY pr6
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - c + 1 AS ry
+              FROM vy)
+    , rk AS (SELECT vx2.rx, vy2.ry
+             FROM m JOIN vx2 ON vx2.deg = m.deg JOIN vy2 ON vy2.pr6 = m.pr6)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND((COUNT(*) * SUM(rx * ry) - SUM(rx) * SUM(ry))
+                 / sqrt((COUNT(*) * SUM(rx * rx) - SUM(rx) * SUM(rx)) * 1.0
+                        * (COUNT(*) * SUM(ry * ry) - SUM(ry) * SUM(ry))), 6)
+             AS spearman_rho
+    FROM rk"""
+    ),
+)

@@ -7864,3 +7864,239 @@ def multimodal_png_interlaced_q(spark, sf_dir):
         "doc_id long, width int, height int, n_channels int, "
         "pixel_sum long, pos_checksum long",
     )
+
+
+@register(
+    "docs_yules_k",
+    # Yule's K lexical-richness characteristic per source:
+    # K = 1e4 * (sum_m m^2*V_m - N) / N^2, with sum_m m^2*V_m equal
+    # to the sum of squared term counts — so the whole statistic
+    # rides the same (source, term, count) aggregate as the hapax /
+    # Simpson keys, and K's numerator (k_num) is an exact BIGINT the
+    # gate can pin before the single final division. K is
+    # length-invariant where raw TTR is not — the standard
+    # repetitiveness score for flagging template/boilerplate sources.
+    f"""WITH toks AS (
+      SELECT source, UNNEST({_TOKS}) AS tok FROM documents),
+    tc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(c * c) - SUM(c) AS BIGINT) AS k_num,
+           ROUND(10000.0 * (SUM(c * c) - SUM(c)) / (SUM(c) * SUM(c)), 6)
+             AS yules_k
+    FROM tc GROUP BY 1""",
+)
+def docs_yules_k_q(spark, sf_dir):
+    """Yule's K per source — the length-invariant repetitiveness
+    characteristic (10^4 * (sum c^2 - N) / N^2 over term counts c).
+    Two hash aggregations over the exploded token stream (per
+    source-term, then per source); every cumulant is an exact BIGINT
+    until the one final division, so the oracle hash-matches without
+    float-order caveats (r10)."""
+    from onionnet_spark.functions.text import tokens_col
+
+    tc = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    c = F.col("c")
+    return tc.groupBy("source").agg(
+        F.sum(c).cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        (F.sum(c * c) - F.sum(c)).cast("bigint").alias("k_num"),
+        F.round(
+            10000.0 * (F.sum(c * c) - F.sum(c)) / (F.sum(c) * F.sum(c)), 6
+        ).alias("yules_k"),
+    )
+
+
+@register(
+    "embedding_lid",
+    # Local Intrinsic Dimensionality (Amsaleh/Houle MLE) per vector:
+    # lid = k / sum_i ln(d_k / d_i) over its k nearest neighbors —
+    # the data-complexity score that predicts which regions of an
+    # embedding space ANN indexes serve badly (high LID = hard).
+    # Rides the exact top-k ladder's determinism contract: cosines
+    # rounded to 6dp with id tie-breaks fix the neighbor SET, each
+    # log-ratio term is nano-quantized (floor(1e9*ln)) so the
+    # per-point sum is an exact BIGINT in both engines, one final
+    # division. Zero-distance neighbors (exact duplicates) keep
+    # their top-k slot but contribute no term (ln 0 undefined);
+    # degenerate all-equal neighborhoods yield NULL via NULLIF.
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                  FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS query_id, a.label, b.vec_id AS neighbor_id,
+             1.0 - ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS d
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+      FROM p),
+    kept AS (SELECT * FROM r WHERE rk <= 10),
+    dk AS (SELECT query_id, MAX(d) AS d_max, COUNT(*) AS k_used
+           FROM kept GROUP BY 1),
+    t AS (
+      SELECT kept.query_id, kept.label, dk.k_used,
+             SUM(CASE WHEN kept.d > 0
+                 THEN CAST(floor(1e9 * ln(dk.d_max / kept.d)) AS BIGINT)
+                 ELSE 0 END) AS sum_nano
+      FROM kept JOIN dk ON dk.query_id = kept.query_id
+      GROUP BY 1, 2, 3)
+    SELECT query_id, label, CAST(k_used AS INT) AS k_used,
+           CAST(sum_nano AS BIGINT) AS sum_nano,
+           ROUND(k_used * 1e9 / NULLIF(sum_nano, 0), 6) AS lid
+    FROM t""",
+)
+def embedding_lid_q(spark, sf_dir):
+    """MLE Local Intrinsic Dimensionality per embedding (k=10
+    cosine-distance neighbors): the hardness map of the vector
+    space — high-LID points are where IVF/PQ recall collapses
+    first (compare embedding_knn_margin, which scores the top-1
+    gap only). Brute-force exact top-k at gate scale (the ANN
+    ladder's IVF path swaps in at 100 TB), neighbor set pinned by
+    6dp-rounded distances + id tie-breaks, log-ratio terms
+    nano-quantized so the per-point sum is one exact BIGINT (r10)."""
+    top = similarity.brute_force_topk(_embs(spark, sf_dir), k=10)
+    kept = top.select(
+        "query_id",
+        (F.lit(1.0) - F.col("cosine")).alias("d"),
+    )
+    dk = kept.groupBy("query_id").agg(
+        F.max("d").alias("d_max"), F.count("*").alias("k_used")
+    )
+    t = (
+        kept.join(dk, "query_id")
+        .groupBy("query_id", "k_used")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("d") > 0,
+                    F.floor(
+                        F.lit(1e9) * F.log(F.col("d_max") / F.col("d"))
+                    ).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("sum_nano")
+        )
+    )
+    labels = _embs(spark, sf_dir).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    return t.join(labels, "query_id").select(
+        "query_id",
+        "label",
+        F.col("k_used").cast("int").alias("k_used"),
+        F.col("sum_nano").cast("bigint").alias("sum_nano"),
+        F.round(
+            F.col("k_used") * 1e9 / F.nullif(F.col("sum_nano"), F.lit(0)), 6
+        ).alias("lid"),
+    )
+
+
+@register(
+    "multimodal_qoi_roundtrip",
+    # RUN/DELTA-CODING image gate: the payload is a real QOI stream
+    # (functions/qoi.py — 64-slot hash cache, wrapped DIFF/LUMA
+    # deltas, run-length packing per the public spec) built from
+    # closed-form pixels that exercise every RGB-path op (verified
+    # op census over the 150 docs: 2992 RUN / 1139 INDEX / 876 DIFF
+    # / 786 LUMA / 494 RGB): c//3 blocks give 3-pixel runs, even
+    # rows step +1 per block (QOI_OP_DIFF), odd rows +11
+    # (QOI_OP_LUMA), the (r%3)*97 row jump needs verbatim
+    # QOI_OP_RGB, and the mod-3 row recurrence re-hits cached colors
+    # (QOI_OP_INDEX). QOI is lossless, so every pixel is
+    # closed-form; a cache-hash, delta-wrap or run-length bug
+    # scrambles pos_checksum / pixel_sum.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    dims AS (SELECT doc_id, 6 + doc_id % 5 AS h, 6 + doc_id % 4 AS w
+             FROM ids),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, r.r, c.c, k.k,
+             (d.doc_id * 5 + (r.r % 3) * 97
+              + (c.c // 3) * (1 + 10 * (r.r % 2)) + k.k * 13) % 256 AS v
+      FROM dims d
+      JOIN range(0, 11) r(r) ON r.r < d.h
+      JOIN range(0, 10) c(c) ON c.c < d.w
+      JOIN range(0, 3) k(k) ON true
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (1 + r * 3 + c * 5 + k * 7)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id, w, h""",
+)
+def multimodal_qoi_roundtrip_q(spark, sf_dir):
+    """REAL QOI round-trip through the signature-dispatched image
+    path (functions/qoi.py): closed-form RGB frames -> QOI encode
+    (runs, hash-cache indexing, wrapped DIFF/LUMA deltas, verbatim
+    RGB) -> full decode -> per-image statistics (r10)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from onionnet_spark.functions import qoi as _qoi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 6 + d % 5, 6 + d % 4
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(3)[None, None, :]
+                f = (
+                    (d * 5 + (r % 3) * 97
+                     + (c // 3) * (1 + 10 * (r % 2)) + k * 13) % 256
+                ).astype(np.uint8)
+                payloads.append(_qoi.encode_qoi(f))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id")
+    payload = ids.mapInPandas(gen, "doc_id long, payload binary")
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        from onionnet_spark.functions.multimodal import _decode_any_image
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "pixel_sum", "pos_checksum",
+            )}
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _decode_any_image(bytes(pl)).astype(np.int64)
+                h, w, ch = arr.shape
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                k = np.arange(ch)[None, None, :]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(int(arr.sum()))
+                rows["pos_checksum"].append(
+                    int((arr * (1 + r * 3 + c * 5 + k * 7)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                    "pos_checksum": pd.Series(
+                        rows["pos_checksum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return payload.mapInPandas(
+        stats,
+        "doc_id long, width int, height int, pixel_sum long, "
+        "pos_checksum long",
+    )

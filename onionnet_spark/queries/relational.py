@@ -4111,3 +4111,81 @@ def lineitem_trimmed_mean_q(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "lineitem_grubbs",
+    # Grubbs' max-deviation outlier statistic per (returnflag,
+    # linestatus): G = max|x - mean| / s over extended-price cents.
+    # Single-pass algebra: max|n*x - S| = GREATEST(n*max - S,
+    # S - n*min) because n*x - S is monotone in x — so ONE hash
+    # aggregate per group, no second pass over rows. dev_max is an
+    # exact integer; the variance term n*SS - S^2 accumulates in
+    # 128-bit integers (HUGEINT here, DECIMAL(38,0) in Spark — cent
+    # squares overflow BIGINT at corpus scale), and both engines
+    # share the single final float expression. The tail-screening
+    # companion to orders_price_mad (robust spread) and
+    # lineitem_trimmed_mean (robust location) (r10).
+    """WITH v AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    a AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS ss,
+             MAX(cents) AS mx, MIN(cents) AS mn
+      FROM v GROUP BY 1, 2)
+    SELECT l_returnflag, l_linestatus,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(GREATEST(n * mx - s, s - n * mn) AS BIGINT) AS dev_max,
+           CASE WHEN n > 1 AND n * ss - s * s > 0
+           THEN ROUND(GREATEST(n * mx - s, s - n * mn)
+                      * sqrt((n - 1) * 1.0
+                             / (n * CAST(n * ss - s * s AS DOUBLE))), 6)
+           END AS g_stat
+    FROM a""",
+)
+def lineitem_grubbs_q(spark, sf_dir):
+    """Grubbs' outlier statistic (max studentized deviation) of
+    extended price per (returnflag, linestatus) — the is-the-max-
+    an-outlier screen run before trusting group means. One hash
+    aggregate per group: the max deviation folds to GREATEST(
+    n*max - S, S - n*min) (monotone in x), cent moments stay exact
+    integers (DECIMAL(38,0) for the squares — they pass BIGINT
+    range at warehouse scale), one shared float expression (r10)."""
+    t = load_tables(spark, sf_dir)
+    v = t["lineitem"].select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = F.col("cents")
+    a = v.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c.cast("decimal(38,0)") * c).alias("ss"),
+        F.max(c).alias("mx"),
+        F.min(c).alias("mn"),
+    )
+    n, s = F.col("n"), F.col("s")
+    dev = F.greatest(n * F.col("mx") - s, s - n * F.col("mn"))
+    den = n.cast("decimal(19,0)") * F.col("ss") - s.cast(
+        "decimal(19,0)"
+    ) * s.cast("decimal(19,0)")
+    return a.select(
+        "l_returnflag",
+        "l_linestatus",
+        n.cast("bigint").alias("n_rows"),
+        dev.cast("bigint").alias("dev_max"),
+        F.when(
+            (n > 1) & (den > 0),
+            F.round(
+                dev
+                * F.sqrt(
+                    (n - 1) * F.lit(1.0) / (n * den.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("g_stat"),
+    )

@@ -2141,3 +2141,207 @@ def events_runs_test(spark, sf_dir):
             F.round((r - mu) / F.sqrt(varg), 6),
         ).alias("z"),
     )
+
+
+@register(
+    "events_mann_kendall",
+    # Mann-Kendall trend test on the daily event-count series: the
+    # non-parametric is-volume-trending gate (no distribution or
+    # linearity assumption) that complements events_runs_test
+    # (randomness) and events_autocorr (dependence). S folds the
+    # sign of every forward pair of the BOUNDED daily aggregate
+    # (|days|^2 pairs, calendar-bounded — never raw events); the
+    # tie-corrected variance is exact-integer (var18 = 18*Var), and
+    # z uses the standard continuity correction with one float
+    # expression shared verbatim with the oracle.
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT SUM(CASE WHEN b.x > a.x THEN 1
+                      WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+      FROM daily a JOIN daily b ON b.day > a.day),
+    ties AS (
+      SELECT SUM(c * (c - 1) * (2 * c + 5)) AS tie_term
+      FROM (SELECT COUNT(*) AS c FROM daily GROUP BY x)),
+    tot AS (SELECT COUNT(*) AS n FROM daily)
+    SELECT CAST(tot.n AS BIGINT) AS n_days,
+           CAST(pairs.s AS BIGINT) AS s_stat,
+           CAST(tot.n * (tot.n - 1) * (2 * tot.n + 5)
+                - COALESCE(ties.tie_term, 0) AS BIGINT) AS var18,
+           CASE WHEN tot.n * (tot.n - 1) * (2 * tot.n + 5)
+                     - COALESCE(ties.tie_term, 0) > 0
+           THEN ROUND((pairs.s - CASE WHEN pairs.s > 0 THEN 1
+                                      WHEN pairs.s < 0 THEN -1
+                                      ELSE 0 END)
+                      / sqrt((tot.n * (tot.n - 1) * (2 * tot.n + 5)
+                              - COALESCE(ties.tie_term, 0)) / 18.0), 6)
+           END AS z
+    FROM pairs, ties, tot""",
+)
+def events_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on daily event volume: S sums the
+    sign over all forward day pairs, variance carries the exact
+    tie correction, z applies the continuity correction — the
+    standard monotone-trend detector run before fitting any
+    forecast. Raw events collapse once to the bounded daily grid;
+    the pair fold is a broadcast self-join of that grid (|days|^2,
+    calendar-bounded), all moments exact BIGINT until one final
+    float expression shared with the oracle (r10)."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tie_term")
+        )
+    )
+    tot = daily.agg(F.count("*").alias("n"))
+    j = pairs.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(tot))
+    n, s = F.col("n"), F.col("s")
+    var18 = n * (n - 1) * (2 * n + 5) - F.coalesce(
+        F.col("tie_term"), F.lit(0)
+    )
+    cont = F.when(s > 0, 1).when(s < 0, -1).otherwise(0)
+    return j.select(
+        n.cast("bigint").alias("n_days"),
+        s.cast("bigint").alias("s_stat"),
+        var18.cast("bigint").alias("var18"),
+        F.when(
+            var18 > 0, F.round((s - cont) / F.sqrt(var18 / 18.0), 6)
+        ).alias("z"),
+    )
+
+
+@register(
+    "events_ljung_box",
+    # Ljung-Box portmanteau test over the calendar-lag ACF of daily
+    # event counts: "is there ANY autocorrelation up to lag m" — the
+    # whiteness gate a forecaster runs on residuals, complementing
+    # events_autocorr (which reports the per-lag values this test
+    # pools). rho_k reuses the exact-integer ACF algebra
+    # (P*T^2 - S*Q*T + n_pairs*S^2 over SS*T^2 - S^2*T); each
+    # rho_k^2/n_pairs term is pico-quantized (floor(1e12*...)) so the
+    # cross-lag SUM is order-free in both engines, and Q_m scales the
+    # exact term sum once. Lags are calendar lags on the bounded
+    # daily grid (n_pairs counts the actual pairs present).
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT COUNT(*) AS t, SUM(x) AS s, SUM(x * x) AS ss FROM daily),
+    lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),
+                                   (8),(9),(10),(11),(12),(13),(14)) l(k)),
+    pairs AS (
+      SELECT l.k, COUNT(*) AS n_pairs,
+             SUM(a.x * b.x) AS p, SUM(a.x + b.x) AS q
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day - l.k * INTERVAL 1 DAY
+      GROUP BY 1),
+    terms AS (
+      SELECT p.k, p.n_pairs,
+             CAST(floor(1e12
+               * ((p.p * t.t * t.t - t.s * p.q * t.t + p.n_pairs * t.s * t.s)
+                  * 1.0 / (t.ss * t.t * t.t - t.s * t.s * t.t))
+               * ((p.p * t.t * t.t - t.s * p.q * t.t + p.n_pairs * t.s * t.s)
+                  * 1.0 / (t.ss * t.t * t.t - t.s * t.s * t.t))
+               / p.n_pairs) AS BIGINT) AS term
+      FROM pairs p CROSS JOIN tot t
+      WHERE p.n_pairs > 0),
+    ms AS (SELECT * FROM (VALUES (3),(7),(14)) m(m))
+    SELECT ms.m AS max_lag,
+           CAST(t.t AS BIGINT) AS n_days,
+           CAST(SUM(terms.term) AS BIGINT) AS term_sum_pico,
+           ROUND(t.t * (t.t + 2) * SUM(terms.term) / 1e12, 6) AS q_stat
+    FROM ms JOIN terms ON terms.k <= ms.m CROSS JOIN tot t
+    GROUP BY ms.m, t.t""",
+)
+def events_ljung_box(spark, sf_dir):
+    """Ljung-Box Q statistic at max lags 3/7/14 over the daily
+    event-count series — the pooled whiteness test behind
+    model-residual QA. One collapse of raw events to the bounded
+    daily grid, a broadcast calendar-offset self-join for the lag
+    pairs, exact-BIGINT ACF cumulants, pico-quantized per-lag terms
+    (so the cross-lag sum has no float order), one final scale
+    shared with the oracle (r10)."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    tot = daily.agg(
+        F.count("*").alias("t"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("k"))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(
+            F.broadcast(b),
+            F.col("db") == F.date_sub(F.col("da"), F.col("k")),
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("xa") * F.col("xb")).alias("p"),
+            F.sum(F.col("xa") + F.col("xb")).alias("q"),
+        )
+    )
+    t, s, ss = F.col("t"), F.col("s"), F.col("ss")
+    num = F.col("p") * t * t - s * F.col("q") * t + F.col("n_pairs") * s * s
+    den = ss * t * t - s * s * t
+    rho = num * F.lit(1.0) / den
+    terms = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_pairs") > 0)
+        .select(
+            "k",
+            F.floor(F.lit(1e12) * rho * rho / F.col("n_pairs"))
+            .cast("bigint")
+            .alias("term"),
+        )
+    )
+    ms = spark.createDataFrame([(3,), (7,), (14,)], "m int")
+    return (
+        F.broadcast(ms)
+        .join(terms, F.col("k") <= F.col("m"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("m", "t")
+        .agg(F.sum("term").alias("term_sum"))
+        .select(
+            F.col("m").alias("max_lag"),
+            t.cast("bigint").alias("n_days"),
+            F.col("term_sum").cast("bigint").alias("term_sum_pico"),
+            F.round(t * (t + 2) * F.col("term_sum") / 1e12, 6).alias(
+                "q_stat"
+            ),
+        )
+    )

@@ -223,3 +223,247 @@ def test_replay_guard_reset_rearms(spark):
     m.reset_replay_guard()
     m.merge_batch(b, batch_id=0)  # new query, state carries over
     assert m.n_batches == 2
+
+
+# ---------------------------------------------------------------------------
+# QOI codec (functions/qoi.py) — lossless roundtrip, all op paths
+# ---------------------------------------------------------------------------
+
+
+def test_qoi_roundtrip_random_rgb_rgba():
+    import numpy as np
+
+    from onionnet_spark.functions.qoi import decode_qoi, encode_qoi, is_qoi
+
+    rng = np.random.RandomState(7)
+    for shape in [(13, 9, 3), (5, 17, 4), (1, 1, 3), (64, 1, 4)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        b = encode_qoi(img)
+        assert is_qoi(b)
+        out = decode_qoi(b)
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_qoi_run_packing_and_flat():
+    import numpy as np
+
+    from onionnet_spark.functions.qoi import decode_qoi, encode_qoi
+
+    # 200 identical pixels force multiple max-62 RUN chunks
+    img = np.full((10, 20, 3), 77, np.uint8)
+    b = encode_qoi(img)
+    assert (decode_qoi(b) == img).all()
+    # flat encodes to a handful of bytes: header + first-pixel op +
+    # runs + end marker (the compression is genuine)
+    assert len(b) < 14 + 8 + 16
+
+
+def test_qoi_exercises_every_rgb_op():
+    import numpy as np
+
+    from onionnet_spark.functions.qoi import encode_qoi
+
+    def census(b):
+        body, ops, i = b[14:-8], {}, 0
+        while i < len(body):
+            x = body[i]
+            if x == 0xFE:
+                ops["rgb"] = ops.get("rgb", 0) + 1
+                i += 4
+            elif x == 0xFF:
+                ops["rgba"] = ops.get("rgba", 0) + 1
+                i += 5
+            else:
+                name = {0x00: "index", 0x40: "diff", 0x80: "luma",
+                        0xC0: "run"}[x & 0xC0]
+                ops[name] = ops.get(name, 0) + 1
+                i += 2 if (x & 0xC0) == 0x80 else 1
+        return ops
+
+    # the oracle's closed-form pattern, pooled over the 150 doc ids
+    tot = {}
+    for d in range(150):
+        h, w = 6 + d % 5, 6 + d % 4
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        k = np.arange(3)[None, None, :]
+        f = (
+            (d * 5 + (r % 3) * 97 + (c // 3) * (1 + 10 * (r % 2)) + k * 13)
+            % 256
+        ).astype(np.uint8)
+        for name, n in census(encode_qoi(f)).items():
+            tot[name] = tot.get(name, 0) + n
+    assert all(tot.get(op, 0) > 0 for op in ("run", "index", "diff", "luma",
+                                             "rgb"))
+
+
+def test_qoi_truncated_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from onionnet_spark.functions.qoi import decode_qoi, encode_qoi
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    b = encode_qoi(img)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_qoi(b[:20] + b[-8:])
+    with _pytest.raises(ValueError, match="not a QOI"):
+        decode_qoi(b"nope" + b[4:])
+
+
+# ---------------------------------------------------------------------------
+# StreamingMannKendallMaintainer — replay == batch, retroactive sign flips
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_mann_kendall_matches_batch(spark, events_df, sf_dir, tmp_path):
+    from onionnet_spark.queries.streaming_queries import events_mann_kendall
+    from onionnet_spark.streaming.mann_kendall_stream import (
+        StreamingMannKendallMaintainer,
+    )
+
+    m = StreamingMannKendallMaintainer(spark)
+    stream = ev.stream_from_batch(spark, events_df, partitions=4)
+    q = m.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert m.n_batches >= 2
+    got = [tuple(r) for r in m.mann_kendall_snapshot().collect()]
+    want = [tuple(r) for r in events_mann_kendall(spark, sf_dir).collect()]
+    assert got == want and len(got) == 1
+
+
+def test_streaming_mann_kendall_is_retroactive(spark):
+    """S is pairwise state: a late batch that bumps an OLD day's
+    count must flip the sign of every pair that day joins. Fixture:
+    days 1..4 strictly increasing (S = 6, all pairs ascending);
+    a late batch then lifts day 1 above everything, flipping its 3
+    pairs to descending (S = 6 - 2*3 = 0 with no ties... day1=9
+    makes pairs (1,2),(1,3),(1,4) descending: S = 3 - 3 = 0)."""
+    from pyspark.sql import functions as F
+
+    from onionnet_spark.streaming.mann_kendall_stream import (
+        StreamingMannKendallMaintainer,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [("click", f"2024-01-0{d} 00:00:{i:02d}") for d, n in rows
+             for i in range(n)],
+            "event_type string, ts string",
+        ).select("event_type", F.col("ts").cast("timestamp"))
+
+    m = StreamingMannKendallMaintainer(spark)
+    m.merge_batch(batch([(1, 2), (2, 4), (3, 6), (4, 8)]), batch_id=0)
+    r = m.mann_kendall_snapshot().collect()[0]
+    assert (r["n_days"], r["s_stat"]) == (4, 6) and r["z"] > 0
+    m.merge_batch(batch([(1, 7)]), batch_id=1)  # day 1: 2 -> 9
+    r = m.mann_kendall_snapshot().collect()[0]
+    assert (r["n_days"], r["s_stat"]) == (4, 0)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 statistics keys — closed-form / invariant checks
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_gate_shape(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+
+    fn = load_all()["events_mann_kendall"][0]
+    r = fn(spark, sf_dir).collect()[0]
+    # S bounded by the pair count; var18 = 18*Var > 0 on real data
+    n = r["n_days"]
+    assert abs(r["s_stat"]) <= n * (n - 1) // 2
+    assert r["var18"] > 0 and r["z"] is not None
+
+
+def test_ljung_box_monotone_in_max_lag(spark, sf_dir):
+    """Terms are floors of squares (>= 0), so Q grows with max_lag;
+    all three rows share n_days."""
+    from onionnet_spark.queries import load_all
+
+    fn = load_all()["events_ljung_box"][0]
+    rows = {r["max_lag"]: r for r in fn(spark, sf_dir).collect()}
+    assert set(rows) == {3, 7, 14}
+    assert rows[3]["q_stat"] <= rows[7]["q_stat"] <= rows[14]["q_stat"]
+    assert len({r["n_days"] for r in rows.values()}) == 1
+    assert all(r["q_stat"] >= 0 for r in rows.values())
+
+
+def test_grubbs_matches_numpy(spark, sf_dir):
+    import math
+
+    from onionnet_spark.queries import load_all
+    from onionnet_spark.sources.tpch_graph import load_tables
+
+    fn = load_all()["lineitem_grubbs"][0]
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in fn(spark, sf_dir).collect()
+    }
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .toPandas()
+    )
+    for (rf, ls), grp in li.groupby(["l_returnflag", "l_linestatus"]):
+        cents = (grp["l_extendedprice"].astype(float) * 100).map(
+            math.floor
+        )
+        n = len(cents)
+        mean, sd = cents.mean(), cents.std(ddof=1)
+        want = float((cents - mean).abs().max() / sd)
+        r = got[(rf, ls)]
+        assert r["n_rows"] == n
+        assert abs(r["g_stat"] - want) < 1e-4, (rf, ls, r["g_stat"], want)
+
+
+def test_yules_k_matches_pandas(spark, sf_dir):
+    from collections import Counter
+
+    from onionnet_spark.queries import load_all
+
+    fn = load_all()["docs_yules_k"][0]
+    got = {r["source"]: r for r in fn(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .toPandas()
+    )
+    for source, grp in docs.groupby("source"):
+        counts = Counter()
+        for t in grp["text"]:
+            counts.update(t.strip().lower().split())
+        n = sum(counts.values())
+        k_num = sum(c * c for c in counts.values()) - n
+        r = got[source]
+        assert (r["n_tokens"], r["vocab_size"], r["k_num"]) == (
+            n, len(counts), k_num,
+        )
+        assert abs(r["yules_k"] - 1e4 * k_num / n**2) < 1e-4
+
+
+def test_spearman_bounds_and_positive(spark, sf_dir):
+    """Degree and PageRank are strongly rank-correlated on the TPC-H
+    graph (PageRank's biggest inputs are in-degree mass), so rho is
+    well inside (0, 1]; bounds are the Pearson-on-ranks guarantee."""
+    from onionnet_spark.queries import load_all
+
+    fn = load_all()["graph_centrality_spearman"][0]
+    r = fn(spark, sf_dir).collect()[0]
+    assert r["n_nodes"] > 0
+    assert 0.0 < r["spearman_rho"] <= 1.0
+
+
+def test_embedding_lid_positive_and_k(spark, sf_dir):
+    from onionnet_spark.queries import load_all
+
+    fn = load_all()["embedding_lid"][0]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["k_used"] == 10
+        assert r["sum_nano"] >= 0
+        if r["lid"] is not None:
+            assert r["lid"] > 0
