@@ -386,6 +386,7 @@ TAIL = [
     "graph_centrality_spearman",
     "lineitem_grubbs",
     "multimodal_qoi_roundtrip",
+    "graph_voterank",
 ]
 
 

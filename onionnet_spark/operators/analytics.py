@@ -2585,11 +2585,21 @@ def salsa_scores(
     # co-occurrence graph a large label eccentricity.
     from pyspark.sql import Window
 
+    # NO dedup exchange here (r10): the chain lag tolerates duplicate
+    # (hub, authority) rows because the window SORTS — dups are
+    # adjacent, so a dup pair lags to a self-edge (dropped by CC's
+    # a != b filter) while the FIRST occurrence of each new authority
+    # still lags to the previous distinct one, keeping every
+    # consecutive-distinct pair connected. Labels are therefore
+    # identical to the deduped build, and dropping .distinct() saves
+    # a full 3x|edges| exchange (the slice has no dups anyway — one
+    # edge per (lineitem, endpoint); CC's own edge distinct dedups
+    # the chain pairs that shared (o,p)/(p,s) authorities produce).
     ha = e.select(
         F.concat_ws(":", F.col("src_layer"), F.col("src_id")).alias("h"),
         F.concat(F.lit("a:"), F.col("dst_layer")).alias("a_layer"),
         F.col("dst_id").alias("a_id"),
-    ).distinct()
+    )
     w_hub = Window.partitionBy("h").orderBy("a_layer", "a_id")
     chain = ha.select(
         "a_layer",
@@ -3133,4 +3143,128 @@ def simrank(
             F.col("y").alias("node_b"),
             F.col("s").cast("bigint").alias("simrank_micro"),
         )
+    )
+
+
+def voterank(graph: OnionGraph, k: int = 5) -> DataFrame:
+    """VoteRank influential-spreader selection (Zhang et al. 2016):
+    elect k seed nodes one at a time — each node's score is the sum
+    of its neighbors' remaining voting ability; electing a node
+    zeroes its own ability and suppresses each neighbor's by
+    delta = 1/<k_avg> — so the elected set spreads out instead of
+    clustering around one hub (the seed-selection step of influence
+    maximization / campaign targeting).
+
+    EXACT integer algebra: abilities are scaled by 2m (the
+    undirected degree sum), making delta = n exactly — va starts at
+    2m, every suppression subtracts n (floored at 0), and scores are
+    BIGINT sums, so election order is deterministic on both engines
+    (ties break on the node key). Each round is one neighbor-sum
+    aggregate over the shared symmetrized view, a global top-1
+    (TakeOrdered — never a full sort), and a broadcast winner
+    update; the ability table (n rows) is eagerly checkpointed per
+    round to keep lineage flat. k is a constant, so the plan is k
+    bounded rounds at any graph size.
+
+    Returns (rank, layer, node_id, score_scaled, score) for the k
+    elected nodes; score = score_scaled / 2m is the conventional
+    vote count.
+
+    Reference scope note: the reference has no influence-max
+    surface; this extends SURVEY §2's centrality family with its
+    seed-selection member.
+    """
+    und = graph.cached_symmetrized().select(
+        F.col("src_layer").alias("ul"),
+        F.col("src_id").alias("ui"),
+        F.col("dst_layer").alias("vl"),
+        F.col("dst_id").alias("vi"),
+    )
+    # two scalars (exact BIGINTs) — the repo's accepted scalar-collect
+    # pattern; everything else stays distributed
+    n_nodes = graph.nodes.count()
+    m2 = und.count()  # = 2m: symmetrized view holds both directions
+    va = graph.nodes.select(
+        "layer",
+        "node_id",
+        F.lit(m2).cast("bigint").alias("va"),
+        F.lit(False).alias("el"),
+    ).localCheckpoint()
+    winners = []
+    for r in range(1, k + 1):
+        score = (
+            va.filter(~F.col("el"))
+            .alias("v")
+            .join(
+                und,
+                (F.col("vl") == F.col("v.layer"))
+                & (F.col("vi") == F.col("v.node_id")),
+                "left",
+            )
+            .join(
+                va.select(
+                    F.col("layer").alias("ul2"),
+                    F.col("node_id").alias("ui2"),
+                    F.col("va").alias("uva"),
+                ),
+                (F.col("ul") == F.col("ul2")) & (F.col("ui") == F.col("ui2")),
+                "left",
+            )
+            .groupBy("v.layer", "v.node_id")
+            .agg(F.coalesce(F.sum("uva"), F.lit(0)).alias("score"))
+        )
+        w = score.orderBy(
+            F.col("score").desc(),
+            F.concat_ws(":", "layer", "node_id"),
+        ).limit(1)
+        winners.append(
+            w.select(
+                F.lit(r).cast("int").alias("rank"),
+                "layer",
+                "node_id",
+                F.col("score").cast("bigint").alias("score_scaled"),
+            ).localCheckpoint()
+        )
+        wb = F.broadcast(
+            winners[-1].select(
+                F.col("layer").alias("wl"), F.col("node_id").alias("wi")
+            )
+        )
+        nb = (
+            und.join(
+                wb, (F.col("vl") == F.col("wl")) & (F.col("vi") == F.col("wi"))
+            )
+            .select(F.col("ul").alias("layer"), F.col("ui").alias("node_id"))
+            .distinct()
+            .withColumn("is_nb", F.lit(True))
+        )
+        va = (
+            va.join(wb.withColumn("is_w", F.lit(True)),
+                    (F.col("layer") == F.col("wl"))
+                    & (F.col("node_id") == F.col("wi")), "left")
+            .join(F.broadcast(nb), ["layer", "node_id"], "left")
+            .select(
+                "layer",
+                "node_id",
+                F.when(F.col("is_w"), F.lit(0))
+                .when(
+                    F.col("is_nb"),
+                    F.greatest(F.col("va") - n_nodes, F.lit(0)),
+                )
+                .otherwise(F.col("va"))
+                .cast("bigint")
+                .alias("va"),
+                (F.col("el") | F.col("is_w").isNotNull()).alias("el"),
+            )
+            .localCheckpoint()
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out.select(
+        "rank",
+        "layer",
+        "node_id",
+        "score_scaled",
+        F.round(F.col("score_scaled") * 1.0 / m2, 6).alias("score"),
     )

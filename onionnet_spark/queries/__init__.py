@@ -627,6 +627,7 @@ _R10_NEW: list[str] = [
     "graph_centrality_spearman",
     "lineitem_grubbs",
     "multimodal_qoi_roundtrip",
+    "graph_voterank",
 ]
 
 

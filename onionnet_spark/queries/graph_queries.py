@@ -4069,3 +4069,77 @@ _REG["graph_centrality_spearman"] = (
     FROM rk"""
     ),
 )
+
+
+@register("graph_voterank", None)  # oracle generated below (unrolled rounds)
+def graph_voterank_q(spark, sf_dir):
+    """VoteRank top-5 influential spreaders over the 4-layer slice
+    (analytics.voterank): exact 2m-scaled voting abilities, delta = n
+    suppression, deterministic key tie-breaks (r10)."""
+    g = filters.view_layers(
+        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    )
+    return analytics.voterank(g, k=5)
+
+
+def _voterank_oracle(k: int = 5) -> str:
+    """Unrolls k election rounds with the identical 2m-scaled integer
+    algebra: va0 = 2m for every node, suppression subtracts exactly n
+    (floored at 0), scores are BIGINT neighbor sums, winners break
+    ties on the node key — so election order (and therefore every
+    subsequent ability table) is bit-identical across engines."""
+    lyrs = "('region', 'nation', 'customer', 'supplier')"
+    stages = []
+    for r in range(1, k + 1):
+        p = r - 1
+        stages.append(f"""sc{r} AS MATERIALIZED (
+      SELECT v.layer, v.node_id,
+             CAST(COALESCE(SUM(u.va), 0) AS BIGINT) AS score
+      FROM va{p} v
+      LEFT JOIN und e ON e.vl = v.layer AND e.vi = v.node_id
+      LEFT JOIN va{p} u ON u.layer = e.ul AND u.node_id = e.ui
+      WHERE v.el = 0 GROUP BY 1, 2),
+    w{r} AS MATERIALIZED (
+      SELECT layer, node_id, score FROM sc{r}
+      ORDER BY score DESC, layer || ':' || node_id LIMIT 1),
+    va{r} AS MATERIALIZED (
+      SELECT v.layer, v.node_id,
+             CASE WHEN w.layer IS NOT NULL THEN 0
+                  WHEN nb.layer IS NOT NULL
+                    THEN GREATEST(v.va - (SELECT n FROM nn), 0)
+                  ELSE v.va END AS va,
+             CASE WHEN w.layer IS NOT NULL THEN 1 ELSE v.el END AS el
+      FROM va{p} v
+      LEFT JOIN w{r} w ON w.layer = v.layer AND w.node_id = v.node_id
+      LEFT JOIN (
+        SELECT DISTINCT e.ul AS layer, e.ui AS node_id
+        FROM und e JOIN w{r} x ON x.layer = e.vl AND x.node_id = e.vi
+      ) nb ON nb.layer = v.layer AND nb.node_id = v.node_id)""")
+    stage_sql = ",\n    ".join(stages)
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS rank, layer, node_id, score AS score_scaled FROM w{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""WITH {CTES},
+    ns AS (SELECT layer, node_id FROM nodes_g WHERE layer IN {lyrs}),
+    es AS MATERIALIZED (
+      SELECT src_layer, src_id, dst_layer, dst_id FROM edges_g
+      WHERE src_layer IN {lyrs} AND dst_layer IN {lyrs}),
+    und AS MATERIALIZED (
+      SELECT src_layer AS ul, src_id AS ui, dst_layer AS vl, dst_id AS vi
+      FROM es
+      UNION
+      SELECT dst_layer, dst_id, src_layer, src_id FROM es),
+    nn AS (SELECT COUNT(*) AS n FROM ns),
+    mm AS (SELECT COUNT(*) AS m2 FROM und),
+    va0 AS MATERIALIZED (
+      SELECT layer, node_id, (SELECT m2 FROM mm) AS va, 0 AS el FROM ns),
+    {stage_sql},
+    allw AS ({finals})
+    SELECT CAST(rank AS INT) AS rank, layer, node_id,
+           CAST(score_scaled AS BIGINT) AS score_scaled,
+           ROUND(score_scaled * 1.0 / (SELECT m2 FROM mm), 6) AS score
+    FROM allw"""
+
+
+_REG["graph_voterank"] = (graph_voterank_q, _voterank_oracle())

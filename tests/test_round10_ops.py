@@ -467,3 +467,33 @@ def test_embedding_lid_positive_and_k(spark, sf_dir):
         assert r["sum_nano"] >= 0
         if r["lid"] is not None:
             assert r["lid"] > 0
+
+
+def test_voterank_suppression_spreads_seeds(spark):
+    """VoteRank's defining property vs plain degree ranking: after
+    electing the hub of a dense star, suppression pushes the next
+    elections AWAY from the hub's neighborhood. Fixture: star hub h
+    with 6 leaves, plus a disjoint triangle — degree ranking would
+    pick h then its leaves; VoteRank picks h, then a triangle node
+    (leaves' only voter h has ability 0, and the leaves themselves
+    were suppressed)."""
+    from onionnet_spark.builder import grow_onion
+    from onionnet_spark.operators.analytics import voterank
+
+    edges = [("a", "h", "a", f"l{i}") for i in range(6)] + [
+        ("a", "t1", "a", "t2"),
+        ("a", "t2", "a", "t3"),
+        ("a", "t1", "a", "t3"),
+    ]
+    e = spark.createDataFrame(
+        edges, "src_layer string, src_id string, dst_layer string, dst_id string"
+    )
+    n = e.selectExpr("src_layer layer", "src_id node_id").union(
+        e.selectExpr("dst_layer", "dst_id")
+    ).distinct()
+    g = grow_onion(n, e)
+    out = {r["rank"]: r for r in voterank(g, k=2).collect()}
+    assert out[1]["node_id"] == "h"
+    assert out[2]["node_id"] in {"t1", "t2", "t3"}
+    # exact scaling: hub score = 6 leaves x va0 (=2m = 18 directed)
+    assert out[1]["score_scaled"] == 6 * 18
