@@ -387,6 +387,8 @@ TAIL = [
     "lineitem_grubbs",
     "multimodal_qoi_roundtrip",
     "graph_voterank",
+    "embedding_energy_distance",
+    "docs_heaps_exponent",
 ]
 
 

@@ -628,6 +628,8 @@ _R10_NEW: list[str] = [
     "lineitem_grubbs",
     "multimodal_qoi_roundtrip",
     "graph_voterank",
+    "embedding_energy_distance",
+    "docs_heaps_exponent",
 ]
 
 

@@ -8100,3 +8100,212 @@ def multimodal_qoi_roundtrip_q(spark, sf_dir):
         "doc_id long, width int, height int, pixel_sum long, "
         "pos_checksum long",
     )
+
+
+@register(
+    "embedding_energy_distance",
+    # Energy distance between every pair of label groups — the
+    # nonparametric two-sample statistic (Szekely & Rizzo) over the
+    # embedding space: E(X,Y) = 2 E[d(X,Y)] - E[d(X,X')] - E[d(Y,Y')]
+    # with d = CHORD distance sqrt(2*(1-cos)) — the UNSQUARED
+    # Euclidean distance between the normalized vectors. The exponent
+    # is load-bearing: with a squared-type distance (plain 1-cos)
+    # the expectation collapses to centroid separation (mean-only,
+    # the 28t key measures that already); chord distance is of
+    # strong negative type, so the V-statistic here is >= 0 and = 0
+    # iff the two label groups' DISTRIBUTIONS coincide — the genuine
+    # label-shift / encoder-drift detector. Distances ride the
+    # 6dp-pinned cosines, micro-quantized to exact BIGINTs so all
+    # three pair sums are integers (V-statistic: the zero diagonal
+    # is implicit, so denominators are n^2); one shared final float
+    # expression; pair sums group by label pair (|labels|^2 cells
+    # from one all-pairs pass — the IVF-bucketed variant bounds the
+    # pass at 100 TB).
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                  FROM embeddings),
+    p AS (
+      SELECT a.label AS la, b.label AS lb,
+             CAST(round(1000000 * sqrt(2 * GREATEST(0.0,
+                   1 - round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6))))
+                  AS BIGINT) AS micro
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+    g AS (SELECT la, lb, SUM(micro) AS s FROM p GROUP BY 1, 2),
+    n AS (SELECT label, COUNT(*) AS c FROM v GROUP BY 1)
+    SELECT i.label AS label_a, j.label AS label_b,
+           CAST(i.c AS BIGINT) AS n_a, CAST(j.c AS BIGINT) AS n_b,
+           CAST(x.s + y.s AS BIGINT) AS cross_sum_micro,
+           ROUND(((x.s + y.s) * 1.0 / (i.c * j.c)
+                  - w1.s * 1.0 / (i.c * i.c)
+                  - w2.s * 1.0 / (j.c * j.c)) / 1e6, 6) AS energy
+    FROM n i JOIN n j ON i.label < j.label
+    JOIN g x ON x.la = i.label AND x.lb = j.label
+    JOIN g y ON y.la = j.label AND y.lb = i.label
+    JOIN g w1 ON w1.la = i.label AND w1.lb = i.label
+    JOIN g w2 ON w2.la = j.label AND w2.lb = j.label""",
+)
+def embedding_energy_distance_q(spark, sf_dir):
+    """Pairwise energy distance between label groups — the
+    distribution-level two-sample test (V-statistic over the CHORD
+    distance sqrt(2*(1-cos)), >= 0 and zero iff the groups'
+    embedding distributions match) behind label-shift and
+    encoder-drift QA; the oracle comment explains why the unsquared
+    distance is load-bearing. One all-pairs pass collapses to
+    |labels|^2 BIGINT micro-distance sums; every expectation is an
+    exact integer ratio inside one shared float expression (r10)."""
+    v = _embs(spark, sf_dir).select("vec_id", "label", "embedding")
+    a = v.select(
+        F.col("vec_id").alias("ia"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = F.round(
+        similarity.cosine(F.col("ea"), F.col("eb")), 6
+    )
+    p = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select(
+            "la",
+            "lb",
+            F.round(
+                F.lit(1000000)
+                * F.sqrt(2 * F.greatest(F.lit(0.0), F.lit(1) - cos)),
+                0,
+            )
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    g = p.groupBy("la", "lb").agg(F.sum("micro").alias("s"))
+    n = v.groupBy("label").agg(F.count("*").alias("c"))
+    i = n.select(F.col("label").alias("label_a"), F.col("c").alias("n_a"))
+    j = n.select(F.col("label").alias("label_b"), F.col("c").alias("n_b"))
+    x = g.select(
+        F.col("la").alias("label_a"), F.col("lb").alias("label_b"),
+        F.col("s").alias("sx"),
+    )
+    y = g.select(
+        F.col("lb").alias("label_a"), F.col("la").alias("label_b"),
+        F.col("s").alias("sy"),
+    )
+    w1 = g.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("label_a"), F.col("s").alias("sw1")
+    )
+    w2 = g.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("label_b"), F.col("s").alias("sw2")
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    return (
+        i.join(j, F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(x), ["label_a", "label_b"])
+        .join(F.broadcast(y), ["label_a", "label_b"])
+        .join(F.broadcast(w1), "label_a")
+        .join(F.broadcast(w2), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            na.cast("bigint").alias("n_a"),
+            nb.cast("bigint").alias("n_b"),
+            (F.col("sx") + F.col("sy")).cast("bigint").alias(
+                "cross_sum_micro"
+            ),
+            F.round(
+                (
+                    (F.col("sx") + F.col("sy")) * 1.0 / (na * nb)
+                    - F.col("sw1") * 1.0 / (na * na)
+                    - F.col("sw2") * 1.0 / (nb * nb)
+                )
+                / 1e6,
+                6,
+            ).alias("energy"),
+        )
+    )
+
+
+@register(
+    "docs_heaps_exponent",
+    # Heaps'-law fit over the vocab_growth curve: V = K * N^beta =>
+    # ln V = ln K + beta ln N, OLS over the 20 cumulative buckets.
+    # Each ln is micro-quantized (floor 1e6*ln) so the OLS cumulants
+    # are exact BIGINTs (nano quantization would overflow the xy
+    # products); slope/intercept come out of one shared float
+    # expression. beta well below 1 = vocabulary saturating
+    # (deduplicated, template-heavy corpus); beta near 1 = open
+    # vocabulary (OCR noise / unbounded identifiers).
+    f"""WITH toks AS (SELECT doc_id AS id, t FROM (
+           SELECT doc_id, UNNEST({_TOKS}) AS t FROM documents)
+         WHERE length(t) > 0),
+    mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+    first AS (
+      SELECT LEAST(CAST(floor(fid * 20 / (mx + 1)) AS INT), 19) AS bucket,
+             COUNT(*) AS new_terms
+      FROM (SELECT t, MIN(id) AS fid FROM toks GROUP BY t) CROSS JOIN mx
+      GROUP BY 1),
+    pb AS (
+      SELECT LEAST(CAST(floor(id * 20 / (mx + 1)) AS INT), 19) AS bucket,
+             COUNT(*) AS n_tokens
+      FROM toks CROSS JOIN mx GROUP BY 1),
+    curve AS (
+      SELECT pb.bucket,
+             CAST(SUM(pb.n_tokens) OVER w AS BIGINT) AS tok_cum,
+             CAST(SUM(COALESCE(first.new_terms, 0)) OVER w AS BIGINT)
+               AS voc_cum
+      FROM pb LEFT JOIN first ON first.bucket = pb.bucket
+      WINDOW w AS (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING)),
+    q AS (
+      SELECT CAST(floor(1e6 * ln(tok_cum)) AS BIGINT) AS x,
+             CAST(floor(1e6 * ln(voc_cum)) AS BIGINT) AS y
+      FROM curve WHERE tok_cum > 0 AND voc_cum > 0),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM q)
+    SELECT CAST(n AS BIGINT) AS n_buckets,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+             AS heaps_beta,
+           ROUND((sy - (n * sxy - sx * sy) * 1.0
+                  / (n * sxx - sx * sx) * sx) / n / 1e6, 6)
+             AS heaps_lnk
+    FROM s""",
+)
+def docs_heaps_exponent_q(spark, sf_dir):
+    """Heaps'-law exponent: OLS of ln(vocab) on ln(tokens) over the
+    20-bucket cumulative vocabulary curve (the saturation scalar on
+    top of vocab_growth's curve). Micro-quantized logs make every
+    OLS cumulant an exact BIGINT; slope and ln-intercept share one
+    float expression with the oracle (r10)."""
+    curve = text.vocab_growth_curve(_docs(spark, sf_dir), n_buckets=20)
+    q = curve.filter(
+        (F.col("n_tokens_cum") > 0) & (F.col("vocab_cum") > 0)
+    ).select(
+        F.floor(F.lit(1e6) * F.log(F.col("n_tokens_cum")))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.lit(1e6) * F.log(F.col("vocab_cum")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(1.0) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        n.cast("bigint").alias("n_buckets"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / n / F.lit(1e6), 6
+        ).alias("heaps_lnk"),
+    )

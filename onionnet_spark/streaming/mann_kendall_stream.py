@@ -71,3 +71,72 @@ class StreamingMannKendallMaintainer(StreamingDailyStatsMaintainer):
                 var18 > 0, F.round((s - cont) / F.sqrt(var18 / 18.0), 6)
             ).alias("z"),
         )
+
+
+class StreamingLjungBoxMaintainer(StreamingDailyStatsMaintainer):
+    """Maintains per-(event_type, day) counts across micro-batches
+    and serves events_ljung_box snapshots from that state. Like the
+    Mann-Kendall twin, the pooled ACF is retroactive (the series
+    mean and every lag-k product shift when a late batch lands), so
+    the snapshot recomputes the identical expression tree over the
+    calendar-bounded day-count monoid."""
+
+    def ljung_box_snapshot(self) -> DataFrame:
+        spark = self.daily.sparkSession
+        daily = self.daily.groupBy("day").agg(
+            F.sum("x").cast("bigint").alias("x")
+        )
+        tot = daily.agg(
+            F.count("*").alias("t"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+        )
+        lags = spark.range(1, 15).select(F.col("id").cast("int").alias("k"))
+        a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+        b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+        pairs = (
+            lags.crossJoin(a)
+            .join(
+                F.broadcast(b),
+                F.col("db") == F.date_sub(F.col("da"), F.col("k")),
+            )
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(F.col("xa") * F.col("xb")).alias("p"),
+                F.sum(F.col("xa") + F.col("xb")).alias("q"),
+            )
+        )
+        t, s, ss = F.col("t"), F.col("s"), F.col("ss")
+        num = (
+            F.col("p") * t * t - s * F.col("q") * t
+            + F.col("n_pairs") * s * s
+        )
+        den = ss * t * t - s * s * t
+        rho = num * F.lit(1.0) / den
+        terms = (
+            pairs.crossJoin(F.broadcast(tot))
+            .filter(F.col("n_pairs") > 0)
+            .select(
+                "k",
+                F.floor(F.lit(1e12) * rho * rho / F.col("n_pairs"))
+                .cast("bigint")
+                .alias("term"),
+            )
+        )
+        ms = spark.createDataFrame([(3,), (7,), (14,)], "m int")
+        return (
+            F.broadcast(ms)
+            .join(terms, F.col("k") <= F.col("m"))
+            .crossJoin(F.broadcast(tot))
+            .groupBy("m", "t")
+            .agg(F.sum("term").alias("term_sum"))
+            .select(
+                F.col("m").alias("max_lag"),
+                t.cast("bigint").alias("n_days"),
+                F.col("term_sum").cast("bigint").alias("term_sum_pico"),
+                F.round(t * (t + 2) * F.col("term_sum") / 1e12, 6).alias(
+                    "q_stat"
+                ),
+            )
+        )
