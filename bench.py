@@ -389,6 +389,9 @@ TAIL = [
     "graph_voterank",
     "embedding_energy_distance",
     "docs_heaps_exponent",
+    "graph_path_length_stats",
+    "embedding_participation_ratio",
+    "lm_heldout_perplexity",
 ]
 
 

@@ -630,6 +630,9 @@ _R10_NEW: list[str] = [
     "graph_voterank",
     "embedding_energy_distance",
     "docs_heaps_exponent",
+    "graph_path_length_stats",
+    "embedding_participation_ratio",
+    "lm_heldout_perplexity",
 ]
 
 

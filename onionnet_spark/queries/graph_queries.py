@@ -4143,3 +4143,62 @@ def _voterank_oracle(k: int = 5) -> str:
 
 
 _REG["graph_voterank"] = (graph_voterank_q, _voterank_oracle())
+
+
+@register(
+    "graph_path_length_stats",
+    # Per-pivot shortest-path profile (sampled small-world stats):
+    # mean geodesic length, eccentricity, and reach count from each
+    # BFS pivot — the classic characteristic-path-length /
+    # small-world readout next to graph_closeness (which inverts the
+    # same distances into harmonic centrality) and
+    # graph_pseudo_diameter (which chases only the max). One batched
+    # multi-source BFS; sums and maxima are exact integers, one
+    # division per pivot at the end.
+    f"""WITH RECURSIVE {CTES},
+    bfs(sid, layer, node_id, dist) AS (
+      SELECT * FROM (VALUES
+        ('region:0', 'region', '0', 0),
+        ('region:1', 'region', '1', 0),
+        ('nation:5', 'nation', '5', 0)) t(sid, layer, node_id, dist)
+      UNION
+      SELECT b.sid, e.src_layer, e.src_id, b.dist + 1
+      FROM bfs b JOIN edges_g e
+        ON e.dst_layer = b.layer AND e.dst_id = b.node_id
+      WHERE b.dist < 8
+    ),
+    d AS (SELECT sid, layer, node_id, MIN(dist) AS dist
+          FROM bfs GROUP BY 1, 2, 3)
+    SELECT sid AS pivot,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           CAST(MAX(dist) AS INT) AS eccentricity,
+           ROUND(SUM(dist) * 1.0 / COUNT(*), 6) AS mean_path_len
+    FROM d WHERE dist > 0 GROUP BY sid""",
+)
+def graph_path_length_stats_q(spark, sf_dir):
+    """Sampled characteristic path length: mean geodesic distance,
+    eccentricity and reach count per BFS pivot (the small-world
+    profile next to graph_closeness / graph_pseudo_diameter). One
+    batched multi-source BFS over the same pivots as the closeness
+    key; integer sums, one division per pivot (r10)."""
+    from onionnet_spark.operators.traversal import multi_source_bfs
+
+    d = multi_source_bfs(
+        get_graph(spark, sf_dir),
+        _CLOSENESS_PIVOTS,
+        direction="upstream",
+        max_dist=8,
+    )
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy(F.col("sid").alias("pivot"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+            F.max("dist").cast("int").alias("eccentricity"),
+            F.round(F.sum("dist") * 1.0 / F.count("*"), 6).alias(
+                "mean_path_len"
+            ),
+        )
+    )

@@ -8309,3 +8309,195 @@ def docs_heaps_exponent_q(spark, sf_dir):
             (F.col("sy") - slope * F.col("sx")) / n / F.lit(1e6), 6
         ).alias("heaps_lnk"),
     )
+
+
+@register(
+    "embedding_participation_ratio",
+    # Effective dimensionality of the embedding space WITHOUT an
+    # eigendecomposition: the participation ratio
+    # PR = tr(C)^2 / ||C||_F^2 = (sum lambda)^2 / sum lambda^2 of the
+    # covariance's eigenvalues — exactly computable from the raw
+    # covariance entries because trace and Frobenius norm are basis-
+    # free. PR near n_dims = isotropic use of the space, PR << n_dims
+    # = representation collapse (the anisotropy pathology of
+    # contrastive encoders). Engine parity: embedding values are
+    # milli-quantized to ints, so every scaled covariance entry
+    # D_ij = n*P_ij - S_i*S_j is an exact BIGINT; the scale cancels
+    # in the ratio. Only D^2 leaves integer range — computed as the
+    # square of an exact-double BIGINT then floor-quantized, so the
+    # cross-entry sum is order-free in both engines.
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    x AS (
+      SELECT vec_id, i.i,
+             CAST(round(e[i.i] * 1000) AS BIGINT) AS q
+      FROM v, range(1, 65) i(i)),
+    s AS (SELECT i, SUM(q) AS si FROM x GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    p AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS pij
+      FROM x a JOIN x b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2),
+    d AS (
+      SELECT p.i, p.j,
+             CAST((SELECT n FROM n) * p.pij - sa.si * sb.si AS BIGINT) AS dij
+      FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j),
+    agg AS (
+      SELECT SUM(CASE WHEN i = j THEN dij ELSE 0 END) AS trace,
+             SUM(CAST(floor(CAST(dij AS DOUBLE) * CAST(dij AS DOUBLE)
+                            / 1e9) AS BIGINT)) AS frob_giga
+      FROM d)
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_vecs,
+           CAST(64 AS INT) AS n_dims,
+           CAST(trace AS BIGINT) AS trace_scaled,
+           ROUND(CAST(trace AS DOUBLE) * CAST(trace AS DOUBLE)
+                 / (frob_giga * 1e9), 6) AS participation_ratio
+    FROM agg""",
+)
+def embedding_participation_ratio_q(spark, sf_dir):
+    """Participation ratio (effective rank) of the embedding
+    covariance — (sum lambda)^2 / sum lambda^2 computed WITHOUT an
+    eigendecomposition via trace and Frobenius norm, both basis-free
+    functions of the covariance entries: the representation-collapse
+    / anisotropy monitor. Milli-quantized values keep every scaled
+    covariance entry an exact BIGINT (the |dims|^2 aggregate is one
+    self-join of the exploded (vec, dim) table; an Arrow-batched
+    Gram accumulator replaces the explode at 100 TB); squares
+    floor-quantize before the cross-entry sum (r10)."""
+    x = (
+        _embs(spark, sf_dir)
+        .select("vec_id", F.posexplode("embedding").alias("i", "val"))
+        .select(
+            "vec_id",
+            "i",
+            F.round(F.col("val") * 1000, 0).cast("bigint").alias("q"),
+        )
+    )
+    s = x.groupBy("i").agg(F.sum("q").alias("si"))
+    n = _embs(spark, sf_dir).count()
+    a = x.select(
+        F.col("vec_id").alias("va"), F.col("i").alias("i"),
+        F.col("q").alias("qa"),
+    )
+    b = x.select(
+        F.col("vec_id").alias("va"), F.col("i").alias("j"),
+        F.col("q").alias("qb"),
+    )
+    p = (
+        a.join(b, "va")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("pij"))
+    )
+    sa = s.select(F.col("i").alias("i"), F.col("si").alias("sia"))
+    sb = s.select(F.col("i").alias("j"), F.col("si").alias("sib"))
+    d = (
+        p.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            "i",
+            "j",
+            (F.lit(n) * F.col("pij") - F.col("sia") * F.col("sib"))
+            .cast("bigint")
+            .alias("dij"),
+        )
+    )
+    agg = d.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("dij")).otherwise(0))
+        .alias("trace"),
+        F.sum(
+            F.floor(
+                F.col("dij").cast("double") * F.col("dij").cast("double")
+                / F.lit(1e9)
+            ).cast("bigint")
+        ).alias("frob_giga"),
+    )
+    tr = F.col("trace").cast("double")
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_vecs"),
+        F.lit(64).cast("int").alias("n_dims"),
+        F.col("trace").cast("bigint").alias("trace_scaled"),
+        F.round(tr * tr / (F.col("frob_giga") * 1e9), 6).alias(
+            "participation_ratio"
+        ),
+    )
+
+
+@register(
+    "lm_heldout_perplexity",
+    # Held-out LM evaluation — the methodology the in-corpus logprob
+    # keys (unigram/trigram/interpolated) deliberately skip: train an
+    # add-1-smoothed unigram LM on the doc_id%5!=0 split, score the
+    # doc_id%5==0 split, report per-source held-out perplexity and
+    # OOV rate (the data-quality readout: a source whose held-out ppl
+    # explodes is distributionally alien to the rest of the corpus).
+    # Per-token ln p is nano-quantized so the per-source sum is an
+    # exact BIGINT (the unigram AVG(ln) shortcut is fine for tiny
+    # per-doc groups but a whole source's float sum would be
+    # order-sensitive); one exp at the end, shared with the oracle.
+    f"""WITH toks AS (
+      SELECT doc_id, source, UNNEST({_TOKS}) AS tok FROM documents),
+    tr AS MATERIALIZED (
+      SELECT tok, COUNT(*) AS c FROM toks WHERE doc_id % 5 <> 0
+      GROUP BY 1),
+    stats AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM tr),
+    ev AS (SELECT source, tok FROM toks WHERE doc_id % 5 = 0),
+    q AS (
+      SELECT ev.source,
+             CAST(floor(1e9 * ln((COALESCE(tr.c, 0) + 1) * 1.0
+                                 / (stats.n + stats.v))) AS BIGINT) AS t,
+             CASE WHEN tr.c IS NULL THEN 1 ELSE 0 END AS oov
+      FROM ev LEFT JOIN tr USING (tok) CROSS JOIN stats)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(SUM(oov) * 1.0 / COUNT(*), 6) AS oov_rate,
+           ROUND(exp(-SUM(t) * 1.0 / (COUNT(*) * 1e9)), 6) AS ppl
+    FROM q GROUP BY 1""",
+)
+def lm_heldout_perplexity_q(spark, sf_dir):
+    """Held-out unigram perplexity per source: train an add-1 LM on
+    the 80% split (doc_id%5 != 0), score the held-out 20%, report
+    per-source perplexity + OOV share — the distribution-shift
+    readout the in-corpus logprob keys can't give (they score their
+    own training data). Nano-quantized per-token ln p keeps the
+    source sums exact; the train-count join shuffles on token at
+    scale (r10)."""
+    from onionnet_spark.functions.text import tokens_col
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    tr = (
+        toks.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = tr.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    ev = toks.filter(F.col("doc_id") % 5 == 0).select("source", "tok")
+    q = (
+        ev.join(tr, "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "source",
+            F.floor(
+                F.lit(1e9)
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    * F.lit(1.0)
+                    / (F.col("n") + F.col("v"))
+                )
+            )
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return q.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.round(F.sum("oov") * 1.0 / F.count("*"), 6).alias("oov_rate"),
+        F.round(
+            F.exp(-F.sum("t") * 1.0 / (F.count("*") * F.lit(1e9))), 6
+        ).alias("ppl"),
+    )
