@@ -392,6 +392,7 @@ TAIL = [
     "graph_path_length_stats",
     "embedding_participation_ratio",
     "lm_heldout_perplexity",
+    "events_kpss_test",
 ]
 
 

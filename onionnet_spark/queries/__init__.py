@@ -633,6 +633,7 @@ _R10_NEW: list[str] = [
     "graph_path_length_stats",
     "embedding_participation_ratio",
     "lm_heldout_perplexity",
+    "events_kpss_test",
 ]
 
 

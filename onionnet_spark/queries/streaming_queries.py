@@ -2345,3 +2345,109 @@ def events_ljung_box(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "events_kpss_test",
+    # KPSS level-stationarity test on the daily event-count series —
+    # the null-reversed complement that completes the stationarity
+    # battery: Mann-Kendall/runs REJECT toward trend, KPSS's null IS
+    # stationarity (large eta = the level wanders). eta =
+    # sum(S_t^2) * (l+1) / (n * lrv_scaled) with S_t the cumulative
+    # n-scaled residuals and lrv the Bartlett long-run variance at
+    # l = 4 lags (fixed, documented — the adaptive 4*(n/100)^0.25
+    # rule also gives 4 on a ~quarter horizon) — every cumulant an
+    # exact BIGINT over the calendar-bounded daily grid, one float
+    # division shared with the oracle.
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+    e AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+             CAST(x * tot.n - tot.s AS BIGINT) AS e
+      FROM daily, tot),
+    cum AS (
+      SELECT t, e,
+             SUM(e) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+      FROM e),
+    num AS (SELECT SUM(st * st) AS num FROM cum),
+    gam AS (
+      SELECT l.j, SUM(a.e * b.e) AS g
+      FROM (SELECT * FROM (VALUES (0),(1),(2),(3),(4)) l(j)) l
+      JOIN e a ON TRUE
+      JOIN e b ON b.t = a.t - l.j
+      GROUP BY 1),
+    lrv AS (
+      SELECT SUM(CASE WHEN j = 0 THEN 5 * g ELSE 2 * (5 - j) * g END)
+               AS lrv5
+      FROM gam)
+    SELECT CAST(tot.n AS BIGINT) AS n_days,
+           CAST(num.num AS BIGINT) AS cumsum_sq,
+           CAST(lrv.lrv5 AS BIGINT) AS lrv_scaled5,
+           CASE WHEN lrv.lrv5 > 0
+           THEN ROUND(num.num * 5.0 / (tot.n * lrv.lrv5), 6)
+           END AS kpss_eta
+    FROM tot, num, lrv""",
+)
+def events_kpss_test(spark, sf_dir):
+    """KPSS level-stationarity statistic over daily event volume:
+    cumulative centered sums squared over the Bartlett long-run
+    variance (l=4). The null-reversed bookend of the stationarity
+    battery (Mann-Kendall, runs, Ljung-Box). Raw events collapse
+    once to the bounded daily grid; residuals are n-scaled so every
+    cumulant — including the Bartlett-weighted autocovariances,
+    integer-weighted by (l+1)-scaling — stays an exact BIGINT; one
+    final float division shared with the oracle (r10)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    tot = daily.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    # bounded: both windows run over the calendar daily grid (|days|
+    # rows), the same whitelisted class as events_runs_test's fold
+    w_t = Window.orderBy("day")
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w_t).alias("t"),
+        (F.col("x") * F.col("n") - F.col("s")).cast("bigint").alias("e"),
+    )
+    # bounded: cumulative sum over the same |days|-row grid
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = e.select("t", "e", F.sum("e").over(w_cum).alias("st"))
+    num = cum.agg(F.sum(F.col("st") * F.col("st")).alias("num"))
+    lags = spark.range(0, 5).select(F.col("id").cast("int").alias("j"))
+    a = e.select(F.col("t").alias("ta"), F.col("e").alias("ea"))
+    b = e.select(F.col("t").alias("tb"), F.col("e").alias("eb"))
+    gam = (
+        lags.crossJoin(a)
+        .join(F.broadcast(b), F.col("tb") == F.col("ta") - F.col("j"))
+        .groupBy("j")
+        .agg(F.sum(F.col("ea") * F.col("eb")).alias("g"))
+    )
+    lrv = gam.agg(
+        F.sum(
+            F.when(F.col("j") == 0, 5 * F.col("g")).otherwise(
+                2 * (5 - F.col("j")) * F.col("g")
+            )
+        ).alias("lrv5")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(lrv))
+    )
+    n = F.col("n")
+    return j.select(
+        n.cast("bigint").alias("n_days"),
+        F.col("num").cast("bigint").alias("cumsum_sq"),
+        F.col("lrv5").cast("bigint").alias("lrv_scaled5"),
+        F.when(
+            F.col("lrv5") > 0,
+            F.round(F.col("num") * 5.0 / (n * F.col("lrv5")), 6),
+        ).alias("kpss_eta"),
+    )

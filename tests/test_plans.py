@@ -42,7 +42,9 @@ EXPECTED = {
     "queries/graph_queries.py": 4,
     "queries/pipeline_queries.py": 4,
     "queries/relational.py": 10,
-    "queries/streaming_queries.py": 3,
+    # +2 in r10: events_kpss_test's row_number + cumulative-sum
+    # windows (calendar daily grid, same bounded class as runs_test)
+    "queries/streaming_queries.py": 5,
     "streaming/events.py": 1,
 }
 
