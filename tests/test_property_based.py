@@ -417,3 +417,39 @@ def test_np_round_half_away_matches_decimal(xs):
             .to_integral_value(rounding=decimal.ROUND_HALF_UP)
         ) / 1e6
         assert g == want, (x, g, want)
+
+
+@SET
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    flavor=st.sampled_from(["random", "flat", "gradient", "sparse"]),
+)
+def test_qoi_roundtrip_lossless(h, w, ch, seed, flavor):
+    """QOI is lossless for EVERY uint8 image: decode(encode(x)) == x
+    across random noise (RGB verbatim ops), flat fields (max-length
+    runs), gradients (DIFF/LUMA deltas incl. mod-256 wraparound) and
+    sparse palettes (INDEX cache hits), both 3- and 4-channel."""
+    import numpy as np
+
+    from onionnet_spark.functions.qoi import decode_qoi, encode_qoi
+
+    rng = np.random.RandomState(seed)
+    if flavor == "random":
+        img = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+    elif flavor == "flat":
+        img = np.full((h, w, ch), rng.randint(0, 256), np.uint8)
+    elif flavor == "gradient":
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        k = np.arange(ch)[None, None, :]
+        img = ((r * rng.randint(1, 5) + c + k * 7) % 256).astype(np.uint8)
+    else:  # sparse palette: few colors, many cache hits
+        palette = rng.randint(0, 256, (4, ch), dtype=np.uint8)
+        idx = rng.randint(0, 4, (h, w))
+        img = palette[idx]
+    out = decode_qoi(encode_qoi(img))
+    assert out.shape == img.shape
+    assert (out == img).all()
