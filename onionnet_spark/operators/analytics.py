@@ -3170,6 +3170,13 @@ def voterank(graph: OnionGraph, k: int = 5) -> DataFrame:
     elected nodes; score = score_scaled / 2m is the conventional
     vote count.
 
+    Multi-edge note: votes ride the symmetrized edge view, so a
+    parallel edge between the same endpoints counts its neighbor's
+    ability once per edge (the registered gate slice is simple, so
+    its SQL oracle's set-semantics UNION agrees); pre-dedup the
+    edge view if per-neighbor-once semantics are wanted on a
+    multigraph.
+
     Reference scope note: the reference has no influence-max
     surface; this extends SURVEY §2's centrality family with its
     seed-selection member.
