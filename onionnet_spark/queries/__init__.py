@@ -617,6 +617,15 @@ _R10_WINDOW: list[str] = [
     "asof_join",
     "basket_pairs",
 ]
+# r11 rotation pre-computation (for the next session): after r10's
+# window re-records the 48 r01-only keys + asof_join/basket_pairs,
+# the stalest remaining evidence is the 47 other r02-only keys
+# (cube_revenue, the events_* batch gates, fuzzy_name_pairs,
+# lineitem_correlations, price_histogram, revenue_gini/lorenz,
+# rfm_segments, rollup/topk heads, and tpch_q2..q22) followed by 50
+# r03-only keys — build _R11_WINDOW from those 47 + the 3 oldest
+# r03-only, pending CORRECTNESS_r10 confirming the r10 window went
+# green.
 _R10_NEW: list[str] = [
     "lineitem_trimmed_mean",
     "events_runs_test",
