@@ -195,6 +195,21 @@ class OnionGraph:
     def counts(self) -> tuple[int, int]:
         return self.nodes.count(), self.edges.count()
 
+    def cached_n_nodes(self) -> int:
+        """Node count, computed once per graph instance.
+
+        Iterative operators use it to decide whether node-keyed
+        state tables (labels, ranks, contributions — all bounded by
+        |V| rows) fit the broadcast budget: under the threshold the
+        per-round merge joins build a broadcast hash relation and the
+        big cached side (edges) is never exchanged or sorted; over it
+        they fall back to shuffle joins. The count itself is one
+        cheap job against the (persisted) node table.
+        """
+        if not hasattr(self, "_n_nodes"):
+            self._n_nodes = self.nodes.count()
+        return self._n_nodes
+
     def cached_endpoints(self, direction: str = "downstream") -> DataFrame:
         """Column-pruned edge endpoints oriented for `direction`,
         persisted once per graph instance — iterative traversals

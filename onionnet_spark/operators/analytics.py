@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from onionnet_spark.core import NODE_KEY, OnionGraph
+from onionnet_spark.operators.components import BCAST_STATE_MAX
 
 
 def degrees(graph: OnionGraph) -> DataFrame:
@@ -81,25 +82,30 @@ def pagerank(
     out_deg = e.groupBy(
         F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
     ).agg(F.sum("w").alias("out_degree"))
-    # Edges annotated once with source out-degree, PRE-SHUFFLED on
-    # the per-iteration join key so every round's sort-merge join
-    # reuses this cached exchange and only the (sparse) contribution
-    # table moves; reused every round. localCheckpoint (not persist):
-    # the blocks are query-scoped and get cleaned up when this frame
-    # goes out of scope, instead of pinning CacheManager storage for
-    # the rest of the session.
-    e_deg = (
-        e.join(
-            out_deg.select(
-                F.col("layer").alias("src_layer"),
-                F.col("node_id").alias("src_id"),
-                "out_degree",
-            ),
-            on=["src_layer", "src_id"],
-        )
-        .repartition("src_layer", "src_id")
-        .localCheckpoint()
+    # Edges annotated once with source out-degree. While the node
+    # count fits the broadcast budget the per-round contribution
+    # table (<= |V| rows) is BROADCAST into the left join, so the
+    # cached edge side is scanned — never exchanged or sorted — each
+    # round (the sort-merge alternative re-sorts the edge side every
+    # round even with its exchange pre-placed); past the budget the
+    # old shape returns: pre-shuffle e_deg once on the join key so
+    # the per-round sort-merge join reuses this cached exchange and
+    # only the (sparse) contribution table moves. localCheckpoint
+    # (not persist): the blocks are query-scoped and get cleaned up
+    # when this frame goes out of scope, instead of pinning
+    # CacheManager storage for the rest of the session.
+    small_state = n_nodes <= BCAST_STATE_MAX
+    e_deg = e.join(
+        out_deg.select(
+            F.col("layer").alias("src_layer"),
+            F.col("node_id").alias("src_id"),
+            "out_degree",
+        ),
+        on=["src_layer", "src_id"],
     )
+    if not small_state:
+        e_deg = e_deg.repartition("src_layer", "src_id")
+    e_deg = e_deg.localCheckpoint()
     base = (1.0 - damping) / n_nodes
     # Sparse iteration: carry only per-node CONTRIBUTIONS (absent =>
     # zero); the source rank is reconstructed inline as
@@ -111,12 +117,13 @@ def pagerank(
         if contribs is None:
             annotated = e_deg.withColumn("pr", F.lit(1.0 / n_nodes))
         else:
+            c = contribs.select(
+                F.col("layer").alias("src_layer"),
+                F.col("node_id").alias("src_id"),
+                "contrib",
+            )
             annotated = e_deg.join(
-                contribs.select(
-                    F.col("layer").alias("src_layer"),
-                    F.col("node_id").alias("src_id"),
-                    "contrib",
-                ),
+                F.broadcast(c) if small_state else c,
                 on=["src_layer", "src_id"],
                 how="left",
             ).withColumn(
@@ -133,7 +140,11 @@ def pagerank(
         )
     ranks = (
         graph.nodes.select("layer", "node_id")
-        .join(contribs, on=NODE_KEY, how="left")
+        .join(
+            F.broadcast(contribs) if small_state else contribs,
+            on=NODE_KEY,
+            how="left",
+        )
         .select(
             "layer",
             "node_id",
@@ -172,19 +183,20 @@ def personalized_pagerank(
     out_deg = e.groupBy(
         F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
     ).agg(F.count("*").alias("out_degree"))
-    # Query-scoped localCheckpoint, not persist: see pagerank.
-    e_deg = (
-        e.join(
-            out_deg.select(
-                F.col("layer").alias("src_layer"),
-                F.col("node_id").alias("src_id"),
-                "out_degree",
-            ),
-            on=["src_layer", "src_id"],
-        )
-        .repartition("src_layer", "src_id")
-        .localCheckpoint()
+    # Query-scoped localCheckpoint, not persist — and the same
+    # broadcast-the-state-while-small regime as pagerank: see there.
+    small_state = graph.cached_n_nodes() <= BCAST_STATE_MAX
+    e_deg = e.join(
+        out_deg.select(
+            F.col("layer").alias("src_layer"),
+            F.col("node_id").alias("src_id"),
+            "out_degree",
+        ),
+        on=["src_layer", "src_id"],
     )
+    if not small_state:
+        e_deg = e_deg.repartition("src_layer", "src_id")
+    e_deg = e_deg.localCheckpoint()
     base_seed = (1.0 - damping) / n_seeds
     seed_b = F.broadcast(seed_df.withColumn("is_seed", F.lit(1)))
 
@@ -211,13 +223,14 @@ def personalized_pagerank(
                 "pr", F.coalesce("is_seed", F.lit(0)) * F.lit(1.0 / n_seeds)
             )
         else:
+            c = contribs.select(
+                F.col("layer").alias("src_layer"),
+                F.col("node_id").alias("src_id"),
+                "contrib",
+            )
             annotated = (
                 e_deg.join(
-                    contribs.select(
-                        F.col("layer").alias("src_layer"),
-                        F.col("node_id").alias("src_id"),
-                        "contrib",
-                    ),
+                    F.broadcast(c) if small_state else c,
                     on=["src_layer", "src_id"],
                     how="left",
                 )
@@ -241,7 +254,11 @@ def personalized_pagerank(
         )
     out = (
         graph.nodes.select("layer", "node_id")
-        .join(contribs, on=NODE_KEY, how="left")
+        .join(
+            F.broadcast(contribs) if small_state else contribs,
+            on=NODE_KEY,
+            how="left",
+        )
         .join(seed_b, on=NODE_KEY, how="left")
         .select(
             "layer",
@@ -1056,11 +1073,16 @@ def katz_centrality(
     """
     if inv_alpha < 2:
         raise ValueError(f"inv_alpha must be >= 2, got {inv_alpha}")
-    e_by_src = (
-        graph.edge_endpoints()
-        .repartition("src_layer", "src_id")
-        .localCheckpoint()
-    )
+    # Same broadcast-the-state-while-small regime as pagerank: z is
+    # node-keyed (<= |V| rows), so under the budget each round is a
+    # broadcast probe over the checkpointed edge scan with no
+    # exchange or sort of the edge side; past it, the edge table is
+    # pre-shuffled once and the sort-merge path returns.
+    small_state = graph.cached_n_nodes() <= BCAST_STATE_MAX
+    e_by_src = graph.edge_endpoints()
+    if not small_state:
+        e_by_src = e_by_src.repartition("src_layer", "src_id")
+    e_by_src = e_by_src.localCheckpoint()
     z = graph.nodes.select("layer", "node_id", F.lit(0.0).alias("z"))
     for k in range(1, n_iterations + 1):
         seed = float(inv_alpha ** (k - 1))
@@ -1069,13 +1091,14 @@ def katz_centrality(
         # identical arithmetic to the old per-round re-anchor join
         # over the full node set, minus one 786k-row shuffle join per
         # round (r9); the full-node anchor happens ONCE at the end.
+        zs = z.select(
+            F.col("layer").alias("src_layer"),
+            F.col("node_id").alias("src_id"),
+            "z",
+        )
         z = (
             e_by_src.join(
-                z.select(
-                    F.col("layer").alias("src_layer"),
-                    F.col("node_id").alias("src_id"),
-                    "z",
-                ),
+                F.broadcast(zs) if small_state else zs,
                 on=["src_layer", "src_id"],
                 how="left",
             )
@@ -1092,7 +1115,11 @@ def katz_centrality(
     # nodes with no in-edges never enter the aggregate: katz = 0
     return (
         graph.nodes.select("layer", "node_id")
-        .join(z, on=["layer", "node_id"], how="left")
+        .join(
+            F.broadcast(z) if small_state else z,
+            on=["layer", "node_id"],
+            how="left",
+        )
         .select(
             "layer",
             "node_id",

@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 
 from onionnet_spark.core import NODE_KEY, OnionGraph
 
+# Node-keyed state tables (labels, candidate labels) at or under this
+# row count are broadcast into the per-round joins: the cached edge
+# side is then never exchanged OR sorted inside the loop (the
+# sort-merge alternative re-sorts it every round), and the only
+# exchange left per round is the candidate aggregation. Same budget
+# as traversal.BROADCAST_FRONTIER_MAX; ~2M (layer, node_id, label)
+# rows frame to well under the guide's "few hundred MB is fine"
+# broadcast ceiling. Above it, the shuffle path is unchanged.
+BCAST_STATE_MAX = 2_000_000
+
 
 def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFrame:
     """Weak connected components.
@@ -44,16 +54,21 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
     # checkpoint chain periodically (see operators/ckpt.py — long
     # localCheckpoint chains hit a geometric replay blowup)
     ck = IterCheckpointer(prefix="onionnet_cc_")
+    # labels / cand are node-keyed (<= |V| rows): broadcast them into
+    # the round's joins when |V| fits the budget so the symmetrized
+    # edge cache is only scanned, never exchanged or re-sorted.
+    small_state = graph.cached_n_nodes() <= BCAST_STATE_MAX
     changed = 0
     for it in range(max_iterations):
         # candidate label for each dst = min label among in-neighbors
+        lbl_src = labels.select(
+            F.col("layer").alias("src_layer"),
+            F.col("node_id").alias("src_id"),
+            F.col("component").alias("nbr_component"),
+        )
         cand = (
             sym.join(
-                labels.select(
-                    F.col("layer").alias("src_layer"),
-                    F.col("node_id").alias("src_id"),
-                    F.col("component").alias("nbr_component"),
-                ),
+                F.broadcast(lbl_src) if small_state else lbl_src,
                 on=["src_layer", "src_id"],
             )
             .groupBy(
@@ -61,6 +76,8 @@ def connected_components(graph: OnionGraph, max_iterations: int = 50) -> DataFra
             )
             .agg(F.min("nbr_component").alias("nbr_component"))
         )
+        if small_state:
+            cand = F.broadcast(cand)
         # One join carries BOTH the new label and an 'improved'
         # flag, so convergence detection costs a metadata-cheap
         # filter over the just-materialized checkpoint instead of
@@ -275,16 +292,31 @@ def strongly_connected_components(
     )
     done: list[DataFrame] = []
 
-    def _restrict(e: DataFrame, keep: DataFrame) -> DataFrame:
-        return e.join(
-            keep.select(F.col("key").alias("src")), on="src", how="left_semi"
-        ).join(keep.select(F.col("key").alias("dst")), on="dst", how="left_semi")
+    def _restrict(e: DataFrame, keep: DataFrame, n_keep: int | None = None) -> DataFrame:
+        # keep is the build side of both semi joins: broadcast it
+        # when its (known) row count fits so the edge set streams
+        ks = keep.select(F.col("key").alias("src"))
+        kd = keep.select(F.col("key").alias("dst"))
+        if n_keep is not None and n_keep <= BCAST_STATE_MAX:
+            ks, kd = F.broadcast(ks), F.broadcast(kd)
+        return e.join(ks, on="src", how="left_semi").join(
+            kd, on="dst", how="left_semi"
+        )
 
     n_active = active.count()
     for _ in range(max_rounds):
         if n_active == 0:
             break
         # --- 1. trim to fixpoint ---------------------------------------
+        # (A delta degree-ledger trim — aggregate in/out degrees once,
+        # then peel with broadcast decrements against a STATIC edge
+        # set — was tried in r10 and measured ~1s SLOWER at sf0.1:
+        # the first sweep of this graph family peels most of the
+        # graph, so the old shape's per-sweep edge restrict makes
+        # every later sweep scan a tiny edge set, while the ledger
+        # re-scanned the full one. Kept the sweep; the restrict's
+        # semi-join build sides now broadcast while `active` is
+        # small.)
         while n_active > 0:
             srcs = edges.select(F.col("src").alias("key"))
             dsts = edges.select(F.col("dst").alias("key"))
@@ -303,7 +335,7 @@ def strongly_connected_components(
             )
             active = core
             n_active = n_core
-            edges = _restrict(edges, active).localCheckpoint()
+            edges = _restrict(edges, active, n_active).localCheckpoint()
         if n_active == 0:
             break
         # --- 2. forward min-color propagation to fixpoint ---------------
@@ -379,7 +411,7 @@ def strongly_connected_components(
         done.append(scc)
         active = active.join(scc.select("key"), on="key", how="left_anti").localCheckpoint()
         n_active = active.count()
-        edges = _restrict(edges, active).localCheckpoint()
+        edges = _restrict(edges, active, n_active).localCheckpoint()
 
     if n_active > 0:
         raise RuntimeError(

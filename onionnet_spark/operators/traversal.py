@@ -401,7 +401,11 @@ def weighted_sssp(
         # one checkpoint + one (metadata-cheap) count per round: the
         # relaxation merges into the distance map with a single FULL
         # OUTER join carrying an 'improved' flag, instead of separate
-        # improved-set + anti-join/union rebuild jobs
+        # improved-set + anti-join/union rebuild jobs. (An inner+anti
+        # delta split that never exchanges `dist` was tried in r10
+        # and regressed ~2x: the unmaterialized relaxation
+        # aggregation appeared in two branches and was evaluated
+        # twice per round.)
         n_improved = dist.count()
         for _ in range(max_iterations):
             f = improved.select(
@@ -718,11 +722,26 @@ def temporal_earliest_arrival(
         F.lit(None).cast(ts_type).alias("arrival"),
     ).localCheckpoint()
     frontier = best
+    n_frontier = best.count()
     for round_no in range(max_rounds + 1):
         hop, per_hop = frontier, []
-        for _ in range(max(1, hops_per_round)):
+        for hop_no in range(max(1, hops_per_round)):
+            # Broadcast the frontier into the edge join while it fits:
+            # the checkpointed edge list is then scanned, never
+            # exchanged or sorted, on every hop (without the hint the
+            # planner has no stats for either checkpointed side and
+            # falls back to a full sort-merge of the edges each hop).
+            # Intra-round hops past the first are LAZY (size unknown
+            # until the round materializes), so their broadcast is
+            # gated on the last measured frontier with fan-out
+            # headroom; past the budget the shuffle join returns.
+            if hop_no == 0:
+                small = n_frontier <= BROADCAST_FRONTIER_MAX
+            else:
+                small = n_frontier <= BROADCAST_FRONTIER_MAX // 8
+            h = F.broadcast(hop) if small else hop
             reached = (
-                hop.join(e, on=hop["node"] == e["u"])
+                h.join(e, on=h["node"] == e["u"])
                 .filter(
                     F.col("arrival").isNull() | (F.col("t") >= F.col("arrival"))
                 )
@@ -738,8 +757,12 @@ def temporal_earliest_arrival(
         # improvements only: a candidate survives if its node is new
         # to best (`seen` NULL) or strictly earlier than the current
         # non-NULL arrival (a source's NULL arrival reads as
-        # -infinity, never improvable). `reached` is frontier-sized,
-        # so this join broadcasts it; best is scanned, not shuffled.
+        # -infinity, never improvable). One left join referencing the
+        # round's hop chain exactly ONCE — an inner+anti split that
+        # streams `best` was tried in r10 and regressed 2-4x: the
+        # unmaterialized hop aggregation appeared in both branches
+        # and was evaluated twice per round, which costs far more
+        # than this (delta-bounded) exchange of the best table saves.
         # lazy checkpoint + count = ONE Spark job per round (the cut
         # materializes inside the count); an eager cut + isEmpty would
         # schedule two.
@@ -758,7 +781,8 @@ def temporal_earliest_arrival(
             .select("node", F.col("cand").alias("arrival"))
             .localCheckpoint(eager=False)
         )
-        if delta.count() == 0:
+        n_frontier = delta.count()
+        if n_frontier == 0:
             return best
         if round_no == max_rounds:
             raise RuntimeError(
@@ -806,24 +830,44 @@ def topological_levels(
         F.concat_ws(":", "layer", "node_id").alias("n"), F.lit(0).alias("level")
     ).localCheckpoint()
     changed = lv  # round 0: every node is newly levelled
+    # Frontier/delta tables are broadcast into the round's joins while
+    # they fit the budget (they are counted anyway for convergence),
+    # so the cached edge list and the level table are scanned — never
+    # exchanged or re-sorted — inside the loop. Round 0's frontier is
+    # the full node set, so it broadcasts only on small graphs; every
+    # later frontier is the (shrinking) improved set.
+    n_changed = graph.cached_n_nodes()
     converged = False
     for _ in range(max_iterations):
+        f = changed.withColumnRenamed("n", "s")
+        if n_changed <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
         upd = (
-            e.join(changed.withColumnRenamed("n", "s"), on="s")
+            e.join(f, on="s")
             .groupBy(F.col("d").alias("n"))
             .agg((F.max("level") + 1).alias("cand"))
         )
+        # upd is bounded by the frontier's out-neighborhood; its own
+        # broadcast is gated on the same frontier count (one hop of
+        # fan-out stays inside the budget's intent at these sizes —
+        # past the threshold the shuffle join takes over anyway).
+        if n_changed <= BROADCAST_FRONTIER_MAX:
+            upd = F.broadcast(upd)
         imp = (
             upd.join(lv, on="n")
             .filter(F.col("cand") > F.col("level"))
             .select("n", F.col("cand").alias("level"))
             .localCheckpoint()
         )
-        if imp.count() == 0:
+        n_changed = imp.count()
+        if n_changed == 0:
             converged = True
             break
+        new = imp.withColumnRenamed("level", "new")
+        if n_changed <= BROADCAST_FRONTIER_MAX:
+            new = F.broadcast(new)
         lv = (
-            lv.join(imp.withColumnRenamed("level", "new"), on="n", how="left")
+            lv.join(new, on="n", how="left")
             .select("n", F.coalesce("new", "level").alias("level"))
             .localCheckpoint()
         )
