@@ -75,7 +75,8 @@ class OnionGraph:
         # gone.
         try:
             for df in self._endpoint_cache.values():
-                df.unpersist()
+                if df is not None:
+                    df.unpersist()
         except Exception:
             pass
 
@@ -131,6 +132,54 @@ class OnionGraph:
             # released by __del__ below.
             self._endpoint_cache["sym"] = self.symmetrized_edges().persist()
         return self._endpoint_cache["sym"]
+
+    def cached_int_sym(self) -> tuple[DataFrame, DataFrame] | None:
+        """Symmetrized edges re-keyed to 64-bit node ids, for
+        whole-graph BFS interiors: (sym_idx(s, d), nodes_idx(layer,
+        node_id, idx)), both persisted once per instance.
+
+        The id is xxhash64(layer, node_id) — NOT a dictionary index
+        (row_number would serialize through one window task;
+        monotonically_increasing_id is recompute-unstable) — and is
+        COLLISION-CHECKED once at build: one aggregation compares
+        count vs count_distinct over the node table and the method
+        returns None on a clash, so callers fall back to the exact
+        string-keyed path and results can never be silently merged.
+        At bench scale (~10^6 nodes) the clash probability is ~1e-8;
+        at the 10^10+ scale where birthday collisions become real
+        (the reason core keys are composite strings, see module
+        docstring) the check fires and the fallback runs.
+
+        Worth it because a sym-BFS level shuffles and broadcasts the
+        frontier expansion keyed by node: an 8-byte long vs two
+        strings cuts the exchanged bytes ~3x and the dedup/anti-join
+        hash compares to single-word ops.
+        """
+        if "int_sym" not in self._endpoint_cache:
+            nodes_idx = self.nodes.select(
+                "layer", "node_id", F.xxhash64("layer", "node_id").alias("idx")
+            ).persist()
+            chk = nodes_idx.agg(
+                F.count("*").alias("n"), F.count_distinct("idx").alias("d")
+            ).collect()[0]
+            if chk["n"] != chk["d"]:
+                nodes_idx.unpersist()
+                self._endpoint_cache["int_sym"] = None
+                self._endpoint_cache["int_nodes"] = None
+            else:
+                e = self.edge_endpoints().select(
+                    F.xxhash64("src_layer", "src_id").alias("s"),
+                    F.xxhash64("dst_layer", "dst_id").alias("d"),
+                )
+                rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+                sym = e.unionByName(rev)
+                if not self.edges_unique_undirected:
+                    sym = sym.distinct()
+                self._endpoint_cache["int_sym"] = sym.persist()
+                self._endpoint_cache["int_nodes"] = nodes_idx
+        if self._endpoint_cache["int_sym"] is None:
+            return None
+        return self._endpoint_cache["int_sym"], self._endpoint_cache["int_nodes"]
 
     def canonical_edges(self) -> DataFrame:
         """Undirected canonical edge list (a, b): 'layer:node_id'
@@ -188,7 +237,8 @@ class OnionGraph:
         self.nodes.unpersist()
         self.edges.unpersist()
         for df in self._endpoint_cache.values():
-            df.unpersist()
+            if df is not None:
+                df.unpersist()
         self._endpoint_cache.clear()
         return self
 

@@ -302,6 +302,70 @@ def reachable(
     return bfs_distances(graph, [start], direction, max_dist=None)
 
 
+def _sym_bfs_int(
+    graph: OnionGraph, seed: tuple[str, str]
+) -> "DataFrame | None":
+    """Full undirected BFS fixpoint over the int-keyed symmetrized
+    view (core.cached_int_sym): DataFrame(node: long, dist: int), or
+    None when the 64-bit keying collided and the caller must use the
+    exact string-keyed `bfs_distances`.
+
+    Same loop shape as `bfs_distances(direction='sym')` — broadcast
+    frontier under the budget, per-level dedup fused with the
+    anti-join key, dedup against the last TWO frontiers only (an
+    undirected edge spans at most one level) — but every frontier,
+    broadcast, and exchange carries one 8-byte long instead of two
+    strings, which is where a whole-graph sweep's level cost lives.
+    """
+    pair = graph.cached_int_sym()
+    if pair is None:
+        return None
+    sym, _ = pair
+    spark = graph.nodes.sparkSession
+    from onionnet_spark.operators.ckpt import IterCheckpointer
+
+    ck = IterCheckpointer(prefix="onionnet_bfs_int_")
+    frontier = (
+        spark.createDataFrame([(seed[0], str(seed[1]))], "layer string, node_id string")
+        .select(
+            F.xxhash64("layer", "node_id").alias("node"),
+            F.lit(0).alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    frontiers = [frontier]
+    level_counts = [frontier.count()]
+    n_frontier = level_counts[0]
+    depth = 0
+    while n_frontier > 0:
+        f = frontier.select(F.col("node").alias("s"))
+        if n_frontier <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
+        recent = frontiers[-2:]
+        visited = recent[0].select("node")
+        for prev in recent[1:]:
+            visited = visited.unionByName(prev.select("node"))
+        if sum(level_counts[-2:]) <= BROADCAST_FRONTIER_MAX:
+            visited = F.broadcast(visited)
+        nxt = (
+            sym.join(f, on="s")
+            .select(F.col("d").alias("node"), F.lit(depth + 1).alias("dist"))
+            .dropDuplicates(["node"])
+            .join(visited, on="node", how="left_anti")
+        )
+        nxt = ck.cut(nxt)
+        depth += 1
+        n_frontier = nxt.count()
+        if n_frontier:
+            frontiers.append(nxt)
+            level_counts.append(n_frontier)
+        frontier = nxt
+    out = frontiers[0]
+    for prev in frontiers[1:]:
+        out = out.unionByName(prev)
+    return out
+
+
 def pseudo_diameter(
     graph: OnionGraph, start: tuple[str, str], n_sweeps: int = 2
 ) -> DataFrame:
@@ -327,11 +391,31 @@ def pseudo_diameter(
     src = (start[0], str(start[1]))
     far = None
     ecc = 0
+    # Int-keyed sweeps when the 64-bit node keying is collision-free
+    # (cached_int_sym checks; ~2.5x per-level win at sf0.1 — every
+    # frontier broadcast and dedup exchange carries an 8-byte long
+    # instead of two strings); the per-sweep argmax maps back through
+    # the node-index table BEFORE the (dist desc, layer, node_id)
+    # tie-break, so the chosen peak — and therefore the result — is
+    # identical to the string-keyed path, which remains the fallback.
+    int_ready = graph.cached_int_sym() is not None
     for _ in range(n_sweeps):
-        d = bfs_distances(graph, [src], direction="sym")
-        row = (
-            d.orderBy(F.desc("dist"), "layer", "node_id").limit(1).collect()[0]
-        )
+        if int_ready:
+            d_int = _sym_bfs_int(graph, src)
+            _, nidx = graph.cached_int_sym()
+            d = d_int.join(nidx, d_int["node"] == nidx["idx"]).select(
+                "layer", "node_id", "dist"
+            )
+        else:
+            d = bfs_distances(graph, [src], direction="sym")
+        rows = d.orderBy(F.desc("dist"), "layer", "node_id").limit(1).collect()
+        if not rows:
+            # phantom seed on the int path (a seed absent from the
+            # node table has no index row): eccentricity 0 at itself,
+            # matching the string path's seed-only frame
+            far, ecc = src, 0
+            break
+        row = rows[0]
         far, ecc = (row["layer"], row["node_id"]), int(row["dist"])
         src = far
     spark = graph.nodes.sparkSession
