@@ -156,16 +156,9 @@ class OnionGraph:
         hash compares to single-word ops.
         """
         if "int_sym" not in self._endpoint_cache:
-            nodes_idx = self.nodes.select(
-                "layer", "node_id", F.xxhash64("layer", "node_id").alias("idx")
-            ).persist()
-            chk = nodes_idx.agg(
-                F.count("*").alias("n"), F.count_distinct("idx").alias("d")
-            ).collect()[0]
-            if chk["n"] != chk["d"]:
-                nodes_idx.unpersist()
+            nidx = self._int_nodes()
+            if nidx is None:
                 self._endpoint_cache["int_sym"] = None
-                self._endpoint_cache["int_nodes"] = None
             else:
                 e = self.edge_endpoints().select(
                     F.xxhash64("src_layer", "src_id").alias("s"),
@@ -176,10 +169,55 @@ class OnionGraph:
                 if not self.edges_unique_undirected:
                     sym = sym.distinct()
                 self._endpoint_cache["int_sym"] = sym.persist()
-                self._endpoint_cache["int_nodes"] = nodes_idx
         if self._endpoint_cache["int_sym"] is None:
             return None
         return self._endpoint_cache["int_sym"], self._endpoint_cache["int_nodes"]
+
+    def _int_nodes(self) -> DataFrame | None:
+        """The collision-checked xxhash64 node index shared by every
+        int-keyed view (cached_int_sym / cached_int_endpoints), or
+        None when the 64-bit keying clashes on this node set."""
+        if "int_nodes" not in self._endpoint_cache:
+            nodes_idx = self.nodes.select(
+                "layer", "node_id", F.xxhash64("layer", "node_id").alias("idx")
+            ).persist()
+            chk = nodes_idx.agg(
+                F.count("*").alias("n"), F.count_distinct("idx").alias("d")
+            ).collect()[0]
+            if chk["n"] != chk["d"]:
+                nodes_idx.unpersist()
+                self._endpoint_cache["int_nodes"] = None
+            else:
+                self._endpoint_cache["int_nodes"] = nodes_idx
+        return self._endpoint_cache["int_nodes"]
+
+    def cached_int_endpoints(
+        self, direction: str = "downstream"
+    ) -> tuple[DataFrame, DataFrame] | None:
+        """Directed edge endpoints re-keyed to the collision-checked
+        64-bit node ids, oriented for `direction` ('downstream'
+        follows src->dst, 'upstream' the reverse): (edges(s, d),
+        nodes_idx(layer, node_id, idx)), persisted once per instance.
+        None when the keying collided (see cached_int_sym) — callers
+        must fall back to the exact string-keyed path.
+        """
+        if direction not in ("downstream", "upstream"):
+            raise ValueError("direction must be 'upstream' or 'downstream'")
+        key = f"int_{direction}"
+        if key not in self._endpoint_cache:
+            nidx = self._int_nodes()
+            if nidx is None:
+                self._endpoint_cache[key] = None
+            else:
+                s, d = ("src", "dst") if direction == "downstream" else ("dst", "src")
+                e = self.edge_endpoints().select(
+                    F.xxhash64(f"{s}_layer", f"{s}_id").alias("s"),
+                    F.xxhash64(f"{d}_layer", f"{d}_id").alias("d"),
+                )
+                self._endpoint_cache[key] = e.persist()
+        if self._endpoint_cache[key] is None:
+            return None
+        return self._endpoint_cache[key], self._endpoint_cache["int_nodes"]
 
     def canonical_edges(self) -> DataFrame:
         """Undirected canonical edge list (a, b): 'layer:node_id'

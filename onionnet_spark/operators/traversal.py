@@ -700,6 +700,10 @@ def multi_source_bfs(
     Returns DataFrame(sid, layer, node_id, dist).
     """
     spark = graph.nodes.sparkSession
+    if direction in ("downstream", "upstream"):
+        intp = graph.cached_int_endpoints(direction)
+        if intp is not None:
+            return _multi_source_bfs_int(graph, intp, sources, max_dist)
     edges = _directed_endpoints(graph, direction)
     keys = ["sid", *NODE_KEY]
     frontier = spark.createDataFrame(
@@ -741,6 +745,80 @@ def multi_source_bfs(
     for prev in frontiers[1:]:
         out = out.unionByName(prev)
     return out
+
+
+def _multi_source_bfs_int(
+    graph: OnionGraph,
+    intp: tuple[DataFrame, DataFrame],
+    sources,
+    max_dist: int | None,
+) -> DataFrame:
+    """multi_source_bfs over the collision-checked int-keyed
+    endpoint view: the frontier and the growing visited union carry
+    (sid: int, node: long) instead of three strings, which is where
+    a k-pivot whole-graph sweep's level cost lives (the visited union
+    reaches k x |reach| rows). Output schema and values are
+    identical to the string path — sid strings and (layer, node_id)
+    are re-attached once, at the end. Duplicate sources collapse to
+    one sid exactly like the string path's identical-sid dedup.
+    """
+    e_int, nidx = intp
+    spark = graph.nodes.sparkSession
+    from onionnet_spark.operators.ckpt import IterCheckpointer
+
+    uniq = list(dict.fromkeys((l, str(i)) for (l, i) in sources))
+    src_map = spark.createDataFrame(
+        [(si, l, i) for si, (l, i) in enumerate(uniq)],
+        "sid_i int, s_layer string, s_id string",
+    )
+    ck = IterCheckpointer(prefix="onionnet_msbfs_int_")
+    frontier = src_map.select(
+        "sid_i",
+        F.xxhash64("s_layer", "s_id").alias("node"),
+        F.lit(0).alias("dist"),
+    ).localCheckpoint()
+    keys = ["sid_i", "node"]
+    frontiers = [frontier]
+    level_counts = [frontier.count()]
+    n_frontier = level_counts[0]
+    n_visited = n_frontier
+    depth = 0
+    while n_frontier > 0 and (max_dist is None or depth < max_dist):
+        f = frontier.select("sid_i", F.col("node").alias("s"))
+        if n_frontier <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
+        visited = frontiers[0].select(*keys)
+        for prev in frontiers[1:]:
+            visited = visited.unionByName(prev.select(*keys))
+        if n_visited <= BROADCAST_FRONTIER_MAX:
+            visited = F.broadcast(visited)
+        nxt = (
+            e_int.join(f, on="s")
+            .select("sid_i", F.col("d").alias("node"), F.lit(depth + 1).alias("dist"))
+            .dropDuplicates(keys)
+            .join(visited, on=keys, how="left_anti")
+        )
+        nxt = ck.cut(nxt)
+        depth += 1
+        n_frontier = nxt.count()
+        n_visited += n_frontier
+        if n_frontier:
+            frontiers.append(nxt)
+            level_counts.append(n_frontier)
+        frontier = nxt
+    out = frontiers[0]
+    for prev in frontiers[1:]:
+        out = out.unionByName(prev)
+    sid_map = F.broadcast(
+        src_map.select(
+            "sid_i", F.concat_ws(":", "s_layer", "s_id").alias("sid")
+        )
+    )
+    return (
+        out.join(nidx, out["node"] == nidx["idx"])
+        .join(sid_map, on="sid_i")
+        .select("sid", "layer", "node_id", "dist")
+    )
 
 
 def temporal_earliest_arrival(
