@@ -835,27 +835,132 @@ def ann_pq_topk(
     codes = scored.groupBy("id", "j").agg(
         F.min_by("cid", F.struct("d2", "cid")).alias("cid")
     )
-    # ADC lookup table: every row of `scored` IS a query-to-centroid
-    # subdistance — reuse it directly
-    qtab = scored.select(
-        F.col("id").alias("query_id"), "j", "cid", "d2"
+    # --- flat-ADC scoring as a tiled numpy kernel (r10) ---------------
+    # The relational shape (codes ⋈ broadcast ADC-table on (j, cid),
+    # then a (query, candidate) grouped SUM) materializes N²·m join
+    # rows for N² pair groups plus an N²-row rank window. The scoring
+    # is a pure integer gather-sum, so run it like brute_force_topk:
+    # hash-tile queries × candidates into cogroup cells, one numpy
+    # int64 gather per cell, and emit only each cell's top-k — the
+    # merge window then sees B·k rows per query instead of N.
+    # Exactness: summands are the SAME round(d2*1e6) BIGINT µ-units
+    # as before (int64 sums are order-independent), and
+    # round(di/1e6, 6) is injective for any realistic di, so ordering
+    # by the integer sum reproduces the (pq_dist, neighbor_id) rank
+    # order bit-for-bit.
+    import numpy as np
+    import pandas as pd
+
+    # dense code positions: cidx per (j, cid) via a tiny per-j window
+    # over the codebook rows (bounded by m*n_centroids — broadcast
+    # grid, not data); gpos = j*n_centroids + cidx leaves gaps if a
+    # subspace lost a centroid, which the gather never touches.
+    wc = Window.partitionBy("j").orderBy("cid")
+    cmap = cents.select("j", "cid").withColumn(
+        "gpos",
+        (F.col("j") * n_centroids + F.row_number().over(wc) - 1).cast("int"),
     )
-    pairs = (
-        codes.join(F.broadcast(qtab), on=["j", "cid"])
-        .filter(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", F.col("id").alias("neighbor_id"))
-        # scaled-integer sum of the 6dp summands: see ann_ivf_pq_topk
-        .agg(
-            F.round(
-                F.sum(F.round(F.col("d2") * 1e6).cast("bigint")) / 1e6, 6
-            ).alias("pq_dist")
+    n_pos = m * n_centroids
+    # per-query ADC row: µ-unit subdistances laid out at gpos
+    qt = scored.join(F.broadcast(cmap), on=["j", "cid"]).select(
+        "id",
+        "gpos",
+        F.round(F.col("d2") * 1e6).cast("bigint").alias("di"),
+    )
+    qrows = (
+        qt.groupBy("id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("gpos", "di"))).alias("mp"))
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_pos - 1)),
+                lambda p: F.coalesce(F.element_at("mp", p), F.lit(0).cast("bigint")),
+            ).alias("qa"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    # per-candidate code row: the m chosen gpos values ordered by j
+    crows = (
+        codes.join(F.broadcast(cmap), on=["j", "cid"])
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "gpos"))),
+                lambda s: s["gpos"],
+            ).alias("ca")
+        )
     )
-    return pairs.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    n = df.count()
+    block_rows = 1024
+    n_blocks = max(1, -(-n // block_rows))
+    n_groups = n_blocks
+    # distinct column names on the two sides: both share `scored`'s
+    # lineage, and the cogroup would otherwise be an ambiguous self-join
+    qry = qrows.select(
+        F.col("id").alias("qid"),
+        "qa",
+        F.pmod(F.xxhash64("id"), F.lit(n_groups)).cast("int").alias("g"),
+    ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    cand = crows.select(
+        F.col("id").alias("nid"),
+        "ca",
+        F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int").alias("b"),
+    ).withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))))
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "di": pd.Series(dtype="int64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        q = np.array(list(left["qa"]), dtype=np.int64)   # (nq, n_pos)
+        c = np.array(list(right["ca"]), dtype=np.int64)  # (nc, m)
+        dist = q[:, c[:, 0]].copy()
+        for j in range(1, c.shape[1]):
+            dist += q[:, c[:, j]]
+        qids = left["qid"].values
+        cand_ids = right["nid"].values
+        out_q, out_n, out_d = [], [], []
+        for row_i, qid in enumerate(qids):
+            row = dist[row_i]
+            mask = cand_ids != qid
+            row, nids = row[mask], cand_ids[mask]
+            order = np.lexsort((nids, row))[:k]  # di asc, neighbor asc
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_n.append(nids[order])
+            out_d.append(row[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "di": np.concatenate(out_d),
+            }
+        )
+
+    n_cells = n_blocks * n_groups
+    partials = (
+        qry.repartition(n_cells, "g", "b")
+        .groupBy("g", "b")
+        .cogroup(cand.repartition(n_cells, "g", "b").groupBy("g", "b"))
+        .applyInPandas(score_cell, "query_id long, neighbor_id long, di long")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("di").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("di") / 1e6, 6).alias("pq_dist"),
+            "rank",
+        )
     )
 
 
