@@ -3224,28 +3224,46 @@ def voterank(graph: OnionGraph, k: int = 5) -> DataFrame:
         F.lit(m2).cast("bigint").alias("va"),
         F.lit(False).alias("el"),
     ).localCheckpoint()
+    # Same broadcast-the-state-while-small regime as pagerank/katz:
+    # under the gate both n-row sides broadcast and the cached
+    # symmetrized edge view is scanned, never exchanged or re-sorted,
+    # in any of the k rounds; past the gate the joins shuffle as before.
+    small_state = graph.cached_n_nodes() <= BCAST_STATE_MAX
     winners = []
     for r in range(1, k + 1):
+        # neighbor-vote sums first (aggregate before the node join —
+        # guide's partial-aggregation shape), then attach to the
+        # non-elected nodes; voteless nodes coalesce to 0 exactly as
+        # the old left-join + null-skipping SUM did.
+        va_u = va.select(
+            F.col("layer").alias("ul2"),
+            F.col("node_id").alias("ui2"),
+            F.col("va").alias("uva"),
+        )
+        if small_state:
+            va_u = F.broadcast(va_u)
+        nbr = (
+            und.join(
+                va_u,
+                (F.col("ul") == F.col("ul2")) & (F.col("ui") == F.col("ui2")),
+            )
+            .groupBy(
+                F.col("vl").alias("layer"), F.col("vi").alias("node_id")
+            )
+            .agg(F.sum("uva").alias("nsum"))
+        )
+        if small_state:
+            nbr = F.broadcast(nbr)
         score = (
             va.filter(~F.col("el"))
-            .alias("v")
-            .join(
-                und,
-                (F.col("vl") == F.col("v.layer"))
-                & (F.col("vi") == F.col("v.node_id")),
-                "left",
-            )
-            .join(
-                va.select(
-                    F.col("layer").alias("ul2"),
-                    F.col("node_id").alias("ui2"),
-                    F.col("va").alias("uva"),
+            .join(nbr, ["layer", "node_id"], "left")
+            .select(
+                "layer",
+                "node_id",
+                F.coalesce(F.col("nsum"), F.lit(0).cast("bigint")).alias(
+                    "score"
                 ),
-                (F.col("ul") == F.col("ul2")) & (F.col("ui") == F.col("ui2")),
-                "left",
             )
-            .groupBy("v.layer", "v.node_id")
-            .agg(F.coalesce(F.sum("uva"), F.lit(0)).alias("score"))
         )
         w = score.orderBy(
             F.col("score").desc(),
