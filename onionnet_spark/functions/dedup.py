@@ -1053,32 +1053,27 @@ def dedup_method_report(
         .alias("n_docs"),
     )
 
+    # one pass per method: the old two-aggregate shape (pair count,
+    # then a crossJoined distinct-doc count) evaluated each candidate
+    # pipeline TWICE — exploding the pair endpoints lets a single
+    # aggregate read both numbers off one evaluation (count/2 is exact:
+    # every pair contributes exactly two endpoint rows)
     def _sym_stats(pairs: DataFrame, name: str) -> DataFrame:
-        ids = pairs.select(F.col("id_a").alias("i")).unionByName(
-            pairs.select(F.col("id_b").alias("i"))
-        )
-        return pairs.agg(
+        ends = pairs.select(F.explode(F.array("id_a", "id_b")).alias("i"))
+        return ends.agg(
             F.lit(name).alias("method"),
-            F.count("*").cast("bigint").alias("n_pairs"),
-        ).crossJoin(
-            F.broadcast(
-                ids.agg(F.count_distinct("i").cast("bigint").alias("n_docs"))
-            )
+            (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+            F.count_distinct("i").cast("bigint").alias("n_docs"),
         )
 
     mh = _sym_stats(
         minhash_lsh_pairs(df, text_col, id_col, threshold=0.5), "minhash_jaccard"
     )
     sh = _sym_stats(simhash_near_pairs(df, text_col, id_col), "simhash_hamming")
-    cont = containment_pairs(df, text_col, id_col, threshold=0.8)
-    ct = cont.agg(
+    ct = containment_pairs(df, text_col, id_col, threshold=0.8).agg(
         F.lit("containment").alias("method"),
         F.count("*").cast("bigint").alias("n_pairs"),
-    ).crossJoin(
-        F.broadcast(
-            cont.select(F.col("id_small").alias("i"))
-            .agg(F.count_distinct("i").cast("bigint").alias("n_docs"))
-        )
+        F.count_distinct("id_small").cast("bigint").alias("n_docs"),
     )
     return exact.unionByName(mh).unionByName(sh).unionByName(ct)
 
