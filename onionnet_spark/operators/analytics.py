@@ -2627,28 +2627,87 @@ def salsa_scores(
         F.concat(F.lit("a:"), F.col("dst_layer")).alias("a_layer"),
         F.col("dst_id").alias("a_id"),
     )
-    w_hub = Window.partitionBy("h").orderBy("a_layer", "a_id")
-    chain = ha.select(
-        "a_layer",
-        "a_id",
-        F.lag("a_layer").over(w_hub).alias("p_layer"),
-        F.lag("a_id").over(w_hub).alias("p_id"),
-    ).filter(F.col("p_layer").isNotNull())
-    auth_nodes = ha.select(
-        F.col("a_layer").alias("layer"), F.col("a_id").alias("node_id")
-    ).distinct()
-    auth_edges = chain.select(
-        F.col("p_layer").alias("src_layer"),
-        F.col("p_id").alias("src_id"),
-        F.col("a_layer").alias("dst_layer"),
-        F.col("a_id").alias("dst_id"),
+    # Int-keyed CC interior (r10, the cached_int_sym pattern): the
+    # chain window and every star-round exchange carry one xxhash64
+    # long per authority instead of two strings. The keying is
+    # COLLISION-CHECKED over the distinct authority set (count vs
+    # count_distinct, one agg job); a clash falls back to the exact
+    # string-keyed path below so results can never silently merge.
+    # Chain connectivity is ORDER-INDEPENDENT (any total order of a
+    # hub's authorities chains the same component, and duplicate
+    # (hub, authority) rows stay adjacent under any key), so the
+    # per-hub window can sort by the 8-byte hash directly. The
+    # component label — min 'a:layer:id' STRING per component, the
+    # star-CC contract the oracle pins — is re-derived after the
+    # fixpoint by one min-per-component agg over the label table,
+    # exactly the resolve_entities numeric-min pattern.
+    auth = (
+        ha.select("a_layer", "a_id")
+        .distinct()
+        .select(
+            "a_layer",
+            "a_id",
+            F.concat_ws(":", "a_layer", "a_id").alias("akey"),
+            F.xxhash64("a_layer", "a_id").alias("ah"),
+        )
+        .localCheckpoint(eager=False)
     )
-    cc = connected_components_star(OnionGraph(auth_nodes, auth_edges))
-    auth_cc = cc.select(
-        F.expr("substring(layer, 3)").alias("layer"),
-        "node_id",
-        F.expr("substring(component, 3)").alias("component"),
-    )
+    chk = auth.agg(
+        F.count("*").alias("n"), F.count_distinct("ah").alias("nh")
+    ).collect()[0]
+    if chk["n"] == chk["nh"]:
+        from onionnet_spark.operators.components import _star_fixpoint
+
+        hah = ha.select("h", F.xxhash64("a_layer", "a_id").alias("ah"))
+        w_hub = Window.partitionBy("h").orderBy("ah")
+        chain_h = (
+            hah.select("ah", F.lag("ah").over(w_hub).alias("ph"))
+            .filter(F.col("ph").isNotNull() & (F.col("ph") != F.col("ah")))
+            .select(F.col("ph").alias("a"), F.col("ah").alias("b"))
+            .distinct()
+        )
+        fix = _star_fixpoint(chain_h)
+        labels = auth.join(
+            fix.withColumnRenamed("a", "ah").withColumnRenamed("b", "comp_h"),
+            on="ah",
+            how="left",
+        ).select(
+            "a_layer",
+            "a_id",
+            "akey",
+            F.coalesce("comp_h", "ah").alias("comp_h"),
+        )
+        comp_min = labels.groupBy("comp_h").agg(
+            F.min("akey").alias("component")
+        )
+        auth_cc = labels.join(comp_min, on="comp_h").select(
+            F.expr("substring(a_layer, 3)").alias("layer"),
+            F.col("a_id").alias("node_id"),
+            F.expr("substring(component, 3)").alias("component"),
+        )
+    else:
+        w_hub = Window.partitionBy("h").orderBy("a_layer", "a_id")
+        chain = ha.select(
+            "a_layer",
+            "a_id",
+            F.lag("a_layer").over(w_hub).alias("p_layer"),
+            F.lag("a_id").over(w_hub).alias("p_id"),
+        ).filter(F.col("p_layer").isNotNull())
+        auth_nodes = ha.select(
+            F.col("a_layer").alias("layer"), F.col("a_id").alias("node_id")
+        ).distinct()
+        auth_edges = chain.select(
+            F.col("p_layer").alias("src_layer"),
+            F.col("p_id").alias("src_id"),
+            F.col("a_layer").alias("dst_layer"),
+            F.col("a_id").alias("dst_id"),
+        )
+        cc = connected_components_star(OnionGraph(auth_nodes, auth_edges))
+        auth_cc = cc.select(
+            F.expr("substring(layer, 3)").alias("layer"),
+            "node_id",
+            F.expr("substring(component, 3)").alias("component"),
+        )
     indeg = e.groupBy(
         F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
     ).agg(F.count("*").cast("bigint").alias("indeg"))

@@ -162,6 +162,47 @@ def _star_round(edges: DataFrame) -> DataFrame:
     )
 
 
+def _star_fixpoint(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Drive alternating large/small-star rounds to fixpoint over a
+    DISTINCT (a, b) edge set of any orderable key type — the public
+    string path keys on 'layer:node_id', salsa's int path on
+    collision-checked xxhash64 longs. Returns the fixpoint edge set:
+    every row is (node, component-min); roots and isolated nodes are
+    absent and must label themselves at the caller. Convergence is a
+    count+checksum signature (multiset equality up to an xxhash64
+    collision, ~2^-64) whose aggregate job doubles as the per-round
+    lazy-checkpoint materialization — one Spark job per round.
+    """
+    edges = edges.localCheckpoint(eager=False)
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        # edges are kept distinct, so xor of per-edge hashes is a
+        # set-equality checksum that cannot overflow (unlike sum
+        # under ANSI arithmetic); this aggregate is the action that
+        # materializes the round's lazy checkpoint
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(concat_ws('|', a, b)))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = signature(edges)
+    for _ in range(max_iterations):
+        new_edges = _star_round(edges).localCheckpoint(eager=False)
+        new_sig = signature(new_edges)
+        edges = new_edges
+        if new_sig == sig:
+            return edges
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components_star did not converge within "
+        f"{max_iterations} rounds; star contraction needs O(log^2 n) "
+        f"rounds — raise max_iterations"
+    )
+
+
 def connected_components_star(
     graph: OnionGraph, max_iterations: int = 30
 ) -> DataFrame:
@@ -197,43 +238,13 @@ def connected_components_star(
 
     a_key = F.concat_ws(":", F.col("src_layer"), F.col("src_id"))
     b_key = F.concat_ws(":", F.col("dst_layer"), F.col("dst_id"))
-    edges = (
+    edges = _star_fixpoint(
         graph.edge_endpoints()
         .select(a_key.alias("a"), b_key.alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        max_iterations=max_iterations,
     )
-
-    def signature(e: DataFrame) -> tuple[int, int]:
-        # edges are kept distinct, so xor of per-edge hashes is a
-        # set-equality checksum that cannot overflow (unlike sum
-        # under ANSI arithmetic); this aggregate is the action that
-        # materializes the round's lazy checkpoint
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.expr("bit_xor(xxhash64(concat_ws('|', a, b)))"), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        return row["n"], row["h"]
-
-    sig = signature(edges)
-    converged = False
-    for _ in range(max_iterations):
-        new_edges = _star_round(edges).localCheckpoint(eager=False)
-        new_sig = signature(new_edges)
-        edges = new_edges
-        if new_sig == sig:
-            converged = True
-            break
-        sig = new_sig
-    if not converged:
-        raise RuntimeError(
-            f"connected_components_star did not converge within "
-            f"{max_iterations} rounds; star contraction needs O(log^2 n) "
-            f"rounds — raise max_iterations"
-        )
 
     # at fixpoint every edge is (node, component-min); roots and
     # isolated nodes label themselves
