@@ -582,37 +582,42 @@ def dedup_clusters(
     of pairwise-similar docs (A~B~C without A~C) collapse into one
     cluster in O(log^2 n) rounds at any scale.
     """
-    from onionnet_spark.core import OnionGraph
-    from onionnet_spark.operators.components import connected_components_star
+    from onionnet_spark.operators.components import _star_fixpoint
 
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, n, num_perm, bands, threshold
     )
-    all_ids = df.select(F.col(id_col).cast("string").alias("node_id")).withColumn(
-        "layer", F.lit("doc")
+    # star fixpoint DIRECTLY on the numeric doc ids: every exchange
+    # in the contraction carries 8-byte longs instead of 'doc:<id>'
+    # strings, and the fixpoint label is already min(doc_id) in
+    # NUMERIC order — the canonical-id contract — so the old
+    # stringified-key CC + split_part + min-recompute window
+    # collapse into one left join.
+    fix = _star_fixpoint(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
-    pair_edges = pairs.select(
-        F.lit("doc").alias("src_layer"),
-        F.col("id_a").cast("string").alias("src_id"),
-        F.lit("doc").alias("dst_layer"),
-        F.col("id_b").cast("string").alias("dst_id"),
-    )
-    labels = connected_components_star(OnionGraph(all_ids, pair_edges))
-    out = labels.select(
-        F.col("node_id").cast("long").alias(id_col),
-        F.split_part(F.col("component"), F.lit(":"), F.lit(2))
-        .cast("long")
-        .alias("canonical_id"),
+    out = (
+        df.select(id_col)
+        .join(
+            fix.select(
+                F.col("a").alias(id_col), F.col("b").alias("canonical_id")
+            ),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            id_col,
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        )
     )
     from pyspark.sql import Window
 
-    # canonical = min doc id in cluster: component key is the min
-    # STRING 'doc:<id>', which is not numeric order — recompute the
-    # numeric min per cluster for a stable contract.
     w = Window.partitionBy("canonical_id")
     return out.select(
         id_col,
-        F.min(F.col(id_col)).over(w).alias("canonical_id"),
+        "canonical_id",
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
     )
 

@@ -2092,7 +2092,13 @@ def count_paths_to(
     (layer, node_id, n_paths) for nodes with >= 1 path, target
     excluded (no zero-length path).
     """
-    e = graph.edge_endpoints().select(
+    # Same broadcast-the-state-while-small regime as katz: each
+    # round's count frame is node-keyed (<= |V| rows), so under the
+    # budget the round is a broadcast probe over the persisted edge
+    # cache — the edge side is never exchanged or sorted; past it,
+    # the shuffle-join shapes below are unchanged.
+    small_state = graph.cached_n_nodes() <= BCAST_STATE_MAX
+    e = graph.cached_endpoints("downstream").select(
         "src_layer", "src_id", "dst_layer", "dst_id"
     )
     tl, ti = target[0], str(target[1])
@@ -2106,13 +2112,14 @@ def count_paths_to(
     )
     total = cur
     for _ in range(max_len - 1):
+        curd = cur.select(
+            F.col("layer").alias("dst_layer"),
+            F.col("node_id").alias("dst_id"),
+            "c",
+        )
         nxt = (
             e.join(
-                cur.select(
-                    F.col("layer").alias("dst_layer"),
-                    F.col("node_id").alias("dst_id"),
-                    "c",
-                ),
+                F.broadcast(curd) if small_state else curd,
                 on=["dst_layer", "dst_id"],
             )
             .groupBy(
@@ -2193,6 +2200,10 @@ def ego_stats(graph: OnionGraph) -> DataFrame:
     deg = sym.groupBy(
         F.col("layer"), F.col("node_id")
     ).agg(F.count("*").alias("deg"))
+    # NOT broadcast-gated: unlike the iterative operators, this is a
+    # ONE-SHOT join — an adjacent A/B (r10 session 4) read 4.3s ->
+    # 5.7s median with deg broadcast, the un-amortized ~786k-row
+    # broadcast build costing more than the exchange it saved.
     nbr_deg = sym.join(
         deg.select(
             F.col("layer").alias("n_layer"),

@@ -458,36 +458,37 @@ def resolve_entities(
 
     Distributed shape: blocking is the range-partitioned rank +
     bucket join of sorted_neighborhood_pairs (no all-pairs scan);
-    the closure is connected_components_star (the large/small-star
-    O(log n) fixpoint); canonical attachment is a join on entity_id.
+    the closure is _star_fixpoint run DIRECTLY on the caller's id
+    dtype (8-byte longs for numeric ids — no 'ent:<id>' string keys
+    in any star exchange), so the fixpoint's component label IS
+    min(<id_col>) under the column's natural ordering — exactly the
+    entity_id contract — and the old min-per-component re-derivation
+    aggregation + join are gone; canonical attachment is a join on
+    entity_id.
     """
-    from onionnet_spark.core import OnionGraph
-    from onionnet_spark.operators.components import connected_components_star
+    from onionnet_spark.operators.components import _star_fixpoint
 
     pairs = sorted_neighborhood_pairs(
         df, col=col, id_col=id_col, window=window, max_dist=max_dist
     )
-    all_ids = df.select(
-        F.col(id_col).cast("string").alias("node_id")
-    ).withColumn("layer", F.lit("ent"))
-    pair_edges = pairs.select(
-        F.lit("ent").alias("src_layer"),
-        F.col("id_a").cast("string").alias("src_id"),
-        F.lit("ent").alias("dst_layer"),
-        F.col("id_b").cast("string").alias("dst_id"),
+    fix = _star_fixpoint(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
-    labels = connected_components_star(OnionGraph(all_ids, pair_edges))
-    # cast the stringified node key back to the CALLER's id dtype —
-    # a hard cast("long") would NULL every non-numeric id and
-    # collapse the whole table into one entity_id=NULL cluster
-    id_type = df.schema[id_col].dataType
-    members = labels.select(
-        F.col("node_id").cast(id_type).alias(id_col), "component"
+    # at fixpoint every row is (member, component-min); roots and
+    # singletons are absent and label themselves via the left join
+    labels = fix.select(
+        F.col("a").alias(id_col), F.col("b").alias("entity_id")
     )
-    entity = members.groupBy("component").agg(
-        F.min(id_col).alias("entity_id")
+    lab = (
+        df.select(id_col)
+        .join(labels, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("entity_id", F.col(id_col)).alias("entity_id"),
+        )
     )
-    lab = members.join(entity, on="component").select(id_col, "entity_id")
     sz = lab.groupBy("entity_id").agg(
         F.count("*").cast("bigint").alias("cluster_size")
     )
