@@ -65,6 +65,14 @@ class OnionGraph:
         self.directed = directed
         self.edges_unique_undirected = edges_unique_undirected
         self._endpoint_cache: dict[str, DataFrame] = {}
+        # guards the build-and-memoize of the int node index: the two
+        # on_shortest_path BFS arms call cached_int_endpoints from
+        # concurrent threads, and an unguarded first build would
+        # persist two copies of the index (one left pinned until
+        # session end)
+        import threading
+
+        self._int_nodes_lock = threading.Lock()
 
     def __del__(self):
         # Best-effort release of the per-instance cached views when
@@ -177,18 +185,19 @@ class OnionGraph:
         """The collision-checked xxhash64 node index shared by every
         int-keyed view (cached_int_sym / cached_int_endpoints), or
         None when the 64-bit keying clashes on this node set."""
-        if "int_nodes" not in self._endpoint_cache:
-            nodes_idx = self.nodes.select(
-                "layer", "node_id", F.xxhash64("layer", "node_id").alias("idx")
-            ).persist()
-            chk = nodes_idx.agg(
-                F.count("*").alias("n"), F.count_distinct("idx").alias("d")
-            ).collect()[0]
-            if chk["n"] != chk["d"]:
-                nodes_idx.unpersist()
-                self._endpoint_cache["int_nodes"] = None
-            else:
-                self._endpoint_cache["int_nodes"] = nodes_idx
+        with self._int_nodes_lock:
+            if "int_nodes" not in self._endpoint_cache:
+                nodes_idx = self.nodes.select(
+                    "layer", "node_id", F.xxhash64("layer", "node_id").alias("idx")
+                ).persist()
+                chk = nodes_idx.agg(
+                    F.count("*").alias("n"), F.count_distinct("idx").alias("d")
+                ).collect()[0]
+                if chk["n"] != chk["d"]:
+                    nodes_idx.unpersist()
+                    self._endpoint_cache["int_nodes"] = None
+                else:
+                    self._endpoint_cache["int_nodes"] = nodes_idx
         return self._endpoint_cache["int_nodes"]
 
     def cached_int_endpoints(

@@ -105,6 +105,38 @@ def bfs_distances(
     """
     import time as _time
     spark = graph.nodes.sparkSession
+    # Int-keyed interior when the collision-checked 64-bit node
+    # keying holds (core.cached_int_*): every frontier, broadcast,
+    # dedup and anti-join exchange carries one 8-byte long instead of
+    # two strings — the same ~2.5x per-level cut measured on the
+    # pseudo-diameter and closeness sweeps. Gated to DEEP UNCAPPED
+    # fixpoints from a driver-side seed list (the `reachable` shape):
+    # only there do the many narrow levels amortize the one
+    # node-index join that maps the result back to strings. Shallow
+    # capped sweeps (k_hop), paced/stop-node arms (on_shortest_path)
+    # and big DataFrame seed sets (bow-tie) measured NET SLOWER on
+    # the int path (r10 session-4 A/B: khop_upstream 1.21->1.57s,
+    # on_shortest_path 3.39->4.79s, graph_bowtie 5.12->5.35s, vs
+    # reachability 4.88->3.17s, sssp_hops 2.35->1.85s) — they keep
+    # the exact string loop below.
+    if (
+        max_dist is None
+        and stop_nodes is None
+        and dynamic_cap is None
+        and pace is None
+        and level_hook is None
+        and not isinstance(sources, DataFrame)
+    ):
+        intp = (
+            graph.cached_int_sym()
+            if direction == "sym"
+            else graph.cached_int_endpoints(direction)
+        )
+        if intp is not None:
+            return _bfs_int(
+                graph, intp, sources, direction, max_dist, stop_nodes,
+                dynamic_cap, found_depths, pace, level_hook,
+            )
     edges = _directed_endpoints(graph, direction)
     # Each level's frontier is eagerly localCheckpoint-ed: ONE job
     # per level materializes it with truncated lineage; the visited
@@ -300,6 +332,151 @@ def reachable(
     """Full reachability fixpoint (reference _bfs_traversal,
     searcher.py:119-155)."""
     return bfs_distances(graph, [start], direction, max_dist=None)
+
+
+def _bfs_int(
+    graph: OnionGraph,
+    intp: tuple[DataFrame, DataFrame],
+    sources,
+    direction: str,
+    max_dist: int | None,
+    stop_nodes,
+    dynamic_cap,
+    found_depths,
+    pace,
+    level_hook,
+) -> "DataFrame | None":
+    """bfs_distances over the collision-checked int-keyed edge view:
+    identical loop structure, stop-node marking, pacing and capping —
+    but every level's join/dedup/anti-join keys on one 8-byte long.
+    Level 0 is emitted from the caller's string source frame (phantom
+    seeds survive exactly like the string path); levels >= 1 map back
+    through the node index once, at the end, via the same inner join
+    the other int interiors use (_multi_source_bfs_int,
+    _sym_bfs_int) — which assumes the OnionGraph invariant that edge
+    endpoints appear in graph.nodes, exactly as they do.
+    """
+    import time as _time
+
+    e_int, nidx = intp
+    spark = graph.nodes.sparkSession
+    from onionnet_spark.operators.ckpt import IterCheckpointer
+
+    ck = IterCheckpointer(prefix="onionnet_bfs_int_")
+    srcs = _sources_df(spark, sources)
+    frontier = srcs.select(
+        F.xxhash64("layer", "node_id").alias("node"), F.col("dist")
+    ).localCheckpoint()
+    frontiers = [frontier]
+    n_frontier = frontier.count()
+    level_counts = [n_frontier]
+    n_visited = n_frontier
+    depth = 0
+    found_local: list[int] = []
+
+    remaining: set[tuple[str, str]] | None = None
+    stop_int = None
+    if stop_nodes is not None:
+        remaining = {(l, str(i)) for (l, i) in stop_nodes}
+        stop_strings = spark.createDataFrame(
+            sorted(remaining), "layer string, node_id string"
+        )
+        # probe built once, carrying the stop node's STRING identity
+        # alongside its hash so hits report (layer, node_id) without
+        # a node-index join; levels are disjoint so each stop node
+        # hits at most one level
+        stop_int = F.broadcast(
+            stop_strings.select(
+                "layer", "node_id",
+                F.xxhash64("layer", "node_id").alias("node"),
+            )
+        )
+        # depth-0 hits come off the string source frame directly
+        hits0 = srcs.join(
+            F.broadcast(stop_strings), on=NODE_KEY, how="left_semi"
+        ).select(*NODE_KEY)
+        for r in hits0.collect():
+            remaining.discard((r["layer"], r["node_id"]))
+            found_local.append(0)
+
+    def _mark_found(level_df: DataFrame, d: int) -> None:
+        if not remaining:
+            return
+        hits = level_df.join(stop_int, on="node").select("layer", "node_id")
+        for r in hits.collect():
+            remaining.discard((r["layer"], r["node_id"]))
+            found_local.append(d)
+
+    def _capped(d: int) -> bool:
+        if max_dist is not None and d >= max_dist:
+            return True
+        if remaining is not None and not remaining:
+            return True
+        if dynamic_cap is not None:
+            c = dynamic_cap()
+            if c is not None and d >= c:
+                return True
+        return False
+
+    while n_frontier > 0 and not _capped(depth):
+        if pace is not None:
+            while True:
+                allowed = pace()
+                if allowed is None or allowed > depth or _capped(depth):
+                    break
+                _time.sleep(0.02)
+            if _capped(depth):
+                break
+        f = frontier.select(F.col("node").alias("s"))
+        if n_frontier <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
+        if direction == "sym":
+            # undirected invariant: dedup against the last TWO
+            # frontiers only (see the string loop for the proof)
+            recent = frontiers[-2:]
+            visited = recent[0].select("node")
+            for prev in recent[1:]:
+                visited = visited.unionByName(prev.select("node"))
+            if sum(level_counts[-2:]) <= BROADCAST_FRONTIER_MAX:
+                visited = F.broadcast(visited)
+        else:
+            visited = frontiers[0].select("node")
+            for prev in frontiers[1:]:
+                visited = visited.unionByName(prev.select("node"))
+            if n_visited <= BROADCAST_FRONTIER_MAX:
+                visited = F.broadcast(visited)
+        nxt = (
+            e_int.join(f, on="s")
+            .select(F.col("d").alias("node"), F.lit(depth + 1).alias("dist"))
+            .dropDuplicates(["node"])
+            .join(visited, on="node", how="left_anti")
+        )
+        nxt = ck.cut(nxt)
+        depth += 1
+        n_frontier = nxt.count()
+        n_visited += n_frontier
+        if level_hook is not None:
+            level_hook(depth)
+        if n_frontier:
+            frontiers.append(nxt)
+            level_counts.append(n_frontier)
+            if remaining:
+                _mark_found(nxt, depth)
+        frontier = nxt
+
+    deep = None
+    for prev in frontiers[1:]:
+        deep = prev if deep is None else deep.unionByName(prev)
+    if deep is None:
+        out = srcs
+    else:
+        mapped = deep.join(nidx, deep["node"] == nidx["idx"]).select(
+            "layer", "node_id", "dist"
+        )
+        out = srcs.unionByName(mapped)
+    if found_depths is not None:
+        found_depths.extend(found_local)
+    return out
 
 
 def _sym_bfs_int(
