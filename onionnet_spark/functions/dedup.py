@@ -336,6 +336,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     salt_verify: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate detection.
 
@@ -353,8 +354,17 @@ def minhash_lsh_pairs(
     replicated), spreading each hot doc over `salt_verify` reducers;
     AQE's skew split can't help here because the hot key's rows are
     identical post-shuffle and land in one block. 0 disables.
+
+    ``shingles``: an already-materialized word_shingles(df, n) frame
+    (id, shingle) to reuse instead of rebuilding — lets composite
+    reports (dedup_method_report) share one shingle build across
+    methods. Must be materialized (checkpoint/persist) by the caller.
     """
-    sh = word_shingles(df, text_col, id_col, n).localCheckpoint()
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, text_col, id_col, n).localCheckpoint()
+    )
     sigs = minhash_signatures(sh, num_perm)
     band_keys = minhash_band_keys(sigs, num_perm, bands)
     cand = (
@@ -538,20 +548,31 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.md5("tok"))
+    # Bit extraction runs on INTEGER halves of the hex hash instead
+    # of 'bits' separate instr/substr string probes per token (the
+    # old per-bit expression; ~32 string scans per token row was the
+    # dominant map-side CPU of the simhash family). Each 8-hex-digit
+    # half converts once to a 32-bit int; bit j of the token is then
+    # one shiftright+AND. Same mathematical bit — digit at 1-indexed
+    # hex position p occupies bits [4*(8-p), 4*(8-p)+3] of the half,
+    # and bit_in_digit counts from the digit's LSB — so results are
+    # bit-identical to the oracle's instr/substr formulation.
+    n_halves = (bits + 31) // 32
+    for hx in range(n_halves):
+        toks = toks.withColumn(
+            f"hb{hx}",
+            F.conv(F.substring("h", 1 + 8 * hx, 8), 16, 10).cast("bigint"),
+        )
     bit_sums = []
     for j in range(bits):
-        digit_pos = j // 4 + 1
+        digit_pos = j // 4 + 1  # 1-indexed hex position in h
         bit_in_digit = j % 4
-        # hex digit value via position in '0123456789abcdef'; extract
-        # bit via integer div/mod — the identical expression runs in
-        # the DuckDB oracle.
-        bit = F.expr(
-            f"CAST(floor((instr('0123456789abcdef', substr(h, {digit_pos}, 1)) - 1)"
-            f" / {2 ** bit_in_digit}) AS INT) % 2"
-        )
-        bit_sums.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}")
-        )
+        half = (digit_pos - 1) // 8
+        pos_in_half = (digit_pos - 1) % 8  # 0-indexed within the half
+        shift = 4 * (7 - pos_in_half) + bit_in_digit
+        bit = F.shiftright(F.col(f"hb{half}"), shift).bitwiseAND(F.lit(1))
+        # sum of (+1 if bit else -1) == sum(2*bit - 1), branch-free
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sim = None
     for j in range(bits):
@@ -963,6 +984,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by shingle CONTAINMENT |A∩B| / |A| — the
     asymmetric measure that catches a document embedded inside a
@@ -983,9 +1005,15 @@ def containment_pairs(
     exclude stop-shingles — self-consistent at any scale). Emits
     BOTH directions when both clear the threshold. Returns
     (id_small, id_big, containment 6dp).
+
+    ``shingles``: optional pre-materialized word_shingles frame
+    (id, shingle strings) shared by composite reports; the hashed
+    projection of a checkpointed frame is cheap per consumer.
     """
     sh = (
-        word_shingles(df, text_col, id_col, n)
+        shingles.select("id", F.xxhash64("shingle").alias("shingle"))
+        if shingles is not None
+        else word_shingles(df, text_col, id_col, n)
         .select("id", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint()
     )
@@ -1071,11 +1099,20 @@ def dedup_method_report(
             F.count_distinct("i").cast("bigint").alias("n_docs"),
         )
 
+    # minhash and containment consume the IDENTICAL n=3 word-shingle
+    # table: build it once, checkpoint, and pass it to both (each
+    # used to rebuild it — normalize+split+explode+distinct twice)
+    shared_sh = word_shingles(df, text_col, id_col, 3).localCheckpoint()
     mh = _sym_stats(
-        minhash_lsh_pairs(df, text_col, id_col, threshold=0.5), "minhash_jaccard"
+        minhash_lsh_pairs(
+            df, text_col, id_col, threshold=0.5, shingles=shared_sh
+        ),
+        "minhash_jaccard",
     )
     sh = _sym_stats(simhash_near_pairs(df, text_col, id_col), "simhash_hamming")
-    ct = containment_pairs(df, text_col, id_col, threshold=0.8).agg(
+    ct = containment_pairs(
+        df, text_col, id_col, threshold=0.8, shingles=shared_sh
+    ).agg(
         F.lit("containment").alias("method"),
         F.count("*").cast("bigint").alias("n_pairs"),
         F.count_distinct("id_small").cast("bigint").alias("n_docs"),

@@ -1948,18 +1948,12 @@ def modularity(graph: OnionGraph, assignment: DataFrame) -> DataFrame:
     `assignment` must carry (layer, node_id, community). Returns one
     row: (n_communities, modularity).
     """
-    e = graph.edge_endpoints()
-    sym = (
-        e.select("src_layer", "src_id", "dst_layer", "dst_id")
-        .union(
-            e.select(
-                F.col("dst_layer").alias("src_layer"),
-                F.col("dst_id").alias("src_id"),
-                F.col("src_layer").alias("dst_layer"),
-                F.col("src_id").alias("dst_id"),
-            )
-        )
-        .distinct()
+    # the deduped forward+reversed union IS cached_symmetrized()'s
+    # result set (the invariant only decides whether the dedup
+    # exchange is a no-op), so reuse the shared persisted view —
+    # callers like graph_modularity already materialized it for LPA
+    sym = graph.cached_symmetrized().select(
+        "src_layer", "src_id", "dst_layer", "dst_id"
     )
     a = assignment.select(
         F.col("layer").alias("src_layer"),
@@ -2419,6 +2413,11 @@ def link_prediction(
     Returns (id_a, id_b, common, jaccard, adamic_adar), id_a < id_b.
     """
     sym = graph.cached_symmetrized()
+    # one materialization barrier: nbr feeds FOUR consumers (dfreq,
+    # sizes, both self-join sides) whose projections differ, so
+    # without it the filter+distinct exchange over sym re-runs per
+    # consumer (ReuseExchange can't match the differing subtrees) —
+    # the ngram_jaccard single-barrier pattern from r8
     nbr = (
         sym.filter(F.col("src_layer") == layer)
         .select(
@@ -2426,6 +2425,7 @@ def link_prediction(
             F.concat_ws(":", "dst_layer", "dst_id").alias("nbr"),
         )
         .distinct()
+        .localCheckpoint()
     )
     dfreq = nbr.groupBy("nbr").agg(F.count("*").alias("df"))
     if max_nbr_df is not None:

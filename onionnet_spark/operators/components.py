@@ -455,11 +455,25 @@ def label_propagation_communities(
     unrolls the identical recurrence).
 
     Each round is one shuffle keyed on the node (neighbor-label
-    counting) plus a window argmax — linear in edges, independent of
-    community count. Returns (layer, node_id, community).
-    """
-    from pyspark.sql import Window
+    counting) plus an argmax aggregation — linear in edges,
+    independent of community count. Returns (layer, node_id,
+    community).
 
+    Round shape (r10): the argmax runs as min(struct(-c, label))
+    with map-side partial aggregation instead of a row_number window
+    sort, and labels are tracked for CONNECTED nodes only: every
+    node appearing in sym gets exactly one argmax row each round (it
+    has >= 1 labeled neighbor), and isolated nodes never appear as a
+    join source, so the old per-round labels-vs-best update join was
+    a no-op re-merge. The initial-key label of isolated nodes is
+    re-attached once at the end via the left-join coalesce. The
+    label table is NOT broadcast into the sym join: each round's
+    broadcast would be built once and used once (the un-amortized
+    one-shot trap measured on ego_stats/random_walks in r10 — the
+    wide string label rows make it worse here), unlike the
+    pagerank/katz class where the state is narrow numerics probing a
+    checkpointed edge scan.
+    """
     sym = graph.cached_symmetrized().select(
         F.concat_ws(":", "src_layer", "src_id").alias("src"),
         F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
@@ -470,29 +484,29 @@ def label_propagation_communities(
         "layer", "node_id", graph.node_key_col().alias("key")
     )
     labels = nodes.select("key", F.col("key").alias("label")).localCheckpoint()
-    w = Window.partitionBy("key").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(n_rounds):
+        lab_src = labels.select(F.col("key").alias("src"), "label")
         counts = (
-            sym.join(
-                labels.select(F.col("key").alias("src"), "label"), on="src"
-            )
+            sym.join(lab_src, on="src")
             .groupBy(F.col("dst").alias("key"), "label")
             .agg(F.count("*").alias("c"))
         )
-        best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("key", F.col("label").alias("new_label"))
-        )
+        # argmax(c) with smallest-label tie-break == min over the
+        # struct (-c, label): field-by-field struct ordering, exact
         labels = (
-            labels.join(best, on="key", how="left")
-            .select(
-                "key", F.coalesce("new_label", "label").alias("label")
+            counts.groupBy("key")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("m")
             )
+            .select("key", F.col("m.label").alias("label"))
             .localCheckpoint()
         )
-    out = nodes.join(labels, on="key").select(
-        "layer", "node_id", F.col("label").alias("community")
+    out = nodes.join(labels, on="key", how="left").select(
+        "layer",
+        "node_id",
+        F.coalesce("label", "key").alias("community"),
     )
     return out
 
@@ -679,20 +693,20 @@ def community_conductance(
         F.concat_ws(":", "src_layer", "src_id").alias("src"),
         F.concat_ws(":", "dst_layer", "dst_id").alias("dst"),
     )
-    joined = sym.join(
-        lab.select(F.col("key").alias("src"), F.col("community").alias("ca")),
-        on="src",
-    ).join(
-        lab.select(F.col("key").alias("dst"), F.col("community").alias("cb")),
-        on="dst",
-    )
+    la = lab.select(F.col("key").alias("src"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("key").alias("dst"), F.col("community").alias("cb"))
+    joined = sym.join(la, on="src").join(lb, on="dst")
     per = joined.groupBy(F.col("ca").alias("community")).agg(
         F.count("*").cast("bigint").alias("volume"),
         F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0))
         .cast("bigint")
         .alias("cut_edges"),
     )
-    tot = joined.agg(F.count("*").cast("bigint").alias("e2"))
+    per = per.localCheckpoint()
+    # e2 (total symmetric endpoints) == sum of per-community volumes:
+    # read it off the community-sized aggregate instead of evaluating
+    # the edge-label join a second time
+    tot = per.agg(F.sum("volume").cast("bigint").alias("e2"))
     nn = labels.groupBy("community").agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
