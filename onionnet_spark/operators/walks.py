@@ -49,14 +49,21 @@ def random_walks(
     ).distinct()
     w = Window.partitionBy("u").orderBy("v")
     adj = e.withColumn("idx", F.row_number().over(w) - 1).localCheckpoint()
-    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    # deg and the step states are MATERIALIZED (r10): the returned
+    # frame unions all walk_len+1 step states, and without barriers
+    # each union branch replays the whole unmaterialized prefix —
+    # the starts subtree (which may embed an expensive graph
+    # derivation) once per branch and the join chain quadratically
+    # (sum over t of t joins). deg is also referenced per step and
+    # would re-aggregate the edge set every time.
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
     starts = graph.nodes
     if start_layer is not None:
         starts = starts.filter(F.col("layer") == start_layer)
     state = starts.select(
         key("layer", "node_id").alias("start"),
         key("layer", "node_id").alias("cur"),
-    )
+    ).localCheckpoint()
     out = state.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
     for t in range(1, walk_len + 1):
         state = (
@@ -65,6 +72,7 @@ def random_walks(
             .select("start", F.col("u").alias("_u"), "pick")
             .join(adj, on=[F.col("_u") == adj["u"], F.col("pick") == adj["idx"]])
             .select("start", F.col("v").alias("cur"))
+            .localCheckpoint()
         )
         out = out.unionByName(
             state.select(
@@ -146,10 +154,12 @@ def node2vec_walks(
         key("layer", "node_id").alias("cur"),
     ).withColumn("prev", F.lit(None).cast("string"))
     # only nodes with out-edges can start a walk (matches the oracle,
-    # whose s0 is DISTINCT adj sources)
+    # whose s0 is DISTINCT adj sources); materialized so the union
+    # branches below don't replay the starts subtree (cf.
+    # random_walks — same r10 barrier note)
     state = state.join(
         adj.select(F.col("u").alias("cur")).distinct(), on="cur"
-    ).select("start", "cur", "prev")
+    ).select("start", "cur", "prev").localCheckpoint()
     out = state.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
     wwin = Window.partitionBy("start").orderBy("v")
     for t in range(1, walk_len + 1):
