@@ -1142,12 +1142,13 @@ def minhash_estimate_accuracy(
     projection — no extra shuffle beyond the pair join). Returns
     (id_a, id_b, jaccard, jaccard_est, abs_err), all 6dp.
     """
+    # one shingle build feeds the pair finder AND the signature table
+    # (each used to run its own normalize+split+explode+distinct)
+    sh = word_shingles(df, text_col, id_col, n).localCheckpoint()
     pairs = minhash_lsh_pairs(
-        df, text_col, id_col, n, num_perm, bands, threshold
+        df, text_col, id_col, n, num_perm, bands, threshold, shingles=sh
     )
-    sigs = minhash_signatures(
-        word_shingles(df, text_col, id_col, n), num_perm
-    ).localCheckpoint()
+    sigs = minhash_signatures(sh, num_perm).localCheckpoint()
     sa = sigs.select(
         F.col("id").alias("id_a"), *[F.col(f"s{p}").alias(f"a{p}") for p in range(num_perm)]
     )
@@ -1177,6 +1178,7 @@ def ppjoin_pairs(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Set-similarity join by PREFIX FILTERING (PPJoin family,
     Xiao et al. 2008): a GUARANTEED-full-recall alternative to
@@ -1198,11 +1200,18 @@ def ppjoin_pairs(
     oracle is the direct all-pairs Jaccard join — the hash match
     proves the prefix filter lossless, not just plausible. Returns
     (id_a, id_b, jaccard 6dp), id_a < id_b.
+
+    ``shingles``: optional pre-materialized word_shingles frame
+    (id, shingle strings) shared by composite reports (see
+    minhash_lsh_pairs).
     """
     from pyspark.sql import Window
 
     sh = (
-        word_shingles(df, text_col, id_col, n)
+        shingles.select("id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+        if shingles is not None
+        else word_shingles(df, text_col, id_col, n)
         .select("id", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint()
     )

@@ -5357,13 +5357,22 @@ def dedup_recall_report_q(spark, sf_dir):
     Jaccard >= 0.5 pair set (PPJoin's uncapped ground truth) — the
     dedup-family twin of ann_recall_report. Verify keeps precision
     at 1.0 by construction; this measures what banding misses."""
-    from onionnet_spark.functions.dedup import minhash_lsh_pairs, ppjoin_pairs
+    from onionnet_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ppjoin_pairs,
+        word_shingles,
+    )
 
     docs = _docs(spark, sf_dir)
-    exact = ppjoin_pairs(docs, threshold_num=1, threshold_den=2).select(
+    # both pair finders consume the identical n=3 word-shingle table:
+    # build it once (the dedup_method_report sharing pattern, r10)
+    sh = word_shingles(docs, "text", "doc_id", 3).localCheckpoint()
+    exact = ppjoin_pairs(
+        docs, threshold_num=1, threshold_den=2, shingles=sh
+    ).select("id_a", "id_b").localCheckpoint()
+    found = minhash_lsh_pairs(docs, threshold=0.5, shingles=sh).select(
         "id_a", "id_b"
-    ).localCheckpoint()
-    found = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    )
     hits = exact.join(found, on=["id_a", "id_b"]).agg(
         F.count("*").alias("n_found")
     )
