@@ -1248,6 +1248,12 @@ def tree_depth2(
     pos_left, n_right, pos_right, gap_score).
     """
     spark = df.sparkSession
+    # one materialization barrier (r10): the split search scans df
+    # 2x per feature per node (min/max + histogram) — 13 scans for
+    # 2 features across root+children — and callers hand in
+    # projections with per-row work (tokenization); checkpoint once
+    # so every scan reads the narrow materialized frame.
+    df = df.localCheckpoint()
 
     def best(frame: DataFrame):
         rows = histogram_split_finding(

@@ -236,9 +236,16 @@ def ann_lsh_topk(
     def bucket_col(vec: Column) -> Column:
         return lsh_bucket_col(vec, n_planes)
 
-    with_bucket = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucket_col(F.col("v"))).localCheckpoint()
+    # norms are hoisted to the per-VECTOR side (r10): computing
+    # cosine() whole per candidate pair re-ran both norm array
+    # passes once per pair; dot/(na*nb) over pre-computed norms is
+    # the identical double arithmetic on identical operands
+    with_bucket = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", bucket_col(F.col("v")))
+        .withColumn("nv", norm(F.col("v")))
+        .localCheckpoint()
+    )
     pairs = (
         with_bucket.alias("a")
         .join(with_bucket.alias("b"), on="bucket")
@@ -246,7 +253,11 @@ def ann_lsh_topk(
         .select(
             F.col("a.id").alias("query_id"),
             F.col("b.id").alias("neighbor_id"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nv") * F.col("b.nv")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -275,9 +286,12 @@ def cosine_near_dup_pairs(
     def bucket_col(vec: Column) -> Column:
         return lsh_bucket_col(vec, n_planes)
 
-    with_bucket = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucket_col(F.col("v")))
+    # per-vector norm hoist, as in ann_lsh_topk (identical doubles)
+    with_bucket = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", bucket_col(F.col("v")))
+        .withColumn("nv", norm(F.col("v")))
+    )
     return (
         with_bucket.alias("a")
         .join(with_bucket.alias("b"), on="bucket")
@@ -285,7 +299,11 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nv") * F.col("b.nv")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -1977,9 +1995,11 @@ def ann_lsh_multiprobe_topk(
     """
     from pyspark.sql import Window
 
+    # per-vector norm hoist, as in ann_lsh_topk (identical doubles)
     with_bucket = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("bucket", lsh_bucket_col(F.col("v"), n_planes))
+        .withColumn("nv", norm(F.col("v")))
         .localCheckpoint()
     )
     flips = F.array(
@@ -1987,10 +2007,11 @@ def ann_lsh_multiprobe_topk(
         *[F.lit(1 << p).cast("bigint") for p in range(n_planes)],
     )
     probes = with_bucket.select(
-        "id", "v", "bucket", F.explode(flips).alias("flip")
+        "id", "v", "nv", "bucket", F.explode(flips).alias("flip")
     ).select(
         F.col("id"),
         F.col("v"),
+        F.col("nv"),
         F.col("bucket").bitwiseXOR(F.col("flip")).alias("pb"),
     )
     pairs = (
@@ -2002,7 +2023,11 @@ def ann_lsh_multiprobe_topk(
         .select(
             F.col("a.id").alias("query_id"),
             F.col("b.id").alias("neighbor_id"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nv") * F.col("b.nv")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
