@@ -43,6 +43,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cc_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Centroid-assignment scoring: crossJoin(vecs, broadcast cents)
+    with the 6dp cosine as 'cc' — norms hoisted to each SIDE of the
+    join (r10), so a vector's norm is computed once per scan instead
+    of once per centroid pair, and each centroid's once per build
+    instead of once per row. dot/(nv*ncv) is the identical double
+    arithmetic on identical operands as cosine(v, cv). Expects
+    (…, v) on vecs and (…, cv) on cents; extra columns ride along.
+    """
+    va = vecs.withColumn("_nv", norm(F.col("v")))
+    ca = cents.withColumn("_ncv", norm(F.col("cv")))
+    return (
+        va.crossJoin(F.broadcast(ca))
+        .withColumn(
+            "cc",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("_nv") * F.col("_ncv")),
+                6,
+            ),
+        )
+        .drop("_nv", "_ncv")
+    )
+
+
 def _np_round_half_away(a, decimals: int = 6):
     """Round half AWAY from zero, elementwise — the convention both
     Spark's F.round (HALF_UP) and DuckDB's ROUND use on doubles.
@@ -421,8 +445,7 @@ def kmeans_codebook(
     )
     for _ in range(iterations):
         assigned = (
-            v.crossJoin(F.broadcast(cents))
-            .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+            _cc_assign(v, cents)
             .groupBy("id")
             .agg(
                 F.min_by(
@@ -471,9 +494,10 @@ def kmeans_cluster_report(
         df, vec_col, id_col, k=k, iterations=iterations, cache_key=cache_key
     )
     assigned = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        _cc_assign(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            cents,
+        )
         .groupBy("id")
         .agg(
             F.min_by(
@@ -540,9 +564,10 @@ def ann_ivf_topk(
     else:
         raise ValueError("codebook must be 'kmeans' or 'first'")
     scored = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        _cc_assign(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            cents,
+        )
     )
     # top-nprobe cells per vector WITHOUT a window: the broadcast
     # crossJoin emits each id's K scored rows in one task, so
@@ -1042,9 +1067,10 @@ def ann_ivf_pq_topk(
             coarse = coarse_fut.result()
             pq_cents = pq_fut.result()
     scored = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(coarse))
-        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        _cc_assign(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            coarse,
+        )
     )
     # map-side top-nprobe cell assignment — see ann_ivf_topk's note
     top = _top_cells(scored, nprobe).localCheckpoint()
@@ -1233,9 +1259,10 @@ def ann_ivf_pq_residual_topk(
         else kmeans_codebook(df, vec_col, id_col, n_centroids, iterations)
     )
     scored = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(coarse))
-        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        _cc_assign(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            coarse,
+        )
     )
     # map-side top-nprobe cell assignment — see ann_ivf_topk's note
     top = _top_cells(scored, nprobe).localCheckpoint()
@@ -2491,9 +2518,10 @@ def cluster_balanced_sample(
     # assigned feeds both the size aggregation and the rank window —
     # checkpoint so the broadcast-crossJoin assignment runs once
     assigned = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cc", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        _cc_assign(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            cents,
+        )
         .groupBy("id")
         .agg(
             F.min_by(

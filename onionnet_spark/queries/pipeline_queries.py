@@ -5975,9 +5975,12 @@ def cluster_topic_terms_q(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     cents = _sim.kmeans_codebook(embs, k=8, iterations=2, cache_key=sf_dir)
     assigned = (
-        embs.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cc", F.round(_sim.cosine(F.col("v"), F.col("cv")), 6))
+        _sim._cc_assign(
+            embs.select(
+                F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+            ),
+            cents,
+        )
         .groupBy("id")
         .agg(
             F.min_by(
@@ -6583,9 +6586,12 @@ def embedding_ivf_cell_balance_q(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     cents = _sim.kmeans_codebook(embs, k=8, iterations=2, cache_key=sf_dir)
     assigned = (
-        embs.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cc", F.round(_sim.cosine(F.col("v"), F.col("cv")), 6))
+        _sim._cc_assign(
+            embs.select(
+                F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+            ),
+            cents,
+        )
         .groupBy("id")
         .agg(
             F.min_by(
