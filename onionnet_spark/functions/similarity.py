@@ -1821,9 +1821,12 @@ def pca_top_component(
     mu = ex.groupBy("pos").agg(
         F.floor(F.sum("q").cast("double") / F.count("*")).cast("bigint").alias("mu")
     )
+    # materialized once (r10): the covariance self-join consumes cen
+    # on BOTH sides with different projections, so without a barrier
+    # the explode+mean join (a full corpus pass) runs twice
     cen = ex.join(F.broadcast(mu), on="pos").select(
         "id", "pos", (F.col("q") - F.col("mu")).alias("cq")
-    )
+    ).localCheckpoint()
     n_row = df.select(F.count("*").alias("n"))
     cov = (
         cen.alias("a")
