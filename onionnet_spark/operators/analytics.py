@@ -1776,12 +1776,22 @@ def greedy_coloring(
             )
             .localCheckpoint()
         )
+        # colored is a union of per-round MATERIALIZED assigned
+        # frames (r10): re-checkpointing the whole growing union
+        # every round rewrote all previously-colored rows O(rounds)
+        # times; a union over <= `rounds` checkpointed leaves scans
+        # the same bytes with no rewrite.
         colored = (
             assigned
             if colored is None
-            else colored.unionByName(assigned).localCheckpoint()
+            else colored.unionByName(assigned)
         )
         uncolored = uncolored.join(sel, on="node", how="left_anti").localCheckpoint()
+        # converged: every remaining round would select nothing and
+        # assign nothing (sel derives from uncolored), so the fixed
+        # schedule's tail is a provable no-op — skip it
+        if not uncolored.take(1):
+            break
     if guard and uncolored.count():
         raise RuntimeError(
             f"greedy_coloring: {uncolored.count()} nodes uncolored after "
