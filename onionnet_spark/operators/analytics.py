@@ -1630,9 +1630,14 @@ def boruvka_msf(
             .distinct()
             .localCheckpoint()
         )
+        # forest is a union of the per-round MATERIALIZED picks (r10):
+        # sel's distinct already collapsed the both-endpoints-pick
+        # duplicate within the round, and a later round can never
+        # re-select a forest edge (its endpoints share a label by
+        # then), so the old whole-forest distinct + re-checkpoint
+        # rewrote the accumulated set every round for nothing.
         add = sel.select("a", "b", "w")
         forest = add if forest is None else forest.unionByName(add)
-        forest = forest.distinct().localCheckpoint()
         # contract: min-label propagation over the component graph
         comp = sel.select(F.col("la").alias("u"), F.col("lb").alias("v"))
         sym = comp.unionByName(
@@ -1653,17 +1658,23 @@ def boruvka_msf(
                 .groupBy(F.col("u").alias("lbl"))
                 .agg(F.min("mv").alias("mn"))
             )
+            # the update join carries an 'improved' flag so
+            # convergence detection is a filter over the
+            # just-materialized checkpoint, not a second nxt-vs-cur
+            # shuffle join (the weak-CC pattern)
             nxt = (
                 cur.join(nbrmin, on="lbl", how="left")
-                .select("lbl", F.least("m", F.coalesce("mn", "m")).alias("m"))
+                .select(
+                    "lbl",
+                    F.least("m", F.coalesce("mn", "m")).alias("m"),
+                    (
+                        F.col("mn").isNotNull() & (F.col("mn") < F.col("m"))
+                    ).alias("improved"),
+                )
                 .localCheckpoint()
             )
-            changed = (
-                nxt.join(cur.select("lbl", F.col("m").alias("m0")), on="lbl")
-                .filter(F.col("m") != F.col("m0"))
-                .count()
-            )
-            cur = nxt
+            changed = nxt.filter("improved").limit(1).count()
+            cur = nxt.drop("improved")
             if changed == 0:
                 break
         else:
