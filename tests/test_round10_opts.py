@@ -121,3 +121,37 @@ def test_lpa_isolated_node_and_tie_break(spark):
     assert out["x"] == "L:a"  # count tie broken to the smallest label
     # a and b each have the single neighbor x, so both adopt x's key
     assert out["a"] == "L:x" and out["b"] == "L:x"
+
+
+def test_greedy_coloring_proper_and_converges_early(spark):
+    from onionnet_spark.operators.analytics import greedy_coloring
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "a string, b string",
+    )
+    # rounds far above need: the post-convergence tail is skipped but
+    # the result must match the fixed-schedule semantics (proper,
+    # <= max_deg + 1 colors, exactly one row per node)
+    rows = {r["node"]: r["color"] for r in greedy_coloring(e, rounds=10).collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    for u, v in [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]:
+        assert rows[u] != rows[v]
+    assert max(rows.values()) <= 3
+
+
+def test_boruvka_forest_duplicate_free(spark):
+    from onionnet_spark.operators.analytics import boruvka_msf
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.5),
+         ("a", "d", 4.0), ("a", "c", 3.0), ("x", "y", 0.5)],
+        "a string, b string, w double",
+    )
+    rows = [tuple(r) for r in boruvka_msf(e).collect()]
+    # the accumulated forest must stay a SET without the old global
+    # distinct: the unique MSF of the 4-clique component + the pair
+    assert sorted(rows) == [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.5), ("x", "y", 0.5)
+    ]
+    assert len(rows) == len(set(rows))
