@@ -799,20 +799,23 @@ def neighborhood_function_sketch(
 
     Returns (layer, node_id, est_ball) with est_ball rounded to 6 dp.
     """
+    return _kmins_estimate(_kmins_states(graph, radius, k, direction)[-1], k)
+
+
+def _kmins_states(
+    graph: OnionGraph,
+    radius: int,
+    k: int,
+    direction: str,
+):
+    """Run the k-mins propagation once, returning the checkpointed
+    per-round states [s_1, .., s_radius] (the s_0 init frame when
+    radius == 0). State after r rounds IS the radius-r sketch —
+    identical init draws, identical per-round elementwise MIN — so
+    multi-radius consumers (the growth profile) read intermediate
+    states instead of re-running the propagation per radius."""
     if direction not in ("downstream", "upstream"):
         raise ValueError("direction must be 'upstream' or 'downstream'")
-    e = graph.edge_endpoints()
-    if direction == "upstream":
-        e = e.select(
-            F.col("dst_layer").alias("src_layer"),
-            F.col("dst_id").alias("src_id"),
-            F.col("src_layer").alias("dst_layer"),
-            F.col("src_id").alias("dst_id"),
-        )
-    # Query-scoped checkpoint (reused every round, auto-cleaned) —
-    # NOT graph.cached_endpoints, which would pin a session-lifetime
-    # cache on a throwaway filtered view.
-    e = e.localCheckpoint()
     key = graph.node_key_col()
     mcols = [f"m{j}" for j in range(k)]
     init = [
@@ -824,7 +827,72 @@ def neighborhood_function_sketch(
         ).alias(f"m{j}")
         for j in range(k)
     ]
+    return _sketch_propagate(graph, radius, direction, init, mcols, F.min)
+
+
+def _sketch_propagate(
+    graph: OnionGraph,
+    radius: int,
+    direction: str,
+    init: list,
+    mcols: list[str],
+    agg_fn,
+):
+    """Shared wide-column sketch propagation (k-mins MIN / HLL MAX):
+    per round one edge-keyed join + one groupBy elementwise
+    aggregate. Interior runs on collision-checked xxhash64 node
+    longs when the keying is injective (r10 — every per-round
+    exchange carries an 8-byte key instead of two strings, and the
+    edge side moves 16 bytes/row instead of four strings), with the
+    exact string-keyed loop as the clash fallback; (layer, node_id)
+    re-attach once per returned state via the 1:1 index join, so
+    results are identical either way."""
+    ie = graph.cached_int_endpoints(direction)
+    if ie is not None:
+        e, nidx = ie
+        s = graph.nodes.select(
+            F.xxhash64("layer", "node_id").alias("node"), *init
+        ).localCheckpoint()
+
+        def attach(si: DataFrame) -> DataFrame:
+            return si.join(
+                nidx.select(
+                    F.col("idx").alias("node"), "layer", "node_id"
+                ),
+                on="node",
+            ).select("layer", "node_id", *mcols)
+
+        if radius == 0:
+            return [attach(s)]
+        states = []
+        for _ in range(radius):
+            prop = e.join(
+                s.select(F.col("node").alias("d"), *mcols), on="d"
+            ).select(F.col("s").alias("node"), *mcols)
+            s = (
+                s.unionByName(prop)
+                .groupBy("node")
+                .agg(*[agg_fn(c).alias(c) for c in mcols])
+                .localCheckpoint()
+            )
+            states.append(s)
+        return [attach(si) for si in states]
+    e = graph.edge_endpoints()
+    if direction == "upstream":
+        e = e.select(
+            F.col("dst_layer").alias("src_layer"),
+            F.col("dst_id").alias("src_id"),
+            F.col("src_layer").alias("dst_layer"),
+            F.col("src_id").alias("dst_id"),
+        )
     s = graph.nodes.select("layer", "node_id", *init).localCheckpoint()
+    if radius == 0:
+        return [s]
+    # Query-scoped checkpoint (reused every round, auto-cleaned) —
+    # NOT graph.cached_endpoints, which would pin a session-lifetime
+    # cache on a throwaway filtered view.
+    e = e.localCheckpoint()
+    states = []
     for _ in range(radius):
         prop = (
             e.join(
@@ -844,17 +912,41 @@ def neighborhood_function_sketch(
         s = (
             s.unionByName(prop)
             .groupBy("layer", "node_id")
-            .agg(*[F.min(c).alias(c) for c in mcols])
+            .agg(*[agg_fn(c).alias(c) for c in mcols])
             .localCheckpoint()
         )
+        states.append(s)
+    return states
+
+
+def _kmins_estimate(s: DataFrame, k: int) -> DataFrame:
     total = None
-    for c in mcols:
+    for j in range(k):
+        c = f"m{j}"
         total = F.col(c) if total is None else total + F.col(c)
     return s.select(
         "layer",
         "node_id",
         F.round(F.lit(float(k)) / total - F.lit(1.0), 6).alias("est_ball"),
     )
+
+
+def neighborhood_growth_states(
+    graph: OnionGraph,
+    max_radius: int = 3,
+    k: int = 8,
+    direction: str = "downstream",
+) -> list[DataFrame]:
+    """Per-radius sketch read-outs [(layer, node_id, est_ball) at
+    radius 1 .. max_radius] from ONE propagation loop. Each frame is
+    bit-identical to ``neighborhood_function_sketch(graph, radius=r,
+    k=k)`` (same md5 draws, same MIN recurrence, same MLE select) —
+    the growth profile pays max_radius rounds instead of
+    1 + 2 + .. + max_radius."""
+    return [
+        _kmins_estimate(s, k)
+        for s in _kmins_states(graph, max_radius, k, direction)
+    ]
 
 
 def harmonic_closeness_sampled(
@@ -1879,35 +1971,61 @@ def degree_assortativity(graph: OnionGraph) -> DataFrame:
     engine/summation order. One degree aggregation, two joins to
     annotate edges, one 1-row reduce.
     """
-    e = graph.edge_endpoints()
-    deg = (
-        e.select(F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id"))
-        .unionByName(
+    # int-keyed interior (r10): the degree groupBy and both
+    # annotation joins carry 8-byte collision-checked xxhash64 longs
+    # instead of (layer, node_id) string pairs. The output is sums
+    # over edges only — no node key surfaces — so injective keying
+    # (checked at build; string fallback on a clash) preserves every
+    # group and join match exactly.
+    ie = graph.cached_int_endpoints("downstream")
+    if ie is not None:
+        e_int, _ = ie
+        deg_i = (
+            e_int.select(F.col("s").alias("node"))
+            .unionByName(e_int.select(F.col("d").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        annotated = e_int.join(
+            deg_i.select(F.col("node").alias("s"), F.col("deg").alias("dx")),
+            on="s",
+        ).join(
+            deg_i.select(F.col("node").alias("d"), F.col("deg").alias("dy")),
+            on="d",
+        )
+    else:
+        e = graph.edge_endpoints()
+        deg = (
             e.select(
-                F.col("dst_layer").alias("layer"), F.col("dst_id").alias("node_id")
+                F.col("src_layer").alias("layer"), F.col("src_id").alias("node_id")
+            )
+            .unionByName(
+                e.select(
+                    F.col("dst_layer").alias("layer"),
+                    F.col("dst_id").alias("node_id"),
+                )
+            )
+            .groupBy("layer", "node_id")
+            .agg(F.count("*").alias("deg"))
+        )
+        annotated = (
+            e.join(
+                deg.select(
+                    F.col("layer").alias("src_layer"),
+                    F.col("node_id").alias("src_id"),
+                    F.col("deg").alias("dx"),
+                ),
+                on=["src_layer", "src_id"],
+            )
+            .join(
+                deg.select(
+                    F.col("layer").alias("dst_layer"),
+                    F.col("node_id").alias("dst_id"),
+                    F.col("deg").alias("dy"),
+                ),
+                on=["dst_layer", "dst_id"],
             )
         )
-        .groupBy("layer", "node_id")
-        .agg(F.count("*").alias("deg"))
-    )
-    annotated = (
-        e.join(
-            deg.select(
-                F.col("layer").alias("src_layer"),
-                F.col("node_id").alias("src_id"),
-                F.col("deg").alias("dx"),
-            ),
-            on=["src_layer", "src_id"],
-        )
-        .join(
-            deg.select(
-                F.col("layer").alias("dst_layer"),
-                F.col("node_id").alias("dst_id"),
-                F.col("deg").alias("dy"),
-            ),
-            on=["dst_layer", "dst_id"],
-        )
-    )
     sums = annotated.agg(
         F.count("*").alias("n"),
         F.sum("dx").alias("sx"),
@@ -1933,18 +2051,30 @@ def reciprocity(graph: OnionGraph) -> DataFrame:
     edge also exists. One distinct pass + one self semi-join on the
     reversed key — both shuffles on the endpoint-pair key.
     """
-    e = graph.edge_endpoints().select(
-        "src_layer", "src_id", "dst_layer", "dst_id"
-    ).distinct()
-    rev = e.select(
-        F.col("dst_layer").alias("src_layer"),
-        F.col("dst_id").alias("src_id"),
-        F.col("src_layer").alias("dst_layer"),
-        F.col("src_id").alias("dst_id"),
-    )
-    recip = e.join(
-        rev, on=["src_layer", "src_id", "dst_layer", "dst_id"], how="left_semi"
-    )
+    # int-keyed interior (r10): the dedup distinct and the reversed
+    # self semi-join shuffle two 8-byte longs per edge instead of
+    # four strings. Output is two counts — injective node keying
+    # (collision-checked; string fallback) preserves both exactly.
+    ie = graph.cached_int_endpoints("downstream")
+    if ie is not None:
+        e = ie[0].select("s", "d").distinct()
+        rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        recip = e.join(rev, on=["s", "d"], how="left_semi")
+    else:
+        e = graph.edge_endpoints().select(
+            "src_layer", "src_id", "dst_layer", "dst_id"
+        ).distinct()
+        rev = e.select(
+            F.col("dst_layer").alias("src_layer"),
+            F.col("dst_id").alias("src_id"),
+            F.col("src_layer").alias("dst_layer"),
+            F.col("src_id").alias("dst_id"),
+        )
+        recip = e.join(
+            rev,
+            on=["src_layer", "src_id", "dst_layer", "dst_id"],
+            how="left_semi",
+        )
     return e.agg(F.count("*").alias("n_edges")).crossJoin(
         recip.agg(F.count("*").alias("n_reciprocal"))
     ).select(
@@ -2038,22 +2168,15 @@ def louvain_move_round(graph: OnionGraph) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = graph.edge_endpoints()
-    fwd = e.select("src_layer", "src_id", "dst_layer", "dst_id")
-    sym = (
-        fwd.union(
-            e.select(
-                F.col("dst_layer").alias("src_layer"),
-                F.col("dst_id").alias("src_id"),
-                F.col("src_layer").alias("dst_layer"),
-                F.col("src_id").alias("dst_id"),
-            )
-        )
-        .filter(
-            (F.col("src_layer") != F.col("dst_layer"))
-            | (F.col("src_id") != F.col("dst_id"))
-        )
-        .distinct()
+    # the deduped forward+reversed union IS cached_symmetrized()'s
+    # result set (see modularity) — reuse the shared persisted view
+    # instead of hand-rebuilding it: the three consumers below (deg,
+    # m2, cand) scan ONE materialization instead of each re-running
+    # the union+distinct, and under the edges_unique_undirected
+    # invariant the dedup exchange is skipped outright
+    sym = graph.cached_symmetrized().filter(
+        (F.col("src_layer") != F.col("dst_layer"))
+        | (F.col("src_id") != F.col("dst_id"))
     )
     ukey = F.concat_ws(":", "src_layer", "src_id")
     vkey = F.concat_ws(":", "dst_layer", "dst_id")
@@ -2949,15 +3072,6 @@ def hyperanf(
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1 + 1.079 / m)
     )
-    e = graph.edge_endpoints()
-    if direction == "upstream":
-        e = e.select(
-            F.col("dst_layer").alias("src_layer"),
-            F.col("dst_id").alias("src_id"),
-            F.col("src_layer").alias("dst_layer"),
-            F.col("src_id").alias("dst_id"),
-        )
-    e = e.localCheckpoint()
     key = graph.node_key_col()
     hx = F.md5(key)
     # register index from the first 2 hex chars (0..255 covers m<=256)
@@ -2972,26 +3086,7 @@ def hyperanf(
         F.when(idx == j, rho).otherwise(F.lit(0)).cast("int").alias(f"r{j}")
         for j in range(m)
     ]
-    s = graph.nodes.select("layer", "node_id", *init).localCheckpoint()
-    for _ in range(radius):
-        prop = e.join(
-            s.select(
-                F.col("layer").alias("dst_layer"),
-                F.col("node_id").alias("dst_id"),
-                *rcols,
-            ),
-            on=["dst_layer", "dst_id"],
-        ).select(
-            F.col("src_layer").alias("layer"),
-            F.col("src_id").alias("node_id"),
-            *rcols,
-        )
-        s = (
-            s.unionByName(prop)
-            .groupBy("layer", "node_id")
-            .agg(*[F.max(c).alias(c) for c in rcols])
-            .localCheckpoint()
-        )
+    s = _sketch_propagate(graph, radius, direction, init, rcols, F.max)[-1]
     inv_sum = None  # exact BIGINT: sum over j of 2^(53 - M_j)
     zeros = None
     for j, c in enumerate(rcols):

@@ -339,10 +339,12 @@ def strongly_connected_components(
             n_core = core.count()
             if n_core == n_active:
                 break
+            # lazy: both inputs are checkpointed, and the frame is
+            # consumed exactly once by the final union — eagerly
+            # materializing it here paid one extra job per peel sweep
             done.append(
                 active.join(core, on="key", how="left_anti")
                 .select("key", F.col("key").alias("component"))
-                .localCheckpoint()
             )
             active = core
             n_active = n_core
@@ -362,6 +364,11 @@ def strongly_connected_components(
                 .groupBy(F.col("dst").alias("key"))
                 .agg(F.min("src_color").alias("nbr_color"))
             )
+            # the update join carries an 'improved' flag so the
+            # convergence check is a metadata-cheap filter over the
+            # just-materialized checkpoint, not a second full
+            # colors-vs-new_colors shuffle join (the CC/Boruvka
+            # pattern)
             new_colors = (
                 colors.join(cand, on="key", how="left")
                 .select(
@@ -369,17 +376,15 @@ def strongly_connected_components(
                     F.least(
                         F.col("color"), F.coalesce("nbr_color", "color")
                     ).alias("color"),
+                    (
+                        F.col("nbr_color").isNotNull()
+                        & (F.col("nbr_color") < F.col("color"))
+                    ).alias("improved"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_colors.alias("n")
-                .join(colors.alias("o"), on="key")
-                .filter(F.col("n.color") != F.col("o.color"))
-                .limit(1)
-                .count()
-            )
-            colors = new_colors
+            changed = new_colors.filter("improved").limit(1).count()
+            colors = new_colors.drop("improved")
             if changed == 0:
                 break
         # --- 3. backward collect from pivots within color classes -------
@@ -396,12 +401,17 @@ def strongly_connected_components(
             .select("src", "dst")
             .localCheckpoint()
         )
-        scc = (
+        pivots = (
             colors.filter(F.col("key") == F.col("color"))
             .select("key", F.col("color").alias("component"))
             .localCheckpoint()
         )
-        frontier = scc
+        # visited grows as a LAZY union over per-round checkpointed
+        # frames (the greedy_coloring pattern): each round's anti-join
+        # rescans only materialized blocks instead of re-checkpointing
+        # the whole growing set every round
+        scc = pivots
+        frontier = pivots
         while True:
             preds = (
                 same_color_edges.join(
@@ -417,7 +427,7 @@ def strongly_connected_components(
             )
             if preds.count() == 0:
                 break
-            scc = scc.unionByName(preds).localCheckpoint()
+            scc = scc.unionByName(preds)
             frontier = preds
         done.append(scc)
         active = active.join(scc.select("key"), on="key", how="left_anti").localCheckpoint()

@@ -225,10 +225,17 @@ def fuzzy_join(
     )
     l = left.withColumn("_blk", lb)
     r = right.withColumn("_blk", rb)
+    # bounded verify (r10): the 3-arg levenshtein early-exits the DP
+    # at `max_dist` band width (O(len*k) vs O(len^2)) and returns -1
+    # above the bound — for every SURVIVING pair the value equals the
+    # exact distance, so the output is byte-identical.
     return (
         l.join(r, on="_blk")
-        .withColumn(dist_col, F.levenshtein(F.col(left_col), F.col(right_col)))
-        .filter(F.col(dist_col) <= max_dist)
+        .withColumn(
+            dist_col,
+            F.levenshtein(F.col(left_col), F.col(right_col), max_dist),
+        )
+        .filter(F.col(dist_col) >= 0)
         .drop("_blk")
     )
 
@@ -433,9 +440,14 @@ def sorted_neighborhood_pairs(
             F.abs(F.col("rank_a") - F.col("rank_b")).cast("int").alias(
                 "rank_gap"
             ),
-            F.levenshtein("val_a", "val_b").cast("int").alias("edit_dist"),
+            # bounded verify (r10): band-limited DP, -1 above
+            # max_dist; surviving rows carry the exact distance, so
+            # the output is byte-identical (see fuzzy_join)
+            F.levenshtein("val_a", "val_b", max_dist).cast("int").alias(
+                "edit_dist"
+            ),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 

@@ -2226,7 +2226,13 @@ def graph_percolation_q(spark, sf_dir):
             F.lit("nation").alias("dst_layer"),
             F.substring("b", 8, 1000).alias("dst_id"),
         )
-        cc = components.connected_components(OnionGraph(nodes, ek))
+        # star contraction (same output contract as
+        # connected_components): each of the three tiny fixpoints
+        # converges in O(log) rounds at ONE job per round (the
+        # signature aggregate doubles as the materialization) where
+        # min-label propagation paid diameter rounds at two jobs —
+        # at this bounded-60 size the query is pure job overhead
+        cc = components.connected_components_star(OnionGraph(nodes, ek))
         row = (
             cc.groupBy("component")
             .agg(F.count("*").alias("n"))
@@ -2618,16 +2624,21 @@ def graph_anf_growth_q(spark, sf_dir):
     """Neighborhood-growth profile from the ANF sketch: mean
     estimated ball size at radius 1..3 and its fraction of the
     maximum — the effective-diameter read-out (the smallest radius
-    whose fraction clears 0.9). Three sketch passes share the same
-    deterministic md5 draws, so the profile is exactly replayable."""
+    whose fraction clears 0.9). ONE propagation loop serves all
+    three radii (r10): the state after r rounds IS the radius-r
+    sketch (same deterministic md5 draws, same elementwise MIN), so
+    the per-radius read-outs come from the loop's intermediate
+    states — 3 rounds total instead of 1 + 2 + 3 — and the profile
+    stays exactly replayable (bit-identical to three passes)."""
     from pyspark.sql import Window
 
     g = filters.view_layers(
         get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
     )
     rows = None
-    for r in (1, 2, 3):
-        sk = analytics.neighborhood_function_sketch(g, radius=r, k=8)
+    for r, sk in enumerate(
+        analytics.neighborhood_growth_states(g, max_radius=3, k=8), start=1
+    ):
         one = sk.agg(F.round(F.avg("est_ball"), 6).alias("mean_ball")).select(
             F.lit(r).alias("radius"), "mean_ball"
         )

@@ -2771,24 +2771,33 @@ def lineitem_layout_skipping_q(spark, sf_dir):
         )
         .localCheckpoint()
     )
-    bounds = li.agg(
+    # ONE bounds job feeds everything below (r10): the old shape
+    # re-ran this aggregate inside zorder_key, hilbert_key and every
+    # broadcast(box) build (~6 redundant jobs over the checkpointed
+    # slice). The scalars go back in as literals; p_lo..q_hi are the
+    # same IEEE double expressions evaluated driver-side, and the
+    # quantizers consume the identical bounds — output unchanged.
+    brow = li.agg(
         F.min("px").alias("lox"), F.max("px").alias("hix"),
         F.min("qty").alias("loy"), F.max("qty").alias("hiy"),
         F.count("*").alias("nr_all"),
-    )
-    box = bounds.select(
-        (F.col("lox") + (F.col("hix") - F.col("lox")) * 0.40).alias("p_lo"),
-        (F.col("lox") + (F.col("hix") - F.col("lox")) * 0.60).alias("p_hi"),
-        (F.col("loy") + (F.col("hiy") - F.col("loy")) * 0.40).alias("q_lo"),
-        (F.col("loy") + (F.col("hiy") - F.col("loy")) * 0.60).alias("q_hi"),
-    )
+    ).first()
+    lox, hix, loy, hiy = brow["lox"], brow["hix"], brow["loy"], brow["hiy"]
+    p_lo, p_hi = lox + (hix - lox) * 0.40, lox + (hix - lox) * 0.60
+    q_lo, q_hi = loy + (hiy - loy) * 0.40, loy + (hiy - loy) * 0.60
     n_files = 16
-    n_rows = bounds.first()["nr_all"]
+    n_rows = brow["nr_all"]
 
     keyed = {
         "price_sort": li.withColumn("key", F.col("px")),
-        "zorder": zorder_key(li, "px", "qty", bits=8, key_col="key"),
-        "hilbert": hilbert_key(li, "px", "qty", bits=8, key_col="key"),
+        "zorder": zorder_key(
+            li, "px", "qty", bits=8, key_col="key",
+            bounds=(lox, hix, loy, hiy),
+        ),
+        "hilbert": hilbert_key(
+            li, "px", "qty", bits=8, key_col="key",
+            bounds=(lox, hix, loy, hiy),
+        ),
     }
     out = None
     for name, kdf in keyed.items():
@@ -2804,12 +2813,12 @@ def lineitem_layout_skipping_q(spark, sf_dir):
             F.count("*").alias("nr"),
         )
         hit = (
-            (F.col("lo_x") <= F.col("p_hi"))
-            & (F.col("hi_x") >= F.col("p_lo"))
-            & (F.col("lo_y") <= F.col("q_hi"))
-            & (F.col("hi_y") >= F.col("q_lo"))
+            (F.col("lo_x") <= F.lit(p_hi))
+            & (F.col("hi_x") >= F.lit(p_lo))
+            & (F.col("lo_y") <= F.lit(q_hi))
+            & (F.col("hi_y") >= F.lit(q_lo))
         )
-        row = stats.crossJoin(F.broadcast(box)).agg(
+        row = stats.agg(
             F.count("*").cast("bigint").alias("n_files"),
             F.sum(hit.cast("int")).cast("bigint").alias("files_hit"),
             F.sum(F.when(hit, F.col("nr")).otherwise(0))
@@ -2818,10 +2827,9 @@ def lineitem_layout_skipping_q(spark, sf_dir):
         ).select(F.lit(name).alias("layout"), "*")
         out = row if out is None else out.unionByName(row)
     n_match = (
-        li.crossJoin(F.broadcast(box))
-        .filter(
-            (F.col("px") >= F.col("p_lo")) & (F.col("px") <= F.col("p_hi"))
-            & (F.col("qty") >= F.col("q_lo")) & (F.col("qty") <= F.col("q_hi"))
+        li.filter(
+            (F.col("px") >= F.lit(p_lo)) & (F.col("px") <= F.lit(p_hi))
+            & (F.col("qty") >= F.lit(q_lo)) & (F.col("qty") <= F.lit(q_hi))
         )
         .agg(F.count("*").cast("bigint").alias("rows_matching"))
     )

@@ -55,20 +55,29 @@ def zorder_key(
     col_y: str,
     bits: int = 8,
     key_col: str = "zval",
+    bounds: "tuple[float, float, float, float] | None" = None,
 ) -> DataFrame:
     """Append the Morton z-key of (col_x, col_y), quantized to
     2^bits equi-width buckets over each column's observed min/max
     (one broadcast 1-row aggregate — the same job computes both
-    bounds; no extra pass)."""
+    bounds; no extra pass). A caller that already holds the bounds
+    (lo_x, hi_x, lo_y, hi_y) passes them via ``bounds`` and the
+    aggregate + broadcast build are skipped entirely (the quantizer
+    then runs on literals — identical IEEE arithmetic)."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
-    bounds = df.agg(
+    if bounds is not None:
+        lox, hix, loy, hiy = (F.lit(float(v)) for v in bounds)
+        qx = _quantize(F.col(col_x).cast("double"), lox, hix, bits)
+        qy = _quantize(F.col(col_y).cast("double"), loy, hiy, bits)
+        return df.withColumn(key_col, _interleave(qx, qy, bits))
+    bounds_df = df.agg(
         F.min(col_x).cast("double").alias("_lox"),
         F.max(col_x).cast("double").alias("_hix"),
         F.min(col_y).cast("double").alias("_loy"),
         F.max(col_y).cast("double").alias("_hiy"),
     )
-    with_b = df.crossJoin(F.broadcast(bounds))
+    with_b = df.crossJoin(F.broadcast(bounds_df))
     qx = _quantize(
         F.col(col_x).cast("double"), F.col("_lox"), F.col("_hix"), bits
     )
@@ -86,6 +95,7 @@ def hilbert_key(
     col_y: str,
     bits: int = 8,
     key_col: str = "hval",
+    bounds: "tuple[float, float, float, float] | None" = None,
 ) -> DataFrame:
     """Append the HILBERT-curve key of (col_x, col_y), quantized to
     2^bits equi-width buckets per column — the stronger sibling of
@@ -102,23 +112,42 @@ def hilbert_key(
     """
     if not 1 <= bits <= 15:
         raise ValueError(f"bits must be in [1, 15], got {bits}")
-    bounds = df.agg(
-        F.min(col_x).cast("double").alias("_lox"),
-        F.max(col_x).cast("double").alias("_hix"),
-        F.min(col_y).cast("double").alias("_loy"),
-        F.max(col_y).cast("double").alias("_hiy"),
-    )
     keep = df.columns
-    cur = df.crossJoin(F.broadcast(bounds)).select(
-        *keep,
-        _quantize(F.col(col_x).cast("double"), F.col("_lox"), F.col("_hix"), bits)
-        .cast("bigint")
-        .alias("_hx"),
-        _quantize(F.col(col_y).cast("double"), F.col("_loy"), F.col("_hiy"), bits)
-        .cast("bigint")
-        .alias("_hy"),
-        F.lit(0).cast("bigint").alias("_hd"),
-    )
+    if bounds is not None:
+        # caller-supplied bounds: skip the aggregate + broadcast (see
+        # zorder_key) — the quantizer runs on literals
+        lox, hix, loy, hiy = (F.lit(float(v)) for v in bounds)
+        cur = df.select(
+            *keep,
+            _quantize(F.col(col_x).cast("double"), lox, hix, bits)
+            .cast("bigint")
+            .alias("_hx"),
+            _quantize(F.col(col_y).cast("double"), loy, hiy, bits)
+            .cast("bigint")
+            .alias("_hy"),
+            F.lit(0).cast("bigint").alias("_hd"),
+        )
+    else:
+        bounds_df = df.agg(
+            F.min(col_x).cast("double").alias("_lox"),
+            F.max(col_x).cast("double").alias("_hix"),
+            F.min(col_y).cast("double").alias("_loy"),
+            F.max(col_y).cast("double").alias("_hiy"),
+        )
+        cur = df.crossJoin(F.broadcast(bounds_df)).select(
+            *keep,
+            _quantize(
+                F.col(col_x).cast("double"), F.col("_lox"), F.col("_hix"), bits
+            )
+            .cast("bigint")
+            .alias("_hx"),
+            _quantize(
+                F.col(col_y).cast("double"), F.col("_loy"), F.col("_hiy"), bits
+            )
+            .cast("bigint")
+            .alias("_hy"),
+            F.lit(0).cast("bigint").alias("_hd"),
+        )
     n_1 = F.lit((1 << bits) - 1).cast("bigint")
     for k in range(bits - 1, -1, -1):
         s = F.lit(1 << k).cast("bigint")
