@@ -840,43 +840,16 @@ def _sketch_propagate(
 ):
     """Shared wide-column sketch propagation (k-mins MIN / HLL MAX):
     per round one edge-keyed join + one groupBy elementwise
-    aggregate. Interior runs on collision-checked xxhash64 node
-    longs when the keying is injective (r10 — every per-round
-    exchange carries an 8-byte key instead of two strings, and the
-    edge side moves 16 bytes/row instead of four strings), with the
-    exact string-keyed loop as the clash fallback; (layer, node_id)
-    re-attach once per returned state via the 1:1 index join, so
-    results are identical either way."""
-    ie = graph.cached_int_endpoints(direction)
-    if ie is not None:
-        e, nidx = ie
-        s = graph.nodes.select(
-            F.xxhash64("layer", "node_id").alias("node"), *init
-        ).localCheckpoint()
+    aggregate, returning the checkpointed per-round states.
 
-        def attach(si: DataFrame) -> DataFrame:
-            return si.join(
-                nidx.select(
-                    F.col("idx").alias("node"), "layer", "node_id"
-                ),
-                on="node",
-            ).select("layer", "node_id", *mcols)
-
-        if radius == 0:
-            return [attach(s)]
-        states = []
-        for _ in range(radius):
-            prop = e.join(
-                s.select(F.col("node").alias("d"), *mcols), on="d"
-            ).select(F.col("s").alias("node"), *mcols)
-            s = (
-                s.unionByName(prop)
-                .groupBy("node")
-                .agg(*[agg_fn(c).alias(c) for c in mcols])
-                .localCheckpoint()
-            )
-            states.append(s)
-        return [attach(si) for si in states]
+    Deliberately STRING-keyed: an int-keyed interior (the
+    collision-checked xxhash64 pattern that won for the BFS/CC
+    families) was A/B'd in r10 and measured 2-4x SLOWER here
+    (hyperanf 3.8s string vs 16.2s int min, anf 1.4 vs 3.3 on
+    adjacent memoized-view probes) — the k/m wide sketch columns
+    dominate every exchanged row, so the narrow key saves almost
+    nothing while the per-state (layer, node_id) re-attach join and
+    the index build add whole extra exchanges."""
     e = graph.edge_endpoints()
     if direction == "upstream":
         e = e.select(

@@ -1275,8 +1275,16 @@ def graph_clustering_coeff_q(spark, sf_dir):
 
 @register("graph_anf", None)  # oracle generated below (unrolled rounds)
 def graph_anf_q(spark, sf_dir):
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    # the memoized entity-layer view (shared with eigenvector /
+    # hyperanf / anf_growth): its persisted int-keyed edge index and
+    # the collision check are built once per session instead of per
+    # call (r10 — the per-call rebuild ate the narrow-key win)
+    g = derived_graph(
+        spark, sf_dir, "eigen_layers",
+        lambda: filters.view_layers(
+            get_graph(spark, sf_dir),
+            ["region", "nation", "customer", "supplier"],
+        ),
     )
     return analytics.neighborhood_function_sketch(g, radius=3, k=8)
 
@@ -2632,8 +2640,12 @@ def graph_anf_growth_q(spark, sf_dir):
     stays exactly replayable (bit-identical to three passes)."""
     from pyspark.sql import Window
 
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    g = derived_graph(
+        spark, sf_dir, "eigen_layers",
+        lambda: filters.view_layers(
+            get_graph(spark, sf_dir),
+            ["region", "nation", "customer", "supplier"],
+        ),
     )
     rows = None
     for r, sk in enumerate(
@@ -3458,8 +3470,12 @@ def graph_hyperanf_q(spark, sf_dir):
     view — the register-based scale path next to graph_anf's k-mins
     sketch. Deterministic md5 hashing + an integer-exact register
     sum make the approximation itself hash-oracle-able."""
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
+    g = derived_graph(
+        spark, sf_dir, "eigen_layers",
+        lambda: filters.view_layers(
+            get_graph(spark, sf_dir),
+            ["region", "nation", "customer", "supplier"],
+        ),
     )
     return analytics.hyperanf(g, radius=3, m=64)
 

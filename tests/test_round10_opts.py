@@ -155,3 +155,113 @@ def test_boruvka_forest_duplicate_free(spark):
         ("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.5), ("x", "y", 0.5)
     ]
     assert len(rows) == len(set(rows))
+
+
+def test_growth_states_equal_per_radius_sketches(spark):
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.analytics import (
+        neighborhood_function_sketch,
+        neighborhood_growth_states,
+    )
+
+    nodes = spark.createDataFrame(
+        [("L", str(i)) for i in range(6)], "layer string, node_id string"
+    )
+    edges = spark.createDataFrame(
+        [("L", "0", "L", "1"), ("L", "1", "L", "2"), ("L", "2", "L", "3"),
+         ("L", "3", "L", "4"), ("L", "0", "L", "5")],
+        "src_layer string, src_id string, dst_layer string, dst_id string",
+    )
+    g = OnionGraph(nodes, edges)
+    states = neighborhood_growth_states(g, max_radius=3, k=4)
+    for r, st in enumerate(states, 1):
+        # the loop's state after r rounds must be BIT-identical to an
+        # independent radius-r sketch (same draws, same MIN recurrence)
+        one = neighborhood_function_sketch(g, radius=r, k=4)
+        assert sorted(map(tuple, st.collect())) == sorted(
+            map(tuple, one.collect())
+        ), f"radius {r} state diverged from the standalone sketch"
+
+
+def test_bounded_levenshtein_verify_identical(spark):
+    from onionnet_spark.operators.joins import fuzzy_self_pairs
+
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smitt"), (3, "smyth"), (4, "smithe"),
+         (5, "jones"), (6, "jonez")],
+        "id long, name string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in fuzzy_self_pairs(df, "name", "id", max_dist=1,
+                                  block_suffix_len=2).collect()
+    )
+    # unbounded reference: block + full levenshtein <= 1 (the pre-r10
+    # shape); the band-limited verify must emit the identical pairs
+    # with the identical distances
+    blk = F.expr("substring(name, 1, greatest(length(name) - 2, 1))")
+    a = df.select(F.col("id").alias("id_a"), F.col("name").alias("val_a"),
+                  blk.alias("b"))
+    b = df.select(F.col("id").alias("id_b"), F.col("name").alias("val_b"),
+                  blk.alias("b"))
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, on="b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("val_a", "val_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("id_a", "id_b", "val_a", "val_b", "edit_dist")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_scc_multi_cycle_with_trim_and_collect(spark):
+    from onionnet_spark.core import OnionGraph
+    from onionnet_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    # two cycles bridged by a DAG edge + a pendant tail: exercises the
+    # trim sweeps (tail), the coloring fixpoint (both cycles share a
+    # forward color until the pivot splits them) and a multi-round
+    # backward collect — the three loops whose barriers r10 cut
+    nodes = spark.createDataFrame(
+        [("L", x) for x in ["a", "b", "c", "d", "e", "f", "t"]],
+        "layer string, node_id string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),          # cycle 1
+         ("c", "d"),                                   # bridge (DAG)
+         ("d", "e"), ("e", "f"), ("f", "d"),          # cycle 2
+         ("f", "t")],                                  # pendant tail
+        "s string, d string",
+    ).select(
+        F.lit("L").alias("src_layer"), F.col("s").alias("src_id"),
+        F.lit("L").alias("dst_layer"), F.col("d").alias("dst_id"),
+    )
+    comp = {
+        r["node_id"]: r["component"]
+        for r in strongly_connected_components(OnionGraph(nodes, edges)).collect()
+    }
+    assert comp["a"] == comp["b"] == comp["c"] == "L:a"
+    assert comp["d"] == comp["e"] == comp["f"] == "L:d"
+    assert comp["t"] == "L:t"
+
+
+def test_layout_keys_explicit_bounds_identical(spark):
+    from onionnet_spark.sources.layout import hilbert_key, zorder_key
+
+    df = spark.createDataFrame(
+        [(i, float(i * 3 % 17), float(i * 7 % 11)) for i in range(40)],
+        "rid long, x double, y double",
+    )
+    for fn in (zorder_key, hilbert_key):
+        auto = sorted(tuple(r) for r in fn(df, "x", "y", bits=4,
+                                           key_col="k").collect())
+        expl = sorted(
+            tuple(r)
+            for r in fn(df, "x", "y", bits=4, key_col="k",
+                        bounds=(0.0, 16.0, 0.0, 10.0)).collect()
+        )
+        assert auto == expl, f"{fn.__name__} diverged on explicit bounds"
