@@ -542,6 +542,12 @@ def global_rank(
         "_bkt", b.cast("int")
     )
     w_in = Window.partitionBy("_bkt").orderBy(F.col(value_col), F.col(id_col))
+    # NO internal checkpoint here: materializing `ranked` was A/B'd in
+    # r10 and lost on every cheap-input caller (graph_degree_gini min
+    # 3.16 -> 4.88s, events_user_lorenz 1.58 -> 1.78) — the eager
+    # barrier costs more than the replays it saves. Callers whose
+    # input is expensive (tokenizing scorers) checkpoint THAT input
+    # instead (see corpus_selection_curve).
     ranked = bucketed.withColumn("_r_in", F.row_number().over(w_in))
     sizes = ranked.groupBy("_bkt").agg(F.count("*").alias("_n"))
     w_off = Window.orderBy("_bkt").rowsBetween(

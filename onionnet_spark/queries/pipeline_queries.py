@@ -5890,11 +5890,15 @@ def corpus_selection_curve_q(spark, sf_dir):
     from onionnet_spark.functions.corpus import global_rank
     from pyspark.sql import Window
 
+    # checkpoint: the quality scorer tokenizes every document, and
+    # three consumers (the count, the rank's percentile cuts and the
+    # rank itself) would each replay that scan (r10)
     scored = (
         _text.quality_score(_docs(spark, sf_dir))
         .filter(F.col("quality").isNotNull())
         .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
                 "quality")
+        .localCheckpoint()
     )
     tot = scored.agg(F.count("*").alias("_n"))
     ranked = global_rank(scored, "quality", "doc_id", rank_col="rn")
@@ -6169,17 +6173,28 @@ def dedup_threshold_sweep_q(spark, sf_dir):
     candidate aggregate. mean_cosine sums exact ppm BIGINTs and
     divides once (ADVICE r7: a plain float AVG can flip the 6dp
     ROUND at a .5e-6 boundary under partition-order ulp drift)."""
-    from onionnet_spark.functions.similarity import cosine, lsh_bucket_col
+    from onionnet_spark.functions.similarity import dot, lsh_bucket_col, norm
 
     embs = _embs(spark, sf_dir)
+    # norms hoisted to the per-vector side (the r10 LSH-scoring
+    # pattern): each candidate pair computes dot/(na*nb) instead of
+    # two fresh array norm passes — identical double arithmetic on
+    # identical operands
     with_bucket = embs.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket_col(F.col("v"), 4))
+    ).withColumn("bucket", lsh_bucket_col(F.col("v"), 4)).withColumn(
+        "n", norm(F.col("v"))
+    )
     pairs = (
         with_bucket.alias("a")
         .join(with_bucket.alias("b"), on="bucket")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"))
+        .select(
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
+                6,
+            ).alias("cosine")
+        )
     )
     th = spark.createDataFrame(
         [(0.30,), (0.35,), (0.40,), (0.45,), (0.50,)], "threshold double"
