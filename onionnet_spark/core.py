@@ -65,6 +65,7 @@ class OnionGraph:
         self.directed = directed
         self.edges_unique_undirected = edges_unique_undirected
         self._endpoint_cache: dict[str, DataFrame] = {}
+        self._layer_names: set[str] | None = None
         # guards the build-and-memoize of the int node index: the two
         # on_shortest_path BFS arms call cached_int_endpoints from
         # concurrent threads, and an unguarded first build would
@@ -98,6 +99,15 @@ class OnionGraph:
     def layers(self) -> DataFrame:
         """Distinct layer names with node counts (tiny result)."""
         return self.nodes.groupBy("layer").agg(F.count("*").alias("n_nodes"))
+
+    def layer_names(self) -> set[str]:
+        """Distinct layer names, collected once per instance (r10):
+        every view_layers build validates its arguments against this
+        set, and the session-cached base graph used to pay one full
+        nodes aggregation + collect per view construction."""
+        if self._layer_names is None:
+            self._layer_names = {r["layer"] for r in self.layers().collect()}
+        return self._layer_names
 
     def edge_endpoints(self) -> DataFrame:
         """Edges reduced to their key columns (column-pruned scan)."""

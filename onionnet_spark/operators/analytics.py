@@ -850,21 +850,16 @@ def _sketch_propagate(
     dominate every exchanged row, so the narrow key saves almost
     nothing while the per-state (layer, node_id) re-attach join and
     the index build add whole extra exchanges."""
-    e = graph.edge_endpoints()
-    if direction == "upstream":
-        e = e.select(
-            F.col("dst_layer").alias("src_layer"),
-            F.col("dst_id").alias("src_id"),
-            F.col("src_layer").alias("dst_layer"),
-            F.col("src_id").alias("dst_id"),
-        )
     s = graph.nodes.select("layer", "node_id", *init).localCheckpoint()
     if radius == 0:
         return [s]
-    # Query-scoped checkpoint (reused every round, auto-cleaned) —
-    # NOT graph.cached_endpoints, which would pin a session-lifetime
-    # cache on a throwaway filtered view.
-    e = e.localCheckpoint()
+    # instance-cached oriented endpoints: the ANF-family queries run
+    # on the session-memoized entity view (r10), so this persisted
+    # projection is built once and shared across anf / hyperanf /
+    # anf_growth and their bench iterations instead of paying a
+    # query-scoped checkpoint per call (the persist is released by
+    # the instance's __del__ for genuinely throwaway views)
+    e = graph.cached_endpoints(direction)
     states = []
     for _ in range(radius):
         prop = (

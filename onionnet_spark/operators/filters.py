@@ -158,7 +158,7 @@ def view_layers(graph: OnionGraph, layer_names: list[str] | str) -> OnionGraph:
     reference."""
     if isinstance(layer_names, str):
         layer_names = [layer_names]
-    known = {r["layer"] for r in graph.layers().collect()}
+    known = graph.layer_names()
     missing = [ln for ln in layer_names if ln not in known]
     if missing:
         raise ValueError(f"Layer(s) {missing} do not exist.")

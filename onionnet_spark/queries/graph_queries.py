@@ -45,6 +45,25 @@ def derived_graph(spark, sf_dir: str, key: str, build) -> OnionGraph:
     return _DERIVED_CACHE[k]
 
 
+
+def _entity_graph(spark, sf_dir) -> OnionGraph:
+    """The memoized 4-layer entity view (region/nation/customer/
+    supplier) shared by the whole centrality/community/sketch family
+    (r10): before this, each of ~17 queries built its OWN view
+    instance, so the instance-scoped persisted caches (symmetrized,
+    canonical, degree, int-keyed endpoints) were re-materialized per
+    query AND per bench iteration; one shared instance builds each
+    cache once per session. Pure view sharing — every query still
+    computes its result from the parquet inputs."""
+    return derived_graph(
+        spark, sf_dir, "eigen_layers",
+        lambda: filters.view_layers(
+            get_graph(spark, sf_dir),
+            ["region", "nation", "customer", "supplier"],
+        ),
+    )
+
+
 CTES = graph_ctes()
 
 # --------------------------------------------------------------------------
@@ -701,9 +720,7 @@ def components_strong_q(spark, sf_dir):
     # so every SCC is a singleton — which makes the oracle EXACT: any
     # incorrect merge by the trim/color/collect machinery breaks the
     # hash. Cyclic SCCs: components_strong_cyclic below.
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     return components.view_components(g, 1, "strong")
 
 
@@ -791,7 +808,12 @@ def graph_scc_condensation_q(spark, sf_dir):
     bounded by |nations of one region| (5 rows) — not a global sort."""
     from pyspark.sql import Window
 
-    g = filters.view_layers(get_graph(spark, sf_dir), ["nation", "region"])
+    g = derived_graph(
+        spark, sf_dir, "nation_region_layers",
+        lambda: filters.view_layers(
+            get_graph(spark, sf_dir), ["nation", "region"]
+        ),
+    )
     e = g.edge_endpoints()
     r0 = (
         e.filter(
@@ -826,9 +848,7 @@ def graph_scc_condensation_q(spark, sf_dir):
     None,  # oracle generated below (unrolled iterations)
 )
 def pagerank_q(spark, sf_dir):
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     pr = analytics.pagerank(g, n_iterations=5, damping=0.85)
     return pr.select("layer", "node_id", F.round("pagerank", 6).alias("pagerank"))
 
@@ -962,9 +982,7 @@ _PPR_SEEDS = [("customer", "0"), ("customer", "1"), ("customer", "2")]
 
 @register("graph_ppr", None)  # oracle generated below (unrolled iterations)
 def graph_ppr_q(spark, sf_dir):
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     pr = analytics.personalized_pagerank(
         g, _PPR_SEEDS, n_iterations=5, damping=0.85
     )
@@ -1050,9 +1068,7 @@ _REG["graph_kcore"] = (graph_kcore_q, _kcore_oracle())
 def graph_communities_lpa_q(spark, sf_dir):
     from onionnet_spark.operators.components import label_propagation_communities
 
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     return label_propagation_communities(g, n_rounds=5)
 
 
@@ -1123,9 +1139,7 @@ _BC_SOURCES = [("nation", "0"), ("nation", "12")]
 
 @register("graph_betweenness", None)  # oracle generated below
 def graph_betweenness_q(spark, sf_dir):
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     return analytics.betweenness_sampled(g, _BC_SOURCES, max_depth=6)
 
 
@@ -1279,13 +1293,7 @@ def graph_anf_q(spark, sf_dir):
     # hyperanf / anf_growth): its persisted int-keyed edge index and
     # the collision check are built once per session instead of per
     # call (r10 — the per-call rebuild ate the narrow-key win)
-    g = derived_graph(
-        spark, sf_dir, "eigen_layers",
-        lambda: filters.view_layers(
-            get_graph(spark, sf_dir),
-            ["region", "nation", "customer", "supplier"],
-        ),
-    )
+    g = _entity_graph(spark, sf_dir)
     return analytics.neighborhood_function_sketch(g, radius=3, k=8)
 
 
@@ -1382,9 +1390,7 @@ def graph_annotate_q(spark, sf_dir):
     annotated properties."""
     from onionnet_spark.core import NODE_KEY
 
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     ann = properties.annotate_nodes(
         g,
         {
@@ -1454,9 +1460,7 @@ def _hits_oracle(n_iter: int = 3) -> str:
 
 
 def graph_hits_q(spark, sf_dir):
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     return analytics.hits(g, n_iterations=3)
 
 
@@ -2107,10 +2111,7 @@ def graph_label_spread_q(spark, sf_dir):
     the layer hierarchy (nation round 1, supplier/customer round 2);
     majority-vote tie-breaking is pytest-gated on conflicting-seed
     toys."""
-    g = filters.view_layers(
-        get_graph(spark, sf_dir),
-        ["region", "nation", "supplier", "customer"],
-    )
+    g = _entity_graph(spark, sf_dir)
     seeds = g.nodes.filter(F.col("layer") == "region").select(
         "layer", "node_id", F.concat(F.lit("R"), "node_id").alias("label")
     )
@@ -2417,9 +2418,7 @@ def graph_modularity_q(spark, sf_dir):
     composed over the community operator (same subgraph)."""
     from onionnet_spark.operators.components import label_propagation_communities
 
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     return analytics.modularity(g, label_propagation_communities(g, n_rounds=5))
 
 
@@ -2465,9 +2464,7 @@ def graph_louvain_move_q(spark, sf_dir):
     gains, so the move table is engine-exact. Runs on the same
     entity-layer view the LPA/modularity queries use (communities on
     the bipartite order/lineitem tree are not meaningful)."""
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     return analytics.louvain_move_round(g)
 
 
@@ -2640,13 +2637,7 @@ def graph_anf_growth_q(spark, sf_dir):
     stays exactly replayable (bit-identical to three passes)."""
     from pyspark.sql import Window
 
-    g = derived_graph(
-        spark, sf_dir, "eigen_layers",
-        lambda: filters.view_layers(
-            get_graph(spark, sf_dir),
-            ["region", "nation", "customer", "supplier"],
-        ),
-    )
+    g = _entity_graph(spark, sf_dir)
     rows = None
     for r, sk in enumerate(
         analytics.neighborhood_growth_states(g, max_radius=3, k=8), start=1
@@ -3052,9 +3043,7 @@ def graph_conductance_q(spark, sf_dir):
     layer view, rounds and tie-break as graph_communities_lpa)."""
     from onionnet_spark.operators.components import community_conductance
 
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     return community_conductance(g, n_rounds=5)
 
 
@@ -3470,13 +3459,7 @@ def graph_hyperanf_q(spark, sf_dir):
     view — the register-based scale path next to graph_anf's k-mins
     sketch. Deterministic md5 hashing + an integer-exact register
     sum make the approximation itself hash-oracle-able."""
-    g = derived_graph(
-        spark, sf_dir, "eigen_layers",
-        lambda: filters.view_layers(
-            get_graph(spark, sf_dir),
-            ["region", "nation", "customer", "supplier"],
-        ),
-    )
+    g = _entity_graph(spark, sf_dir)
     return analytics.hyperanf(g, radius=3, m=64)
 
 
@@ -3863,9 +3846,7 @@ def graph_bowtie_q(spark, sf_dir):
     has none and the cycle would collapse to a tie over singletons):
     core / in / out / other per node, from the honest SCC labeling
     plus two DataFrame-seeded multi-source BFS runs."""
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     e = g.edge_endpoints()
     sup_nat = e.filter(
         (F.col("src_layer") == "supplier") & (F.col("dst_layer") == "nation")
@@ -4005,9 +3986,7 @@ def graph_centrality_spearman_q(spark, sf_dir):
     single float expression shared with the oracle (r10)."""
     from pyspark.sql import Window
 
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     from onionnet_spark.core import NODE_KEY
 
     deg = analytics.degrees(g).select(
@@ -4103,9 +4082,7 @@ def graph_voterank_q(spark, sf_dir):
     """VoteRank top-5 influential spreaders over the 4-layer slice
     (analytics.voterank): exact 2m-scaled voting abilities, delta = n
     suppression, deterministic key tie-breaks (r10)."""
-    g = filters.view_layers(
-        get_graph(spark, sf_dir), ["region", "nation", "customer", "supplier"]
-    )
+    g = _entity_graph(spark, sf_dir)
     return analytics.voterank(g, k=5)
 
 
