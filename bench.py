@@ -397,6 +397,69 @@ TAIL = [
 ]
 
 
+def _canary(spark, label: str) -> list[float]:
+    """Host-steal canary (VERDICT r10 item 1): a fixed 3-rep lineitem
+    scan-agg whose healthy figure on this box is ~0.3-0.5s at sf0.1.
+    The loadavg gate samples once at start and cannot see host-level
+    CPU steal mid-run (BENCH_r10_s6_hoststeal.json: gate green, 82x
+    swings); this probe is re-run mid- and end-of-bench and stamped
+    into the artifact so a polluted run is machine-refusable."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    reps: list[float] = []
+    for _ in range(3):
+        t0 = time.time()
+        li.selectExpr(
+            "sum(l_extendedprice * (1.0 - l_discount))", "count(*)"
+        ).collect()
+        reps.append(round(time.time() - t0, 3))
+    print(f"# canary[{label}]: {reps}", file=sys.stderr)
+    return reps
+
+
+def _cpu_ticks() -> "tuple[int, int] | None":
+    """(steal_ticks, total_ticks) from /proc/stat — cumulative and
+    exact. Host CPU steal is the pollution mode the scan-agg canary
+    can slip between (bursts at tens-of-seconds granularity inflate
+    multi-stage queries 10-25x while a 3x0.2s probe reads healthy);
+    the tick DELTA over the whole run cannot be dodged."""
+    try:
+        with open("/proc/stat") as f:
+            p = f.readline().split()
+        vals = list(map(int, p[1:9]))
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(t0, t1) -> "float | None":
+    if t0 is None or t1 is None or t1[1] <= t0[1]:
+        return None
+    return round(100.0 * (t1[0] - t0[0]) / (t1[1] - t0[1]), 3)
+
+
+def _clear_codebook_store(spark) -> bool:
+    """VERDICT r10 item 4 (gaming guard): the served-index codebook
+    store persists trained centroids under the local warehouse keyed
+    on the testdata path, so every bench run after the first would
+    otherwise exclude training for ~13 IVF/PQ/kmeans keys. Clearing
+    it at bench start makes every invocation compute from the parquet
+    inputs; the artifact stamps codebook_store_cold so the figures
+    are self-describing. Returns True when the store is known cold."""
+    import shutil
+
+    try:
+        from onionnet_spark.functions.similarity import _codebook_store_dir
+
+        root = _codebook_store_dir(spark)
+        if root is None:
+            return False  # non-local warehouse: state unknown
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        return True
+    except Exception:  # noqa: BLE001 — never fail the bench over cleanup
+        return False
+
+
 def main() -> None:
     sf_m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_m.group(1).rstrip(".")) if sf_m else -1.0
@@ -420,6 +483,10 @@ def main() -> None:
     # isn't charged for session startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
+    codebook_store_cold = _clear_codebook_store(spark)
+    canary_thresh = float(os.environ.get("ONIONNET_CANARY_THRESH", "0.8"))
+    canary_start = _canary(spark, "start")
+    ticks_start = _cpu_ticks()
     # Best-of-N per query: steady-state timing (caches warm, JIT
     # settled), robust to ambient machine noise. N kept small so the
     # whole bench stays a few minutes.
@@ -478,6 +545,8 @@ def main() -> None:
     # TAIL: one run per key (regression tripwire, not a steady-state
     # figure — see the TAIL comment above). Skippable for quick
     # headline-only iterations via ONIONNET_BENCH_TAIL=0.
+    ticks_mid = _cpu_ticks()
+    canary_mid = _canary(spark, "mid")
     tail_timings: dict[str, float] = {}
     if os.environ.get("ONIONNET_BENCH_TAIL", "1") != "0":
         for name in TAIL:
@@ -489,6 +558,35 @@ def main() -> None:
             dt = time.time() - t0
             tail_timings[name] = round(dt, 3)
             print(f"# tail {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+    ticks_end = _cpu_ticks()
+    canary_end = _canary(spark, "end")
+    steal_head = _steal_pct(ticks_start, ticks_mid)
+    steal_tail = _steal_pct(ticks_mid, ticks_end)
+    steal_thresh = float(os.environ.get("ONIONNET_STEAL_THRESH", "2.0"))
+    steal_degraded = any(
+        s is not None and s > steal_thresh for s in (steal_head, steal_tail)
+    )
+    if steal_degraded:
+        print(
+            f"# WARNING: host CPU steal over the run (headline "
+            f"{steal_head}%, tail {steal_tail}% of all ticks; threshold "
+            f"{steal_thresh}%) — timings are steal-polluted; artifact "
+            "stamped ambient=true",
+            file=sys.stderr,
+        )
+    # Gate on the MIN of each 3-rep probe: a brief spike inflates one
+    # rep, sustained host steal inflates all three. Healthy min on
+    # this box at sf0.1 is ~0.3-0.5s regardless of 8 vs 32 cores (the
+    # scan-agg is a handful of tasks).
+    canary_min = max(min(canary_start), min(canary_mid), min(canary_end))
+    canary_degraded = canary_min > canary_thresh
+    if canary_degraded:
+        print(
+            f"# WARNING: steal canary degraded (worst 3-rep min "
+            f"{canary_min}s > {canary_thresh}s) — host contention "
+            "mid-run; artifact stamped ambient=true",
+            file=sys.stderr,
+        )
     payload = {
         "metric": "headline_queries_total_runtime",
         "timing": (
@@ -502,7 +600,32 @@ def main() -> None:
         # load into the artifact so tools/bench_compare.py (and the
         # judge) can refuse to ratio-compare a polluted run.
         "load_1min_start": load1,
-        "ambient": load1 > 0.5,
+        # Steal canary (VERDICT r10 item 1): loadavg cannot see host
+        # contention; the fixed scan-agg probe at start/mid/end can.
+        # ambient now ALSO trips when any probe's 3-rep min exceeds
+        # the threshold, so a mid-run steal burst is machine-refusable.
+        "canary": {
+            "probe": "lineitem scan-agg: sum(extprice*(1-disc)), count(*)",
+            "reps_start": canary_start,
+            "reps_mid": canary_mid,
+            "reps_end": canary_end,
+            "gate_worst_min_sec": canary_min,
+            "threshold_sec": canary_thresh,
+            "degraded": canary_degraded,
+        },
+        # Host CPU steal over the run (/proc/stat tick deltas): the
+        # r11-entry run proved steal bursts at tens-of-seconds
+        # granularity inflate multi-stage queries 10-25x while the
+        # point-in-time canary reads healthy; the run-long steal
+        # fraction is the gate a burst cannot dodge. Healthy ~0%.
+        "steal_pct_headline": steal_head,
+        "steal_pct_tail": steal_tail,
+        "steal_threshold_pct": steal_thresh,
+        # VERDICT r10 item 4: trained-codebook store cleared at start,
+        # so IVF/PQ/kmeans keys include training in every invocation.
+        "codebook_store_cold": codebook_store_cold,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "ambient": load1 > 0.5 or canary_degraded or steal_degraded,
         "tail_timing": "single run per query, >=0.5s sweep cutoff",
         "tail": tail_timings,
         "tail_total": round(sum(tail_timings.values()), 3),

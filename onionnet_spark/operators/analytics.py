@@ -1569,19 +1569,33 @@ def spectral_bisection(
                 ).cast("long").alias("w"),
             )
         )
-        tot = w.agg(F.sum("w").cast("long").alias("tot"))
-        proj = w.crossJoin(F.broadcast(tot)).select(
-            "node", (F.col("n") * F.col("w") - F.col("tot")).alias("x")
+        # ONE scalar pass per round (r11; was two: a sum for the mean
+        # deflation, then a max|x| over the projected frame): x =
+        # n*w - tot is monotone in w, so max|x| = max(n*max(w) - tot,
+        # tot - n*min(w)) — the deflation total, the renormalization
+        # divisor and the projected iterate all come off a single
+        # (sum, max, min) aggregate of w. Same exact integer algebra:
+        # the divisor expression below is byte-identical to the old
+        # two-job form on the same max|x| value.
+        stats = w.agg(
+            F.sum("w").cast("long").alias("tot"),
+            F.max("w").cast("long").alias("maxw"),
+            F.min("w").cast("long").alias("minw"),
         )
-        dv = proj.agg(
-            F.greatest(
-                F.lit(1).cast("long"),
-                ((F.max(F.abs("x")) - F.max(F.abs("x")) % target) / target)
-                .cast("long"),
-            ).alias("d")
+        mx = F.greatest(
+            F.col("n") * F.col("maxw") - F.col("tot"),
+            F.col("tot") - F.col("n") * F.col("minw"),
         )
         v = (
-            proj.crossJoin(F.broadcast(dv))
+            w.crossJoin(F.broadcast(stats))
+            .select(
+                "node",
+                (F.col("n") * F.col("w") - F.col("tot")).alias("x"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    ((mx - mx % target) / target).cast("long"),
+                ).alias("d"),
+            )
             # `div` is integral long division (exact at any magnitude;
             # a double `/` would lose exactness past 2^53 on graphs
             # big enough that n * w overflows the mantissa)
@@ -2310,18 +2324,26 @@ def ego_stats(graph: OnionGraph) -> DataFrame:
     # ONE-SHOT join — an adjacent A/B (r10 session 4) read 4.3s ->
     # 5.7s median with deg broadcast, the un-amortized ~786k-row
     # broadcast build costing more than the exchange it saved.
-    nbr_deg = sym.join(
-        deg.select(
-            F.col("layer").alias("n_layer"),
-            F.col("node_id").alias("n_id"),
-            F.col("deg").alias("n_deg"),
-        ),
-        on=["n_layer", "n_id"],
+    #
+    # The join attaches deg on the SOURCE side — the same key deg
+    # itself aggregates on — so the probe-side exchange of sym by
+    # (layer, node_id) is the identical subtree to the one under deg
+    # and ReuseExchange ships sym ONCE for both (r11; was: join keyed
+    # on the neighbor side = a second full sym exchange on a
+    # different key). By symmetry of the symmetrized view, grouping
+    # the NEIGHBOR side with source degrees attached is exactly
+    # grouping the source side with neighbor degrees attached: rows
+    # with n = (L, I) are precisely the pairs (u, n), u in N(n).
+    src_deg = sym.join(deg, on=["layer", "node_id"]).select(
+        F.col("layer").alias("u_layer"),
+        F.col("n_layer").alias("layer"),
+        F.col("n_id").alias("node_id"),
+        F.col("deg").alias("u_deg"),
     )
-    return nbr_deg.groupBy("layer", "node_id").agg(
+    return src_deg.groupBy("layer", "node_id").agg(
         F.count("*").cast("bigint").alias("n_neighbors"),
-        F.count_distinct("n_layer").cast("bigint").alias("n_neighbor_layers"),
-        F.round(F.sum("n_deg") / F.count("*"), 6).alias("mean_neighbor_degree"),
+        F.count_distinct("u_layer").cast("bigint").alias("n_neighbor_layers"),
+        F.round(F.sum("u_deg") / F.count("*"), 6).alias("mean_neighbor_degree"),
     )
 
 

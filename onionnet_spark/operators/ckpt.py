@@ -40,7 +40,12 @@ class IterCheckpointer:
         self._prefix = prefix
         self._n = 0
 
-    def cut(self, df: DataFrame) -> DataFrame:
+    def cut(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """``eager=False`` defers materialization to the caller's next
+        action (r11): loops shaped `nxt = cut(nxt); n = nxt.count()`
+        pay one job per level instead of two — the count IS the
+        materialization. Only the localCheckpoint arm defers; the
+        parquet rebase is a write and stays eager by nature."""
         self._n += 1
         if self.rebase_every and self._n % self.rebase_every == 0:
             if self._dir is None:
@@ -48,4 +53,4 @@ class IterCheckpointer:
             path = f"{self._dir}/gen_{self._n}"
             df.write.mode("overwrite").parquet(path)
             return df.sparkSession.read.parquet(path)
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)

@@ -185,15 +185,30 @@ def project_bipartite(
     direction), weighted by the shared-neighbor count — the standard
     co-membership graph (co-purchase, co-supply, co-affiliation).
 
-    Plan: incidence pairs (layer node, via node) in one pass, then a
-    self equi-join keyed on the via node — the same
-    candidate-generation shape as the LSH bucket join, with the via
-    node's degree bounding the per-key fan-out. Skewed via-hubs are
-    the known hazard: cap or drop super-connectors upstream (cf. the
-    df-cap in node_jaccard) when projecting at corpus scale.
+    Plan (r11, guide §2.4/§2.5): ONE exchange groups the incidence
+    pairs into a sorted per-via membership array (collect_set dedups,
+    replacing the old distinct + self-join pair of exchanges); pair
+    candidates are then generated join-free from array combinations,
+    with each via's members chunked into fixed-size blocks and the
+    block rows round-robined across the cluster — a via key is a
+    LOW-CARDINALITY hot key (25 nations), so the old equi-join ran
+    the whole quadratic fan-out on as many tasks as there are vias;
+    the block decomposition salts that generation across
+    (n_blocks choose 2) independent tasks per via. A via's full
+    membership array rides one row, so cap or drop super-connector
+    vias upstream (the export_adjacency caveat) when projecting at
+    corpus scale — the blocks bound the explode, not the array.
+
+    When every `layer` node belongs to at most ONE via (checked with
+    one scalar aggregate — true of any strict hierarchy, e.g.
+    customer->nation), a pair can share at most one via, so n_shared
+    is the literal 1 and the final pair-keyed groupBy — the only
+    exchange proportional to the OUTPUT — is skipped entirely. The
+    general multi-membership fallback keeps the exact groupBy count.
 
     Returns (id_a, id_b, n_shared) with id_a < id_b.
     """
+    block = 4096
     e = graph.edge_endpoints()
     inc = (
         e.filter(
@@ -205,12 +220,57 @@ def project_bipartite(
                 (F.col("dst_layer") == layer) & (F.col("src_layer") == via_layer)
             ).select(F.col("dst_id").alias("id"), F.col("src_id").alias("via"))
         )
-        .distinct()
     )
-    return (
-        inc.alias("a")
-        .join(inc.alias("b"), on="via")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    mem = (
+        inc.groupBy("via")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .localCheckpoint()
+    )
+    st = (
+        mem.select(F.explode("ids").alias("id"))
+        .agg(F.count("*").alias("m"), F.count_distinct("id").alias("d"))
+        .first()
+    )
+    single_membership = st["m"] == st["d"]
+    spark = mem.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    blk = mem.select(
+        "via",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(ids)-1) div {block}), "
+                f"i -> slice(ids, i*{block}+1, {block}))"
+            )
+        ).alias("bi", "blk"),
+    ).repartition(nparts)
+    within = blk.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(blk, (x, i) -> "
+                "transform(slice(blk, i + 2, size(blk)), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    )
+    xb = blk.select("via", F.col("bi").alias("xi"), F.col("blk").alias("xblk"))
+    yb = blk.select("via", F.col("bi").alias("yi"), F.col("blk").alias("yblk"))
+    cross = (
+        xb.join(F.broadcast(yb), on="via")
+        .filter(F.col("xi") < F.col("yi"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xblk, a -> "
+                    "transform(yblk, b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+    )
+    pairs = within.unionByName(cross).select("p.id_a", "p.id_b")
+    if single_membership:
+        return pairs.select(
+            "id_a", "id_b", F.lit(1).cast("bigint").alias("n_shared")
+        )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("bigint").alias("n_shared")
     )

@@ -451,7 +451,8 @@ def _bfs_int(
             .dropDuplicates(["node"])
             .join(visited, on="node", how="left_anti")
         )
-        nxt = ck.cut(nxt)
+        # lazy cut + count = one job per level (see _sym_bfs_int)
+        nxt = ck.cut(nxt, eager=False)
         depth += 1
         n_frontier = nxt.count()
         n_visited += n_frontier
@@ -530,7 +531,11 @@ def _sym_bfs_int(
             .dropDuplicates(["node"])
             .join(visited, on="node", how="left_anti")
         )
-        nxt = ck.cut(nxt)
+        # lazy cut: the count below materializes the checkpoint, so
+        # each level is ONE job instead of two (r11 — the sweep is
+        # level-count x per-job overhead bound, measured 2.3s/level
+        # on 10-row late frontiers vs a 0.5s broadcast-probe floor)
+        nxt = ck.cut(nxt, eager=False)
         depth += 1
         n_frontier = nxt.count()
         if n_frontier:
@@ -580,7 +585,14 @@ def pseudo_diameter(
         if int_ready:
             d_int = _sym_bfs_int(graph, src)
             _, nidx = graph.cached_int_sym()
-            d = d_int.join(nidx, d_int["node"] == nidx["idx"]).select(
+            # argmax without the full node-index join (r11): take the
+            # scalar max dist first, map back ONLY the nodes at that
+            # eccentricity (a handful on any real graph), then apply
+            # the same (dist desc, layer, node_id) tie-break — among
+            # max-dist rows that is exactly the old global argmax.
+            mx = d_int.agg(F.max("dist").alias("m")).collect()[0]["m"]
+            far_int = d_int.filter(F.col("dist") == mx)
+            d = far_int.join(nidx, far_int["node"] == nidx["idx"]).select(
                 "layer", "node_id", "dist"
             )
         else:

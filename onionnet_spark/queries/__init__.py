@@ -646,6 +646,49 @@ _R10_NEW: list[str] = [
     "basket_rules",
 ]
 
+# Round-11 driver window (VERDICT r10 item 2): the 17 _R10_NEW keys
+# have no driver-recorded correctness row (their r10 window slots were
+# spent re-recording the 48 r01-only keys), so they go FIRST — closing
+# union coverage to 408/408 — followed by 33 of the 47 keys whose ONLY
+# green row is CORRECTNESS_r02 (the stalest remaining evidence; the
+# 14 leftover keys are tpch heads, and q3/q5/q6 among them are
+# exercised by the headline bench every round).
+_R11_WINDOW: list[str] = _R10_NEW + [
+    "cube_revenue",
+    "events_anomaly",
+    "events_changepoints",
+    "events_daily_users",
+    "events_daily_users_approx",
+    "events_dow_profile",
+    "events_ema",
+    "events_funnel",
+    "events_gapfill",
+    "events_json_agg",
+    "events_range_count",
+    "events_retention",
+    "events_rollup",
+    "events_scd2",
+    "events_sessions",
+    "events_sliding",
+    "events_transitions",
+    "events_tumbling",
+    "fuzzy_name_pairs",
+    "lineitem_correlations",
+    "price_histogram",
+    "revenue_gini",
+    "revenue_lorenz",
+    "rfm_segments",
+    "rollup_revenue",
+    "topk_per_group",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+]
+
 
 def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     from onionnet_spark.queries import (  # noqa: F401
@@ -657,7 +700,8 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
 
     ordered: dict[str, tuple[QueryFn, str | None]] = {}
     for name in (
-        _R10_WINDOW
+        _R11_WINDOW
+        + _R10_WINDOW
         + _R10_NEW
         + _R9_WINDOW
         + _R9_NEW

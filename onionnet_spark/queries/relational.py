@@ -1164,6 +1164,41 @@ def sorted_neighborhood_q(spark, sf_dir):
     )
 
 
+def _baskets(spark, sf_dir):
+    """Per-order sorted distinct item arrays in ONE exchange (r11,
+    guide §2.3/§2.4): groupBy(ok) + collect_set dedups (ok, pk) inside
+    the same aggregation that used to need a separate distinct
+    exchange, and pair/triple candidates are then generated JOIN-FREE
+    from array combinations — the within-order self-join (an exchange
+    of the item table per side plus the join itself) disappears.
+    TPC-H baskets are <= 7 items, so the per-row combination arrays
+    are tiny; at corpus scale cap basket size upstream (the documented
+    basket_pairs caveat) so one row's combinations stay bounded."""
+    return (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("items"))
+    )
+
+
+# ordered combinations from the sorted `items` array: transform index
+# args are 0-based, slice() is 1-based, so slice(items, i + 2, ...)
+# starts just past element i — every emitted struct has a < b (< c)
+# by the array's ascending sort.
+_BASKET_PAIR_EXPR = (
+    "flatten(transform(items, (x, i) -> "
+    "transform(slice(items, i + 2, size(items)), "
+    "y -> struct(x AS pa, y AS pb))))"
+)
+_BASKET_TRIPLE_EXPR = (
+    "flatten(flatten(transform(items, (x, i) -> "
+    "transform(slice(items, i + 2, size(items)), (y, j) -> "
+    "transform(slice(items, i + j + 3, size(items)), "
+    "z -> struct(x AS a, y AS b, z AS c))))))"
+)
+
+
 @register(
     "basket_triples",
     # the oracle counts triples DIRECTLY from the definition; the
@@ -1193,7 +1228,15 @@ def basket_triples(spark, sf_dir):
     prune), then counted and ranked. The per-order pair table is
     semi-joined against the frequent-pair list BEFORE the triple
     join, so candidate volume is governed by frequent pairs, not
-    basket-size cubed."""
+    basket-size cubed.
+
+    Kept on the checkpointed-item self-join shape after an r11 A/B:
+    both the pure array-combination rewrite (all C(n,3) candidates
+    exploded, then pruned — med 1.0s vs 0.86s) and the hybrid
+    (array-generated pair table feeding the same pruned chain)
+    measured consistently SLOWER than this shape at sf0.1 — the
+    checkpointed distinct item table amortizes across the two
+    consumers while the collect_set basket build does not."""
     from pyspark.sql import Window
 
     items = (
@@ -1269,24 +1312,19 @@ def basket_triples(spark, sf_dir):
     WHERE rn <= 100""",
 )
 def basket_pairs(spark, sf_dir):
-    """A-priori level-2 co-occurrence: distinct (order, part),
-    self-join within order, support filter, global top-k. Scale: the
-    self-join fan-out is quadratic in BASKET size, not order count —
-    cap basket size upstream for pathological carts; the support
-    HAVING prunes before the top-k."""
+    """A-priori level-2 co-occurrence: per-order item arrays, pair
+    combinations exploded join-free (r11 — was a within-order
+    self-join), support filter, global top-k. Scale: the combination
+    fan-out is quadratic in BASKET size, not order count — cap basket
+    size upstream for pathological carts; the support HAVING prunes
+    before the top-k."""
     from pyspark.sql import Window
 
-    items = (
-        load_tables(spark, sf_dir)["lineitem"]
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
     pairs = (
-        items.alias("a")
-        .join(items.alias("b"), on="ok")
-        .filter(F.col("a.pk") < F.col("b.pk"))
+        _baskets(spark, sf_dir)
+        .select(F.explode(F.expr(_BASKET_PAIR_EXPR)).alias("p"))
         .groupBy(
-            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+            F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")
         )
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 3)
@@ -4256,19 +4294,20 @@ def basket_rules_q(spark, sf_dir):
     companion to basket_pairs / brand_type_lift (r10)."""
     from pyspark.sql import Window
 
-    items = (
-        load_tables(spark, sf_dir)["lineitem"]
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    # one checkpointed basket-array build feeds n, the item
+    # frequencies AND the pair counts (r11; was: a distinct item
+    # table re-shuffled for the self-join plus a separate distinct
+    # count for n)
+    baskets = _baskets(spark, sf_dir).localCheckpoint()
+    n = baskets.count()
+    freq = (
+        baskets.select(F.explode("items").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
-    n = items.select("ok").distinct().count()
-    freq = items.groupBy("pk").agg(F.count("*").cast("bigint").alias("c"))
-    a = items.select(F.col("ok"), F.col("pk").alias("pa"))
-    b = items.select(F.col("ok"), F.col("pk").alias("pb"))
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        baskets.select(F.explode(F.expr(_BASKET_PAIR_EXPR)).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count("*").cast("bigint").alias("ab"))
         .filter(F.col("ab") >= 3)
     )

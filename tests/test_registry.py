@@ -34,13 +34,13 @@ def test_oracle_attachment_to_same_fn_allowed():
 def test_load_all_is_registry_superset_and_ordered():
     reg = q.load_all()
     assert set(reg) == set(q.REGISTRY)
-    # round-10 priority: the bit-rot re-sweep window leads (the 48
-    # keys whose only green row is r01, plus the 2 oldest r02 keys),
-    # then round-10 additions, then the recorded rotation record
+    # round-11 priority: the 17 _R10_NEW keys (the only registry keys
+    # with no driver-recorded green row) lead, then 33 of the stalest
+    # r02-only keys, then the recorded rotation history
     present_priority = []
     for k in (
-        q._R10_WINDOW + q._R10_NEW + q._R9_WINDOW + q._R9_NEW
-        + q._R8_WINDOW + q._R7_WINDOW + q._R6_WINDOW
+        q._R11_WINDOW + q._R10_WINDOW + q._R10_NEW + q._R9_WINDOW
+        + q._R9_NEW + q._R8_WINDOW + q._R7_WINDOW + q._R6_WINDOW
     ):
         if k in reg and k not in present_priority:
             present_priority.append(k)
@@ -57,7 +57,7 @@ def test_r10_window_resweeps_stalest_evidence():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green_rounds: dict[str, set[int]] = {}
     red = set()
-    for rnd in (1, 2, 3, 5, 6, 7, 8, 9):
+    for rnd in (1, 2, 3, 5, 6, 7, 8, 9, 10):
         path = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
         if not os.path.exists(path):
             continue
@@ -88,13 +88,14 @@ def test_r10_window_resweeps_stalest_evidence():
         k for k in reg if k not in green_rounds and k not in q._R10_NEW
     ]
     assert not unrecorded, f"keys with no driver record: {unrecorded}"
-    # the window re-records the stalest evidence first
-    r01_only = {k for k, rs in green_rounds.items() if rs == {1}}
+    # the r11 window closes the last coverage gap first (the 17
+    # _R10_NEW keys are the only ones with no driver green row), then
+    # re-records the stalest remaining evidence (r02-only keys)
     r02_only = {k for k, rs in green_rounds.items() if rs == {2}}
-    window = q._R10_WINDOW
+    window = q._R11_WINDOW
     assert list(reg)[: len(window)] == window
-    assert set(window[:48]) == r01_only & set(q.REGISTRY)
-    assert set(window[48:]) <= r02_only and len(window) == 50
+    assert window[:17] == q._R10_NEW
+    assert set(window[17:]) <= r02_only and len(window) == 50
 
 
 def test_survey_inventory_matches_registry():
