@@ -66,14 +66,15 @@ class OnionGraph:
         self.edges_unique_undirected = edges_unique_undirected
         self._endpoint_cache: dict[str, DataFrame] = {}
         self._layer_names: set[str] | None = None
-        # guards the build-and-memoize of the int node index: the two
-        # on_shortest_path BFS arms call cached_int_endpoints from
-        # concurrent threads, and an unguarded first build would
-        # persist two copies of the index (one left pinned until
-        # session end)
+        # guards EVERY check-then-persist cache builder (r11, ADVICE
+        # r10): graph instances are shared session-wide (_entity_graph
+        # memo), so concurrent queries racing an unguarded first build
+        # would persist two copies of a view and pin the orphan until
+        # session end. Re-entrant because builders nest (cached_int_sym
+        # -> _int_nodes).
         import threading
 
-        self._int_nodes_lock = threading.Lock()
+        self._cache_lock = threading.RLock()
 
     def __del__(self):
         # Best-effort release of the per-instance cached views when
@@ -140,15 +141,18 @@ class OnionGraph:
         exchange) across all of them and across iterations within
         one of them.
         """
-        if "sym" not in self._endpoint_cache:
-            # persist, not a lazy localCheckpoint: tasks probe the
-            # block cache BEFORE computing, so multiple uses of this
-            # view inside one job share the first materialization (a
-            # lazy checkpoint replays the subtree per use — measured
-            # 10x slowdown on triangle counting). The session-lifetime
-            # CacheManager pin for throwaway graph instances is
-            # released by __del__ below.
-            self._endpoint_cache["sym"] = self.symmetrized_edges().persist()
+        with self._cache_lock:
+            if "sym" not in self._endpoint_cache:
+                # persist, not a lazy localCheckpoint: tasks probe the
+                # block cache BEFORE computing, so multiple uses of
+                # this view inside one job share the first
+                # materialization (a lazy checkpoint replays the
+                # subtree per use — measured 10x slowdown on triangle
+                # counting). The session-lifetime CacheManager pin for
+                # throwaway graph instances is released by __del__.
+                self._endpoint_cache["sym"] = (
+                    self.symmetrized_edges().persist()
+                )
         return self._endpoint_cache["sym"]
 
     def cached_int_sym(self) -> tuple[DataFrame, DataFrame] | None:
@@ -173,20 +177,23 @@ class OnionGraph:
         strings cuts the exchanged bytes ~3x and the dedup/anti-join
         hash compares to single-word ops.
         """
-        if "int_sym" not in self._endpoint_cache:
-            nidx = self._int_nodes()
-            if nidx is None:
-                self._endpoint_cache["int_sym"] = None
-            else:
-                e = self.edge_endpoints().select(
-                    F.xxhash64("src_layer", "src_id").alias("s"),
-                    F.xxhash64("dst_layer", "dst_id").alias("d"),
-                )
-                rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-                sym = e.unionByName(rev)
-                if not self.edges_unique_undirected:
-                    sym = sym.distinct()
-                self._endpoint_cache["int_sym"] = sym.persist()
+        with self._cache_lock:
+            if "int_sym" not in self._endpoint_cache:
+                nidx = self._int_nodes()
+                if nidx is None:
+                    self._endpoint_cache["int_sym"] = None
+                else:
+                    e = self.edge_endpoints().select(
+                        F.xxhash64("src_layer", "src_id").alias("s"),
+                        F.xxhash64("dst_layer", "dst_id").alias("d"),
+                    )
+                    rev = e.select(
+                        F.col("d").alias("s"), F.col("s").alias("d")
+                    )
+                    sym = e.unionByName(rev)
+                    if not self.edges_unique_undirected:
+                        sym = sym.distinct()
+                    self._endpoint_cache["int_sym"] = sym.persist()
         if self._endpoint_cache["int_sym"] is None:
             return None
         return self._endpoint_cache["int_sym"], self._endpoint_cache["int_nodes"]
@@ -195,7 +202,7 @@ class OnionGraph:
         """The collision-checked xxhash64 node index shared by every
         int-keyed view (cached_int_sym / cached_int_endpoints), or
         None when the 64-bit keying clashes on this node set."""
-        with self._int_nodes_lock:
+        with self._cache_lock:
             if "int_nodes" not in self._endpoint_cache:
                 nodes_idx = self.nodes.select(
                     "layer", "node_id", F.xxhash64("layer", "node_id").alias("idx")
@@ -223,17 +230,29 @@ class OnionGraph:
         if direction not in ("downstream", "upstream"):
             raise ValueError("direction must be 'upstream' or 'downstream'")
         key = f"int_{direction}"
-        if key not in self._endpoint_cache:
-            nidx = self._int_nodes()
-            if nidx is None:
-                self._endpoint_cache[key] = None
-            else:
-                s, d = ("src", "dst") if direction == "downstream" else ("dst", "src")
-                e = self.edge_endpoints().select(
-                    F.xxhash64(f"{s}_layer", f"{s}_id").alias("s"),
-                    F.xxhash64(f"{d}_layer", f"{d}_id").alias("d"),
-                )
-                self._endpoint_cache[key] = e.persist()
+        with self._cache_lock:
+            if key not in self._endpoint_cache:
+                nidx = self._int_nodes()
+                if nidx is None:
+                    self._endpoint_cache[key] = None
+                else:
+                    s, d = (
+                        ("src", "dst")
+                        if direction == "downstream"
+                        else ("dst", "src")
+                    )
+                    # NOTE (ADVICE r10): the injectivity check in
+                    # _int_nodes covers the NODE table; edge endpoints
+                    # hash safely because of the OnionGraph builder
+                    # invariant that every edge endpoint appears in
+                    # graph.nodes (the same referential-integrity
+                    # precondition _bfs_int documents). A graph with
+                    # dangling endpoints must not use the int views.
+                    e = self.edge_endpoints().select(
+                        F.xxhash64(f"{s}_layer", f"{s}_id").alias("s"),
+                        F.xxhash64(f"{d}_layer", f"{d}_id").alias("d"),
+                    )
+                    self._endpoint_cache[key] = e.persist()
         if self._endpoint_cache[key] is None:
             return None
         return self._endpoint_cache[key], self._endpoint_cache["int_nodes"]
@@ -249,21 +268,26 @@ class OnionGraph:
         (a full shuffle of the edge table that removes nothing on
         builder output) is skipped.
         """
-        if "canonical" not in self._endpoint_cache:
-            a_key = F.concat_ws(":", "src_layer", "src_id")
-            b_key = F.concat_ws(":", "dst_layer", "dst_id")
-            e = (
-                self.edge_endpoints()
-                .select(
-                    F.when(a_key < b_key, a_key).otherwise(b_key).alias("a"),
-                    F.when(a_key < b_key, b_key).otherwise(a_key).alias("b"),
+        with self._cache_lock:
+            if "canonical" not in self._endpoint_cache:
+                a_key = F.concat_ws(":", "src_layer", "src_id")
+                b_key = F.concat_ws(":", "dst_layer", "dst_id")
+                e = (
+                    self.edge_endpoints()
+                    .select(
+                        F.when(a_key < b_key, a_key)
+                        .otherwise(b_key)
+                        .alias("a"),
+                        F.when(a_key < b_key, b_key)
+                        .otherwise(a_key)
+                        .alias("b"),
+                    )
+                    .filter(F.col("a") != F.col("b"))
                 )
-                .filter(F.col("a") != F.col("b"))
-            )
-            if not self.edges_unique_undirected:
-                e = e.distinct()
-            # persist: see cached_symmetrized
-            self._endpoint_cache["canonical"] = e.persist()
+                if not self.edges_unique_undirected:
+                    e = e.distinct()
+                # persist: see cached_symmetrized
+                self._endpoint_cache["canonical"] = e.persist()
         return self._endpoint_cache["canonical"]
 
     def canonical_degrees(self) -> DataFrame:
@@ -272,16 +296,17 @@ class OnionGraph:
         baseline, triangle orientation, and clustering coefficient
         all start from exactly this aggregation.
         """
-        if "canonical_deg" not in self._endpoint_cache:
-            canon = self.canonical_edges()
-            deg = (
-                canon.select(F.col("a").alias("n"))
-                .unionByName(canon.select(F.col("b").alias("n")))
-                .groupBy("n")
-                .agg(F.count("*").alias("d"))
-            )
-            # persist: see cached_symmetrized
-            self._endpoint_cache["canonical_deg"] = deg.persist()
+        with self._cache_lock:
+            if "canonical_deg" not in self._endpoint_cache:
+                canon = self.canonical_edges()
+                deg = (
+                    canon.select(F.col("a").alias("n"))
+                    .unionByName(canon.select(F.col("b").alias("n")))
+                    .groupBy("n")
+                    .agg(F.count("*").alias("d"))
+                )
+                # persist: see cached_symmetrized
+                self._endpoint_cache["canonical_deg"] = deg.persist()
         return self._endpoint_cache["canonical_deg"]
 
     # ---- invariants ------------------------------------------------------
@@ -325,17 +350,18 @@ class OnionGraph:
         """
         if direction not in ("downstream", "upstream"):
             raise ValueError("direction must be 'upstream' or 'downstream'")
-        if direction not in self._endpoint_cache:
-            e = self.edge_endpoints()
-            if direction == "upstream":
-                e = e.select(
-                    F.col("dst_layer").alias("src_layer"),
-                    F.col("dst_id").alias("src_id"),
-                    F.col("src_layer").alias("dst_layer"),
-                    F.col("src_id").alias("dst_id"),
-                )
-            # persist: see cached_symmetrized
-            self._endpoint_cache[direction] = e.persist()
+        with self._cache_lock:
+            if direction not in self._endpoint_cache:
+                e = self.edge_endpoints()
+                if direction == "upstream":
+                    e = e.select(
+                        F.col("dst_layer").alias("src_layer"),
+                        F.col("dst_id").alias("src_id"),
+                        F.col("src_layer").alias("dst_layer"),
+                        F.col("src_id").alias("dst_id"),
+                    )
+                # persist: see cached_symmetrized
+                self._endpoint_cache[direction] = e.persist()
         return self._endpoint_cache[direction]
 
     def create_views(self, prefix: str = "onion_") -> tuple[str, str]:

@@ -978,6 +978,7 @@ def image_dhash_near_pairs(
     payload_df: DataFrame,
     bands: int = 8,
     max_hamming: int = 7,
+    dhash_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by dHash Hamming distance — the
     multimodal twin of dedup.simhash_near_pairs: the 64-bit
@@ -993,7 +994,14 @@ def image_dhash_near_pairs(
     """
     assert 64 % bands == 0 and max_hamming <= bands - 1
     width = 64 // bands
-    dh = image_dhash(payload_df).localCheckpoint()
+    # dhash_df: reuse a caller-computed (doc_id, dhash) frame — the
+    # r10 `shingles=` pattern — so a caller that also inspects the
+    # fingerprints does not pay the Python decode twice (r11).
+    dh = (
+        dhash_df
+        if dhash_df is not None
+        else image_dhash(payload_df).localCheckpoint()
+    )
     bnd = dh.select(
         F.col("doc_id").alias("id"),
         F.posexplode(

@@ -911,6 +911,12 @@ def neighborhood_growth_states(
     k=k)`` (same md5 draws, same MIN recurrence, same MLE select) —
     the growth profile pays max_radius rounds instead of
     1 + 2 + .. + max_radius."""
+    if max_radius < 1:
+        # ADVICE r10: a 0-radius call would return the radius-0 init
+        # frame as a single element, which callers enumerating from
+        # radius 1 would mislabel; the docstring promises radii
+        # 1..max_radius, so demand at least one.
+        raise ValueError(f"max_radius must be >= 1, got {max_radius}")
     return [
         _kmins_estimate(s, k)
         for s in _kmins_states(graph, max_radius, k, direction)

@@ -17,13 +17,21 @@ from onionnet_spark.operators import analytics, components, filters, properties,
 from onionnet_spark.queries import register
 from onionnet_spark.sources.tpch_graph import build_graph, graph_ctes
 
+import threading
+
 _GRAPH_CACHE: dict[tuple[int, str], OnionGraph] = {}
+# one lock for every query-layer memo (r11): queries are built from
+# concurrent driver threads (the schema-gate sweep, guide §2.6 job
+# overlap), and an unguarded check-then-build would persist duplicate
+# graph instances, pinning orphans until session end
+_MEMO_LOCK = threading.RLock()
 
 
 def get_graph(spark: SparkSession, sf_dir: str) -> OnionGraph:
     key = (id(spark), sf_dir)
-    if key not in _GRAPH_CACHE:
-        _GRAPH_CACHE[key] = build_graph(spark, sf_dir).persist()
+    with _MEMO_LOCK:
+        if key not in _GRAPH_CACHE:
+            _GRAPH_CACHE[key] = build_graph(spark, sf_dir).persist()
     return _GRAPH_CACHE[key]
 
 
@@ -40,8 +48,9 @@ def derived_graph(spark, sf_dir: str, key: str, build) -> OnionGraph:
     from firing while the registry can still re-serve the graph.
     """
     k = (id(spark), sf_dir, key)
-    if k not in _DERIVED_CACHE:
-        _DERIVED_CACHE[k] = build()
+    with _MEMO_LOCK:
+        if k not in _DERIVED_CACHE:
+            _DERIVED_CACHE[k] = build()
     return _DERIVED_CACHE[k]
 
 
@@ -1599,10 +1608,11 @@ def _cosupply_top_pairs(spark, sf_dir, topn: int, with_weight: bool = False):
     view-sharing class as `derived_graph` (every query still computes
     its own result from the parquet inputs)."""
     k = (id(spark), sf_dir, topn, with_weight)
-    if k not in _COSUPPLY_CACHE:
-        _COSUPPLY_CACHE[k] = _cosupply_top_pairs_build(
-            spark, sf_dir, topn, with_weight
-        ).localCheckpoint()
+    with _MEMO_LOCK:
+        if k not in _COSUPPLY_CACHE:
+            _COSUPPLY_CACHE[k] = _cosupply_top_pairs_build(
+                spark, sf_dir, topn, with_weight
+            ).localCheckpoint()
     return _COSUPPLY_CACHE[k]
 
 

@@ -2820,6 +2820,15 @@ def lineitem_layout_skipping_q(spark, sf_dir):
         F.min("qty").alias("loy"), F.max("qty").alias("hiy"),
         F.count("*").alias("nr_all"),
     ).first()
+    if not brow["nr_all"]:
+        # ADVICE r10: on an empty/all-null slice the bounds are None
+        # and the driver-side arithmetic below would raise a bare
+        # TypeError; fail with the actual cause instead. (The fixed
+        # 1996-01 slice is never empty on the shipped SFs.)
+        raise ValueError(
+            "lineitem_layout_skipping: the audited slice is empty — "
+            "no rows in the 1996-01 shipdate window"
+        )
     lox, hix, loy, hiy = brow["lox"], brow["hix"], brow["loy"], brow["hiy"]
     p_lo, p_hi = lox + (hix - lox) * 0.40, lox + (hix - lox) * 0.60
     q_lo, q_hi = loy + (hiy - loy) * 0.40, loy + (hiy - loy) * 0.60

@@ -921,10 +921,13 @@ def test_image_dhash_near_pairs_recall(spark):
     # verify the band path achieves full recall vs brute force
     ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
     payload = multimodal.synth_png_payload(ids)
-    dh = {r["doc_id"]: r["dhash"] for r in multimodal.image_dhash(payload).collect()}
+    dh_frame = multimodal.image_dhash(payload).localCheckpoint()
+    dh = {r["doc_id"]: r["dhash"] for r in dh_frame.collect()}
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in multimodal.image_dhash_near_pairs(payload).collect()
+        for r in multimodal.image_dhash_near_pairs(
+            payload, dhash_df=dh_frame
+        ).collect()
     }
     want = {}
     for a, b in itertools.combinations(sorted(dh), 2):

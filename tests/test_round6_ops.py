@@ -37,14 +37,31 @@ def test_gate_outputs_are_scalar_typed(spark, sf_dir):
     conversion hash differently even when values match exactly
     (bloom_pruned_revenue red r05+r06). Money columns accumulate in
     DECIMAL but surface as DOUBLE (the tpch_q7/q9 convention)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from onionnet_spark.queries import load_all
 
-    offenders = []
-    for key, (fn, _oracle) in sorted(load_all().items()):
-        df = fn(spark, sf_dir)
-        for name, dt in df.dtypes:
-            if dt.startswith(("array", "map", "struct", "binary", "decimal")):
-                offenders.append((key, name, dt))
+    # The sweep builds all 408 query frames; iterative operators run
+    # their convergence jobs eagerly during construction, which made
+    # the serial loop the single slowest test in the suite (400s of a
+    # 33min run). The jobs are tiny at sf0.001, so constructing from
+    # a driver thread pool overlaps them (guide §2.6); the query-layer
+    # memos (graph/derived/cosupply) are lock-guarded for exactly this.
+    def dtypes_of(item):
+        key, (fn, _oracle) = item
+        return [(key, n, d) for n, d in fn(spark, sf_dir).dtypes]
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        cols = [
+            c
+            for res in pool.map(dtypes_of, sorted(load_all().items()))
+            for c in res
+        ]
+    offenders = [
+        (key, name, dt)
+        for key, name, dt in cols
+        if dt.startswith(("array", "map", "struct", "binary", "decimal"))
+    ]
     assert offenders == []
 
 
